@@ -1,13 +1,137 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the TiFlink example MV shape (per-entity correlated count,
+    * examples/.../TiFlinkExample.java:12-18) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q5ScalarSubquery(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented capability from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.A — relational surface
+    "q1_agg" -> (Relational.q1Agg _),
+    "q2_filter_project" -> (Relational.q2FilterProject _),
+    "q3_dim_join" -> (Relational.q3DimJoin _),
+    "q4_join_agg" -> (Relational.q4JoinAgg _),
+    "q5_scalar_subquery" -> (Relational.q5ScalarSubquery _),
+    "q6_semi_join" -> (Relational.q6SemiJoin _),
+    "q7_anti_join" -> (Relational.q7AntiJoin _),
+    "q8_outer_join" -> (Relational.q8OuterJoin _),
+    "q9_distinct" -> (Relational.q9Distinct _),
+    "q10_union" -> (Relational.q10Union _),
+    "q11_having" -> (Relational.q11Having _),
+    "q12_topn" -> (Relational.q12TopN _),
+    "q13_window_rank" -> (Relational.q13WindowRank _),
+    "q14_window_running" -> (Relational.q14WindowRunning _),
+    "q15_case_agg" -> (Relational.q15CaseAgg _),
+    "q16_date_funcs" -> (Relational.q16DateFuncs _),
+    "q17_string_funcs" -> (Relational.q17StringFuncs _),
+    "q18_rollup" -> (Relational.q18Rollup _),
+    "q19_count_distinct" -> (Relational.q19CountDistinct _),
+    "q20_approx_distinct" -> (Relational.q20ApproxDistinct _),
+    "q21_in_subquery" -> (Relational.q21InSubquery _),
+    "q22_pricing_summary" -> (Relational.q22PricingSummary _),
+    "q23_cross_join" -> (Relational.q23CrossJoin _),
+  )
+
+  /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
+    * aggregation convention — see Relational's scaladoc). Queries absent here
+    * (sketches, LSH, …) get the driver's rows-only check + a ScalaTest spec. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS cnt,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+        |min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_discount > 0.05""".stripMargin,
+    "q3_dim_join" ->
+      """SELECT r_name, n_name, count(*) AS num_customers,
+        |CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name""".stripMargin,
+    "q4_join_agg" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority""".stripMargin,
+    "q5_scalar_subquery" ->
+      """SELECT c_custkey, c_name,
+        |(SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS num_orders
+        |FROM customer""".stripMargin,
+    "q6_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)""".stripMargin,
+    "q7_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
+    "q8_outer_join" ->
+      """SELECT c_mktsegment, count(o_orderkey) AS f_orders, count(*) AS total_rows
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+        |ON c_custkey = o_custkey GROUP BY c_mktsegment""".stripMargin,
+    "q9_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q10_union" ->
+      """SELECT c_custkey AS id, 'customer' AS src, c_acctbal AS acctbal FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, 'supplier' AS src, s_acctbal AS acctbal FROM supplier""".stripMargin,
+    "q11_having" ->
+      """SELECT o_custkey, count(*) AS cnt,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spent
+        |FROM orders GROUP BY o_custkey HAVING count(*) > 15""".stripMargin,
+    "q12_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q13_window_rank" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |SELECT o_orderpriority, CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+        |o_orderkey, o_totalprice FROM orders) t WHERE rn <= 3""".stripMargin,
+    "q14_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |CAST(lag(CAST(o_totalprice AS DECIMAL(14,2)), 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price
+        |FROM orders WHERE o_custkey < 100""".stripMargin,
+    "q15_case_agg" ->
+      """SELECT l_linestatus,
+        |sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END) AS returned_qty,
+        |CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS high_discount_cnt,
+        |count(*) AS cnt FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q16_date_funcs" ->
+      """SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS o_quarter,
+        |count(*) AS cnt, CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q17_string_funcs" ->
+      """SELECT c_custkey, upper(c_mktsegment) AS seg_upper, substring(c_name, 1, 8) AS name_prefix,
+        |CAST(length(c_name) AS BIGINT) AS name_len, c_mktsegment || '#' || c_name AS tagged
+        |FROM customer WHERE c_name LIKE '%1%'""".stripMargin,
+    "q18_rollup" ->
+      """SELECT r_name, n_name, count(*) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q19_count_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS uniq_custs, count(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q21_in_subquery" ->
+      """SELECT s_suppkey, s_name, s_nationkey FROM supplier
+        |WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)""".stripMargin,
+    "q22_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |sum(l_quantity) / count(*) AS avg_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_price,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q23_cross_join" ->
+      "SELECT a.r_name AS r1, b.r_name AS r2 FROM region a CROSS JOIN region b",
+  )
 }

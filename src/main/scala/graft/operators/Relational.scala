@@ -1,0 +1,287 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.sources.Tables
+
+/**
+ * The relational query surface — what TiFlink exposes through Flink StreamSQL
+ * (`tableEnv.sqlQuery(query)`, reference: TiFlinkApp.java:270) re-expressed as
+ * declarative DataFrame plans so Catalyst handles pushdown, pruning, join
+ * selection and AQE does runtime re-planning.
+ *
+ * Numeric determinism convention (shared with the DuckDB oracles in
+ * [[graft.SparkEntry.oracleSql]]): money columns are cast to DECIMAL *before*
+ * aggregation (exact, order-independent arithmetic) and the final aggregate is
+ * cast back to DOUBLE — both engines then produce bit-identical values, which
+ * a floating sum would not (summation order differs).
+ *
+ * Scale notes are on each operator; dimension joins broadcast explicitly,
+ * fact-fact joins shuffle on their keys and rely on AQE for skew.
+ */
+object Relational {
+
+  /** Money: 2-decimal values ≤ ~1e7 → DECIMAL(14,2) is lossless. */
+  private def money(c: Column): Column = c.cast(DecimalType(14, 2))
+  /** Rates (discount/tax): 2-decimal values < 1 → DECIMAL(4,2). */
+  private def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+  private def asDouble(c: Column): Column = c.cast(DoubleType)
+
+  // ---------------------------------------------------------------- A2
+  /** Group-by aggregation with sum/count/avg/min/max. Partial (map-side)
+    * aggregation is automatic; 6 output groups → no skew concern. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"), // integral doubles: exact in fp
+        count(lit(1)).as("cnt"),
+        asDouble(sum(money($"l_extendedprice"))).as("sum_price"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"))
+
+  // ---------------------------------------------------------------- A1
+  /** Filter + narrow projection. The plan must show PushedFilters on
+    * l_shipdate/l_discount and a 4-column ReadSchema — verified in specs. */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1999-01-01").cast("timestamp") &&
+        $"l_discount" > 0.05)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount")
+
+  // ---------------------------------------------------------------- A3
+  /** Customer enriched by nation and region: both dims are tiny at any SF
+    * (25 / 5 rows) → broadcast explicitly; no shuffle of the fact side. */
+  def q3DimJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        count(lit(1)).as("num_customers"),
+        asDouble(sum(money($"c_acctbal"))).as("total_acctbal"))
+
+  // ---------------------------------------------------------------- A4
+  /** Fact-fact join: orders⋈lineitem shuffles both sides on orderkey (at
+    * 100 TB both exceed broadcast thresholds). Revenue uses exact decimal
+    * per-row arithmetic: DECIMAL(14,2) * (1 - DECIMAL(4,2)). */
+  def q4JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = money($"l_extendedprice") * (lit(1).cast(DecimalType(3, 2)) - rate($"l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("cnt"),
+        asDouble(sum(revenue)).as("revenue"))
+  }
+
+  // ---------------------------------------------------------------- A5
+  /** The TiFlink flagship MV shape (examples/.../TiFlinkExample.java:12-18:
+    * `select id, ..., (select count(*) from posts where author_id = authors.id)
+    * from authors`): a correlated scalar COUNT subquery. Spark-first this is a
+    * pre-aggregate + left join (count rolls up before the join → the join input
+    * is one row per customer, not one row per order). */
+  def q5ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("cnt"))
+    Tables.customer(spark, dir)
+      .join(counts, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"c_name",
+        coalesce($"cnt", lit(0L)).as("num_orders"))
+  }
+
+  // ---------------------------------------------------------------- A6
+  /** EXISTS → left-semi join (no row multiplication, early exit per key). */
+  def q6SemiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).filter($"o_totalprice" > 200000.0),
+        $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+
+  // ---------------------------------------------------------------- A7
+  /** NOT EXISTS → left-anti join (customers with no high-value order). */
+  def q7AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).filter($"o_totalprice" > 300000.0),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+
+  // ---------------------------------------------------------------- A8
+  /** Left outer join preserving customers with no 'F'-status orders;
+    * count(o_orderkey) counts only matched rows (SQL semantics). */
+  def q8OuterJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).filter($"o_orderstatus" === "F"),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_mktsegment")
+      .agg(
+        count($"o_orderkey").as("f_orders"),
+        count(lit(1)).as("total_rows"))
+
+  // ---------------------------------------------------------------- A9
+  def q9Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select($"c_mktsegment", $"c_nationkey").distinct()
+
+  // ---------------------------------------------------------------- A10
+  def q10Union(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select($"c_custkey".as("id"), lit("customer").as("src"), $"c_acctbal".as("acctbal"))
+    val s = Tables.supplier(spark, dir)
+      .select($"s_suppkey".as("id"), lit("supplier").as("src"), $"s_acctbal".as("acctbal"))
+    c.unionAll(s)
+  }
+
+  // ---------------------------------------------------------------- A11
+  def q11Having(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("cnt"), asDouble(sum(money($"o_totalprice"))).as("total_spent"))
+      .filter($"cnt" > 15)
+
+  // ---------------------------------------------------------------- A12
+  /** ORDER BY + LIMIT compiles to TakeOrderedAndProject: each partition keeps
+    * a k-row heap, only k rows reach the driver — scales to any input size.
+    * o_orderkey tie-break keeps the result deterministic. */
+  def q12TopN(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+
+  // ---------------------------------------------------------------- A13
+  /** Top-3 orders per priority via row_number — the classic streaming top-n
+    * TiFlink maintains; partition-parallel, state bounded by k per key. */
+  def q13WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"o_orderpriority", $"rn", $"o_orderkey", $"o_totalprice")
+  }
+
+  // ---------------------------------------------------------------- A14
+  /** Running total + lag per customer ordered by time; decimal running sum is
+    * order-exact so both engines agree bit-for-bit. */
+  def q14WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter($"o_custkey" < 100)
+      .select(
+        $"o_custkey", $"o_orderkey", $"o_orderdate",
+        asDouble(sum(money($"o_totalprice")).over(running)).as("running_total"),
+        asDouble(lag(money($"o_totalprice"), 1).over(order)).as("prev_price"))
+  }
+
+  // ---------------------------------------------------------------- A15
+  /** CASE WHEN + conditional aggregation (sum/count over filtered branches). */
+  def q15CaseAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_linestatus")
+      .agg(
+        sum(when($"l_returnflag" === "R", $"l_quantity").otherwise(0.0)).as("returned_qty"),
+        sum(when($"l_discount" > 0.05, 1L).otherwise(0L)).as("high_discount_cnt"),
+        count(lit(1)).as("cnt"))
+
+  // ---------------------------------------------------------------- A16
+  /** Date/time functions: extract + trunc + date arithmetic. */
+  def q16DateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        year($"o_orderdate").cast("long").as("o_year"),
+        quarter($"o_orderdate").cast("long").as("o_quarter"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        asDouble(sum(money($"o_totalprice"))).as("total"))
+
+  // ---------------------------------------------------------------- A17
+  /** String functions: upper/substr/length/concat/LIKE. */
+  def q17StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter($"c_name".like("%1%"))
+      .select(
+        $"c_custkey",
+        upper($"c_mktsegment").as("seg_upper"),
+        substring($"c_name", 1, 8).as("name_prefix"),
+        length($"c_name").cast("long").as("name_len"),
+        concat($"c_mktsegment", lit("#"), $"c_name").as("tagged"))
+
+  // ---------------------------------------------------------------- A18
+  /** ROLLUP — hierarchical totals (region → nation → grand total). */
+  def q18Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("cnt"))
+
+  // ---------------------------------------------------------------- A19
+  /** Exact COUNT(DISTINCT) — Catalyst expands to a two-stage aggregate. */
+  def q19CountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        countDistinct($"o_custkey").as("uniq_custs"),
+        count(lit(1)).as("cnt"))
+
+  // ---------------------------------------------------------------- A20
+  /** approx_count_distinct (HyperLogLog++) — the scale path for distinct
+    * counting (fixed-size sketch vs exact's shuffle of all distinct values).
+    * Sketch internals are engine-specific → rows-only check + spec. */
+  def q20ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(approx_count_distinct($"o_custkey", 0.01).as("approx_uniq_custs"))
+
+  // ---------------------------------------------------------------- A21
+  /** IN (subquery) → left-semi join against the distinct key set. */
+  def q21InSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val asian = Tables.nation(spark, dir).filter($"n_regionkey" === 2)
+      .select($"n_nationkey")
+    Tables.supplier(spark, dir)
+      .join(broadcast(asian), $"s_nationkey" === $"n_nationkey", "left_semi")
+      .select($"s_suppkey", $"s_name", $"s_nationkey")
+  }
+
+  // ---------------------------------------------------------------- A22
+  /** TPC-H Q1 pricing summary (the canonical MV TiFlink would maintain):
+    * multi-aggregate with exact decimal arithmetic for the fp expressions. */
+  def q22PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(3, 2))
+    val discPrice = money($"l_extendedprice") * (one - rate($"l_discount"))
+    val charge = discPrice * (one + rate($"l_tax"))
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("2001-06-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        asDouble(sum(money($"l_extendedprice"))).as("sum_base_price"),
+        asDouble(sum(discPrice)).as("sum_disc_price"),
+        asDouble(sum(charge)).as("sum_charge"),
+        (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
+        (asDouble(sum(money($"l_extendedprice"))) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  // ---------------------------------------------------------------- A23
+  /** Cross join of two tiny inputs (both broadcast-sized by construction). */
+  def q23CrossJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r1 = Tables.region(spark, dir).select($"r_name".as("r1"))
+    val r2 = Tables.region(spark, dir).select($"r_name".as("r2"))
+    r1.crossJoin(broadcast(r2))
+  }
+
+  // `$"col"` interpolator without a SparkSession in scope.
+  private implicit class Interp(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

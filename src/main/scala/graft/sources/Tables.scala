@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Catalog over a dataset directory — the Spark-native analog of TiFlink's
+ * `TiFlinkCatalog` (reference: flink/src/main/java/org/tikv/flink/TiFlinkCatalog.java:140-199),
+ * which lists source tables and exposes their schemas + primary keys to the
+ * planner. Here a "database" is a directory of parquet tables; schemas come
+ * from parquet footers (TypeUtils.java:50-99 analog is the built-in
+ * parquet⇄Catalyst type mapping), and primary keys are registered metadata
+ * used by changelog/upsert operators.
+ *
+ * Scale note: `spark.read.parquet` keeps scans declarative so Catalyst can
+ * push filters/prune columns; nothing is cached or collected here.
+ */
+object Tables {
+
+  /** Table names of the test dataset (TPC-H-ish star schema + changelog + docs). */
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Primary keys — what TiFlinkCatalog derives from TiTableInfo indices. */
+  val primaryKeys: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"),
+    "nation" -> Seq("n_nationkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "events" -> Seq("event_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** Load one table from a dataset dir. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    require(names.contains(name), s"unknown table: $name")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** Register every table as a temp view (tableEnv.useCatalog analog). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}
