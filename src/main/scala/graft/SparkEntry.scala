@@ -38,6 +38,14 @@ object SparkEntry {
     "q21_in_subquery" -> (Relational.q21InSubquery _),
     "q22_pricing_summary" -> (Relational.q22PricingSummary _),
     "q23_cross_join" -> (Relational.q23CrossJoin _),
+    // §2.B — CDC / MV engine core (batch semantics)
+    "q30_snapshot_read" -> (Changelog.q30SnapshotRead _),
+    "q31_cdc_apply" -> (Changelog.q31CdcApply _),
+    "q32_snapshot_plus_cdc" -> (Changelog.q32SnapshotPlusCdc _),
+    "q33_mv_incremental_agg" -> (Changelog.q33MvIncrementalAgg _),
+    "q34_tumbling_window" -> (Changelog.q34TumblingWindow _),
+    "q35_hopping_window" -> (Changelog.q35HoppingWindow _),
+    "q36_session_window" -> (Changelog.q36SessionWindow _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -133,5 +141,42 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q23_cross_join" ->
       "SELECT a.r_name AS r1, b.r_name AS r2 FROM region a CROSS JOIN region b",
+    "q30_snapshot_read" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        |FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
+    "q31_cdc_apply" ->
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts, event_type AS last_event_type, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    "q32_snapshot_plus_cdc" ->
+      """WITH merged AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events
+        |), changes AS (
+        |  SELECT user_id AS cu, count(*) AS c FROM events
+        |  WHERE ts > TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1
+        |)
+        |SELECT m.user_id, CAST(m.ts AS TIMESTAMP) AS last_ts, m.event_type AS last_event_type,
+        |CAST(coalesce(c.c, 0) AS BIGINT) AS changes_since_snapshot
+        |FROM merged m LEFT JOIN changes c ON m.user_id = c.cu WHERE m.rn = 1""".stripMargin,
+    "q33_mv_incremental_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+        |max(CAST(ts AS TIMESTAMP)) AS last_ts FROM events GROUP BY user_id""".stripMargin,
+    "q34_tumbling_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        |count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q35_hopping_window" ->
+      """SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - o * INTERVAL '30 minutes' AS window_start,
+        |count(*) AS cnt FROM events CROSS JOIN (VALUES (0), (1)) t(o) GROUP BY 1""".stripMargin,
+    "q36_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL '1 hour' THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM m)
+        |SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL '1 hour' AS session_end,
+        |count(*) AS n_events FROM s GROUP BY user_id, sess""".stripMargin,
   )
 }

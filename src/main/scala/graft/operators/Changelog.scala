@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.sources.Tables
+
+/**
+ * Batch semantics of TiFlink's snapshot+CDC pipeline
+ * (reference: connectors/FlinkTikvConsumer.java:92-106 — scan a snapshot at a
+ * start timestamp, then consume the changelog ordered by (commit_ts, key) and
+ * apply INSERT/UPDATE_AFTER/DELETE row-kinds; decodeToRowData at :244-268 maps
+ * store ops to row-kinds).
+ *
+ * The `events` table plays the changelog: key = user_id, version = (ts,
+ * event_id), and `event_type = 'error'` is treated as the DELETE row-kind
+ * (tombstone). The streaming twins of these operators live in
+ * [[graft.streaming.ChangelogOps]]; these batch forms are the oracle-checkable
+ * ground truth the streaming state must converge to.
+ *
+ * Scale: latest-row-wins is one hash-shuffle by key (window row_number with a
+ * partial-free plan, or max_by — both single-exchange). No driver-side state.
+ */
+object Changelog {
+
+  private val snapshotTs = "2024-01-15 00:00:00"
+
+  /** Latest-row-wins by key: the upsert-compaction TiFlink's sink applies
+    * (FlinkTikvProducer encodes latest value per RowKey per transaction). */
+  def latestByKey(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------------------------------------------------------------- B1
+  /** Snapshot read at a timestamp (FlinkTikvConsumer.scanRows: full scan at
+    * startTs). The ts predicate pushes to the parquet scan. */
+  def q30SnapshotRead(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter($"ts" <= lit(snapshotTs).cast("timestamp"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+
+  // ---------------------------------------------------------------- B2
+  /** Changelog application: latest row per key, DELETE tombstones drop the
+    * key (decodeToRowData's RowKind.DELETE path). */
+  def q31CdcApply(spark: SparkSession, dir: String): DataFrame =
+    latestByKey(
+      Tables.events(spark, dir), Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
+      .filter($"event_type" =!= "error") // latest op is a tombstone → key absent
+      .select($"user_id", $"ts".as("last_ts"), $"event_type".as("last_event_type"),
+        $"value".as("last_value"))
+
+  // ---------------------------------------------------------------- B3
+  /** Snapshot + changelog merge → current state (the run() sequence: scanRows
+    * then CDC from resolvedTs). Union is by construction disjoint in time; the
+    * merged stream is compacted latest-row-wins, and we also report how many
+    * changes arrived after the snapshot per key. */
+  def q32SnapshotPlusCdc(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cut = lit(snapshotTs).cast("timestamp")
+    val snapshot = ev.filter($"ts" <= cut)
+    val cdc = ev.filter($"ts" > cut)
+    val merged = latestByKey(
+      snapshot.unionAll(cdc), Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
+    val changes = cdc.groupBy($"user_id".as("cu")).agg(count(lit(1)).as("changes_since_snapshot"))
+    merged
+      .join(changes, $"user_id" === $"cu", "left")
+      .select($"user_id", $"ts".as("last_ts"), $"event_type".as("last_event_type"),
+        coalesce($"changes_since_snapshot", lit(0L)).as("changes_since_snapshot"))
+  }
+
+  // ---------------------------------------------------------------- B4
+  /** The per-key aggregate MV the streaming pipeline maintains incrementally
+    * (batch ground truth; see MaterializedViewSpec for the streaming twin). */
+  def q33MvIncrementalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(14, 2))).cast(DoubleType).as("total_value"),
+        max($"ts").as("last_ts"))
+
+  // ---------------------------------------------------------------- B5
+  /** Tumbling event-time window (1h). Batch `window()` is the same operator
+    * Structured Streaming uses with a watermark. */
+  def q34TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"value".cast(DecimalType(14, 2))).cast(DoubleType).as("total_value"))
+      .select($"window.start".as("window_start"), $"event_type", $"cnt", $"total_value")
+
+  // ---------------------------------------------------------------- B6
+  /** Hopping window (1h long, sliding 30min): each event lands in 2 windows. */
+  def q35HoppingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("window_start"), $"cnt")
+
+  // ---------------------------------------------------------------- B7
+  /** Session window per user (1h inactivity gap) — Flink SESSION(...) analog;
+    * session end = last event + gap, exactly Spark's session_window semantics. */
+  def q36SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window($"ts", "1 hour"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"session_window.end".as("session_end"), $"n_events")
+
+  private implicit class Interp(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

@@ -47,7 +47,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
+  /** events.parquet stores TIMESTAMP(NANOS) which Spark 4 refuses outright
+    * ([PARQUET_TYPE_ILLEGAL]); read it as a nanos long and rebuild a µs
+    * timestamp with integer division (a double division would lose precision
+    * at the 1e18 scale). Truncation-toward-floor matches DuckDB's
+    * CAST(ns AS TIMESTAMP). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 

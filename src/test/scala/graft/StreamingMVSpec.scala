@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{ChangelogOps, MaterializedView}
+
+/** End-to-end streaming MV: MemoryStream changelog → incremental latest-by-key
+  * → foreachBatch upsert → parquet target, across micro-batches — the
+  * TiFlinkApp pipeline (snapshot, CDC, upsert sink) in Structured Streaming. */
+class StreamingMVSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("materialized view converges to batch ground truth across micro-batches") {
+    val input = MemoryStream[(Long, Long, String, Double)]
+    val source = input.toDF().toDF("user_id", "version", "op", "value")
+    val base = Files.createTempDirectory("mv").toString
+    val target = s"$base/target"
+
+    val mv = MaterializedView.newBuilder()
+      .setSource(source)
+      .setQuery(df => ChangelogOps.latestByKey(df, Seq("user_id"), "version")
+        .withColumn("is_delete", $"op" === "del"))
+      .setTargetPath(target)
+      .setPrimaryKeys("user_id")
+      .setVersionColumn("version")
+      .setDeleteColumn("is_delete")
+      .setCheckpointLocation(s"$base/ckpt")
+      .build()
+    val q = mv.start()
+    try {
+      input.addData((1L, 1L, "ins", 10.0), (2L, 1L, "ins", 20.0), (1L, 2L, "upd", 11.0))
+      q.processAllAvailable()
+      def state = spark.read.parquet(target)
+        .select("user_id", "version", "value").as[(Long, Long, Double)].collect().toSet
+      assert(state === Set((1L, 2L, 11.0), (2L, 1L, 20.0)))
+
+      input.addData((2L, 2L, "del", 0.0), (3L, 1L, "ins", 30.0), (1L, 3L, "upd", 12.0))
+      q.processAllAvailable()
+      assert(state === Set((1L, 3L, 12.0), (3L, 1L, 30.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize emits closed sessions with gap semantics") {
+    val input = MemoryStream[ChangelogOps.Event]
+    def ev(u: Long, sec: Long) =
+      ChangelogOps.Event(u, new Timestamp(sec * 1000), "click", 1.0)
+
+    val sessions = ChangelogOps.sessionize(input.toDS(), gap = 60_000L, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      // offset from epoch 0: an event at exactly the initial watermark (0)
+      // would be dropped as late
+      input.addData(ev(1, 1000), ev(1, 1030), ev(2, 1005))
+      q.processAllAvailable()
+      // user 1's next event is far past the gap → first session closes
+      input.addData(ev(1, 2000))
+      q.processAllAvailable()
+      val closed = spark.table("sessions")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(closed.contains((1L, new Timestamp(1000_000), new Timestamp(1090_000), 2L)))
+    } finally q.stop()
+  }
+
+  test("builder validates primary keys like TiFlinkApp") {
+    val input = MemoryStream[(Long, Long)]
+    val mv = MaterializedView.newBuilder()
+      .setSource(input.toDF().toDF("k", "v"))
+      .setTargetPath("/tmp/x").setCheckpointLocation("/tmp/y")
+      .setPrimaryKeys("nope").setVersionColumn("v")
+      .build()
+    val e = intercept[IllegalArgumentException](mv.start())
+    assert(e.getMessage.contains("PrimaryKeys must be contained"))
+  }
+}

@@ -17,7 +17,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     # normalize timestamp-like cols to ns for comparison
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
-            df[c] = df[c].astype("datetime64[us]")
+            s = df[c]
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 def values_equal(a, b) -> bool:
