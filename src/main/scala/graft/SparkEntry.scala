@@ -46,6 +46,18 @@ object SparkEntry {
     "q34_tumbling_window" -> (Changelog.q34TumblingWindow _),
     "q35_hopping_window" -> (Changelog.q35HoppingWindow _),
     "q36_session_window" -> (Changelog.q36SessionWindow _),
+    // §2.C — LLM-data-pipeline operators
+    "q40_dedup_exact" -> ((s, d) => Dedup.q40DedupExact(s, d)),
+    "q41_dedup_minhash" -> ((s, d) => Dedup.q41DedupMinhash(s, d)),
+    "q42_dedup_simhash" -> ((s, d) => Dedup.q42DedupSimhash(s, d)),
+    "q43_ngram_jaccard" -> ((s, d) => Dedup.q43NgramJaccard(s, d)),
+    "q44_dedup_embedding" -> ((s, d) => Dedup.q44DedupEmbedding(s, d)),
+    "q45_ann_bruteforce" -> ((s, d) => Similarity.q45AnnBruteforce(s, d)),
+    "q46_ann_lsh" -> ((s, d) => Similarity.q46AnnLsh(s, d)),
+    "q47_lang_id" -> (TextAnalysis.q47LangId _),
+    "q48_quality_score" -> (TextAnalysis.q48QualityScore _),
+    "q49_token_count" -> (TextAnalysis.q49TokenCount _),
+    "q50_fingerprint" -> (TextAnalysis.q50Fingerprint _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -178,5 +190,77 @@ object SparkEntry {
         |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM m)
         |SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL '1 hour' AS session_end,
         |count(*) AS n_events FROM s GROUP BY user_id, sess""".stripMargin,
+    "q40_dedup_exact" ->
+      "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY 1",
+    "q43_ngram_jaccard" ->
+      """WITH idx AS (
+        |  SELECT doc_id, source, text, unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, source, substring(text, i, 3) AS ng FROM idx
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM g a JOIN g b ON a.source = b.source AND a.ng = b.ng AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jaccard
+        |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.3""".stripMargin,
+    "q44_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb,a.emb))*sqrt(list_dot_product(b.emb,b.emb))) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb,a.emb))*sqrt(list_dot_product(b.emb,b.emb))) >= 0.3""".stripMargin,
+    "q45_ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(qe, emb) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(emb, emb))) AS score
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank FROM scored)
+        |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 10""".stripMargin,
+    "q47_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' the ',' ')))/4
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' a ',' ')))/2
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' of ',' ')))/3 AS BIGINT) AS score_en,
+        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' der ',' ')))/4
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' und ',' ')))/4
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' nicht ',' ')))/6 AS BIGINT) AS score_de,
+        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' le ',' ')))/3
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' et ',' ')))/3
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' les ',' ')))/4 AS BIGINT) AS score_fr,
+        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' el ',' ')))/3
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' y ',' ')))/2
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' los ',' ')))/4 AS BIGINT) AS score_es
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN score_de > greatest(score_en, score_es, score_fr, 0) THEN 'de'
+        |       WHEN score_en > greatest(score_de, score_es, score_fr, 0) THEN 'en'
+        |       WHEN score_es > greatest(score_de, score_en, score_fr, 0) THEN 'es'
+        |       WHEN score_fr > greatest(score_de, score_en, score_es, 0) THEN 'fr'
+        |       ELSE 'und' END AS lang_pred,
+        |  score_en, score_de, score_fr, score_es FROM s""".stripMargin,
+    "q48_quality_score" ->
+      """WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' the ',' ')))/4
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' a ',' ')))/2
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' of ',' ')))/3
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' and ',' ')))/4 AS BIGINT) AS hits
+        |  FROM documents)
+        |SELECT doc_id, len, words,
+        |  CAST(len - words + 1 AS DOUBLE)/words AS avg_word_len,
+        |  CAST(hits AS DOUBLE)/words AS stop_ratio,
+        |  (CAST(hits AS DOUBLE)/words)*10.0 + CAST(len - words + 1 AS DOUBLE)/words AS quality_score
+        |FROM b""".stripMargin,
+    "q49_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents""".stripMargin,
+    "q50_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5 FROM documents""",
   )
 }

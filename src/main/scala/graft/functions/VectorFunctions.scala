@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Vector math over `array<float>` embedding columns, composed from built-in
+ * higher-order functions (`zip_with`/`aggregate`/`transform`) — codegen'd by
+ * Catalyst, no UDF/serialization cost in the hot path, which is what keeps
+ * brute-force similarity scans tractable at 100 TB.
+ *
+ * Elements are cast to double *before* multiplication: fp32 accumulation
+ * differs between engines and loses precision; fp64 left-to-right
+ * accumulation is deterministic and matches DuckDB's list functions.
+ */
+object VectorFunctions {
+
+  /** Element-wise cast to array<double>. */
+  def toDoubles(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDoubles(a), toDoubles(b), _ * _), lit(0.0), _ + _)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(toDoubles(a), x => x * x), lit(0.0), _ + _))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Normalize to unit length (pre-normalizing the corpus once turns cosine
+    * top-k into dot-product top-k — the standard trick before sharding an
+    * ANN scan). */
+  def normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    transform(toDoubles(a), x => x / n)
+  }
+}

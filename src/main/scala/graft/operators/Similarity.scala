@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/**
+ * Similarity search over embedding columns.
+ *
+ * Scale design: the query set is small and broadcast; the corpus streams
+ * through a map-only scan (brute force) or is pruned by hyperplane-LSH
+ * buckets first (approximate path). Top-k per query is a bounded window —
+ * with a broadcast join the per-partition state is k rows per query, the
+ * exact shape a 1000-executor scan wants. Scores are codegen'd higher-order
+ * functions; no UDF.
+ */
+object Similarity {
+
+  /** Top-k neighbors per query by exact cosine (the recall=1 baseline). */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.as("c")
+      .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        cosine(col("q.embedding"), col("c.embedding")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  // ---------------------------------------------------------------- C6
+  def q45AnnBruteforce(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    bruteForceTopK(e, e.filter(col("vec_id") < 5), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
+  // ---------------------------------------------------------------- C7
+  /** LSH-bucketed ANN: corpus is pre-bucketed by hyperplane signs; a query
+    * only scans its own bucket (multi-probe = flip one bit). Recall measured
+    * against the brute-force baseline in SimilaritySpec. */
+  def q46AnnLsh(spark: SparkSession, dir: String, k: Int = 10, nPlanes: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val withBucket = e.withColumn("bucket", bucketExpr(col("embedding"), nPlanes))
+    val queries = withBucket.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val scored = withBucket.as("c")
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
+  /** bucket = Σ_p (dot(v, plane_p) > 0) << p — built from nested codegen'd
+    * higher-order functions, one pass over the vector per plane. */
+  def bucketExpr(vec: Column, nPlanes: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+        val d = aggregate(
+          zip_with(toDoubles(vec), sequence(lit(0), size(vec) - 1),
+            (x, i) => x * planeComponent0(p, i)),
+          lit(0.0), _ + _)
+        when(d > 0, call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, v) => acc + v)
+
+  private def planeComponent0(plane: Column, dim: Column): Column =
+    (pmod(xxhash64(plane, dim), lit(100000L)).cast("double") / 100000.0) - 0.5
+}

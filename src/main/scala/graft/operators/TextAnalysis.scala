@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/**
+ * Text-analysis operators for training-data pipelines: language ID, quality
+ * scoring, token counting, fingerprinting. All are per-row, codegen'd
+ * expressions (no UDFs) — they scale embarrassingly: a 100 TB corpus is a
+ * map-only scan with full predicate/column pushdown upstream.
+ *
+ * Determinism: every computation here is integer arithmetic + single IEEE
+ * double ops on exact integers, or md5/replace string ops with identical
+ * semantics in DuckDB — hence the SQL oracles in SparkEntry.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count (documents are single-space separated; a plain
+    * split keeps exact oracle parity — `string_split` in DuckDB). */
+  def wsTokens(text: Column): Column = size(split(text, " ", -1)).cast("long")
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  def bpeTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast("long")
+
+  /** Non-overlapping whole-word occurrence count via the padded-replace
+    * trick: both engines scan left-to-right over the original string, so the
+    * count is identical. */
+  def wordHits(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val target = s" $word "
+    ((length(padded) - length(replace(padded, lit(target), lit(" "))))
+      / (word.length + 1)).cast("long")
+  }
+
+  // ---------------------------------------------------------------- C8
+  /** Stopword-profile language ID. On real corpora the marker sets dominate;
+    * here it demonstrates the operator shape (scored profiles → argmax). */
+  def q47LangId(spark: SparkSession, dir: String): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "a", "of"),
+      "de" -> Seq("der", "und", "nicht"),
+      "fr" -> Seq("le", "et", "les"),
+      "es" -> Seq("el", "y", "los"))
+    val d = Tables.documents(spark, dir)
+    val scores = markers.view.mapValues(ws =>
+      ws.map(w => wordHits(col("text"), w)).reduce(_ + _)).toMap
+    val best = markers.keys.toSeq.sorted.foldLeft(lit("und")) { (acc, lang) =>
+      // strictly-greater chain, evaluated in sorted order → deterministic ties
+      when(scores(lang) > greatest(
+        (markers.keys.toSeq.sorted.filter(_ != lang).map(scores) :+ lit(0L)): _*),
+        lang).otherwise(acc)
+    }
+    d.select(col("doc_id"), best.as("lang_pred"),
+      scores("en").as("score_en"), scores("de").as("score_de"),
+      scores("fr").as("score_fr"), scores("es").as("score_es"))
+  }
+
+  // ---------------------------------------------------------------- C9
+  /** Quality scoring: length, word count, average word length, stopword
+    * ratio → one double score (all inputs exact ints → deterministic fp). */
+  def q48QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val len = length(col("text")).cast("long")
+    val words = wsTokens(col("text"))
+    val stopHits = Seq("the", "a", "of", "and").map(wordHits(col("text"), _)).reduce(_ + _)
+    val avgWordLen = (len - words + 1).cast("double") / words.cast("double")
+    val stopRatio = stopHits.cast("double") / words.cast("double")
+    d.select(
+      col("doc_id"), len.as("len"), words.as("words"),
+      avgWordLen.as("avg_word_len"), stopRatio.as("stop_ratio"),
+      (stopRatio * 10.0 + avgWordLen).as("quality_score"))
+  }
+
+  // ---------------------------------------------------------------- C10
+  def q49TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      wsTokens(col("text")).as("ws_tokens"),
+      bpeTokens(col("text")).as("bpe_tokens"))
+
+  // ---------------------------------------------------------------- C11
+  /** Content fingerprint: md5 of whitespace-normalized text (oracle-able)
+    * plus a Karp-Rabin-style rolling min-hash over character k-grams
+    * (winnowing-lite; engine-specific xxhash64 → covered by spec). */
+  def q50Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp_md5"))
+
+  /** Rolling-hash fingerprint column: min xxhash64 over all k-grams — the
+    * scale-path near-dup prefilter (one long per doc). */
+  def rollingMinHash(text: Column, k: Int): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => xxhash64(text.substr(i, lit(k)))))
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (1L, "the quick brown fox jumps over the lazy cat and runs far away home"), // near-dup of 0
+    (2L, "spark shuffles partitions across the cluster with hash exchanges"),
+    (3L, "completely different words about databases and storage engines here"))
+    .toDF("doc_id", "text")
+
+  test("minhash LSH surfaces the planted near-duplicate pair") {
+    val withSig = docs
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+      .withColumn("sig", Dedup.minhashSignature($"sh", 64))
+    val cands = Dedup.lshCandidates(withSig, "doc_id", "sig", bands = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 1L)), s"expected (0,1) in $cands")
+
+    val verified = cands.map { case (a, b) =>
+      val j = withSig.as("x").join(withSig.as("y"),
+          col("x.doc_id") === a && col("y.doc_id") === b)
+        .select(Dedup.jaccard(col("x.sh"), col("y.sh"))).as[Double].head()
+      ((a, b), j)
+    }.toMap
+    assert(verified((0L, 1L)) > 0.5)
+  }
+
+  test("simhash: near-dups are hamming-close, unrelated docs are not") {
+    val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(1L)) < hamming(sh(0L), sh(3L)))
+    assert(hamming(sh(0L), sh(1L)) <= 8)
+  }
+
+  test("jaccard of identical shingle sets is 1.0") {
+    val j = docs.filter($"doc_id" === 0)
+      .select(Dedup.jaccard(Dedup.shingles($"text", 3), Dedup.shingles($"text", 3)))
+      .as[Double].head()
+    assert(j === 1.0)
+  }
+
+  test("rolling min-hash fingerprint is deterministic and content-sensitive") {
+    val fp = docs.select($"doc_id", TextAnalysis.rollingMinHash($"text", 8).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val fp2 = docs.select($"doc_id", TextAnalysis.rollingMinHash($"text", 8).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp === fp2)
+    assert(fp(2L) !== fp(3L))
+  }
+
+  test("wordHits counts non-overlapping whole words") {
+    val hits = Seq(("x", "a the the b")).toDF("id", "text")
+      .select(TextAnalysis.wordHits($"text", "the")).as[Long].head()
+    // ' the the ' → the second occurrence's leading space is consumed: 1 hit
+    // (same left-to-right non-overlap semantics as the DuckDB oracle)
+    assert(hits === 1L)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine/dot/norm built from higher-order functions are exact") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 2.0f), Array(3.0f, 4.0f)))
+      .toDF("a", "b", "c")
+    val (d, n, cos) = df.select(
+      VectorFunctions.dot($"a", $"b"),
+      VectorFunctions.l2Norm($"c"),
+      VectorFunctions.cosine($"a", $"a")).as[(Double, Double, Double)].head()
+    assert(d === 0.0)
+    assert(n === 5.0)
+    assert(cos === 1.0)
+  }
+
+  test("brute-force top-k returns the known nearest neighbor first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)), // closest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 2)
+      .select($"neighbor_id", $"rank").as[(Long, Long)].collect().toMap
+    assert(top(1L) === 1L, "vector 1 must rank first")
+  }
+
+  test("LSH ANN: every query gets neighbors and scores are bounded by brute force") {
+    val brute = Similarity.q45AnnBruteforce(spark, sf, k = 1)
+      .select($"query_id", $"score").as[(Long, Double)].collect().toMap
+    val lsh = Similarity.q46AnnLsh(spark, sf, k = 10, nPlanes = 4)
+      .select($"query_id", $"score").as[(Long, Double)].collect()
+    assert(lsh.nonEmpty, "LSH should return candidates at 4 planes / 16 buckets")
+    lsh.foreach { case (q, s) =>
+      assert(s <= brute(q) + 1e-12, s"LSH score can never beat the exact top-1")
+    }
+  }
+
+  test("hyperplane bucket is deterministic") {
+    val e = graft.sources.Tables.embeddings(spark, sf).limit(20)
+    val b1 = e.select($"vec_id", Similarity.bucketExpr($"embedding", 8).as("b"))
+      .as[(Long, Long)].collect().toSet
+    val b2 = e.select($"vec_id", Similarity.bucketExpr($"embedding", 8).as("b"))
+      .as[(Long, Long)].collect().toSet
+    assert(b1 === b2)
+  }
+}
