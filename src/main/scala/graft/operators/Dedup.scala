@@ -80,17 +80,38 @@ object Dedup {
   // ---------------------------------------------------------------- C2
   /** MinHash+LSH near-dup: shingle → 64 minhashes → 16 bands → bucket join →
     * exact-Jaccard rescore of candidates only. Output is rescored with the
-    * true Jaccard, so recall (not precision) is the only LSH approximation. */
+    * true Jaccard, so recall (not precision) is the only LSH approximation.
+    *
+    * Formulated over the *exploded* shingle view: the signature is 64
+    * `min(xxhash64(s, seed))` aggregates (map-side partial agg, no nested
+    * array materialization), and candidate intersections are counted by a
+    * hash join on (doc, shingle) — no per-pair array scans. This is the shape
+    * that survives 100 TB: every step is a hash shuffle on uniform keys. */
   def q41DedupMinhash(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), 64))
-    val cands = lshCandidates(docs, "doc_id", "sig", bands = 16)
-    cands
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    val exploded = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+    // classic 2-hash minhash family: sig_i = min(h1 + i·h2) — two xxhash64
+    // evaluations per shingle instead of 64, the rest is long arithmetic.
+    // Operands are range-bounded (h1 < 2^61, i·h2 < 2^38) so the sum can't
+    // overflow — ANSI mode turns silent wraparound into a query error.
+    val hashed = exploded
+      .withColumn("h1", pmod(xxhash64(col("s")), lit(1L << 61)))
+      .withColumn("h2", pmod(xxhash64(col("s"), lit(1)), lit(1L << 32)))
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        array((0 until 64).map(i => min(col("h1") + lit(i.toLong) * col("h2"))): _*).as("sig"))
+    val cands = lshCandidates(sig, "doc_id", "sig", bands = 16)
+    val inter = hashed.select(col("doc_id").as("doc_a"), col("h1"))
+      .join(broadcast(cands), "doc_a")
+      .join(hashed.select(col("doc_id").as("doc_b"), col("h1")), Seq("doc_b", "h1"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val sizes = sig.select(col("doc_id"), col("n_sh"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -107,13 +128,29 @@ object Dedup {
       lit(0L), (acc, v) => acc.bitwiseXOR(v))
   }
 
+  /** DataFrame-level simhash: exploded word view → 64 per-bit ± sums as
+    * map-side partial aggregates → one assembled long per doc. Same result
+    * as [[simhash]] but one pass over the words instead of 64. */
+  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol), explode(split(col(textCol), " ", -1)).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val aggs = (0 until 64).map(i =>
+      sum(when(call_function("shiftright", col("h"), lit(i)).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"b$i"))
+    val bitSums = words.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    bitSums.select(col(idCol),
+      (0 until 64).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sh"))
+  }
+
   // ---------------------------------------------------------------- C3
   /** SimHash signatures + near-dup pairs within hamming distance ≤ 6, found
     * by banding the 64-bit signature into 4×16-bit chunks (pigeonhole: any
     * pair within distance 3 shares ≥1 exact chunk; wider distances trade
     * recall) — same bucket-join shape as LSH, no n² scan. */
   def q42DedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), simhash(col("text")).as("sh"))
+    val docs = simhashDf(Tables.documents(spark, dir), "doc_id", "text")
     val chunks = docs.select(col("doc_id"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)),
         i => struct(i.as("chunk_id"),
@@ -140,13 +177,24 @@ object Dedup {
     val grams = array_distinct(transform(
       sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
       i => col("text").substr(i, lit(3))))
-    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"), grams.as("g"))
+    // blocked self-join on hashed-long gram sets: pairs are bounded by the
+    // blocking key (docs per source), each pair costs one array_intersect
+    // over sorted long arrays computed once per doc. Word-salad corpora make
+    // high-frequency grams explode the alternative (pairs-per-shared-gram)
+    // formulation quadratically; here the pair count is exactly
+    // Σ_source C(|block|,2) regardless of gram frequency.
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        sort_array(transform(grams, g => xxhash64(g))).as("gs"))
     d.as("a").join(d.as("b"),
         col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.g"), col("b.g"))).cast("double") /
-          (size(col("a.g")) + size(col("b.g"))
-            - size(array_intersect(col("a.g"), col("b.g")))).cast("double")).as("jaccard"))
+        graft.functions.GraftFunctions
+          .sortedIntersectCount(col("a.gs"), col("b.gs")).as("inter"),
+        size(col("a.gs")).cast("long").as("n_a"), size(col("b.gs")).cast("long").as("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -155,12 +203,16 @@ object Dedup {
     * label (the cluster id) to bound pairs; the unblocked scale path is
     * q46's hyperplane-LSH bucketing. */
   def q44DedupEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    // norms computed once per vector (not per pair): ~3× less fp work, same
+    // doubles — dot/(norm_a*norm_b) is the identical expression tree.
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        VectorFunctions.l2Norm(col("embedding")).as("norm"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+        (VectorFunctions.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.norm") * col("b.norm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
