@@ -38,6 +38,10 @@ object SparkEntry {
     "q21_in_subquery" -> (Relational.q21InSubquery _),
     "q22_pricing_summary" -> (Relational.q22PricingSummary _),
     "q23_cross_join" -> (Relational.q23CrossJoin _),
+    "q24_percentile" -> (Relational.q24Percentile _),
+    "q25_window_misc" -> (Relational.q25WindowMisc _),
+    "q26_exists_inequality" -> (Relational.q26ExistsInequality _),
+    "q27_json_funcs" -> (Relational.q27JsonFuncs _),
     // §2.B — CDC / MV engine core (batch semantics)
     "q30_snapshot_read" -> (Changelog.q30SnapshotRead _),
     "q31_cdc_apply" -> (Changelog.q31CdcApply _),
@@ -153,6 +157,25 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q23_cross_join" ->
       "SELECT a.r_name AS r1, b.r_name AS r2 FROM region a CROSS JOIN region b",
+    "q24_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS p25,
+        |quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.75) AS p75,
+        |count(*) AS cnt FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q25_window_misc" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, cheapest_order, quartile, pct_rank FROM (
+        |SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |first_value(o_orderkey) OVER w AS cheapest_order,
+        |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |percent_rank() OVER w AS pct_rank
+        |FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)) t
+        |WHERE o_orderkey % 97 = 0""".stripMargin,
+    "q26_exists_inequality" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal * 50)""".stripMargin,
+    "q27_json_funcs" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
     "q30_snapshot_read" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         |FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,

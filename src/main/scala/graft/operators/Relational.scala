@@ -280,6 +280,53 @@ object Relational {
     r1.crossJoin(broadcast(r2))
   }
 
+  // ---------------------------------------------------------------- A24
+  /** Exact percentiles (interpolated). Deterministic here because the input
+    * values are integral doubles — both engines interpolate identically. */
+  def q24Percentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        count(lit(1)).as("cnt"))
+
+  // ---------------------------------------------------------------- A25
+  /** first_value / last_value / ntile / percent_rank — the rest of the
+    * window-function family (unique ordering key → deterministic). */
+  def q25WindowMisc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        first($"o_orderkey").over(w).as("cheapest_order"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"))
+      .filter($"o_orderkey" % 97 === 0)
+  }
+
+  // ---------------------------------------------------------------- A26
+  /** Correlated EXISTS with an inequality on an outer column — the shape
+    * that cannot be pre-aggregated; planned as a semi join with a non-equi
+    * conjunct. */
+  def q26ExistsInequality(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).as("c")
+      .join(Tables.orders(spark, dir).as("o"),
+        $"c.c_custkey" === $"o.o_custkey" && $"o.o_totalprice" > $"c.c_acctbal" * 50,
+        "left_semi")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+
+  // ---------------------------------------------------------------- A27
+  /** JSON extraction from the events props column (semi-structured data is
+    * first-class in both Flink SQL and Spark). */
+  def q27JsonFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("cnt"))
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
