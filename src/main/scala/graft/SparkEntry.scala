@@ -50,6 +50,7 @@ object SparkEntry {
     "q34_tumbling_window" -> (Changelog.q34TumblingWindow _),
     "q35_hopping_window" -> (Changelog.q35HoppingWindow _),
     "q36_session_window" -> (Changelog.q36SessionWindow _),
+    "q37_asof_join" -> (AsOf.q37AsofJoin _),
     // §2.C — LLM-data-pipeline operators
     "q40_dedup_exact" -> ((s, d) => Dedup.q40DedupExact(s, d)),
     "q41_dedup_minhash" -> ((s, d) => Dedup.q41DedupMinhash(s, d)),
@@ -213,6 +214,12 @@ object SparkEntry {
         |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM m)
         |SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL '1 hour' AS session_end,
         |count(*) AS n_events FROM s GROUP BY user_id, sess""".stripMargin,
+    "q37_asof_join" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+        |CAST(c.ts AS TIMESTAMP) AS click_ts, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
     "q40_dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY 1",
     "q43_ngram_jaccard" ->

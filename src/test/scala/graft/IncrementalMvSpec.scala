@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.IncrementalMv
+
+/** The TiFlink flagship semantics: an aggregate MV maintained under inserts,
+  * updates (group moves!), and deletes, converging to the batch ground truth
+  * after every micro-batch. */
+class IncrementalMvSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("aggregate MV stays exact under insert/update/delete and group moves") {
+    val input = MemoryStream[(Long, Long, String, String, Double)]
+    val source = input.toDF().toDF("pk", "version", "op", "grp", "value")
+    val base = Files.createTempDirectory("imv").toString
+
+    val q = source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        IncrementalMv.maintain(s"$base/mv", "pk", "version", "op", "grp", "value")(b, id))
+      .start()
+
+    def agg = spark.read.parquet(s"$base/mv/agg")
+      .select("grp", "cnt", "total").as[(String, Long, Double)].collect().toSet
+    def entity = spark.read.parquet(s"$base/mv/entity")
+      .select("pk", "grp", "value").as[(Long, String, Double)].collect().toSet
+
+    try {
+      // batch 1: three inserts in two groups
+      input.addData((1L, 1L, "ins", "a", 10.0), (2L, 1L, "ins", "a", 20.0), (3L, 1L, "ins", "b", 5.0))
+      q.processAllAvailable()
+      assert(agg === Set(("a", 2L, 30.0), ("b", 1L, 5.0)))
+
+      // batch 2: update moves pk=2 from group a to b; delete pk=3
+      input.addData((2L, 2L, "upd", "b", 25.0), (3L, 2L, "delete", "b", 0.0))
+      q.processAllAvailable()
+      assert(agg === Set(("a", 1L, 10.0), ("b", 1L, 25.0)))
+      assert(entity === Set((1L, "a", 10.0), (2L, "b", 25.0)))
+
+      // batch 3: in-batch churn compacts to the final change per key,
+      // plus a stale replay (version 1 for pk=2) that must be ignored
+      input.addData((4L, 1L, "ins", "a", 7.0), (4L, 2L, "upd", "a", 8.0),
+        (2L, 1L, "ins", "a", 999.0))
+      q.processAllAvailable()
+      assert(agg === Set(("a", 2L, 18.0), ("b", 1L, 25.0)))
+
+      // batch 4: delete the last member of group b → group disappears
+      input.addData((2L, 3L, "delete", "b", 0.0))
+      q.processAllAvailable()
+      assert(agg === Set(("a", 2L, 18.0)))
+    } finally q.stop()
+  }
+}
