@@ -18,11 +18,19 @@ object VectorFunctions {
   /** Element-wise cast to array<double>. */
   def toDoubles(v: Column): Column = transform(v, _.cast("double"))
 
+  /** fp64 left-to-right dot product — native codegen'd expression
+    * ([[DotProduct]]); bit-identical to the HOF composition it replaces. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDoubles(a), toDoubles(b), _ * _), lit(0.0), _ + _)
+    DotProduct.ofColumns(toDoubles(a), toDoubles(b))
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(toDoubles(a), x => x * x), lit(0.0), _ + _))
+  def l2Norm(a: Column): Column = {
+    val d = toDoubles(a)
+    sqrt(DotProduct.ofColumns(d, d))
+  }
+
+  /** Dot product over columns already of type array<double> (hoist the
+    * float→double cast out of pair loops with [[toDoubles]] first). */
+  def dotD(a: Column, b: Column): Column = DotProduct.ofColumns(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))

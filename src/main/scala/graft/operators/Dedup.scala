@@ -39,6 +39,24 @@ object Dedup {
       i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(k))))))
   }
 
+  /** Exploded distinct (id, shingle-hash) view via posexplode + lead windows —
+    * semantically identical to `explode(shingles(text, k))` but every step is
+    * codegen'd (the per-row HOF lambda above evaluates interpreted, which
+    * dominates when shingling a large corpus). */
+  def shinglesExploded(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val words = df.select(col(idCol),
+      posexplode(split(col(textCol), " ", -1)).as(Seq("__pos", "__w")))
+    val parts = col("__w") +: (1 until k).map(j => lead(col("__w"), j).over(w))
+    words
+      .select(col(idCol), concat_ws(" ", parts: _*).as("__sh"),
+        lead(col("__w"), k - 1).over(w).isNotNull.as("__full"))
+      .filter(col("__full") || col("__pos") === 0) // match shingles(): short docs yield 1 shingle
+      .select(col(idCol), xxhash64(col("__sh")).as("s"))
+      .distinct()
+  }
+
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * min over the shingle set. One pass, nested codegen'd transforms. */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
@@ -89,8 +107,7 @@ object Dedup {
     * that survives 100 TB: every step is a hash shuffle on uniform keys. */
   def q41DedupMinhash(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
-    val exploded = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+    val exploded = shinglesExploded(Tables.documents(spark, dir), "doc_id", "text", 3)
     // classic 2-hash minhash family: sig_i = min(h1 + i·h2) — two xxhash64
     // evaluations per shingle instead of 64, the rest is long arithmetic.
     // Operands are range-bounded (h1 < 2^61, i·h2 < 2^38) so the sum can't
@@ -203,15 +220,16 @@ object Dedup {
     * label (the cluster id) to bound pairs; the unblocked scale path is
     * q46's hyperplane-LSH bucketing. */
   def q44DedupEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    // norms computed once per vector (not per pair): ~3× less fp work, same
-    // doubles — dot/(norm_a*norm_b) is the identical expression tree.
+    // norms and the float→double cast computed once per vector (not per
+    // pair); the per-pair work is one codegen'd dot product + a division.
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"),
+      .select(col("vec_id"), col("label"),
+        VectorFunctions.toDoubles(col("embedding")).as("emb"),
         VectorFunctions.l2Norm(col("embedding")).as("norm"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (VectorFunctions.dot(col("a.embedding"), col("b.embedding"))
+        (VectorFunctions.dotD(col("a.emb"), col("b.emb"))
           / (col("a.norm") * col("b.norm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }

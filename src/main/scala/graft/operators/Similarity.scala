@@ -25,16 +25,16 @@ object Similarity {
     * scored frame. */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id"), col("embedding"),
+    val c = corpus.select(col("vec_id"), toDoubles(col("embedding")).as("emb"),
       l2Norm(col("embedding")).as("norm"))
-    val q = queries.select(col("vec_id"), col("embedding"),
+    val q = queries.select(col("vec_id"), toDoubles(col("embedding")).as("emb"),
       l2Norm(col("embedding")).as("norm"))
     val scored = c.as("c")
       .join(broadcast(q.as("q")), col("q.vec_id") =!= col("c.vec_id"))
       .select(
         col("q.vec_id").as("query_id"),
         col("c.vec_id").as("neighbor_id"),
-        (dot(col("q.embedding"), col("c.embedding"))
+        (dotD(col("q.emb"), col("c.emb"))
           / (col("q.norm") * col("c.norm"))).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
@@ -58,14 +58,15 @@ object Similarity {
     val withBucket = e
       .withColumn("bucket", bucketExpr(col("embedding"), nPlanes))
       .withColumn("norm", l2Norm(col("embedding")))
+      .withColumn("emb", toDoubles(col("embedding")))
     val queries = withBucket.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("norm").as("q_norm"), col("bucket"))
     val scored = withBucket.as("c")
       .join(broadcast(queries), Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm"))).as("score"))
+        (dotD(col("q_emb"), col("emb")) / (col("q_norm") * col("norm"))).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

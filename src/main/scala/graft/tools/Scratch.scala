@@ -3,51 +3,37 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev scratch: A/B timing of q43 formulations. */
+/** Dev scratch: q41 pipeline with old vs new shingle source. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
+    val sfDir = "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
 
-    val grams = array_distinct(transform(
-      sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
-      i => col("text").substr(i, lit(3))))
-
-    def joinAgg(persisted: Boolean): DataFrame = {
-      var g = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(col("doc_id"), col("source"), explode(grams).as("ng0"))
-        .select(col("doc_id"), col("source"), xxhash64(col("ng0")).as("ng"))
-      if (persisted) g = g.persist()
-      val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = g.select(col("doc_id").as("doc_a"), col("source"), col("ng"))
-        .join(g.select(col("doc_id").as("doc_b"), col("source"), col("ng")), Seq("source", "ng"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double") /
-            (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
-        .filter(col("jaccard") >= 0.3)
+    def pipeline(exploded: DataFrame): Set[(Long, Long)] = {
+      val hashed = exploded
+        .withColumn("h1", pmod(xxhash64(col("s")), lit(1L << 61)))
+        .withColumn("h2", pmod(xxhash64(col("s"), lit(1)), lit(1L << 32)))
+      val sig = hashed.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          array((0 until 64).map(i => min(col("h1") + lit(i.toLong) * col("h2"))): _*).as("sig"))
+      val cands = graft.operators.Dedup.lshCandidates(sig, "doc_id", "sig", bands = 16)
+      import spark.implicits._
+      cands.as[(Long, Long)].collect().toSet
     }
 
-    // bitset variant: per source, index docs 0..k-1; per (source, ng) build a
-    // bitmap of member docs; per pair count AND bits via per-gram pair rows…
-    // (kept for reference; explodes the same way)
-
-    def time(name: String, f: => DataFrame): Unit = (1 to 2).foreach { i =>
-      val t0 = System.nanoTime()
-      f.write.format("noop").mode("overwrite").save()
-      println(f"[scratch] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
-
-    time("joinAgg", joinAgg(false))
-    time("joinAgg+persist", joinAgg(true))
+    val oldE = docs.select(col("doc_id"),
+      explode(graft.operators.Dedup.shingles(col("text"), 3)).as("s"))
+    val newE = graft.operators.Dedup.shinglesExploded(docs, "doc_id", "text", 3)
+    val a = pipeline(oldE)
+    val b = pipeline(newE)
+    val b2 = pipeline(newE)
+    println(s"[scratch] old cands=${a.size} new cands=${b.size} new2=${b2.size}")
+    println(s"[scratch] old-new: ${(a -- b).take(5)}  new-old: ${(b -- a).take(5)}")
+    println(s"[scratch] new deterministic: ${b == b2}")
     spark.stop()
   }
 }

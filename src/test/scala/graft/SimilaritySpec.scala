@@ -42,6 +42,16 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native dot_product is bit-identical to the HOF composition") {
+    val e = graft.sources.Tables.embeddings(spark, sf).limit(50)
+      .select($"vec_id", VectorFunctions.toDoubles($"embedding").as("d"))
+    val both = e.select(
+      graft.functions.DotProduct.ofColumns($"d", $"d").as("native"),
+      aggregate(zip_with($"d", $"d", _ * _), lit(0.0), _ + _).as("hof"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (n, h) => assert(n === h) }
+  }
+
   test("hyperplane bucket is deterministic") {
     val e = graft.sources.Tables.embeddings(spark, sf).limit(20)
     val b1 = e.select($"vec_id", Similarity.bucketExpr($"embedding", 8).as("b"))
