@@ -54,8 +54,12 @@ object Tables {
     * CAST(ns AS TIMESTAMP). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // TIMESTAMP_NTZ matches how Spark 4 reads the other tables' timestamps
+    // (parquet isAdjustedToUTC=false → NTZ) and DuckDB's naive timestamps.
     apply(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr(
+          "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
