@@ -42,6 +42,10 @@ object SparkEntry {
     "q25_window_misc" -> (Relational.q25WindowMisc _),
     "q26_exists_inequality" -> (Relational.q26ExistsInequality _),
     "q27_json_funcs" -> (Relational.q27JsonFuncs _),
+    "q28_intersect" -> (Relational.q28Intersect _),
+    "q29_except" -> (Relational.q29Except _),
+    "q38_explode" -> (Relational.q38Explode _),
+    "q39_cube" -> (Relational.q39Cube _),
     // §2.B — CDC / MV engine core (batch semantics)
     "q30_snapshot_read" -> (Changelog.q30SnapshotRead _),
     "q31_cdc_apply" -> (Changelog.q31CdcApply _),
@@ -177,6 +181,24 @@ object SparkEntry {
     "q27_json_funcs" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS cnt
         |FROM events GROUP BY 1""".stripMargin,
+    "q28_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000.0
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "q29_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000.0""".stripMargin,
+    "q38_explode" ->
+      """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |list_extract(string_split(text, ' '), i) AS word
+        |FROM (SELECT doc_id, text,
+        |  unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+        |  FROM documents WHERE doc_id < 50) t""".stripMargin,
+    "q39_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "q30_snapshot_read" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         |FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,

@@ -327,6 +327,43 @@ object Relational {
       .groupBy($"k")
       .agg(count(lit(1)).as("cnt"))
 
+  // ---------------------------------------------------------------- A28
+  /** INTERSECT — distinct customers appearing in both segments. */
+  def q28Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val highValue = Tables.orders(spark, dir).filter($"o_totalprice" > 250000.0)
+      .select($"o_custkey".as("custkey"))
+    val urgent = Tables.orders(spark, dir).filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey".as("custkey"))
+    highValue.intersect(urgent)
+  }
+
+  // ---------------------------------------------------------------- A29
+  /** EXCEPT — customers with urgent orders but no high-value ones. */
+  def q29Except(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir).filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey".as("custkey"))
+    val highValue = Tables.orders(spark, dir).filter($"o_totalprice" > 250000.0)
+      .select($"o_custkey".as("custkey"))
+    urgent.except(highValue)
+  }
+
+  // ---------------------------------------------------------------- A30
+  /** Lateral explode (UNNEST): words-with-position from document text. */
+  def q38Explode(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < 50)
+      .select($"doc_id",
+        posexplode(split($"text", " ", -1)).as(Seq("pos", "word")))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"word")
+
+  // ---------------------------------------------------------------- A31
+  /** CUBE — all grouping-set combinations over two dimensions. */
+  def q39Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        asDouble(sum(money($"o_totalprice"))).as("total"))
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
