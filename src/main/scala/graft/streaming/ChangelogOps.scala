@@ -25,7 +25,7 @@ object ChangelogOps {
     * This is the operator `q31_cdc_apply` is the oracle for. */
   def latestByKey(df: DataFrame, keys: Seq[String], versionCol: String): DataFrame =
     df.groupBy(keys.map(col): _*)
-      .agg(max_by(struct(df.columns.map(col): _*), col(versionCol)).as("__r"))
+      .agg(max_by(struct(df.columns.toIndexedSeq.map(col): _*), col(versionCol)).as("__r"))
       .select(col("__r.*"))
 
   /** Per-key running aggregate MV (count/sum/max) — the incremental form of

@@ -45,7 +45,7 @@ object IncrementalMv {
     // 1. final change per key within the batch
     val compacted = batch
       .groupBy(col(pk))
-      .agg(max_by(struct(batch.columns.map(col): _*), col(version)).as("__r"))
+      .agg(max_by(struct(batch.columns.toIndexedSeq.map(col): _*), col(version)).as("__r"))
       .select(col("__r.*"))
 
     // 2. diff against current entity snapshot
@@ -86,7 +86,7 @@ object IncrementalMv {
     // 4b. upsert the entity table (latest-row-wins + tombstones)
     val unioned = current.unionByName(compacted)
     val entity = unioned.groupBy(col(pk))
-      .agg(max_by(struct(unioned.columns.map(col): _*), col(version)).as("__r"))
+      .agg(max_by(struct(unioned.columns.toIndexedSeq.map(col): _*), col(version)).as("__r"))
       .select(col("__r.*"))
       .filter(col(op) =!= "delete")
     atomicWrite(spark, entity, entityPath)

@@ -49,7 +49,7 @@ object UpsertSink {
     // latest-version-wins per key; single shuffle, no sort.
     val packed = unioned
       .groupBy(keys.map(col): _*)
-      .agg(max_by(struct(unioned.columns.map(col): _*), col(versionCol)).as("__r"))
+      .agg(max_by(struct(unioned.columns.toIndexedSeq.map(col): _*), col(versionCol)).as("__r"))
       .select(col("__r.*"))
     val alive = deleteCol.fold(packed)(d => packed.filter(!col(d)))
 

@@ -68,6 +68,31 @@ class StreamingMVSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("MV over a stream-static join (multi-table query shape)") {
+    val input = MemoryStream[(Long, Long, Double)]
+    val changes = input.toDF().toDF("cust_id", "version", "amount")
+    val dims = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("cust_id", "segment")
+    val base = Files.createTempDirectory("mvj").toString
+
+    val mv = MaterializedView.newBuilder()
+      .setSource(changes)
+      .setQuery(_.join(dims, "cust_id")) // static dim broadcast per batch
+      .setTargetPath(s"$base/target")
+      .setPrimaryKeys("cust_id")
+      .setVersionColumn("version")
+      .setCheckpointLocation(s"$base/ckpt")
+      .build()
+    val q = mv.start()
+    try {
+      input.addData((1L, 1L, 5.0), (2L, 1L, 7.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/target")
+        .select("cust_id", "segment", "amount").as[(Long, String, Double)]
+        .collect().toSet
+      assert(got === Set((1L, "BUILDING", 5.0), (2L, "MACHINERY", 7.0)))
+    } finally q.stop()
+  }
+
   test("builder validates primary keys like TiFlinkApp") {
     val input = MemoryStream[(Long, Long)]
     val mv = MaterializedView.newBuilder()
