@@ -63,6 +63,20 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       seed => array_min(transform(shingleCol, s => xxhash64(s, seed))))
 
+  /** MinHash signature over the exploded (id, shingle) view: `numHashes`
+    * independent `min(xxhash64(s, seed))` partial aggregates. A cheaper
+    * h1 + i·h2 linear-combo family is NOT usable here: keeping the addition
+    * ANSI-overflow-safe bounds i·h2 ≪ h1, which collapses every slot to the
+    * same argmin and destroys the Jaccard estimate (caught by PropertySpec's
+    * agreement-vs-true-jaccard check). Independent seeded hashes are cheap
+    * post-codegen. Also returns the distinct-shingle count `n_sh`. */
+  def signatureFromExploded(
+      exploded: DataFrame, idCol: String, shingleCol: String, numHashes: Int): DataFrame =
+    exploded.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sh"),
+        array((0 until numHashes).map(i =>
+          min(xxhash64(col(shingleCol), lit(i)))): _*).as("sig"))
+
   /** LSH candidate pairs: split the signature into `bands`, bucket by band
     * hash, pair within buckets. Returns (doc_a, doc_b) with doc_a < doc_b. */
   def lshCandidates(
@@ -108,20 +122,11 @@ object Dedup {
   def q41DedupMinhash(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     val exploded = shinglesExploded(Tables.documents(spark, dir), "doc_id", "text", 3)
-    // classic 2-hash minhash family: sig_i = min(h1 + i·h2) — two xxhash64
-    // evaluations per shingle instead of 64, the rest is long arithmetic.
-    // Operands are range-bounded (h1 < 2^61, i·h2 < 2^38) so the sum can't
-    // overflow — ANSI mode turns silent wraparound into a query error.
-    val hashed = exploded
-      .withColumn("h1", pmod(xxhash64(col("s")), lit(1L << 61)))
-      .withColumn("h2", pmod(xxhash64(col("s"), lit(1)), lit(1L << 32)))
-    val sig = hashed.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sh"),
-        array((0 until 64).map(i => min(col("h1") + lit(i.toLong) * col("h2"))): _*).as("sig"))
+    val sig = signatureFromExploded(exploded, "doc_id", "s", 64)
     val cands = lshCandidates(sig, "doc_id", "sig", bands = 16)
-    val inter = hashed.select(col("doc_id").as("doc_a"), col("h1"))
+    val inter = exploded.select(col("doc_id").as("doc_a"), col("s"))
       .join(broadcast(cands), "doc_a")
-      .join(hashed.select(col("doc_id").as("doc_b"), col("h1")), Seq("doc_b", "h1"))
+      .join(exploded.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     val sizes = sig.select(col("doc_id"), col("n_sh"))
     inter
