@@ -39,6 +39,14 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(0L), sh(1L)) <= 8)
   }
 
+  test("simhashDf (exploded aggregate form) equals the Column simhash") {
+    val viaColumn = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val viaDf = Dedup.simhashDf(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(viaDf === viaColumn)
+  }
+
   test("jaccard of identical shingle sets is 1.0") {
     val j = docs.filter($"doc_id" === 0)
       .select(Dedup.jaccard(Dedup.shingles($"text", 3), Dedup.shingles($"text", 3)))

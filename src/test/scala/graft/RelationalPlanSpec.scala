@@ -36,6 +36,16 @@ class RelationalPlanSpec extends SparkSpec {
     assert(p.contains("partial"), "map-side combine expected before the exchange")
   }
 
+  test("latest-by-key window prunes per partition before the shuffle") {
+    val p = plan(graft.operators.Changelog.q31CdcApply(spark, sf))
+    // Spark 4's WindowGroupLimit: rn=1 filter applied map-side AND
+    // reduce-side — the shuffle carries one candidate row per key, not
+    // the full changelog
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.indexOf("WindowGroupLimit") !== p.lastIndexOf("WindowGroupLimit"),
+      "expect partial (pre-exchange) and final WindowGroupLimit")
+  }
+
   test("q5 pre-aggregates before the join (count rolls up pre-shuffle)") {
     val p = plan(Relational.q5ScalarSubquery(spark, sf))
     // the aggregate must sit below the join: one row per customer enters it
