@@ -63,6 +63,7 @@ object SparkEntry {
     "q44_dedup_embedding" -> ((s, d) => Dedup.q44DedupEmbedding(s, d)),
     "q45_ann_bruteforce" -> ((s, d) => Similarity.q45AnnBruteforce(s, d)),
     "q46_ann_lsh" -> ((s, d) => Similarity.q46AnnLsh(s, d)),
+    "q51_ann_ivf" -> ((s, d) => Similarity.q51AnnIvf(s, d)),
     "q47_lang_id" -> (TextAnalysis.q47LangId _),
     "q48_quality_score" -> (TextAnalysis.q48QualityScore _),
     "q49_token_count" -> (TextAnalysis.q49TokenCount _),

@@ -42,6 +42,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN recall against the brute-force baseline") {
+    val brute = Similarity.q45AnnBruteforce(spark, sf, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.q51AnnIvf(spark, sf, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf.nonEmpty)
+    val recalls = brute.keys.toSeq.map { q =>
+      ivf.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / brute(q).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.4,
+      s"IVF nProbe=4/16 should recover a good share of true top-10 (got $meanRecall)")
+  }
+
   test("native dot_product is bit-identical to the HOF composition") {
     val e = graft.sources.Tables.embeddings(spark, sf).limit(50)
       .select($"vec_id", VectorFunctions.toDoubles($"embedding").as("d"))
