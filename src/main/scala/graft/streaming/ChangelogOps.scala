@@ -93,6 +93,46 @@ object ChangelogOps {
         })
   }
 
+  // ------------------------------------------------------------------
+  // transformWithState (Spark 4 stateful API): composable typed state
+
+  case class KeyAgg(key: Long, n_events: Long, total: Double)
+
+  /** Running per-key count+sum as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * — the Spark-4-native successor to flatMapGroupsWithState: named state
+    * variables (with optional TTL), timers, and multiple state types per
+    * processor. This is the state shape FlinkTikvConsumer keeps in its
+    * ListState (FlinkTikvConsumer.java:222-235), managed by the engine. */
+  class RunningAggProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), KeyAgg] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var agg: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Double)](
+        "agg", Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[KeyAgg] = {
+      var (n, total) = if (agg.exists()) agg.get() else (0L, 0.0)
+      rows.foreach { case (_, v) => n += 1; total += v }
+      agg.update((n, total))
+      Iterator(KeyAgg(key, n, total))
+    }
+  }
+
+  /** Running aggregate via transformWithState (Update-mode emission). */
+  def runningAggregateTws(ds: Dataset[(Long, Double)]): Dataset[KeyAgg] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    ds.groupByKey(_._1)
+      .transformWithState(new RunningAggProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Lift the events table shape into the typed stream. */
   def asEvents(df: DataFrame): Dataset[Event] = {
     val spark = df.sparkSession
