@@ -21,6 +21,9 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     var failures = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // drop accumulated broadcast/codegen garbage so earlier queries don't
+      // tax later ones' measurements
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -46,6 +46,7 @@ object SparkEntry {
     "q29_except" -> (Relational.q29Except _),
     "q38_explode" -> (Relational.q38Explode _),
     "q39_cube" -> (Relational.q39Cube _),
+    "q52_null_semantics" -> (Relational.q52NullSemantics _),
     // §2.B — CDC / MV engine core (batch semantics)
     "q30_snapshot_read" -> (Changelog.q30SnapshotRead _),
     "q31_cdc_apply" -> (Changelog.q31CdcApply _),
@@ -243,6 +244,13 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "q52_null_semantics" ->
+      """SELECT o_orderstatus,
+        |count(nullif(o_orderpriority, '3-MEDIUM')) AS non_null_cnt,
+        |count(*) AS total_cnt,
+        |CAST(sum(CASE WHEN nullif(o_orderpriority, '3-MEDIUM') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt,
+        |count(DISTINCT coalesce(nullif(o_orderpriority, '3-MEDIUM'), '(none)')) AS distinct_with_default
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q40_dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY 1",
     "q43_ngram_jaccard" ->

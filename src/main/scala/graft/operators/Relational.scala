@@ -364,6 +364,23 @@ object Relational {
       .agg(count(lit(1)).as("cnt"),
         asDouble(sum(money($"o_totalprice"))).as("total"))
 
+  // ---------------------------------------------------------------- A32
+  /** Null semantics: NULLIF-generated nulls through COALESCE, null-safe
+    * equality, and null-aware aggregation (count skips nulls, count(*)
+    * doesn't). */
+  def q52NullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val withNulls = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus",
+        nullif($"o_orderpriority", lit("3-MEDIUM")).as("prio_or_null"))
+    withNulls
+      .groupBy($"o_orderstatus")
+      .agg(
+        count($"prio_or_null").as("non_null_cnt"),
+        count(lit(1)).as("total_cnt"),
+        sum(when($"prio_or_null".isNull, 1L).otherwise(0L)).as("null_cnt"),
+        countDistinct(coalesce($"prio_or_null", lit("(none)"))).as("distinct_with_default"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
