@@ -47,6 +47,8 @@ object SparkEntry {
     "q38_explode" -> (Relational.q38Explode _),
     "q39_cube" -> (Relational.q39Cube _),
     "q52_null_semantics" -> (Relational.q52NullSemantics _),
+    "q53_tpch_q3" -> (Relational.q53Tpch3 _),
+    "q54_tpch_q5" -> (Relational.q54Tpch5 _),
     // §2.B — CDC / MV engine core (batch semantics)
     "q30_snapshot_read" -> (Changelog.q30SnapshotRead _),
     "q31_cdc_apply" -> (Changelog.q31CdcApply _),
@@ -251,6 +253,25 @@ object SparkEntry {
         |CAST(sum(CASE WHEN nullif(o_orderpriority, '3-MEDIUM') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt,
         |count(DISTINCT coalesce(nullif(o_orderpriority, '3-MEDIUM'), '(none)')) AS distinct_with_default
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q53_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q54_tpch_q5" ->
+      """SELECT n_name,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |count(*) AS cnt
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
     "q40_dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY 1",
     "q43_ngram_jaccard" ->

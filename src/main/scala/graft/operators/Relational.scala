@@ -381,6 +381,44 @@ object Relational {
         countDistinct(coalesce($"prio_or_null", lit("(none)"))).as("distinct_with_default"))
   }
 
+  // ---------------------------------------------------------------- A33
+  /** TPC-H Q3 shape: 3-way join, filtered both sides, revenue top-10.
+    * customer prunes orders via broadcast-able dim path; orders⋈lineitem
+    * shuffles on orderkey; top-n bounded by TakeOrderedAndProject. */
+  def q53Tpch3(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(3, 2))
+    val revenue = money($"l_extendedprice") * (one - rate($"l_discount"))
+    val cut = lit("1998-01-01").cast("timestamp")
+    Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+      .join(Tables.orders(spark, dir).filter($"o_orderdate" < cut),
+        $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(spark, dir).filter($"l_shipdate" > cut),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(asDouble(sum(revenue)).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- A34
+  /** TPC-H Q5 shape: 6-way join (region→nation→customer/supplier→orders→
+    * lineitem) with the customer-and-supplier-same-nation constraint. Dims
+    * broadcast; the two fact joins shuffle on their keys. */
+  def q54Tpch5(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(3, 2))
+    val revenue = money($"l_extendedprice") * (one - rate($"l_discount"))
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .join(Tables.supplier(spark, dir),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "ASIA")
+      .groupBy($"n_name")
+      .agg(asDouble(sum(revenue)).as("revenue"), count(lit(1)).as("cnt"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

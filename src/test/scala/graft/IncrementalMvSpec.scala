@@ -55,4 +55,17 @@ class IncrementalMvSpec extends SparkSpec {
       assert(agg === Set(("a", 2L, 18.0)))
     } finally q.stop()
   }
+
+  test("replaying a batch is a no-op (version guard gives idempotence)") {
+    val base = Files.createTempDirectory("imv2").toString
+    val batch = Seq((1L, 1L, "ins", "g", 5.0), (2L, 1L, "ins", "g", 7.0))
+      .toDF("pk", "version", "op", "grp", "value")
+    IncrementalMv.maintain(s"$base/mv", "pk", "version", "op", "grp", "value")(batch, 0L)
+    def agg = spark.read.parquet(s"$base/mv/agg")
+      .select("grp", "cnt", "total").as[(String, Long, Double)].collect().toSet
+    assert(agg === Set(("g", 2L, 12.0)))
+    // crash-replay of the same micro-batch (foreachBatch at-least-once)
+    IncrementalMv.maintain(s"$base/mv", "pk", "version", "op", "grp", "value")(batch, 0L)
+    assert(agg === Set(("g", 2L, 12.0)))
+  }
 }
