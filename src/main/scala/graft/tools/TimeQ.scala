@@ -15,9 +15,11 @@ object TimeQ {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      println(f"[timeq] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val df =
+        if (name == "entry") graft.SparkEntry.entry(spark)
+        else graft.SparkEntry.queries(name)(spark, sfDir)
+      val n = df.count()
+      println(f"[timeq] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()
   }
