@@ -30,14 +30,19 @@ case class DotProduct(left: Expression, right: Expression)
     s
   }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName for every local: a fixed name collides (and silently drops the
+    // whole stage to interpreted eval) when two instances of this expression
+    // land in one generated function.
+    val n = ctx.freshName("n"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      int n = Math.min($a.numElements(), $b.numElements());
-      double s = 0.0;
-      for (int i = 0; i < n; i++) {
-        s += $a.getDouble(i) * $b.getDouble(i);
+      int $n = Math.min($a.numElements(), $b.numElements());
+      double $s = 0.0;
+      for (int $i = 0; $i < $n; $i++) {
+        $s += $a.getDouble($i) * $b.getDouble($i);
       }
-      ${ev.value} = s;""")
+      ${ev.value} = $s;""")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =

@@ -36,19 +36,26 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     c
   }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName for every local: a fixed name collides (and silently drops the
+    // whole stage to interpreted eval) when two instances of this expression
+    // land in one generated function.
+    val i = ctx.freshName("i"); val j = ctx.freshName("j")
+    val n = ctx.freshName("n"); val m = ctx.freshName("m")
+    val c = ctx.freshName("c")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      int i = 0, j = 0;
-      int n = $a.numElements(), m = $b.numElements();
-      long c = 0L;
-      while (i < n && j < m) {
-        long x = $a.getLong(i);
-        long y = $b.getLong(j);
-        if (x == y) { c++; i++; j++; }
-        else if (x < y) { i++; }
-        else { j++; }
+      int $i = 0, $j = 0;
+      int $n = $a.numElements(), $m = $b.numElements();
+      long $c = 0L;
+      while ($i < $n && $j < $m) {
+        long x = $a.getLong($i);
+        long y = $b.getLong($j);
+        if (x == y) { $c++; $i++; $j++; }
+        else if (x < y) { $i++; }
+        else { $j++; }
       }
-      ${ev.value} = c;""")
+      ${ev.value} = $c;""")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
