@@ -114,24 +114,28 @@ object Dedup {
     * exact-Jaccard rescore of candidates only. Output is rescored with the
     * true Jaccard, so recall (not precision) is the only LSH approximation.
     *
-    * Formulated over the *exploded* shingle view: the signature is 64
-    * `min(xxhash64(s, seed))` aggregates (map-side partial agg, no nested
-    * array materialization), and candidate intersections are counted by a
-    * hash join on (doc, shingle) — no per-pair array scans. This is the shape
-    * that survives 100 TB: every step is a hash shuffle on uniform keys. */
+    * One map-side pass builds each document's sorted shingle-hash array AND
+    * its 64-slot signature ([[graft.functions.TextHashes]] kernels — bit-
+    * identical to the exploded-aggregate formulation, asserted by
+    * PropertySpec, but with no posexplode, no window sort, no 64-column
+    * shuffle). Candidates bucket-join on uniform (band, hash) keys; the
+    * rescore joins the small candidate set back to the per-doc arrays and
+    * counts intersections with the codegen'd two-pointer merge. At 100 TB
+    * every shuffle here carries ids + fixed-width signatures, never text. */
   def q41DedupMinhash(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
-    val exploded = shinglesExploded(Tables.documents(spark, dir), "doc_id", "text", 3)
-    val sig = signatureFromExploded(exploded, "doc_id", "s", 64)
-    val cands = lshCandidates(sig, "doc_id", "sig", bands = 16)
-    val inter = exploded.select(col("doc_id").as("doc_a"), col("s"))
-      .join(broadcast(cands), "doc_a")
-      .join(exploded.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    val sizes = sig.select(col("doc_id"), col("n_sh"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+    import graft.functions.{GraftFunctions, TextHashFunctions}
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextHashFunctions.wordShingleHashes(col("text"), 3).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        TextHashFunctions.minhashSig(col("sh"), 64).as("sig"),
+        size(col("sh")).cast("long").as("n_sh"))
+    val cands = lshCandidates(d.select(col("doc_id"), col("sig")), "doc_id", "sig", bands = 16)
+    cands
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("inter", GraftFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -172,7 +176,11 @@ object Dedup {
     * pair within distance 3 shares ≥1 exact chunk; wider distances trade
     * recall) — same bucket-join shape as LSH, no n² scan. */
   def q42DedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
-    val docs = simhashDf(Tables.documents(spark, dir), "doc_id", "text")
+    // one codegen'd pass per document (no word explode / 64-column shuffle);
+    // bit-identical to simhashDf (asserted by PropertySpec)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextHashFunctions.simhash64(col("text")).as("sh"))
     val chunks = docs.select(col("doc_id"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)),
         i => struct(i.as("chunk_id"),
@@ -196,20 +204,19 @@ object Dedup {
   /** Exact character-3-gram Jaccard for pairs within the same source
     * (blocking key bounds the pair count; at scale the block is the shard). */
   def q43NgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    val grams = array_distinct(transform(
-      sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
-      i => col("text").substr(i, lit(3))))
     // blocked self-join on hashed-long gram sets: pairs are bounded by the
     // blocking key (docs per source), each pair costs one array_intersect
     // over sorted long arrays computed once per doc. Word-salad corpora make
     // high-frequency grams explode the alternative (pairs-per-shared-gram)
     // formulation quadratically; here the pair count is exactly
-    // Σ_source C(|block|,2) regardless of gram frequency.
+    // Σ_source C(|block|,2) regardless of gram frequency. The gram sets are
+    // built by the single-pass TextHashes kernel (≡ the HOF formulation,
+    // asserted by PropertySpec), and the block key is triangle-salted so a
+    // block is 16 tasks, not one.
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        sort_array(transform(grams, g => xxhash64(g))).as("gs"))
-    d.as("a").join(d.as("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        graft.functions.TextHashFunctions.charNgramHashes(col("text"), 3).as("gs"))
+    Skew.saltedSelfPairs(d, "source", "doc_id", salts = 4)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         graft.functions.GraftFunctions
           .sortedIntersectCount(col("a.gs"), col("b.gs")).as("inter"),
@@ -231,8 +238,8 @@ object Dedup {
       .select(col("vec_id"), col("label"),
         VectorFunctions.toDoubles(col("embedding")).as("emb"),
         VectorFunctions.l2Norm(col("embedding")).as("norm"))
-    e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    // triangle-salted: 10 labels would otherwise mean 10 reducers total
+    Skew.saltedSelfPairs(e, "label", "vec_id", salts = 4)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (VectorFunctions.dotD(col("a.emb"), col("b.emb"))
           / (col("a.norm") * col("b.norm"))).as("cosine"))

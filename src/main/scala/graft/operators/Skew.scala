@@ -26,6 +26,31 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** All within-block unordered pairs (`a.<id> < b.<id>`) as a self-join,
+    * with each block salted into `salts`² sub-buckets (triangle
+    * replication) so one block ≠ one reducer.
+    *
+    * A plain self-join on the block key caps parallelism at the number of
+    * distinct blocks — at 100 TB a "source" or "label" block holds millions
+    * of rows and a 1000-executor cluster would idle on ~20 tasks. Here row x
+    * keeps its own salt sₓ and is replicated once per partner salt p:
+    * left carries (sₓ, p), right carries (p, s_y) — pair {x,y} meets in
+    * exactly one of salts² buckets, keys stay uniform by construction.
+    * Replication is ×salts per side, all of it map-side.
+    *
+    * Callers reference the two sides as `col("a.…")` / `col("b.…")`. */
+  def saltedSelfPairs(
+      d: DataFrame, blockCol: String, idCol: String, salts: Int): DataFrame = {
+    val partnerSalts = array((0 until salts).map(lit): _*)
+    val own = pmod(xxhash64(col(idCol)), lit(salts)).cast("int")
+    val a = d.withColumn("__sa", own).withColumn("__sb", explode(partnerSalts))
+    val b = d.withColumn("__sb", own).withColumn("__sa", explode(partnerSalts))
+    a.as("a").join(b.as("b"),
+      col(s"a.$blockCol") === col(s"b.$blockCol") &&
+        col("a.__sa") === col("b.__sa") && col("a.__sb") === col("b.__sb") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+  }
+
   /** Top-n hot keys of a frame by count — the diagnostic used to decide
     * whether salting/AQE-skew settings are warranted. */
   def hotKeys(df: DataFrame, key: Column, n: Int = 20): DataFrame =
