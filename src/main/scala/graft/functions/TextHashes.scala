@@ -182,7 +182,7 @@ case class CharNgramHashes(child: Expression, n: Int) extends TextHashExpression
   override protected def evalKernel(s: UTF8String): Any = TextHashes.charNgramHashes(s, n)
   override protected def staticCall(c: String): String =
     s"graft.functions.TextHashes.charNgramHashes($c, $n)"
-  override protected def withNewChildrenInternal(newChild: Expression): CharNgramHashes =
+  override protected def withNewChildInternal(newChild: Expression): CharNgramHashes =
     copy(child = newChild)
 }
 
@@ -192,7 +192,7 @@ case class WordShingleHashes(child: Expression, k: Int) extends TextHashExpressi
   override protected def evalKernel(s: UTF8String): Any = TextHashes.wordShingleHashes(s, k)
   override protected def staticCall(c: String): String =
     s"graft.functions.TextHashes.wordShingleHashes($c, $k)"
-  override protected def withNewChildrenInternal(newChild: Expression): WordShingleHashes =
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
     copy(child = newChild)
 }
 
@@ -202,7 +202,7 @@ case class SimHash64(child: Expression) extends TextHashExpression {
   override protected def evalKernel(s: UTF8String): Any = TextHashes.simhash64(s)
   override protected def staticCall(c: String): String =
     s"graft.functions.TextHashes.simhash64($c)"
-  override protected def withNewChildrenInternal(newChild: Expression): SimHash64 =
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
 
@@ -215,7 +215,7 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev,
       c => s"${ev.value} = graft.functions.TextHashes.minhashSig($c, $numHashes);")
-  override protected def withNewChildrenInternal(newChild: Expression): MinHashSig =
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
 
