@@ -202,28 +202,42 @@ object Dedup {
 
   // ---------------------------------------------------------------- C4
   /** Exact character-3-gram Jaccard for pairs within the same source
-    * (blocking key bounds the pair count; at scale the block is the shard). */
+    * (blocking key bounds the pair count; at scale the block is the shard).
+    *
+    * At threshold 0.3 on prose-like corpora the RESULT is dense (most
+    * same-block pairs qualify — char-3-grams of a small alphabet overlap
+    * heavily), so candidate pruning (LSH banding, AllPairs prefix filter)
+    * cannot make this sub-quadratic: the output itself is ~Σ C(block,2).
+    * The scalable levers are (a) the blocking key — at 100 TB the block is
+    * the shard and the quadratic is per-shard by contract — and (b) paying
+    * the two-pointer merge EXACTLY ONCE per unordered pair:
+    *
+    *  - the join condition carries only cheap predicates (block+salt keys,
+    *    `doc_a < doc_b`, and a size-ratio prefilter — J ≥ t requires
+    *    t·max(|A|,|B|) ≤ min(|A|,|B|));
+    *  - jaccard is computed in ONE projection (its two references to the
+    *    intersect count are de-duplicated by codegen subexpression
+    *    elimination);
+    *  - the `observe` node below is a deliberate optimizer barrier: Catalyst
+    *    must not push the threshold filter through it (CollectMetrics has to
+    *    see exact rows), so the filter cannot be folded back into the join
+    *    condition where the intersect would be re-evaluated per PROBED pair
+    *    (≈2× per unordered candidate) instead of per emitted pair. It also
+    *    surfaces the candidate-pair count as an observable metric. */
   def q43NgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    // blocked self-join on hashed-long gram sets: pairs are bounded by the
-    // blocking key (docs per source), each pair costs one array_intersect
-    // over sorted long arrays computed once per doc. Word-salad corpora make
-    // high-frequency grams explode the alternative (pairs-per-shared-gram)
-    // formulation quadratically; here the pair count is exactly
-    // Σ_source C(|block|,2) regardless of gram frequency. The gram sets are
-    // built by the single-pass TextHashes kernel (≡ the HOF formulation,
-    // asserted by PropertySpec), and the block key is triangle-salted so a
-    // block is 16 tasks, not one.
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         graft.functions.TextHashFunctions.charNgramHashes(col("text"), 3).as("gs"))
+      .withColumn("n_g", size(col("gs")).cast("long"))
+    val inter = graft.functions.GraftFunctions
+      .sortedIntersectCount(col("a.gs"), col("b.gs"))
     Skew.saltedSelfPairs(d, "source", "doc_id", salts = 4)
+      .filter(greatest(col("a.n_g"), col("b.n_g")) * threshold
+        <= least(col("a.n_g"), col("b.n_g")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        graft.functions.GraftFunctions
-          .sortedIntersectCount(col("a.gs"), col("b.gs")).as("inter"),
-        size(col("a.gs")).cast("long").as("n_a"), size(col("b.gs")).cast("long").as("n_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
+        (inter.cast("double") /
+          (col("a.n_g") + col("b.n_g") - inter).cast("double")).as("jaccard"))
+      .observe("q43_candidate_pairs", count(lit(1)).as("pairs"))
       .filter(col("jaccard") >= threshold)
   }
 

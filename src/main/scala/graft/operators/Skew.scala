@@ -43,7 +43,17 @@ object Skew {
       d: DataFrame, blockCol: String, idCol: String, salts: Int): DataFrame = {
     val partnerSalts = array((0 until salts).map(lit): _*)
     val own = pmod(xxhash64(col(idCol)), lit(salts)).cast("int")
+    // The probe side is explicitly spread over the salts²·|blocks| composite
+    // keys: when the build side broadcasts, the pair-generation work runs at
+    // the PROBE side's parallelism — which is the file-scan split count, i.e.
+    // possibly 1 task for a small compact input. The quadratic per-bucket
+    // work is the whole cost here, so the extra shuffle (rows ×salts, map
+    // side) is always worth the full-cluster fan-out. The partition count is
+    // pinned (REPARTITION_BY_NUM) so AQE's small-partition coalescing can't
+    // fold the deliberately CPU-heavy buckets back together by byte size.
+    val numParts = d.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val a = d.withColumn("__sa", own).withColumn("__sb", explode(partnerSalts))
+      .repartition(numParts, col(blockCol), col("__sa"), col("__sb"))
     val b = d.withColumn("__sb", own).withColumn("__sa", explode(partnerSalts))
     a.as("a").join(b.as("b"),
       col(s"a.$blockCol") === col(s"b.$blockCol") &&
