@@ -75,58 +75,19 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------- C7b
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
-    * corpus into `nCells` cells; a query scans only its `nProbe` nearest
-    * cells, then candidates are rescored exactly. The scale path for
-    * billion-row corpora: the index assignment is one ML pass, the cell id
-    * becomes the partition/bucket key, and each query touches
-    * nProbe/nCells of the data.
-    *
-    * Spark-first: MLlib KMeans for training (seeded → reproducible),
-    * `ml.functions.array_to_vector` to bridge the embedding column, and the
-    * probe join is a broadcast of (query × nProbe cell ids). */
+  /** IVF (inverted-file) ANN, split the way a production index is: build
+    * once, query many times ([[IvfIndex.build]] / [[IvfIndex.query]]). The
+    * bench/oracle query builds then probes so the measured cost is honest,
+    * but nothing forces them together — build can be persisted
+    * ([[IvfIndex.save]]/[[IvfIndex.load]]) and amortized across query sets. */
   def q51AnnIvf(spark: SparkSession, dir: String, k: Int = 10,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
     val e = Tables.embeddings(spark, dir)
-      .withColumn("features", array_to_vector(col("embedding")))
-      .withColumn("emb", toDoubles(col("embedding")))
-      .withColumn("norm", l2Norm(col("embedding")))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
-      .fit(e.select(col("features")))
-    val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
-
-    // nProbe nearest centroids per query vector (driver-side math over
-    // nCells×dim floats — the centroid table is tiny by construction)
-    val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
-    val queries = assigned.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("norm").as("q_norm"))
-    val probesDf = {
-      val qRows = queries.collect()
-      val rows = qRows.flatMap { r =>
-        val qv = r.getSeq[Double](1).toArray
-        centroids.map { case (c, ci) =>
-          val d2 = c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
-          (r.getLong(0), ci, d2)
-        }.sortBy(_._3).take(nProbe)
-      }
-      spark.createDataFrame(rows.toIndexedSeq).toDF("query_id", "cell", "d2")
-        .select(col("query_id"), col("cell"))
-    }
-    val probeQueries = queries.join(probesDf, "query_id")
-
-    val scored = assigned.as("c")
-      .join(broadcast(probeQueries), Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dotD(col("q_emb"), col("emb")) / (col("q_norm") * col("norm"))).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+    val index = IvfIndex.build(e, nCells)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), toDoubles(col("embedding")).as("q_emb"),
+        l2Norm(col("embedding")).as("q_norm"))
+    IvfIndex.query(index, queries, k, nProbe)
   }
 
   /** bucket = Σ_p (dot(v, plane_p) > 0) << p — built from nested codegen'd
