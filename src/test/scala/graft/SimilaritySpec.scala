@@ -58,6 +58,25 @@ class SimilaritySpec extends SparkSpec {
       s"IVF nProbe=4/16 should recover a good share of true top-10 (got $meanRecall)")
   }
 
+  test("IVF save/load roundtrip: a loaded index answers identically") {
+    import graft.operators.IvfIndex
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val queries = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"),
+        VectorFunctions.toDoubles($"embedding").as("q_emb"),
+        VectorFunctions.l2Norm($"embedding").as("q_norm"))
+    val built = IvfIndex.build(e, nCells = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    IvfIndex.save(built, dir)
+    val loaded = IvfIndex.load(spark, dir)
+    val a = IvfIndex.query(built, queries, k = 10, nProbe = 4)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val b = IvfIndex.query(loaded, queries, k = 10, nProbe = 4)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("native dot_product is bit-identical to the HOF composition") {
     val e = graft.sources.Tables.embeddings(spark, sf).limit(50)
       .select($"vec_id", VectorFunctions.toDoubles($"embedding").as("d"))
