@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
  * place (`XXH64.hashUnsafeBytes` on the backing array — no per-gram string
  * allocation). They are drop-in equivalents of the declarative
  * higher-order-function formulations in [[graft.operators.Dedup]] (kept as
- * executable specifications; PropertySpec asserts equality) but those
+ * executable specifications; KernelParitySpec asserts equality) but those
  * evaluate their lambdas interpreted per element, which dominates corpus-
  * scale shingling:
  *

@@ -117,7 +117,7 @@ object Dedup {
     * One map-side pass builds each document's sorted shingle-hash array AND
     * its 64-slot signature ([[graft.functions.TextHashes]] kernels — bit-
     * identical to the exploded-aggregate formulation, asserted by
-    * PropertySpec, but with no posexplode, no window sort, no 64-column
+    * KernelParitySpec, but with no posexplode, no window sort, no 64-column
     * shuffle). Candidates bucket-join on uniform (band, hash) keys; the
     * rescore joins the small candidate set back to the per-doc arrays and
     * counts intersections with the codegen'd two-pointer merge. At 100 TB
@@ -177,7 +177,7 @@ object Dedup {
     * recall) — same bucket-join shape as LSH, no n² scan. */
   def q42DedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
     // one codegen'd pass per document (no word explode / 64-column shuffle);
-    // bit-identical to simhashDf (asserted by PropertySpec)
+    // bit-identical to simhashDf (asserted by KernelParitySpec)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         graft.functions.TextHashFunctions.simhash64(col("text")).as("sh"))

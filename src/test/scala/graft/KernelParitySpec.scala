@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.TextHashFunctions
+import graft.operators.{Dedup, Skew}
+
+/** Parity specs for the single-pass byte-span kernels in
+  * [[graft.functions.TextHashes]]: each must be bit-identical to the
+  * declarative HOF formulation in [[Dedup]] it replaced (the kernels back
+  * q41/q42/q43; the HOFs remain as executable specifications). Inputs are
+  * randomized and include empty strings, empty words (double spaces), and
+  * multi-byte codepoints — the byte-walk's hard cases. */
+class KernelParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => gen.pureApply(Gen.Parameters.default, Seed(100L + i)))
+
+  private val wordGen: Gen[String] = Gen.oneOf(
+    "spark", "join", "scan", "agg", "röw", "データ", "x", "", "émb")
+  private val textGen: Gen[String] =
+    Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+
+  private def docs(n: Int): DataFrame =
+    samples(textGen, n).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("charNgramHashes kernel === substring HOF formulation") {
+    val t = $"text"
+    val grams = transform(
+      sequence(lit(1), greatest(length(t) - 2, lit(1))),
+      i => t.substr(i, lit(3)))
+    val hof = sort_array(array_distinct(transform(grams, g => xxhash64(g))))
+    docs(40).select(
+        TextHashFunctions.charNgramHashes(t, 3).as("kernel"), hof.as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+      .foreach { case (k, h) => assert(k === h) }
+  }
+
+  test("wordShingleHashes kernel === Dedup.shingles HOF") {
+    docs(40).select(
+        TextHashFunctions.wordShingleHashes($"text", 3).as("kernel"),
+        sort_array(Dedup.shingles($"text", 3)).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+      .foreach { case (k, h) => assert(k === h) }
+  }
+
+  test("minhashSig kernel === Dedup.minhashSignature HOF") {
+    docs(40).select(
+        TextHashFunctions.minhashSig(
+          TextHashFunctions.wordShingleHashes($"text", 3), 64).as("kernel"),
+        Dedup.minhashSignature(Dedup.shingles($"text", 3), 64).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+      .foreach { case (k, h) => assert(k === h) }
+  }
+
+  test("simhash64 kernel === Dedup.simhash HOF and simhashDf") {
+    val d = docs(30)
+    d.select(
+        TextHashFunctions.simhash64($"text").as("kernel"),
+        Dedup.simhash($"text").as("hof"))
+      .as[(Long, Long)].collect()
+      .foreach { case (k, h) => assert(k === h) }
+    val viaDf = Dedup.simhashDf(d, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val kernel = d.select($"doc_id", TextHashFunctions.simhash64($"text"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaDf === kernel)
+  }
+
+  test("saltedSelfPairs === plain blocked self-join, each pair exactly once") {
+    val d = (1 to 300).map(i => (i.toLong, s"blk${i % 3}", i * 2))
+      .toDF("id", "blk", "v")
+    val plain = d.as("a").join(d.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    val salted = Skew.saltedSelfPairs(d, "blk", "id", salts = 4)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect()
+    assert(salted.toSet === plain)
+    assert(salted.length === plain.size, "each pair must meet exactly once")
+  }
+}
