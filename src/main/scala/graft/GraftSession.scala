@@ -50,4 +50,8 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", true)
       .config("spark.sql.adaptive.skewJoin.enabled", true)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // TIMESTAMP(NANOS) parquet (events table) reads as a nanos long
+      // instead of [PARQUET_TYPE_ILLEGAL]; Tables.events rebuilds a µs
+      // timestamp from it. Session-level so no operator mutates conf.
+      .config("spark.sql.legacy.parquet.nanosAsLong", true)
 }

@@ -48,12 +48,16 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   /** events.parquet stores TIMESTAMP(NANOS) which Spark 4 refuses outright
-    * ([PARQUET_TYPE_ILLEGAL]); read it as a nanos long and rebuild a µs
-    * timestamp with integer division (a double division would lose precision
-    * at the 1e18 scale). Truncation-toward-floor matches DuckDB's
-    * CAST(ns AS TIMESTAMP). */
+    * ([PARQUET_TYPE_ILLEGAL]) unless `spark.sql.legacy.parquet.nanosAsLong`
+    * is on — a session-build-time setting ([[graft.GraftSession.builder]]
+    * sets it; this reader must not mutate a live session's conf). The nanos
+    * long is rebuilt into a µs timestamp with integer division (a double
+    * division would lose precision at the 1e18 scale).
+    * Truncation-toward-floor matches DuckDB's CAST(ns AS TIMESTAMP). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet is TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (GraftSession.builder does)")
     // TIMESTAMP_NTZ matches how Spark 4 reads the other tables' timestamps
     // (parquet isAdjustedToUTC=false → NTZ) and DuckDB's naive timestamps.
     apply(spark, dir, "events")
@@ -64,7 +68,12 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 
-  /** Register every table as a temp view (tableEnv.useCatalog analog). */
+  /** Register every table as a temp view (tableEnv.useCatalog analog).
+    * `events` goes through its nanos-rebuilding reader so SQL over the
+    * catalog sees the same µs `ts` column the operators do. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -67,6 +67,7 @@ object MaterializedView {
     private var deleteColumn: Option[String] = None
     private var checkpointLocation: String = _
     private var trigger: Trigger = Trigger.ProcessingTime(0L)
+    private var catalogDir: Option[String] = None
 
     def setSource(df: DataFrame): Builder = { source = df; this }
     /** Transform applied to the source — TiFlinkApp.Builder.setQuery analog.
@@ -76,6 +77,13 @@ object MaterializedView {
       query = df => { df.createOrReplaceTempView(sourceView); df.sparkSession.sql(sql) }
       this
     }
+    /** Expose every catalog table of `dir` to [[setSqlQuery]] SQL — the
+      * TiFlinkCatalog UX (TiFlinkCatalog.java:140-199): one SQL string can
+      * join the stream against any cataloged table
+      * (`SELECT ... FROM changes JOIN nation ON ...`). Views are
+      * (re-)registered when the view plan is built, so a restart after
+      * catalog changes picks up current schemas. */
+    def setCatalog(dir: String): Builder = { catalogDir = Some(dir); this }
     def setTargetPath(p: String): Builder = { targetPath = p; this }
     def setPrimaryKeys(pks: String*): Builder = { primaryKeys = pks; this }
     def setVersionColumn(c: String): Builder = { versionColumn = c; this }
@@ -87,7 +95,15 @@ object MaterializedView {
       require(source != null, "source must be specified")
       require(targetPath != null, "targetPath must be specified")
       require(checkpointLocation != null, "checkpointLocation must be specified")
-      new MaterializedView(source, query, targetPath, primaryKeys,
+      val q = catalogDir match {
+        case Some(d) =>
+          val inner = query
+          (df: DataFrame) => {
+            graft.sources.Tables.registerAll(df.sparkSession, d); inner(df)
+          }
+        case None => query
+      }
+      new MaterializedView(source, q, targetPath, primaryKeys,
         versionColumn, deleteColumn, checkpointLocation, trigger)
     }
   }

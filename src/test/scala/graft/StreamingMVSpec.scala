@@ -93,6 +93,47 @@ class StreamingMVSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SQL-string MV joins the stream against catalog tables across restart") {
+    val input = MemoryStream[(Long, Long, Double)]
+    val changes = input.toDF().toDF("nat_key", "version", "amount")
+    val base = Files.createTempDirectory("mvsql").toString
+
+    // one SQL string, two tables: the stream + the cataloged nation dim —
+    // the TiFlinkApp UX (any catalog table referable by name)
+    def mv = MaterializedView.newBuilder()
+      .setSource(changes)
+      .setCatalog(sf)
+      .setSqlQuery(
+        """SELECT c.nat_key, n.n_name, c.version, c.amount
+          |FROM changes c JOIN nation n ON c.nat_key = n.n_nationkey""".stripMargin,
+        sourceView = "changes")
+      .setTargetPath(s"$base/target")
+      .setPrimaryKeys("nat_key")
+      .setVersionColumn("version")
+      .setCheckpointLocation(s"$base/ckpt")
+      .build()
+
+    val q1 = mv.start()
+    input.addData((0L, 1L, 5.0), (1L, 1L, 7.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the same checkpoint: offsets resume, upserts continue
+    val q2 = mv.start()
+    input.addData((0L, 2L, 6.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val names = graft.sources.Tables.nation(spark, sf)
+      .select($"n_nationkey", $"n_name").as[(Long, String)].collect().toMap
+    val got = spark.read.parquet(s"$base/target")
+      .select("nat_key", "n_name", "version", "amount")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got === Set(
+      (0L, names(0L), 2L, 6.0),
+      (1L, names(1L), 1L, 7.0)))
+  }
+
   test("builder validates primary keys like TiFlinkApp") {
     val input = MemoryStream[(Long, Long)]
     val mv = MaterializedView.newBuilder()
