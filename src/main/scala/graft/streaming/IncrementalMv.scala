@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
@@ -14,15 +13,17 @@ import org.apache.spark.sql.functions._
  *
  * Each micro-batch:
  *   1. compacts the batch to one final change per primary key,
- *   2. diffs it against the current entity snapshot → per-key (old, new),
+ *   2. diffs it against the current entity rows OF THE TOUCHED BUCKETS ONLY
+ *      (partition-pruned read) → per-key (old, new),
  *   3. turns the diff into group-level deltas (retract old, add new),
- *   4. merges deltas into the aggregate table and upserts the entity table,
- *      both published atomically (UpsertSink staging discipline).
+ *   4. merges deltas into the touched agg buckets and upserts the touched
+ *      entity buckets — only those bucket directories are rewritten
+ *      ([[BucketedTable.swapTouched]]); everything else stays byte-identical.
  *
- * Work per batch ∝ changed keys + touched groups, never the full history —
- * the defining property of incremental view maintenance. At cluster scale
- * steps 2/4 are MERGE INTOs against bucketed tables; the delta algebra is
- * identical.
+ * Work per batch ∝ changed keys + touched groups + the buckets they hash
+ * into, never the full history — the defining property of incremental view
+ * maintenance, and the same per-region write shape TiFlink's sink has
+ * (FlinkTikvProducer groups rows by region before prewrite).
  */
 object IncrementalMv {
 
@@ -31,28 +32,30 @@ object IncrementalMv {
     * per `pk` with delete tombstones applied.
     *
     * Changelog schema contract: pk, version (monotone per key), op
-    * ('delete' = tombstone), groupKey, valueCol.
+    * ('delete' = tombstone), groupKey, valueCol. The entity table is
+    * bucketed by pk, the aggregate table by groupKey (`nBuckets` each).
     */
   def maintain(
       basePath: String,
       pk: String, version: String, op: String,
-      groupKey: String, valueCol: String)(batch: DataFrame, batchId: Long): Unit = {
+      groupKey: String, valueCol: String,
+      nBuckets: Int = 16)(batch: DataFrame, batchId: Long): Unit = {
+    import BucketedTable._
     val spark = batch.sparkSession
     val entityPath = s"$basePath/entity"
     val aggPath = s"$basePath/agg"
-    val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    // 1. final change per key within the batch
+    // 1. final change per key within the batch, tagged with its entity bucket
     val compacted = batch
       .groupBy(col(pk))
       .agg(max_by(struct(batch.columns.toIndexedSeq.map(col): _*), col(version)).as("__r"))
       .select(col("__r.*"))
+      .withColumn(BucketCol, bucketOf(Seq(col(pk)), nBuckets))
+    val touchedEntity = touchedBuckets(compacted)
 
-    // 2. diff against current entity snapshot
-    val current =
-      if (fs.exists(new Path(entityPath))) spark.read.parquet(entityPath)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    // 2. diff against the current entity rows of the touched buckets only
+    val current = readTouched(spark, entityPath, touchedEntity)
+      .getOrElse(compacted.limit(0))
     val old = current.select(
       col(pk), col(groupKey).as("__old_g"), col(valueCol).as("__old_v"),
       col(version).as("__old_ver"))
@@ -68,39 +71,31 @@ object IncrementalMv {
     val deltas = retract.unionByName(add)
       .groupBy(col(groupKey))
       .agg(sum(col("__dc")).as("__dc"), sum(col("__dv")).as("__dv"))
+      .withColumn(BucketCol, bucketOf(Seq(col(groupKey)), nBuckets))
 
-    // 4a. merge deltas into the aggregate table
-    val aggCurrent =
-      if (fs.exists(new Path(aggPath))) spark.read.parquet(aggPath)
-      else spark.emptyDataFrame
-        .select(lit(null).cast(compacted.schema(groupKey).dataType).as(groupKey),
-          lit(0L).as("cnt"), lit(0.0).as("total")).limit(0)
-    val merged = aggCurrent
-      .join(deltas, Seq(groupKey), "full")
-      .select(col(groupKey),
-        (coalesce(col("cnt"), lit(0L)) + coalesce(col("__dc"), lit(0L))).as("cnt"),
-        (coalesce(col("total"), lit(0.0)) + coalesce(col("__dv"), lit(0.0))).as("total"))
-      .filter(col("cnt") > 0)
-    atomicWrite(spark, merged, aggPath)
+    // 4a. merge deltas into the touched agg buckets (groups of those buckets
+    // that got no delta ride along via the full join and are preserved)
+    val touchedAgg = touchedBuckets(deltas)
+    if (touchedAgg.nonEmpty) {
+      val aggCurrent = readTouched(spark, aggPath, touchedAgg).getOrElse(
+        deltas.select(col(groupKey), lit(0L).as("cnt"), lit(0.0).as("total"),
+          col(BucketCol)).limit(0))
+      val merged = aggCurrent
+        .join(deltas, Seq(groupKey, BucketCol), "full")
+        .select(col(groupKey),
+          (coalesce(col("cnt"), lit(0L)) + coalesce(col("__dc"), lit(0L))).as("cnt"),
+          (coalesce(col("total"), lit(0.0)) + coalesce(col("__dv"), lit(0.0))).as("total"),
+          col(BucketCol))
+        .filter(col("cnt") > 0)
+      swapTouched(merged, aggPath, touchedAgg)
+    }
 
-    // 4b. upsert the entity table (latest-row-wins + tombstones)
+    // 4b. upsert the touched entity buckets (latest-row-wins + tombstones)
     val unioned = current.unionByName(compacted)
     val entity = unioned.groupBy(col(pk))
       .agg(max_by(struct(unioned.columns.toIndexedSeq.map(col): _*), col(version)).as("__r"))
       .select(col("__r.*"))
       .filter(col(op) =!= "delete")
-    atomicWrite(spark, entity, entityPath)
-  }
-
-  private def atomicWrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stage = new Path(path + "__stage")
-    val old = new Path(path + "__old")
-    fs.delete(stage, true)
-    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-    fs.delete(old, true)
-    if (fs.exists(new Path(path))) fs.rename(new Path(path), old)
-    fs.rename(stage, new Path(path))
-    fs.delete(old, true)
+    swapTouched(entity, entityPath, touchedEntity)
   }
 }

@@ -34,7 +34,8 @@ final class MaterializedView private (
     versionColumn: String,
     deleteColumn: Option[String],
     checkpointLocation: String,
-    trigger: Trigger) {
+    trigger: Trigger,
+    numBuckets: Int) {
 
   /** The maintained view (unstarted plan). */
   def view: DataFrame = query(source)
@@ -50,7 +51,8 @@ final class MaterializedView private (
       .outputMode("update")
       .trigger(trigger)
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch(UpsertSink.forStream(targetPath, primaryKeys, versionColumn, deleteColumn))
+      .foreachBatch(UpsertSink.forStream(
+        targetPath, primaryKeys, versionColumn, deleteColumn, numBuckets))
       .start()
   }
 }
@@ -68,6 +70,7 @@ object MaterializedView {
     private var checkpointLocation: String = _
     private var trigger: Trigger = Trigger.ProcessingTime(0L)
     private var catalogDir: Option[String] = None
+    private var numBuckets: Int = 64
 
     def setSource(df: DataFrame): Builder = { source = df; this }
     /** Transform applied to the source — TiFlinkApp.Builder.setQuery analog.
@@ -90,6 +93,11 @@ object MaterializedView {
     def setDeleteColumn(c: String): Builder = { deleteColumn = Some(c); this }
     def setCheckpointLocation(p: String): Builder = { checkpointLocation = p; this }
     def setTrigger(t: Trigger): Builder = { trigger = t; this }
+    /** Target bucket count (TiFlinkApp per-MV parallelism knob analog).
+      * Default 64: each micro-batch rewrites only the buckets holding its
+      * keys. `<= 1` switches to whole-table merge — only sensible for
+      * dimension-sized targets. */
+    def setNumBuckets(n: Int): Builder = { numBuckets = n; this }
 
     def build(): MaterializedView = {
       require(source != null, "source must be specified")
@@ -104,7 +112,7 @@ object MaterializedView {
         case None => query
       }
       new MaterializedView(source, q, targetPath, primaryKeys,
-        versionColumn, deleteColumn, checkpointLocation, trigger)
+        versionColumn, deleteColumn, checkpointLocation, trigger, numBuckets)
     }
   }
 }

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.security.MessageDigest
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{BucketedTable, IncrementalMv, UpsertSink}
+
+/** The O(delta) property of the bucketed MV write path: a micro-batch
+  * rewrites ONLY the bucket directories holding its keys; every other
+  * bucket's files stay byte-identical (not rewritten, not renamed). */
+class BucketedUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** relative path -> (size, md5) for every file under dir. */
+  private def snapshot(dir: String): Map[String, (Long, String)] = {
+    val root = Paths.get(dir)
+    Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
+      .map { p =>
+        val bytes = Files.readAllBytes(p)
+        val md5 = MessageDigest.getInstance("MD5").digest(bytes)
+          .map("%02x".format(_)).mkString
+        root.relativize(p).toString -> (bytes.length.toLong, md5)
+      }.toMap
+  }
+
+  private def bucketOfKey(key: Long, n: Int): Int =
+    Seq(Tuple1(key)).toDF("k")
+      .select(BucketedTable.bucketOf(Seq($"k"), n)).as[Int].head()
+
+  test("bucketed upsert matches whole-table upsert semantics") {
+    val base = Files.createTempDirectory("bu").toString
+    val b1 = Seq((1L, 1L, 10.0, false), (2L, 1L, 20.0, false), (3L, 1L, 30.0, false))
+      .toDF("k", "version", "value", "is_delete")
+    val b2 = Seq((2L, 2L, 21.0, false), (3L, 2L, 0.0, true), (4L, 1L, 40.0, false))
+      .toDF("k", "version", "value", "is_delete")
+    for (b <- Seq(b1, b2)) {
+      UpsertSink.upsertBatch(b, s"$base/flat", Seq("k"), "version", Some("is_delete"))
+      UpsertSink.upsertBucketed(b, s"$base/bucketed", Seq("k"), "version", Some("is_delete"), 8)
+    }
+    def state(p: String) = spark.read.parquet(p)
+      .select("k", "version", "value").as[(Long, Long, Double)].collect().toSet
+    assert(state(s"$base/bucketed") === state(s"$base/flat"))
+    assert(state(s"$base/bucketed") === Set((1L, 1L, 10.0), (2L, 2L, 21.0), (4L, 1L, 40.0)))
+    // replay of b2 is a no-op on values
+    UpsertSink.upsertBucketed(b2, s"$base/bucketed", Seq("k"), "version", Some("is_delete"), 8)
+    assert(state(s"$base/bucketed") === Set((1L, 1L, 10.0), (2L, 2L, 21.0), (4L, 1L, 40.0)))
+  }
+
+  test("a batch leaves untouched buckets byte-identical") {
+    val n = 16
+    val target = Files.createTempDirectory("bu2").toString + "/t"
+    val load = (1L to 50L).map(k => (k, 1L, k * 1.0, false))
+      .toDF("k", "version", "value", "is_delete")
+    UpsertSink.upsertBucketed(load, target, Seq("k"), "version", Some("is_delete"), n)
+
+    val before = snapshot(target)
+    val hot = 42L
+    val hotBucket = bucketOfKey(hot, n)
+    UpsertSink.upsertBucketed(
+      Seq((hot, 2L, 99.0, false)).toDF("k", "version", "value", "is_delete"),
+      target, Seq("k"), "version", Some("is_delete"), n)
+    val after = snapshot(target)
+
+    def untouched(s: Map[String, (Long, String)]) =
+      s.view.filterKeys(!_.startsWith(s"__bucket=$hotBucket/")).toMap
+    assert(untouched(after) === untouched(before),
+      "files outside the hot key's bucket must not change in any way")
+    assert(after.keys.exists(_.startsWith(s"__bucket=$hotBucket/")))
+    assert(after.filter(_._1.startsWith(s"__bucket=$hotBucket/"))
+      !== before.filter(_._1.startsWith(s"__bucket=$hotBucket/")))
+    val got = spark.read.parquet(target).filter($"k" === hot)
+      .select("version", "value").as[(Long, Double)].head()
+    assert(got === ((2L, 99.0)))
+  }
+
+  test("IncrementalMv rewrites only entity/agg buckets touched by the batch") {
+    val base = Files.createTempDirectory("bu3").toString + "/mv"
+    val load = (1L to 40L).map(k => (k, 1L, "ins", s"g${k % 10}", k * 1.0))
+      .toDF("pk", "version", "op", "grp", "value")
+    IncrementalMv.maintain(base, "pk", "version", "op", "grp", "value", nBuckets = 8)(load, 0L)
+
+    val beforeE = snapshot(s"$base/entity")
+    val beforeA = snapshot(s"$base/agg")
+    val hot = 17L
+    val hotE = bucketOfKey(hot, 8)
+    // group moves g7 -> g3: both groups' agg buckets may change
+    val dirtyAggBuckets = Seq("g7", "g3").map(g =>
+      Seq(Tuple1(g)).toDF("g").select(BucketedTable.bucketOf(Seq($"g"), 8)).as[Int].head()).toSet
+    IncrementalMv.maintain(base, "pk", "version", "op", "grp", "value", nBuckets = 8)(
+      Seq((hot, 2L, "upd", "g3", 17.5)).toDF("pk", "version", "op", "grp", "value"), 1L)
+
+    def outside(s: Map[String, (Long, String)], buckets: Set[Int]) =
+      s.view.filterKeys(k => !buckets.exists(b => k.startsWith(s"__bucket=$b/"))).toMap
+    assert(outside(snapshot(s"$base/entity"), Set(hotE)) === outside(beforeE, Set(hotE)))
+    assert(outside(snapshot(s"$base/agg"), dirtyAggBuckets) === outside(beforeA, dirtyAggBuckets))
+
+    // and the view is still exact
+    val agg = spark.read.parquet(s"$base/agg")
+      .select("grp", "cnt", "total").as[(String, Long, Double)].collect().toSet
+    val want = ((1L to 40L).filter(_ != hot).map(k => (s"g${k % 10}", k * 1.0)) :+ (("g3", 17.5)))
+      .groupBy(_._1).map { case (g, vs) => (g, vs.size.toLong, vs.map(_._2).sum) }.toSet
+    assert(agg === want)
+  }
+}
