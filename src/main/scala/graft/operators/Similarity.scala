@@ -51,17 +51,29 @@ object Similarity {
 
   // ---------------------------------------------------------------- C7
   /** LSH-bucketed ANN: corpus is pre-bucketed by hyperplane signs; a query
-    * only scans its own bucket (multi-probe = flip one bit). Recall measured
-    * against the brute-force baseline in SimilaritySpec. */
-  def q46AnnLsh(spark: SparkSession, dir: String, k: Int = 10, nPlanes: Int = 8): DataFrame = {
+    * scans its own bucket plus (multi-probe) the nPlanes buckets one
+    * bit-flip away — the vectors most likely lost to a borderline
+    * hyperplane sign. Probing is a map-side explode of the tiny query set
+    * (×(nPlanes+1)); each corpus row lives in exactly one bucket, so a
+    * candidate can match at most one probe — no dedup join needed. Recall
+    * vs the brute-force baseline is asserted in SimilaritySpec; as nPlanes
+    * grows, multi-probe keeps recall from cliffing while the scanned
+    * fraction stays ≈(nPlanes+1)/2^nPlanes. */
+  def q46AnnLsh(spark: SparkSession, dir: String, k: Int = 10, nPlanes: Int = 8,
+      multiProbe: Boolean = true): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val withBucket = e
       .withColumn("bucket", bucketExpr(col("embedding"), nPlanes))
       .withColumn("norm", l2Norm(col("embedding")))
       .withColumn("emb", toDoubles(col("embedding")))
+    val flips = transform(sequence(lit(0), lit(nPlanes - 1)),
+      p => col("bucket").bitwiseXOR(
+        call_function("shiftleft", lit(1L), p.cast("int"))))
+    val probeSet =
+      if (multiProbe) concat(array(col("bucket")), flips) else array(col("bucket"))
     val queries = withBucket.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-        col("norm").as("q_norm"), col("bucket"))
+        col("norm").as("q_norm"), explode(probeSet).as("bucket"))
     val scored = withBucket.as("c")
       .join(broadcast(queries), Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))

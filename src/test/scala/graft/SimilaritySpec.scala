@@ -42,6 +42,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH recall dominates exact-bucket and clears a floor") {
+    def recall(lsh: org.apache.spark.sql.DataFrame): Double = {
+      val brute = Similarity.q45AnnBruteforce(spark, sf, k = 10)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val got = lsh.select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = brute.keys.toSeq.map(q =>
+        got.getOrElse(q, Set.empty[Long]).intersect(brute(q)).size.toDouble / brute(q).size)
+      rs.sum / rs.size
+    }
+    // 4 planes / 16 buckets: the regime where buckets hold enough of this
+    // small corpus for recall to be meaningful (8+ planes on ~600 rows
+    // leaves ~2 rows/bucket — recall is about corpus size, not the probe)
+    val exact = recall(Similarity.q46AnnLsh(spark, sf, k = 10, nPlanes = 4, multiProbe = false))
+    val multi = recall(Similarity.q46AnnLsh(spark, sf, k = 10, nPlanes = 4, multiProbe = true))
+    assert(multi >= exact,
+      s"probing 1-bit-flip buckets can only add candidates ($multi vs $exact)")
+    assert(multi >= 0.3, s"multi-probe at 4 planes should clear a recall floor (got $multi, exact-bucket $exact)")
+  }
+
   test("IVF ANN recall against the brute-force baseline") {
     val brute = Similarity.q45AnnBruteforce(spark, sf, k = 10)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
