@@ -49,6 +49,7 @@ object SparkEntry {
     "q52_null_semantics" -> (Relational.q52NullSemantics _),
     "q53_tpch_q3" -> (Relational.q53Tpch3 _),
     "q54_tpch_q5" -> (Relational.q54Tpch5 _),
+    "q55_part_types" -> (Relational.q55PartTypes _),
     // §2.B — CDC / MV engine core (batch semantics)
     "q30_snapshot_read" -> (Changelog.q30SnapshotRead _),
     "q31_cdc_apply" -> (Changelog.q31CdcApply _),
@@ -272,6 +273,13 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
+    "q55_part_types" ->
+      """SELECT p_brand, date_trunc('month', l_shipdate) AS ship_month,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+        |max(p_size) AS max_size,
+        |count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand, ship_month""".stripMargin,
     "q40_dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY 1",
     "q43_ngram_jaccard" ->

@@ -419,6 +419,24 @@ object Relational {
       .agg(asDouble(sum(revenue)).as("revenue"), count(lit(1)).as("cnt"))
   }
 
+  // ---------------------------------------------------------------- A35
+  /** Type-mapping breadth over the `part` dimension (the TypeUtils.java:50-99
+    * surface): DECIMAL aggregation + DATE-truncated grouping in one query.
+    * Revenue sums in exact DECIMAL(14,2); the group key is l_shipdate
+    * truncated to month — date logic both engines must agree on. Outputs
+    * cast to double/timestamp because the oracle compare layer flattens
+    * DECIMAL/DATE columns differently per engine; the typed arithmetic is
+    * inside. `part` broadcasts as the dim side of the fact join. */
+  def q55PartTypes(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand",
+        date_trunc("month", $"l_shipdate").as("ship_month"))
+      .agg(
+        asDouble(sum(money($"l_extendedprice"))).as("revenue"),
+        max($"p_size").as("max_size"),
+        count(lit(1)).as("n_items"))
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -78,6 +78,22 @@ class BucketedUpsertSpec extends SparkSpec {
     assert(got === ((2L, 99.0)))
   }
 
+  test("BinaryType round-trips through the upsert sink") {
+    val base = Files.createTempDirectory("bin").toString + "/t"
+    val b1 = Seq(
+      (1L, 1L, Array[Byte](1, 2, 3), false),
+      (2L, 1L, Array[Byte](-1, 0, 127), false))
+      .toDF("k", "version", "payload", "is_delete")
+    UpsertSink.upsertBucketed(b1, base, Seq("k"), "version", Some("is_delete"), 4)
+    val b2 = Seq((1L, 2L, Array[Byte](9, 9), false))
+      .toDF("k", "version", "payload", "is_delete")
+    UpsertSink.upsertBucketed(b2, base, Seq("k"), "version", Some("is_delete"), 4)
+    val got = spark.read.parquet(base).select("k", "payload")
+      .as[(Long, Array[Byte])].collect()
+      .map { case (k, p) => (k, p.toSeq) }.toMap
+    assert(got === Map(1L -> Seq[Byte](9, 9), 2L -> Seq[Byte](-1, 0, 127)))
+  }
+
   test("IncrementalMv rewrites only entity/agg buckets touched by the batch") {
     val base = Files.createTempDirectory("bu3").toString + "/mv"
     val load = (1L to 40L).map(k => (k, 1L, "ins", s"g${k % 10}", k * 1.0))
