@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.GraftColumnBridge.AbstractType
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -163,11 +164,14 @@ object TextHashes {
 /** Shared shape for the UTF8String → signature kernels: null-safe unary
   * expression whose codegen is one static call into [[TextHashes]] (the loop
   * body is compiled Scala — stays inside whole-stage codegen, no virtual
-  * dispatch per element). */
-abstract class TextHashExpression extends UnaryExpression {
+  * dispatch per element). Declares string input so a wrong-typed child is an
+  * analysis-time DATATYPE_MISMATCH, not a runtime ClassCastException. */
+abstract class TextHashExpression extends UnaryExpression with ExpectsInputTypes {
   /** Java source for the static call, given the child variable name. */
   protected def staticCall(childVar: String): String
   protected def evalKernel(s: UTF8String): Any
+
+  override def inputTypes: Seq[AbstractType] = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any =
     evalKernel(input.asInstanceOf[UTF8String])
@@ -207,7 +211,9 @@ case class SimHash64(child: Expression) extends TextHashExpression {
 }
 
 /** MinHash signature of a shingle-hash array (`array<bigint>` → 64×bigint). */
-case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   override def nullSafeEval(input: Any): Any =

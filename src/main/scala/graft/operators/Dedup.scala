@@ -231,15 +231,24 @@ object Dedup {
       .withColumn("n_g", size(col("gs")).cast("long"))
     val inter = graft.functions.GraftFunctions
       .sortedIntersectCount(col("a.gs"), col("b.gs"))
-    Skew.saltedSelfPairs(d, "source", "doc_id", salts = 4)
+    // maxBlock bounds the per-block pair count at C(10⁴,2) ≈ 5·10⁷ — the
+    // most one shard should ever merge-count; a bigger block needs an LSH
+    // prefilter, not this operator. Never triggers at oracle scales
+    // (blocks are ≤250 rows there).
+    Skew.saltedSelfPairs(d, "source", "doc_id", salts = 4, maxBlock = 10000)
       .filter(greatest(col("a.n_g"), col("b.n_g")) * threshold
         <= least(col("a.n_g"), col("b.n_g")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (inter.cast("double") /
           (col("a.n_g") + col("b.n_g") - inter).cast("double")).as("jaccard"))
-      .observe("q43_candidate_pairs", count(lit(1)).as("pairs"))
+      // unique metric name per invocation: two q43 plans combined in one
+      // query must not collide on the CollectMetrics name
+      .observe(s"q43_candidate_pairs_${obsId.incrementAndGet()}",
+        count(lit(1)).as("pairs"))
       .filter(col("jaccard") >= threshold)
   }
+
+  private val obsId = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // ---------------------------------------------------------------- C5
   /** Embedding cosine near-dup: pairs with cosine ≥ threshold. Blocked by
@@ -252,8 +261,9 @@ object Dedup {
       .select(col("vec_id"), col("label"),
         VectorFunctions.toDoubles(col("embedding")).as("emb"),
         VectorFunctions.l2Norm(col("embedding")).as("norm"))
-    // triangle-salted: 10 labels would otherwise mean 10 reducers total
-    Skew.saltedSelfPairs(e, "label", "vec_id", salts = 4)
+    // triangle-salted: 10 labels would otherwise mean 10 reducers total;
+    // maxBlock bounds the per-label quadratic (≤218 rows at oracle scales)
+    Skew.saltedSelfPairs(e, "label", "vec_id", salts = 4, maxBlock = 10000)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (VectorFunctions.dotD(col("a.emb"), col("b.emb"))
           / (col("a.norm") * col("b.norm"))).as("cosine"))

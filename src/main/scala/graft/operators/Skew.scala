@@ -38,9 +38,21 @@ object Skew {
     * exactly one of salts² buckets, keys stay uniform by construction.
     * Replication is ×salts per side, all of it map-side.
     *
-    * Callers reference the two sides as `col("a.…")` / `col("b.…")`. */
+    * Callers reference the two sides as `col("a.…")` / `col("b.…")`.
+    *
+    * `maxBlock` bounds the quadratic: a block with more rows is EXCLUDED
+    * (same pathological-bucket discipline as `Dedup.lshCandidates`'s cap —
+    * Σ C(block,2) is the whole cost, and one degenerate block must not own
+    * the job). Exclusion is loud in the plan (a count-window filter) and
+    * the cap is a caller-visible contract, not a hidden default. */
   def saltedSelfPairs(
-      d: DataFrame, blockCol: String, idCol: String, salts: Int): DataFrame = {
+      d: DataFrame, blockCol: String, idCol: String, salts: Int,
+      maxBlock: Int = Int.MaxValue): DataFrame = {
+    val bounded =
+      if (maxBlock == Int.MaxValue) d
+      else d.withColumn("__bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(blockCol))))
+        .filter(col("__bn") <= maxBlock).drop("__bn")
     val partnerSalts = array((0 until salts).map(lit): _*)
     val own = pmod(xxhash64(col(idCol)), lit(salts)).cast("int")
     // The probe side is explicitly spread over the salts²·|blocks| composite
@@ -52,9 +64,9 @@ object Skew {
     // pinned (REPARTITION_BY_NUM) so AQE's small-partition coalescing can't
     // fold the deliberately CPU-heavy buckets back together by byte size.
     val numParts = d.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val a = d.withColumn("__sa", own).withColumn("__sb", explode(partnerSalts))
+    val a = bounded.withColumn("__sa", own).withColumn("__sb", explode(partnerSalts))
       .repartition(numParts, col(blockCol), col("__sa"), col("__sb"))
-    val b = d.withColumn("__sb", own).withColumn("__sa", explode(partnerSalts))
+    val b = bounded.withColumn("__sb", own).withColumn("__sa", explode(partnerSalts))
     a.as("a").join(b.as("b"),
       col(s"a.$blockCol") === col(s"b.$blockCol") &&
         col("a.__sa") === col("b.__sa") && col("a.__sb") === col("b.__sb") &&

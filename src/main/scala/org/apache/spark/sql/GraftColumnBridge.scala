@@ -9,6 +9,10 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** `AbstractDataType` is private[sql] in Spark 4; alias it here so graft
+    * expressions can declare `inputTypes` (ExpectsInputTypes). */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
   /** Register a native function on an already-created session (the
     * extensions config path only applies at session construction). */
   def registerTempFunction(

@@ -72,6 +72,26 @@ class KernelParitySpec extends SparkSpec {
     assert(viaDf === kernel)
   }
 
+  test("wrong-typed input to a TextHashes kernel fails at analysis time") {
+    val longs = Seq(Tuple1(1L)).toDF("x")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      longs.select(TextHashFunctions.simhash64($"x"))
+    }
+    assert(e1.getMessage.contains("DATATYPE_MISMATCH"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      longs.select(TextHashFunctions.minhashSig($"x", 64))
+    }
+    assert(e2.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("saltedSelfPairs maxBlock excludes oversized blocks, keeps the rest") {
+    val d = ((1 to 30).map(i => (i.toLong, "big")) ++
+      Seq((100L, "small"), (101L, "small"))).toDF("id", "blk")
+    val pairs = Skew.saltedSelfPairs(d, "blk", "id", salts = 2, maxBlock = 10)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    assert(pairs === Set((100L, 101L)))
+  }
+
   test("saltedSelfPairs === plain blocked self-join, each pair exactly once") {
     val d = (1 to 300).map(i => (i.toLong, s"blk${i % 3}", i * 2))
       .toDF("id", "blk", "v")
