@@ -17,10 +17,22 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  * directory — a long-running query never sees a half-written epoch, and
  * time-travel (`readSnapshot(path, v)`) falls out for free. Old epochs are
  * pruned behind a retention window, the same role TiKV GC plays.
+ *
+ * Single-writer-at-a-time is ENFORCED, not assumed: the pointer flip runs
+ * under an exclusive `_LATEST.lock` (atomic create-if-absent) and rejects
+ * non-monotone epochs, so a second writer or a delayed stale publish fails
+ * loudly instead of silently regressing the pointer. This is the local
+ * stand-in for TiFlink's grpc coordinator timestamps (coordinator/
+ * Transaction.java) — a crashed writer's lock must be removed by the
+ * operator, the way an expired coordinator lease would be.
  */
 object SnapshotStore {
 
   private val Latest = "_LATEST"
+
+  /** Thrown when a concurrent or stale writer is detected at publish time. */
+  final class ConcurrentPublishException(msg: String)
+    extends IllegalStateException(msg)
 
   def publish(df: DataFrame, basePath: String, version: Long, keep: Int = 3): Unit = {
     val spark = df.sparkSession
@@ -28,14 +40,39 @@ object SnapshotStore {
     val vdir = new Path(basePath, s"_v=$version")
     fs.delete(vdir, true) // replay of the same epoch overwrites idempotently
     df.write.mode(SaveMode.Overwrite).parquet(vdir.toString)
-    val tmp = new Path(basePath, s"$Latest.tmp")
-    val out = fs.create(tmp, true)
-    out.writeBytes(version.toString)
-    out.close()
-    fs.delete(new Path(basePath, Latest), false)
-    fs.rename(tmp, new Path(basePath, Latest)) // pointer flip = commit point
-    versions(spark, basePath).sorted.dropRight(keep)
-      .foreach(v => fs.delete(new Path(basePath, s"_v=$v"), true))
+
+    val lock = new Path(basePath, s"$Latest.lock")
+    val lockStream =
+      try fs.create(lock, false) // atomic create-if-absent = the mutex
+      catch {
+        case e: java.io.IOException =>
+          throw new ConcurrentPublishException(
+            s"another writer holds $lock (${e.getMessage}); " +
+              "concurrent publishes to one snapshot store are not allowed")
+      }
+    try {
+      // monotone epochs: equal = crash-replay of this batch (idempotent,
+      // allowed); lower = a delayed stale writer that lost the race and
+      // must NOT regress the pointer
+      latestVersion(spark, basePath).foreach { cur =>
+        if (cur > version)
+          throw new ConcurrentPublishException(
+            s"stale publish of epoch $version: pointer already at $cur")
+      }
+      val tmp = new Path(basePath, s"$Latest.tmp")
+      val out = fs.create(tmp, true)
+      out.writeBytes(version.toString)
+      out.close()
+      fs.delete(new Path(basePath, Latest), false)
+      if (!fs.rename(tmp, new Path(basePath, Latest))) // flip = commit point
+        throw new ConcurrentPublishException(
+          s"pointer flip to epoch $version failed; store left on prior epoch")
+      versions(spark, basePath).sorted.dropRight(keep)
+        .foreach(v => fs.delete(new Path(basePath, s"_v=$v"), true))
+    } finally {
+      lockStream.close()
+      fs.delete(lock, false)
+    }
   }
 
   def latestVersion(spark: SparkSession, basePath: String): Option[Long] = {

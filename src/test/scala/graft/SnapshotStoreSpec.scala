@@ -58,4 +58,52 @@ class SnapshotStoreSpec extends SparkSpec {
     val base = Files.createTempDirectory("snape").toString + "/t"
     intercept[IllegalStateException](SnapshotStore.readSnapshot(spark, base))
   }
+
+  test("a held lock makes a second writer fail loudly, store untouched") {
+    val base = Files.createTempDirectory("snapl").toString + "/t"
+    SnapshotStore.publish(Seq((1L, "a")).toDF("id", "s"), base, 1L)
+    // simulate writer A mid-flip: its lock exists
+    val lock = new org.apache.hadoop.fs.Path(base, "_LATEST.lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val held = fs.create(lock, false)
+    try {
+      intercept[SnapshotStore.ConcurrentPublishException] {
+        SnapshotStore.publish(Seq((2L, "b")).toDF("id", "s"), base, 2L)
+      }
+    } finally { held.close(); fs.delete(lock, false) }
+    // loser changed nothing the pointer can see
+    assert(SnapshotStore.latestVersion(spark, base) === Some(1L))
+    assert(SnapshotStore.readSnapshot(spark, base)
+      .select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("a delayed stale writer cannot regress the pointer; replay can rewrite") {
+    val base = Files.createTempDirectory("snaps").toString + "/t"
+    SnapshotStore.publish(Seq((1L, "v5")).toDF("id", "s"), base, 5L)
+    intercept[SnapshotStore.ConcurrentPublishException] {
+      SnapshotStore.publish(Seq((1L, "v3")).toDF("id", "s"), base, 3L)
+    }
+    assert(SnapshotStore.latestVersion(spark, base) === Some(5L))
+    // crash-replay of the SAME epoch is idempotent and allowed
+    SnapshotStore.publish(Seq((1L, "v5r")).toDF("id", "s"), base, 5L)
+    assert(SnapshotStore.readSnapshot(spark, base)
+      .select("s").as[String].head() === "v5r")
+  }
+
+  test("two racing writers: one winner per flip, never a torn read") {
+    val base = Files.createTempDirectory("snapc").toString + "/t"
+    val outcomes = (10L to 11L).map { v =>
+      val t = new Thread(null, () => {
+        try SnapshotStore.publish(Seq((v, s"v$v")).toDF("id", "s"), base, v)
+        catch { case _: SnapshotStore.ConcurrentPublishException => () }
+      }, s"writer-$v")
+      t.start(); t
+    }
+    outcomes.foreach(_.join())
+    // whatever interleaving happened, the pointer names a fully-written epoch
+    val v = SnapshotStore.latestVersion(spark, base).get
+    assert(Set(10L, 11L).contains(v))
+    assert(SnapshotStore.readSnapshot(spark, base)
+      .select("id").as[Long].head() === v)
+  }
 }
