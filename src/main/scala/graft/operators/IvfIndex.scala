@@ -41,7 +41,13 @@ object IvfIndex {
       .withColumn("features", array_to_vector(col("embedding")))
       .withColumn("emb", toDoubles(col("embedding")))
       .withColumn("norm", l2Norm(col("embedding")))
+    // random init, not k-means||: the parallel init runs ~2·initSteps extra
+    // distributed passes to seed centroids, which dominates build time at
+    // bench scale and buys nothing for a coarse quantizer whose cells only
+    // need to be roughly balanced (recall asserted in SimilaritySpec either
+    // way). Seeded → reproducible.
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+      .setInitMode("random")
       .fit(e.select(col("features")))
     val assignments = model.transform(e)
       .withColumnRenamed("prediction", "cell")
