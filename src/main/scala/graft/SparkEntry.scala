@@ -72,6 +72,8 @@ object SparkEntry {
     "q48_quality_score" -> (TextAnalysis.q48QualityScore _),
     "q49_token_count" -> (TextAnalysis.q49TokenCount _),
     "q50_fingerprint" -> (TextAnalysis.q50Fingerprint _),
+    "q57_multimodal_decode" -> (Multimodal.q57MultimodalDecode _),
+    "q58_frame_sample" -> (Multimodal.q58FrameSample _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -352,5 +354,19 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q50_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5 FROM documents""",
+    "q57_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+    "q58_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS nb FROM documents WHERE doc_id % 3 = 2
+        |), f AS (
+        |  SELECT doc_id, nb, unnest(generate_series(0, greatest(nb // 64 - 1, 0), 2)) AS i FROM v
+        |)
+        |SELECT doc_id AS media_id, count(*) AS n_frames,
+        |CAST(sum(least(64, nb - i * 64)) AS BIGINT) AS frame_bytes_total
+        |FROM f GROUP BY doc_id""".stripMargin,
   )
 }

@@ -43,42 +43,68 @@ object Multimodal {
         (length(col("text")) % 480).cast("int").as("height"),
         (col("n_chars") * 10).as("duration_ms")).as("meta"))
 
+  /** Matches the [[MediaFeature]] encoder exactly (reference strings are
+    * nullable, primitive array elements are not). */
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
-    StructField("kind", StringType, nullable = false),
+    StructField("kind", StringType, nullable = true),
     StructField("n_bytes", LongType, nullable = false),
     StructField("checksum", LongType, nullable = false),
-    StructField("feature", ArrayType(FloatType), nullable = true)))
+    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = true)))
+
+  /** Decoded-feature row (typed so the batched decode stays a Dataset
+    * transform — a `MapPartitions` node in the logical plan, not an RDD
+    * detour that would hide the operator from Catalyst/AQE). */
+  final case class MediaFeature(
+      media_id: Long, kind: String, n_bytes: Long, checksum: Long,
+      feature: Seq[Float])
 
   /** STUB decode/feature-extract: in production this is the codec call (PIL/
     * ffmpeg et al. via mapInPandas); here a deterministic fake — byte-sum
     * checksum + an 8-dim "embedding" derived from byte histograms — with the
-    * real batched-iterator shape (`mapPartitions`, arrow-friendly row width).
-    * Partitioning of the input is preserved: no shuffle in the plan. */
+    * real batched-iterator shape (iterator of batches in, rows out, exactly
+    * mapInPandas' contract). A typed Dataset mapPartitions keeps the step
+    * inside the declarative plan; input partitioning is preserved — no
+    * shuffle. */
   def decodeStub(media: DataFrame, batchSize: Int = 256): DataFrame = {
     val spark = media.sparkSession
-    val out = media.select("media_id", "kind", "bytes").rdd.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch => // batched like mapInPandas
-        batch.iterator.map { r =>
-          val id = r.getLong(0)
-          val kind = r.getString(1)
-          val bytes = Option(r.getAs[Array[Byte]](2)).getOrElse(Array.emptyByteArray)
-          var checksum = 0L
-          val hist = new Array[Long](8)
-          var i = 0
-          while (i < bytes.length) {
-            checksum = checksum * 31 + (bytes(i) & 0xFF)
-            hist((bytes(i) & 0xFF) % 8) += 1
-            i += 1
+    import spark.implicits._
+    media.select("media_id", "kind", "bytes").as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch => // batched like mapInPandas
+          batch.iterator.map { case (id, kind, b) =>
+            val bytes = Option(b).getOrElse(Array.emptyByteArray)
+            var checksum = 0L
+            val hist = new Array[Long](8)
+            var i = 0
+            while (i < bytes.length) {
+              checksum = checksum * 31 + (bytes(i) & 0xFF)
+              hist((bytes(i) & 0xFF) % 8) += 1
+              i += 1
+            }
+            val n = math.max(bytes.length, 1).toFloat
+            MediaFeature(id, kind, bytes.length.toLong, checksum,
+              hist.map(h => h.toFloat / n).toSeq)
           }
-          val n = math.max(bytes.length, 1).toFloat
-          Row(id, kind, bytes.length.toLong, checksum,
-            hist.map(h => h.toFloat / n).toSeq)
         }
       }
-    }
-    spark.createDataFrame(out, featureSchema)
+      .toDF()
   }
+
+  // ---------------------------------------------------------------- C12
+  /** Driver-checked surface of the decode pipeline: media synthesis →
+    * batched decode, projected to the oracle-expressible columns (the
+    * checksum/feature stubs are covered by MultimodalSpec instead). */
+  def q57MultimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    decodeStub(mediaFromDocuments(spark, dir))
+      .select(col("media_id"), col("kind"), col("n_bytes"))
+
+  /** Driver-checked frame sampling: per-video frame count + sampled bytes. */
+  def q58FrameSample(spark: SparkSession, dir: String): DataFrame =
+    frameSample(mediaFromDocuments(spark, dir), frameBytes = 64, stride = 2)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame_bytes"))).cast("long").as("frame_bytes_total"))
 
   /** Frame-sampling shape for video payloads: slice the payload into
     * fixed-size "frames" and emit every `stride`-th — pure builtins. */
