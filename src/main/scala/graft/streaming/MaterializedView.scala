@@ -35,24 +35,50 @@ final class MaterializedView private (
     deleteColumn: Option[String],
     checkpointLocation: String,
     trigger: Trigger,
-    numBuckets: Int) {
+    numBuckets: Int,
+    dropIfExists: Boolean) {
 
   /** The maintained view (unstarted plan). */
   def view: DataFrame = query(source)
 
+  /** Primary keys: explicit, or inferred from the analyzed plan the way
+    * TiFlink derives the target's unique key from the query
+    * (TiFlinkApp.java:124-199): the topmost Aggregate's grouping columns
+    * functionally determine every output row. */
+  def resolvedPrimaryKeys: Seq[String] = {
+    if (primaryKeys.nonEmpty) primaryKeys
+    else {
+      import org.apache.spark.sql.catalyst.expressions.NamedExpression
+      import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+      view.queryExecution.analyzed.collectFirst {
+        case a: Aggregate =>
+          a.groupingExpressions.collect { case ne: NamedExpression => ne.name }
+      }.getOrElse(Nil)
+    }
+  }
+
   def start(): StreamingQuery = {
     val v = view
     val cols = v.columns.toSet
-    require(primaryKeys.nonEmpty, "PrimaryKeys can't be empty") // TiFlinkApp.java:284
-    require(primaryKeys.forall(cols), // TiFlinkApp.java:285-287
-      s"PrimaryKeys must be contained by columnNames: $primaryKeys vs $cols")
+    val pks = resolvedPrimaryKeys
+    require(pks.nonEmpty, // TiFlinkApp.java:284
+      "PrimaryKeys can't be empty (none set and the query has no GROUP BY to infer them from)")
+    require(pks.forall(cols), // TiFlinkApp.java:285-287
+      s"PrimaryKeys must be contained by columnNames: $pks vs $cols")
     require(cols.contains(versionColumn), s"version column $versionColumn missing from $cols")
+    if (dropIfExists) { // TiFlinkApp's dropOldTable/force mode
+      val conf = v.sparkSession.sparkContext.hadoopConfiguration
+      Seq(targetPath, checkpointLocation).foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(conf).delete(path, true)
+      }
+    }
     v.writeStream
       .outputMode("update")
       .trigger(trigger)
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch(UpsertSink.forStream(
-        targetPath, primaryKeys, versionColumn, deleteColumn, numBuckets))
+        targetPath, pks, versionColumn, deleteColumn, numBuckets))
       .start()
   }
 }
@@ -71,6 +97,7 @@ object MaterializedView {
     private var trigger: Trigger = Trigger.ProcessingTime(0L)
     private var catalogDir: Option[String] = None
     private var numBuckets: Int = 64
+    private var dropIfExists: Boolean = false
 
     def setSource(df: DataFrame): Builder = { source = df; this }
     /** Transform applied to the source — TiFlinkApp.Builder.setQuery analog.
@@ -98,6 +125,9 @@ object MaterializedView {
       * keys. `<= 1` switches to whole-table merge — only sensible for
       * dimension-sized targets. */
     def setNumBuckets(n: Int): Builder = { numBuckets = n; this }
+    /** Recreate the target from scratch on start: drop target + checkpoint
+      * (TiFlinkApp's dropOldTable/forceNewTable). */
+    def setDropIfExists(b: Boolean): Builder = { dropIfExists = b; this }
 
     def build(): MaterializedView = {
       require(source != null, "source must be specified")
@@ -112,7 +142,8 @@ object MaterializedView {
         case None => query
       }
       new MaterializedView(source, q, targetPath, primaryKeys,
-        versionColumn, deleteColumn, checkpointLocation, trigger, numBuckets)
+        versionColumn, deleteColumn, checkpointLocation, trigger, numBuckets,
+        dropIfExists)
     }
   }
 }

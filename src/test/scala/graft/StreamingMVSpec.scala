@@ -134,6 +134,60 @@ class StreamingMVSpec extends SparkSpec {
       (1L, names(1L), 1L, 7.0)))
   }
 
+  test("primary keys are inferred from the query's GROUP BY when unset") {
+    val input = MemoryStream[(Long, Long, Double)]
+    val source = input.toDF().toDF("user_id", "version", "amount")
+    val base = Files.createTempDirectory("mvpk").toString
+
+    val mv = MaterializedView.newBuilder()
+      .setSource(source)
+      .setSqlQuery(
+        """SELECT user_id, max(version) AS version, sum(amount) AS total
+          |FROM changes GROUP BY user_id""".stripMargin,
+        sourceView = "changes")
+      .setTargetPath(s"$base/target")
+      .setVersionColumn("version") // PKs deliberately NOT set
+      .setCheckpointLocation(s"$base/ckpt")
+      .build()
+    assert(mv.resolvedPrimaryKeys === Seq("user_id"))
+    val q = mv.start()
+    try {
+      input.addData((1L, 1L, 5.0), (1L, 2L, 7.0), (2L, 1L, 3.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/target")
+        .select("user_id", "total").as[(Long, Double)].collect().toSet
+      assert(got === Set((1L, 12.0), (2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("dropIfExists recreates the target and checkpoint from scratch") {
+    val input = MemoryStream[(Long, Long, Double)]
+    val source = input.toDF().toDF("k", "version", "v")
+    val base = Files.createTempDirectory("mvdrop").toString
+    def mv(drop: Boolean) = MaterializedView.newBuilder()
+      .setSource(source)
+      .setTargetPath(s"$base/target")
+      .setPrimaryKeys("k").setVersionColumn("version")
+      .setCheckpointLocation(s"$base/ckpt")
+      .setDropIfExists(drop)
+      .build()
+
+    val q1 = mv(drop = false).start()
+    input.addData((1L, 1L, 10.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // force-recreate: old state gone, the stream re-applies from offset 0
+    val q2 = mv(drop = true).start()
+    input.addData((2L, 1L, 20.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(s"$base/target")
+      .select("k", "v").as[(Long, Double)].collect().toSet
+    assert(got === Set((1L, 10.0), (2L, 20.0)),
+      "a dropped checkpoint must replay the source into a fresh target")
+  }
+
   test("builder validates primary keys like TiFlinkApp") {
     val input = MemoryStream[(Long, Long)]
     val mv = MaterializedView.newBuilder()
