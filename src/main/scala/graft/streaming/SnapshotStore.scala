@@ -35,12 +35,41 @@ object SnapshotStore {
     extends IllegalStateException(msg)
 
   def publish(df: DataFrame, basePath: String, version: Long, keep: Int = 3): Unit = {
+    writeEpoch(df, basePath, version)
+    flipPointer(df.sparkSession, basePath, version, keep)
+  }
+
+  /** Cross-store publish with 2PC shape — the local stand-in for TiFlink's
+    * coordinated transactions (coordinator/Transaction.java: prewrite all
+    * keys, then commit at one timestamp). Phase 1 PREPARES every store by
+    * writing its immutable epoch directory (no pointer moves — a failure
+    * here publishes nothing anywhere). Phase 2 COMMITS by flipping each
+    * pointer under its exclusive lock. A crash mid-phase-2 can leave a
+    * prefix of stores flipped — the window a real coordinator closes with
+    * its commit record; readers of each store still only ever see complete
+    * epochs. */
+  def publishAll(
+      snapshots: Seq[(DataFrame, String)], version: Long, keep: Int = 3): Unit = {
+    snapshots.foreach { case (df, base) => writeEpoch(df, base, version) }
+    snapshots.foreach { case (df, base) =>
+      flipPointer(df.sparkSession, base, version, keep)
+    }
+  }
+
+  /** Phase 1: materialize the epoch directory; readers cannot see it until
+    * the pointer flips. Idempotent per (store, version). */
+  private def writeEpoch(df: DataFrame, basePath: String, version: Long): Unit = {
     val spark = df.sparkSession
     val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vdir = new Path(basePath, s"_v=$version")
     fs.delete(vdir, true) // replay of the same epoch overwrites idempotently
     df.write.mode(SaveMode.Overwrite).parquet(vdir.toString)
+  }
 
+  /** Phase 2: commit point — flip `_LATEST` under the exclusive lock. */
+  private def flipPointer(
+      spark: SparkSession, basePath: String, version: Long, keep: Int): Unit = {
+    val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = new Path(basePath, s"$Latest.lock")
     val lockStream =
       try fs.create(lock, false) // atomic create-if-absent = the mutex

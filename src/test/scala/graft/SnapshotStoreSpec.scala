@@ -90,6 +90,39 @@ class SnapshotStoreSpec extends SparkSpec {
       .select("s").as[String].head() === "v5r")
   }
 
+  test("publishAll prepares every store before any pointer flips (2PC shape)") {
+    val baseA = Files.createTempDirectory("snap2pcA").toString + "/t"
+    val baseB = Files.createTempDirectory("snap2pcB").toString + "/t"
+    SnapshotStore.publishAll(Seq(
+      (Seq((1L, "a1")).toDF("id", "s"), baseA),
+      (Seq((1L, "b1")).toDF("id", "s"), baseB)), 1L)
+    assert(SnapshotStore.latestVersion(spark, baseA) === Some(1L))
+    assert(SnapshotStore.latestVersion(spark, baseB) === Some(1L))
+
+    // epoch 2: store A prepares fine, store B's frame fails at write time —
+    // the failed prepare must prevent EVERY pointer flip, including A's
+    val boom = udf((i: Long) => {
+      throw new RuntimeException("boom"); i: Long
+    })
+    intercept[Exception] {
+      SnapshotStore.publishAll(Seq(
+        (Seq((2L, "a2")).toDF("id", "s"), baseA),
+        (spark.range(1).select(boom($"id").as("id")), baseB)), 2L)
+    }
+    assert(SnapshotStore.latestVersion(spark, baseA) === Some(1L),
+      "no store may commit an epoch any sibling failed to prepare")
+    assert(SnapshotStore.latestVersion(spark, baseB) === Some(1L))
+
+    // clean retry of the same epoch succeeds everywhere
+    SnapshotStore.publishAll(Seq(
+      (Seq((2L, "a2")).toDF("id", "s"), baseA),
+      (Seq((2L, "b2")).toDF("id", "s"), baseB)), 2L)
+    assert(SnapshotStore.readSnapshot(spark, baseA)
+      .select("s").as[String].head() === "a2")
+    assert(SnapshotStore.readSnapshot(spark, baseB)
+      .select("s").as[String].head() === "b2")
+  }
+
   test("two racing writers: one winner per flip, never a torn read") {
     val base = Files.createTempDirectory("snapc").toString + "/t"
     val outcomes = (10L to 11L).map { v =>
