@@ -46,6 +46,21 @@ class RelationalPlanSpec extends SparkSpec {
       "expect partial (pre-exchange) and final WindowGroupLimit")
   }
 
+  test("q55 broadcasts part, prunes both scans, aggregates map-side") {
+    val p = plan(Relational.q55PartTypes(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("partial"), "decimal sum must partial-aggregate pre-shuffle")
+    assert(!p.contains("p_name"), "unused part columns must be pruned")
+  }
+
+  test("q51 IVF probe path has no driver-side collect nodes") {
+    val p = plan(graft.operators.Similarity.q51AnnIvf(spark, sf))
+    // the probe join must be a broadcast of the tiny query×centroid frame,
+    // not a LocalTableScan materialized via collect on the driver
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("q5 pre-aggregates before the join (count rolls up pre-shuffle)") {
     val p = plan(Relational.q5ScalarSubquery(spark, sf))
     // the aggregate must sit below the join: one row per customer enters it
