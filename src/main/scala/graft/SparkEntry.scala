@@ -74,6 +74,9 @@ object SparkEntry {
     "q50_fingerprint" -> (TextAnalysis.q50Fingerprint _),
     "q57_multimodal_decode" -> (Multimodal.q57MultimodalDecode _),
     "q58_frame_sample" -> (Multimodal.q58FrameSample _),
+    "q59_dup_clusters" -> ((s, d) => Corpus.q59DupClusters(s, d)),
+    "q60_top_ngrams" -> ((s, d) => Corpus.q60TopNgrams(s, d)),
+    "q61_source_quota" -> ((s, d) => Corpus.q61SourceQuota(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -368,5 +371,50 @@ object SparkEntry {
         |SELECT doc_id AS media_id, count(*) AS n_frames,
         |CAST(sum(least(64, nb - i * 64)) AS BIGINT) AS frame_bytes_total
         |FROM f GROUP BY doc_id""".stripMargin,
+    "q59_dup_clusters" ->
+      """WITH RECURSIVE idx AS (
+        |  SELECT doc_id, source, text, unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, source, substring(text, i, 3) AS ng FROM idx
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM g a JOIN g b ON a.source = b.source AND a.ng = b.ng AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.3),
+        |nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, l) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.l FROM edges e JOIN reach r ON e.src = r.id)
+        |SELECT id AS doc_id, min(l) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "q60_top_ngrams" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT ws[i] || ' ' || ws[i+1] AS gram
+        |      FROM (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS i
+        |            FROM w WHERE len(ws) >= 2))
+        |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+        |ORDER BY cnt DESC, gram LIMIT 100""".stripMargin,
+    "q61_source_quota" ->
+      """WITH b AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' the ',' ')))/4
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' a ',' ')))/2
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' of ',' ')))/3
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' and ',' ')))/4 AS BIGINT) AS hits
+        |  FROM documents),
+        |s AS (SELECT doc_id, source,
+        |  (CAST(hits AS DOUBLE)/words)*10.0 + CAST(len - words + 1 AS DOUBLE)/words AS quality_score
+        |  FROM b),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |        (PARTITION BY source ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rk
+        |      FROM s)
+        |SELECT doc_id, source, quality_score, rk FROM r WHERE rk <= 10""".stripMargin,
   )
 }

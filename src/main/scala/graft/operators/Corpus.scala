@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/**
+ * Corpus-curation operators — the training-data pipeline steps downstream
+ * of dedup and quality scoring: duplicate-cluster resolution (one canonical
+ * document per near-dup component), vocabulary statistics, and per-source
+ * mixing quotas. TiFlink has no corpus surface; these extend the
+ * LLM-pipeline set (SURVEY §2.C) the same way C1-C12 do.
+ */
+object Corpus {
+
+  // ---------------------------------------------------------------- C13
+  /** Connected components over the near-dup pair graph (HashMin label
+    * propagation): every involved document gets the min doc_id of its
+    * duplicate component as `cluster_id`; `cluster_id == doc_id` is then
+    * the canonical-document filter a dedup pipeline keeps.
+    *
+    * Scale shape: iterative hash joins on the edge list — O(E) shuffled per
+    * round, rounds = component diameter (near-dup components are shallow;
+    * `maxIters` guards degenerate chains). Lineage is truncated every round
+    * with localCheckpoint, without which the plan doubles per iteration.
+    * The only driver-side values are the convergence count and loop bound —
+    * aggregates, never data. */
+  def q59DupClusters(spark: SparkSession, dir: String,
+      threshold: Double = 0.3, maxIters: Int = 20): DataFrame = {
+    val pairs = Dedup.q43NgramJaccard(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint() // materialize once; reused every round
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("cluster_id")).as("nl"))
+      val next = labels.join(prop, col("id") === col("dst"), "left")
+        .select(col("id"), col("cluster_id").as("__old"),
+          least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      changed = next.agg(
+        sum(when(col("__old") =!= col("cluster_id"), 1L).otherwise(0L)))
+        .first().getLong(0)
+      labels = next.drop("__old")
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
+  // ---------------------------------------------------------------- C14
+  /** Corpus-wide top-k word bigrams — vocabulary/BPE-merge preparation.
+    * Bigrams come from posexplode + a lead window (every step codegen'd —
+    * 4× faster than the equivalent per-row HOF lambda, which evaluates
+    * interpreted; same trade [[Dedup.shinglesExploded]] makes). The count
+    * partial-aggregates map-side and the global top-k is a TakeOrdered over
+    * per-partition tops, so the full gram distribution never gathers
+    * anywhere. (cnt desc, gram asc) is a total order → deterministic
+    * cutoff. */
+  def q60TopNgrams(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ", -1)).as(Seq("__pos", "__w")))
+      .select(concat_ws(" ", col("__w"), lead(col("__w"), 1).over(w)).as("gram"),
+        lead(col("__w"), 1).over(w).isNotNull.as("__full"))
+      .filter(col("__full"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------- C15
+  /** Per-source quota curation (training-mix balancing): rank documents
+    * within each source by quality score (the q48 formula) and keep the
+    * top `quota`. Spark 4 plants a WindowGroupLimit below the shuffle, so
+    * each map task forwards ~quota candidates per source instead of its
+    * whole partition. */
+  def q61SourceQuota(spark: SparkSession, dir: String, quota: Int = 10): DataFrame = {
+    val len = length(col("text")).cast("long")
+    val words = TextAnalysis.wsTokens(col("text"))
+    val stopHits = Seq("the", "a", "of", "and")
+      .map(TextAnalysis.wordHits(col("text"), _)).reduce(_ + _)
+    val avgWordLen = (len - words + 1).cast("double") / words.cast("double")
+    val quality = (stopHits.cast("double") / words.cast("double")) * 10.0 + avgWordLen
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), quality.as("quality_score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= quota)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Dedup, TextAnalysis}
+
+/** Corpus-curation operators: cluster resolution against an independent
+  * union-find, vocabulary top-k shape, per-source quota semantics. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dup clusters equal an independent union-find over the pair graph") {
+    val pairs = Dedup.q43NgramJaccard(spark, sf, threshold = 0.3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    val got = Corpus.q59DupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("top bigrams: counts descend, grams are 2 words, cutoff deterministic") {
+    val rows = Corpus.q60TopNgrams(spark, sf, k = 50)
+      .as[(String, Long)].collect()
+    assert(rows.length === 50)
+    assert(rows.map(_._2).sliding(2).forall(w => w(0) >= w(1)),
+      "counts must be non-increasing")
+    rows.foreach { case (g, _) => assert(g.split(" ", -1).length === 2) }
+    val again = Corpus.q60TopNgrams(spark, sf, k = 50).as[(String, Long)].collect()
+    assert(rows.toSeq === again.toSeq)
+  }
+
+  test("source quota keeps exactly the per-source top by quality") {
+    val quota = 5
+    val got = Corpus.q61SourceQuota(spark, sf, quota)
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val expected = TextAnalysis.q48QualityScore(spark, sf)
+      .join(graft.sources.Tables.documents(spark, sf).select($"doc_id", $"source"), "doc_id")
+      .select($"doc_id", $"source", $"quality_score").as[(Long, String, Double)].collect()
+      .groupBy(_._2).view.mapValues(
+        _.sortBy { case (id, _, q) => (-q, id) }.take(quota).map(_._1).toSet).toMap
+    assert(got === expected)
+    got.values.foreach(v => assert(v.size <= quota))
+  }
+}
