@@ -77,6 +77,7 @@ object SparkEntry {
     "q59_dup_clusters" -> ((s, d) => Corpus.q59DupClusters(s, d)),
     "q60_top_ngrams" -> ((s, d) => Corpus.q60TopNgrams(s, d)),
     "q61_source_quota" -> ((s, d) => Corpus.q61SourceQuota(s, d)),
+    "q62_chunking" -> ((s, d) => Corpus.q62Chunk(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -416,5 +417,13 @@ object SparkEntry {
         |        (PARTITION BY source ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rk
         |      FROM s)
         |SELECT doc_id, source, quality_score, rk FROM r WHERE rk <= 10""".stripMargin,
+    "q62_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, len(ws) AS n, ws,
+        |      unnest(generate_series(1, len(ws), 40)) AS i FROM w)
+        |SELECT doc_id, CAST((i - 1) // 40 AS BIGINT) AS chunk_no,
+        |  array_to_string(ws[i : i + 49], ' ') AS chunk_text,
+        |  CAST(least(50, n - i + 1) AS BIGINT) AS n_tokens
+        |FROM c""".stripMargin,
   )
 }

@@ -78,6 +78,26 @@ object Corpus {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------- C16
+  /** Sliding-window document chunking — the step that feeds a tokenizer:
+    * fixed `width`-word windows every `stride` words (overlap =
+    * width - stride), with the trailing partial window kept. Map-only
+    * per-row explode; a 100 TB corpus chunks with zero shuffle. */
+  def q62Chunk(spark: SparkSession, dir: String,
+      width: Int = 50, stride: Int = 40): DataFrame = {
+    val words = split(col("text"), " ", -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(words), lit(stride)),
+          i => struct(
+            concat_ws(" ", slice(words, i, lit(width))).as("chunk_text"),
+            least(lit(width), size(words) - i + 1).cast("long").as("n_tokens"))))
+          .as(Seq("__pos", "c")))
+      .select(col("doc_id"), col("__pos").cast("long").as("chunk_no"),
+        col("c.chunk_text"), col("c.n_tokens"))
+  }
+
   // ---------------------------------------------------------------- C15
   /** Per-source quota curation (training-mix balancing): rank documents
     * within each source by quality score (the q48 formula) and keep the

@@ -40,6 +40,26 @@ class CorpusSpec extends SparkSpec {
     assert(rows.toSeq === again.toSeq)
   }
 
+  test("chunking: stride==width chunks reassemble the original text") {
+    val chunks = Corpus.q62Chunk(spark, sf, width = 30, stride = 30)
+      .select($"doc_id", $"chunk_no", $"chunk_text")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).mkString(" ")).toMap
+    val originals = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(chunks.keySet === originals.keySet)
+    chunks.foreach { case (id, rebuilt) => assert(rebuilt === originals(id)) }
+  }
+
+  test("chunking: overlapping windows have the declared token counts") {
+    val rows = Corpus.q62Chunk(spark, sf, width = 50, stride = 40)
+      .select($"chunk_text", $"n_tokens").as[(String, Long)].collect()
+    rows.foreach { case (t, n) =>
+      assert(t.split(" ", -1).length.toLong === n)
+      assert(n <= 50)
+    }
+  }
+
   test("source quota keeps exactly the per-source top by quality") {
     val quota = 5
     val got = Corpus.q61SourceQuota(spark, sf, quota)
