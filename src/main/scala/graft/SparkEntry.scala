@@ -78,6 +78,7 @@ object SparkEntry {
     "q60_top_ngrams" -> ((s, d) => Corpus.q60TopNgrams(s, d)),
     "q61_source_quota" -> ((s, d) => Corpus.q61SourceQuota(s, d)),
     "q62_chunking" -> ((s, d) => Corpus.q62Chunk(s, d)),
+    "q63_txn_apply" -> (Changelog.q63TxnApply _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -425,5 +426,16 @@ object SparkEntry {
         |  array_to_string(ws[i : i + 49], ' ') AS chunk_text,
         |  CAST(least(50, n - i + 1) AS BIGINT) AS n_tokens
         |FROM c""".stripMargin,
+    "q63_txn_apply" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value,
+        |            event_id // 3 AS txn_id FROM events),
+        |t AS (SELECT txn_id, max(ts) AS commit_ts FROM ev GROUP BY 1
+        |      HAVING txn_id % 10 <> 0),
+        |a AS (SELECT ev.user_id, ev.value, ev.event_id, t.commit_ts
+        |      FROM ev JOIN t USING (txn_id)),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY commit_ts DESC, event_id DESC) AS rn
+        |      FROM a)
+        |SELECT user_id, value, commit_ts FROM r WHERE rn = 1""".stripMargin,
   )
 }

@@ -110,6 +110,33 @@ object Changelog {
       .select($"user_id", $"session_window.start".as("session_start"),
         $"session_window.end".as("session_end"), $"n_events")
 
+  // ---------------------------------------------------------------- B28
+  /** Two-phase transaction-log application — the core of TiFlink's CDC
+    * consumption (FlinkTikvConsumer.java:108-191): a PREWRITE row only
+    * takes effect if its transaction COMMITs; ROLLBACK discards it; commit
+    * order (commit_ts, then a stable tiebreak) decides the final value per
+    * key. The txn log is derived deterministically from `events` (txn =
+    * 3 consecutive events, every 10th txn rolls back, commit_ts = the
+    * txn's max event time) so the oracle can replay the same rules.
+    *
+    * Scale shape: one groupBy to resolve txn outcomes (tiny vs the log),
+    * a shuffle join to stamp commit_ts, and a WindowGroupLimit top-1 per
+    * key — the shuffle carries one candidate row per (key, partition). */
+  def q63TxnApply(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"value",
+        expr("event_id div 3").as("txn_id"))
+    val txns = ev.groupBy($"txn_id")
+      .agg(max($"ts").as("commit_ts"))
+      .filter($"txn_id" % 10 =!= 0) // ROLLBACK: writes never surface
+    val applied = ev.join(txns, "txn_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"commit_ts".desc, $"event_id".desc)
+    applied.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"value", $"commit_ts")
+  }
+
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

@@ -12,6 +12,30 @@ class ChangelogSpec extends SparkSpec {
   private def changes(rows: (Long, Long, String, Double)*) =
     rows.toDF("user_id", "version", "op", "value")
 
+  test("txn apply: rolled-back transactions' writes never surface") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"value")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+    val byTxn = ev.groupBy(_._1 / 3)
+    assert(byTxn.keys.exists(_ % 10 == 0), "the log must contain rollback txns")
+    val applied = byTxn.filter { case (t, _) => t % 10 != 0 }
+      .toSeq.flatMap { case (_, rows) =>
+        val cts = rows.map(_._2).max
+        rows.toSeq.map(r => (r._3, r._4, cts, r._1))
+      }
+    val expected = applied.groupBy(_._1).map { case (u, vs) =>
+      u -> vs.maxBy(v => (v._3, v._4))._2
+    }
+    val got = graft.operators.Changelog.q63TxnApply(spark, sf)
+      .select($"user_id", $"value").as[(Long, Double)].collect().toMap
+    assert(got === expected)
+    // a key written ONLY inside rolled-back txns must be absent entirely
+    val rolledOnly = ev.groupBy(_._3).collect {
+      case (u, rows) if rows.forall(r => (r._1 / 3) % 10 == 0) => u
+    }
+    rolledOnly.foreach(u => assert(!got.contains(u)))
+  }
+
   test("latestByKey keeps the highest-version row per key") {
     val df = changes((1, 1, "ins", 10.0), (1, 3, "upd", 12.0), (1, 2, "upd", 11.0),
       (2, 1, "ins", 20.0))
