@@ -52,12 +52,20 @@ object Corpus {
           least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
+      // coalesce: sum over zero rows is NULL (empty pair graph)
       changed = next.agg(
-        sum(when(col("__old") =!= col("cluster_id"), 1L).otherwise(0L)))
+        coalesce(sum(when(col("__old") =!= col("cluster_id"), 1L).otherwise(0L)),
+          lit(0L)))
         .first().getLong(0)
       labels = next.drop("__old")
       iter += 1
     }
+    // silent non-convergence would diverge from the exact closure — a
+    // >maxIters-diameter component must fail loudly, not return wrong labels
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIters rounds; " +
+          "raise maxIters for very long duplicate chains")
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
 

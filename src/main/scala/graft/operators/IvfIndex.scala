@@ -65,12 +65,18 @@ object IvfIndex {
     * cells. `queries` must carry `(query_id, q_emb array<double>, q_norm)`
     * — the shape [[Similarity.q51AnnIvf]] prepares.
     *
+    * `excludeSelf` drops candidates whose vec_id equals the query_id — set
+    * it ONLY when the queries are corpus rows keyed by their own vec_id
+    * (the q51 shape). For external query sets the ids are unrelated and
+    * the default (false) keeps every candidate, self-numbered or not.
+    *
     * Probe selection is a cross join against the broadcast centroid table
     * (|queries| × nCells rows — tiny relative to the corpus) ranked by a
     * window, replacing the old driver-side `collect()` loop with the same
     * fp64 left-to-right distance accumulation (ties break by cell id,
     * matching the stable sort the driver math had). */
-  def query(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+  def query(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int,
+      excludeSelf: Boolean = false): DataFrame = {
     val d2 = aggregate(
       zip_with(col("q_emb"), col("centroid"), (a, b) => (a - b) * (a - b)),
       lit(0.0), _ + _)
@@ -83,9 +89,10 @@ object IvfIndex {
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("q_norm"), col("cell"))
 
-    val scored = index.assignments.as("c")
+    val candidates = index.assignments.as("c")
       .join(broadcast(probeQueries), Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
+    val scored = (if (excludeSelf) candidates.filter(col("query_id") =!= col("vec_id"))
+      else candidates)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dotD(col("q_emb"), col("emb")) / (col("q_norm") * col("norm"))).as("score"))
     val w = Window.partitionBy(col("query_id"))

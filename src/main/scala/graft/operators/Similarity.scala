@@ -99,7 +99,7 @@ object Similarity {
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), toDoubles(col("embedding")).as("q_emb"),
         l2Norm(col("embedding")).as("q_norm"))
-    IvfIndex.query(index, queries, k, nProbe)
+    IvfIndex.query(index, queries, k, nProbe, excludeSelf = true)
   }
 
   /** bucket = Σ_p (dot(v, plane_p) > 0) << p — built from nested codegen'd

@@ -43,16 +43,20 @@ object Skew {
     * `maxBlock` bounds the quadratic: a block with more rows is EXCLUDED
     * (same pathological-bucket discipline as `Dedup.lshCandidates`'s cap —
     * Σ C(block,2) is the whole cost, and one degenerate block must not own
-    * the job). Exclusion is loud in the plan (a count-window filter) and
-    * the cap is a caller-visible contract, not a hidden default. */
+    * the job). The bound is computed with a map-side partial-aggregated
+    * groupBy + broadcast semi-join — NOT a count window, which would sort
+    * every row of the hot block through one reducer, the exact pathology
+    * this utility exists to avoid. */
   def saltedSelfPairs(
       d: DataFrame, blockCol: String, idCol: String, salts: Int,
       maxBlock: Int = Int.MaxValue): DataFrame = {
     val bounded =
       if (maxBlock == Int.MaxValue) d
-      else d.withColumn("__bn", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col(blockCol))))
-        .filter(col("__bn") <= maxBlock).drop("__bn")
+      else {
+        val ok = d.groupBy(col(blockCol)).agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBlock).select(col(blockCol))
+        d.join(broadcast(ok), Seq(blockCol), "left_semi")
+      }
     val partnerSalts = array((0 until salts).map(lit): _*)
     val own = pmod(xxhash64(col(idCol)), lit(salts)).cast("int")
     // The probe side is explicitly spread over the salts²·|blocks| composite

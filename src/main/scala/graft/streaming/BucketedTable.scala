@@ -39,12 +39,21 @@ object BucketedTable {
 
   /** Current contents of the touched buckets only — a partition-pruned scan
     * (the `__bucket` predicate eliminates directories before I/O). None if
-    * the table has no buckets yet. */
+    * the table has no buckets yet. A target holding NON-bucketed parquet
+    * (the flat whole-table layout) is rejected loudly: merging over it
+    * would silently ignore every existing row and leave a mixed directory
+    * no reader can parse. */
   def readTouched(spark: SparkSession, path: String, touched: Seq[Int]): Option[DataFrame] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasBuckets = fs.exists(p) &&
-      fs.listStatus(p).exists(_.getPath.getName.startsWith(s"$BucketCol="))
+    if (!fs.exists(p)) return None
+    val children = fs.listStatus(p).map(_.getPath.getName)
+    val hasBuckets = children.exists(_.startsWith(s"$BucketCol="))
+    val hasFlat = children.exists(n => n.endsWith(".parquet") && !n.startsWith("."))
+    if (hasFlat)
+      throw new IllegalStateException(
+        s"$path holds a non-bucketed parquet layout; bucketed upsert would " +
+          "silently drop it. Migrate the table or use the whole-table sink (nBuckets <= 1).")
     if (!hasBuckets) None
     else Some(spark.read.parquet(path).filter(col(BucketCol).isin(touched: _*)))
   }
@@ -61,6 +70,14 @@ object BucketedTable {
     val stage = new Path(path + "__stage")
     val trash = new Path(path + "__old")
 
+    // a non-empty trash dir means a previous swap died between its two
+    // renames: the displaced bucket in there is the ONLY copy of that data.
+    // Fail loudly instead of silently deleting it below.
+    if (fs.exists(trash) && fs.listStatus(trash).nonEmpty)
+      throw new IllegalStateException(
+        s"$trash holds buckets from an interrupted swap; restore them into " +
+          s"$path before writing again")
+
     fs.delete(stage, true)
     df.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(stage.toString)
 
@@ -71,9 +88,15 @@ object BucketedTable {
       val dst = new Path(target, s"$BucketCol=$b")
       val src = new Path(stage, s"$BucketCol=$b")
       // old content renamed out (readable until the instant of its swap),
-      // new content renamed in; both renames are metadata-atomic
-      if (fs.exists(dst)) fs.rename(dst, new Path(trash, b.toString))
-      if (fs.exists(src)) fs.rename(src, dst)
+      // new content renamed in; both renames are metadata-atomic. If the
+      // rename-in fails, put the old bucket back before surfacing.
+      val displaced = new Path(trash, b.toString)
+      if (fs.exists(dst)) fs.rename(dst, displaced)
+      if (fs.exists(src) && !fs.rename(src, dst)) {
+        if (fs.exists(displaced)) fs.rename(displaced, dst)
+        throw new IllegalStateException(
+          s"failed to publish bucket $b of $path; old content restored")
+      }
     }
     fs.delete(trash, true)
     fs.delete(stage, true)

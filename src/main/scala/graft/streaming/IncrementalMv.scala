@@ -51,6 +51,9 @@ object IncrementalMv {
       .agg(max_by(struct(batch.columns.toIndexedSeq.map(col): _*), col(version)).as("__r"))
       .select(col("__r.*"))
       .withColumn(BucketCol, bucketOf(Seq(col(pk)), nBuckets))
+      // materialized once: the bucket collect, the diff, and the entity
+      // union all read it — without this the compaction shuffle runs 3×
+      .localCheckpoint()
     val touchedEntity = touchedBuckets(compacted)
 
     // 2. diff against the current entity rows of the touched buckets only

@@ -44,15 +44,26 @@ final class MaterializedView private (
   /** Primary keys: explicit, or inferred from the analyzed plan the way
     * TiFlink derives the target's unique key from the query
     * (TiFlinkApp.java:124-199): the topmost Aggregate's grouping columns
-    * functionally determine every output row. */
+    * functionally determine every output row. Inference is all-or-nothing —
+    * an unaliased grouping EXPRESSION is resolved through the output alias
+    * whose child is semantically equal, and if any grouping column cannot
+    * be named the whole inference returns empty (forcing an explicit
+    * setPrimaryKeys) rather than a PARTIAL key that would silently collapse
+    * distinct rows at upsert time. */
   def resolvedPrimaryKeys: Seq[String] = {
     if (primaryKeys.nonEmpty) primaryKeys
     else {
-      import org.apache.spark.sql.catalyst.expressions.NamedExpression
+      import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
       import org.apache.spark.sql.catalyst.plans.logical.Aggregate
       view.queryExecution.analyzed.collectFirst {
         case a: Aggregate =>
-          a.groupingExpressions.collect { case ne: NamedExpression => ne.name }
+          val names = a.groupingExpressions.map {
+            case ne: NamedExpression => Some(ne.name)
+            case ge => a.aggregateExpressions.collectFirst {
+              case al: Alias if al.child.semanticEquals(ge) => al.name
+            }
+          }
+          if (names.forall(_.isDefined)) names.flatten else Nil
       }.getOrElse(Nil)
     }
   }

@@ -57,12 +57,23 @@ object SnapshotStore {
   }
 
   /** Phase 1: materialize the epoch directory; readers cannot see it until
-    * the pointer flips. Idempotent per (store, version). */
+    * the pointer flips. Committed epochs are IMMUTABLE: a replay of an
+    * already-committed version is a no-op (exactly-once replays carry the
+    * same content, and rewriting would yank files out from under pinned
+    * readers), and a version older than the pointer is rejected here,
+    * before it can clobber a retained time-travel epoch. Only an
+    * uncommitted leftover from a crashed prepare is ever overwritten. */
   private def writeEpoch(df: DataFrame, basePath: String, version: Long): Unit = {
     val spark = df.sparkSession
     val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vdir = new Path(basePath, s"_v=$version")
-    fs.delete(vdir, true) // replay of the same epoch overwrites idempotently
+    latestVersion(spark, basePath).foreach { cur =>
+      if (cur > version)
+        throw new ConcurrentPublishException(
+          s"stale publish of epoch $version: pointer already at $cur")
+      if (cur == version) return // committed epoch is immutable; replay no-op
+    }
+    fs.delete(vdir, true) // an uncommitted crash leftover — unreadable, safe
     df.write.mode(SaveMode.Overwrite).parquet(vdir.toString)
   }
 

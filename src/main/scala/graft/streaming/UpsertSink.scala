@@ -84,7 +84,10 @@ object UpsertSink {
       nBuckets: Int = 64): Unit = {
     import BucketedTable._
     val spark = batch.sparkSession
+    // materialize once: the bucket-set collect AND the merge both read the
+    // batch; without this the batch's full lineage executes twice
     val batchB = batch.withColumn(BucketCol, bucketOf(keys.map(col), nBuckets))
+      .localCheckpoint()
     val touched = touchedBuckets(batchB)
     if (touched.isEmpty) return
 

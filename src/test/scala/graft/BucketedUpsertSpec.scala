@@ -78,6 +78,18 @@ class BucketedUpsertSpec extends SparkSpec {
     assert(got === ((2L, 99.0)))
   }
 
+  test("bucketed upsert rejects a flat (non-bucketed) target loudly") {
+    val target = Files.createTempDirectory("buflat").toString + "/t"
+    val b = Seq((1L, 1L, 1.0, false)).toDF("k", "version", "value", "is_delete")
+    UpsertSink.upsertBatch(b, target, Seq("k"), "version", Some("is_delete"))
+    val e = intercept[IllegalStateException] {
+      UpsertSink.upsertBucketed(b, target, Seq("k"), "version", Some("is_delete"), 4)
+    }
+    assert(e.getMessage.contains("non-bucketed"))
+    // the flat table is untouched
+    assert(spark.read.parquet(target).count() === 1)
+  }
+
   test("BinaryType round-trips through the upsert sink") {
     val base = Files.createTempDirectory("bin").toString + "/t"
     val b1 = Seq(

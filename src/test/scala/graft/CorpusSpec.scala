@@ -29,6 +29,12 @@ class CorpusSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("dup clusters on an empty pair graph return empty, not a crash") {
+    val got = Corpus.q59DupClusters(spark, sf, threshold = 1.1)
+      .as[(Long, Long)].collect()
+    assert(got.isEmpty)
+  }
+
   test("top bigrams: counts descend, grams are 2 words, cutoff deterministic") {
     val rows = Corpus.q60TopNgrams(spark, sf, k = 50)
       .as[(String, Long)].collect()

@@ -77,17 +77,22 @@ class SnapshotStoreSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq === Seq(1L))
   }
 
-  test("a delayed stale writer cannot regress the pointer; replay can rewrite") {
+  test("a delayed stale writer cannot regress or clobber; replay is a no-op") {
     val base = Files.createTempDirectory("snaps").toString + "/t"
+    SnapshotStore.publish(Seq((1L, "v3")).toDF("id", "s"), base, 3L)
     SnapshotStore.publish(Seq((1L, "v5")).toDF("id", "s"), base, 5L)
     intercept[SnapshotStore.ConcurrentPublishException] {
-      SnapshotStore.publish(Seq((1L, "v3")).toDF("id", "s"), base, 3L)
+      SnapshotStore.publish(Seq((1L, "v3x")).toDF("id", "s"), base, 3L)
     }
     assert(SnapshotStore.latestVersion(spark, base) === Some(5L))
-    // crash-replay of the SAME epoch is idempotent and allowed
+    // the retained time-travel epoch was not clobbered by the stale writer
+    assert(SnapshotStore.readSnapshot(spark, base, Some(3L))
+      .select("s").as[String].head() === "v3")
+    // crash-replay of the SAME committed epoch: committed epochs are
+    // immutable — pinned readers keep their files; the replay is a no-op
     SnapshotStore.publish(Seq((1L, "v5r")).toDF("id", "s"), base, 5L)
     assert(SnapshotStore.readSnapshot(spark, base)
-      .select("s").as[String].head() === "v5r")
+      .select("s").as[String].head() === "v5")
   }
 
   test("publishAll prepares every store before any pointer flips (2PC shape)") {

@@ -160,6 +160,27 @@ class StreamingMVSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PK inference resolves expression group-bys via aliases or refuses") {
+    val input = MemoryStream[(Long, Long, Double)]
+    val source = input.toDF().toDF("user_id", "version", "amount")
+    def mv(sql: String) = MaterializedView.newBuilder()
+      .setSource(source)
+      .setSqlQuery(sql, sourceView = "changes")
+      .setTargetPath("/tmp/x").setVersionColumn("version")
+      .setCheckpointLocation("/tmp/y")
+      .build()
+    // unaliased grouping EXPRESSION resolved through its output alias
+    assert(mv("""SELECT user_id % 2 AS parity, max(version) AS version
+                |FROM changes GROUP BY user_id % 2""".stripMargin)
+      .resolvedPrimaryKeys === Seq("parity"))
+    // a grouping column that cannot be named → NO partial key: refuse
+    val blind = mv("""SELECT max(version) AS version, sum(amount) AS total
+                     |FROM changes GROUP BY user_id % 2""".stripMargin)
+    assert(blind.resolvedPrimaryKeys === Nil)
+    val e = intercept[IllegalArgumentException](blind.start())
+    assert(e.getMessage.contains("PrimaryKeys can't be empty"))
+  }
+
   test("dropIfExists recreates the target and checkpoint from scratch") {
     val input = MemoryStream[(Long, Long, Double)]
     val source = input.toDF().toDF("k", "version", "v")
