@@ -281,7 +281,7 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
     "q55_part_types" ->
-      """SELECT p_brand, date_trunc('month', l_shipdate) AS ship_month,
+      """SELECT p_brand, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
         |max(p_size) AS max_size,
         |count(*) AS n_items
