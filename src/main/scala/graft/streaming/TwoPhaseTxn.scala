@@ -1,0 +1,155 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{
+  ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
+
+/**
+ * Streaming two-phase transaction application — the Structured-Streaming
+ * re-expression of TiFlink's CDC consumer state machine (reference:
+ * connectors/FlinkTikvConsumer.java:108-131 `handleRow`: PREWRITE rows are
+ * buffered per transaction, COMMIT releases them stamped with the commit
+ * timestamp, ROLLBACK discards them; :181-191 `flushRows` pairs each commit
+ * with its buffered prewrite; :204-242 checkpoints the resolved position so a
+ * restart resumes without re-emitting).
+ *
+ * Spark-first translation: instead of hand-managed TreeMaps keyed by
+ * (startTs, key), the log is grouped by `txn_id` and a
+ * [[StatefulProcessor]] holds per-transaction state in the engine's state
+ * store — ListState for the buffered prewrites, ValueState for the resolved
+ * outcome, an event-time timer for abandoned-transaction eviction. Restart
+ * resume is the engine's checkpoint, playing the role of
+ * FlinkTikvConsumer's `resolvedTsState` ListState.
+ *
+ * Out-of-order tolerance: within a micro-batch the iterator is unordered, so
+ * prewrites are buffered before the batch's outcome (if any) is applied.
+ * Across batches, the outcome is *retained* after it resolves (TiFlink's
+ * `commits` map keeps the commit row until flush) so a prewrite that arrives
+ * after its COMMIT still emits — stamped with the stored commit_ts — and one
+ * arriving after ROLLBACK is dropped. The eviction timer bounds both the
+ * buffered-prewrite state of an abandoned transaction and the retained
+ * outcome of a resolved one.
+ *
+ * Scale: state is O(open transactions × rows-per-txn) — the same bound as
+ * the reference's prewrite buffer — and is partitioned by txn_id across
+ * executors; eviction is watermark-driven, so state tracks the in-flight
+ * window, not history.
+ */
+object TwoPhaseTxn {
+
+  /** One record of the transaction log.
+    * op = PREWRITE: (event_id, user_id, value) is a tentative write at ts.
+    * op = COMMIT:   ts is the commit timestamp; payload columns unused.
+    * op = ROLLBACK: the transaction's prewrites must never surface. */
+  case class TxnLogRecord(
+      txn_id: Long, op: String, event_id: Long, user_id: Long,
+      value: Double, ts: Timestamp)
+
+  /** A prewrite released by its COMMIT, stamped with the commit timestamp. */
+  case class CommittedWrite(
+      txn_id: Long, event_id: Long, user_id: Long, value: Double,
+      commit_ts: Timestamp)
+
+  private case class Pending(event_id: Long, user_id: Long, value: Double)
+
+  /** Outcome marker: non-null commit_ts → COMMIT at that ts (full µs
+    * precision preserved through the state encoder); null → ROLLBACK. */
+  private case class Outcome(commit_ts: Timestamp) {
+    def committed: Boolean = commit_ts != null
+  }
+
+  val PREWRITE = "PREWRITE"
+  val COMMIT = "COMMIT"
+  val ROLLBACK = "ROLLBACK"
+
+  /** Keyed by txn_id. Buffers prewrites until the transaction resolves;
+    * emits on COMMIT, discards on ROLLBACK, evicts abandoned state when the
+    * event-time timer (watermark + ttlMs past the last activity) fires. */
+  class TwoPhaseProcessor(ttlMs: Long)
+    extends StatefulProcessor[Long, TxnLogRecord, CommittedWrite] {
+
+    @transient private var pending: ListState[Pending] = _
+    @transient private var outcome: ValueState[Outcome] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState[Pending](
+        "pending", Encoders.product[Pending], TTLConfig.NONE)
+      outcome = getHandle.getValueState[Outcome](
+        "outcome", Encoders.product[Outcome], TTLConfig.NONE)
+    }
+
+    private def release(p: Pending, commitTs: Timestamp): CommittedWrite =
+      CommittedWrite(-1L, p.event_id, p.user_id, p.value, commitTs)
+
+    override def handleInputRows(
+        txnId: Long, rows: Iterator[TxnLogRecord],
+        timerValues: TimerValues): Iterator[CommittedWrite] = {
+      // Canonical in-batch order: buffer every prewrite first, then apply the
+      // batch's outcome row (the iterator itself is unordered).
+      var batchOutcome: Option[Outcome] = None
+      var maxTsMs = 0L
+      val out = Seq.newBuilder[CommittedWrite]
+      rows.foreach { r =>
+        if (r.ts != null) maxTsMs = math.max(maxTsMs, r.ts.getTime)
+        r.op match {
+          case PREWRITE =>
+            if (outcome.exists()) {
+              val o = outcome.get()
+              if (o.committed) // resolved ROLLBACK: drop
+                out += release(Pending(r.event_id, r.user_id, r.value), o.commit_ts)
+            } else pending.appendValue(Pending(r.event_id, r.user_id, r.value))
+          case COMMIT   => batchOutcome = Some(Outcome(r.ts))
+          case ROLLBACK => batchOutcome = Some(Outcome(null))
+          case other => throw new IllegalArgumentException(
+            s"unknown txn-log op '$other' for txn $txnId")
+        }
+      }
+      batchOutcome.foreach { o =>
+        if (o.committed) pending.get().foreach(p => out += release(p, o.commit_ts))
+        pending.clear()
+        outcome.update(o)
+      }
+      // Refresh the eviction timer: one per key, ttlMs past the latest
+      // activity (falls back to the watermark when the batch carried no ts).
+      val base = math.max(maxTsMs, timerValues.getCurrentWatermarkInMs())
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(base + ttlMs)
+      out.result().iterator.map(_.copy(txn_id = txnId))
+    }
+
+    /** Abandoned (never-resolved) or fully-drained transaction: drop all
+      * state. Prewrites of an unresolved txn are discarded silently — the
+      * reference behaves the same way (an unresolved lock past the resolved
+      * ts horizon never flushes). */
+    override def handleExpiredTimer(
+        txnId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[CommittedWrite] = {
+      pending.clear()
+      outcome.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Apply a two-phase transaction log: emit each PREWRITE once its COMMIT
+    * arrives (stamped with commit_ts), never emit rolled-back or abandoned
+    * writes. `watermarkDelay` bounds disorder; `ttl` bounds how long an
+    * unresolved transaction may stay open before its state is evicted.
+    *
+    * The batch ground truth for the COMMIT/ROLLBACK semantics is
+    * [[graft.operators.Changelog.q63TxnApply]] (oracle-checked). */
+  def applyLog(
+      log: Dataset[TxnLogRecord],
+      watermarkDelay: String = "10 minutes",
+      ttl: java.time.Duration = java.time.Duration.ofHours(24)): Dataset[CommittedWrite] = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    log
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.txn_id)
+      .transformWithState(
+        new TwoPhaseProcessor(ttl.toMillis), TimeMode.EventTime(), OutputMode.Append())
+  }
+}
