@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{
-  ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
   ValueState}
 
 /**
@@ -19,8 +19,8 @@ import org.apache.spark.sql.streaming.{
  * Spark-first translation: instead of hand-managed TreeMaps keyed by
  * (startTs, key), the log is grouped by `txn_id` and a
  * [[StatefulProcessor]] holds per-transaction state in the engine's state
- * store — ListState for the buffered prewrites, ValueState for the resolved
- * outcome, an event-time timer for abandoned-transaction eviction. Restart
+ * store — MapState (keyed by event_id) for the buffered prewrites, ValueState
+ * for the resolved outcome, an event-time timer for eviction. Restart
  * resume is the engine's checkpoint, playing the role of
  * FlinkTikvConsumer's `resolvedTsState` ListState.
  *
@@ -32,6 +32,14 @@ import org.apache.spark.sql.streaming.{
  * arriving after ROLLBACK is dropped. The eviction timer bounds both the
  * buffered-prewrite state of an abandoned transaction and the retained
  * outcome of a resolved one.
+ *
+ * Duplicate tolerance (at-least-once upstream sources): state is keyed by
+ * event_id, mirroring the reference's prewrite TreeMap keyed by
+ * (startTs, key) (FlinkTikvConsumer.java:66,118 — a re-delivered prewrite
+ * overwrites its slot). A duplicate PREWRITE before the outcome overwrites
+ * the buffered entry; one after the COMMIT finds its event_id in the
+ * released set and is dropped — each prewrite surfaces at most once per
+ * transaction lifetime (until the eviction timer retires the state).
  *
  * Scale: state is O(open transactions × rows-per-txn) — the same bound as
  * the reference's prewrite buffer — and is partitioned by txn_id across
@@ -71,12 +79,15 @@ object TwoPhaseTxn {
   class TwoPhaseProcessor(ttlMs: Long)
     extends StatefulProcessor[Long, TxnLogRecord, CommittedWrite] {
 
-    @transient private var pending: ListState[Pending] = _
+    @transient private var pending: MapState[Long, Pending] = _
+    @transient private var released: MapState[Long, Boolean] = _
     @transient private var outcome: ValueState[Outcome] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      pending = getHandle.getListState[Pending](
-        "pending", Encoders.product[Pending], TTLConfig.NONE)
+      pending = getHandle.getMapState[Long, Pending](
+        "pending", Encoders.scalaLong, Encoders.product[Pending], TTLConfig.NONE)
+      released = getHandle.getMapState[Long, Boolean](
+        "released", Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
       outcome = getHandle.getValueState[Outcome](
         "outcome", Encoders.product[Outcome], TTLConfig.NONE)
     }
@@ -98,9 +109,20 @@ object TwoPhaseTxn {
           case PREWRITE =>
             if (outcome.exists()) {
               val o = outcome.get()
-              if (o.committed) // resolved ROLLBACK: drop
-                out += release(Pending(r.event_id, r.user_id, r.value), o.commit_ts)
-            } else pending.appendValue(Pending(r.event_id, r.user_id, r.value))
+              if (o.committed) {
+                // Late prewrite after COMMIT: emit stamped with the retained
+                // commit_ts — unless this event_id was already released (an
+                // at-least-once redelivery), which surfaces nothing.
+                if (!released.containsKey(r.event_id)) {
+                  out += release(Pending(r.event_id, r.user_id, r.value), o.commit_ts)
+                  released.updateValue(r.event_id, true)
+                }
+              }
+              // else: resolved ROLLBACK — the prewrite must never surface.
+            } else
+              // Unresolved txn: buffer, keyed by event_id so a re-delivered
+              // prewrite overwrites its slot instead of duplicating it.
+              pending.updateValue(r.event_id, Pending(r.event_id, r.user_id, r.value))
           case COMMIT   => batchOutcome = Some(Outcome(r.ts))
           case ROLLBACK => batchOutcome = Some(Outcome(null))
           case other => throw new IllegalArgumentException(
@@ -108,7 +130,10 @@ object TwoPhaseTxn {
         }
       }
       batchOutcome.foreach { o =>
-        if (o.committed) pending.get().foreach(p => out += release(p, o.commit_ts))
+        if (o.committed) pending.values().foreach { p =>
+          out += release(p, o.commit_ts)
+          released.updateValue(p.event_id, true)
+        }
         pending.clear()
         outcome.update(o)
       }
@@ -128,6 +153,7 @@ object TwoPhaseTxn {
         txnId: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[CommittedWrite] = {
       pending.clear()
+      released.clear()
       outcome.clear()
       Iterator.empty
     }

@@ -121,6 +121,43 @@ class TwoPhaseTxnSpec extends SparkSpec {
     }
   }
 
+  test("at-least-once redelivery: each prewrite surfaces exactly once") {
+    withRocksDb {
+      val input = MemoryStream[TxnLogRecord]
+      val out = TwoPhaseTxn.applyLog(input.toDS())
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("txn_dup").start()
+      try {
+        // Duplicate PREWRITE before the outcome: overwrites its buffered slot.
+        input.addData(
+          TxnLogRecord(1L, PREWRITE, 10L, 100L, 1.0, ts("2024-01-01 10:00:00")),
+          TxnLogRecord(1L, PREWRITE, 10L, 100L, 1.0, ts("2024-01-01 10:00:00")))
+        q.processAllAvailable()
+        input.addData(
+          TxnLogRecord(1L, PREWRITE, 10L, 100L, 1.0, ts("2024-01-01 10:00:00")),
+          TxnLogRecord(1L, COMMIT, 0L, 0L, 0.0, ts("2024-01-01 10:00:01")))
+        q.processAllAvailable()
+        // Duplicate PREWRITE after the COMMIT: already released, must not
+        // re-emit. A genuinely new late prewrite (e11) still emits — once —
+        // and its own redelivery is also absorbed.
+        input.addData(
+          TxnLogRecord(1L, PREWRITE, 10L, 100L, 1.0, ts("2024-01-01 10:00:00")),
+          TxnLogRecord(1L, PREWRITE, 11L, 110L, 1.1, ts("2024-01-01 10:00:00")))
+        q.processAllAvailable()
+        input.addData(
+          TxnLogRecord(1L, PREWRITE, 11L, 110L, 1.1, ts("2024-01-01 10:00:00")))
+        q.processAllAvailable()
+        val got = spark.table("txn_dup")
+          .select($"event_id", $"user_id", $"value", $"commit_ts")
+          .as[(Long, Long, Double, Timestamp)].collect()
+        assert(got.length === 2) // exactly-once despite 6 prewrite deliveries
+        assert(got.toSet === Set(
+          (10L, 100L, 1.0, ts("2024-01-01 10:00:01")),
+          (11L, 110L, 1.1, ts("2024-01-01 10:00:01"))))
+      } finally q.stop()
+    }
+  }
+
   test("abandoned transaction is evicted by the event-time timer") {
     withRocksDb {
       val input = MemoryStream[TxnLogRecord]
