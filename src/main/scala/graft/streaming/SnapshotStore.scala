@@ -21,22 +21,31 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  * Single-writer-at-a-time is ENFORCED, not assumed: the pointer flip runs
  * under an exclusive `_LATEST.lock` (atomic create-if-absent) and rejects
  * non-monotone epochs, so a second writer or a delayed stale publish fails
- * loudly instead of silently regressing the pointer. This is the local
- * stand-in for TiFlink's grpc coordinator timestamps (coordinator/
- * Transaction.java) — a crashed writer's lock must be removed by the
- * operator, the way an expired coordinator lease would be.
+ * loudly instead of silently regressing the pointer. The lock is LEASED,
+ * the local stand-in for TiFlink's expiring coordinator timestamps
+ * (coordinator/Transaction.java, grpc/GrpcService.java): a lock whose
+ * mtime is older than `lockLeaseMs` belongs to a crashed writer and may be
+ * taken over — no operator intervention — while a fresh lock still fails
+ * the second writer loudly. The standard lease caveat applies: a LIVE
+ * writer stalled past its lease can lose the lock mid-flip; size the lease
+ * well above the pointer-flip time (default 10 min vs a flip that is two
+ * metadata ops), exactly as a coordinator lease outlives its heartbeat.
  */
 object SnapshotStore {
 
   private val Latest = "_LATEST"
 
+  /** Default lock lease: generous vs the two-metadata-op flip it guards. */
+  val DefaultLockLeaseMs: Long = 10 * 60 * 1000L
+
   /** Thrown when a concurrent or stale writer is detected at publish time. */
   final class ConcurrentPublishException(msg: String)
     extends IllegalStateException(msg)
 
-  def publish(df: DataFrame, basePath: String, version: Long, keep: Int = 3): Unit = {
+  def publish(df: DataFrame, basePath: String, version: Long, keep: Int = 3,
+      lockLeaseMs: Long = DefaultLockLeaseMs): Unit = {
     writeEpoch(df, basePath, version)
-    flipPointer(df.sparkSession, basePath, version, keep)
+    flipPointer(df.sparkSession, basePath, version, keep, lockLeaseMs)
   }
 
   /** Cross-store publish with 2PC shape — the local stand-in for TiFlink's
@@ -49,10 +58,11 @@ object SnapshotStore {
     * its commit record; readers of each store still only ever see complete
     * epochs. */
   def publishAll(
-      snapshots: Seq[(DataFrame, String)], version: Long, keep: Int = 3): Unit = {
+      snapshots: Seq[(DataFrame, String)], version: Long, keep: Int = 3,
+      lockLeaseMs: Long = DefaultLockLeaseMs): Unit = {
     snapshots.foreach { case (df, base) => writeEpoch(df, base, version) }
     snapshots.foreach { case (df, base) =>
-      flipPointer(df.sparkSession, base, version, keep)
+      flipPointer(df.sparkSession, base, version, keep, lockLeaseMs)
     }
   }
 
@@ -77,19 +87,38 @@ object SnapshotStore {
     df.write.mode(SaveMode.Overwrite).parquet(vdir.toString)
   }
 
+  /** Acquire `lock` by atomic create-if-absent. A held lock is a conflict
+    * UNLESS its mtime is older than `leaseMs`: the holder crashed between
+    * create and its finally-delete, so the waiter deletes the corpse and
+    * retries the atomic create once — racing takeover attempts resolve at
+    * that second create (exactly one wins, losers get the conflict error). */
+  private def acquireLock(fs: org.apache.hadoop.fs.FileSystem, lock: Path,
+      leaseMs: Long): org.apache.hadoop.fs.FSDataOutputStream = {
+    def tryCreate() =
+      try Some(fs.create(lock, false)) // atomic create-if-absent = the mutex
+      catch { case _: java.io.IOException => None }
+    tryCreate().getOrElse {
+      val age =
+        try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue } // just freed
+      if (age <= leaseMs)
+        throw new ConcurrentPublishException(
+          s"another writer holds $lock (age ${age}ms ≤ lease ${leaseMs}ms); " +
+            "concurrent publishes to one snapshot store are not allowed")
+      fs.delete(lock, false) // expired lease: crashed holder, safe to break
+      tryCreate().getOrElse(
+        throw new ConcurrentPublishException(
+          s"lost the takeover race for expired lock $lock to another writer"))
+    }
+  }
+
   /** Phase 2: commit point — flip `_LATEST` under the exclusive lock. */
   private def flipPointer(
-      spark: SparkSession, basePath: String, version: Long, keep: Int): Unit = {
+      spark: SparkSession, basePath: String, version: Long, keep: Int,
+      lockLeaseMs: Long): Unit = {
     val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = new Path(basePath, s"$Latest.lock")
-    val lockStream =
-      try fs.create(lock, false) // atomic create-if-absent = the mutex
-      catch {
-        case e: java.io.IOException =>
-          throw new ConcurrentPublishException(
-            s"another writer holds $lock (${e.getMessage}); " +
-              "concurrent publishes to one snapshot store are not allowed")
-      }
+    val lockStream = acquireLock(fs, lock, lockLeaseMs)
     try {
       // monotone epochs: equal = crash-replay of this batch (idempotent,
       // allowed); lower = a delayed stale writer that lost the race and

@@ -77,6 +77,29 @@ class SnapshotStoreSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("a crashed writer's expired lock is taken over; a live lock is not") {
+    val base = Files.createTempDirectory("snaptl").toString + "/t"
+    SnapshotStore.publish(Seq((1L, "a")).toDF("id", "s"), base, 1L)
+    val lock = new org.apache.hadoop.fs.Path(base, "_LATEST.lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Writer A crashed between lock-create and its finally-delete: the lock
+    // file survives with no process behind it. Age it past the lease.
+    fs.create(lock, false).close()
+    fs.setTimes(lock, System.currentTimeMillis() - 60_000L, -1L)
+    // Live-writer conflict first: within the lease the lock still wins.
+    intercept[SnapshotStore.ConcurrentPublishException] {
+      SnapshotStore.publish(Seq((2L, "b")).toDF("id", "s"), base, 2L,
+        lockLeaseMs = 600_000L)
+    }
+    assert(SnapshotStore.latestVersion(spark, base) === Some(1L))
+    // Past the lease, writer B breaks the corpse and publishes.
+    SnapshotStore.publish(Seq((2L, "b")).toDF("id", "s"), base, 2L,
+      lockLeaseMs = 30_000L)
+    assert(SnapshotStore.latestVersion(spark, base) === Some(2L))
+    // B released its own lock on the way out — the store is unlocked.
+    assert(!fs.exists(lock))
+  }
+
   test("a delayed stale writer cannot regress or clobber; replay is a no-op") {
     val base = Files.createTempDirectory("snaps").toString + "/t"
     SnapshotStore.publish(Seq((1L, "v3")).toDF("id", "s"), base, 3L)
