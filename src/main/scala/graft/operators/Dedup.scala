@@ -90,11 +90,18 @@ object Dedup {
         b => struct(b.as("band_id"), xxhash64(slice(col("sig"), b * r + 1, lit(r)), b).as("band_hash"))))
         .as("bd"))
       .select(col("id"), col("bd.band_id"), col("bd.band_hash"))
-    // cap pathological buckets (a degenerate shingle set would go quadratic)
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band_id", "band_hash")))
-      .filter(col("bucket_n") <= maxBucket)
+    // Cap pathological buckets (a degenerate shingle set would go quadratic).
+    // The oversized keys are found with a map-side partial-aggregated groupBy
+    // and removed with a broadcast ANTI join: the over-cap set is tiny by
+    // construction (each member exceeds maxBucket rows), so it always
+    // broadcasts — whereas a count-window would sort the entire hot bucket
+    // through the single reducer that owns its key, the exact pathology the
+    // cap exists to avoid (cf. Skew.saltedSelfPairs' bound).
+    val hot = banded.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBucket)
+      .select(col("band_id"), col("band_hash"))
+    val capped = banded.join(broadcast(hot), Seq("band_id", "band_hash"), "left_anti")
     capped.as("a").join(capped.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&

@@ -31,6 +31,29 @@ class DedupSpec extends SparkSpec {
     assert(verified((0L, 1L)) > 0.5)
   }
 
+  test("lshCandidates bucket cap drops only oversized buckets, with no Window") {
+    // 12 docs share one signature (every band collides → one 12-doc bucket);
+    // docs 100/101 share a different signature (a healthy 2-doc bucket).
+    val sigA = (1L to 64L).toArray
+    val sigB = (101L to 164L).toArray
+    val rows = (0L until 12L).map(id => (id, sigA)) ++
+      Seq((100L, sigB), (101L, sigB))
+    val d = rows.toDF("doc_id", "sig")
+
+    val uncapped = Dedup.lshCandidates(d, "doc_id", "sig", bands = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 66 + 1) // C(12,2) + the (100,101) pair
+
+    val capped = Dedup.lshCandidates(d, "doc_id", "sig", bands = 16, maxBucket = 10)
+    assert(capped.as[(Long, Long)].collect().toSet === Set((100L, 101L)))
+    // The cap must be a broadcast anti-join, not a count-window that routes
+    // the whole hot bucket through one reducer's sort.
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"count-window cap regressed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join cap in:\n$plan")
+  }
+
   test("simhash: near-dups are hamming-close, unrelated docs are not") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
