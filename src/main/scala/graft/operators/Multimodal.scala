@@ -13,10 +13,13 @@ import graft.sources.Tables
  * out), which is how decode/resize/feature-extract runs at 100 TB without
  * per-row overhead.
  *
- * The decode step itself is STUBBED (no codec libraries in this container):
- * [[decodeStub]] produces deterministic fake features from the bytes. The
- * Spark-side plumbing — schema, batch iteration, partition preservation,
- * metadata propagation — is real and covered by MultimodalSpec.
+ * The IMAGE decode is REAL: `javax.imageio` ships with the JDK, so image
+ * payloads decode to true width/height and a luminance-histogram feature
+ * ([[decode]]). Audio/video decode remains STUBBED (no ffmpeg-style codec
+ * libraries in this container): deterministic fake features from the bytes,
+ * with the real batched-iterator contract. The Spark-side plumbing —
+ * schema, batch iteration, partition preservation, metadata propagation —
+ * is identical for both paths and covered by MultimodalSpec.
  */
 object Multimodal {
 
@@ -50,23 +53,57 @@ object Multimodal {
     StructField("kind", StringType, nullable = true),
     StructField("n_bytes", LongType, nullable = false),
     StructField("checksum", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
     StructField("feature", ArrayType(FloatType, containsNull = false), nullable = true)))
 
   /** Decoded-feature row (typed so the batched decode stays a Dataset
     * transform — a `MapPartitions` node in the logical plan, not an RDD
-    * detour that would hide the operator from Catalyst/AQE). */
+    * detour that would hide the operator from Catalyst/AQE). width/height
+    * are populated only when the payload actually decoded as an image. */
   final case class MediaFeature(
       media_id: Long, kind: String, n_bytes: Long, checksum: Long,
-      feature: Seq[Float])
+      width: Option[Int], height: Option[Int], feature: Seq[Float])
 
-  /** STUB decode/feature-extract: in production this is the codec call (PIL/
-    * ffmpeg et al. via mapInPandas); here a deterministic fake — byte-sum
-    * checksum + an 8-dim "embedding" derived from byte histograms — with the
-    * real batched-iterator shape (iterator of batches in, rows out, exactly
-    * mapInPandas' contract). A typed Dataset mapPartitions keeps the step
-    * inside the declarative plan; input partitioning is preserved — no
-    * shuffle. */
-  def decodeStub(media: DataFrame, batchSize: Int = 256): DataFrame = {
+  /** Real image decode: JDK `javax.imageio` → true dimensions + an 8-bin
+    * normalized luminance histogram. Returns None for undecodable bytes. */
+  private def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (bytes.isEmpty) return None
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file spill per decode
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val hist = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          hist(lum >> 5) += 1 // 256 levels → 8 bins
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      (w, h, hist.map(_ / n))
+    }
+  }
+
+  /** Batched decode/feature-extract — the codec call a production pipeline
+    * runs via mapInPandas (iterator of batches in, rows out; a typed Dataset
+    * mapPartitions keeps the step inside the declarative plan; input
+    * partitioning is preserved — no shuffle).
+    *
+    * `image` payloads decode for REAL ([[decodeImage]]): true width/height
+    * plus a normalized luminance histogram. Audio/video (and images that
+    * fail to parse, e.g. the synthesized text payloads) fall back to the
+    * deterministic STUB feature — byte-sum checksum + a byte-histogram
+    * "embedding" — keeping output rows 1:1 with input rows either way. */
+  def decode(media: DataFrame, batchSize: Int = 256): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "kind", "bytes").as[(Long, String, Array[Byte])]
@@ -82,21 +119,34 @@ object Multimodal {
               hist((bytes(i) & 0xFF) % 8) += 1
               i += 1
             }
-            val n = math.max(bytes.length, 1).toFloat
-            MediaFeature(id, kind, bytes.length.toLong, checksum,
-              hist.map(h => h.toFloat / n).toSeq)
+            val decoded = if (kind == "image") decodeImage(bytes) else None
+            decoded match {
+              case Some((w, h, lumHist)) =>
+                MediaFeature(id, kind, bytes.length.toLong, checksum,
+                  Some(w), Some(h), lumHist.toSeq)
+              case None =>
+                val n = math.max(bytes.length, 1).toFloat
+                MediaFeature(id, kind, bytes.length.toLong, checksum,
+                  None, None, hist.map(_ / n).toSeq)
+            }
           }
         }
       }
       .toDF()
   }
 
+  /** Former name of [[decode]], kept for source compatibility (the decode is
+    * no longer a stub for images). */
+  @deprecated("use decode", "r7")
+  def decodeStub(media: DataFrame, batchSize: Int = 256): DataFrame =
+    decode(media, batchSize)
+
   // ---------------------------------------------------------------- C12
   /** Driver-checked surface of the decode pipeline: media synthesis →
     * batched decode, projected to the oracle-expressible columns (the
     * checksum/feature stubs are covered by MultimodalSpec instead). */
   def q57MultimodalDecode(spark: SparkSession, dir: String): DataFrame =
-    decodeStub(mediaFromDocuments(spark, dir))
+    decode(mediaFromDocuments(spark, dir))
       .select(col("media_id"), col("kind"), col("n_bytes"))
 
   /** Driver-checked frame sampling: per-video frame count + sampled bytes. */

@@ -16,20 +16,49 @@ class MultimodalSpec extends SparkSpec {
     assert(kinds === Set("image", "audio", "video"))
   }
 
-  test("decodeStub preserves rows and partitioning, deterministic features") {
+  test("decode preserves rows and partitioning, deterministic features") {
     val m = Multimodal.mediaFromDocuments(spark, sf).repartition(3)
-    val f1 = Multimodal.decodeStub(m)
+    val f1 = Multimodal.decode(m)
     assert(f1.schema === Multimodal.featureSchema)
     assert(f1.count() === m.count())
     assert(f1.rdd.getNumPartitions === 3, "batched decode must not shuffle")
     val c1 = f1.select($"media_id", $"checksum").as[(Long, Long)].collect().toMap
-    val c2 = Multimodal.decodeStub(m).select($"media_id", $"checksum")
+    val c2 = Multimodal.decode(m).select($"media_id", $"checksum")
       .as[(Long, Long)].collect().toMap
     assert(c1 === c2)
     // feature vectors are normalized byte histograms → sum ≈ 1
     val sums = f1.select(aggregate($"feature", lit(0.0d), (a, x) => a + x.cast("double")))
       .as[Double].collect()
     sums.foreach(s => assert(math.abs(s - 1.0) < 1e-3))
+    // the synthesized text payloads are not parseable images → no dimensions
+    assert(f1.filter($"width".isNotNull || $"height".isNotNull).count() === 0)
+  }
+
+  test("a real PNG decodes to true dimensions and a luminance histogram") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val m = Seq(
+      (1L, "image", png(17, 9, 0xFFFFFF)),  // white → luminance bin 7
+      (2L, "image", png(4, 4, 0x000000)),   // black → luminance bin 0
+      (3L, "image", "not an image".getBytes("UTF-8")), // falls back to stub
+      (4L, "audio", png(5, 5, 0x808080)))   // audio stays stubbed even if PNG
+      .toDF("media_id", "kind", "bytes")
+    val f = Multimodal.decode(m)
+      .select($"media_id", $"width", $"height", $"feature")
+      .as[(Long, Option[Int], Option[Int], Seq[Float])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(f(1L)._2 === Some(17) && f(1L)._3 === Some(9))
+    assert(f(1L)._4(7) === 1.0f) // every pixel in the brightest bin
+    assert(f(2L)._2 === Some(4) && f(2L)._3 === Some(4))
+    assert(f(2L)._4(0) === 1.0f)
+    assert(f(3L)._2 === None && f(3L)._3 === None)
+    assert(f(4L)._2 === None && f(4L)._3 === None)
   }
 
   test("frameSample emits fixed-size frames for video only") {
