@@ -24,34 +24,37 @@ object Corpus {
     * Scale shape: iterative hash joins on the edge list — O(E) shuffled per
     * round, rounds = component diameter (near-dup components are shallow;
     * `maxIters` guards degenerate chains). Lineage is truncated every round
-    * with localCheckpoint, without which the plan doubles per iteration.
-    * The only driver-side values are the convergence count and loop bound —
-    * aggregates, never data. */
+    * ([[graft.Lineage]]), without which the plan doubles per iteration;
+    * `reliable = true` checkpoints each round durably so a 1000-executor
+    * run losing one executor resumes from the last round instead of
+    * restarting the whole loop. The only driver-side values are the
+    * convergence count and loop bound — aggregates, never data. */
   def q59DupClusters(spark: SparkSession, dir: String,
-      threshold: Double = 0.3, maxIters: Int = 20): DataFrame = {
+      threshold: Double = 0.3, maxIters: Int = 20,
+      reliable: Boolean = false): DataFrame = {
     val pairs = Dedup.q43NgramJaccard(spark, dir, threshold)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .repartition(col("src"))
-      .localCheckpoint() // materialize once; reused every round
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint()
+    val edges = graft.Lineage.truncate( // materialize once; reused every round
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(col("src")), reliable)
+    var labels = graft.Lineage.truncate(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("cluster_id")), reliable)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
       val prop = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("cluster_id")).as("nl"))
-      // localCheckpoint (eager), not persist: measured faster here — the
+      // eager checkpoint, not persist: measured faster here — the
       // checkpoint job pays once and the convergence count then reads
       // materialized blocks, while a lazy cache re-enters the whole join
       // in the counting job's memory pressure window
-      val next = labels.join(prop, col("id") === col("dst"), "left")
-        .select(col("id"), col("cluster_id").as("__old"),
-          least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint()
+      val next = graft.Lineage.truncate(
+        labels.join(prop, col("id") === col("dst"), "left")
+          .select(col("id"), col("cluster_id").as("__old"),
+            least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
+              .as("cluster_id")), reliable)
       // coalesce: sum over zero rows is NULL (empty pair graph)
       changed = next.agg(
         coalesce(sum(when(col("__old") =!= col("cluster_id"), 1L).otherwise(0L)),

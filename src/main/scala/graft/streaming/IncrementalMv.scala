@@ -39,7 +39,8 @@ object IncrementalMv {
       basePath: String,
       pk: String, version: String, op: String,
       groupKey: String, valueCol: String,
-      nBuckets: Int = 16)(batch: DataFrame, batchId: Long): Unit = {
+      nBuckets: Int = 16,
+      reliable: Boolean = false)(batch: DataFrame, batchId: Long): Unit = {
     import BucketedTable._
     val spark = batch.sparkSession
     val entityPath = s"$basePath/entity"
@@ -51,18 +52,19 @@ object IncrementalMv {
       .agg(max_by(struct(batch.columns.toIndexedSeq.map(col): _*), col(version)).as("__r"))
       .select(col("__r.*"))
       .withColumn(BucketCol, bucketOf(Seq(col(pk)), nBuckets))
-      // materialized once: the bucket collect, the diff, and the entity
-      // union all read it — without this the compaction shuffle runs 3×
-      .localCheckpoint()
-    val touchedEntity = touchedBuckets(compacted)
+    // materialized once: the bucket collect, the diff, and the entity
+    // union all read it — without this the compaction shuffle runs 3×.
+    // reliable=true survives executor loss mid-batch (graft.Lineage).
+    val compactedM = graft.Lineage.truncate(compacted, reliable)
+    val touchedEntity = touchedBuckets(compactedM)
 
     // 2. diff against the current entity rows of the touched buckets only
     val current = readTouched(spark, entityPath, touchedEntity)
-      .getOrElse(compacted.limit(0))
+      .getOrElse(compactedM.limit(0))
     val old = current.select(
       col(pk), col(groupKey).as("__old_g"), col(valueCol).as("__old_v"),
       col(version).as("__old_ver"))
-    val diff = compacted.join(old, Seq(pk), "left")
+    val diff = compactedM.join(old, Seq(pk), "left")
       // ignore stale replays: batch version must advance
       .filter(col("__old_ver").isNull || col(version) > col("__old_ver"))
 
@@ -94,7 +96,7 @@ object IncrementalMv {
     }
 
     // 4b. upsert the touched entity buckets (latest-row-wins + tombstones)
-    val unioned = current.unionByName(compacted)
+    val unioned = current.unionByName(compactedM)
     val entity = unioned.groupBy(col(pk))
       .agg(max_by(struct(unioned.columns.toIndexedSeq.map(col): _*), col(version)).as("__r"))
       .select(col("__r.*"))

@@ -81,13 +81,15 @@ object UpsertSink {
       keys: Seq[String],
       versionCol: String,
       deleteCol: Option[String] = None,
-      nBuckets: Int = 64): Unit = {
+      nBuckets: Int = 64,
+      reliable: Boolean = false): Unit = {
     import BucketedTable._
     val spark = batch.sparkSession
     // materialize once: the bucket-set collect AND the merge both read the
-    // batch; without this the batch's full lineage executes twice
-    val batchB = batch.withColumn(BucketCol, bucketOf(keys.map(col), nBuckets))
-      .localCheckpoint()
+    // batch; without this the batch's full lineage executes twice.
+    // reliable=true survives executor loss mid-batch (graft.Lineage).
+    val batchB = graft.Lineage.truncate(
+      batch.withColumn(BucketCol, bucketOf(keys.map(col), nBuckets)), reliable)
     val touched = touchedBuckets(batchB)
     if (touched.isEmpty) return
 
@@ -109,8 +111,10 @@ object UpsertSink {
       keys: Seq[String],
       versionCol: String,
       deleteCol: Option[String] = None,
-      nBuckets: Int = 0): (DataFrame, Long) => Unit =
+      nBuckets: Int = 0,
+      reliable: Boolean = false): (DataFrame, Long) => Unit =
     (batch, _) =>
-      if (nBuckets > 1) upsertBucketed(batch, targetPath, keys, versionCol, deleteCol, nBuckets)
+      if (nBuckets > 1)
+        upsertBucketed(batch, targetPath, keys, versionCol, deleteCol, nBuckets, reliable)
       else upsertBatch(batch, targetPath, keys, versionCol, deleteCol)
 }

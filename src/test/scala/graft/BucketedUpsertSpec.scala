@@ -51,6 +51,21 @@ class BucketedUpsertSpec extends SparkSpec {
     assert(state(s"$base/bucketed") === Set((1L, 1L, 10.0), (2L, 2L, 21.0), (4L, 1L, 40.0)))
   }
 
+  test("bucketed upsert in reliable mode reaches the same state") {
+    spark.sparkContext.setCheckpointDir(
+      Files.createTempDirectory("bu-ckpt").toString)
+    val base = Files.createTempDirectory("bur").toString
+    val b1 = Seq((1L, 1L, 10.0, false), (2L, 1L, 20.0, false))
+      .toDF("k", "version", "value", "is_delete")
+    val b2 = Seq((2L, 2L, 21.0, false), (1L, 2L, 0.0, true))
+      .toDF("k", "version", "value", "is_delete")
+    for (b <- Seq(b1, b2))
+      UpsertSink.upsertBucketed(b, base, Seq("k"), "version", Some("is_delete"),
+        nBuckets = 8, reliable = true)
+    assert(spark.read.parquet(base).select("k", "version", "value")
+      .as[(Long, Long, Double)].collect().toSet === Set((2L, 2L, 21.0)))
+  }
+
   test("a batch leaves untouched buckets byte-identical") {
     val n = 16
     val target = Files.createTempDirectory("bu2").toString + "/t"

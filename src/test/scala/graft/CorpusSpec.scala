@@ -29,6 +29,29 @@ class CorpusSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("reliable mode without a checkpoint dir fails fast with guidance") {
+    // must run before any test sets a checkpoint dir on the shared session
+    assume(spark.sparkContext.getCheckpointDir.isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      graft.Lineage.truncate(Seq(1L).toDF("x"), reliable = true)
+    }
+    assert(e.getMessage.contains("setCheckpointDir"))
+  }
+
+  test("reliable mode produces identical clusters via durable checkpoints") {
+    val ckpt = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val reliable = Corpus.q59DupClusters(spark, sf, reliable = true)
+      .as[(Long, Long)].collect().toMap
+    val default = Corpus.q59DupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(reliable === default)
+    // the durable round snapshots actually landed in the checkpoint dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "reliable=true must write RDD checkpoint files")
+  }
+
   test("dup clusters on an empty pair graph return empty, not a crash") {
     val got = Corpus.q59DupClusters(spark, sf, threshold = 1.1)
       .as[(Long, Long)].collect()
