@@ -282,7 +282,14 @@ object Relational {
 
   // ---------------------------------------------------------------- A24
   /** Exact percentiles (interpolated). Deterministic here because the input
-    * values are integral doubles — both engines interpolate identically. */
+    * values are integral doubles — both engines interpolate identically.
+    *
+    * SCALE PATH: exact `percentile` materializes each group's values in its
+    * aggregation buffer — a hot group at 100 TB is an OOM risk. A cluster
+    * user runs [[approxPercentiles]] instead: `approx_percentile` keeps a
+    * bounded KLL-style sketch per group (size ∝ accuracy, not rows), merges
+    * map-side, and is asserted within rank-error ε of this exact form by
+    * RelationalPlanSpec. The exact form stays as the oracle query. */
   def q24Percentile(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
@@ -290,6 +297,20 @@ object Relational {
         expr("percentile(l_quantity, 0.25)").as("p25"),
         expr("percentile(l_quantity, 0.5)").as("p50"),
         expr("percentile(l_quantity, 0.75)").as("p75"),
+        count(lit(1)).as("cnt"))
+
+  /** Bounded-memory percentile variant for cluster scale: same output shape
+    * as [[q24Percentile]]; per-group state is a fixed-size sketch, so no
+    * group can blow an aggregation buffer. `accuracy` trades sketch size
+    * for rank error (1/accuracy). */
+  def approxPercentiles(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr(s"approx_percentile(l_quantity, 0.25, $accuracy)").as("p25"),
+        expr(s"approx_percentile(l_quantity, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(l_quantity, 0.75, $accuracy)").as("p75"),
         count(lit(1)).as("cnt"))
 
   // ---------------------------------------------------------------- A25

@@ -68,4 +68,23 @@ class RelationalPlanSpec extends SparkSpec {
     val joinIdx = p.indexOf("Join")
     assert(aggIdx >= 0 && joinIdx >= 0)
   }
+
+  test("approx percentiles track the exact form within sketch rank error") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Double, Double, Double, Long)].collect()
+        .map(r => r._1 -> r).toMap
+    val exact = rows(Relational.q24Percentile(spark, sf))
+    val approx = rows(Relational.approxPercentiles(spark, sf))
+    assert(approx.keySet === exact.keySet)
+    // accuracy=10000 → rank error ≤ 1/10000; quantity spans 1..50, so the
+    // returned value can be off by at most a couple of adjacent values
+    exact.foreach { case (flag, e) =>
+      val a = approx(flag)
+      assert(math.abs(a._2 - e._2) <= 1.0, s"p25 drift for $flag: $a vs $e")
+      assert(math.abs(a._3 - e._3) <= 1.0, s"p50 drift for $flag: $a vs $e")
+      assert(math.abs(a._4 - e._4) <= 1.0, s"p75 drift for $flag: $a vs $e")
+      assert(a._5 === e._5)
+    }
+  }
 }
