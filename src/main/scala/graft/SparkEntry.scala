@@ -79,6 +79,9 @@ object SparkEntry {
     "q61_source_quota" -> ((s, d) => Corpus.q61SourceQuota(s, d)),
     "q62_chunking" -> ((s, d) => Corpus.q62Chunk(s, d)),
     "q63_txn_apply" -> (Changelog.q63TxnApply _),
+    "q64_repetition_filter" -> ((s, d) => TextAnalysis.q64RepetitionFilter(s, d)),
+    "q65_pii_redact" -> (TextAnalysis.q65PiiRedact _),
+    "q66_stratified_sample" -> ((s, d) => TextAnalysis.q66StratifiedSample(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -437,5 +440,30 @@ object SparkEntry {
         |        (PARTITION BY user_id ORDER BY commit_ts DESC, event_id DESC) AS rn
         |      FROM a)
         |SELECT user_id, value, commit_ts FROM r WHERE rn = 1""".stripMargin,
+    "q64_repetition_filter" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_words,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_frac,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS distinct_ratio,
+        |  (CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) <= 0.1
+        |   AND CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) >= 0.4) AS keep
+        |FROM c GROUP BY doc_id""".stripMargin,
+    "q65_pii_redact" ->
+      """SELECT event_id,
+        |  regexp_replace(regexp_replace(regexp_replace(props,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_num_hits
+        |FROM events""".stripMargin,
+    "q66_stratified_sample" ->
+      """SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE (rn - 1) % 7 = 0""".stripMargin,
   )
 }

@@ -133,6 +133,46 @@ object TextHashes {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** Word-repetition statistics in one pass, zero shuffle:
+    * [n_words, n_distinct, top_count] for words = split on single space
+    * (empties kept, matching `string_split` semantics in the oracle).
+    * Distinct/top come from run-lengths over the SORTED word hashes —
+    * no per-row map allocation; a 64-bit collision merging two words is
+    * the usual negligible-xxhash64 caveat. This replaces the
+    * explode + groupBy(doc, word) + groupBy(doc) formulation whose two
+    * shuffles move every (doc, word) row of the corpus. */
+  def wordRepetitionStats(s: UTF8String): ArrayData = {
+    val base = s.getBaseObject; val off = s.getBaseOffset; val nb = s.numBytes
+    var nw = 1
+    var i = 0
+    while (i < nb) { if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' '.toByte) nw += 1; i += 1 }
+    val hs = new Array[Long](nw)
+    var wordStart = 0
+    var w = 0
+    i = 0
+    while (i <= nb) {
+      val atSep = i == nb || org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' '.toByte
+      if (atSep) {
+        hs(w) = XXH64.hashUnsafeBytes(base, off + wordStart, i - wordStart, SEED)
+        w += 1
+        wordStart = i + 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var distinct = 0
+    var top = 0
+    var run = 0
+    i = 0
+    while (i < nw) {
+      if (i == 0 || hs(i) != hs(i - 1)) { distinct += 1; run = 1 }
+      else run += 1
+      if (run > top) top = run
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(nw.toLong, distinct.toLong, top.toLong))
+  }
+
   /** 64-bit SimHash from word unigrams — bit i set iff Σ_words (±1 by bit i
     * of xxhash64(word)) > 0. Bit-identical to [[graft.operators.Dedup.simhashDf]]
     * (split on single space keeps empty words; their hash participates). */
@@ -200,6 +240,16 @@ case class WordShingleHashes(child: Expression, k: Int) extends TextHashExpressi
     copy(child = newChild)
 }
 
+case class WordRepetitionStats(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_repetition_stats"
+  override protected def evalKernel(s: UTF8String): Any = TextHashes.wordRepetitionStats(s)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHashes.wordRepetitionStats($c)"
+  override protected def withNewChildInternal(newChild: Expression): WordRepetitionStats =
+    copy(child = newChild)
+}
+
 case class SimHash64(child: Expression) extends TextHashExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -232,4 +282,5 @@ object TextHashFunctions {
   def wordShingleHashes(c: Column, k: Int): Column = col2(WordShingleHashes(expr2(c), k))
   def minhashSig(c: Column, numHashes: Int): Column = col2(MinHashSig(expr2(c), numHashes))
   def simhash64(c: Column): Column = col2(SimHash64(expr2(c)))
+  def wordRepetitionStats(c: Column): Column = col2(WordRepetitionStats(expr2(c)))
 }

@@ -96,4 +96,75 @@ object TextAnalysis {
     array_min(transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => xxhash64(text.substr(i, lit(k)))))
+
+  // ---------------------------------------------------------------- C17
+  /** Repetition-based quality filter (the Gopher-rules shape): per document,
+    * word count, distinct-word count, the most-frequent word's share, and a
+    * keep flag — repetitious documents (boilerplate, keyword stuffing, decode
+    * loops) are the single biggest bulk-filter in LLM corpus curation.
+    *
+    * Zero-shuffle: stats come from the single-pass sorted-run kernel
+    * [[graft.functions.TextHashes.wordRepetitionStats]] (codegen'd, no
+    * per-row map), NOT the explode + double-groupBy formulation that
+    * shuffles every (doc, word) row twice; TextAnalysisSpec asserts parity
+    * between the two. 100 TB posture: map-only scan. */
+  def q64RepetitionFilter(spark: SparkSession, dir: String,
+      maxTopFrac: Double = 0.1, minDistinctRatio: Double = 0.4): DataFrame = {
+    import graft.functions.TextHashFunctions
+    val stats = TextHashFunctions.wordRepetitionStats(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), stats.as("__s"))
+      .select(col("doc_id"),
+        element_at(col("__s"), 1).as("n_words"),
+        element_at(col("__s"), 2).as("n_distinct"),
+        (element_at(col("__s"), 3).cast("double") /
+          element_at(col("__s"), 1).cast("double")).as("top_frac"),
+        (element_at(col("__s"), 2).cast("double") /
+          element_at(col("__s"), 1).cast("double")).as("distinct_ratio"))
+      .withColumn("keep",
+        col("top_frac") <= maxTopFrac && col("distinct_ratio") >= minDistinctRatio)
+  }
+
+  /** PII/number scrubbing patterns, most-specific first: emails, then
+    * phone-shaped digit groups, then bare digit runs. Character-class-only
+    * regexes evaluate identically under Java regex (Spark) and RE2 (DuckDB). */
+  private val piiPatterns = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+?[0-9][0-9()\\- ]{6,}[0-9]" -> "<PHONE>",
+    "[0-9]+" -> "<NUM>")
+
+  /** Redact PII-shaped spans from a string column (all occurrences). */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  // ---------------------------------------------------------------- C18
+  /** PII redaction over the event-property payloads: scrubbed string plus
+    * the pre-redaction hit count per pattern family. Map-only scan — the
+    * regex chain is codegen'd `regexp_replace`, no UDF. */
+  def q65PiiRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      redactPii(col("props")).as("redacted"),
+      size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+        .cast("long").as("n_num_hits"))
+
+  // ---------------------------------------------------------------- C19
+  /** Deterministic systematic sample, stratified by source: every `stride`-th
+    * document per source in doc_id order — the reproducible train/eval split
+    * a data pipeline needs (same rows on every run and every engine, unlike
+    * Bernoulli sampling). Spark 4 plants WindowGroupLimit-style partial
+    * evaluation below the shuffle only for rank cutoffs, so this is one
+    * shuffle on `source`; at 100 TB substitute the same formula over a
+    * bucketed-by-source layout to avoid even that. */
+  def q66StratifiedSample(spark: SparkSession, dir: String,
+      stride: Int = 7): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter((col("rn") - 1) % stride === 0)
+  }
 }

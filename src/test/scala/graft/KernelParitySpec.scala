@@ -72,6 +72,23 @@ class KernelParitySpec extends SparkSpec {
     assert(viaDf === kernel)
   }
 
+  test("wordRepetitionStats kernel === explode + double-groupBy formulation") {
+    val d = docs(40)
+    val declarative = d
+      .select($"doc_id", explode(split($"text", " ", -1)).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_words"), count(lit(1)).as("n_distinct"),
+        max($"cnt").as("top_cnt"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val kernel = d
+      .select($"doc_id", TextHashFunctions.wordRepetitionStats($"text").as("s"))
+      .as[(Long, Seq[Long])].collect()
+      .map { case (id, s) => id -> (s(0), s(1), s(2)) }.toMap
+    assert(kernel === declarative)
+  }
+
   test("wrong-typed input to a TextHashes kernel fails at analysis time") {
     val longs = Seq(Tuple1(1L)).toDF("x")
     val e1 = intercept[org.apache.spark.sql.AnalysisException] {
