@@ -68,6 +68,32 @@ final class MaterializedView private (
     }
   }
 
+  /** Schema-evolution guard: restarting a view whose query now produces a
+    * different schema against an existing target would mix row shapes in
+    * one table (old buckets keep old columns — readers see nulls or casts
+    * depending on file). The reference creates the target FROM the inferred
+    * schema once (TiJDBCHelper.java:111-138) and thereafter the schemas
+    * must agree; we enforce the same: any column set/type change against a
+    * non-empty target fails loudly, pointing at setDropIfExists(true) as
+    * the rebuild path. Nullability is not compared (parquet round-trips
+    * legitimately widen it). */
+  private def checkTargetSchema(v: DataFrame): Unit = {
+    val conf = v.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p) || fs.listStatus(p).isEmpty) return
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.filterNot(_.name == BucketedTable.BucketCol)
+        .map(f => f.name -> f.dataType.simpleString).sortBy(_._1).toSeq
+    val existing = shape(v.sparkSession.read.parquet(targetPath).schema)
+    val incoming = shape(v.schema)
+    if (existing != incoming)
+      throw new IllegalStateException(
+        s"incompatible schema change for MV target $targetPath: " +
+          s"existing ${existing.mkString(", ")} vs query ${incoming.mkString(", ")}; " +
+          "use setDropIfExists(true) to rebuild the view under the new schema")
+  }
+
   def start(): StreamingQuery = {
     val v = view
     val cols = v.columns.toSet
@@ -83,7 +109,7 @@ final class MaterializedView private (
         val path = new org.apache.hadoop.fs.Path(p)
         path.getFileSystem(conf).delete(path, true)
       }
-    }
+    } else checkTargetSchema(v)
     v.writeStream
       .outputMode("update")
       .trigger(trigger)

@@ -209,6 +209,41 @@ class StreamingMVSpec extends SparkSpec {
       "a dropped checkpoint must replay the source into a fresh target")
   }
 
+  test("a schema change against an existing target fails loudly") {
+    val input = MemoryStream[(Long, Long, Double)]
+    val source = input.toDF().toDF("k", "version", "v")
+    val base = Files.createTempDirectory("mvevo").toString
+    def mv(q: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      MaterializedView.newBuilder()
+        .setSource(source).setQuery(q)
+        .setTargetPath(s"$base/target")
+        .setPrimaryKeys("k").setVersionColumn("version")
+        .setCheckpointLocation(s"$base/ckpt")
+        .build()
+
+    val q1 = mv(identity).start()
+    input.addData((1L, 1L, 10.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // same schema restarts fine
+    val q2 = mv(identity).start()
+    q2.stop()
+
+    // renamed column → reject, pointing at the rebuild path
+    val e = intercept[IllegalStateException] {
+      mv(df => df.withColumnRenamed("v", "value")).start()
+    }
+    assert(e.getMessage.contains("incompatible schema change"))
+    assert(e.getMessage.contains("setDropIfExists"))
+
+    // changed type → reject too
+    val e2 = intercept[IllegalStateException] {
+      mv(df => df.withColumn("v", $"v".cast("string"))).start()
+    }
+    assert(e2.getMessage.contains("incompatible schema change"))
+  }
+
   test("builder validates primary keys like TiFlinkApp") {
     val input = MemoryStream[(Long, Long)]
     val mv = MaterializedView.newBuilder()
