@@ -32,8 +32,15 @@ object IvfIndex {
 
   /** Fit the coarse quantizer (seeded MLlib KMeans → reproducible) and
     * assign every corpus row to its nearest cell. Expects an `embedding`
-    * array<float> column and a `vec_id` key. */
-  def build(corpus: DataFrame, nCells: Int): IvfIndex = {
+    * array<float> column and a `vec_id` key.
+    *
+    * The quantizer trains on a bounded sample (`fitSampleSize`, seeded →
+    * reproducible): k-means needs only enough points to place nCells rough
+    * centers — the standard IVF practice — so the iterative fit costs
+    * O(sample × iters) no matter how large the corpus grows; only the
+    * single map-only assignment pass scales with corpus size. */
+  def build(corpus: DataFrame, nCells: Int,
+      fitSampleSize: Int = 25000): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -41,6 +48,11 @@ object IvfIndex {
       .withColumn("features", array_to_vector(col("embedding")))
       .withColumn("emb", toDoubles(col("embedding")))
       .withColumn("norm", l2Norm(col("embedding")))
+    val n = corpus.count() // parquet-metadata cheap; one-time at build
+    val fitSet =
+      if (n <= fitSampleSize) e.select(col("features"))
+      else e.select(col("features"))
+        .sample(withReplacement = false, fitSampleSize.toDouble / n, seed = 42L)
     // random init, not k-means||: the parallel init runs ~2·initSteps extra
     // distributed passes to seed centroids, which dominates build time at
     // bench scale and buys nothing for a coarse quantizer whose cells only
@@ -48,7 +60,7 @@ object IvfIndex {
     // way). Seeded → reproducible.
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
       .setInitMode("random")
-      .fit(e.select(col("features")))
+      .fit(fitSet)
     val assignments = model.transform(e)
       .withColumnRenamed("prediction", "cell")
       .select(col("vec_id"), col("cell"), col("emb"), col("norm"))

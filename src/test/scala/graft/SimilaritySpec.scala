@@ -79,6 +79,36 @@ class SimilaritySpec extends SparkSpec {
       s"IVF nProbe=4/16 should recover a good share of true top-10 (got $meanRecall)")
   }
 
+  test("IVF quantizer fit on a bounded sample keeps recall") {
+    import graft.operators.IvfIndex
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    // force the sampled path: 500-row corpus, 150-point training budget
+    val sampled = IvfIndex.build(e, nCells = 8, fitSampleSize = 150)
+    assert(sampled.centroids.count() === 8)
+    // every corpus row still lands in a cell and cells are non-degenerate
+    val cells = sampled.assignments.groupBy($"cell").count()
+      .as[(Int, Long)].collect().toMap
+    assert(cells.values.sum === e.count())
+    assert(cells.size >= 4, s"sampled fit collapsed the cells: $cells")
+    val queries = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"),
+        VectorFunctions.toDoubles($"embedding").as("q_emb"),
+        VectorFunctions.l2Norm($"embedding").as("q_norm"))
+    val brute = Similarity.q45AnnBruteforce(spark, sf, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = IvfIndex.query(sampled, queries, k = 10, nProbe = 3, excludeSelf = true)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = got.keys.toSeq.filter(brute.contains).map { q =>
+      got(q).intersect(brute(q)).size.toDouble / brute(q).size
+    }
+    assert(recalls.nonEmpty)
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.3,
+      s"sample-fit quantizer should keep IVF recall (got $meanRecall)")
+  }
+
   test("IVF save/load roundtrip: a loaded index answers identically") {
     import graft.operators.IvfIndex
     val e = graft.sources.Tables.embeddings(spark, sf)
