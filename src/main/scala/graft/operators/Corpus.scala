@@ -25,50 +25,64 @@ object Corpus {
     * round, rounds = component diameter (near-dup components are shallow;
     * `maxIters` guards degenerate chains). Lineage is truncated every round
     * ([[graft.Lineage]]), without which the plan doubles per iteration;
-    * `reliable = true` checkpoints each round durably so a 1000-executor
-    * run losing one executor resumes from the last round instead of
-    * restarting the whole loop. The only driver-side values are the
-    * convergence count and loop bound — aggregates, never data. */
+    * `reliable = true` spills each round durably so a 1000-executor run
+    * losing one executor resumes from the last round instead of restarting
+    * the whole loop. Spills are released as soon as the next round lands —
+    * only the FINAL round's spill (which backs the returned frame) outlives
+    * the call, under the checkpoint dir the caller owns. The only
+    * driver-side values are the convergence count and loop bound —
+    * aggregates, never data. */
   def q59DupClusters(spark: SparkSession, dir: String,
       threshold: Double = 0.3, maxIters: Int = 20,
       reliable: Boolean = false): DataFrame = {
     val pairs = Dedup.q43NgramJaccard(spark, dir, threshold)
       .select(col("doc_a"), col("doc_b"))
-    val edges = graft.Lineage.truncate( // materialize once; reused every round
+    val edgesM = graft.Lineage.truncate( // materialize once; reused every round
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .repartition(col("src")), reliable)
-    var labels = graft.Lineage.truncate(
+    val edges = edgesM.df
+    var labelsM = graft.Lineage.truncate(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("cluster_id")), reliable)
+    var labels = labelsM.df
     var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val prop = edges.join(labels, col("src") === col("id"))
-        .groupBy(col("dst")).agg(min(col("cluster_id")).as("nl"))
-      // eager checkpoint, not persist: measured faster here — the
-      // checkpoint job pays once and the convergence count then reads
-      // materialized blocks, while a lazy cache re-enters the whole join
-      // in the counting job's memory pressure window
-      val next = graft.Lineage.truncate(
-        labels.join(prop, col("id") === col("dst"), "left")
-          .select(col("id"), col("cluster_id").as("__old"),
-            least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
-              .as("cluster_id")), reliable)
-      // coalesce: sum over zero rows is NULL (empty pair graph)
-      changed = next.agg(
-        coalesce(sum(when(col("__old") =!= col("cluster_id"), 1L).otherwise(0L)),
-          lit(0L)))
-        .first().getLong(0)
-      labels = next.drop("__old")
-      iter += 1
+    var converged = false
+    try {
+      var iter = 0
+      while (changed > 0 && iter < maxIters) {
+        val prop = edges.join(labels, col("src") === col("id"))
+          .groupBy(col("dst")).agg(min(col("cluster_id")).as("nl"))
+        // eager materialization, not persist: measured faster here — the
+        // spill job pays once and the convergence count then reads
+        // materialized data, while a lazy cache re-enters the whole join
+        // in the counting job's memory pressure window
+        val nextM = graft.Lineage.truncate(
+          labels.join(prop, col("id") === col("dst"), "left")
+            .select(col("id"), col("cluster_id").as("__old"),
+              least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
+                .as("cluster_id")), reliable)
+        // coalesce: sum over zero rows is NULL (empty pair graph)
+        changed = nextM.df.agg(
+          coalesce(sum(when(col("__old") =!= col("cluster_id"), 1L).otherwise(0L)),
+            lit(0L)))
+          .first().getLong(0)
+        labelsM.release() // the prior round feeds nothing anymore
+        labelsM = nextM
+        labels = nextM.df.drop("__old")
+        iter += 1
+      }
+      // silent non-convergence would diverge from the exact closure — a
+      // >maxIters-diameter component must fail loudly, not return wrong labels
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"label propagation did not converge in $maxIters rounds; " +
+            "raise maxIters for very long duplicate chains")
+      converged = true
+    } finally {
+      edgesM.release()
+      if (!converged) labelsM.release() // error path: nothing will read it
     }
-    // silent non-convergence would diverge from the exact closure — a
-    // >maxIters-diameter component must fail loudly, not return wrong labels
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"label propagation did not converge in $maxIters rounds; " +
-          "raise maxIters for very long duplicate chains")
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
 

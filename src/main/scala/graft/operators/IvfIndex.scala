@@ -43,6 +43,11 @@ object IvfIndex {
       fitSampleSize: Int = 25000): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // an under-sized training budget would silently materialize fewer or
+    // degenerate cells (k-means can't place k centers on < k points)
+    require(fitSampleSize >= nCells,
+      s"fitSampleSize ($fitSampleSize) must be >= nCells ($nCells): " +
+        "the quantizer cannot place more centers than training points")
 
     val e = corpus
       .withColumn("features", array_to_vector(col("embedding")))

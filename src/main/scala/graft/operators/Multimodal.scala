@@ -70,9 +70,12 @@ object Multimodal {
   private def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
     if (bytes.isEmpty) return None
     javax.imageio.ImageIO.setUseCache(false) // no temp-file spill per decode
+    // NonFatal, not just IOException: plugin readers throw RuntimeExceptions
+    // on real-world malformed payloads (CMYK JPEGs, truncated files) and one
+    // bad row must not kill a corpus-wide decode job
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     Option(img).map { im =>
       val (w, h) = (im.getWidth, im.getHeight)
       val hist = new Array[Long](8)

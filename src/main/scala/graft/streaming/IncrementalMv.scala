@@ -54,8 +54,11 @@ object IncrementalMv {
       .withColumn(BucketCol, bucketOf(Seq(col(pk)), nBuckets))
     // materialized once: the bucket collect, the diff, and the entity
     // union all read it — without this the compaction shuffle runs 3×.
-    // reliable=true survives executor loss mid-batch (graft.Lineage).
-    val compactedM = graft.Lineage.truncate(compacted, reliable)
+    // reliable=true survives executor loss mid-batch (graft.Lineage); the
+    // spill is fully consumed within this call → released on exit.
+    val compactedMat = graft.Lineage.truncate(compacted, reliable)
+    try {
+    val compactedM = compactedMat.df
     val touchedEntity = touchedBuckets(compactedM)
 
     // 2. diff against the current entity rows of the touched buckets only
@@ -102,5 +105,6 @@ object IncrementalMv {
       .select(col("__r.*"))
       .filter(col(op) =!= "delete")
     swapTouched(entity, entityPath, touchedEntity)
+    } finally compactedMat.release()
   }
 }

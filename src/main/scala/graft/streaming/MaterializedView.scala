@@ -85,7 +85,16 @@ final class MaterializedView private (
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.filterNot(_.name == BucketedTable.BucketCol)
         .map(f => f.name -> f.dataType.simpleString).sortBy(_._1).toSeq
-    val existing = shape(v.sparkSession.read.parquet(targetPath).schema)
+    val existingSchema =
+      try v.sparkSession.read.parquet(targetPath).schema
+      catch {
+        // non-empty dir but no parquet footers (a crash left only staging
+        // debris): nothing committed yet, so there is no schema to guard —
+        // wedging every restart here would be worse than the first batch
+        // writing the real schema
+        case _: org.apache.spark.sql.AnalysisException => return
+      }
+    val existing = shape(existingSchema)
     val incoming = shape(v.schema)
     if (existing != incoming)
       throw new IllegalStateException(

@@ -89,26 +89,40 @@ object SnapshotStore {
 
   /** Acquire `lock` by atomic create-if-absent. A held lock is a conflict
     * UNLESS its mtime is older than `leaseMs`: the holder crashed between
-    * create and its finally-delete, so the waiter deletes the corpse and
-    * retries the atomic create once — racing takeover attempts resolve at
-    * that second create (exactly one wins, losers get the conflict error). */
+    * create and its finally-delete, so the corpse must be broken. Breaking
+    * is ATOMIC via rename-to-unique-name — of N racing waiters exactly one
+    * rename succeeds (the source exists only once), so no waiter can delete
+    * a lock a sibling just legitimately re-created; the rename winner
+    * removes the corpse and retries the create (a brand-new writer may
+    * still beat it there — that is an ordinary conflict, not a race bug). */
   private def acquireLock(fs: org.apache.hadoop.fs.FileSystem, lock: Path,
       leaseMs: Long): org.apache.hadoop.fs.FSDataOutputStream = {
+    var lastCreateFailure: String = "n/a"
     def tryCreate() =
       try Some(fs.create(lock, false)) // atomic create-if-absent = the mutex
-      catch { case _: java.io.IOException => None }
+      catch { case e: java.io.IOException => lastCreateFailure = e.toString; None }
     tryCreate().getOrElse {
       val age =
         try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
-        catch { case _: java.io.FileNotFoundException => Long.MaxValue } // just freed
-      if (age <= leaseMs)
+        catch { case _: java.io.FileNotFoundException => -1L } // just freed — retry below
+      if (age >= 0 && age <= leaseMs)
         throw new ConcurrentPublishException(
           s"another writer holds $lock (age ${age}ms ≤ lease ${leaseMs}ms); " +
             "concurrent publishes to one snapshot store are not allowed")
-      fs.delete(lock, false) // expired lease: crashed holder, safe to break
+      if (age > leaseMs) {
+        val corpse = new Path(lock.getParent, s"${lock.getName}.corpse-${java.util.UUID.randomUUID()}")
+        val won =
+          try fs.rename(lock, corpse) // atomic: exactly one waiter wins
+          catch { case _: java.io.IOException => false }
+        if (!won)
+          throw new ConcurrentPublishException(
+            s"lost the takeover race for expired lock $lock to another writer")
+        fs.delete(corpse, false)
+      }
       tryCreate().getOrElse(
         throw new ConcurrentPublishException(
-          s"lost the takeover race for expired lock $lock to another writer"))
+          s"could not acquire $lock after takeover — another writer grabbed it, " +
+            s"or the filesystem refused the create (last failure: $lastCreateFailure)"))
     }
   }
 

@@ -41,10 +41,17 @@ import org.apache.spark.sql.streaming.{
  * released set and is dropped — each prewrite surfaces at most once per
  * transaction lifetime (until the eviction timer retires the state).
  *
- * Scale: state is O(open transactions × rows-per-txn) — the same bound as
- * the reference's prewrite buffer — and is partitioned by txn_id across
- * executors; eviction is watermark-driven, so state tracks the in-flight
- * window, not history.
+ * Scale: state is O(open transactions × rows-per-txn), the same bound as
+ * the reference's prewrite buffer, PLUS the retained outcome + released
+ * event-ids of recently-resolved transactions. The two horizons differ:
+ * an open transaction's buffer lives `ttl` (it may legitimately stay open
+ * long), but a RESOLVED transaction's state only needs to outlive event-
+ * time disorder — the engine's watermark already drops rows later than
+ * `watermarkDelay`, so no prewrite can arrive after watermark passes the
+ * transaction's last activity. Resolved state therefore evicts on the
+ * shorter `resolvedRetention` clock, keeping long ttls from accumulating
+ * history-sized released sets. State is partitioned by txn_id across
+ * executors either way.
  */
 object TwoPhaseTxn {
 
@@ -74,9 +81,10 @@ object TwoPhaseTxn {
   val ROLLBACK = "ROLLBACK"
 
   /** Keyed by txn_id. Buffers prewrites until the transaction resolves;
-    * emits on COMMIT, discards on ROLLBACK, evicts abandoned state when the
-    * event-time timer (watermark + ttlMs past the last activity) fires. */
-  class TwoPhaseProcessor(ttlMs: Long)
+    * emits on COMMIT, discards on ROLLBACK, evicts state when the
+    * event-time timer fires — `ttlMs` past last activity while the txn is
+    * open, `resolvedMs` once it resolved (see the retention note above). */
+  class TwoPhaseProcessor(ttlMs: Long, resolvedMs: Long)
     extends StatefulProcessor[Long, TxnLogRecord, CommittedWrite] {
 
     @transient private var pending: MapState[Long, Pending] = _
@@ -137,11 +145,12 @@ object TwoPhaseTxn {
         pending.clear()
         outcome.update(o)
       }
-      // Refresh the eviction timer: one per key, ttlMs past the latest
-      // activity (falls back to the watermark when the batch carried no ts).
+      // Refresh the eviction timer: one per key, past the latest activity
+      // (falls back to the watermark when the batch carried no ts). Open
+      // txns wait out the full ttl; resolved ones only the disorder window.
       val base = math.max(maxTsMs, timerValues.getCurrentWatermarkInMs())
       getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(base + ttlMs)
+      getHandle.registerTimer(base + (if (outcome.exists()) resolvedMs else ttlMs))
       out.result().iterator.map(_.copy(txn_id = txnId))
     }
 
@@ -162,20 +171,26 @@ object TwoPhaseTxn {
   /** Apply a two-phase transaction log: emit each PREWRITE once its COMMIT
     * arrives (stamped with commit_ts), never emit rolled-back or abandoned
     * writes. `watermarkDelay` bounds disorder; `ttl` bounds how long an
-    * unresolved transaction may stay open before its state is evicted.
+    * unresolved transaction may stay open before its state is evicted;
+    * `resolvedRetention` bounds how long a RESOLVED transaction's dedup
+    * state is kept, and must exceed `watermarkDelay` (rows later than the
+    * watermark never reach the processor, so anything beyond the disorder
+    * window is wasted state).
     *
     * The batch ground truth for the COMMIT/ROLLBACK semantics is
     * [[graft.operators.Changelog.q63TxnApply]] (oracle-checked). */
   def applyLog(
       log: Dataset[TxnLogRecord],
       watermarkDelay: String = "10 minutes",
-      ttl: java.time.Duration = java.time.Duration.ofHours(24)): Dataset[CommittedWrite] = {
+      ttl: java.time.Duration = java.time.Duration.ofHours(24),
+      resolvedRetention: java.time.Duration = java.time.Duration.ofMinutes(30)): Dataset[CommittedWrite] = {
     val spark = log.sparkSession
     import spark.implicits._
     log
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.txn_id)
       .transformWithState(
-        new TwoPhaseProcessor(ttl.toMillis), TimeMode.EventTime(), OutputMode.Append())
+        new TwoPhaseProcessor(ttl.toMillis, resolvedRetention.toMillis),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -87,20 +87,24 @@ object UpsertSink {
     val spark = batch.sparkSession
     // materialize once: the bucket-set collect AND the merge both read the
     // batch; without this the batch's full lineage executes twice.
-    // reliable=true survives executor loss mid-batch (graft.Lineage).
-    val batchB = graft.Lineage.truncate(
+    // reliable=true survives executor loss mid-batch (graft.Lineage); the
+    // spill is fully consumed within this call, so it is released on exit.
+    val batchM = graft.Lineage.truncate(
       batch.withColumn(BucketCol, bucketOf(keys.map(col), nBuckets)), reliable)
-    val touched = touchedBuckets(batchB)
-    if (touched.isEmpty) return
+    try {
+      val batchB = batchM.df
+      val touched = touchedBuckets(batchB)
+      if (touched.isEmpty) return
 
-    val unioned = readTouched(spark, targetPath, touched)
-      .map(batchB.unionByName(_)).getOrElse(batchB)
-    val packed = unioned
-      .groupBy(keys.map(col): _*)
-      .agg(max_by(struct(unioned.columns.toIndexedSeq.map(col): _*), col(versionCol)).as("__r"))
-      .select(col("__r.*"))
-    val alive = deleteCol.fold(packed)(d => packed.filter(!col(d)))
-    swapTouched(alive, targetPath, touched)
+      val unioned = readTouched(spark, targetPath, touched)
+        .map(batchB.unionByName(_)).getOrElse(batchB)
+      val packed = unioned
+        .groupBy(keys.map(col): _*)
+        .agg(max_by(struct(unioned.columns.toIndexedSeq.map(col): _*), col(versionCol)).as("__r"))
+        .select(col("__r.*"))
+      val alive = deleteCol.fold(packed)(d => packed.filter(!col(d)))
+      swapTouched(alive, targetPath, touched)
+    } finally batchM.release()
   }
 
   /** foreachBatch adapter: `writeStream.foreachBatch(UpsertSink.forStream(...))`.

@@ -30,12 +30,17 @@ class CorpusSpec extends SparkSpec {
   }
 
   test("reliable mode without a checkpoint dir fails fast with guidance") {
-    // must run before any test sets a checkpoint dir on the shared session
-    assume(spark.sparkContext.getCheckpointDir.isEmpty)
-    val e = intercept[IllegalArgumentException] {
-      graft.Lineage.truncate(Seq(1L).toDF("x"), reliable = true)
-    }
-    assert(e.getMessage.contains("setCheckpointDir"))
+    // deterministic regardless of suite order: clear the shared context's
+    // checkpoint dir for the duration of the check, then restore it
+    val sc = spark.sparkContext
+    val saved = sc.getCheckpointDir
+    sc.setCheckpointDir(null)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.Lineage.truncate(Seq(1L).toDF("x"), reliable = true)
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    } finally saved.foreach(sc.setCheckpointDir)
   }
 
   test("reliable mode produces identical clusters via durable checkpoints") {
@@ -46,10 +51,11 @@ class CorpusSpec extends SparkSpec {
     val default = Corpus.q59DupClusters(spark, sf)
       .as[(Long, Long)].collect().toMap
     assert(reliable === default)
-    // the durable round snapshots actually landed in the checkpoint dir
+    // the final round's durable spill remains under the checkpoint dir
+    // (intermediate rounds are released as the loop advances)
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
       .filter(java.nio.file.Files.isRegularFile(_)).count()
-    assert(wrote > 0, "reliable=true must write RDD checkpoint files")
+    assert(wrote > 0, "reliable=true must leave the final durable spill")
   }
 
   test("dup clusters on an empty pair graph return empty, not a crash") {

@@ -158,6 +158,37 @@ class TwoPhaseTxnSpec extends SparkSpec {
     }
   }
 
+  test("resolved-txn dedup state evicts on the shorter retention horizon") {
+    withRocksDb {
+      val input = MemoryStream[TxnLogRecord]
+      val out = TwoPhaseTxn.applyLog(input.toDS(),
+        watermarkDelay = "0 seconds",
+        ttl = java.time.Duration.ofHours(24),
+        resolvedRetention = java.time.Duration.ofSeconds(1))
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("txn_res_evict").start()
+      try {
+        input.addData(
+          TxnLogRecord(9L, PREWRITE, 90L, 900L, 9.0, ts("2024-01-01 10:00:00")),
+          TxnLogRecord(9L, COMMIT, 0L, 0L, 0.0, ts("2024-01-01 10:00:01")))
+        q.processAllAvailable()
+        // advance the watermark far past resolvedRetention: txn 9's retained
+        // outcome is evicted even though ttl (24h) is nowhere near over
+        input.addData(TxnLogRecord(10L, PREWRITE, 100L, 1000L, 10.0, ts("2024-01-01 12:00:00")))
+        q.processAllAvailable()
+        // a prewrite for the long-resolved txn (fresh event time, so it
+        // clears the watermark) finds no retained outcome: it buffers as an
+        // open txn and never surfaces — the reference's past-resolved-ts
+        // lock behavior, not a late emit
+        input.addData(TxnLogRecord(9L, PREWRITE, 91L, 910L, 9.1, ts("2024-01-01 12:00:01")))
+        q.processAllAvailable()
+        val got = spark.table("txn_res_evict")
+          .select($"event_id").as[Long].collect().toSet
+        assert(got === Set(90L))
+      } finally q.stop()
+    }
+  }
+
   test("abandoned transaction is evicted by the event-time timer") {
     withRocksDb {
       val input = MemoryStream[TxnLogRecord]
