@@ -15,11 +15,14 @@ import graft.sources.Tables
  *
  * The IMAGE decode is REAL: `javax.imageio` ships with the JDK, so image
  * payloads decode to true width/height and a luminance-histogram feature
- * ([[decode]]). Audio/video decode remains STUBBED (no ffmpeg-style codec
- * libraries in this container): deterministic fake features from the bytes,
- * with the real batched-iterator contract. The Spark-side plumbing —
- * schema, batch iteration, partition preservation, metadata propagation —
- * is identical for both paths and covered by MultimodalSpec.
+ * ([[decode]]). AUDIO is real for the containers the JDK parses
+ * (`javax.sound.sampled`: WAV/AIFF/AU PCM) — true sample rate, duration,
+ * and an amplitude-histogram feature. Compressed audio (mp3/opus) and
+ * video remain STUBBED (no ffmpeg-style codec libraries in this
+ * container): deterministic fake features from the bytes, with the real
+ * batched-iterator contract. The Spark-side plumbing — schema, batch
+ * iteration, partition preservation, metadata propagation — is identical
+ * for every path and covered by MultimodalSpec.
  */
 object Multimodal {
 
@@ -55,15 +58,20 @@ object Multimodal {
     StructField("checksum", LongType, nullable = false),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
     StructField("feature", ArrayType(FloatType, containsNull = false), nullable = true)))
 
   /** Decoded-feature row (typed so the batched decode stays a Dataset
     * transform — a `MapPartitions` node in the logical plan, not an RDD
     * detour that would hide the operator from Catalyst/AQE). width/height
-    * are populated only when the payload actually decoded as an image. */
+    * are populated only when the payload decoded as an image;
+    * sample_rate/duration_ms only when it decoded as audio. */
   final case class MediaFeature(
       media_id: Long, kind: String, n_bytes: Long, checksum: Long,
-      width: Option[Int], height: Option[Int], feature: Seq[Float])
+      width: Option[Int], height: Option[Int],
+      sample_rate: Option[Int], duration_ms: Option[Long],
+      feature: Seq[Float])
 
   /** Real image decode: JDK `javax.imageio` → true dimensions + an 8-bin
     * normalized luminance histogram. Returns None for undecodable bytes. */
@@ -96,16 +104,57 @@ object Multimodal {
     }
   }
 
+  /** Real audio decode for JDK-parseable containers (WAV/AIFF/AU):
+    * true sample rate + duration from the header, and an 8-bin normalized
+    * amplitude histogram from the 16-bit PCM samples (header-only metadata
+    * for other sample sizes). Returns None for undecodable bytes. */
+  private def decodeAudio(bytes: Array[Byte]): Option[(Int, Long, Array[Float])] = {
+    if (bytes.isEmpty) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val durMs = (frames * 1000.0 / fmt.getFrameRate).toLong
+        val hist = new Array[Long](8)
+        var total = 0L
+        if (fmt.getSampleSizeInBits == 16) {
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n > 0) {
+            var i = 0
+            while (i + 1 < n) {
+              val lo = buf(if (fmt.isBigEndian) i + 1 else i) & 0xFF
+              val hi = buf(if (fmt.isBigEndian) i else i + 1).toInt
+              val amp = math.abs((hi << 8) | lo)
+              hist(math.min(amp >> 12, 7)) += 1 // |sample| 0..32768 → 8 bins
+              total += 1
+              i += 2
+            }
+            n = in.read(buf)
+          }
+        }
+        val feature =
+          if (total > 0) hist.map(_.toFloat / total)
+          else Array.fill(8)(0f)
+        Some((fmt.getSampleRate.toInt, durMs, feature))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Batched decode/feature-extract — the codec call a production pipeline
     * runs via mapInPandas (iterator of batches in, rows out; a typed Dataset
     * mapPartitions keeps the step inside the declarative plan; input
     * partitioning is preserved — no shuffle).
     *
     * `image` payloads decode for REAL ([[decodeImage]]): true width/height
-    * plus a normalized luminance histogram. Audio/video (and images that
-    * fail to parse, e.g. the synthesized text payloads) fall back to the
-    * deterministic STUB feature — byte-sum checksum + a byte-histogram
-    * "embedding" — keeping output rows 1:1 with input rows either way. */
+    * plus a normalized luminance histogram. `audio` payloads decode for
+    * real when the JDK parses the container ([[decodeAudio]]): sample
+    * rate, duration, amplitude histogram. Video — and any payload that
+    * fails to parse, e.g. the synthesized text payloads — falls back to
+    * the deterministic STUB feature (byte-sum checksum + a byte-histogram
+    * "embedding"), keeping output rows 1:1 with input rows either way. */
   def decode(media: DataFrame, batchSize: Int = 256): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -122,15 +171,25 @@ object Multimodal {
               hist((bytes(i) & 0xFF) % 8) += 1
               i += 1
             }
-            val decoded = if (kind == "image") decodeImage(bytes) else None
-            decoded match {
-              case Some((w, h, lumHist)) =>
-                MediaFeature(id, kind, bytes.length.toLong, checksum,
-                  Some(w), Some(h), lumHist.toSeq)
-              case None =>
-                val n = math.max(bytes.length, 1).toFloat
-                MediaFeature(id, kind, bytes.length.toLong, checksum,
-                  None, None, hist.map(_ / n).toSeq)
+            def stub = {
+              val n = math.max(bytes.length, 1).toFloat
+              MediaFeature(id, kind, bytes.length.toLong, checksum,
+                None, None, None, None, hist.map(_ / n).toSeq)
+            }
+            kind match {
+              case "image" => decodeImage(bytes) match {
+                case Some((w, h, lumHist)) =>
+                  MediaFeature(id, kind, bytes.length.toLong, checksum,
+                    Some(w), Some(h), None, None, lumHist.toSeq)
+                case None => stub
+              }
+              case "audio" => decodeAudio(bytes) match {
+                case Some((rate, durMs, ampHist)) =>
+                  MediaFeature(id, kind, bytes.length.toLong, checksum,
+                    None, None, Some(rate), Some(durMs), ampHist.toSeq)
+                case None => stub
+              }
+              case _ => stub
             }
           }
         }

@@ -61,6 +61,35 @@ class MultimodalSpec extends SparkSpec {
     assert(f(4L)._2 === None && f(4L)._3 === None)
   }
 
+  test("a real WAV decodes to true sample rate, duration, amplitude histogram") {
+    import javax.sound.sampled._
+    // 8 kHz mono 16-bit PCM, 2000 frames = 250 ms of a loud square wave
+    val frames = 2000
+    val pcm = new Array[Byte](frames * 2)
+    (0 until frames).foreach { i =>
+      val v = if ((i / 8) % 2 == 0) 30000 else -30000 // |amp| lands in bin 7
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    val m = Seq(
+      (1L, "audio", out.toByteArray),
+      (2L, "audio", "not a wav".getBytes("UTF-8"))) // falls back to stub
+      .toDF("media_id", "kind", "bytes")
+    val f = Multimodal.decode(m)
+      .select($"media_id", $"sample_rate", $"duration_ms", $"feature")
+      .as[(Long, Option[Int], Option[Long], Seq[Float])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(f(1L)._2 === Some(8000))
+    assert(f(1L)._3 === Some(250L))
+    assert(f(1L)._4(7) === 1.0f) // every sample in the loudest bin
+    assert(f(2L)._2 === None && f(2L)._3 === None)
+  }
+
   test("frameSample emits fixed-size frames for video only") {
     val m = Multimodal.mediaFromDocuments(spark, sf)
     val frames = Multimodal.frameSample(m, frameBytes = 16, stride = 2)
