@@ -121,6 +121,41 @@ class BucketedUpsertSpec extends SparkSpec {
     assert(got === Map(1L -> Seq[Byte](9, 9), 2L -> Seq[Byte](-1, 0, 127)))
   }
 
+  test("DECIMAL and DATE round-trip byte-exact through the bucketed sink") {
+    // a part_typed shape: DECIMAL(12,2) price, DATE ship date, BINARY tag —
+    // the three Catalyst types the reference's TypeUtils round-trips that
+    // the DOUBLE/TIMESTAMP testdata never exercises end-to-end
+    val base = Files.createTempDirectory("typed").toString + "/t"
+    val b1 = graft.sources.Tables.part(spark, sf)
+      .select($"p_partkey".as("k"), lit(1L).as("version"),
+        $"p_retailprice".cast("decimal(12,2)").as("price"),
+        to_date(lit("2024-03-01")).as("ship_date"),
+        unhex(lpad(hex($"p_partkey"), 8, "0")).as("tag"),
+        lit(false).as("is_delete"))
+    UpsertSink.upsertBucketed(b1, base, Seq("k"), "version", Some("is_delete"), 8)
+    // upsert one row with new typed values; everything else must be exact
+    val b2 = b1.filter($"k" === 1L)
+      .withColumn("version", lit(2L))
+      .withColumn("price", lit("12345.67").cast("decimal(12,2)"))
+      .withColumn("ship_date", to_date(lit("2025-12-31")))
+    UpsertSink.upsertBucketed(b2, base, Seq("k"), "version", Some("is_delete"), 8)
+
+    val got = spark.read.parquet(base)
+    assert(got.schema("price").dataType ===
+      org.apache.spark.sql.types.DecimalType(12, 2))
+    assert(got.schema("ship_date").dataType ===
+      org.apache.spark.sql.types.DateType)
+    val byKey = got.select($"k", $"price".cast("string"), $"ship_date".cast("string"),
+        hex($"tag"))
+      .as[(Long, String, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(byKey(1L) === (1L, "12345.67", "2025-12-31", "00000001"))
+    // an untouched key keeps its original decimal/date/binary exactly
+    val orig = b1.filter($"k" === 2L)
+      .select($"k", $"price".cast("string"), $"ship_date".cast("string"), hex($"tag"))
+      .as[(Long, String, String, String)].head()
+    assert(byKey(2L) === orig)
+  }
+
   test("IncrementalMv rewrites only entity/agg buckets touched by the batch") {
     val base = Files.createTempDirectory("bu3").toString + "/mv"
     val load = (1L to 40L).map(k => (k, 1L, "ins", s"g${k % 10}", k * 1.0))
