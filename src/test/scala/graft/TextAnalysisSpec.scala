@@ -48,6 +48,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L)._4 === true && got(2L)._3 === 1.0)
   }
 
+  test("repetition filter plans as one map-only codegen span, no shuffle") {
+    val p = TextAnalysis.q64RepetitionFilter(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"q64 must not shuffle:\n$p")
+    assert(p.contains("word_repetition_stats"), "must use the native kernel")
+  }
+
+  test("PII redaction scan reads only the needed columns") {
+    val p = TextAnalysis.q65PiiRedact(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"q65 must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,props:string>"),
+      s"q65 must prune the events scan to event_id+props:\n$p")
+  }
+
   test("stratified sample covers every source at the expected rate") {
     val sample = TextAnalysis.q66StratifiedSample(spark, sf, stride = 7)
     val perSource = sample.groupBy($"source").agg(count(lit(1)).as("n"))
