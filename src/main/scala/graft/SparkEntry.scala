@@ -82,6 +82,9 @@ object SparkEntry {
     "q64_repetition_filter" -> ((s, d) => TextAnalysis.q64RepetitionFilter(s, d)),
     "q65_pii_redact" -> (TextAnalysis.q65PiiRedact _),
     "q66_stratified_sample" -> ((s, d) => TextAnalysis.q66StratifiedSample(s, d)),
+    // int8-quantized ANN: scores shift with quantization noise, so there is
+    // no cross-engine exact oracle — rows-only here, top-k-overlap specced
+    "q67_quantized_ann" -> ((s, d) => Similarity.q67QuantizedAnn(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact

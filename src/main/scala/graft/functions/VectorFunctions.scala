@@ -42,4 +42,21 @@ object VectorFunctions {
     val n = l2Norm(a)
     transform(toDoubles(a), x => x / n)
   }
+
+  /** Symmetric int8 quantization: per-vector scale = max|x|/127, elements
+    * round to [-127, 127] — a 4× smaller embedding column (1 B/dim + one
+    * float), the standard storage/interconnect saver for a 100 TB ANN
+    * corpus. Max reconstruction error is scale/2 per element, asserted in
+    * SimilaritySpec. Returns struct(scale float, q array<tinyint>). */
+  def quantize8(v: Column): Column = {
+    val mx = array_max(transform(v, x => abs(x)))
+    val scale = when(mx === 0.0f, lit(1.0f)).otherwise(mx / 127.0f)
+    struct(scale.cast("float").as("scale"),
+      transform(v, x => round(x.cast("double") / scale).cast("byte")).as("q"))
+  }
+
+  /** Inverse of [[quantize8]]: array<double> reconstruction (double, so the
+    * dequantized vectors drop straight into [[dotD]]/cosine pipelines). */
+  def dequantize8(s: Column): Column =
+    transform(s.getField("q"), x => x.cast("double") * s.getField("scale").cast("double"))
 }

@@ -49,6 +49,36 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
   }
 
+  // ---------------------------------------------------------------- C20
+  /** Brute-force ANN over an int8-QUANTIZED corpus — the storage scale
+    * path: 1 B/dim + one float per vector (4× smaller than fp32), which at
+    * 100 TB is the difference between an embedding corpus that fits the
+    * cluster's disks/interconnect and one that doesn't. The corpus is
+    * quantized once ([[graft.functions.VectorFunctions.quantize8]],
+    * max-abs symmetric, per-element error ≤ scale/2) and dequantized on
+    * the fly inside the same broadcast scan as q45; SimilaritySpec asserts
+    * top-k overlap against the full-precision baseline. */
+  def q67QuantizedAnn(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val qz = e.select(col("vec_id"), quantize8(col("embedding")).as("qv"))
+      .select(col("vec_id"), dequantize8(col("qv")).as("emb"))
+      .select(col("vec_id"), col("emb"),
+        sqrt(dotD(col("emb"), col("emb"))).as("norm"))
+    val queries = qz.filter(col("vec_id") < 5)
+    val scored = qz.as("c")
+      .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        (dotD(col("q.emb"), col("c.emb"))
+          / (col("q.norm") * col("c.norm"))).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
   // ---------------------------------------------------------------- C7
   /** LSH-bucketed ANN: corpus is pre-bucketed by hyperplane signs; a query
     * scans its own bucket plus (multi-probe) the nPlanes buckets one

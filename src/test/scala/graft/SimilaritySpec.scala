@@ -79,6 +79,32 @@ class SimilaritySpec extends SparkSpec {
       s"IVF nProbe=4/16 should recover a good share of true top-10 (got $meanRecall)")
   }
 
+  test("int8 quantization bounds element error and keeps brute-force top-k") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    // reconstruction error ≤ scale/2 per element (symmetric max-abs int8)
+    val bad = e.select(
+        VectorFunctions.quantize8($"embedding").as("qv"), $"embedding")
+      .select(aggregate(
+        zip_with(VectorFunctions.dequantize8($"qv"),
+          VectorFunctions.toDoubles($"embedding"), (a, b) => abs(a - b)),
+        lit(0.0), (acc, x) => greatest(acc, x)).as("maxerr"),
+        ($"qv.scale" / 2.0 + 1e-9).as("bound"))
+      .filter($"maxerr" > $"bound").count()
+    assert(bad === 0L, "per-element reconstruction error must stay <= scale/2")
+    // top-k over the quantized corpus tracks the full-precision baseline
+    val exact = Similarity.q45AnnBruteforce(spark, sf, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quant = Similarity.q67QuantizedAnn(spark, sf, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(quant.keySet === exact.keySet)
+    val overlaps = exact.keys.toSeq.map(q =>
+      quant(q).intersect(exact(q)).size.toDouble / exact(q).size)
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.8, s"int8 noise should barely move top-10 (got $mean)")
+  }
+
   test("IVF quantizer fit on a bounded sample keeps recall") {
     import graft.operators.IvfIndex
     val e = graft.sources.Tables.embeddings(spark, sf)
