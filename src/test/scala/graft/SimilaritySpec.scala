@@ -79,6 +79,24 @@ class SimilaritySpec extends SparkSpec {
       s"IVF nProbe=4/16 should recover a good share of true top-10 (got $meanRecall)")
   }
 
+  test("quantize8 handles zero vectors and round-trips signs exactly") {
+    val v = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f)),            // zero vector: scale guard
+      (2L, Array(1.0f, -1.0f, 0.5f)),
+      (3L, Array(-127.0f, 127.0f, 63.5f)))
+      .toDF("id", "embedding")
+    val got = v.select($"id",
+        VectorFunctions.dequantize8(VectorFunctions.quantize8($"embedding")).as("r"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got(1L) === Seq(0.0, 0.0, 0.0))
+    // max-abs symmetric: extremes reconstruct to ±max within fp32 scale
+    // rounding; the midpoint stays within the scale/2 quantization bound
+    def close(a: Double, b: Double, tol: Double) = math.abs(a - b) <= tol
+    assert(close(got(2L)(0), 1.0, 1e-6) && close(got(2L)(1), -1.0, 1e-6))
+    assert(close(got(2L)(2), 0.5, (1.0 / 127) / 2 + 1e-6))
+    assert(close(got(3L)(0), -127.0, 1e-4) && close(got(3L)(1), 127.0, 1e-4))
+  }
+
   test("int8 quantization bounds element error and keeps brute-force top-k") {
     val e = graft.sources.Tables.embeddings(spark, sf)
     // reconstruction error ≤ scale/2 per element (symmetric max-abs int8)
