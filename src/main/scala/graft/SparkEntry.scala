@@ -85,6 +85,7 @@ object SparkEntry {
     // int8-quantized ANN: scores shift with quantization noise, so there is
     // no cross-engine exact oracle — rows-only here, top-k-overlap specced
     "q67_quantized_ann" -> ((s, d) => Similarity.q67QuantizedAnn(s, d)),
+    "q68_contamination" -> ((s, d) => Corpus.q68Contamination(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -468,5 +469,17 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE (rn - 1) % 7 = 0""".stripMargin,
+    "q68_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i : i + 2], ' ') AS gram
+        |      FROM (SELECT doc_id, ws,
+        |              unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+        |            FROM w)),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared,
+        |  count(*) >= 3 AS contaminated
+        |FROM g t JOIN bench USING (gram)
+        |WHERE t.doc_id % 37 <> 0
+        |GROUP BY t.doc_id""".stripMargin,
   )
 }

@@ -127,6 +127,37 @@ object Corpus {
         col("c.chunk_text"), col("c.n_tokens"))
   }
 
+  // ---------------------------------------------------------------- C21
+  /** Benchmark decontamination — flag training documents that share ≥
+    * `minShared` distinct word 3-grams with any document of the held-out
+    * set (here: doc_id % `benchMod` == 0, a deterministic stand-in for an
+    * eval-benchmark table). The shape every LLM pipeline runs before
+    * training: an inverted-index join keyed by shingle hash.
+    *
+    * Scale: shingles come from the single-pass kernel (sorted distinct
+    * hashes, no string allocation); the join carries (doc_id, hash) pairs
+    * only — 16 B/row — against the DISTINCT benchmark gram set, which is
+    * tiny relative to the corpus (benchmarks are). Count-distinct per doc
+    * is a partial-aggregated groupBy. The DuckDB oracle does the same
+    * computation over gram STRINGS; equality rests on 64-bit hash
+    * injectivity over the observed grams, the same assumption q43's exact
+    * oracle already validates. */
+  def q68Contamination(spark: SparkSession, dir: String,
+      benchMod: Int = 37, minShared: Int = 3): DataFrame = {
+    import graft.functions.TextHashFunctions
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextHashFunctions.wordShingleHashes(col("text"), 3)).as("h"))
+    // kernel output is sorted-distinct per doc → no per-side dedup needed
+    val bench = grams.filter(col("doc_id") % benchMod === 0)
+      .select(col("h")).distinct()
+    grams.filter(col("doc_id") % benchMod =!= 0)
+      .join(bench, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+  }
+
   // ---------------------------------------------------------------- C15
   /** Per-source quota curation (training-mix balancing): rank documents
     * within each source by quality score (the q48 formula) and keep the

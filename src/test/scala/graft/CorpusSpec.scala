@@ -58,6 +58,26 @@ class CorpusSpec extends SparkSpec {
     assert(wrote > 0, "reliable=true must leave the final durable spill")
   }
 
+  test("contamination check matches an independent string-gram computation") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def grams(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 3) Set(t)
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val bench = docs.filter(_._1 % 37 == 0).flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(_._1 % 37 != 0)
+      .map { case (id, t) => id -> grams(t).count(bench) }
+      .filter(_._2 > 0).toMap
+    val got = Corpus.q68Contamination(spark, sf)
+      .select($"doc_id", $"n_shared", $"contaminated")
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.map(r => r._1 -> r._2.toInt).toMap === expected)
+    got.foreach { case (_, n, c) => assert(c === (n >= 3)) }
+    assert(got.nonEmpty)
+  }
+
   test("dup clusters on an empty pair graph return empty, not a crash") {
     val got = Corpus.q59DupClusters(spark, sf, threshold = 1.1)
       .as[(Long, Long)].collect()
