@@ -86,6 +86,11 @@ object SparkEntry {
     // no cross-engine exact oracle — rows-only here, top-k-overlap specced
     "q67_quantized_ann" -> ((s, d) => Similarity.q67QuantizedAnn(s, d)),
     "q68_contamination" -> ((s, d) => Corpus.q68Contamination(s, d)),
+    "q69_cluster_rep" -> ((s, d) => Corpus.q69ClusterRep(s, d)),
+    "q70_normalize" -> (TextAnalysis.q70Normalize _),
+    "q71_pack_chunks" -> ((s, d) => Corpus.q71PackChunks(s, d)),
+    "q72_tfidf" -> ((s, d) => TextAnalysis.q72Tfidf(s, d)),
+    "q73_incremental_dedup" -> ((s, d) => Dedup.q73IncrementalDedup(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -481,5 +486,87 @@ object SparkEntry {
         |FROM g t JOIN bench USING (gram)
         |WHERE t.doc_id % 37 <> 0
         |GROUP BY t.doc_id""".stripMargin,
+    "q69_cluster_rep" ->
+      """WITH RECURSIVE idx AS (
+        |  SELECT doc_id, source, text, unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, source, substring(text, i, 3) AS ng FROM idx
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM g a JOIN g b ON a.source = b.source AND a.ng = b.ng AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.3),
+        |nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, l) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.l FROM edges e JOIN reach r ON e.src = r.id),
+        |lbl AS (SELECT id AS doc_id, min(l) AS cluster_id FROM reach GROUP BY id),
+        |q AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' the ',' ')))/4
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' a ',' ')))/2
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' of ',' ')))/3
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' and ',' ')))/4 AS BIGINT) AS hits
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  (CAST(hits AS DOUBLE)/words)*10.0 + CAST(len - words + 1 AS DOUBLE)/words AS quality_score
+        |  FROM q),
+        |j AS (SELECT lbl.cluster_id, lbl.doc_id, s.quality_score
+        |      FROM lbl JOIN s USING (doc_id)),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id) AS rn,
+        |      count(*) OVER (PARTITION BY cluster_id) AS cs FROM j)
+        |SELECT cluster_id, doc_id AS rep_doc_id, CAST(cs AS BIGINT) AS cluster_size,
+        |  quality_score AS rep_quality
+        |FROM r WHERE rn = 1""".stripMargin,
+    "q70_normalize" ->
+      """SELECT doc_id,
+        |  lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x1F\x7F]', '', 'g'), ' +', ' ', 'g'))) AS norm_text,
+        |  lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x1F\x7F]', '', 'g'), ' +', ' ', 'g'))) <> text AS changed
+        |FROM documents""".stripMargin,
+    "q71_pack_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, len(ws) AS n, ws,
+        |      unnest(generate_series(1, len(ws), 40)) AS i FROM w),
+        |ch AS (SELECT doc_id, CAST((i - 1) // 40 AS BIGINT) AS chunk_no,
+        |       CAST(least(50, n - i + 1) AS BIGINT) AS n_tokens FROM c),
+        |j AS (SELECT d.source, ch.doc_id, ch.chunk_no, ch.n_tokens
+        |      FROM ch JOIN documents d USING (doc_id)),
+        |e AS (SELECT *, COALESCE(sum(n_tokens) OVER (PARTITION BY source
+        |        ORDER BY doc_id, chunk_no ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+        |      FROM j)
+        |SELECT source, doc_id, chunk_no, n_tokens,
+        |  CAST(excl // 256 AS BIGINT) AS pack_id,
+        |  CAST(excl % 256 AS BIGINT) AS pack_offset
+        |FROM e""".stripMargin,
+    "q72_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, word, tf, df,
+        |        CAST(tf AS DOUBLE) * sqrt(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+        |      FROM tf JOIN df USING (word) CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |        (PARTITION BY doc_id ORDER BY score DESC, word) AS BIGINT) AS rk FROM s)
+        |SELECT doc_id, word, tf, df, score, rk FROM r WHERE rk <= 5""".stripMargin,
+    "q73_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |ex AS (SELECT DISTINCT h FROM d WHERE doc_id % 5 <> 0),
+        |b AS (SELECT doc_id, h FROM d WHERE doc_id % 5 = 0),
+        |r AS (SELECT b.doc_id, b.h, ex.h IS NULL AS is_new,
+        |        row_number() OVER (PARTITION BY b.h ORDER BY b.doc_id) = 1 AS first_in_batch
+        |      FROM b LEFT JOIN ex ON b.h = ex.h)
+        |SELECT doc_id, h, is_new, (is_new AND first_in_batch) AS keep FROM r""".stripMargin,
   )
 }

@@ -86,6 +86,55 @@ object Corpus {
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }
 
+  // ---------------------------------------------------------------- C22
+  /** Duplicate-cluster representative selection — the step after C13: for
+    * each near-dup component, elect the canonical document to KEEP (highest
+    * quality score, ties to the lowest doc_id) along with the cluster size.
+    * A dedup pipeline joins this back to drop everything else.
+    *
+    * Scale: one partial-aggregated groupBy over cluster labels — argmax is a
+    * `max(struct(quality, -doc_id))`, so there is no per-cluster sort window
+    * and no second shuffle; cluster count ≪ corpus size. */
+  def q69ClusterRep(spark: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val clusters = q59DupClusters(spark, dir, threshold)
+    val quality = TextAnalysis.q48QualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    clusters.join(quality, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("quality_score").as("q"), (-col("doc_id")).as("nid"))).as("__m"))
+      .select(col("cluster_id"), (-col("__m.nid")).as("rep_doc_id"),
+        col("cluster_size"), col("__m.q").as("rep_quality"))
+  }
+
+  // ---------------------------------------------------------------- C24
+  /** Sequence packing — concatenate chunk streams into fixed token budgets
+    * (the "concat-and-chop" packing every pretraining pipeline runs before
+    * batching): within each source, chunks in (doc_id, chunk_no) order are
+    * laid end-to-end and `pack_id` is the budget-sized bin where each chunk
+    * STARTS; `pack_offset` is its token offset inside that bin. Integer
+    * arithmetic end-to-end → exact cross-engine oracle.
+    *
+    * Scale: one running sum per source partition — packing is inherently
+    * sequential within a stream, so the parallel unit is the source (or any
+    * finer sharding column substituted for it: at 100 TB partition by
+    * (source, shard) where shard = hash(doc_id) % n to bound per-partition
+    * order state; each shard packs independently). */
+  def q71PackChunks(spark: SparkSession, dir: String,
+      budget: Int = 256): DataFrame = {
+    val chunks = q62Chunk(spark, dir)
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunks.join(src, Seq("doc_id"))
+      .withColumn("__excl", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("chunk_no"), col("n_tokens"),
+        floor(col("__excl") / budget).cast("long").as("pack_id"),
+        (col("__excl") % budget).as("pack_offset"))
+  }
+
   // ---------------------------------------------------------------- C14
   /** Corpus-wide top-k word bigrams — vocabulary/BPE-merge preparation.
     * Bigrams come from posexplode + a lead window (every step codegen'd —

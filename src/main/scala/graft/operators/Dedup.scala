@@ -31,6 +31,35 @@ object Dedup {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  // ---------------------------------------------------------------- C26
+  /** Incremental (cross-corpus) dedup — the ingest-time shape: a new batch
+    * (here doc_id % `mod` == 0, a deterministic stand-in for today's crawl)
+    * is checked against the existing corpus' content-hash set; within-batch
+    * first occurrences are resolved in the same pass. `keep` is the rows an
+    * ingest pipeline appends. This is C1's streaming sibling — TiFlink's
+    * whole premise (maintain incrementally, don't recompute) applied to
+    * dedup.
+    *
+    * Scale: the join carries only (id, hash); the existing side reduces to
+    * DISTINCT hashes before the join. At 100 TB keep the corpus hash set as
+    * a bucketed table ([[graft.sources.Storage]]) so each ingest shuffles
+    * only the batch — the big side is already hash-clustered on disk. */
+  def q73IncrementalDedup(spark: SparkSession, dir: String,
+      mod: Int = 5): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val existing = d.filter(col("doc_id") % mod =!= 0)
+      .select(col("h")).distinct().withColumn("__dup", lit(true))
+    val batch = d.filter(col("doc_id") % mod === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"))
+    batch.join(existing, Seq("h"), "left")
+      .withColumn("is_new", coalesce(col("__dup"), lit(false)) === false)
+      .withColumn("first_in_batch", row_number().over(w) === 1)
+      .select(col("doc_id"), col("h"), col("is_new"),
+        (col("is_new") && col("first_in_batch")).as("keep"))
+  }
+
   /** Word k-shingles (distinct), hashed to 64-bit — the unit of Jaccard. */
   def shingles(text: Column, k: Int): Column = {
     val words = split(text, " ", -1)

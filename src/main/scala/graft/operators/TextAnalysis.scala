@@ -150,6 +150,55 @@ object TextAnalysis {
       size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
         .cast("long").as("n_num_hits"))
 
+  // ---------------------------------------------------------------- C23
+  /** Canonical text normalization — the first pass of every corpus pipeline:
+    * Unicode NFC (composed/decomposed forms unify, so downstream hashes and
+    * dedup see one representation), control characters stripped, space runs
+    * collapsed, edges trimmed, lower-cased. Map-only scan; NFC is the
+    * allocation-free kernel [[graft.functions.Normalize]] (ASCII fast path),
+    * the rest codegen'd builtins. `changed` lets a pipeline route already-
+    * clean documents around a rewrite. */
+  def q70Normalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NormalizeFunctions.nfcNormalize
+    val norm = lower(trim(regexp_replace(
+      regexp_replace(nfcNormalize(col("text")), "[\\x00-\\x1F\\x7F]", ""),
+      " +", " ")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), norm.as("norm_text"),
+        (norm =!= col("text")).as("changed"))
+  }
+
+  // ---------------------------------------------------------------- C25
+  /** Top-k TF-IDF keywords per document. IDF is damped as sqrt(N/df) rather
+    * than ln(N/df): ordering behavior is the same (monotone in N/df), and
+    * sqrt/÷/× are IEEE-correctly-rounded in every engine while transcendental
+    * ln is not — which is what makes the DuckDB oracle bit-exact.
+    *
+    * Scale: tf = one partial-aggregated groupBy over (doc, word); df derives
+    * from the tf table (vocabulary-sized, not corpus-sized); N joins in as a
+    * broadcast 1-row frame — no driver scalar, no collect. The per-doc top-k
+    * is a rank cutoff, which Spark 4 partially evaluates below the shuffle
+    * (WindowGroupLimit). */
+  def q72Tfidf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("word").asc)
+    tf.join(df, Seq("word"))
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        col("tf").cast("double")
+          * sqrt(col("__n").cast("double") / col("df").cast("double")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        col("score"), col("rk"))
+  }
+
   // ---------------------------------------------------------------- C19
   /** Deterministic systematic sample, stratified by source: every `stride`-th
     * document per source in doc_id order — the reproducible train/eval split

@@ -58,6 +58,51 @@ class CorpusSpec extends SparkSpec {
     assert(wrote > 0, "reliable=true must leave the final durable spill")
   }
 
+  test("cluster rep elects the max-quality member of each cluster") {
+    val clusters = Corpus.q59DupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap // doc -> cluster
+    val quality = TextAnalysis.q48QualityScore(spark, sf)
+      .select($"doc_id", $"quality_score").as[(Long, Double)].collect().toMap
+    val reps = Corpus.q69ClusterRep(spark, sf).collect()
+    assert(reps.nonEmpty)
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    assert(reps.length === byCluster.size, "one row per cluster")
+    reps.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val members = byCluster(cid)
+      assert(r.getAs[Long]("cluster_size") === members.size)
+      // expected rep: max quality, ties to the lowest doc_id
+      val expected = members.map(d => (quality(d), d))
+        .reduceLeft((a, b) =>
+          if (b._1 > a._1 || (b._1 == a._1 && b._2 < a._2)) b else a)
+      assert(r.getAs[Long]("rep_doc_id") === expected._2)
+      assert(r.getAs[Double]("rep_quality") === expected._1)
+      assert(members.contains(r.getAs[Long]("rep_doc_id")))
+    }
+  }
+
+  test("pack chunks: offsets replay a sequential packer per source") {
+    val budget = 256
+    val out = Corpus.q71PackChunks(spark, sf, budget).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_no")))
+      var cum = 0L
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("pack_id") === cum / budget)
+        assert(r.getAs[Long]("pack_offset") === cum % budget)
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+    // pack ids are dense from 0 within each source
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("pack_id")).distinct.sorted
+      assert(ids.head === 0L)
+      assert(ids === (0L until ids.length).toArray.toSeq.sorted, "dense pack ids")
+    }
+  }
+
   test("contamination check matches an independent string-gram computation") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect()

@@ -70,6 +70,29 @@ class DedupSpec extends SparkSpec {
     assert(viaDf === viaColumn)
   }
 
+  test("incremental dedup: keep = unseen content, first occurrence in batch") {
+    val out = Dedup.q73IncrementalDedup(spark, sf, mod = 5).collect()
+    assert(out.nonEmpty)
+    // independent recompute from the raw table
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", md5($"text").as("h")).as[(Long, String)].collect()
+    val existing = docs.filter(_._1 % 5 != 0).map(_._2).toSet
+    val batch = docs.filter(_._1 % 5 == 0).sortBy(_._1)
+    assert(out.length === batch.length, "one verdict per batch doc")
+    val firstSeen = scala.collection.mutable.Set.empty[String]
+    val expected = batch.map { case (id, h) =>
+      val isNew = !existing.contains(h)
+      val first = firstSeen.add(h)
+      id -> ((h, isNew, isNew && first))
+    }.toMap
+    out.foreach { r =>
+      val (h, isNew, keep) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[String]("h") === h)
+      assert(r.getAs[Boolean]("is_new") === isNew)
+      assert(r.getAs[Boolean]("keep") === keep)
+    }
+  }
+
   test("jaccard of identical shingle sets is 1.0") {
     val j = docs.filter($"doc_id" === 0)
       .select(Dedup.jaccard(Dedup.shingles($"text", 3), Dedup.shingles($"text", 3)))

@@ -63,6 +63,68 @@ class TextAnalysisSpec extends SparkSpec {
       s"q65 must prune the events scan to event_id+props:\n$p")
   }
 
+  test("nfc normalization unifies decomposed forms; ASCII passes untouched") {
+    import graft.functions.NormalizeFunctions.nfcNormalize
+    val rows = Seq(
+      (1L, "café"), // e + combining acute → é
+      (2L, "café"), // already composed
+      (3L, "plain ascii text"))
+      .toDF("id", "text")
+    val got = rows.select($"id", nfcNormalize($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "café", "decomposed must compose under NFC")
+    assert(got(2L) === "café")
+    assert(got(3L) === "plain ascii text")
+    // kernel-level fast path: ASCII returns the same object, zero alloc
+    val s = org.apache.spark.unsafe.types.UTF8String.fromString("abc")
+    assert(graft.functions.Normalize.nfc(s) eq s)
+  }
+
+  test("q70 normalization collapses controls/spaces and is idempotent") {
+    val raw = Seq(
+      (1L, "  Mixed\tCase\u0007 text   with runs  "),
+      (2L, "already clean"))
+      .toDF("doc_id", "text")
+    // same pipeline as q70Normalize, applied to a planted frame
+    import graft.functions.NormalizeFunctions.nfcNormalize
+    def norm(c: org.apache.spark.sql.Column) =
+      lower(trim(regexp_replace(
+        regexp_replace(nfcNormalize(c), "[\\x00-\\x1F\\x7F]", ""), " +", " ")))
+    val got = raw.select($"doc_id", norm($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    // tab is a control char → stripped (not replaced); space runs collapse
+    assert(got(1L) === "mixedcase text with runs")
+    assert(got(2L) === "already clean")
+    // idempotence: normalizing the normalized output changes nothing
+    val again = raw.select(norm(norm($"text")).as("n2"), norm($"text").as("n1"))
+      .filter($"n2" =!= $"n1").count()
+    assert(again === 0)
+  }
+
+  test("tfidf: rk bounded, scores descend per doc, formula matches recompute") {
+    val rows = TextAnalysis.q72Tfidf(spark, sf, k = 5).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.length <= 5)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getAs[Double]("score"), b.getAs[Double]("score"))
+          assert(sa > sb || (sa == sb &&
+            a.getAs[String]("word") < b.getAs[String]("word")))
+        case _ =>
+      }
+    }
+    // formula: score = tf * sqrt(N / df), N = total docs
+    val n = graft.sources.Tables.documents(spark, sf).count().toDouble
+    rows.take(20).foreach { r =>
+      val expect = r.getAs[Long]("tf").toDouble *
+        math.sqrt(n / r.getAs[Long]("df").toDouble)
+      assert(r.getAs[Double]("score") === expect)
+    }
+  }
+
   test("stratified sample covers every source at the expected rate") {
     val sample = TextAnalysis.q66StratifiedSample(spark, sf, stride = 7)
     val perSource = sample.groupBy($"source").agg(count(lit(1)).as("n"))
