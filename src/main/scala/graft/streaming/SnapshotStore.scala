@@ -42,10 +42,21 @@ object SnapshotStore {
   final class ConcurrentPublishException(msg: String)
     extends IllegalStateException(msg)
 
+  /** Publish one epoch under an exclusive, heartbeat-renewed writer lease.
+    * The lease covers the WHOLE publish — phase-1 epoch write included —
+    * so two writers can never interleave inside the same `_v=` directory,
+    * and the heartbeat keeps the lock fresh however long phase 1 runs
+    * (without it, a multi-minute epoch write would out-age the lease and
+    * invite takeover of a live writer). */
   def publish(df: DataFrame, basePath: String, version: Long, keep: Int = 3,
       lockLeaseMs: Long = DefaultLockLeaseMs): Unit = {
-    writeEpoch(df, basePath, version)
-    flipPointer(df.sparkSession, basePath, version, keep, lockLeaseMs)
+    val spark = df.sparkSession
+    val lease = acquireLease(spark, basePath, lockLeaseMs)
+    try {
+      writeEpoch(df, basePath, version)
+      lease.checkHeld() // fence before the commit point
+      flipPointerLocked(spark, basePath, version, keep)
+    } finally lease.close()
   }
 
   /** Cross-store publish with 2PC shape — the local stand-in for TiFlink's
@@ -60,10 +71,19 @@ object SnapshotStore {
   def publishAll(
       snapshots: Seq[(DataFrame, String)], version: Long, keep: Int = 3,
       lockLeaseMs: Long = DefaultLockLeaseMs): Unit = {
-    snapshots.foreach { case (df, base) => writeEpoch(df, base, version) }
-    snapshots.foreach { case (df, base) =>
-      flipPointer(df.sparkSession, base, version, keep, lockLeaseMs)
-    }
+    // all leases first (conflicts throw rather than block → no deadlock),
+    // so no store's epoch dir is touched unless every store is ours to write
+    val leases = scala.collection.mutable.ArrayBuffer.empty[WriterLease]
+    try {
+      snapshots.foreach { case (df, base) =>
+        leases += acquireLease(df.sparkSession, base, lockLeaseMs)
+      }
+      snapshots.foreach { case (df, base) => writeEpoch(df, base, version) }
+      leases.foreach(_.checkHeld())
+      snapshots.foreach { case (df, base) =>
+        flipPointerLocked(df.sparkSession, base, version, keep)
+      }
+    } finally leases.foreach(l => try l.close() catch { case _: Exception => () })
   }
 
   /** Phase 1: materialize the epoch directory; readers cannot see it until
