@@ -63,10 +63,17 @@ object Corpus {
               least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
                 .as("cluster_id")), reliable)
         // coalesce: sum over zero rows is NULL (empty pair graph)
-        changed = nextM.df.agg(
-          coalesce(sum(when(col("__old") =!= col("cluster_id"), 1L).otherwise(0L)),
-            lit(0L)))
-          .first().getLong(0)
+        changed =
+          try nextM.df.agg(
+            coalesce(sum(when(col("__old") =!= col("cluster_id"), 1L).otherwise(0L)),
+              lit(0L)))
+            .first().getLong(0)
+          catch { case e: Throwable =>
+            // count failed before nextM was swapped into labelsM — the
+            // finally below can't see it, so its spill must die here
+            try nextM.release() catch { case s: Throwable => e.addSuppressed(s) }
+            throw e
+          }
         labelsM.release() // the prior round feeds nothing anymore
         labelsM = nextM
         labels = nextM.df.drop("__old")

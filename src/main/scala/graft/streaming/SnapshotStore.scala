@@ -26,10 +26,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  * (coordinator/Transaction.java, grpc/GrpcService.java): a lock whose
  * mtime is older than `lockLeaseMs` belongs to a crashed writer and may be
  * taken over — no operator intervention — while a fresh lock still fails
- * the second writer loudly. The standard lease caveat applies: a LIVE
- * writer stalled past its lease can lose the lock mid-flip; size the lease
- * well above the pointer-flip time (default 10 min vs a flip that is two
- * metadata ops), exactly as a coordinator lease outlives its heartbeat.
+ * the second writer loudly. A LIVE writer keeps its lock fresh with a
+ * heartbeat thread that bumps the mtime at a third of the lease, so even a
+ * phase-1 epoch write far longer than the lease cannot make the holder look
+ * dead; the residual caveat is the standard one — a writer whose WHOLE
+ * PROCESS stalls longer than the lease (GC pause, suspended VM) can lose
+ * the lock, which the `checkHeld` fence converts into a loud abort before
+ * the commit point rather than an interleaved write.
  */
 object SnapshotStore {
 
@@ -41,6 +44,68 @@ object SnapshotStore {
   /** Thrown when a concurrent or stale writer is detected at publish time. */
   final class ConcurrentPublishException(msg: String)
     extends IllegalStateException(msg)
+
+  /** Exclusive writer lease over one store's `_LATEST.lock`. The lock file
+    * carries this writer's random token; a daemon heartbeat bumps the lock
+    * mtime at a third of the lease so a LIVE writer whose phase-1 epoch
+    * write outlasts `leaseMs` never looks expired to a takeover scan.
+    * `checkHeld()` re-reads the token — a lost or taken-over lock aborts the
+    * publish BEFORE the commit point instead of interleaving with the thief.
+    * `close()` deletes the lock only if the token is still ours (never
+    * deletes a successor writer's fresh lock). */
+  private final class WriterLease(
+      fs: org.apache.hadoop.fs.FileSystem, lock: Path, token: String,
+      leaseMs: Long) extends AutoCloseable {
+    @volatile private var closed = false
+    private val heartbeat = new Thread(() => {
+      val period = math.max(leaseMs / 3, 1000L)
+      var interrupted = false
+      while (!closed && !interrupted) {
+        try Thread.sleep(period)
+        catch { case _: InterruptedException => interrupted = true }
+        if (!closed && !interrupted) {
+          try fs.setTimes(lock, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () } // next beat retries
+        }
+      }
+    }, s"graft-lease-heartbeat-$lock")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
+
+    private def readToken(): Option[String] =
+      try {
+        val in = fs.open(lock)
+        try Some(scala.io.Source.fromInputStream(in).mkString.trim)
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
+
+    /** Fence: fail before the commit point if the lock is gone or stolen. */
+    def checkHeld(): Unit =
+      if (!readToken().contains(token))
+        throw new ConcurrentPublishException(
+          s"writer lease on $lock lost (lock missing or taken over by " +
+            "another writer); aborting before the pointer flip")
+
+    def close(): Unit = {
+      closed = true
+      heartbeat.interrupt()
+      try if (readToken().contains(token)) fs.delete(lock, false)
+      catch { case _: java.io.IOException => () } // corpse reclaimed via lease expiry
+    }
+  }
+
+  /** Take the store's exclusive writer lock (see [[acquireLock]] for the
+    * takeover protocol) and start its heartbeat. */
+  private def acquireLease(
+      spark: SparkSession, basePath: String, leaseMs: Long): WriterLease = {
+    val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new Path(basePath, s"$Latest.lock")
+    val token = java.util.UUID.randomUUID().toString
+    val out = acquireLock(fs, lock, leaseMs)
+    out.writeBytes(token)
+    out.close()
+    new WriterLease(fs, lock, token, leaseMs)
+  }
 
   /** Publish one epoch under an exclusive, heartbeat-renewed writer lease.
     * The lease covers the WHOLE publish — phase-1 epoch write included —
@@ -146,36 +211,29 @@ object SnapshotStore {
     }
   }
 
-  /** Phase 2: commit point — flip `_LATEST` under the exclusive lock. */
-  private def flipPointer(
-      spark: SparkSession, basePath: String, version: Long, keep: Int,
-      lockLeaseMs: Long): Unit = {
+  /** Phase 2: commit point — flip `_LATEST`. Caller MUST hold the store's
+    * [[WriterLease]] (and have fenced with `checkHeld()`). */
+  private def flipPointerLocked(
+      spark: SparkSession, basePath: String, version: Long, keep: Int): Unit = {
     val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lock = new Path(basePath, s"$Latest.lock")
-    val lockStream = acquireLock(fs, lock, lockLeaseMs)
-    try {
-      // monotone epochs: equal = crash-replay of this batch (idempotent,
-      // allowed); lower = a delayed stale writer that lost the race and
-      // must NOT regress the pointer
-      latestVersion(spark, basePath).foreach { cur =>
-        if (cur > version)
-          throw new ConcurrentPublishException(
-            s"stale publish of epoch $version: pointer already at $cur")
-      }
-      val tmp = new Path(basePath, s"$Latest.tmp")
-      val out = fs.create(tmp, true)
-      out.writeBytes(version.toString)
-      out.close()
-      fs.delete(new Path(basePath, Latest), false)
-      if (!fs.rename(tmp, new Path(basePath, Latest))) // flip = commit point
+    // monotone epochs: equal = crash-replay of this batch (idempotent,
+    // allowed); lower = a delayed stale writer that lost the race and
+    // must NOT regress the pointer
+    latestVersion(spark, basePath).foreach { cur =>
+      if (cur > version)
         throw new ConcurrentPublishException(
-          s"pointer flip to epoch $version failed; store left on prior epoch")
-      versions(spark, basePath).sorted.dropRight(keep)
-        .foreach(v => fs.delete(new Path(basePath, s"_v=$v"), true))
-    } finally {
-      lockStream.close()
-      fs.delete(lock, false)
+          s"stale publish of epoch $version: pointer already at $cur")
     }
+    val tmp = new Path(basePath, s"$Latest.tmp")
+    val out = fs.create(tmp, true)
+    out.writeBytes(version.toString)
+    out.close()
+    fs.delete(new Path(basePath, Latest), false)
+    if (!fs.rename(tmp, new Path(basePath, Latest))) // flip = commit point
+      throw new ConcurrentPublishException(
+        s"pointer flip to epoch $version failed; store left on prior epoch")
+    versions(spark, basePath).sorted.dropRight(keep)
+      .foreach(v => fs.delete(new Path(basePath, s"_v=$v"), true))
   }
 
   def latestVersion(spark: SparkSession, basePath: String): Option[Long] = {

@@ -186,6 +186,15 @@ object TwoPhaseTxn {
       resolvedRetention: java.time.Duration = java.time.Duration.ofMinutes(30)): Dataset[CommittedWrite] = {
     val spark = log.sparkSession
     import spark.implicits._
+    val delayMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(watermarkDelay))
+    require(delayMs.months == 0,
+      s"watermarkDelay '$watermarkDelay' must not use month/year units")
+    val delayTotalMs = delayMs.days * 86400000L + delayMs.microseconds / 1000L
+    require(resolvedRetention.toMillis >= delayTotalMs,
+      s"resolvedRetention (${resolvedRetention.toMillis}ms) must cover watermarkDelay " +
+        s"('$watermarkDelay' = ${delayTotalMs}ms): evicting resolved-txn dedup state " +
+        "inside the disorder window re-emits duplicates on late prewrites")
     log
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.txn_id)

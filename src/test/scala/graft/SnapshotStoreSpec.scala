@@ -151,6 +151,54 @@ class SnapshotStoreSpec extends SparkSpec {
       .select("s").as[String].head() === "b2")
   }
 
+  test("lease fence: a lock stolen during phase 1 aborts before the flip") {
+    val base = Files.createTempDirectory("snapf").toString + "/t"
+    SnapshotStore.publish(Seq((1L, "a")).toDF("id", "s"), base, 1L)
+    val lockFile = base + "/_LATEST.lock"
+    // Phase-1 frame whose evaluation replaces the lock with a thief's —
+    // simulating a takeover while this writer's whole process was stalled.
+    // local[*] executors share the JVM + filesystem, so this runs mid-write.
+    val steal = udf { (i: Long) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(lockFile),
+        "thief-token".getBytes)
+      i
+    }
+    intercept[SnapshotStore.ConcurrentPublishException] {
+      SnapshotStore.publish(spark.range(2).select(steal($"id").as("id")), base, 2L)
+    }
+    // the fence fired BEFORE the commit point: pointer untouched
+    assert(SnapshotStore.latestVersion(spark, base) === Some(1L))
+    // and close() must not delete a lock that is no longer ours
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(lockFile))) === "thief-token")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(lockFile))
+  }
+
+  test("heartbeat keeps a slow live writer's lock fresh against takeover") {
+    val base = Files.createTempDirectory("snaph").toString + "/t"
+    val slow = udf { (i: Long) => Thread.sleep(4000L); i }
+    @volatile var slowFailed: Option[Throwable] = None
+    val t = new Thread(null, () => {
+      try SnapshotStore.publish(
+        spark.range(2).repartition(2).select(slow($"id").as("id")),
+        base, 1L, lockLeaseMs = 2000L)
+      catch { case e: Throwable => slowFailed = Some(e) }
+    }, "slow-writer")
+    t.start()
+    Thread.sleep(3000L) // well past the nominal 2s lease
+    // Without the heartbeat the lock would look expired (age ≈ 3s > 2s) and
+    // this writer would take it over mid-phase-1; with it, the age stays
+    // under one beat period and the live lock wins the conflict.
+    val ex = intercept[SnapshotStore.ConcurrentPublishException] {
+      SnapshotStore.publish(Seq((9L, "x")).toDF("id", "s"), base, 2L,
+        lockLeaseMs = 2000L)
+    }
+    assert(ex.getMessage.contains("another writer holds"))
+    t.join()
+    assert(slowFailed.isEmpty, s"slow writer failed: $slowFailed")
+    assert(SnapshotStore.latestVersion(spark, base) === Some(1L))
+  }
+
   test("two racing writers: one winner per flip, never a torn read") {
     val base = Files.createTempDirectory("snapc").toString + "/t"
     val outcomes = (10L to 11L).map { v =>

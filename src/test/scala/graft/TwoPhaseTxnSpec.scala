@@ -121,6 +121,22 @@ class TwoPhaseTxnSpec extends SparkSpec {
     }
   }
 
+  test("resolvedRetention shorter than the disorder window is rejected") {
+    val input = MemoryStream[TxnLogRecord]
+    // dedup state evicted inside the watermark window would silently
+    // re-emit late duplicates — refuse the configuration up front
+    val ex = intercept[IllegalArgumentException] {
+      TwoPhaseTxn.applyLog(input.toDS(), watermarkDelay = "2 hours",
+        resolvedRetention = java.time.Duration.ofMinutes(30))
+    }
+    assert(ex.getMessage.contains("resolvedRetention"))
+    // the boundary case (retention == delay) and larger are both fine
+    TwoPhaseTxn.applyLog(input.toDS(), watermarkDelay = "30 minutes",
+      resolvedRetention = java.time.Duration.ofMinutes(30))
+    TwoPhaseTxn.applyLog(input.toDS(), watermarkDelay = "1 day 1 hour",
+      resolvedRetention = java.time.Duration.ofHours(26))
+  }
+
   test("at-least-once redelivery: each prewrite surfaces exactly once") {
     withRocksDb {
       val input = MemoryStream[TxnLogRecord]
