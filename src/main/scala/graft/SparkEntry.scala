@@ -91,6 +91,10 @@ object SparkEntry {
     "q71_pack_chunks" -> ((s, d) => Corpus.q71PackChunks(s, d)),
     "q72_tfidf" -> ((s, d) => TextAnalysis.q72Tfidf(s, d)),
     "q73_incremental_dedup" -> ((s, d) => Dedup.q73IncrementalDedup(s, d)),
+    "q74_bm25" -> ((s, d) => Corpus.q74Bm25(s, d)),
+    "q75_boilerplate" -> ((s, d) => Corpus.q75Boilerplate(s, d)),
+    "q76_source_overlap" -> ((s, d) => Corpus.q76SourceOverlap(s, d)),
+    "q77_length_trim" -> ((s, d) => Corpus.q77LengthTrim(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -568,5 +572,71 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY b.h ORDER BY b.doc_id) = 1 AS first_in_batch
         |      FROM b LEFT JOIN ex ON b.h = ex.h)
         |SELECT doc_id, h, is_new, (is_new AND first_in_batch) AS keep FROM r""".stripMargin,
+    // sqrt-idf BM25 variant: every op (+,-,*,/,sqrt) is IEEE-correctly-
+    // rounded and the expression trees match the Spark side shape-for-shape,
+    // so the doubles are bit-identical (see Corpus.q74Bm25 scaladoc)
+    "q74_bm25" ->
+      """WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |st AS (SELECT count(*) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+        |       WHERE word IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id, tf.word,
+        |        sqrt((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |             / (CAST(df AS DOUBLE) + 0.5))
+        |        * ((CAST(tf AS DOUBLE) * 2.2)
+        |           / (CAST(tf AS DOUBLE)
+        |              + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS tscore
+        |      FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN st),
+        |p AS (SELECT doc_id,
+        |        COALESCE(max(CASE WHEN word = 'spark' THEN tscore END), 0.0) AS s1,
+        |        COALESCE(max(CASE WHEN word = 'join' THEN tscore END), 0.0) AS s2,
+        |        COALESCE(max(CASE WHEN word = 'window' THEN tscore END), 0.0) AS s3
+        |      FROM s GROUP BY 1),
+        |r AS (SELECT doc_id, (s1 + s2) + s3 AS score FROM p),
+        |rk AS (SELECT doc_id, score, CAST(row_number() OVER
+        |         (ORDER BY score DESC, doc_id) AS BIGINT) AS rk FROM r)
+        |SELECT doc_id, score, rk FROM rk WHERE rk <= 20""".stripMargin,
+    // gram strings stand in for the kernel's 64-bit hashes (q43/q68
+    // injectivity precedent); distinct-gram counting on both sides
+    "q75_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i : i + 2], ' ') AS gram
+        |      FROM (SELECT doc_id, ws,
+        |              unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+        |            FROM w)),
+        |hot AS (SELECT gram FROM (SELECT gram, count(*) AS nd FROM g GROUP BY 1)
+        |        WHERE nd >= 5)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(hot.gram) AS BIGINT) AS n_boiler,
+        |  CAST(count(hot.gram) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS boiler_frac,
+        |  CAST(count(hot.gram) AS DOUBLE) / CAST(count(*) AS DOUBLE) > 0.05 AS drop_doc
+        |FROM g LEFT JOIN hot USING (gram)
+        |GROUP BY g.doc_id""".stripMargin,
+    "q76_source_overlap" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT source, array_to_string(ws[i : i + 2], ' ') AS gram
+        |      FROM (SELECT doc_id, source, ws,
+        |              unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+        |            FROM w)),
+        |sizes AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+        |shared AS (SELECT a.source AS source_a, b.source AS source_b,
+        |             CAST(count(*) AS BIGINT) AS n_shared
+        |           FROM g a JOIN g b USING (gram) WHERE a.source < b.source
+        |           GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared,
+        |  CAST(n_shared AS DOUBLE) / CAST(na.n + nb.n - n_shared AS DOUBLE) AS jaccard
+        |FROM shared
+        |JOIN sizes na ON na.source = source_a
+        |JOIN sizes nb ON nb.source = source_b""".stripMargin,
+    "q77_length_trim" ->
+      """WITH b AS (SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
+        |             quantile_cont(n_chars, 0.95) AS hi
+        |           FROM documents GROUP BY 1)
+        |SELECT doc_id, d.lang, n_chars, lo, hi
+        |FROM documents d JOIN b ON d.lang = b.lang
+        |WHERE CAST(n_chars AS DOUBLE) >= lo AND CAST(n_chars AS DOUBLE) <= hi""".stripMargin,
   )
 }

@@ -214,6 +214,158 @@ object Corpus {
       .withColumn("contaminated", col("n_shared") >= minShared)
   }
 
+  // ---------------------------------------------------------------- C27
+  /** BM25-scored keyword retrieval over the corpus — the lexical-search
+    * side of a data pipeline (mining task-relevant documents, building
+    * retrieval eval sets). Scoring follows the BM25 shape
+    * `idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))` with one deliberate
+    * deviation: `idf = sqrt((N−df+0.5)/(df+0.5))` instead of the usual
+    * `ln` — sqrt is IEEE-correctly-rounded in every engine while `ln`
+    * implementations differ by ulps, so this variant is bit-exact against
+    * the DuckDB oracle (the q72 TF-IDF precedent). Both are monotone in the
+    * same argument, so per-term ordering is the same. Per-term scores are
+    * summed in FIXED term order (conditional-max pivot), keeping the
+    * floating-point sum deterministic across engines and partitionings.
+    *
+    * Scale: term postings (`tf`) shrink to docs containing a query term —
+    * the word filter applies before the groupBy, so the shuffle carries
+    * only matching (doc, term) pairs; `df` (|terms| rows) and the corpus
+    * stats (1 row) broadcast. Top-k is a single TakeOrdered. The corpus
+    * stats pass re-scans `text` only because the synthetic table has no
+    * token-count column; a real pipeline reads dl from metadata. */
+  def q74Bm25(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "join", "window"),
+      k: Int = 20): DataFrame = {
+    require(terms.nonEmpty)
+    val docs = Tables.documents(spark, dir)
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ", -1)).cast("long").as("dl"))
+    // exact-integer sum / count, NOT avg(): both engines then divide the
+    // same two exactly-represented doubles — bit-identical avgdl
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+      .filter(col("word").isin(terms: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        sqrt((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5))))
+      .withColumn("tfn",
+        (col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double")
+            + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+      .withColumn("tscore", col("idf") * col("tfn"))
+    val termCols = terms.map(t =>
+      coalesce(max(when(col("word") === t, col("tscore"))), lit(0.0)).as(s"__$t"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(termCols.head, termCols.tail: _*)
+    val score = terms.map(t => col(s"__$t")).reduceLeft(_ + _) // fixed order
+    // TakeOrderedAndProject first (per-partition tops, no global sort), THEN
+    // number the k survivors — the rank window only ever sees k rows
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    perDoc.withColumn("score", score)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rk", row_number().over(w).cast("long"))
+  }
+
+  // ---------------------------------------------------------------- C28
+  /** Boilerplate detection — a two-pass corpus-global quality filter (the
+    * CCNet/C4 "repeated across many pages" heuristic): pass 1 finds word
+    * 3-grams present in ≥ `minDocs` DISTINCT documents ("hot" grams); pass
+    * 2 scores each document by the fraction of its distinct grams that are
+    * hot and flags it when the fraction exceeds `maxFrac`. Distinct-gram
+    * (not token) counting makes both passes insensitive to within-doc
+    * repetition, which C18 (q64) already measures.
+    *
+    * Scale: grams travel as the kernel's sorted-distinct 64-bit hashes
+    * (16 B/row, no string shuffle); the hot set is ONE aggregated pass over
+    * those pairs, and scoring is a left join + partial-aggregated groupBy.
+    * The hot set is small by construction (boilerplate is the tail that
+    * repeats) but is NOT broadcast — at 100 TB a hash-join on gram hash
+    * keeps the plan shape; the oracle equality rests on the same 64-bit
+    * injectivity assumption q43/q68 validate. */
+  def q75Boilerplate(spark: SparkSession, dir: String,
+      minDocs: Int = 5, maxFrac: Double = 0.05): DataFrame = {
+    import graft.functions.TextHashFunctions
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextHashFunctions.wordShingleHashes(col("text"), 3)).as("h"))
+    val hot = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd")) // kernel output is distinct per doc
+      .filter(col("nd") >= minDocs)
+      .select(col("h"), lit(1L).as("__hot"))
+    grams.join(hot, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hot"), lit(0L))).as("n_boiler"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") / col("n_grams").cast("double"))
+      .withColumn("drop_doc", col("boiler_frac") > lit(maxFrac))
+  }
+
+  // ---------------------------------------------------------------- C29
+  /** Source-overlap matrix — pairwise Jaccard similarity between SOURCES
+    * over their distinct word-3-gram vocabularies. The corpus-mixing
+    * diagnostic run before weighting sources: near-identical crawls show up
+    * as high-Jaccard pairs (candidates to merge or down-weight), disjoint
+    * ones as ~0. Exact doc-hash overlap is useless here (dedup already
+    * removed identical texts — zero cross-source pairs in this corpus), so
+    * the vocabulary view is the informative one.
+    *
+    * Scale: |sources| is small, so the matrix is tiny; the work is the
+    * distinct (source, gram-hash) projection — one shuffle of 16 B pairs —
+    * and a self-join on gram hash whose per-gram fan-out is bounded by
+    * |sources|² regardless of corpus size. Jaccard divides two exact
+    * integers → deterministic doubles. */
+  def q76SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHashFunctions
+    val sg = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(TextHashFunctions.wordShingleHashes(col("text"), 3)).as("h"))
+      .distinct()
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = sg.as("a").join(sg.as("b"), Seq("h"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("__na"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("__nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        (col("n_shared").cast("double")
+          / (col("__na") + col("__nb") - col("n_shared")).cast("double")).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- C30
+  /** Length-outlier trim — keep documents whose length sits inside the
+    * per-language [p5, p95] band (exact percentiles). The standard "drop
+    * truncated fragments and concatenation blobs" cleanup, made per-language
+    * because length distributions differ by language. Returns the kept rows
+    * with the band that admitted them.
+    *
+    * Scale: the percentile pass groups by language (a handful of groups —
+    * exact percentile state is per-GROUP, not per-row, so it holds at any
+    * corpus size; for high-cardinality strata swap in
+    * [[Relational.approxPercentiles]]'s sketch) and broadcasts ~5 rows back
+    * for a map-side band filter. */
+  def q77LengthTrim(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bands = docs.groupBy(col("lang")).agg(
+      expr("percentile(n_chars, 0.05)").as("lo"),
+      expr("percentile(n_chars, 0.95)").as("hi"))
+    docs.join(broadcast(bands), Seq("lang"))
+      .filter(col("n_chars").cast("double") >= col("lo")
+        && col("n_chars").cast("double") <= col("hi"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("lo"), col("hi"))
+  }
+
   // ---------------------------------------------------------------- C15
   /** Per-source quota curation (training-mix balancing): rank documents
     * within each source by quality score (the q48 formula) and keep the

@@ -160,6 +160,106 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("bm25: scores match an independent driver-side computation") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val terms = Seq("spark", "join", "window")
+    val words = docs.map { case (id, t) => id -> t.split(" ", -1) }
+    val n = docs.length.toDouble
+    val avgdl = words.map(_._2.length.toLong).sum.toDouble / n
+    val tf = words.flatMap { case (id, ws) =>
+      terms.map(t => (id, t, ws.count(_ == t).toLong)).filter(_._3 > 0)
+    }
+    val df = tf.groupBy(_._2).map { case (t, xs) => t -> xs.length.toDouble }
+    val expected = tf.groupBy(_._1).map { case (id, xs) =>
+      val perTerm = xs.map { case (_, t, f) =>
+        val idf = math.sqrt((n - df(t) + 0.5) / (df(t) + 0.5))
+        val dl = words.find(_._1 == id).get._2.length.toDouble
+        t -> idf * ((f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+      }.toMap
+      id -> terms.map(t => perTerm.getOrElse(t, 0.0)).reduceLeft(_ + _)
+    }
+    val top = expected.toSeq.sortBy { case (id, s) => (-s, id) }.take(20)
+    val got = Corpus.q74Bm25(spark, sf)
+      .select($"doc_id", $"score", $"rk").as[(Long, Double, Long)]
+      .collect().sortBy(_._3)
+    assert(got.map(_._1).toSeq === top.map(_._1))
+    got.zip(top).foreach { case ((_, s, _), (_, e)) =>
+      assert(math.abs(s - e) < 1e-12, s"score $s vs expected $e")
+    }
+    assert(got.map(_._3).toSeq === (1L to 20L))
+  }
+
+  test("boilerplate: fractions match independent string-gram counting") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def grams(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 3) Set(t)
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val byDoc = docs.map { case (id, t) => id -> grams(t) }
+    val docFreq = byDoc.flatMap(_._2).groupBy(identity).map { case (g, xs) => g -> xs.length }
+    val hot = docFreq.filter(_._2 >= 5).keySet
+    val expected = byDoc.map { case (id, gs) =>
+      id -> ((gs.size.toLong, gs.count(hot).toLong))
+    }.toMap
+    val got = Corpus.q75Boilerplate(spark, sf)
+      .select($"doc_id", $"n_grams", $"n_boiler", $"boiler_frac", $"drop_doc")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(got.length === expected.size)
+    got.foreach { case (id, ng, nb, frac, drop) =>
+      assert((ng, nb) === expected(id), s"doc $id")
+      assert(frac === nb.toDouble / ng.toDouble)
+      assert(drop === (frac > 0.05))
+    }
+  }
+
+  test("source overlap: jaccard equals driver-side set arithmetic") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+    def grams(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 3) Set(t)
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val bySource = docs.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(x => grams(x._2)).reduce(_ ++ _)
+    }
+    val got = Corpus.q76SourceOverlap(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    got.foreach { case (a, b, shared, j) =>
+      assert(a < b)
+      val inter = (bySource(a) & bySource(b)).size.toLong
+      assert(shared === inter, s"pair ($a,$b)")
+      assert(j === inter.toDouble / (bySource(a).size + bySource(b).size - inter).toDouble)
+    }
+    // every source pair that shares at least one gram is present
+    val expectedPairs = bySource.keys.toSeq.sorted.combinations(2)
+      .filter { case Seq(a, b) => (bySource(a) & bySource(b)).nonEmpty }.size
+    assert(got.length === expectedPairs)
+  }
+
+  test("length trim: kept rows sit inside the per-lang band, outliers out") {
+    val all = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"n_chars").as[(Long, String, Long)].collect()
+    val kept = Corpus.q77LengthTrim(spark, sf)
+      .select($"doc_id", $"lang", $"n_chars", $"lo", $"hi")
+      .as[(Long, String, Long, Double, Double)].collect()
+    val bands = kept.map(r => r._2 -> ((r._4, r._5))).toMap
+    kept.foreach { case (_, _, nc, lo, hi) =>
+      assert(nc.toDouble >= lo && nc.toDouble <= hi)
+    }
+    // the complement is exactly the out-of-band set (for langs with a band)
+    val keptIds = kept.map(_._1).toSet
+    all.filter(r => bands.contains(r._2)).foreach { case (id, lang, nc) =>
+      val (lo, hi) = bands(lang)
+      assert(keptIds.contains(id) === (nc.toDouble >= lo && nc.toDouble <= hi))
+    }
+    // a p5..p95 band keeps roughly 90% of each language
+    assert(kept.length.toDouble / all.length.toDouble > 0.8)
+  }
+
   test("source quota keeps exactly the per-source top by quality") {
     val quota = 5
     val got = Corpus.q61SourceQuota(spark, sf, quota)
