@@ -95,6 +95,8 @@ object SparkEntry {
     "q75_boilerplate" -> ((s, d) => Corpus.q75Boilerplate(s, d)),
     "q76_source_overlap" -> ((s, d) => Corpus.q76SourceOverlap(s, d)),
     "q77_length_trim" -> ((s, d) => Corpus.q77LengthTrim(s, d)),
+    "q78_substring_decontam" -> ((s, d) => Corpus.q78SubstringDecontam(s, d)),
+    "q79_corpus_stats" -> ((s, d) => Corpus.q79CorpusStats(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -638,5 +640,25 @@ object SparkEntry {
         |SELECT doc_id, d.lang, n_chars, lo, hi
         |FROM documents d JOIN b ON d.lang = b.lang
         |WHERE CAST(n_chars AS DOUBLE) >= lo AND CAST(n_chars AS DOUBLE) <= hi""".stripMargin,
+    // char-gram strings vs the kernel's hashes — q43/q68 injectivity
+    // precedent; substring(i, 20) for i ≤ max(len-19, 1) clamps short texts
+    // to one whole-text gram, matching charNgramHashes
+    "q78_substring_decontam" ->
+      """WITH g AS (SELECT DISTINCT doc_id, substring(text, i, 20) AS gr
+        |      FROM (SELECT doc_id, text,
+        |              unnest(generate_series(1, greatest(length(text) - 19, 1))) AS i
+        |            FROM documents)),
+        |bench AS (SELECT DISTINCT gr FROM g WHERE doc_id % 41 = 0)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared,
+        |  count(*) >= 2 AS contaminated
+        |FROM g t JOIN bench USING (gr)
+        |WHERE t.doc_id % 41 <> 0
+        |GROUP BY t.doc_id""".stripMargin,
+    "q79_corpus_stats" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+        |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
   )
 }

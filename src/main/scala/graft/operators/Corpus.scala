@@ -366,6 +366,53 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("n_chars"), col("lo"), col("hi"))
   }
 
+  // ---------------------------------------------------------------- C31
+  /** Char-level substring decontamination — the exact-substring complement
+    * of C21's word-gram containment check: flag training documents sharing
+    * ≥ `minShared` distinct char `n`-grams (byte spans, not word-aligned)
+    * with any held-out document. Catches contamination word-shingling
+    * misses: punctuation/whitespace variants, mid-word truncations, and
+    * answers embedded inside longer spans.
+    *
+    * Scale: identical inverted-index shape to q68 — per-doc sorted-distinct
+    * 64-bit gram hashes from the single-pass kernel (no substring strings
+    * ever shuffle), joined against the DISTINCT benchmark gram set. The
+    * oracle compares string grams; equality rests on the same observed-gram
+    * injectivity as q43/q68. */
+  def q78SubstringDecontam(spark: SparkSession, dir: String,
+      benchMod: Int = 41, n: Int = 20, minShared: Int = 2): DataFrame = {
+    import graft.functions.TextHashFunctions
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextHashFunctions.charNgramHashes(col("text"), n)).as("h"))
+    val bench = grams.filter(col("doc_id") % benchMod === 0)
+      .select(col("h")).distinct()
+    grams.filter(col("doc_id") % benchMod =!= 0)
+      .join(bench, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+  }
+
+  // ---------------------------------------------------------------- C32
+  /** Corpus composition report — doc/char/token totals and mean length by
+    * (source, language) with ROLLUP subtotals: the mixing dashboard a
+    * curation run publishes next to its output. Exact integer sums; the
+    * mean divides two exactly-represented doubles (deterministic
+    * cross-engine, the q74 avgdl convention).
+    *
+    * Scale: one partial-aggregated pass — ROLLUP expands map-side, so the
+    * shuffle carries (source, lang) + (source,) + () partials, all
+    * low-cardinality. Token counts ride the same scan (no second pass). */
+  def q79CorpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(size(split(col("text"), " ", -1)).cast("long")).as("sum_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_chars"))
+
   // ---------------------------------------------------------------- C15
   /** Per-source quota curation (training-mix balancing): rank documents
     * within each source by quality score (the q48 formula) and keep the

@@ -260,6 +260,41 @@ class CorpusSpec extends SparkSpec {
     assert(kept.length.toDouble / all.length.toDouble > 0.8)
   }
 
+  test("substring decontam matches independent char-gram set arithmetic") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def grams(t: String): Set[String] =
+      if (t.length < 20) Set(t)
+      else (0 to t.length - 20).map(i => t.substring(i, i + 20)).toSet
+    val bench = docs.filter(_._1 % 41 == 0).flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(_._1 % 41 != 0)
+      .map { case (id, t) => id -> grams(t).count(bench).toLong }
+      .filter(_._2 > 0).toMap
+    val got = Corpus.q78SubstringDecontam(spark, sf)
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap === expected)
+    got.foreach { case (_, ns, c) => assert(c === (ns >= 2)) }
+    assert(got.nonEmpty)
+  }
+
+  test("corpus stats rollup: subtotals sum their group rows exactly") {
+    val rows = Corpus.q79CorpusStats(spark, sf)
+      .as[(Option[String], Option[String], Long, Long, Long, Double)].collect()
+    val leaves = rows.filter(r => r._1.isDefined && r._2.isDefined)
+    val bySource = rows.filter(r => r._1.isDefined && r._2.isEmpty)
+    val total = rows.filter(r => r._1.isEmpty && r._2.isEmpty)
+    assert(total.length === 1)
+    bySource.foreach { s =>
+      val mine = leaves.filter(_._1 == s._1)
+      assert(s._3 === mine.map(_._3).sum)
+      assert(s._4 === mine.map(_._4).sum)
+      assert(s._5 === mine.map(_._5).sum)
+      assert(s._6 === s._4.toDouble / s._3.toDouble)
+    }
+    assert(total.head._3 === leaves.map(_._3).sum)
+    assert(total.head._5 === leaves.map(_._5).sum)
+  }
+
   test("source quota keeps exactly the per-source top by quality") {
     val quota = 5
     val got = Corpus.q61SourceQuota(spark, sf, quota)
