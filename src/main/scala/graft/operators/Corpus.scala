@@ -204,7 +204,15 @@ object Corpus {
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(TextHashFunctions.wordShingleHashes(col("text"), 3)).as("h"))
-    // kernel output is sorted-distinct per doc → no per-side dedup needed
+    decontaminate(grams, benchMod, minShared)
+  }
+
+  /** Shared inverted-index decontamination core for q68/q78: `grams` must
+    * be (doc_id, h) with per-doc-distinct gram hashes (the kernels emit
+    * sorted-distinct, so no per-side dedup is needed); docs with
+    * doc_id % benchMod == 0 form the held-out set. */
+  private def decontaminate(grams: DataFrame, benchMod: Int,
+      minShared: Int): DataFrame = {
     val bench = grams.filter(col("doc_id") % benchMod === 0)
       .select(col("h")).distinct()
     grams.filter(col("doc_id") % benchMod =!= 0)
@@ -261,11 +269,14 @@ object Corpus {
           / (col("tf").cast("double")
             + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
       .withColumn("tscore", col("idf") * col("tfn"))
-    val termCols = terms.map(t =>
-      coalesce(max(when(col("word") === t, col("tscore"))), lit(0.0)).as(s"__$t"))
+    // pivot on term INDEX, not the raw string: a term containing '.' or
+    // backticks would break col() resolution, and duplicates would collide
+    val termCols = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(max(when(col("word") === t, col("tscore"))), lit(0.0)).as(s"__t$i")
+    }
     val perDoc = scored.groupBy(col("doc_id"))
       .agg(termCols.head, termCols.tail: _*)
-    val score = terms.map(t => col(s"__$t")).reduceLeft(_ + _) // fixed order
+    val score = terms.indices.map(i => col(s"__t$i")).reduceLeft(_ + _) // fixed order
     // TakeOrderedAndProject first (per-partition tops, no global sort), THEN
     // number the k survivors — the rank window only ever sees k rows
     val w = Window.orderBy(col("score").desc, col("doc_id").asc)
@@ -385,13 +396,7 @@ object Corpus {
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(TextHashFunctions.charNgramHashes(col("text"), n)).as("h"))
-    val bench = grams.filter(col("doc_id") % benchMod === 0)
-      .select(col("h")).distinct()
-    grams.filter(col("doc_id") % benchMod =!= 0)
-      .join(bench, Seq("h"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared"))
-      .withColumn("contaminated", col("n_shared") >= minShared)
+    decontaminate(grams, benchMod, minShared)
   }
 
   // ---------------------------------------------------------------- C32

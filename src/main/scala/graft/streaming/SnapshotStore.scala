@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.util.control.NonFatal
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
@@ -12,33 +14,41 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  *   target/_v=<batchId>/...parquet      immutable snapshot per epoch
  *   target/_LATEST                      readable pointer, updated last
  *
- * Writers publish a fully-formed snapshot and flip the pointer as the final
- * step; readers resolve the pointer once and then read an immutable
- * directory — a long-running query never sees a half-written epoch, and
- * time-travel (`readSnapshot(path, v)`) falls out for free. Old epochs are
- * pruned behind a retention window, the same role TiKV GC plays.
+ * Writers prepare a fully-formed snapshot in a per-attempt STAGING
+ * directory, atomically rename it to its `_v=` name, and flip the pointer
+ * as the final step; readers resolve the pointer once and then read an
+ * immutable directory — a long-running query never sees a half-written
+ * epoch, and time-travel (`readSnapshot(path, v)`) falls out for free. Old
+ * epochs are pruned behind a retention window, the same role TiKV GC plays.
  *
- * Single-writer-at-a-time is ENFORCED, not assumed: the pointer flip runs
- * under an exclusive `_LATEST.lock` (atomic create-if-absent) and rejects
- * non-monotone epochs, so a second writer or a delayed stale publish fails
- * loudly instead of silently regressing the pointer. The lock is LEASED,
- * the local stand-in for TiFlink's expiring coordinator timestamps
- * (coordinator/Transaction.java, grpc/GrpcService.java): a lock whose
- * mtime is older than `lockLeaseMs` belongs to a crashed writer and may be
- * taken over — no operator intervention — while a fresh lock still fails
- * the second writer loudly. A LIVE writer keeps its lock fresh with a
- * heartbeat thread that bumps the mtime at a third of the lease, so even a
- * phase-1 epoch write far longer than the lease cannot make the holder look
- * dead; the residual caveat is the standard one — a writer whose WHOLE
- * PROCESS stalls longer than the lease (GC pause, suspended VM) can lose
- * the lock, which the `checkHeld` fence converts into a loud abort before
- * the commit point rather than an interleaved write.
+ * Single-writer-at-a-time is ENFORCED, not assumed: the publish runs under
+ * an exclusive `_LATEST.lock` (atomic create-if-absent, carrying the
+ * writer's random token) and rejects non-monotone epochs, so a second
+ * writer or a delayed stale publish fails loudly instead of silently
+ * regressing the pointer. The lock is LEASED, the local stand-in for
+ * TiFlink's expiring coordinator timestamps (coordinator/Transaction.java,
+ * grpc/GrpcService.java): a lock with no liveness signal for `lockLeaseMs`
+ * belongs to a crashed writer and may be taken over — no operator
+ * intervention — while a live lock still fails the second writer loudly.
+ * Liveness is a HEARTBEAT file (`_LATEST.lock.hb-<token>`) the holder
+ * re-creates at a quarter of the lease: mutating a separate token-named
+ * file is atomic-safe on any filesystem (object stores ignore
+ * `setTimes`, and rewriting the mutex itself could clobber a successor's
+ * lock), and a stalled-then-resumed writer can never freshen a lock a
+ * successor now owns. A writer whose WHOLE PROCESS stalls past the lease
+ * (GC pause, suspended VM) can still lose the lock; the token fence
+ * (`checkHeld`) re-checked immediately before BOTH commit points (epoch
+ * rename, pointer flip) converts that into a loud abort, and because
+ * phase 1 only ever writes to the attempt's own staging directory, a
+ * resumed loser's in-flight tasks can never add part-files to a published
+ * `_v=` directory — epochs change only by whole-directory atomic rename.
  */
 object SnapshotStore {
 
   private val Latest = "_LATEST"
+  private val StagingPrefix = "_staging_v="
 
-  /** Default lock lease: generous vs the two-metadata-op flip it guards. */
+  /** Default lock lease: generous vs the metadata-op commit it guards. */
   val DefaultLockLeaseMs: Long = 10 * 60 * 1000L
 
   /** Thrown when a concurrent or stale writer is detected at publish time. */
@@ -46,26 +56,28 @@ object SnapshotStore {
     extends IllegalStateException(msg)
 
   /** Exclusive writer lease over one store's `_LATEST.lock`. The lock file
-    * carries this writer's random token; a daemon heartbeat bumps the lock
-    * mtime at a third of the lease so a LIVE writer whose phase-1 epoch
-    * write outlasts `leaseMs` never looks expired to a takeover scan.
-    * `checkHeld()` re-reads the token — a lost or taken-over lock aborts the
-    * publish BEFORE the commit point instead of interleaving with the thief.
-    * `close()` deletes the lock only if the token is still ours (never
-    * deletes a successor writer's fresh lock). */
+    * carries this writer's random token; a daemon heartbeat re-creates the
+    * token-named `.hb-<token>` sibling at a quarter of the lease so a live
+    * writer never looks expired to [[acquireLock]]'s takeover scan however
+    * long phase 1 runs. `checkHeld()` re-reads the token — a lost or
+    * taken-over lock aborts the publish BEFORE a commit point instead of
+    * racing the thief. `close()` removes the heartbeat (ours by name) and
+    * deletes the lock only if the token is still ours (never deletes a
+    * successor writer's fresh lock). */
   private final class WriterLease(
-      fs: org.apache.hadoop.fs.FileSystem, lock: Path, token: String,
+      fs: org.apache.hadoop.fs.FileSystem, lock: Path, val token: String,
       leaseMs: Long) extends AutoCloseable {
+    private val hb = heartbeatPath(lock, token)
     @volatile private var closed = false
     private val heartbeat = new Thread(() => {
-      val period = math.max(leaseMs / 3, 1000L)
+      val period = math.max(leaseMs / 4, 250L)
       var interrupted = false
       while (!closed && !interrupted) {
         try Thread.sleep(period)
         catch { case _: InterruptedException => interrupted = true }
         if (!closed && !interrupted) {
-          try fs.setTimes(lock, System.currentTimeMillis(), -1)
-          catch { case _: java.io.IOException => () } // next beat retries
+          try { val out = fs.create(hb, true); out.writeBytes(token); out.close() }
+          catch { case NonFatal(_) => () } // next beat retries
         }
       }
     }, s"graft-lease-heartbeat-$lock")
@@ -77,49 +89,60 @@ object SnapshotStore {
         val in = fs.open(lock)
         try Some(scala.io.Source.fromInputStream(in).mkString.trim)
         finally in.close()
-      } catch { case _: java.io.IOException => None }
+      } catch { case NonFatal(_) => None }
 
-    /** Fence: fail before the commit point if the lock is gone or stolen. */
+    /** Fence: fail before a commit point if the lock is gone or stolen. */
     def checkHeld(): Unit =
       if (!readToken().contains(token))
         throw new ConcurrentPublishException(
           s"writer lease on $lock lost (lock missing or taken over by " +
-            "another writer); aborting before the pointer flip")
+            "another writer); aborting before the commit point")
 
     def close(): Unit = {
       closed = true
       heartbeat.interrupt()
+      try fs.delete(hb, false) catch { case NonFatal(_) => () }
       try if (readToken().contains(token)) fs.delete(lock, false)
-      catch { case _: java.io.IOException => () } // corpse reclaimed via lease expiry
+      catch { case NonFatal(_) => () } // corpse reclaimed via lease expiry
     }
   }
 
+  private def heartbeatPath(lock: Path, token: String): Path =
+    new Path(lock.getParent, s"${lock.getName}.hb-$token")
+
   /** Take the store's exclusive writer lock (see [[acquireLock]] for the
-    * takeover protocol) and start its heartbeat. */
+    * takeover protocol), stamp it with this writer's token, and start the
+    * heartbeat. */
   private def acquireLease(
       spark: SparkSession, basePath: String, leaseMs: Long): WriterLease = {
+    require(leaseMs >= 1000L,
+      s"lockLeaseMs=$leaseMs is below the heartbeat cadence floor (1s): " +
+        "a live writer's lock would look expired between beats")
     val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = new Path(basePath, s"$Latest.lock")
     val token = java.util.UUID.randomUUID().toString
     val out = acquireLock(fs, lock, leaseMs)
-    out.writeBytes(token)
-    out.close()
+    try { out.writeBytes(token); out.close() }
+    catch { case NonFatal(e) =>
+      // a token-less lock would wedge the store for a full lease — undo
+      try out.close() catch { case NonFatal(_) => () }
+      try fs.delete(lock, false) catch { case NonFatal(_) => () }
+      throw e
+    }
     new WriterLease(fs, lock, token, leaseMs)
   }
 
-  /** Publish one epoch under an exclusive, heartbeat-renewed writer lease.
-    * The lease covers the WHOLE publish — phase-1 epoch write included —
-    * so two writers can never interleave inside the same `_v=` directory,
-    * and the heartbeat keeps the lock fresh however long phase 1 runs
-    * (without it, a multi-minute epoch write would out-age the lease and
-    * invite takeover of a live writer). */
+  /** Publish one epoch under an exclusive writer lease: stage, fence,
+    * atomic-rename, fence, pointer-flip. The lease covers the WHOLE
+    * publish; see the object doc for the takeover/fence guarantees. */
   def publish(df: DataFrame, basePath: String, version: Long, keep: Int = 3,
       lockLeaseMs: Long = DefaultLockLeaseMs): Unit = {
     val spark = df.sparkSession
     val lease = acquireLease(spark, basePath, lockLeaseMs)
     try {
-      writeEpoch(df, basePath, version)
-      lease.checkHeld() // fence before the commit point
+      val staging = writeEpoch(df, basePath, version, lease.token)
+      staging.foreach(s => commitEpoch(spark, basePath, version, s, lease))
+      lease.checkHeld() // fence before the pointer flip
       flipPointerLocked(spark, basePath, version, keep)
     } finally lease.close()
   }
@@ -127,91 +150,83 @@ object SnapshotStore {
   /** Cross-store publish with 2PC shape — the local stand-in for TiFlink's
     * coordinated transactions (coordinator/Transaction.java: prewrite all
     * keys, then commit at one timestamp). Phase 1 PREPARES every store by
-    * writing its immutable epoch directory (no pointer moves — a failure
-    * here publishes nothing anywhere). Phase 2 COMMITS by flipping each
-    * pointer under its exclusive lock. A crash mid-phase-2 can leave a
-    * prefix of stores flipped — the window a real coordinator closes with
-    * its commit record; readers of each store still only ever see complete
-    * epochs. */
+    * staging its immutable epoch directory (no `_v=` dirs or pointers move —
+    * a failure here publishes nothing anywhere). Phase 2 COMMITS by renaming
+    * each staging into place and flipping each pointer under its lease. A
+    * crash mid-phase-2 can leave a prefix of stores flipped — the window a
+    * real coordinator closes with its commit record; readers of each store
+    * still only ever see complete epochs. */
   def publishAll(
       snapshots: Seq[(DataFrame, String)], version: Long, keep: Int = 3,
       lockLeaseMs: Long = DefaultLockLeaseMs): Unit = {
     // all leases first (conflicts throw rather than block → no deadlock),
-    // so no store's epoch dir is touched unless every store is ours to write
+    // so no store's staging is written unless every store is ours to write
     val leases = scala.collection.mutable.ArrayBuffer.empty[WriterLease]
     try {
       snapshots.foreach { case (df, base) =>
         leases += acquireLease(df.sparkSession, base, lockLeaseMs)
       }
-      snapshots.foreach { case (df, base) => writeEpoch(df, base, version) }
-      leases.foreach(_.checkHeld())
-      snapshots.foreach { case (df, base) =>
-        flipPointerLocked(df.sparkSession, base, version, keep)
+      val staged = snapshots.zip(leases).map { case ((df, base), lease) =>
+        (df.sparkSession, base, writeEpoch(df, base, version, lease.token), lease)
       }
-    } finally leases.foreach(l => try l.close() catch { case _: Exception => () })
+      staged.foreach { case (spark, base, staging, lease) =>
+        staging.foreach(s => commitEpoch(spark, base, version, s, lease))
+      }
+      staged.foreach { case (spark, base, _, lease) =>
+        lease.checkHeld()
+        flipPointerLocked(spark, base, version, keep)
+      }
+    } finally leases.foreach(l => try l.close() catch { case NonFatal(_) => () })
   }
 
-  /** Phase 1: materialize the epoch directory; readers cannot see it until
-    * the pointer flips. Committed epochs are IMMUTABLE: a replay of an
-    * already-committed version is a no-op (exactly-once replays carry the
-    * same content, and rewriting would yank files out from under pinned
-    * readers), and a version older than the pointer is rejected here,
-    * before it can clobber a retained time-travel epoch. Only an
-    * uncommitted leftover from a crashed prepare is ever overwritten. */
-  private def writeEpoch(df: DataFrame, basePath: String, version: Long): Unit = {
+  /** Phase 1: materialize the epoch into this attempt's own staging
+    * directory — readers cannot see it, and no other attempt (even a
+    * stalled-then-resumed one) ever writes here. Committed epochs are
+    * IMMUTABLE: a replay of an already-committed version stages nothing
+    * (returns None — exactly-once replays carry the same content, and
+    * rewriting would yank files out from under pinned readers), and a
+    * version older than the pointer is rejected before any write. */
+  private def writeEpoch(df: DataFrame, basePath: String, version: Long,
+      token: String): Option[Path] = {
     val spark = df.sparkSession
     val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = latestVersion(spark, basePath)
+    if (cur.exists(_ > version))
+      throw new ConcurrentPublishException(
+        s"stale publish of epoch $version: pointer already at $cur")
+    if (cur.contains(version)) None // committed epoch is immutable; replay no-op
+    else {
+      val staging = new Path(basePath, s"$StagingPrefix$version-$token")
+      fs.delete(staging, true)
+      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      Some(staging)
+    }
+  }
+
+  /** First commit point: atomically rename the staged epoch to its `_v=`
+    * name, re-fencing immediately before the rename. An existing `_v=` dir
+    * is either the committed epoch of a replay/competitor (pointer already
+    * at `version` — keep it, drop our staging) or unrenamed debris of a
+    * pre-fence loser (pointer below `version` — replace it wholesale; the
+    * swap is directory-atomic, so readers never see mixed part-files). */
+  private def commitEpoch(spark: SparkSession, basePath: String, version: Long,
+      staging: Path, lease: WriterLease): Unit = {
+    val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vdir = new Path(basePath, s"_v=$version")
-    latestVersion(spark, basePath).foreach { cur =>
-      if (cur > version)
-        throw new ConcurrentPublishException(
-          s"stale publish of epoch $version: pointer already at $cur")
-      if (cur == version) return // committed epoch is immutable; replay no-op
-    }
-    fs.delete(vdir, true) // an uncommitted crash leftover — unreadable, safe
-    df.write.mode(SaveMode.Overwrite).parquet(vdir.toString)
-  }
-
-  /** Acquire `lock` by atomic create-if-absent. A held lock is a conflict
-    * UNLESS its mtime is older than `leaseMs`: the holder crashed between
-    * create and its finally-delete, so the corpse must be broken. Breaking
-    * is ATOMIC via rename-to-unique-name — of N racing waiters exactly one
-    * rename succeeds (the source exists only once), so no waiter can delete
-    * a lock a sibling just legitimately re-created; the rename winner
-    * removes the corpse and retries the create (a brand-new writer may
-    * still beat it there — that is an ordinary conflict, not a race bug). */
-  private def acquireLock(fs: org.apache.hadoop.fs.FileSystem, lock: Path,
-      leaseMs: Long): org.apache.hadoop.fs.FSDataOutputStream = {
-    var lastCreateFailure: String = "n/a"
-    def tryCreate() =
-      try Some(fs.create(lock, false)) // atomic create-if-absent = the mutex
-      catch { case e: java.io.IOException => lastCreateFailure = e.toString; None }
-    tryCreate().getOrElse {
-      val age =
-        try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
-        catch { case _: java.io.FileNotFoundException => -1L } // just freed — retry below
-      if (age >= 0 && age <= leaseMs)
-        throw new ConcurrentPublishException(
-          s"another writer holds $lock (age ${age}ms ≤ lease ${leaseMs}ms); " +
-            "concurrent publishes to one snapshot store are not allowed")
-      if (age > leaseMs) {
-        val corpse = new Path(lock.getParent, s"${lock.getName}.corpse-${java.util.UUID.randomUUID()}")
-        val won =
-          try fs.rename(lock, corpse) // atomic: exactly one waiter wins
-          catch { case _: java.io.IOException => false }
-        if (!won)
-          throw new ConcurrentPublishException(
-            s"lost the takeover race for expired lock $lock to another writer")
-        fs.delete(corpse, false)
+    lease.checkHeld() // fence as close to the rename as possible
+    if (fs.exists(vdir)) {
+      if (latestVersion(spark, basePath).contains(version)) {
+        fs.delete(staging, true) // competitor committed the same epoch first
+        return
       }
-      tryCreate().getOrElse(
-        throw new ConcurrentPublishException(
-          s"could not acquire $lock after takeover — another writer grabbed it, " +
-            s"or the filesystem refused the create (last failure: $lastCreateFailure)"))
+      fs.delete(vdir, true) // uncommitted leftover — unreadable, safe
     }
+    if (!fs.rename(staging, vdir))
+      throw new ConcurrentPublishException(
+        s"epoch rename $staging -> $vdir failed; nothing was published")
   }
 
-  /** Phase 2: commit point — flip `_LATEST`. Caller MUST hold the store's
+  /** Final commit point — flip `_LATEST`. Caller MUST hold the store's
     * [[WriterLease]] (and have fenced with `checkHeld()`). */
   private def flipPointerLocked(
       spark: SparkSession, basePath: String, version: Long, keep: Int): Unit = {
@@ -234,6 +249,64 @@ object SnapshotStore {
         s"pointer flip to epoch $version failed; store left on prior epoch")
     versions(spark, basePath).sorted.dropRight(keep)
       .foreach(v => fs.delete(new Path(basePath, s"_v=$v"), true))
+    // staging debris can only belong to crashed/expired attempts — the live
+    // holder (us) renamed its own staging before reaching this sweep
+    fs.listStatus(new Path(basePath)).toSeq
+      .map(_.getPath).filter(_.getName.startsWith(StagingPrefix))
+      .foreach(p => fs.delete(p, true))
+  }
+
+  /** Acquire `lock` by atomic create-if-absent. A held lock is a conflict
+    * UNLESS neither it nor its holder's heartbeat file has been touched
+    * within `leaseMs`: the holder crashed (or lost its process) and the
+    * corpse must be broken. Breaking is ATOMIC via rename-to-unique-name —
+    * of N racing waiters exactly one rename succeeds (the source exists
+    * only once), so no waiter can delete a lock a sibling just legitimately
+    * re-created; the rename winner removes the corpse (and its heartbeat)
+    * and retries the create (a brand-new writer may still beat it there —
+    * that is an ordinary conflict, not a race bug). */
+  private def acquireLock(fs: org.apache.hadoop.fs.FileSystem, lock: Path,
+      leaseMs: Long): org.apache.hadoop.fs.FSDataOutputStream = {
+    var lastCreateFailure: String = "n/a"
+    def tryCreate() =
+      try Some(fs.create(lock, false)) // atomic create-if-absent = the mutex
+      catch { case e: java.io.IOException => lastCreateFailure = e.toString; None }
+    def mtimeOf(p: Path): Long =
+      try fs.getFileStatus(p).getModificationTime
+      catch { case _: java.io.IOException => -1L }
+    tryCreate().getOrElse {
+      val lockM = mtimeOf(lock)
+      // liveness = the fresher of the lock itself and the holder's heartbeat
+      val holderToken =
+        try {
+          val in = fs.open(lock)
+          try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+        } catch { case NonFatal(_) => "" }
+      val hb = heartbeatPath(lock, holderToken)
+      val age =
+        if (lockM < 0) -1L // just freed — retry below
+        else System.currentTimeMillis() - math.max(lockM, mtimeOf(hb))
+      if (age >= 0 && age <= leaseMs)
+        throw new ConcurrentPublishException(
+          s"another writer holds $lock (age ${age}ms ≤ lease ${leaseMs}ms); " +
+            "concurrent publishes to one snapshot store are not allowed")
+      if (age > leaseMs) {
+        val corpse = new Path(lock.getParent, s"${lock.getName}.corpse-${java.util.UUID.randomUUID()}")
+        val won =
+          try fs.rename(lock, corpse) // atomic: exactly one waiter wins
+          catch { case _: java.io.IOException => false }
+        if (!won)
+          throw new ConcurrentPublishException(
+            s"lost the takeover race for expired lock $lock to another writer")
+        fs.delete(corpse, false)
+        if (holderToken.nonEmpty)
+          try fs.delete(hb, false) catch { case NonFatal(_) => () }
+      }
+      tryCreate().getOrElse(
+        throw new ConcurrentPublishException(
+          s"could not acquire $lock after takeover — another writer grabbed it, " +
+            s"or the filesystem refused the create (last failure: $lastCreateFailure)"))
+    }
   }
 
   def latestVersion(spark: SparkSession, basePath: String): Option[Long] = {

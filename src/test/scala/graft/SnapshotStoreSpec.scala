@@ -166,32 +166,45 @@ class SnapshotStoreSpec extends SparkSpec {
     intercept[SnapshotStore.ConcurrentPublishException] {
       SnapshotStore.publish(spark.range(2).select(steal($"id").as("id")), base, 2L)
     }
-    // the fence fired BEFORE the commit point: pointer untouched
+    // the fence fired BEFORE either commit point: pointer untouched AND the
+    // staged epoch was never renamed into a readable _v= directory
     assert(SnapshotStore.latestVersion(spark, base) === Some(1L))
+    assert(!new java.io.File(base, "_v=2").exists())
     // and close() must not delete a lock that is no longer ours
     assert(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(lockFile))) === "thief-token")
     java.nio.file.Files.delete(java.nio.file.Paths.get(lockFile))
   }
 
+  test("a successful publish sweeps crashed attempts' staging debris") {
+    val base = Files.createTempDirectory("snapg").toString + "/t"
+    SnapshotStore.publish(Seq((1L, "a")).toDF("id", "s"), base, 1L)
+    val debris = new java.io.File(base, "_staging_v=9-deadbeef")
+    assert(debris.mkdirs())
+    SnapshotStore.publish(Seq((2L, "b")).toDF("id", "s"), base, 2L)
+    assert(!debris.exists(), "stale staging must be swept under the lease")
+    assert(SnapshotStore.latestVersion(spark, base) === Some(2L))
+  }
+
   test("heartbeat keeps a slow live writer's lock fresh against takeover") {
     val base = Files.createTempDirectory("snaph").toString + "/t"
-    val slow = udf { (i: Long) => Thread.sleep(4000L); i }
+    val slow = udf { (i: Long) => Thread.sleep(7000L); i }
     @volatile var slowFailed: Option[Throwable] = None
     val t = new Thread(null, () => {
       try SnapshotStore.publish(
         spark.range(2).repartition(2).select(slow($"id").as("id")),
-        base, 1L, lockLeaseMs = 2000L)
+        base, 1L, lockLeaseMs = 4000L)
       catch { case e: Throwable => slowFailed = Some(e) }
     }, "slow-writer")
     t.start()
-    Thread.sleep(3000L) // well past the nominal 2s lease
-    // Without the heartbeat the lock would look expired (age ≈ 3s > 2s) and
-    // this writer would take it over mid-phase-1; with it, the age stays
-    // under one beat period and the live lock wins the conflict.
+    Thread.sleep(5500L) // well past the nominal 4s lease
+    // Without the heartbeat the lock would look expired (age ≈ 5.5s > 4s)
+    // and this writer would take it over mid-phase-1; with it, liveness
+    // stays within one beat period (~1s) — a 3s margin against CI stalls —
+    // and the live lock wins the conflict.
     val ex = intercept[SnapshotStore.ConcurrentPublishException] {
       SnapshotStore.publish(Seq((9L, "x")).toDF("id", "s"), base, 2L,
-        lockLeaseMs = 2000L)
+        lockLeaseMs = 4000L)
     }
     assert(ex.getMessage.contains("another writer holds"))
     t.join()
