@@ -4,7 +4,8 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.SortedIntersectCount
+import graft.functions.{CharNgramHashes, DotProduct, MinHashSig, NfcNormalize,
+  SimHash64, SortedIntersectCount, WordRepetitionStats, WordShingleHashes}
 
 /**
  * Session entry point — the role TiFlinkApp.Builder's environment setup plays
@@ -20,23 +21,50 @@ import graft.functions.SortedIntersectCount
  */
 object GraftSession {
 
+  private type Expr = org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Int value of a literal argument (e.g. the `k` of a shingle size) —
+    * kernel parameters are codegen'd into the expression, so they must be
+    * known at plan time. */
+  private def litInt(name: String, e: Expr): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal INT parameter, got: $other")
+  }
+
+  /** The engine's native SQL surface: every custom Catalyst expression,
+    * name → builder. One list feeds both registration paths (extension
+    * injection at session build; temp-function on a live session). */
+  private val nativeFunctions: Seq[(String, Seq[Expr] => Expr)] = Seq(
+    "sorted_intersect_count" -> (cs => SortedIntersectCount(cs(0), cs(1))),
+    "dot_product" -> (cs => DotProduct(cs(0), cs(1))),
+    "nfc_normalize" -> (cs => NfcNormalize(cs(0))),
+    "simhash64" -> (cs => SimHash64(cs(0))),
+    "word_repetition_stats" -> (cs => WordRepetitionStats(cs(0))),
+    "word_shingle_hashes" ->
+      (cs => WordShingleHashes(cs(0), litInt("word_shingle_hashes", cs(1)))),
+    "char_ngram_hashes" ->
+      (cs => CharNgramHashes(cs(0), litInt("char_ngram_hashes", cs(1)))),
+    "minhash_sig" -> (cs => MinHashSig(cs(0), litInt("minhash_sig", cs(1)))))
+
   /** Extension installable via
     * `spark.sql.extensions=graft.GraftSession$Extensions`. */
   class Extensions extends (SparkSessionExtensions => Unit) {
-    override def apply(ext: SparkSessionExtensions): Unit = {
-      ext.injectFunction((
-        new FunctionIdentifier("sorted_intersect_count"),
-        new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
-        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          SortedIntersectCount(children(0), children(1))))
-    }
+    override def apply(ext: SparkSessionExtensions): Unit =
+      nativeFunctions.foreach { case (name, builder) =>
+        ext.injectFunction((
+          new FunctionIdentifier(name),
+          new ExpressionInfo(classOf[SortedIntersectCount].getPackageName, name),
+          builder))
+      }
   }
 
   /** Register graft's native SQL functions on an existing session. */
   def registerFunctions(spark: SparkSession): Unit =
-    org.apache.spark.sql.GraftColumnBridge.registerTempFunction(
-      spark, "sorted_intersect_count",
-      children => SortedIntersectCount(children(0), children(1)))
+    nativeFunctions.foreach { case (name, builder) =>
+      org.apache.spark.sql.GraftColumnBridge.registerTempFunction(
+        spark, name, builder)
+    }
 
   def builder(appName: String = "graft",
       master: String = "local[*]",

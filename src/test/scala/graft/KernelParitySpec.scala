@@ -29,6 +29,43 @@ class KernelParitySpec extends SparkSpec {
     samples(textGen, n).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
 
+  test("every native function is callable from SQL and agrees with its Column API") {
+    GraftSession.registerFunctions(spark)
+    docs(12).createOrReplaceTempView("__sqlfn_docs")
+    val viaSql = spark.sql("""
+      SELECT doc_id,
+        word_shingle_hashes(text, 3) AS wsh,
+        char_ngram_hashes(text, 4) AS cng,
+        minhash_sig(word_shingle_hashes(text, 3), 8) AS sig,
+        simhash64(text) AS sh,
+        word_repetition_stats(text) AS wrs,
+        nfc_normalize(text) AS norm,
+        sorted_intersect_count(word_shingle_hashes(text, 3),
+                               word_shingle_hashes(text, 3)) AS sic,
+        dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+      FROM __sqlfn_docs""").collect()
+    val viaCols = docs(12).select(
+      $"doc_id",
+      TextHashFunctions.wordShingleHashes($"text", 3).as("wsh"),
+      TextHashFunctions.charNgramHashes($"text", 4).as("cng"),
+      TextHashFunctions.minhashSig(
+        TextHashFunctions.wordShingleHashes($"text", 3), 8).as("sig"),
+      TextHashFunctions.simhash64($"text").as("sh"),
+      TextHashFunctions.wordRepetitionStats($"text").as("wrs"),
+      graft.functions.NormalizeFunctions.nfcNormalize($"text").as("norm"),
+      graft.functions.GraftFunctions.sortedIntersectCount(
+        TextHashFunctions.wordShingleHashes($"text", 3),
+        TextHashFunctions.wordShingleHashes($"text", 3)).as("sic"),
+      graft.functions.VectorFunctions.dotD(
+        array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("dp")).collect()
+    assert(viaSql.map(_.toString).sorted.toSeq === viaCols.map(_.toString).sorted.toSeq)
+    // kernel parameters must be plan-time literals — reject a column there
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_shingle_hashes(text, CAST(doc_id AS INT)) FROM __sqlfn_docs").collect()
+    }
+    assert(e.getMessage.contains("literal INT"))
+  }
+
   test("charNgramHashes kernel === substring HOF formulation") {
     val t = $"text"
     val grams = transform(
