@@ -97,6 +97,7 @@ object SparkEntry {
     "q77_length_trim" -> ((s, d) => Corpus.q77LengthTrim(s, d)),
     "q78_substring_decontam" -> ((s, d) => Corpus.q78SubstringDecontam(s, d)),
     "q79_corpus_stats" -> ((s, d) => Corpus.q79CorpusStats(s, d)),
+    "q80_vocab_coverage" -> ((s, d) => Corpus.q80VocabCoverage(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -660,5 +661,16 @@ object SparkEntry {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
         |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+    "q80_vocab_coverage" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |cnt AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+        |v AS (SELECT word FROM cnt ORDER BY c DESC, word LIMIT 20),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |          CAST(count(v.word) AS BIGINT) AS n_in_vocab
+        |        FROM w LEFT JOIN v USING (word) GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_in_vocab,
+        |  CAST(n_in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS coverage,
+        |  CAST(n_in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.8 AS low_coverage
+        |FROM per""".stripMargin,
   )
 }

@@ -418,6 +418,35 @@ object Corpus {
         (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
           .as("avg_chars"))
 
+  // ---------------------------------------------------------------- C33
+  /** Vocabulary-coverage / OOV-rate scoring — pass 1 takes the corpus-wide
+    * top-`k` words as the "vocabulary" (the tokenizer-fit proxy), pass 2
+    * scores every document by the fraction of its TOKENS covered and flags
+    * documents under `minCoverage` (high-OOV docs: wrong language, binary
+    * junk, heavy misspelling — a standard tokenizer-health filter).
+    *
+    * Scale: the vocabulary is top-k of a partial-aggregated word count
+    * (TakeOrdered over per-partition tops — the full distribution never
+    * gathers) and is BROADCAST by construction (k rows, corpus-size
+    * independent — unlike q75's hot set, which is data-dependent); scoring
+    * is then a map-side left join + one groupBy(doc_id). (cnt desc, word
+    * asc) is a total order → deterministic cutoff. */
+  def q80VocabCoverage(spark: SparkSession, dir: String,
+      k: Int = 20, minCoverage: Double = 0.8): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word").asc).limit(k)
+      .select(col("word"), lit(1L).as("__v"))
+    toks.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__v"), lit(0L))).as("n_in_vocab"))
+      .withColumn("coverage",
+        col("n_in_vocab").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("low_coverage", col("coverage") < lit(minCoverage))
+  }
+
   // ---------------------------------------------------------------- C15
   /** Per-source quota curation (training-mix balancing): rank documents
     * within each source by quality score (the q48 formula) and keep the

@@ -295,6 +295,25 @@ class CorpusSpec extends SparkSpec {
     assert(total.head._5 === leaves.map(_._5).sum)
   }
 
+  test("vocab coverage matches independent top-k vocabulary counting") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val counts = docs.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length }
+    val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(20).map(_._1).toSet
+    val got = Corpus.q80VocabCoverage(spark, sf)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(got.length === docs.length)
+    val byId = docs.toMap
+    got.foreach { case (id, nt, nv, cov, low) =>
+      val ws = byId(id).split(" ", -1)
+      assert(nt === ws.length.toLong, s"doc $id n_tokens")
+      assert(nv === ws.count(vocab).toLong, s"doc $id n_in_vocab")
+      assert(cov === nv.toDouble / nt.toDouble)
+      assert(low === (cov < 0.8))
+    }
+  }
+
   test("source quota keeps exactly the per-source top by quality") {
     val quota = 5
     val got = Corpus.q61SourceQuota(spark, sf, quota)
