@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/**
+ * End-to-end streaming corpus curation — the TiFlinkApp-shaped composition
+ * for the pipeline side (reference: TiFlinkApp.java:70-99 runs ONE
+ * continuous job maintaining a query; this runs one continuous job
+ * maintaining a curated corpus): normalize → repetition-filter →
+ * bounded-state exact dedup → versioned snapshot publication.
+ *
+ * Stage semantics match the batch operators 1:1 — q70 normalization, q64
+ * repetition filter, q40 exact dedup, [[SnapshotStore]] epochs — so the
+ * batch oracles remain each stage's executable specification; this object
+ * contributes only the streaming glue: a watermark bounds dedup state to
+ * the disorder horizon (`dropDuplicatesWithinWatermark`), and every
+ * micro-batch publishes one immutable snapshot epoch (readers get
+ * stale-snapshot isolation and time travel over the curated corpus).
+ *
+ * Scale: every stage is a map-only expression except the dedup (state =
+ * fingerprints inside the watermark horizon, evicted beyond it) and the
+ * epoch merge (latest-by-key over prior snapshot + delta). Corpus-GLOBAL
+ * stages (q75 boilerplate, q80 vocab coverage) deliberately do NOT stream —
+ * they need a full-corpus pass and run as periodic batch jobs over the
+ * published store.
+ */
+object CurationPipeline {
+
+  /** Map-only curation prefix over a (doc_id, text, ts) frame — usable on
+    * batch frames too (specs diff it against the batch operators). Adds
+    * `norm_text`, `fp` (dedup fingerprint of the NORMALIZED text, so
+    * whitespace/case variants collapse), and the q64 keep flag. */
+  def curatedColumns(docs: DataFrame,
+      maxTopFrac: Double = 0.5, minDistinctRatio: Double = 0.2): DataFrame = {
+    import graft.functions.NormalizeFunctions.nfcNormalize
+    import graft.functions.TextHashFunctions
+    val norm = lower(trim(regexp_replace(
+      regexp_replace(nfcNormalize(col("text")), "[\\x00-\\x1F\\x7F]", ""),
+      " +", " ")))
+    docs
+      .withColumn("norm_text", norm)
+      .withColumn("fp", md5(col("norm_text")))
+      .withColumn("__s", TextHashFunctions.wordRepetitionStats(col("norm_text")))
+      .withColumn("keep",
+        (element_at(col("__s"), 3).cast("double")
+          / element_at(col("__s"), 1).cast("double")) <= maxTopFrac
+          && (element_at(col("__s"), 2).cast("double")
+            / element_at(col("__s"), 1).cast("double")) >= minDistinctRatio)
+      .drop("__s")
+  }
+
+  /** Start the continuous curation job: `docs` is a STREAMING frame with
+    * (doc_id, text, ts) and whatever metadata columns ride along. Documents
+    * failing the repetition filter are dropped; the first occurrence of
+    * each normalized-text fingerprint inside the watermark horizon wins;
+    * each micro-batch publishes epoch `batchId` at `targetBase`
+    * ([[SnapshotStore.readSnapshot]] reads the curated corpus, pinned or
+    * latest). */
+  def start(docs: DataFrame, targetBase: String, checkpointDir: String,
+      watermarkDelay: String = "10 minutes",
+      maxTopFrac: Double = 0.5, minDistinctRatio: Double = 0.2,
+      keepEpochs: Int = 3): StreamingQuery = {
+    val curated = curatedColumns(docs, maxTopFrac, minDistinctRatio)
+      .filter(col("keep"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("keep")
+    curated.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(SnapshotStore.upsertSink(
+        targetBase, keys = Seq("fp"), versionCol = "doc_id", keep = keepEpochs))
+      .start()
+  }
+}
