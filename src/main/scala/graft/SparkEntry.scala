@@ -98,6 +98,7 @@ object SparkEntry {
     "q78_substring_decontam" -> ((s, d) => Corpus.q78SubstringDecontam(s, d)),
     "q79_corpus_stats" -> ((s, d) => Corpus.q79CorpusStats(s, d)),
     "q80_vocab_coverage" -> ((s, d) => Corpus.q80VocabCoverage(s, d)),
+    "q81_containment" -> ((s, d) => Dedup.q81Containment(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -672,5 +673,23 @@ object SparkEntry {
         |  CAST(n_in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS coverage,
         |  CAST(n_in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.8 AS low_coverage
         |FROM per""".stripMargin,
+    // same source-blocked char-3-gram shape as q69's oracle; containment
+    // divides two exact integers → deterministic doubles
+    "q81_containment" ->
+      """WITH idx AS (SELECT doc_id, source, text,
+        |         unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i
+        |       FROM documents),
+        |g AS (SELECT DISTINCT doc_id, source, substring(text, i, 3) AS ng FROM idx),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM g a JOIN g b ON a.source = b.source AND a.ng = b.ng
+        |            AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(i AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.9""".stripMargin,
   )
 }

@@ -305,4 +305,33 @@ object Dedup {
           / (col("a.norm") * col("b.norm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  // ---------------------------------------------------------------- C34
+  /** Containment near-dup detection — the ASYMMETRIC complement of q43's
+    * Jaccard: `|A∩B| / min(|A|,|B|)` over distinct char 3-gram sets finds
+    * the smaller document embedded inside the larger one (quote farms,
+    * concatenation blobs, page-plus-boilerplate wrappers). Jaccard misses
+    * exactly these — a doc fully contained in one 3× its size has Jaccard
+    * ≤ 1/3, and q43's size-ratio prefilter drops the pair before scoring —
+    * so a dedup pipeline runs both.
+    *
+    * Scale: same source-blocked salted self-pairs + single-pass kernel
+    * machinery as q43 (triangle salting bounds reducer skew, `maxBlock`
+    * bounds the block quadratic, shuffles carry sorted hash arrays, the
+    * per-pair work is one codegen'd merge-intersect); deliberately NO
+    * size-ratio prefilter — asymmetry is the signal here. */
+  def q81Containment(spark: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextHashFunctions.charNgramHashes(col("text"), 3).as("gs"))
+      .withColumn("n_g", size(col("gs")).cast("long"))
+    val inter = graft.functions.GraftFunctions
+      .sortedIntersectCount(col("a.gs"), col("b.gs"))
+    Skew.saltedSelfPairs(d, "source", "doc_id", salts = 4, maxBlock = 10000)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (inter.cast("double")
+          / least(col("a.n_g"), col("b.n_g")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
 }

@@ -93,6 +93,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment surfaces a doc embedded in a larger one that Jaccard misses") {
+    val small = "the quick brown fox jumps over the lazy dog"
+    val big = small + " and then a very long unrelated continuation follows " +
+      "with many additional words padding the larger document body out " +
+      "until the small one is only a modest fraction of the whole text"
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    Seq((1L, small, "en", "srcX", small.length.toLong),
+        (2L, big, "en", "srcX", big.length.toLong),
+        (3L, "entirely disjoint content lives here", "en", "srcX", 36L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.q81Containment(spark, dir, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    // independent containment over char-3-gram sets
+    def grams(t: String) = t.sliding(3).toSet
+    val expected = grams(small).intersect(grams(big)).size.toDouble /
+      math.min(grams(small).size, grams(big).size).toDouble
+    assert(math.abs(pairs.head._3 - expected) < 1e-12)
+    // and the same pair is invisible to q43's Jaccard at its own threshold:
+    // containment ~1 but |A∩B|/|A∪B| is small for a 4x size mismatch
+    val jac = grams(small).intersect(grams(big)).size.toDouble /
+      grams(small).union(grams(big)).size.toDouble
+    assert(jac < 0.5 && pairs.head._3 > 0.9)
+  }
+
   test("jaccard of identical shingle sets is 1.0") {
     val j = docs.filter($"doc_id" === 0)
       .select(Dedup.jaccard(Dedup.shingles($"text", 3), Dedup.shingles($"text", 3)))
