@@ -32,38 +32,56 @@ object GraftSession {
       s"$name expects a literal INT parameter, got: $other")
   }
 
+  private final case class NativeFn(
+      name: String, arity: Int, cls: Class[_], build: Seq[Expr] => Expr) {
+    /** Arity-checked builder: a wrong argument count fails with the
+      * function's signature, not an IndexOutOfBoundsException. */
+    def checked: Seq[Expr] => Expr = cs => {
+      if (cs.length != arity)
+        throw new IllegalArgumentException(
+          s"$name expects $arity argument(s), got ${cs.length}")
+      build(cs)
+    }
+  }
+
   /** The engine's native SQL surface: every custom Catalyst expression,
     * name → builder. One list feeds both registration paths (extension
     * injection at session build; temp-function on a live session). */
-  private val nativeFunctions: Seq[(String, Seq[Expr] => Expr)] = Seq(
-    "sorted_intersect_count" -> (cs => SortedIntersectCount(cs(0), cs(1))),
-    "dot_product" -> (cs => DotProduct(cs(0), cs(1))),
-    "nfc_normalize" -> (cs => NfcNormalize(cs(0))),
-    "simhash64" -> (cs => SimHash64(cs(0))),
-    "word_repetition_stats" -> (cs => WordRepetitionStats(cs(0))),
-    "word_shingle_hashes" ->
-      (cs => WordShingleHashes(cs(0), litInt("word_shingle_hashes", cs(1)))),
-    "char_ngram_hashes" ->
-      (cs => CharNgramHashes(cs(0), litInt("char_ngram_hashes", cs(1)))),
-    "minhash_sig" -> (cs => MinHashSig(cs(0), litInt("minhash_sig", cs(1)))))
+  private val nativeFunctions: Seq[NativeFn] = Seq(
+    NativeFn("sorted_intersect_count", 2, classOf[SortedIntersectCount],
+      cs => SortedIntersectCount(cs(0), cs(1))),
+    NativeFn("dot_product", 2, classOf[DotProduct],
+      cs => DotProduct(cs(0), cs(1))),
+    NativeFn("nfc_normalize", 1, classOf[NfcNormalize],
+      cs => NfcNormalize(cs(0))),
+    NativeFn("simhash64", 1, classOf[SimHash64],
+      cs => SimHash64(cs(0))),
+    NativeFn("word_repetition_stats", 1, classOf[WordRepetitionStats],
+      cs => WordRepetitionStats(cs(0))),
+    NativeFn("word_shingle_hashes", 2, classOf[WordShingleHashes],
+      cs => WordShingleHashes(cs(0), litInt("word_shingle_hashes", cs(1)))),
+    NativeFn("char_ngram_hashes", 2, classOf[CharNgramHashes],
+      cs => CharNgramHashes(cs(0), litInt("char_ngram_hashes", cs(1)))),
+    NativeFn("minhash_sig", 2, classOf[MinHashSig],
+      cs => MinHashSig(cs(0), litInt("minhash_sig", cs(1)))))
 
   /** Extension installable via
     * `spark.sql.extensions=graft.GraftSession$Extensions`. */
   class Extensions extends (SparkSessionExtensions => Unit) {
     override def apply(ext: SparkSessionExtensions): Unit =
-      nativeFunctions.foreach { case (name, builder) =>
+      nativeFunctions.foreach { fn =>
         ext.injectFunction((
-          new FunctionIdentifier(name),
-          new ExpressionInfo(classOf[SortedIntersectCount].getPackageName, name),
-          builder))
+          new FunctionIdentifier(fn.name),
+          new ExpressionInfo(fn.cls.getName, fn.name),
+          fn.checked))
       }
   }
 
   /** Register graft's native SQL functions on an existing session. */
   def registerFunctions(spark: SparkSession): Unit =
-    nativeFunctions.foreach { case (name, builder) =>
+    nativeFunctions.foreach { fn =>
       org.apache.spark.sql.GraftColumnBridge.registerTempFunction(
-        spark, name, builder)
+        spark, fn.name, fn.checked)
     }
 
   def builder(appName: String = "graft",

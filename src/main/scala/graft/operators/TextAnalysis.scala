@@ -108,6 +108,16 @@ object TextAnalysis {
     * per-row map), NOT the explode + double-groupBy formulation that
     * shuffles every (doc, word) row twice; TextAnalysisSpec asserts parity
     * between the two. 100 TB posture: map-only scan. */
+  /** The q64 keep predicate over a [[graft.functions.TextHashes.wordRepetitionStats]]
+    * array — ONE definition shared by q64 and the streaming
+    * [[graft.streaming.CurationPipeline]]. */
+  def repetitionKeepExpr(stats: Column, maxTopFrac: Double,
+      minDistinctRatio: Double): Column =
+    (element_at(stats, 3).cast("double")
+      / element_at(stats, 1).cast("double")) <= maxTopFrac &&
+      (element_at(stats, 2).cast("double")
+        / element_at(stats, 1).cast("double")) >= minDistinctRatio
+
   def q64RepetitionFilter(spark: SparkSession, dir: String,
       maxTopFrac: Double = 0.1, minDistinctRatio: Double = 0.4): DataFrame = {
     import graft.functions.TextHashFunctions
@@ -120,9 +130,8 @@ object TextAnalysis {
         (element_at(col("__s"), 3).cast("double") /
           element_at(col("__s"), 1).cast("double")).as("top_frac"),
         (element_at(col("__s"), 2).cast("double") /
-          element_at(col("__s"), 1).cast("double")).as("distinct_ratio"))
-      .withColumn("keep",
-        col("top_frac") <= maxTopFrac && col("distinct_ratio") >= minDistinctRatio)
+          element_at(col("__s"), 1).cast("double")).as("distinct_ratio"),
+        repetitionKeepExpr(col("__s"), maxTopFrac, minDistinctRatio).as("keep"))
   }
 
   /** PII/number scrubbing patterns, most-specific first: emails, then
@@ -158,11 +167,19 @@ object TextAnalysis {
     * allocation-free kernel [[graft.functions.Normalize]] (ASCII fast path),
     * the rest codegen'd builtins. `changed` lets a pipeline route already-
     * clean documents around a rewrite. */
-  def q70Normalize(spark: SparkSession, dir: String): DataFrame = {
+  /** The canonical normalization expression (NFC → control strip → space
+    * collapse → trim → lower) — ONE definition shared by q70 and the
+    * streaming [[graft.streaming.CurationPipeline]], so batch and stream
+    * can never silently diverge. */
+  def normalizeExpr(text: Column): Column = {
     import graft.functions.NormalizeFunctions.nfcNormalize
-    val norm = lower(trim(regexp_replace(
-      regexp_replace(nfcNormalize(col("text")), "[\\x00-\\x1F\\x7F]", ""),
+    lower(trim(regexp_replace(
+      regexp_replace(nfcNormalize(text), "[\\x00-\\x1F\\x7F]", ""),
       " +", " ")))
+  }
+
+  def q70Normalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = normalizeExpr(col("text"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), norm.as("norm_text"),
         (norm =!= col("text")).as("changed"))

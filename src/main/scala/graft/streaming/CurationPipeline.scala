@@ -31,31 +31,34 @@ object CurationPipeline {
   /** Map-only curation prefix over a (doc_id, text, ts) frame — usable on
     * batch frames too (specs diff it against the batch operators). Adds
     * `norm_text`, `fp` (dedup fingerprint of the NORMALIZED text, so
-    * whitespace/case variants collapse), and the q64 keep flag. */
+    * whitespace/case variants collapse), and the q64 keep flag. The
+    * expressions ARE the batch operators' ([[graft.operators.TextAnalysis
+    * .normalizeExpr]], [[graft.operators.TextAnalysis.repetitionKeepExpr]]) —
+    * shared definitions, so batch and stream cannot silently diverge. */
   def curatedColumns(docs: DataFrame,
       maxTopFrac: Double = 0.5, minDistinctRatio: Double = 0.2): DataFrame = {
-    import graft.functions.NormalizeFunctions.nfcNormalize
     import graft.functions.TextHashFunctions
-    val norm = lower(trim(regexp_replace(
-      regexp_replace(nfcNormalize(col("text")), "[\\x00-\\x1F\\x7F]", ""),
-      " +", " ")))
+    import graft.operators.TextAnalysis
     docs
-      .withColumn("norm_text", norm)
+      .withColumn("norm_text", TextAnalysis.normalizeExpr(col("text")))
       .withColumn("fp", md5(col("norm_text")))
       .withColumn("__s", TextHashFunctions.wordRepetitionStats(col("norm_text")))
       .withColumn("keep",
-        (element_at(col("__s"), 3).cast("double")
-          / element_at(col("__s"), 1).cast("double")) <= maxTopFrac
-          && (element_at(col("__s"), 2).cast("double")
-            / element_at(col("__s"), 1).cast("double")) >= minDistinctRatio)
+        TextAnalysis.repetitionKeepExpr(col("__s"), maxTopFrac, minDistinctRatio))
       .drop("__s")
   }
 
   /** Start the continuous curation job: `docs` is a STREAMING frame with
     * (doc_id, text, ts) and whatever metadata columns ride along. Documents
-    * failing the repetition filter are dropped; the first occurrence of
-    * each normalized-text fingerprint inside the watermark horizon wins;
-    * each micro-batch publishes epoch `batchId` at `targetBase`
+    * failing the repetition filter are dropped. Dedup semantics: INSIDE the
+    * watermark horizon the first occurrence of each normalized-text
+    * fingerprint wins (later arrivals are dropped in-stream); a duplicate
+    * arriving BEYOND the horizon — its dedup state already evicted — is
+    * re-emitted and upserts its fingerprint's row, so the stored text stays
+    * identical (same fp ⇒ same norm_text) but the doc_id/ts ATTRIBUTION
+    * becomes last-seen. Bounded state has exactly this trade; size the
+    * horizon to the re-crawl disorder you need first-seen attribution for.
+    * Each micro-batch publishes epoch `batchId` at `targetBase`
     * ([[SnapshotStore.readSnapshot]] reads the curated corpus, pinned or
     * latest). */
   def start(docs: DataFrame, targetBase: String, checkpointDir: String,

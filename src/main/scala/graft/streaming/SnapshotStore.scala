@@ -136,10 +136,21 @@ object SnapshotStore {
     * atomic-rename, fence, pointer-flip. The lease covers the WHOLE
     * publish; see the object doc for the takeover/fence guarantees. */
   def publish(df: DataFrame, basePath: String, version: Long, keep: Int = 3,
-      lockLeaseMs: Long = DefaultLockLeaseMs): Unit = {
-    val spark = df.sparkSession
+      lockLeaseMs: Long = DefaultLockLeaseMs): Unit =
+    publishComputed(df.sparkSession, basePath, version, keep, lockLeaseMs)(() => df)
+
+  /** [[publish]] variant whose frame is CONSTRUCTED under the lease. Any
+    * writer whose new epoch derives from the store's current state (e.g.
+    * [[upsertSink]]'s merge with the prior snapshot) must resolve that
+    * state inside `make` — resolving it before taking the lease races a
+    * competing writer's publish and silently drops its rows from the merge
+    * basis, the exact lost-update this store exists to refuse. */
+  def publishComputed(spark: SparkSession, basePath: String, version: Long,
+      keep: Int = 3, lockLeaseMs: Long = DefaultLockLeaseMs)(
+      make: () => DataFrame): Unit = {
     val lease = acquireLease(spark, basePath, lockLeaseMs)
     try {
+      val df = make() // prior-state reads happen with the store ours
       val staging = writeEpoch(df, basePath, version, lease.token)
       staging.foreach(s => commitEpoch(spark, basePath, version, s, lease))
       lease.checkHeld() // fence before the pointer flip
@@ -309,16 +320,28 @@ object SnapshotStore {
     }
   }
 
+  /** Resolve the pointer. The flip is delete-then-rename (rename-onto-
+    * existing is not portable across Hadoop filesystems), so there is a
+    * sub-millisecond window where the pointer file is absent on a store
+    * that HAS committed epochs; a missing pointer is therefore retried
+    * briefly before concluding the store is empty. (Falling back to
+    * max(versions) instead would read a renamed-but-unflipped epoch —
+    * an uncommitted read — so absence after retries is the honest answer.) */
   def latestVersion(spark: SparkSession, basePath: String): Option[Long] = {
     val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new Path(basePath, Latest)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val s = scala.io.Source.fromInputStream(in).mkString.trim
-      in.close()
-      Some(s.toLong)
+    var attempt = 0
+    while (attempt < 3) {
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        return Some(s.toLong)
+      }
+      attempt += 1
+      if (attempt < 3) Thread.sleep(25L)
     }
+    None
   }
 
   def versions(spark: SparkSession, basePath: String): Seq[Long] = {
@@ -338,21 +361,24 @@ object SnapshotStore {
   }
 
   /** foreachBatch sink: merge the micro-batch latest-by-key into the prior
-    * snapshot and publish the result as a new epoch. */
+    * snapshot and publish the result as a new epoch. The prior snapshot is
+    * resolved UNDER the writer lease ([[publishComputed]]) — a competing
+    * writer's epoch can never be silently dropped from the merge basis. */
   def upsertSink(
       basePath: String, keys: Seq[String], versionCol: String,
       deleteCol: Option[String] = None, keep: Int = 3): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       import org.apache.spark.sql.functions._
       val spark = batch.sparkSession
-      val prior = latestVersion(spark, basePath)
-        .map(v => readSnapshot(spark, basePath, Some(v)))
-      val unioned = prior.map(_.unionByName(batch)).getOrElse(batch)
-      val packed = unioned
-        .groupBy(keys.map(col): _*)
-        .agg(max_by(struct(unioned.columns.toIndexedSeq.map(col): _*), col(versionCol)).as("__r"))
-        .select(col("__r.*"))
-      val alive = deleteCol.fold(packed)(d => packed.filter(!col(d)))
-      publish(alive, basePath, batchId, keep)
+      publishComputed(spark, basePath, batchId, keep) { () =>
+        val prior = latestVersion(spark, basePath)
+          .map(v => readSnapshot(spark, basePath, Some(v)))
+        val unioned = prior.map(_.unionByName(batch)).getOrElse(batch)
+        val packed = unioned
+          .groupBy(keys.map(col): _*)
+          .agg(max_by(struct(unioned.columns.toIndexedSeq.map(col): _*), col(versionCol)).as("__r"))
+          .select(col("__r.*"))
+        deleteCol.fold(packed)(d => packed.filter(!col(d)))
+      }
     }
 }

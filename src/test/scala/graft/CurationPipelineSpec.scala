@@ -24,6 +24,20 @@ class CurationPipelineSpec extends SparkSpec {
     assert(viaPipeline === viaQ70)
   }
 
+  test("curatedColumns keep flag agrees with q64 at the same thresholds") {
+    // q64 scores the RAW text; feed the pipeline pre-normalized docs so
+    // both predicates see identical input (real docs are already clean)
+    val batch = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    val viaPipeline = CurationPipeline
+      .curatedColumns(batch, maxTopFrac = 0.1, minDistinctRatio = 0.4)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    val viaQ64 = graft.operators.TextAnalysis.q64RepetitionFilter(spark, sf)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(viaPipeline === viaQ64)
+    assert(viaPipeline.values.exists(identity))
+  }
+
   test("streaming curation dedups, filters junk, and publishes epochs") {
     val base = Files.createTempDirectory("cur").toString + "/t"
     val ckpt = Files.createTempDirectory("cur-ckpt").toString

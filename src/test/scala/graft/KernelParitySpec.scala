@@ -64,6 +64,11 @@ class KernelParitySpec extends SparkSpec {
       spark.sql("SELECT word_shingle_hashes(text, CAST(doc_id AS INT)) FROM __sqlfn_docs").collect()
     }
     assert(e.getMessage.contains("literal INT"))
+    // wrong arity fails with the signature, not an index error
+    val a = intercept[Exception] {
+      spark.sql("SELECT word_shingle_hashes(text) FROM __sqlfn_docs").collect()
+    }
+    assert(a.getMessage.contains("expects 2 argument"))
   }
 
   test("charNgramHashes kernel === substring HOF formulation") {
