@@ -99,6 +99,8 @@ object SparkEntry {
     "q79_corpus_stats" -> ((s, d) => Corpus.q79CorpusStats(s, d)),
     "q80_vocab_coverage" -> ((s, d) => Corpus.q80VocabCoverage(s, d)),
     "q81_containment" -> ((s, d) => Dedup.q81Containment(s, d)),
+    "q82_funnel" -> (Relational.q82Funnel _),
+    "q83_retention" -> (Relational.q83Retention _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -691,5 +693,32 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.9""".stripMargin,
+    "q82_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |v AS (SELECT user_id, min(ts) AS first_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS first_click FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND e.ts > first_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS first_purchase FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND e.ts > first_click GROUP BY 1)
+        |SELECT u.user_id, first_view, first_click, first_purchase,
+        |  CAST(CASE WHEN first_purchase IS NOT NULL THEN 3
+        |            WHEN first_click IS NOT NULL THEN 2
+        |            WHEN first_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM u
+        |LEFT JOIN v USING (user_id)
+        |LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)""".stripMargin,
+    "q83_retention" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+        |cohort AS (SELECT user_id, min(ms) AS c0 FROM e
+        |           WHERE event_type = 'signup' GROUP BY 1),
+        |j AS (SELECT e.user_id, c0 // 604800000 AS cohort_week,
+        |        (ms - c0) // 604800000 AS week_offset
+        |      FROM e JOIN cohort USING (user_id) WHERE ms >= c0)
+        |SELECT cohort_week, week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM j GROUP BY 1, 2""".stripMargin,
   )
 }

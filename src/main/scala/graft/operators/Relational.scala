@@ -458,6 +458,72 @@ object Relational {
         max($"p_size").as("max_size"),
         count(lit(1)).as("n_items"))
 
+  // ---------------------------------------------------------------- A36
+  /** Ordered funnel analysis over the event stream: per user, the first
+    * `view`, the first `click` STRICTLY AFTER that view, and the first
+    * `purchase` strictly after that click — the sequential-pattern query
+    * every event-analytics surface ships (Flink's MATCH_RECOGNIZE territory,
+    * expressed here as staged conditional mins so it stays a declarative
+    * aggregation Catalyst can partial-aggregate).
+    *
+    * Scale: three per-user min-aggregates + user-keyed joins — all
+    * partial-aggregated, shuffles carry (user, ts) pairs only. One shuffle
+    * partitioning (user_id) serves every stage. */
+  def q82Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"ts")
+    val users = e.select($"user_id").distinct()
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("first_view"))
+    val c = e.join(v, Seq("user_id"))
+      .filter($"event_type" === "click" && $"ts" > $"first_view")
+      .groupBy($"user_id").agg(min($"ts").as("first_click"))
+    val p = e.join(c, Seq("user_id"))
+      .filter($"event_type" === "purchase" && $"ts" > $"first_click")
+      .groupBy($"user_id").agg(min($"ts").as("first_purchase"))
+    users
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select($"user_id", $"first_view", $"first_click", $"first_purchase",
+        when($"first_purchase".isNotNull, 3L)
+          .when($"first_click".isNotNull, 2L)
+          .when($"first_view".isNotNull, 1L)
+          .otherwise(0L).as("stage"))
+  }
+
+  // ---------------------------------------------------------------- A37
+  /** Cohort retention: users grouped by their signup WEEK, counted as
+    * active in each subsequent week they produced any event. Weeks are
+    * absolute epoch-week indexes (`epoch_ms div 604_800_000`) — pure
+    * integer arithmetic, so the cross-engine comparison has no date-type
+    * or timezone surface at all.
+    *
+    * Scale: cohort assignment is one per-user min-aggregate broadcast back
+    * across that user's events (user-keyed join); the retention matrix is
+    * a count-distinct over (cohort, offset), which partial-aggregates;
+    * output cardinality is weeks² regardless of corpus size. */
+  def q83Retention(spark: SparkSession, dir: String): DataFrame = {
+    val weekMs = 604800000L
+    // ts is TIMESTAMP_NTZ; the cast interprets its wall clock in the
+    // session zone (UTC everywhere here), matching DuckDB's epoch_ms over
+    // the same naive timestamp
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_type",
+        unix_millis($"ts".cast("timestamp")).as("ms"))
+    val cohort = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ms").as("c0"))
+    e.join(cohort, Seq("user_id"))
+      .filter($"ms" >= $"c0") // pre-signup activity is not retention
+      // `div`, not `/`: long / long is DOUBLE in Spark and a quotient that
+      // lands ε under an integer can round up across a week boundary
+      .select(expr(s"c0 div ${weekMs}L").as("cohort_week"),
+        expr(s"(ms - c0) div ${weekMs}L").as("week_offset"),
+        $"user_id")
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_active"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

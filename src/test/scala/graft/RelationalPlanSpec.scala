@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.{col, unix_millis}
 
 import graft.operators.Relational
 
@@ -86,5 +87,51 @@ class RelationalPlanSpec extends SparkSpec {
       assert(math.abs(a._4 - e._4) <= 1.0, s"p75 drift for $flag: $a vs $e")
       assert(a._5 === e._5)
     }
+  }
+
+  test("funnel stages replay a per-user sequential scan of the raw events") {
+    import spark.implicits._
+    val ms = unix_millis(col("ts").cast("timestamp"))
+    val raw = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), ms.as("ms"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    val got = Relational.q82Funnel(spark, sf)
+      .select(col("user_id"),
+        unix_millis(col("first_view").cast("timestamp")).as("v"),
+        unix_millis(col("first_click").cast("timestamp")).as("c"),
+        unix_millis(col("first_purchase").cast("timestamp")).as("p"),
+        col("stage"))
+      .as[(Long, Option[Long], Option[Long], Option[Long], Long)].collect()
+    assert(got.length === raw.size)
+    got.foreach { case (uid, v, c, p, stage) =>
+      val evs = raw(uid)
+      val ev = evs.filter(_._2 == "view").map(_._3).minOption
+      val ec = ev.flatMap(t =>
+        evs.filter(e => e._2 == "click" && e._3 > t).map(_._3).minOption)
+      val ep = ec.flatMap(t =>
+        evs.filter(e => e._2 == "purchase" && e._3 > t).map(_._3).minOption)
+      assert(v === ev, s"user $uid first_view")
+      assert(c === ec, s"user $uid first_click")
+      assert(p === ep, s"user $uid first_purchase")
+      assert(stage === Seq(ev, ec, ep).count(_.isDefined).toLong)
+    }
+  }
+
+  test("retention: week-0 actives equal the cohort sizes, offsets non-negative") {
+    import spark.implicits._
+    val got = Relational.q83Retention(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_._2 >= 0L), "pre-signup weeks must not appear")
+    // every signup user is active in their own week 0 (the signup event
+    // itself) → sum over cohorts at offset 0 = number of signup users
+    val signupUsers = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct().count()
+    assert(got.filter(_._2 == 0L).map(_._3).sum === signupUsers)
+    // actives at any offset never exceed the cohort's week-0 size
+    val week0 = got.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    got.foreach { case (cw, _, n) => assert(n <= week0(cw)) }
   }
 }
