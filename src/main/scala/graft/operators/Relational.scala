@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, TimestampNTZType}
 
 import graft.sources.Tables
 
@@ -452,7 +452,10 @@ object Relational {
     Tables.lineitem(spark, dir)
       .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
       .groupBy($"p_brand",
-        date_trunc("month", $"l_shipdate").as("ship_month"))
+        // date_trunc always yields tz-aware TimestampType; the source ts
+        // columns are NTZ, so cast back or the parquet output carries a
+        // UTC annotation the tz-naive oracle TIMESTAMP can never match.
+        date_trunc("month", $"l_shipdate").cast(TimestampNTZType).as("ship_month"))
       .agg(
         asDouble(sum(money($"l_extendedprice"))).as("revenue"),
         max($"p_size").as("max_size"),

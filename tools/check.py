@@ -50,6 +50,7 @@ def main():
         if not os.path.isdir(path) or (only and name not in only):
             continue
         got = pd.read_parquet(path)
+        raw_got_dtypes = [str(t) for t in got.reindex(sorted(got.columns), axis=1).dtypes]
         if name not in oracles:
             print(f"{name}: rows-only ({len(got)} rows) {'OK' if len(got) > 0 else 'EMPTY!'}")
             continue
@@ -61,7 +62,14 @@ def main():
         if len(g) != len(w):
             status.append(f"ROWS got={len(g)} want={len(w)}")
         if not status:
-            if [str(t) for t in g.dtypes] != [str(t) for t in w.dtypes]:
+            # Compare the RAW spark-output dtypes (pre tz-normalization) against
+            # the oracle's: the driver's schema gate does not strip timezones,
+            # so a tz-aware spark column vs a naive oracle column is a FAIL
+            # even when the instants agree (this hid q55's red for 3 rounds).
+            raw_want_dtypes = [str(t) for t in want.reindex(sorted(want.columns), axis=1).dtypes]
+            if raw_got_dtypes != raw_want_dtypes:
+                status.append(f"DTYPES got={raw_got_dtypes} want={raw_want_dtypes}")
+            elif [str(t) for t in g.dtypes] != [str(t) for t in w.dtypes]:
                 status.append(f"DTYPES got={list(map(str, g.dtypes))} want={list(map(str, w.dtypes))}")
             bad = 0
             for c in g.columns:
