@@ -637,10 +637,22 @@ object SparkEntry {
         |FROM shared
         |JOIN sizes na ON na.source = source_a
         |JOIN sizes nb ON nb.source = source_b""".stripMargin,
+    // exact integer rank arithmetic on BOTH engines (not quantile_cont vs
+    // percentile, whose interpolation can differ by an ulp — the edges gate
+    // a filter): edge*100 is an integer numerator, /100.0 the same double op
     "q77_length_trim" ->
-      """WITH b AS (SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
-        |             quantile_cont(n_chars, 0.95) AS hi
-        |           FROM documents GROUP BY 1)
+      """WITH r AS (SELECT lang, CAST(n_chars AS BIGINT) AS x,
+        |             row_number() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS rn,
+        |             count(*) OVER (PARTITION BY lang) AS n
+        |           FROM documents),
+        |b AS (SELECT lang,
+        |  CAST(max(CASE WHEN rn = ((n-1)*5)//100 THEN x*(100 - ((n-1)*5) % 100) END)
+        |     + coalesce(max(CASE WHEN rn = ((n-1)*5)//100 + 1 THEN x*(((n-1)*5) % 100) END), 0)
+        |    AS DOUBLE)/100.0 AS lo,
+        |  CAST(max(CASE WHEN rn = ((n-1)*95)//100 THEN x*(100 - ((n-1)*95) % 100) END)
+        |     + coalesce(max(CASE WHEN rn = ((n-1)*95)//100 + 1 THEN x*(((n-1)*95) % 100) END), 0)
+        |    AS DOUBLE)/100.0 AS hi
+        |  FROM r GROUP BY 1)
         |SELECT doc_id, d.lang, n_chars, lo, hi
         |FROM documents d JOIN b ON d.lang = b.lang
         |WHERE CAST(n_chars AS DOUBLE) >= lo AND CAST(n_chars AS DOUBLE) <= hi""".stripMargin,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -361,16 +361,37 @@ object Corpus {
     * because length distributions differ by language. Returns the kept rows
     * with the band that admitted them.
     *
-    * Scale: the percentile pass groups by language (a handful of groups —
-    * exact percentile state is per-GROUP, not per-row, so it holds at any
-    * corpus size; for high-cardinality strata swap in
-    * [[Relational.approxPercentiles]]'s sketch) and broadcasts ~5 rows back
-    * for a map-side band filter. */
+    * The band edges are computed with EXPLICIT integer rank arithmetic —
+    * rank k = (n-1)·p/100 with integer div/mod, edge·100 = x[k]·(100-rem) +
+    * x[k+1]·rem — instead of the engine's `percentile()`: both this and the
+    * DuckDB oracle then divide the SAME integer numerator by 100.0, so the
+    * doubles are bit-identical across engines. Engine-native interpolation
+    * (Spark `percentile` vs DuckDB `quantile_cont`) can differ by an ulp,
+    * and the edges GATE a filter — one ulp flips band membership.
+    *
+    * Scale: the rank pass is a per-language window sort (shuffle by lang +
+    * sort, same cost class as exact percentile's per-group buffer; for
+    * high-cardinality strata swap in [[Relational.approxPercentiles]]'s
+    * sketch) and broadcasts ~5 band rows back for a map-side filter. */
   def q77LengthTrim(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val bands = docs.groupBy(col("lang")).agg(
-      expr("percentile(n_chars, 0.05)").as("lo"),
-      expr("percentile(n_chars, 0.95)").as("hi"))
+    val byLang = Window.partitionBy(col("lang"))
+    val ranked = docs
+      .select(col("lang"), col("n_chars").cast("long").as("x"))
+      .withColumn("rn",
+        (row_number().over(byLang.orderBy(col("x"))) - 1).cast("long"))
+      .withColumn("n", count(lit(1)).over(byLang))
+    // edge·100 as an all-integer aggregate; x[k+1] may not exist when
+    // rem == 0 and k == n-1 (its term is then exactly 0 → coalesce)
+    def edge100(pct: Int): Column = {
+      val k = expr(s"((n - 1) * $pct) div 100")
+      val rem = expr(s"((n - 1) * $pct) % 100")
+      max(when(col("rn") === k, col("x") * (lit(100L) - rem))) +
+        coalesce(max(when(col("rn") === k + 1, col("x") * rem)), lit(0L))
+    }
+    val bands = ranked.groupBy(col("lang")).agg(
+      (edge100(5).cast("double") / 100.0).as("lo"),
+      (edge100(95).cast("double") / 100.0).as("hi"))
     docs.join(broadcast(bands), Seq("lang"))
       .filter(col("n_chars").cast("double") >= col("lo")
         && col("n_chars").cast("double") <= col("hi"))

@@ -53,8 +53,20 @@ object Skew {
     val bounded =
       if (maxBlock == Int.MaxValue) d
       else {
-        val ok = d.groupBy(col(blockCol)).agg(count(lit(1)).as("__bn"))
-          .filter(col("__bn") <= maxBlock).select(col(blockCol))
+        val counts = d.groupBy(col(blockCol)).agg(count(lit(1)).as("__bn"))
+        // "No silent caps": an excluded block makes the result diverge from
+        // any uncapped oracle, so surface every drop loudly (bounded collect
+        // — ≤20 rows — over the column-pruned partial-agg; the quadratic
+        // pair stage dwarfs this extra pass).
+        val dropped = counts.filter(col("__bn") > maxBlock)
+          .select(col(blockCol).cast("string").as("__b"), col("__bn"))
+          .limit(20).collect()
+        if (dropped.nonEmpty)
+          System.err.println(
+            s"[graft] saltedSelfPairs(maxBlock=$maxBlock) DROPPING " +
+              s"${dropped.length} oversize '$blockCol' block(s) (first 20 shown): " +
+              dropped.map(r => s"${r.getString(0)}(${r.getLong(1)} rows)").mkString(", "))
+        val ok = counts.filter(col("__bn") <= maxBlock).select(col(blockCol))
         d.join(broadcast(ok), Seq(blockCol), "left_semi")
       }
     val partnerSalts = array((0 until salts).map(lit): _*)

@@ -56,8 +56,11 @@ object CurationPipeline {
     * arriving BEYOND the horizon — its dedup state already evicted — is
     * re-emitted and upserts its fingerprint's row, so the stored text stays
     * identical (same fp ⇒ same norm_text) but the doc_id/ts ATTRIBUTION
-    * becomes last-seen. Bounded state has exactly this trade; size the
-    * horizon to the re-crawl disorder you need first-seen attribution for.
+    * becomes latest-EVENT-TIME (the upsert versions by `ts`, not doc_id —
+    * a re-crawl with a lower id still wins if its event time is later;
+    * same-instant duplicates tie-break arbitrarily). Bounded state has
+    * exactly this trade; size the horizon to the re-crawl disorder you
+    * need first-seen attribution for.
     * Each micro-batch publishes epoch `batchId` at `targetBase`
     * ([[SnapshotStore.readSnapshot]] reads the curated corpus, pinned or
     * latest). */
@@ -74,7 +77,7 @@ object CurationPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(SnapshotStore.upsertSink(
-        targetBase, keys = Seq("fp"), versionCol = "doc_id", keep = keepEpochs))
+        targetBase, keys = Seq("fp"), versionCol = "ts", keep = keepEpochs))
       .start()
   }
 }

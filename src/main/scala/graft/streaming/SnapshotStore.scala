@@ -84,9 +84,11 @@ object SnapshotStore {
     heartbeat.setDaemon(true)
     heartbeat.start()
 
-    private def readToken(): Option[String] =
+    private def readToken(): Option[String] = readTokenAt(lock)
+
+    private def readTokenAt(p: Path): Option[String] =
       try {
-        val in = fs.open(lock)
+        val in = fs.open(p)
         try Some(scala.io.Source.fromInputStream(in).mkString.trim)
         finally in.close()
       } catch { case NonFatal(_) => None }
@@ -102,8 +104,24 @@ object SnapshotStore {
       closed = true
       heartbeat.interrupt()
       try fs.delete(hb, false) catch { case NonFatal(_) => () }
-      try if (readToken().contains(token)) fs.delete(lock, false)
-      catch { case NonFatal(_) => () } // corpse reclaimed via lease expiry
+      // Release must not read-then-delete: if the lease expired and a
+      // successor took over between the two, the delete would kill the
+      // successor's FRESH lock. Mirror acquireLock's takeover instead —
+      // rename the lock aside (atomic, exactly one mover wins), verify the
+      // moved file carries OUR token, then delete it; a moved file with a
+      // stranger's token is a successor's live lock, so rename it back.
+      // Residual: if the rename-back loses to a third writer's re-create,
+      // the successor aborts via its fence — loud availability hazard,
+      // never a correctness one.
+      try if (readToken().contains(token)) {
+        val aside = new Path(lock.getParent, s"${lock.getName}.closing-$token")
+        val won = try fs.rename(lock, aside)
+        catch { case NonFatal(_) => false }
+        if (won) {
+          if (readTokenAt(aside).contains(token)) fs.delete(aside, false)
+          else if (!fs.rename(aside, lock)) fs.delete(aside, false)
+        }
+      } catch { case NonFatal(_) => () } // corpse reclaimed via lease expiry
     }
   }
 
@@ -326,7 +344,11 @@ object SnapshotStore {
     * that HAS committed epochs; a missing pointer is therefore retried
     * briefly before concluding the store is empty. (Falling back to
     * max(versions) instead would read a renamed-but-unflipped epoch —
-    * an uncommitted read — so absence after retries is the honest answer.) */
+    * an uncommitted read — so absence after retries is the honest answer.
+    * The retry only arms when committed `_v=` epochs EXIST without a
+    * pointer (the mid-flip signature); a store with no epochs is provably
+    * empty, and sleeping on it would tax every first publish and every
+    * read of a fresh store ~50-150ms for nothing. */
   def latestVersion(spark: SparkSession, basePath: String): Option[Long] = {
     val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new Path(basePath, Latest)
@@ -338,6 +360,7 @@ object SnapshotStore {
         finally in.close()
         return Some(s.toLong)
       }
+      if (versions(spark, basePath).isEmpty) return None // provably empty
       attempt += 1
       if (attempt < 3) Thread.sleep(25L)
     }
