@@ -101,6 +101,11 @@ object SparkEntry {
     "q81_containment" -> ((s, d) => Dedup.q81Containment(s, d)),
     "q82_funnel" -> (Relational.q82Funnel _),
     "q83_retention" -> (Relational.q83Retention _),
+    "q84_corpus_mix" -> ((s, d) => Corpus.q84CorpusMix(s, d)),
+    "q85_dup_triangles" -> ((s, d) => Corpus.q85DupTriangles(s, d)),
+    "q86_token_rank" -> ((s, d) => Corpus.q86TokenRank(s, d)),
+    "q87_budget_select" -> ((s, d) => Corpus.q87BudgetSelect(s, d)),
+    "q88_rolling_events" -> (Relational.q88RollingEvents _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -732,5 +737,67 @@ object SparkEntry {
         |SELECT cohort_week, week_offset,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
         |FROM j GROUP BY 1, 2""".stripMargin,
+    // fixed-width lowercase hex compares like the u32 it encodes; rate>=1.0
+    // is the sentinel 'g' (sorts above every hex digit) — no hex→int cast,
+    // no floating point, identical total order in both engines
+    "q84_corpus_mix" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h8,
+        |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '40000000'
+        |    WHEN 'src2' THEN '20000000' WHEN 'src3' THEN '00000000'
+        |    ELSE '80000000' END AS thr,
+        |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.25
+        |    WHEN 'src2' THEN 0.125 WHEN 'src3' THEN 0.0
+        |    ELSE 0.5 END AS rate
+        |FROM documents)
+        |SELECT doc_id, source, CAST(rate AS DOUBLE) AS rate FROM t WHERE h8 < thr""".stripMargin,
+    "q85_dup_triangles" ->
+      """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |e AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |      FROM e0 a JOIN e0 b ON a.label = b.label AND a.vec_id < b.vec_id
+        |      WHERE list_dot_product(a.emb, b.emb)
+        |        / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.2)
+        |SELECT x.vec_a AS va, x.vec_b AS vb, y.vec_b AS vc
+        |FROM e x JOIN e y ON x.vec_b = y.vec_a
+        |WHERE EXISTS (SELECT 1 FROM e z WHERE z.vec_a = x.vec_a AND z.vec_b = y.vec_b)""".stripMargin,
+    "q86_token_rank" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |cnt AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+        |rk AS (SELECT word, CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT) AS rank FROM cnt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(rank) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_rank
+        |FROM w JOIN rk USING (word) GROUP BY 1""".stripMargin,
+    // the q61/q48 quality formula + a per-source running token sum
+    "q87_budget_select" ->
+      """WITH b AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' the ',' ')))/4
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' a ',' ')))/2
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' of ',' ')))/3
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' and ',' ')))/4 AS BIGINT) AS hits
+        |  FROM documents),
+        |s AS (SELECT doc_id, source, words,
+        |  (CAST(hits AS DOUBLE)/words)*10.0 + CAST(len - words + 1 AS DOUBLE)/words AS quality_score
+        |  FROM b),
+        |r AS (SELECT doc_id, source, quality_score, words,
+        |  CAST(sum(words) OVER (PARTITION BY source
+        |    ORDER BY quality_score DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM s)
+        |SELECT doc_id, source, quality_score, words, cum_tokens
+        |FROM r WHERE cum_tokens <= 600""".stripMargin,
+    // frame ranged over epoch MICROS (exact integer bounds on both
+    // engines); DECIMAL sum so frame-internal addition order can't matter
+    "q88_rolling_events" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |             CAST(value AS DECIMAL(14,2)) AS v
+        |           FROM events)
+        |SELECT event_id, user_id, ts,
+        |  CAST(count(*) OVER w AS BIGINT) AS cnt_1h,
+        |  CAST(sum(v) OVER w AS DOUBLE) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
   )
 }

@@ -488,4 +488,123 @@ object Corpus {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= quota)
   }
+
+  // ---------------------------------------------------------------- C35
+  /** Weighted corpus mixing — per-source sampling RATES (the "web 10%,
+    * books 100%" recipe every pretraining mix is written as), applied as a
+    * deterministic hash threshold: keep a document iff the first 8 hex
+    * chars of md5("mix:" || doc_id) sort below the source's threshold
+    * string. Fixed-width lowercase hex compares lexicographically exactly
+    * like the 32-bit integer it encodes, so both engines evaluate the SAME
+    * total order with no hex→int conversion (DuckDB has none) and no
+    * floating point anywhere; a rate ≥ 1.0 becomes the sentinel "g", which
+    * every hex string sorts below. The sample is a pure function of doc_id —
+    * reproducible across runs, engines, and cluster sizes, unlike
+    * Bernoulli `sample()`.
+    *
+    * Scale: map-only — no shuffle, no state; the rate table rides the
+    * closure. Rekeying the salt ("mix:") yields an independent sample. */
+  def q84CorpusMix(spark: SparkSession, dir: String,
+      rates: Map[String, Double] = Map(
+        "src0" -> 1.0, "src1" -> 0.25, "src2" -> 0.125, "src3" -> 0.0),
+      defaultRate: Double = 0.5): DataFrame = {
+    def thr(rate: Double): String =
+      if (rate >= 1.0) "g" else f"${(rate * 4294967296.0).toLong}%08x"
+    val sorted = rates.toSeq.sortBy(_._1) // deterministic chain order
+    val thrCol = sorted.foldLeft(lit(thr(defaultRate))) {
+      case (acc, (s, r)) => when(col("source") === s, lit(thr(r))).otherwise(acc)
+    }
+    val rateCol = sorted.foldLeft(lit(defaultRate)) {
+      case (acc, (s, r)) => when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), rateCol.as("rate"))
+      .filter(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8) < thrCol)
+  }
+
+  // ---------------------------------------------------------------- C36
+  /** Triangle enumeration over the embedding near-dup graph (q44's pairs
+    * as edges): emits every (va < vb < vc) whose three edges all passed the
+    * cosine threshold. Triangle density distinguishes genuine duplicate
+    * CLUSTERS (near-cliques, safe to collapse to one representative) from
+    * chains of pairwise-similar-but-drifting documents, where collapsing
+    * loses content — the standard diagnostic before trusting q59's
+    * connected components as dedup units.
+    *
+    * Scale: the node-iterator shape — wedges from one self-join on the
+    * shared middle vertex, closed by a semi-join on the (va, vc) edge key.
+    * The a<b<c orientation counts each triangle exactly once AND bounds
+    * wedge fan-out by out-degree; the classic refinement (orient edges by
+    * degree so every vertex's out-degree is O(√E)) drops in here unchanged
+    * when hub vertices appear. Shuffles carry only id pairs/triples. */
+  def q85DupTriangles(spark: SparkSession, dir: String,
+      threshold: Double = 0.2): DataFrame = {
+    val e = Dedup.q44DedupEmbedding(spark, dir, threshold)
+      .select(col("vec_a"), col("vec_b"))
+    val wedges = e.as("x").join(e.as("y"), col("x.vec_b") === col("y.vec_a"))
+      .select(col("x.vec_a").as("va"), col("x.vec_b").as("vb"),
+        col("y.vec_b").as("vc"))
+    wedges.join(e.as("z"),
+      col("va") === col("z.vec_a") && col("vc") === col("z.vec_b"), "left_semi")
+  }
+
+  // ---------------------------------------------------------------- C37
+  /** Mean-token-rank fluency score — the integer-exact stand-in for LM
+    * perplexity filtering (CCNet-style): rank the corpus vocabulary by
+    * frequency (rank 1 = most common) and score each document by the MEAN
+    * RANK of its tokens. Junk — rare-token soup, codes, mangled encodings —
+    * scores high; fluent prose built from common words scores low. All
+    * arithmetic is integer until one final division of exact integers, so
+    * both engines produce bit-identical doubles (a log-prob formulation
+    * would hit cross-engine `ln` ulp differences).
+    *
+    * Scale: the vocab table is Heaps-law small relative to the corpus, but
+    * its global rank is still a single-partition sort here — at real scale
+    * swap in a two-level rank (count-histogram prefix sums, broadcast).
+    * The scoring join keys on `word` and partial-aggregates per doc. */
+  def q86TokenRank(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+    val ranks = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("c").desc, col("word").asc)).cast("long"))
+      .select(col("word"), col("rank"))
+    toks.join(ranks, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("rank")).as("rank_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("rank_sum").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_rank"))
+  }
+
+  // ---------------------------------------------------------------- C38
+  /** Token-budget quality selection — the budget-constrained form of q61's
+    * quota: within each source, take documents in quality order (q48's
+    * formula, doc_id tie-break) while the RUNNING token total stays within
+    * `budget`. This is how a mix recipe written in tokens ("≤ N tokens of
+    * source X") is actually materialized, vs q61's count quota.
+    *
+    * Scale: one shuffle on source + per-source sort with a running-sum
+    * frame; emitted rows stop at the budget but the sort still sees every
+    * candidate — pre-prune with a quality floor (q48 output) when a
+    * source's candidate set is corpus-sized. Determinism: the quality
+    * double is the q48 cross-engine-exact expression, and the running sum
+    * is integer. */
+  def q87BudgetSelect(spark: SparkSession, dir: String,
+      budget: Long = 600L): DataFrame = {
+    val len = length(col("text")).cast("long")
+    val words = TextAnalysis.wsTokens(col("text"))
+    val stopHits = Seq("the", "a", "of", "and")
+      .map(TextAnalysis.wordHits(col("text"), _)).reduce(_ + _)
+    val quality = (stopHits.cast("double") / words.cast("double")) * 10.0 +
+      (len - words + 1).cast("double") / words.cast("double")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        quality.as("quality_score"), words.as("words"))
+      .withColumn("cum_tokens", sum(col("words")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

@@ -527,6 +527,36 @@ object Relational {
       .agg(countDistinct($"user_id").as("n_active"))
   }
 
+  // ---------------------------------------------------------------- A38
+  /** Per-user rolling 1-hour aggregates over the event stream — for every
+    * event, the count and value-sum of that user's events in the trailing
+    * hour INCLUDING the event (a time-interval sliding frame, not a row
+    * frame: gaps and bursts change the window population). The batch twin
+    * of a streaming sliding-window feature; per-entity trailing aggregates
+    * are the standard online-feature shape.
+    *
+    * Determinism/engines: the frame is ranged over EPOCH MICROSECONDS (a
+    * long — both engines bound the frame with exact integer compares; an
+    * INTERVAL frame over the raw ns/µs timestamps would have to agree on
+    * truncation too), and the sum is the DECIMAL convention so the
+    * frame-internal addition order cannot matter.
+    *
+    * Scale: one shuffle on user_id + per-user time sort; Spark evaluates a
+    * trailing range frame with a sliding two-pointer pass, O(events) per
+    * user, state bounded by the widest 1-hour burst. */
+  def q88RollingEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts",
+        unix_micros($"ts".cast("timestamp")).as("us"),
+        money($"value").as("v"))
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-hourUs, 0)
+    e.select($"event_id", $"user_id", $"ts",
+        count(lit(1)).over(w).as("cnt_1h"),
+        asDouble(sum($"v").over(w)).as("sum_1h"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Dedup, Relational}
+
+/** Round-9 curation/analytics operators, each checked against an
+  * independent re-derivation (not the operator's own arithmetic): hash-mix
+  * rate semantics, triangle closure, token-rank formula, budget greediness,
+  * rolling-frame membership. */
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corpus mix: rate semantics — src0 complete, src3 empty, default ≈ rate") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val perSource = docs.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    val kept = Corpus.q84CorpusMix(spark, sf)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(kept("src0") === perSource("src0")) // rate 1.0 keeps everything
+    assert(!kept.contains("src3"))             // rate 0.0 keeps nothing
+    // md5 is uniform: the aggregate default-rate sources (16×25 docs)
+    // should land near 50% — loose bound, deterministic data so no flake
+    val defSources = perSource.keys.toSeq.filterNot(Set("src0", "src1", "src2", "src3"))
+    val defKept = defSources.map(s => kept.getOrElse(s, 0L)).sum.toDouble
+    val defTotal = defSources.map(perSource).sum.toDouble
+    assert(math.abs(defKept / defTotal - 0.5) < 0.15)
+  }
+
+  test("corpus mix: deterministic — two runs produce the identical id set") {
+    val a = Corpus.q84CorpusMix(spark, sf).select($"doc_id").as[Long].collect().toSet
+    val b = Corpus.q84CorpusMix(spark, sf).select($"doc_id").as[Long].collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("triangles: every emitted triple is closed, and none is missed") {
+    val edges = Dedup.q44DedupEmbedding(spark, sf, threshold = 0.2)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val got = Corpus.q85DupTriangles(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    got.foreach { case (a, b, c) =>
+      assert(a < b && b < c)
+      assert(edges((a, b)) && edges((b, c)) && edges((a, c)))
+    }
+    // independent brute force over the collected edge set
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expected = for {
+      (a, bs) <- adj.toSet; b <- bs
+      c <- adj.getOrElse(b, Set.empty) if edges((a, c))
+    } yield (a, b, c)
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("token rank: rank 1 is the corpus-most-frequent word; formula checks") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", explode(split($"text", " ", -1)).as("word"))
+    val freq = toks.groupBy($"word").count().as[(String, Long)].collect()
+    val ranked = freq.sortBy { case (w, c) => (-c, w) }.zipWithIndex
+      .map { case ((w, _), i) => w -> (i + 1L) }.toMap
+    val someDoc = toks.filter($"doc_id" === 0L).as[(Long, String)].collect()
+    val expMean = someDoc.map(t => ranked(t._2)).sum.toDouble / someDoc.length
+    val got = Corpus.q86TokenRank(spark, sf)
+      .filter($"doc_id" === 0L).select($"mean_rank").as[Double].head()
+    assert(got === expMean)
+  }
+
+  test("budget select: within budget, quality-greedy, and maximal per source") {
+    val rows = Corpus.q87BudgetSelect(spark, sf, budget = 600L)
+      .select($"source", $"quality_score", $"words", $"cum_tokens")
+      .as[(String, Double, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(-_._2)
+      assert(sorted.map(_._3).sum === sorted.last._4) // cum is the running sum
+      assert(sorted.last._4 <= 600L)
+    }
+    // maximality: the highest-quality EXCLUDED doc would have burst the budget
+    val all = Corpus.q87BudgetSelect(spark, sf, budget = Long.MaxValue)
+      .as[(Long, String, Double, Long, Long)].collect()
+    val keptIds = rows.length
+    val perSourceKept = Corpus.q87BudgetSelect(spark, sf, budget = 600L)
+      .select($"source", $"doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    all.groupBy(_._2).foreach { case (src, docs) =>
+      val inOrder = docs.sortBy(d => (-d._3, d._1))
+      val kept = perSourceKept.getOrElse(src, Set.empty)
+      var cum = 0L
+      inOrder.foreach { d =>
+        cum += d._4
+        assert(kept(d._1) === (cum <= 600L),
+          s"greedy prefix mismatch at $src/doc ${d._1}")
+      }
+    }
+    assert(keptIds > 0)
+  }
+
+  test("rolling events: frame equals the brute-force trailing hour for a user") {
+    val e = graft.sources.Tables.events(spark, sf)
+      .select($"event_id", $"user_id",
+        unix_micros($"ts".cast("timestamp")).as("us"), $"value")
+      .as[(Long, Long, Long, Double)].collect()
+    val user = e.groupBy(_._2).maxBy(_._2.length)._1 // busiest user
+    val mine = e.filter(_._2 == user)
+    val got = Relational.q88RollingEvents(spark, sf)
+      .filter($"user_id" === user)
+      .select($"event_id", $"cnt_1h", $"sum_1h")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(mine.nonEmpty && got.size === mine.length)
+    val hourUs = 3600L * 1000000L
+    mine.foreach { case (eid, _, us, _) =>
+      val frame = mine.filter(x => x._3 >= us - hourUs && x._3 <= us)
+      // the operator's DECIMAL(14,2) convention: round each value exactly
+      val expSum = frame.map(x =>
+        BigDecimal(x._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val (gc, gs) = got(eid)
+      assert(gc === frame.length.toLong, s"cnt mismatch at event $eid")
+      assert(gs === expSum, s"sum mismatch at event $eid")
+    }
+  }
+}
