@@ -106,6 +106,9 @@ object SparkEntry {
     "q86_token_rank" -> ((s, d) => Corpus.q86TokenRank(s, d)),
     "q87_budget_select" -> ((s, d) => Corpus.q87BudgetSelect(s, d)),
     "q88_rolling_events" -> (Relational.q88RollingEvents _),
+    "q89_sessionize" -> ((s, d) => Relational.q89Sessionize(s, d)),
+    "q90_interval_join" -> ((s, d) => Relational.q90IntervalJoin(s, d)),
+    "q91_split_assign" -> ((s, d) => Corpus.q91SplitAssign(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -799,5 +802,31 @@ object SparkEntry {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q89_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |           FROM events),
+        |f AS (SELECT event_id, user_id, ts, us,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT event_id, user_id, ts,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM f""".stripMargin,
+    // the oracle states the SEMANTICS as a plain band self-join; the Spark
+    // side produces the same pair set via the bucketed range-join pattern
+    "q90_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT a.user_id AS user_id, a.event_id AS event_a, b.event_id AS event_b,
+        |  abs(a.us - b.us) AS gap_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(a.us - b.us) <= 300000000""".stripMargin,
+    "q91_split_assign" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '19999999' THEN 'test'
+        |       WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '33333333' THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
   )
 }

@@ -607,4 +607,27 @@ object Corpus {
       .withColumn("cum_tokens", sum(col("words")).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  // ---------------------------------------------------------------- C39
+  /** Deterministic train/val/test split assignment — every document gets a
+    * split label from the q84 hash-threshold machinery (10% test, 10% val,
+    * 80% train by default): the label is a pure function of doc_id, so the
+    * split is stable under corpus growth (a document never migrates between
+    * splits when new data arrives — the property random assignment lacks),
+    * reproducible across engines, and independent of q84's sampling (its
+    * own salt). Map-only, zero shuffle.
+    *
+    * Fractions quantize to u32 thresholds compared as fixed-width hex; the
+    * boundary docs land identically in both engines because the comparison
+    * is the same byte-wise string order. */
+  def q91SplitAssign(spark: SparkSession, dir: String,
+      testFrac: Double = 0.1, valFrac: Double = 0.1): DataFrame = {
+    def thr(f: Double): String = f"${(f * 4294967296.0).toLong}%08x"
+    val h8 = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        when(h8 < thr(testFrac), "test")
+          .when(h8 < thr(testFrac + valFrac), "val")
+          .otherwise("train").as("split"))
+  }
 }

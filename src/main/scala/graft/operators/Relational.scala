@@ -557,6 +557,63 @@ object Relational {
         asDouble(sum($"v").over(w)).as("sum_1h"))
   }
 
+  // ---------------------------------------------------------------- A39
+  /** Gap-based sessionization that ASSIGNS a session id to every event —
+    * the per-event complement of q36's session-window aggregation: a new
+    * session starts when a user's inter-event gap exceeds `gap` (30 min).
+    * `session_seq` is the user's 1-based session counter (lag-compare →
+    * running sum of session starts), so (user_id, session_seq) is a stable
+    * session key downstream joins can use.
+    *
+    * Determinism: gaps compare in epoch micros (exact integers); ties in
+    * `ts` order within a user cannot change the flag (equal timestamps
+    * have gap 0). Scale: one shuffle on user_id + per-user sort; both
+    * window functions share the single sort. */
+  def q89Sessionize(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val e = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+    val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    e.withColumn("__new",
+        when(lag($"us", 1).over(byUser).isNull
+          || $"us" - lag($"us", 1).over(byUser) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum($"__new")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"event_id", $"user_id", $"ts", $"session_seq")
+  }
+
+  // ---------------------------------------------------------------- A40
+  /** Interval-overlap self-join — pairs of a user's events whose
+    * ±`window`-minute neighborhoods overlap (|Δts| ≤ window), via the
+    * BANDED range-join pattern Spark lacks natively: quantize time into
+    * window-width buckets, explode ONE side to its bucket ±1, equi-join on
+    * (user, bucket), then apply the exact band predicate. Each qualifying
+    * pair is produced exactly once (the probe's own bucket hits one of the
+    * build side's three), and the equi-join keeps the work hash-partitioned
+    * instead of a per-user cross product — the difference between O(n²) and
+    * O(n · bucket-occupancy) at 100 TB.
+    *
+    * Exactness: bucket ids and the band predicate are integer arithmetic
+    * on epoch micros. */
+  def q90IntervalJoin(spark: SparkSession, dir: String,
+      windowMinutes: Int = 5): DataFrame = {
+    val winUs = windowMinutes * 60L * 1000000L
+    val e = Tables.events(spark, dir)
+      .select($"event_id", $"user_id",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+      .withColumn("bk", expr(s"us div ${winUs}L"))
+    val probe = e.withColumn("bk", explode(array($"bk" - 1, $"bk", $"bk" + 1)))
+    e.as("a").join(probe.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.bk" === $"b.bk" &&
+          $"a.event_id" < $"b.event_id" &&
+          abs($"a.us" - $"b.us") <= winUs)
+      .select($"a.user_id".as("user_id"),
+        $"a.event_id".as("event_a"), $"b.event_id".as("event_b"),
+        abs($"a.us" - $"b.us").as("gap_us"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

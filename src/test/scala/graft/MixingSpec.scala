@@ -95,6 +95,58 @@ class MixingSpec extends SparkSpec {
     assert(keptIds > 0)
   }
 
+  test("sessionize: session_seq equals a brute-force gap scan per user") {
+    val gapUs = 30L * 60L * 1000000L
+    val e = graft.sources.Tables.events(spark, sf)
+      .select($"event_id", $"user_id", unix_micros($"ts".cast("timestamp")).as("us"))
+      .as[(Long, Long, Long)].collect()
+    val got = Relational.q89Sessionize(spark, sf)
+      .select($"event_id", $"session_seq").as[(Long, Long)].collect().toMap
+    assert(got.size === e.length)
+    e.groupBy(_._2).foreach { case (_, evs) =>
+      val sorted = evs.sortBy(x => (x._3, x._1))
+      var seq = 0L; var prev = Long.MinValue
+      sorted.foreach { case (eid, _, us) =>
+        if (prev == Long.MinValue || us - prev > gapUs) seq += 1
+        prev = us
+        assert(got(eid) === seq, s"session_seq mismatch at event $eid")
+      }
+    }
+  }
+
+  test("interval join: banded pairs equal the brute-force band self-join") {
+    val winUs = 5L * 60L * 1000000L
+    val e = graft.sources.Tables.events(spark, sf)
+      .select($"event_id", $"user_id", unix_micros($"ts".cast("timestamp")).as("us"))
+      .as[(Long, Long, Long)].collect()
+    val expected = (for {
+      (_, evs) <- e.groupBy(_._2).toSeq
+      a <- evs.toSeq; b <- evs.toSeq
+      if a._1 < b._1 && math.abs(a._3 - b._3) <= winUs
+    } yield (a._1, b._1)).toSet
+    val got = Relational.q90IntervalJoin(spark, sf)
+      .select($"event_a", $"event_b").as[(Long, Long)].collect()
+    assert(got.length === got.distinct.length) // bucketing emits no dup pairs
+    assert(got.toSet === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("split assign: total partition, rough fractions, growth-stable labels") {
+    val small = Corpus.q91SplitAssign(spark, sf)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(small.size.toLong === total) // every doc got exactly one label
+    val frac = small.values.groupBy(identity).view.mapValues(_.size.toDouble / small.size)
+    assert(math.abs(frac("test") - 0.1) < 0.06)
+    assert(math.abs(frac("val") - 0.1) < 0.06)
+    assert(frac("train") > 0.7)
+    // a document's label is a pure function of doc_id: the same id keeps
+    // its split in a bigger corpus (no migration as data grows)
+    val big = Corpus.q91SplitAssign(spark, "/root/testdata/sf0.01")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    small.keys.filter(big.contains).foreach(id => assert(small(id) === big(id)))
+  }
+
   test("rolling events: frame equals the brute-force trailing hour for a user") {
     val e = graft.sources.Tables.events(spark, sf)
       .select($"event_id", $"user_id",
