@@ -504,22 +504,44 @@ object Corpus {
     *
     * Scale: map-only — no shuffle, no state; the rate table rides the
     * closure. Rekeying the salt ("mix:") yields an independent sample. */
+  /** u32 sampling threshold as fixed-width lowercase hex (lexicographic
+    * order == numeric order); rate ≥ 1.0 → sentinel "g", above every hex. */
+  private def hexThreshold(rate: Double): String =
+    if (rate >= 1.0) "g" else f"${(rate * 4294967296.0).toLong}%08x"
+
+  /** First 8 md5-hex chars of `salt || id` — the deterministic per-row
+    * sampling key shared by the batch operators and the streaming pipeline. */
+  def hashKey(salt: String, id: Column): Column =
+    substring(md5(concat(lit(salt), id.cast("string"))), 1, 8)
+
+  /** Keep-predicate for per-source rate mixing (see [[q84CorpusMix]]). */
+  def mixKeepExpr(id: Column, source: Column,
+      rates: Map[String, Double], defaultRate: Double): Column = {
+    val thrCol = rates.toSeq.sortBy(_._1).foldLeft(lit(hexThreshold(defaultRate))) {
+      case (acc, (s, r)) => when(source === s, lit(hexThreshold(r))).otherwise(acc)
+    }
+    hashKey("mix:", id) < thrCol
+  }
+
+  /** Split-label expression for [[q91SplitAssign]] (own salt — independent
+    * of the mixing sample). */
+  def splitExpr(id: Column, testFrac: Double, valFrac: Double): Column = {
+    val h8 = hashKey("split:", id)
+    when(h8 < lit(hexThreshold(testFrac)), "test")
+      .when(h8 < lit(hexThreshold(testFrac + valFrac)), "val")
+      .otherwise("train")
+  }
+
   def q84CorpusMix(spark: SparkSession, dir: String,
       rates: Map[String, Double] = Map(
         "src0" -> 1.0, "src1" -> 0.25, "src2" -> 0.125, "src3" -> 0.0),
       defaultRate: Double = 0.5): DataFrame = {
-    def thr(rate: Double): String =
-      if (rate >= 1.0) "g" else f"${(rate * 4294967296.0).toLong}%08x"
-    val sorted = rates.toSeq.sortBy(_._1) // deterministic chain order
-    val thrCol = sorted.foldLeft(lit(thr(defaultRate))) {
-      case (acc, (s, r)) => when(col("source") === s, lit(thr(r))).otherwise(acc)
-    }
-    val rateCol = sorted.foldLeft(lit(defaultRate)) {
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
       case (acc, (s, r)) => when(col("source") === s, lit(r)).otherwise(acc)
     }
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), rateCol.as("rate"))
-      .filter(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8) < thrCol)
+      .filter(mixKeepExpr(col("doc_id"), col("source"), rates, defaultRate))
   }
 
   // ---------------------------------------------------------------- C36
@@ -621,13 +643,8 @@ object Corpus {
     * boundary docs land identically in both engines because the comparison
     * is the same byte-wise string order. */
   def q91SplitAssign(spark: SparkSession, dir: String,
-      testFrac: Double = 0.1, valFrac: Double = 0.1): DataFrame = {
-    def thr(f: Double): String = f"${(f * 4294967296.0).toLong}%08x"
-    val h8 = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8)
+      testFrac: Double = 0.1, valFrac: Double = 0.1): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        when(h8 < thr(testFrac), "test")
-          .when(h8 < thr(testFrac + valFrac), "val")
-          .otherwise("train").as("split"))
-  }
+        splitExpr(col("doc_id"), testFrac, valFrac).as("split"))
 }

@@ -67,8 +67,21 @@ object CurationPipeline {
   def start(docs: DataFrame, targetBase: String, checkpointDir: String,
       watermarkDelay: String = "10 minutes",
       maxTopFrac: Double = 0.5, minDistinctRatio: Double = 0.2,
-      keepEpochs: Int = 3): StreamingQuery = {
-    val curated = curatedColumns(docs, maxTopFrac, minDistinctRatio)
+      keepEpochs: Int = 3,
+      mixRates: Option[(Map[String, Double], Double)] = None,
+      splitFracs: Option[(Double, Double)] = None): StreamingQuery = {
+    import graft.operators.Corpus
+    // Optional q84 mixing / q91 split stages — the SAME expressions as the
+    // batch operators (pure functions of doc_id), so a document sampled or
+    // labeled in-stream matches what a batch re-run over the published
+    // corpus would decide; both need a `source` column on `docs`.
+    val mixed = mixRates.fold(docs) { case (rates, dflt) =>
+      docs.filter(Corpus.mixKeepExpr(col("doc_id"), col("source"), rates, dflt))
+    }
+    val labeled = splitFracs.fold(mixed) { case (t, v) =>
+      mixed.withColumn("split", Corpus.splitExpr(col("doc_id"), t, v))
+    }
+    val curated = curatedColumns(labeled, maxTopFrac, minDistinctRatio)
       .filter(col("keep"))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")

@@ -75,6 +75,39 @@ class CurationPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("in-stream mixing and split labels match the batch expressions") {
+    val base = Files.createTempDirectory("curm").toString + "/t"
+    val ckpt = Files.createTempDirectory("curm-ckpt").toString
+    val input = MemoryStream[(Long, String, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "source", "sec")
+      .select($"doc_id", $"text", $"source", timestamp_seconds($"sec").as("ts"))
+    val rates = Map("keep_all" -> 1.0, "drop_all" -> 0.0)
+    val q = CurationPipeline.start(docs, base, ckpt,
+      mixRates = Some((rates, 0.5)), splitFracs = Some((0.1, 0.1)))
+    try {
+      val rows = (1L to 40L).map(i =>
+        (i, s"document number $i with its own distinct body text",
+          if (i <= 10) "keep_all" else if (i <= 20) "drop_all" else "mixed",
+          1000L + i))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = SnapshotStore.readSnapshot(spark, base)
+        .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+      // batch-expression expectation over the same input
+      val batchDocs = rows.toDF("doc_id", "text", "source", "sec")
+      val expectIds = batchDocs
+        .filter(graft.operators.Corpus.mixKeepExpr($"doc_id", $"source", rates, 0.5))
+        .select($"doc_id").as[Long].collect().toSet
+      assert(got.keySet === expectIds)
+      assert((1L to 10L).forall(got.contains))   // rate 1.0 all kept
+      assert((11L to 20L).forall(!got.contains(_))) // rate 0.0 all dropped
+      val expectSplit = batchDocs
+        .select($"doc_id", graft.operators.Corpus.splitExpr($"doc_id", 0.1, 0.1).as("s"))
+        .as[(Long, String)].collect().toMap
+      got.foreach { case (id, s) => assert(s === expectSplit(id)) }
+    } finally q.stop()
+  }
+
   test("curation pipeline resumes from its checkpoint without re-publishing") {
     val base = Files.createTempDirectory("curr").toString + "/t"
     val ckpt = Files.createTempDirectory("curr-ckpt").toString
