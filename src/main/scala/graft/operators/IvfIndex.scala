@@ -120,11 +120,15 @@ object IvfIndex {
   }
 
   /** Persist: centroids as plain parquet, assignments hive-partitioned by
-    * cell so probes prune whole directories on load. */
+    * cell so probes prune whole directories on load. Build rows carry
+    * `__ver = 0`; streamed rows carry their batch id (see [[maintain]]). */
   def save(index: IvfIndex, path: String): Unit = {
     index.centroids.write.mode(SaveMode.Overwrite)
       .parquet(s"$path/centroids")
-    index.assignments.write.mode(SaveMode.Overwrite)
+    val versioned =
+      if (index.assignments.columns.contains(VerCol)) index.assignments
+      else index.assignments.withColumn(VerCol, lit(0L))
+    versioned.write.mode(SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(s"$path/assignments")
   }
@@ -134,4 +138,112 @@ object IvfIndex {
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/assignments")
         .select(col("vec_id"), col("cell"), col("emb"), col("norm")))
+
+  private val VerCol = "__ver"
+
+  /** Map-only nearest-centroid assignment — the same fp64 euclidean the
+    * build's KMeans `transform` evaluates (ties break by cell id; with
+    * real-valued data exact distance ties do not occur), shared by the
+    * streaming ingest and specs so batch and stream cannot diverge.
+    * Expects `(vec_id, embedding array<float>)`. */
+  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("emb"), col("centroid"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), _ + _)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cell").asc)
+    vectors
+      .withColumn("emb", toDoubles(col("embedding")))
+      .withColumn("norm", l2Norm(col("embedding")))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", d2)
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") === 1)
+      .select(col("vec_id"), col("cell"), col("emb"), col("norm"))
+  }
+
+  /** Streaming index maintenance: continuously ingest `(vec_id, embedding)`
+    * rows into a SAVED index's cell-partitioned layout. Per micro-batch:
+    * assign each vector to its nearest centroid (map-only, broadcast
+    * centroids — the quantizer is fixed; re-fit is an offline rebuild when
+    * the distribution drifts), then merge latest-wins into ONLY the touched
+    * cell directories via dynamic partition overwrite — O(delta + touched
+    * cells) I/O, never a whole-index rewrite, and untouched cells keep
+    * their files byte-identical (directory pruning still works for
+    * readers).
+    *
+    * Semantics: a re-ingested vec_id REPLACES its row when it lands in the
+    * same cell. If an update moves a vector to a DIFFERENT cell, the stale
+    * copy in the old cell is not visible to this batch's pruned read —
+    * rows are therefore versioned (`__ver` = batch id, build rows 0) and
+    * [[compact]] performs the global latest-wins rewrite; run it on the
+    * cadence cross-cell updates warrant (an append-mostly vector stream
+    * warrants ~never). A crashed batch replays identically (same data,
+    * same assignment, same overwrite) — convergent, no torn state beyond
+    * Spark's per-partition commit window. */
+  def maintain(vectors: DataFrame, path: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(ingestBatch(path))
+      .start()
+
+  /** The foreachBatch body of [[maintain]] (factored out for spec replay). */
+  def ingestBatch(path: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val centroids = spark.read.parquet(s"$path/centroids")
+      // within-batch dedupe first (deterministic winner: arrays order
+      // lexicographically), so replay order inside one batch cannot matter
+      val deduped = batch
+        .groupBy(col("vec_id"))
+        .agg(max(col("embedding")).as("embedding"))
+      val delta = assignCells(deduped, centroids)
+        .withColumn(VerCol, lit(batchId))
+      // touched cells: bounded by nCells — metadata-sized, same
+      // justification as BucketedTable.touchedBuckets
+      val touched = delta.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (touched.nonEmpty) {
+        val existing = spark.read.parquet(s"$path/assignments")
+          .filter(col("cell").isin(touched: _*)) // directory-pruned scan
+        val kept = existing.join(delta.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        val merged = kept.select(delta.columns.map(col): _*).unionByName(delta)
+          // pin before writing: the overwrite target is also the read path
+          // (the UpsertSink pattern; a failed batch replays via streaming)
+          .localCheckpoint(true)
+        merged.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell")
+          .parquet(s"$path/assignments")
+      }
+    }
+
+  /** Global latest-wins rewrite: one row per vec_id (max `__ver`), removing
+    * stale copies left in old cells by cross-cell updates. A full-index
+    * pass — the offline complement of [[maintain]]'s O(delta) ingest. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val all = spark.read.parquet(s"$path/assignments")
+    val winners = all
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cell"), col("emb"), col("norm"), col(VerCol)),
+        col(VerCol)).as("__r"))
+      .select(col("vec_id"), col("__r.cell").as("cell"), col("__r.emb").as("emb"),
+        col("__r.norm").as("norm"), col(s"__r.$VerCol").as(VerCol))
+    // rewrite through a staging dir: overwriting the tree being read would
+    // race the scan; rename swap keeps readers on a complete layout
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/assignments.compacting")
+    winners.write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(staging.toString)
+    val live = new org.apache.hadoop.fs.Path(s"$path/assignments")
+    val old = new org.apache.hadoop.fs.Path(s"$path/assignments.old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(live, old), s"compact: could not stage out $live")
+    require(fs.rename(staging, live), s"compact: could not publish $staging")
+    fs.delete(old, true)
+  }
 }

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.IvfIndex
+
+/** Streaming IVF index maintenance: assignment parity with the build,
+  * O(delta) cell-directory writes, latest-wins updates, and compaction of
+  * cross-cell moves. */
+class IvfMaintainSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("assignCells matches the built index's KMeans assignment") {
+    val idx = IvfIndex.build(corpus, nCells = 8)
+    val viaExpr = IvfIndex.assignCells(
+      corpus.select($"vec_id", $"embedding"), idx.centroids)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val viaModel = idx.assignments
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(viaExpr === viaModel)
+    assert(viaExpr.nonEmpty)
+  }
+
+  test("streamed vectors join the index; untouched cells stay byte-identical") {
+    val path = Files.createTempDirectory("ivf-m").toString + "/idx"
+    val ckpt = Files.createTempDirectory("ivf-m-ckpt").toString
+    val base = corpus.filter($"vec_id" < 300L)
+    IvfIndex.save(IvfIndex.build(base, nCells = 8), path)
+
+    val rest = corpus.filter($"vec_id" >= 300L)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    // pick an untouched cell: one whose members all come from the base set
+    val loaded0 = IvfIndex.load(spark, path)
+    val restCells = IvfIndex.assignCells(
+      rest.toSeq.toDF("vec_id", "embedding"), loaded0.centroids)
+      .select($"cell").distinct().as[Int].collect().toSet
+    val allCells = loaded0.assignments.select($"cell").distinct()
+      .as[Int].collect().toSet
+    val untouched = (allCells -- restCells).headOption
+    def cellFiles(c: Int): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$path/assignments/cell=$c")
+      if (!d.exists) Map.empty
+      else d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> ((f.length, f.lastModified))).toMap
+    }
+    val before = untouched.map(cellFiles)
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = IvfIndex.maintain(
+      input.toDF().toDF("vec_id", "embedding"), path, ckpt)
+    try {
+      input.addData(rest.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val after = IvfIndex.load(spark, path)
+    val ids = after.assignments.select($"vec_id").as[Long].collect().toSet
+    assert(ids === corpus.select($"vec_id").as[Long].collect().toSet)
+    // a streamed vector is its own exact-cosine nearest neighbor
+    val probe = corpus.filter($"vec_id" === rest.head._1)
+      .select($"vec_id".as("query_id"),
+        graft.functions.VectorFunctions.toDoubles($"embedding").as("q_emb"),
+        graft.functions.VectorFunctions.l2Norm($"embedding").as("q_norm"))
+    val top = IvfIndex.query(after, probe, k = 1, nProbe = 2)
+      .select($"neighbor_id", $"score").as[(Long, Double)].head()
+    assert(top._1 === rest.head._1 && math.abs(top._2 - 1.0) < 1e-12)
+    untouched.foreach(c => assert(cellFiles(c) === before.get))
+  }
+
+  test("same-cell re-ingest replaces; cross-cell move is healed by compact") {
+    val path = Files.createTempDirectory("ivf-c").toString + "/idx"
+    val ckpt = Files.createTempDirectory("ivf-c-ckpt").toString
+    IvfIndex.save(IvfIndex.build(corpus, nCells = 8), path)
+    val loaded = IvfIndex.load(spark, path)
+
+    // same-cell: re-ingest vec 0 with its own embedding → still one row
+    val v0 = corpus.filter($"vec_id" === 0L)
+      .select($"embedding").as[Seq[Float]].head()
+    // cross-cell: give vec 1 the embedding of a vector from another cell
+    val cellOf = IvfIndex.assignCells(
+      corpus.select($"vec_id", $"embedding"), loaded.centroids)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val donor = cellOf.find(_._2 != cellOf(1L)).get._1
+    val vDonor = corpus.filter($"vec_id" === lit(donor))
+      .select($"embedding").as[Seq[Float]].head()
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = IvfIndex.maintain(
+      input.toDF().toDF("vec_id", "embedding"), path, ckpt)
+    try {
+      input.addData((0L, v0), (1L, vDonor))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.read.parquet(s"$path/assignments")
+      .select($"vec_id", $"cell").as[(Long, Int)].collect()
+    assert(rows.count(_._1 == 0L) === 1) // same-cell replace, no dup
+    assert(rows.count(_._1 == 1L) === 2) // stale copy documented pre-compact
+    IvfIndex.compact(spark, path)
+    val afterC = spark.read.parquet(s"$path/assignments")
+      .select($"vec_id", $"cell").as[(Long, Int)].collect()
+    assert(afterC.count(_._1 == 1L) === 1)
+    assert(afterC.find(_._1 == 1L).get._2 === cellOf(donor)) // latest cell won
+    assert(afterC.length === afterC.map(_._1).distinct.length)
+  }
+}
