@@ -109,6 +109,8 @@ object SparkEntry {
     "q89_sessionize" -> ((s, d) => Relational.q89Sessionize(s, d)),
     "q90_interval_join" -> ((s, d) => Relational.q90IntervalJoin(s, d)),
     "q91_split_assign" -> ((s, d) => Corpus.q91SplitAssign(s, d)),
+    "q92_group_concat" -> (Relational.q92GroupConcat _),
+    "q93_moment_stats" -> (Relational.q93MomentStats _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -828,5 +830,33 @@ object SparkEntry {
         |       WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '33333333' THEN 'val'
         |       ELSE 'train' END AS split
         |FROM documents""".stripMargin,
+    "q92_group_concat" ->
+      """SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names,
+        |count(*) AS cnt
+        |FROM customer GROUP BY 1""".stripMargin,
+    // the fp post-processing mirrors the Spark expressions op-for-op over
+    // exact integer sums, so every double is bit-identical cross-engine
+    "q93_moment_stats" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+        |  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n, s1, s2, s3,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+        |  CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS var_qty,
+        |  sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS std_qty,
+        |  (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |    + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |  / (sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |     * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |     * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))) AS skew_qty
+        |FROM a""".stripMargin,
   )
 }

@@ -614,6 +614,52 @@ object Relational {
         abs($"a.us" - $"b.us").as("gap_us"))
   }
 
+  // ---------------------------------------------------------------- A41
+  /** Ordered group string aggregation (LISTAGG/string_agg) — names per
+    * nation, comma-joined in sorted order. Expressed as
+    * `concat_ws(array_sort(collect_list))` so the concatenation order is
+    * deterministic regardless of partitioning (a bare listagg reflects
+    * arrival order — nondeterministic under shuffle).
+    *
+    * Scale: collect_list buffers one group's members — fine for
+    * group-sized payloads (names per nation); corpus-sized groups should
+    * aggregate ids and materialize strings downstream. */
+  def q92GroupConcat(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy($"c_nationkey")
+      .agg(
+        concat_ws(",", array_sort(collect_list($"c_name"))).as("names"),
+        count(lit(1)).as("cnt"))
+
+  // ---------------------------------------------------------------- A42
+  /** One-pass moment statistics from DISTRIBUTIVE integer sums — mean,
+    * population variance/stddev, and skewness of `l_quantity` per return
+    * flag. Spark's stddev/skewness builtins merge partial fp moments in
+    * partition order (nondeterministic bit patterns under shuffle, and
+    * never comparable cross-engine); here the aggregation state is three
+    * exact integer sums (Σq, Σq², Σq³ — quantities are small integers, no
+    * overflow at any SF) and every downstream fp op is the SAME IEEE
+    * expression on both engines, so results are bit-identical AND the
+    * aggregate is embarrassingly partial-aggregable — the only moment
+    * formulation that scales to 100 TB without a second pass. */
+  def q93MomentStats(spark: SparkSession, dir: String): DataFrame = {
+    val q = $"l_quantity".cast("long")
+    val agg = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(q).as("s1"),
+        sum(q * q).as("s2"), sum(q * q * q).as("s3"))
+    val nd = $"n".cast("double")
+    val mean = $"s1".cast("double") / nd
+    val m2 = $"s2".cast("double") / nd - mean * mean
+    val std = sqrt(m2)
+    val skew = ($"s3".cast("double") / nd
+      - lit(3.0) * mean * ($"s2".cast("double") / nd)
+      + lit(2.0) * mean * mean * mean) / (std * std * std)
+    agg.select($"l_returnflag", $"n", $"s1", $"s2", $"s3",
+      mean.as("mean_qty"), m2.as("var_qty"), std.as("std_qty"),
+      skew.as("skew_qty"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

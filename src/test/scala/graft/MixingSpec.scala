@@ -147,6 +147,38 @@ class MixingSpec extends SparkSpec {
     small.keys.filter(big.contains).foreach(id => assert(small(id) === big(id)))
   }
 
+  test("group concat: sorted, complete member list per nation") {
+    val expected = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_nationkey".cast("long"), $"c_name").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.mkString(",")).toMap
+    val got = Relational.q92GroupConcat(spark, sf)
+      .select($"c_nationkey".cast("long"), $"names").as[(Long, String)].collect().toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("moment stats: integer sums and fp moments match a direct computation") {
+    val qs = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_returnflag", $"l_quantity".cast("long")).as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = Relational.q93MomentStats(spark, sf)
+      .select($"l_returnflag", $"n", $"s1", $"s2", $"s3", $"var_qty", $"skew_qty")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (flag, n, s1, s2, s3, varQ, skewQ) =>
+      val v = qs(flag)
+      assert(n === v.length.toLong)
+      assert(s1 === v.sum)
+      assert(s2 === v.map(x => x * x).sum)
+      assert(s3 === v.map(x => x * x * x).sum)
+      val mean = v.sum.toDouble / v.length
+      val m2 = v.map(x => (x - mean) * (x - mean)).sum / v.length
+      val m3 = v.map(x => (x - mean) * (x - mean) * (x - mean)).sum / v.length
+      assert(math.abs(varQ - m2) < 1e-9 * m2)
+      assert(math.abs(skewQ - m3 / math.pow(m2, 1.5)) < 1e-9)
+    }
+  }
+
   test("rolling events: frame equals the brute-force trailing hour for a user") {
     val e = graft.sources.Tables.events(spark, sf)
       .select($"event_id", $"user_id",
