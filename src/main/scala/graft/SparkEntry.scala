@@ -111,6 +111,7 @@ object SparkEntry {
     "q91_split_assign" -> ((s, d) => Corpus.q91SplitAssign(s, d)),
     "q92_group_concat" -> (Relational.q92GroupConcat _),
     "q93_moment_stats" -> (Relational.q93MomentStats _),
+    "q94_scd2_intervals" -> (Changelog.q94Scd2Intervals _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -858,5 +859,12 @@ object SparkEntry {
         |     * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
         |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))) AS skew_qty
         |FROM a""".stripMargin,
+    "q94_scd2_intervals" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |             CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT user_id, event_id, event_type, value, ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
   )
 }

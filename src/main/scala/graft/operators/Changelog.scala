@@ -137,6 +137,29 @@ object Changelog {
       .select($"user_id", $"value", $"commit_ts")
   }
 
+  // ---------------------------------------------------------------- B32
+  /** Changelog → temporal (SCD2) table: every change row becomes a
+    * validity interval `[valid_from, valid_to)` — `valid_to` is the next
+    * change's timestamp for the same key, NULL while current. This is the
+    * transformation behind Flink's temporal/versioned tables (the surface
+    * TiFlink users join against with FOR SYSTEM_TIME AS OF): the AS-OF
+    * lookup itself is [[graft.operators.AsOf]] (B19); this builds the
+    * versioned relation it probes.
+    *
+    * Scale: one shuffle on the key + per-key sort shared by the lead()
+    * and the current-flag; intervals are exact epoch-µs with a
+    * deterministic (ts, event_id) tie-break. */
+  def q94Scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"value", $"ts")
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .withColumn("is_current", $"valid_to".isNull)
+      .withColumnRenamed("ts", "valid_from")
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        $"valid_from", $"valid_to", $"is_current")
+  }
+
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

@@ -179,6 +179,35 @@ class MixingSpec extends SparkSpec {
     }
   }
 
+  test("scd2 intervals: contiguous non-overlapping chain, one current row per key") {
+    import graft.operators.Changelog
+    val rows = Changelog.q94Scd2Intervals(spark, sf)
+      .select($"user_id", $"event_id",
+        unix_micros($"valid_from".cast("timestamp")).as("f"),
+        unix_micros($"valid_to".cast("timestamp")).as("t"),
+        $"is_current")
+      .as[(Long, Long, Long, Option[Long], Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, ivs) =>
+      val chain = ivs.sortBy(x => (x._3, x._2))
+      assert(chain.count(_._5) === 1, s"user $u: exactly one current row")
+      assert(chain.last._5 && chain.last._4.isEmpty)
+      chain.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"user $u: next valid_from closes the interval")
+        case _ => ()
+      }
+      // as-of semantics: a probe inside interval i resolves to exactly row i
+      chain.init.foreach { iv =>
+        val probe = iv._3 // probe AT valid_from: [from, to) contains it
+        val hits = chain.filter(c => c._3 <= probe && c._4.forall(_ > probe))
+        assert(hits.map(_._2).toSeq === Seq(iv._2)
+          || chain.exists(c => c._3 == probe && c._2 != iv._2), // ts-tie rows share an instant
+          s"user $u: probe $probe resolves ambiguously")
+      }
+    }
+  }
+
   test("rolling events: frame equals the brute-force trailing hour for a user") {
     val e = graft.sources.Tables.events(spark, sf)
       .select($"event_id", $"user_id",
