@@ -112,6 +112,15 @@ object SparkEntry {
     "q92_group_concat" -> (Relational.q92GroupConcat _),
     "q93_moment_stats" -> (Relational.q93MomentStats _),
     "q94_scd2_intervals" -> (Changelog.q94Scd2Intervals _),
+    "q95_full_outer" -> (Relational.q95FullOuter _),
+    "q96_pivot" -> (Relational.q96Pivot _),
+    "q97_unpivot" -> (Relational.q97Unpivot _),
+    "q98_regression" -> (Relational.q98Regression _),
+    "q99_not_in" -> (Relational.q99NotIn _),
+    "q100_mode" -> (Relational.q100Mode _),
+    "q101_mv_diff" -> (Changelog.q101MvDiff _),
+    "q102_temporal_join" -> (Changelog.q102TemporalJoin _),
+    "q103_prefix_cluster" -> ((s, d) => Corpus.q103PrefixCluster(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -866,5 +875,99 @@ object SparkEntry {
         |  lead(ts) OVER w AS valid_to,
         |  lead(ts) OVER w IS NULL AS is_current
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q95_full_outer" ->
+      """WITH c AS (SELECT CAST(floor(c_acctbal/100.0) AS BIGINT) AS bal_bucket, count(*) AS n_cust
+        |           FROM customer GROUP BY 1),
+        |s AS (SELECT CAST(floor(s_acctbal/100.0) AS BIGINT) AS bal_bucket, count(*) AS n_supp
+        |      FROM supplier GROUP BY 1)
+        |SELECT COALESCE(c.bal_bucket, s.bal_bucket) AS bal_bucket, n_cust, n_supp
+        |FROM c FULL OUTER JOIN s ON c.bal_bucket = s.bal_bucket""".stripMargin,
+    "q96_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q97_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc,
+        |  CAST(sum(CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_tax
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS amount FROM a
+        |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+        |UNION ALL SELECT l_returnflag, 'sum_tax', sum_tax FROM a""".stripMargin,
+    // fp post-processing mirrors the Spark expressions op-for-op over exact
+    // BIGINT/DECIMAL sums (q93 discipline) → bit-identical doubles. y is
+    // the BOUNDED decimal (discount): every sum's underlying integer stays
+    // < 2^53, so the decimal→double casts are exact on both engines
+    "q98_regression" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |  sum(CAST(l_discount AS DECIMAL(4,2))) AS sy,
+        |  sum(CAST(l_quantity AS BIGINT) * CAST(l_discount AS DECIMAL(4,2))) AS sxy,
+        |  sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |  sum(CAST(l_discount AS DECIMAL(4,2)) * CAST(l_discount AS DECIMAL(4,2))) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT l_returnflag, n,
+        |  CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |  CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM a)
+        |SELECT l_returnflag, n,
+        |  (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) AS slope,
+        |  (syd - ((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd)) * sxd) / nd AS intercept,
+        |  (nd*sxyd - sxd*syd) / (sqrt(nd*sxxd - sxd*sxd) * sqrt(nd*syyd - syd*syd)) AS pearson_r
+        |FROM d""".stripMargin,
+    "q99_not_in" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT DISTINCT CASE WHEN o_orderstatus = 'X' THEN NULL ELSE o_custkey END
+        |  FROM orders WHERE o_totalprice > 300000)""".stripMargin,
+    "q100_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, cnt,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n_types
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_type, cnt AS mode_cnt, n_types
+        |FROM r WHERE rn = 1""".stripMargin,
+    "q101_mv_diff" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |o AS (SELECT user_id, event_id AS old_event_id FROM (
+        |    SELECT user_id, event_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') x
+        |  WHERE rn = 1 AND event_type <> 'error'),
+        |n AS (SELECT user_id, event_id AS new_event_id, event_type AS new_event_type,
+        |             value AS new_value FROM (
+        |    SELECT user_id, event_id, event_type, value,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e WHERE ts <= TIMESTAMP '2024-01-25 00:00:00') x
+        |  WHERE rn = 1 AND event_type <> 'error')
+        |SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+        |  CASE WHEN o.user_id IS NULL THEN 'I'
+        |       WHEN n.user_id IS NULL THEN 'D' ELSE 'U' END AS op,
+        |  old_event_id, new_event_id, new_event_type, new_value
+        |FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+        |WHERE old_event_id IS DISTINCT FROM new_event_id""".stripMargin,
+    "q102_temporal_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |d AS (SELECT user_id, event_id AS dim_event_id, value AS dim_value, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM e WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'click')
+        |SELECT p.user_id AS user_id, p.event_id AS event_id, p.ts AS ts,
+        |  d.dim_event_id, d.dim_value, d.valid_from
+        |FROM p JOIN d ON p.user_id = d.user_id AND p.ts >= d.valid_from
+        |  AND (d.valid_to IS NULL OR p.ts < d.valid_to)""".stripMargin,
+    "q103_prefix_cluster" ->
+      """SELECT array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS prefix,
+        |  count(*) AS n_docs, count(DISTINCT source) AS n_sources, min(doc_id) AS min_doc_id
+        |FROM documents GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
   )
 }

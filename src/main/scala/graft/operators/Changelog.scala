@@ -160,6 +160,83 @@ object Changelog {
         $"valid_from", $"valid_to", $"is_current")
   }
 
+  // ---------------------------------------------------------------- B33
+  /** MV snapshot diff → changelog (RETRACTION GENERATION): given the keyed
+    * state at two cut timestamps, emit the exact change rows ('I'nsert /
+    * 'U'pdate / 'D'elete) that transform the old state into the new one —
+    * the inverse of B2/B3, and the operation behind Flink's retraction
+    * streams (TiFlink's sink consumes exactly this row-kind stream;
+    * FlinkTikvProducer.java:117-139 maps RowKind.{INSERT,UPDATE_AFTER,
+    * DELETE} to store ops). Downstream MVs can be maintained from this
+    * diff without re-reading either snapshot.
+    *
+    * State at a cut = latest row per user_id at ts ≤ cut, with the 'error'
+    * row-kind as DELETE tombstone (key absent), matching q31. A key whose
+    * latest event is UNCHANGED between cuts emits nothing — the diff is
+    * O(|changed keys|), not O(|state|).
+    *
+    * Scale: both states hash-shuffle on user_id once, and the full outer
+    * join reuses that partitioning (no extra exchange); output is bounded
+    * by keys touched in (cut1, cut2]. At 100 TB the states themselves
+    * would be bucketed tables (B23) and the join shuffle-free. */
+  def q101MvDiff(spark: SparkSession, dir: String): DataFrame = {
+    def state(cut: String): DataFrame =
+      latestByKey(
+        Tables.events(spark, dir).filter($"ts" <= lit(cut).cast("timestamp")),
+        Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
+        .filter($"event_type" =!= "error")
+        .select($"user_id", $"event_id", $"event_type", $"value")
+    val oldS = state(snapshotTs).select(
+      $"user_id", $"event_id".as("old_event_id"))
+    val newS = state("2024-01-25 00:00:00").select(
+      $"user_id", $"event_id".as("new_event_id"),
+      $"event_type".as("new_event_type"), $"value".as("new_value"))
+    oldS.join(newS, Seq("user_id"), "full_outer")
+      .filter(!($"old_event_id" <=> $"new_event_id"))
+      .select($"user_id",
+        when($"old_event_id".isNull, lit("I"))
+          .when($"new_event_id".isNull, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        $"old_event_id", $"new_event_id", $"new_event_type", $"new_value")
+  }
+
+  // ---------------------------------------------------------------- B34
+  /** Temporal table join (FOR SYSTEM_TIME AS OF): probe rows join the dim
+    * version whose validity interval contains the probe timestamp. The dim
+    * here is the user's purchase history versioned SCD2-style (B32's
+    * transformation applied to the 'purchase' rows); probes are the
+    * 'click' rows — each click sees the purchase value in effect at click
+    * time. Clicks before a user's first purchase have no valid version and
+    * drop (inner temporal-join semantics, Flink's default).
+    *
+    * This is the lookup-side twin of B19's as-of join: same semantics,
+    * different physical shape — B19 merges both streams through one
+    * running-last sort; this builds the versioned relation once (reusable
+    * across many probe streams) and joins on key + interval containment.
+    * Spark plans key-equality + range as a sort-merge join on user_id with
+    * the band as a post-join filter on sorted runs; per-user version
+    * chains are short, so the per-key scan is bounded.
+    *
+    * Scale: one shuffle each side on user_id; at 100 TB a small dim
+    * broadcasts instead, and a large one reuses B23's bucketed layout for
+    * a shuffle-free probe. */
+  def q102TemporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy($"user_id").orderBy($"valid_from", $"dim_event_id")
+    val dim = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("dim_event_id"),
+        $"value".as("dim_value"), $"ts".as("valid_from"))
+      .withColumn("valid_to", lead($"valid_from", 1).over(w))
+    val probe = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+    probe.join(dim,
+      probe("user_id") === dim("user_id") &&
+        $"ts" >= $"valid_from" &&
+        ($"valid_to".isNull || $"ts" < $"valid_to"))
+      .select(probe("user_id"), $"event_id", $"ts",
+        $"dim_event_id", $"dim_value", $"valid_from")
+  }
+
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

@@ -647,4 +647,29 @@ object Corpus {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         splitExpr(col("doc_id"), testFrac, valFrac).as("split"))
+
+  // ---------------------------------------------------------------- C40
+  /** Shared-prefix boilerplate clustering — group documents by their first
+    * `k` words (the crawl-header / template-opening signature: pages from
+    * one template start identically even when bodies differ, which q40's
+    * whole-hash dedup misses and q43's Jaccard only catches above its
+    * similarity floor). Emits every prefix shared by ≥2 documents with its
+    * spread (doc count, distinct sources, canonical doc) — a curation
+    * pipeline strips or down-weights these openings.
+    *
+    * Scale: the prefix key is a bounded-length string (k words) regardless
+    * of document size, extracted map-side from the scan — so the shuffle
+    * carries k words + 8 B per row, not the text. One partial-aggregated
+    * groupBy; hot prefixes (the very thing being hunted) partial-aggregate
+    * map-side, so a million-page template costs one row per map task. */
+  def q103PrefixCluster(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, k)).as("prefix"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_docs") >= 2)
 }

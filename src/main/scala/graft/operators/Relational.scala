@@ -660,6 +660,167 @@ object Relational {
       skew.as("skew_qty"))
   }
 
+  // ---------------------------------------------------------------- A43
+  /** FULL OUTER JOIN — both-sides-preserved merge of two independently
+    * aggregated frames (customer vs supplier account-balance histograms).
+    * The relational surface's last join flavor after inner/left/semi/anti/
+    * cross: unmatched buckets surface with a NULL count on the absent side.
+    *
+    * Scale: both inputs are already aggregated to bucket cardinality
+    * (≈ balance-range/100 rows regardless of SF), so the outer join itself
+    * is a dim×dim hash join — the heavy lifting stays in the two partial
+    * aggregations upstream. The bucket is floor(balance/100.0): one IEEE
+    * double divide + floor, deterministic cross-engine. */
+  def q95FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (c: Column) => floor(c / lit(100.0)).cast("long")
+    val cust = Tables.customer(spark, dir)
+      .groupBy(bucket($"c_acctbal").as("bal_bucket"))
+      .agg(count(lit(1)).as("n_cust"))
+    val supp = Tables.supplier(spark, dir)
+      .groupBy(bucket($"s_acctbal").as("bal_bucket"))
+      .agg(count(lit(1)).as("n_supp"))
+    cust.join(supp, Seq("bal_bucket"), "full_outer")
+  }
+
+  // ---------------------------------------------------------------- A44
+  /** PIVOT — long-to-wide rotation: per-user event counts spread over the
+    * (closed) event-type vocabulary. The pivot values are declared
+    * explicitly — without them Spark must first run a distinct job to
+    * DISCOVER the keys (a full extra pass over the fact table at 100 TB).
+    *
+    * Scale: with declared values the plan is two chained aggregations
+    * (count per (user,type), then PivotFirst per user), BOTH partial —
+    * every exchange carries pre-aggregated rows, never raw events; the
+    * second shuffle moves ≤ |users|·|vocabulary| rows. Asserted in the
+    * spec. (A hand-written conditional aggregation — q15's shape — saves
+    * the second exchange when the vocabulary is known at authoring time;
+    * this operator is the dynamic-width API surface.) */
+  def q96Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    // absent (user, type) cells are NULL counts — report the honest 0
+    types.foldLeft(pivoted) { (df, t) =>
+      df.withColumn(s"n_$t", coalesce(col(t), lit(0L))).drop(t)
+    }
+  }
+
+  // ---------------------------------------------------------------- A45
+  /** UNPIVOT — wide-to-long rotation (the inverse of A44): the per-flag
+    * money aggregates melt into (measure, amount) rows. Spark's `unpivot`
+    * is a zero-shuffle Expand over the already-aggregated frame; the
+    * DECIMAL sums are cast to DOUBLE before melting so the long column has
+    * one type and both engines agree bit-exactly.
+    *
+    * Scale: Expand multiplies rows by the measure count AFTER aggregation
+    * — |flags|×3 rows total, never a row-multiplier on the fact table. */
+  def q97Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        asDouble(sum(money($"l_extendedprice"))).as("sum_price"),
+        asDouble(sum(rate($"l_discount"))).as("sum_disc"),
+        asDouble(sum(rate($"l_tax"))).as("sum_tax"))
+      .unpivot(Array($"l_returnflag"),
+        Array($"sum_price", $"sum_disc", $"sum_tax"), "measure", "amount")
+
+  // ---------------------------------------------------------------- A46
+  /** Per-group simple linear regression + Pearson correlation of discount
+    * (y) on quantity (x) — volume-discount analysis — from DISTRIBUTIVE
+    * EXACT SUMS, the q93 discipline applied to two variables: the
+    * aggregation state is (n, Σx, Σy, Σxy, Σx², Σy²) with x a small
+    * integer (BIGINT sums exact) and y DECIMAL(4,2) (decimal sums exact,
+    * any order), so partials combine associatively at 100 TB;
+    * slope/intercept/r are then the same IEEE expression on both engines
+    * over identical inputs — bit-identical, unlike the builtin
+    * regr_slope/corr fp accumulators whose result depends on partition
+    * order.
+    *
+    * y is deliberately the BOUNDED-magnitude money column: every exact sum
+    * must convert to DOUBLE losslessly on both engines, which holds only
+    * while the decimal's underlying integer stays < 2^53 (≈9e15 — DuckDB's
+    * decimal→double goes through int128 division and double-rounds above
+    * that; Spark's BigDecimal cast is correctly rounded, so the engines
+    * can drift an ulp apart). Σ(discount²) at scale 4 reaches 2^53 only
+    * past ~1e12 rows; Σ(price²) would cross it at thousands of rows. */
+  def q98Regression(spark: SparkSession, dir: String): DataFrame = {
+    val x = $"l_quantity".cast("long")
+    val y = rate($"l_discount")
+    val agg = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val nd = $"n".cast("double")
+    val sxd = $"sx".cast("double"); val syd = $"sy".cast("double")
+    val sxyd = $"sxy".cast("double"); val sxxd = $"sxx".cast("double")
+    val syyd = $"syy".cast("double")
+    val cov = nd * sxyd - sxd * syd
+    val varx = nd * sxxd - sxd * sxd
+    val slope = cov / varx
+    agg.select($"l_returnflag", $"n",
+      slope.as("slope"),
+      ((syd - slope * sxd) / nd).as("intercept"),
+      (cov / (sqrt(varx) * sqrt(nd * syyd - syd * syd))).as("pearson_r"))
+  }
+
+  // ---------------------------------------------------------------- A47
+  /** Null-aware NOT IN — the anti-join flavor A7's NOT EXISTS cannot
+    * express: SQL's three-valued NOT IN must return NO rows if the
+    * subquery list contains a NULL. The inner CASE is statically nullable
+    * (never null on this data, but the type system can't prove it), so
+    * Spark plans a NullAwareAntiJoin — asserted in the spec — instead of a
+    * plain left-anti.
+    *
+    * Scale: Spark executes null-aware anti as a broadcast of the filtered
+    * inner side; the inner is pre-aggregated here (DISTINCT keys of
+    * high-value orders), keeping the broadcast ≪ the orders table. */
+  def q99NotIn(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+    val cust = s"graft_q99_cust_$tag"; val ord = s"graft_q99_ord_$tag"
+    Tables.customer(spark, dir).createOrReplaceTempView(cust)
+    Tables.orders(spark, dir).createOrReplaceTempView(ord)
+    // the CASE branch never fires on this data (no 'X' status), but unlike
+    // a `< 0` guard the optimizer cannot refute it from the pushed filter,
+    // so the inner stays statically nullable and the null-aware plan is kept
+    try spark.sql(
+      s"""SELECT c_custkey, c_name, c_mktsegment
+         |FROM $cust
+         |WHERE c_custkey NOT IN (
+         |  SELECT DISTINCT CASE WHEN o_orderstatus = 'X' THEN NULL ELSE o_custkey END
+         |  FROM $ord WHERE o_totalprice > 300000)""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(cust); spark.catalog.dropTempView(ord)
+    }
+  }
+
+  // ---------------------------------------------------------------- A48
+  /** Exact per-group MODE with deterministic tie-breaking (highest count,
+    * then lexicographically smallest value) — the categorical summary
+    * builtin `mode()` leaves tie order engine-defined, so both sides spell
+    * the argmax out: count per (user, type), then one shared window pass
+    * ranks and counts the distinct types.
+    *
+    * Scale: the window runs over the AGGREGATED (user, type) frame —
+    * ≤ |users|·|vocabulary| rows — so the per-partition sort is over a
+    * handful of rows per user, not the event stream. One shuffle total:
+    * groupBy and window share the user_id hash partitioning. */
+  def q100Mode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val byUser = Window.partitionBy($"user_id")
+    val ranked = Window.partitionBy($"user_id")
+      .orderBy($"cnt".desc, $"event_type")
+    counts
+      .withColumn("__rn", row_number().over(ranked))
+      .withColumn("n_types", count(lit(1)).over(byUser))
+      .filter($"__rn" === 1)
+      .select($"user_id", $"event_type".as("mode_type"),
+        $"cnt".as("mode_cnt"), $"n_types")
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
