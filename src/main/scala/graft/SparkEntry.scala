@@ -121,6 +121,8 @@ object SparkEntry {
     "q101_mv_diff" -> (Changelog.q101MvDiff _),
     "q102_temporal_join" -> (Changelog.q102TemporalJoin _),
     "q103_prefix_cluster" -> ((s, d) => Corpus.q103PrefixCluster(s, d)),
+    "q104_graph_degree" -> ((s, d) => Corpus.q104GraphDegree(s, d)),
+    "q105_global_rank" -> (Relational.q105GlobalRank _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -969,5 +971,44 @@ object SparkEntry {
       """SELECT array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS prefix,
         |  count(*) AS n_docs, count(DISTINCT source) AS n_sources, min(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    // same shingle/Jaccard CTEs as q43, then degree + node-iterator
+    // triangles; the coefficient is one fp division of exact integers
+    "q104_graph_degree" ->
+      """WITH idx AS (
+        |  SELECT doc_id, source, text, unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, source, substring(text, i, 3) AS ng FROM idx
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |p0 AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM g a JOIN g b ON a.source = b.source AND a.ng = b.ng AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS (SELECT doc_a, doc_b
+        |  FROM p0 JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.3),
+        |und AS (SELECT doc_a AS doc_id FROM e UNION ALL SELECT doc_b FROM e),
+        |deg AS (SELECT doc_id, count(*) AS degree FROM und GROUP BY 1),
+        |tri AS (SELECT x.doc_a AS va, x.doc_b AS vb, y.doc_b AS vc
+        |  FROM e x JOIN e y ON x.doc_b = y.doc_a
+        |  WHERE EXISTS (SELECT 1 FROM e z WHERE z.doc_a = x.doc_a AND z.doc_b = y.doc_b)),
+        |tn AS (SELECT doc_id, count(*) AS triangles FROM (
+        |    SELECT va AS doc_id FROM tri
+        |    UNION ALL SELECT vb FROM tri
+        |    UNION ALL SELECT vc FROM tri) u GROUP BY 1)
+        |SELECT deg.doc_id AS doc_id, degree, COALESCE(triangles, 0) AS triangles,
+        |  CASE WHEN degree >= 2
+        |    THEN (2.0 * CAST(COALESCE(triangles, 0) AS DOUBLE))
+        |         / CAST(degree * (degree - 1) AS DOUBLE)
+        |    ELSE 0.0 END AS clustering
+        |FROM deg LEFT JOIN tn ON deg.doc_id = tn.doc_id""".stripMargin,
+    // rank-arithmetic ntile: pure integers, no threshold interpolation
+    "q105_global_rank" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |  count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT doc_id, n_chars, rn, CAST(((rn - 1) * 10) // n AS BIGINT) AS decile
+        |FROM h""".stripMargin,
   )
 }

@@ -580,16 +580,17 @@ object Corpus {
     * both engines produce bit-identical doubles (a log-prob formulation
     * would hit cross-engine `ln` ulp differences).
     *
-    * Scale: the vocab table is Heaps-law small relative to the corpus, but
-    * its global rank is still a single-partition sort here — at real scale
-    * swap in a two-level rank (count-histogram prefix sums, broadcast).
-    * The scoring join keys on `word` and partial-aggregates per doc. */
+    * Scale: the vocab table is Heaps-law small relative to the corpus but
+    * still corpus-derived — its global rank runs through
+    * [[Rank.globalRowNumber]] (range exchange + offset broadcast), not a
+    * single-partition window. The scoring join keys on `word` and
+    * partial-aggregates per doc. */
   def q86TokenRank(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
-    val ranks = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
-      .withColumn("rank", row_number()
-        .over(Window.orderBy(col("c").desc, col("word").asc)).cast("long"))
+    val ranks = Rank.globalRowNumber(
+      toks.groupBy(col("word")).agg(count(lit(1)).as("c")),
+      Seq(col("c").desc, col("word").asc), rnCol = "rank")
       .select(col("word"), col("rank"))
     toks.join(ranks, Seq("word"))
       .groupBy(col("doc_id"))
@@ -672,4 +673,44 @@ object Corpus {
         countDistinct(col("source")).as("n_sources"),
         min(col("doc_id")).as("min_doc_id"))
       .filter(col("n_docs") >= 2)
+
+  // ---------------------------------------------------------------- C41
+  /** Near-dup graph degree + local clustering coefficient — the per-node
+    * structural diagnostic under q85's corpus-level triangle census:
+    * `degree` (how many near-dups a document has), `triangles` (how many of
+    * its neighbor pairs are ALSO near-dups of each other), and the local
+    * clustering coefficient 2·tri/(deg·(deg−1)). High degree + low
+    * clustering marks hub/chain artifacts where connected components
+    * over-merge (template pages chaining distinct content); high clustering
+    * marks genuine duplicate clusters safe to collapse to one
+    * representative. All counts are exact integers; the coefficient is one
+    * fp division of exact ints — bit-identical cross-engine.
+    *
+    * Scale: degree is one hash aggregation over 2·|E|; triangles reuse
+    * q85's node-iterator shape (wedge join + closing semi-join, bounded by
+    * Σdeg² — degree-orient for hubs); both shuffle edge keys only. */
+  def q104GraphDegree(spark: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val e = Dedup.q43NgramJaccard(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val deg = e.select(col("doc_a").as("doc_id"))
+      .unionAll(e.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val wedges = e.as("x").join(e.as("y"), col("x.doc_b") === col("y.doc_a"))
+      .select(col("x.doc_a").as("va"), col("x.doc_b").as("vb"),
+        col("y.doc_b").as("vc"))
+    val tri = wedges.join(e.as("z"),
+      col("va") === col("z.doc_a") && col("vc") === col("z.doc_b"), "left_semi")
+    val triPerNode = tri.select(col("va").as("doc_id"))
+      .unionAll(tri.select(col("vb").as("doc_id")))
+      .unionAll(tri.select(col("vc").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("triangles"))
+    deg.join(triPerNode, Seq("doc_id"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          (lit(2.0) * col("triangles").cast("double"))
+            / (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -821,6 +821,26 @@ object Relational {
         $"cnt".as("mode_cnt"), $"n_types")
   }
 
+  // ---------------------------------------------------------------- A49
+  /** Global ranking + rank-based NTILE (documents ranked corpus-wide by
+    * length): `rn` is the exact 1-based position under the total order
+    * (n_chars, doc_id) and `decile` the rank-arithmetic tile
+    * ⌊(rn−1)·10/n⌋ — pure integers, so both engines agree bit-exactly and
+    * boundary rows land deterministically (threshold-value bucketing would
+    * re-open the fp-interpolation fragility flagged on q77).
+    *
+    * Scale: [[Rank.globalRowNumber]] — a range exchange + per-partition
+    * sorts + count-offset broadcast — NOT the empty-partition window that
+    * funnels 100 TB through one reducer. The row count rides the same
+    * aggregate pass. */
+  def q105GlobalRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"n_chars")
+    val total = docs.count()
+    Rank.globalRowNumber(docs, Seq($"n_chars", $"doc_id"))
+      .withColumn("decile", expr(s"((rn - 1) * 10) div ${total}L"))
+      .select($"doc_id", $"n_chars", $"rn", $"decile")
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -40,7 +40,8 @@ object IncrementalMv {
       pk: String, version: String, op: String,
       groupKey: String, valueCol: String,
       nBuckets: Int = 16,
-      reliable: Boolean = false)(batch: DataFrame, batchId: Long): Unit = {
+      reliable: Boolean = false,
+      changelogPath: Option[String] = None)(batch: DataFrame, batchId: Long): Unit = {
     import BucketedTable._
     val spark = batch.sparkSession
     val entityPath = s"$basePath/entity"
@@ -95,6 +96,40 @@ object IncrementalMv {
           (coalesce(col("total"), lit(0.0)) + coalesce(col("__dv"), lit(0.0))).as("total"),
           col(BucketCol))
         .filter(col("cnt") > 0)
+      // 4a'. emit the MV's OWN output changelog (retraction stream — the
+      // row-kind stream TiFlink's sink consumes and the feed a downstream
+      // MV would maintain itself from; batch twin: Changelog.q101MvDiff).
+      // Ordering gives exactly-once: emit BEFORE the state swap, so a
+      // replay that crashed pre-swap recomputes the identical diff from
+      // the unchanged state, while a replay that crashed post-swap finds
+      // the batch directory already committed and skips. The write itself
+      // is staged + atomically renamed so a half-written directory can
+      // never be mistaken for a committed batch.
+      changelogPath.foreach { cl =>
+        val fs = new org.apache.hadoop.fs.Path(cl)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(cl, s"batch=$batchId")
+        if (!fs.exists(dst)) {
+          val oldA = aggCurrent.select(
+            col(groupKey), col("cnt").as("__oc"), col("total").as("__ot"))
+          val newA = merged.select(col(groupKey), col("cnt"), col("total"))
+          val out = oldA.join(newA, Seq(groupKey), "full")
+            // unchanged ride-along groups (same bucket, no delta) emit nothing
+            .filter(!(col("__oc") <=> col("cnt") && col("__ot") <=> col("total")))
+            .select(col(groupKey),
+              when(col("__oc").isNull, lit("I"))
+                .when(col("cnt").isNull, lit("D"))
+                .otherwise(lit("U")).as("op"),
+              col("cnt"), col("total"))
+          val staging = new org.apache.hadoop.fs.Path(cl, s"_staging_$batchId")
+          fs.delete(staging, true)
+          out.write.mode("overwrite").parquet(staging.toString)
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(staging, dst))
+            throw new IllegalStateException(
+              s"changelog rename $staging -> $dst failed; batch $batchId not emitted")
+        }
+      }
       swapTouched(merged, aggPath, touchedAgg)
     }
 

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Corpus, Rank, Relational}
+
+/** Distributed global ranking: exact parity with the single-window rank,
+  * without the all-rows-through-one-reducer sort. */
+class RankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("globalRowNumber equals the single-window rank under a total order") {
+    val df = spark.range(0, 1000).select(
+      (col("id") * 2654435761L % 97L).as("k"), col("id"))
+    val got = Rank.globalRowNumber(df, Seq(col("k"), col("id")))
+      .select($"id", $"rn").as[(Long, Long)].collect().toMap
+    val expect = df.select($"k", $"id").as[(Long, Long)].collect()
+      .sortBy(identity).map(_._2).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(got === expect)
+  }
+
+  test("globalRowNumber ranks via a range exchange, not one reducer") {
+    val df = spark.range(0, 100).select(col("id").as("k"), col("id"))
+    val p = Rank.globalRowNumber(df, Seq(col("k"), col("id"))).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("rangepartitioning"), "sort must be range-distributed")
+    assert(!p.contains("SinglePartition"),
+      s"no single-partition global window allowed:\n$p")
+  }
+
+  test("descending sort keys rank correctly (q86's vocab ordering)") {
+    val df = Seq(("the", 50L), ("of", 50L), ("zebra", 1L), ("a", 70L))
+      .toDF("word", "c")
+    val got = Rank.globalRowNumber(df, Seq(col("c").desc, col("word").asc),
+      rnCol = "rank").select($"word", $"rank").as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 1L, "of" -> 2L, "the" -> 3L, "zebra" -> 4L))
+  }
+
+  test("q105 decile is the exact rank-arithmetic tile") {
+    val rows = Relational.q105GlobalRank(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val n = rows.length
+    assert(rows.map(_._3).sorted === (1L to n).toArray, "ranks are a permutation")
+    rows.foreach { case (_, _, rn, dec) =>
+      assert(dec === ((rn - 1) * 10) / n, s"rank $rn tile")
+    }
+    // ranks follow (n_chars, doc_id) order
+    val sorted = rows.sortBy(r => (r._2, r._1))
+    assert(sorted.map(_._3).toSeq === (1L to n).toSeq)
+  }
+
+  test("q104 degree/triangles/clustering match brute force over the pair graph") {
+    val edges = graft.operators.Dedup.q43NgramJaccard(spark, sf, 0.3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Corpus.q104GraphDegree(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.keySet === adj.keySet)
+    adj.foreach { case (v, ns) =>
+      val (deg, tri, cc) = got(v)
+      assert(deg === ns.size.toLong, s"degree of $v")
+      val closed = ns.toSeq.combinations(2).count {
+        case Seq(a, b) => adj(a).contains(b)
+        case _ => false
+      }
+      assert(tri === closed.toLong, s"triangles at $v")
+      val expectCc = if (ns.size >= 2)
+        2.0 * closed / (ns.size.toDouble * (ns.size - 1)) else 0.0
+      assert(math.abs(cc - expectCc) < 1e-15, s"clustering at $v")
+    }
+  }
+}
