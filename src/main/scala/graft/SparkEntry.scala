@@ -123,6 +123,9 @@ object SparkEntry {
     "q103_prefix_cluster" -> ((s, d) => Corpus.q103PrefixCluster(s, d)),
     "q104_graph_degree" -> ((s, d) => Corpus.q104GraphDegree(s, d)),
     "q105_global_rank" -> (Relational.q105GlobalRank _),
+    // kNN graph: IVF-probe-bounded recall + fp scores → no cross-engine
+    // exact oracle; rows-only here, recall-vs-brute-force specced
+    "q106_knn_graph" -> ((s, d) => Similarity.q106KnnGraph(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -986,7 +989,7 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |e AS (SELECT doc_a, doc_b
         |  FROM p0 JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-        |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.3),
+        |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6),
         |und AS (SELECT doc_a AS doc_id FROM e UNION ALL SELECT doc_b FROM e),
         |deg AS (SELECT doc_id, count(*) AS degree FROM und GROUP BY 1),
         |tri AS (SELECT x.doc_a AS va, x.doc_b AS vb, y.doc_b AS vc

@@ -561,8 +561,11 @@ object Corpus {
     * when hub vertices appear. Shuffles carry only id pairs/triples. */
   def q85DupTriangles(spark: SparkSession, dir: String,
       threshold: Double = 0.2): DataFrame = {
-    val e = Dedup.q44DedupEmbedding(spark, dir, threshold)
-      .select(col("vec_a"), col("vec_b"))
+    // three plan references (wedge sides + closing semi-join) — materialize
+    // the edge list once rather than re-running the pair scoring per branch
+    val e = graft.Lineage.truncate(
+      Dedup.q44DedupEmbedding(spark, dir, threshold)
+        .select(col("vec_a"), col("vec_b")), reliable = false).df
     val wedges = e.as("x").join(e.as("y"), col("x.vec_b") === col("y.vec_a"))
       .select(col("x.vec_a").as("va"), col("x.vec_b").as("vb"),
         col("y.vec_b").as("vc"))
@@ -687,12 +690,24 @@ object Corpus {
     * fp division of exact ints — bit-identical cross-engine.
     *
     * Scale: degree is one hash aggregation over 2·|E|; triangles reuse
-    * q85's node-iterator shape (wedge join + closing semi-join, bounded by
-    * Σdeg² — degree-orient for hubs); both shuffle edge keys only. */
+    * q85's node-iterator shape (wedge join + closing semi-join). Wedge
+    * volume is the whole cost and it is threshold-sensitive: this graph's
+    * components are near-CLIQUES, where any enumeration is Θ(Σdeg³)-ish
+    * because that IS the triangle count — at 0.3 the synthetic corpus
+    * forms 239-degree components (228M wedges, 32s at sf0.1); the 0.6
+    * default is the true near-dup regime (4.3M wedges, 2.3s). For
+    * hub-skewed (non-clique) graphs, degree-orientation is the drop-in
+    * that bounds wedges by Σ outdeg² — unnecessary for cliques, where
+    * id-order wedges already hit the output lower bound. */
   def q104GraphDegree(spark: SparkSession, dir: String,
-      threshold: Double = 0.3): DataFrame = {
-    val e = Dedup.q43NgramJaccard(spark, dir, threshold)
-      .select(col("doc_a"), col("doc_b"))
+      threshold: Double = 0.6): DataFrame = {
+    // the pair pipeline feeds FOUR plan references (degree union ×2, wedge
+    // sides, closing semi-join) — materialize once or the whole
+    // shingle/Jaccard computation re-runs per reference (measured 60s → 3s
+    // at sf0.1); the edge list is tiny next to what produced it
+    val e = graft.Lineage.truncate(
+      Dedup.q43NgramJaccard(spark, dir, threshold)
+        .select(col("doc_a"), col("doc_b")), reliable = false).df
     val deg = e.select(col("doc_a").as("doc_id"))
       .unionAll(e.select(col("doc_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))

@@ -132,6 +132,57 @@ object Similarity {
     IvfIndex.query(index, queries, k, nProbe, excludeSelf = true)
   }
 
+  // ---------------------------------------------------------------- C42
+  /** All-vectors kNN GRAPH — every vector's top-k cosine neighbors, the
+    * structure semantic-dedup and diversity-sampling pipelines build over
+    * the whole corpus (vs. q45/q51's few-queries lookup). Brute force is
+    * O(n²); this blocks by IVF cells: each vector joins only the vectors of
+    * its `nProbe` nearest cells.
+    *
+    * Scale shape differs from [[IvfIndex.query]] deliberately: there the
+    * QUERY side broadcasts (small lookup set); here queries ARE the corpus,
+    * so probes ⋈ assignments is a SHUFFLE hash join keyed on cell — both
+    * sides |corpus|-sized, no broadcast of anything but the (nCells × dim)
+    * centroid table. A (query, neighbor) pair found via multiple shared
+    * probed cells is collapsed by a pair-keyed first-score aggregation
+    * before ranking. Hot cells (the skew hazard: cell size ~ data density)
+    * ride the cell-key shuffle; salt the assignment side if one cell
+    * dominates — same discipline as Skew.saltedSelfPairs.
+    *
+    * Recall is probe-bounded exactly like q51's lookup (spec-asserted
+    * ≥ 0.9 vs brute force at test scale); fp scores → rows-only + spec. */
+  def q106KnnGraph(spark: SparkSession, dir: String, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val index = IvfIndex.build(e, nCells)
+    val vecs = e.select(col("vec_id"), toDoubles(col("embedding")).as("q_emb"),
+      l2Norm(col("embedding")).as("q_norm"))
+    val d2 = aggregate(
+      zip_with(col("q_emb"), col("centroid"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), _ + _)
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cell").asc)
+    val probes = vecs.crossJoin(broadcast(index.centroids))
+      .withColumn("d2", d2)
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("q_emb"), col("q_norm"), col("cell"))
+    val scored = index.assignments.as("c")
+      .join(probes.as("q"), Seq("cell")) // shuffle join on cell — both sides big
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dotD(col("q_emb"), col("emb")) / (col("q_norm") * col("norm"))).as("score"))
+      // a pair can meet in several probed cells; score is identical each
+      // time, so any-one-wins — one pair-keyed partial-aggregated shuffle
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("score")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
   /** bucket = Σ_p (dot(v, plane_p) > 0) << p — built from nested codegen'd
     * higher-order functions, one pass over the vector per plane. */
   def bucketExpr(vec: Column, nPlanes: Int): Column =

@@ -52,7 +52,7 @@ class RankSpec extends SparkSpec {
   }
 
   test("q104 degree/triangles/clustering match brute force over the pair graph") {
-    val edges = graft.operators.Dedup.q43NgramJaccard(spark, sf, 0.3)
+    val edges = graft.operators.Dedup.q43NgramJaccard(spark, sf, 0.6)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap

@@ -190,4 +190,33 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(b1 === b2)
   }
+
+  test("kNN graph: well-formed per-node lists, no self edges, IVF recall") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val n = e.count()
+    val k = 5
+    val got = Similarity.q106KnnGraph(spark, sf, k = k)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Long, Long)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.size === n, "every vector gets a neighbor list")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length), s"ranks at $q")
+      assert(rows.length <= k)
+      assert(!rows.exists(_._3 == q), s"self edge at $q")
+      assert(rows.map(_._3).distinct.length === rows.length,
+        s"multi-cell candidate duplicated at $q")
+    }
+    // recall vs exact top-k over ALL vectors as queries (brute force via
+    // the broadcast path — fine at spec scale)
+    val brute = Similarity.bruteForceTopK(e, e, k)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val gotSets = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = brute.keys.toSeq.map(q =>
+      gotSets.getOrElse(q, Set.empty[Long]).intersect(brute(q)).size.toDouble / brute(q).size)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4,
+      s"nProbe=4/16 graph recall should match q51's lookup regime (got $mean)")
+  }
 }
