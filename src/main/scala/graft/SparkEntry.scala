@@ -126,6 +126,7 @@ object SparkEntry {
     // kNN graph: IVF-probe-bounded recall + fp scores → no cross-engine
     // exact oracle; rows-only here, recall-vs-brute-force specced
     "q106_knn_graph" -> ((s, d) => Similarity.q106KnnGraph(s, d)),
+    "q107_array_funcs" -> (Relational.q107ArrayFuncs _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1013,5 +1014,15 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, n_chars, rn, CAST(((rn - 1) * 10) // n AS BIGINT) AS decile
         |FROM h""".stripMargin,
+    // same semantics as the Spark array pipeline, stated with a lag window —
+    // exact epoch-µs integers either way
+    "q107_array_funcs" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT user_id, us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap
+        |      FROM e)
+        |SELECT e.user_id, count(*) AS n_events,
+        |  max(us) - min(us) AS span_us,
+        |  COALESCE((SELECT max(gap) FROM g WHERE g.user_id = e.user_id), 0) AS max_gap_us
+        |FROM e GROUP BY e.user_id""".stripMargin,
   )
 }

@@ -841,6 +841,35 @@ object Relational {
       .select($"doc_id", $"n_chars", $"rn", $"decile")
   }
 
+  // ---------------------------------------------------------------- A50
+  /** Nested/array surface: per-user event-time arrays transformed with
+    * codegen'd higher-order functions — collect_list → sort_array →
+    * slice/zip_with (pairwise gaps) → array_max. The same per-key
+    * list-processing Flink users reach for with collect()+UDF, kept inside
+    * Catalyst (no UDF, no serialization wall). All values are epoch-µs
+    * integers, so the oracle (which states the same semantics with a lag
+    * window) matches exactly.
+    *
+    * Scale: one groupBy shuffle; the array lives only inside its group's
+    * aggregation buffer — per-user cardinality bounded (≤ a user's events),
+    * never corpus-sized. A group too big to buffer is exactly the case
+    * where the window formulation (q89's shape) substitutes. */
+  def q107ArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val arr = $"arr"; val n = size(arr)
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(
+        unix_micros($"ts".cast("timestamp")))).as("arr"))
+      .select($"user_id",
+        n.cast("long").as("n_events"),
+        (element_at(arr, -1) - element_at(arr, 1)).as("span_us"),
+        when(n >= 2,
+          array_max(zip_with(
+            slice(arr, lit(2), n - 1), slice(arr, lit(1), n - 1),
+            (a, b) => a - b)))
+          .otherwise(lit(0L)).as("max_gap_us"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
