@@ -127,6 +127,7 @@ object SparkEntry {
     // exact oracle; rows-only here, recall-vs-brute-force specced
     "q106_knn_graph" -> ((s, d) => Similarity.q106KnnGraph(s, d)),
     "q107_array_funcs" -> (Relational.q107ArrayFuncs _),
+    "q108_lateral" -> (Relational.q108Lateral _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1024,5 +1025,11 @@ object SparkEntry {
         |  max(us) - min(us) AS span_us,
         |  COALESCE((SELECT max(gap) FROM g WHERE g.user_id = e.user_id), 0) AS max_gap_us
         |FROM e GROUP BY e.user_id""".stripMargin,
+    "q108_lateral" ->
+      """SELECT n_name, t.c_name AS c_name, t.c_acctbal AS c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin,
   )
 }

@@ -870,6 +870,32 @@ object Relational {
           .otherwise(lit(0L)).as("max_gap_us"))
   }
 
+  // ---------------------------------------------------------------- A51
+  /** LATERAL correlated subquery join — per-nation top-2 customers by
+    * balance, written as the SQL-standard `JOIN LATERAL` (the "for each
+    * row, run this parameterized subquery" surface; Flink exposes the same
+    * via LATERAL TABLE). Catalyst decorrelates it into a ranked window
+    * join rather than executing per-row — the plan a hand-written
+    * WindowGroupLimit top-n would produce, from the declarative form.
+    *
+    * Scale: post-decorrelation there is no per-outer-row re-execution;
+    * the inner ranks once per nation partition. */
+  def q108Lateral(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+    val nat = s"graft_q108_nat_$tag"; val cust = s"graft_q108_cust_$tag"
+    Tables.nation(spark, dir).createOrReplaceTempView(nat)
+    Tables.customer(spark, dir).createOrReplaceTempView(cust)
+    try spark.sql(
+      s"""SELECT n_name, t.c_name AS c_name, t.c_acctbal AS c_acctbal
+         |FROM $nat JOIN LATERAL (
+         |  SELECT c_name, c_acctbal FROM $cust
+         |  WHERE c_nationkey = n_nationkey
+         |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(nat); spark.catalog.dropTempView(cust)
+    }
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

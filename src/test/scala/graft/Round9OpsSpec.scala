@@ -195,6 +195,25 @@ class Round9OpsSpec extends SparkSpec {
     assert(got.nonEmpty, "sf0.001 must contain at least one shared prefix")
   }
 
+  test("q108 lateral decorrelates to a ranked join, never per-row re-execution") {
+    val df = Relational.q108Lateral(spark, sf)
+    // semantics: per-nation top-2 by (acctbal desc, name)
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select($"c_nationkey", $"c_name", $"c_acctbal")
+      .as[(Int, String, Double)].collect()
+    val nations = graft.sources.Tables.nation(spark, sf)
+      .select($"n_nationkey", $"n_name").as[(Int, String)].collect().toMap
+    val expect = cust.groupBy(_._1).toSeq.flatMap { case (nk, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(2).toSeq
+        .map(r => (nations(nk), r._2, r._3))
+    }.toSet
+    assert(df.as[(String, String, Double)].collect().toSet === expect)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      "decorrelated lateral must rank with a bounded group limit")
+    assert(!p.contains("CartesianProduct"), "no per-outer-row nested loop")
+  }
+
   test("q96 pivot shuffles only aggregated rows, no key-discovery job") {
     val p = Relational.q96Pivot(spark, sf).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
