@@ -128,6 +128,8 @@ object SparkEntry {
     "q106_knn_graph" -> ((s, d) => Similarity.q106KnnGraph(s, d)),
     "q107_array_funcs" -> (Relational.q107ArrayFuncs _),
     "q108_lateral" -> (Relational.q108Lateral _),
+    "q109_shuffle_order" -> ((s, d) => Corpus.q109ShuffleOrder(s, d)),
+    "q110_curate_pipeline" -> ((s, d) => Corpus.q110CuratePipeline(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1031,5 +1033,35 @@ object SparkEntry {
         |  SELECT c_name, c_acctbal FROM customer
         |  WHERE c_nationkey = n_nationkey
         |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin,
+    "q109_shuffle_order" ->
+      """SELECT doc_id, md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS h,
+        |  row_number() OVER (ORDER BY md5('shuffle:' || CAST(doc_id AS VARCHAR)), doc_id) AS position
+        |FROM documents""".stripMargin,
+    // the five stages are the standalone operators' own oracle fragments
+    // (q70 normalize, q48 score, q40 dedup, q91 split, q49 tokens) composed
+    "q110_curate_pipeline" ->
+      """WITH n AS (SELECT doc_id, source,
+        |  lower(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x1F\x7F]', '', 'g'), ' +', ' ', 'g'))) AS t
+        |  FROM documents),
+        |q AS (SELECT doc_id, source, t,
+        |  CAST(length(t) AS BIGINT) AS len,
+        |  CAST(len(string_split(t, ' ')) AS BIGINT) AS words,
+        |  CAST((length(' '||t||' ') - length(replace(' '||t||' ',' the ',' ')))/4
+        |     + (length(' '||t||' ') - length(replace(' '||t||' ',' a ',' ')))/2
+        |     + (length(' '||t||' ') - length(replace(' '||t||' ',' of ',' ')))/3
+        |     + (length(' '||t||' ') - length(replace(' '||t||' ',' and ',' ')))/4 AS BIGINT) AS hits
+        |  FROM n),
+        |s AS (SELECT doc_id, source, t, words,
+        |  (CAST(hits AS DOUBLE)/words)*10.0 + CAST(len - words + 1 AS DOUBLE)/words AS quality_score
+        |  FROM q
+        |  WHERE (CAST(hits AS DOUBLE)/words)*10.0 + CAST(len - words + 1 AS DOUBLE)/words >= 4.8),
+        |d AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(t)) AS keep_id FROM s)
+        |SELECT doc_id, source,
+        |  CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '19999999' THEN 'test'
+        |       WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '33333333' THEN 'val'
+        |       ELSE 'train' END AS split,
+        |  words AS ws_tokens, quality_score
+        |FROM d WHERE doc_id = keep_id""".stripMargin,
   )
 }

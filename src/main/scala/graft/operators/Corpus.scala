@@ -677,6 +677,58 @@ object Corpus {
         min(col("doc_id")).as("min_doc_id"))
       .filter(col("n_docs") >= 2)
 
+  // ---------------------------------------------------------------- C44
+  /** Deterministic global corpus shuffle — every document's training-order
+    * position as the rank of a salted content-independent hash (q84/q91's
+    * md5 machinery): reproducible across runs/engines/cluster sizes,
+    * uniform, and seedable by changing the salt. The op every epoch-
+    * shuffled dataloader needs precomputed at corpus scale.
+    *
+    * Scale: [[Rank.globalRowNumber]] over the hash order — range exchange,
+    * no single-task sort, no RNG state. */
+  def q109ShuffleOrder(spark: SparkSession, dir: String): DataFrame =
+    Rank.globalRowNumber(
+      Tables.documents(spark, dir).select(col("doc_id"),
+        md5(concat(lit("shuffle:"), col("doc_id").cast("string"))).as("h")),
+      Seq(col("h"), col("doc_id")), rnCol = "position")
+      .select(col("doc_id"), col("h"), col("position"))
+
+  // ---------------------------------------------------------------- C43
+  /** End-to-end curation pipeline as ONE composed plan — normalize →
+    * quality-filter → exact-dedup → split-assign → token-count, each stage
+    * the SHARED expression its standalone operator uses
+    * ([[TextAnalysis.normalizeExpr]], q48's score, q40's hash dedup, q91's
+    * [[splitExpr]]), so the composition can never drift from the pieces
+    * and the whole five-stage flow has one exact cross-engine oracle.
+    * This is the "a user of the reference could run their whole job on
+    * this" statement: the stages fuse into a single Catalyst plan — one
+    * scan, map-side normalize+score+filter, ONE shuffle (the dedup
+    * hash window), map-side split+count on the survivors.
+    *
+    * Scale: the only shuffle is keyed on the content hash — 16 B/row +
+    * survivor payloads; everything else is embarrassingly map-parallel.
+    * The streaming twin is [[graft.streaming.CurationPipeline]]. */
+  def q110CuratePipeline(spark: SparkSession, dir: String,
+      minQuality: Double = 4.8): DataFrame = {
+    val t = TextAnalysis.normalizeExpr(col("text"))
+    val len = length(col("t")).cast("long")
+    val words = TextAnalysis.wsTokens(col("t"))
+    val stopHits = Seq("the", "a", "of", "and")
+      .map(TextAnalysis.wordHits(col("t"), _)).reduce(_ + _)
+    val quality = (stopHits.cast("double") / words.cast("double")) * 10.0 +
+      (len - words + 1).cast("double") / words.cast("double")
+    val w = Window.partitionBy(md5(col("t")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), t.as("t"))
+      .withColumn("quality_score", quality)
+      .filter(col("quality_score") >= minQuality)
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("source"),
+        splitExpr(col("doc_id"), 0.1, 0.1).as("split"),
+        words.as("ws_tokens"), col("quality_score"))
+  }
+
   // ---------------------------------------------------------------- C41
   /** Near-dup graph degree + local clustering coefficient — the per-node
     * structural diagnostic under q85's corpus-level triangle census:

@@ -327,4 +327,34 @@ class CorpusSpec extends SparkSpec {
     assert(got === expected)
     got.values.foreach(v => assert(v.size <= quota))
   }
+
+  test("q109 shuffle order is a deterministic permutation") {
+    val a = Corpus.q109ShuffleOrder(spark, sf)
+      .select(col("doc_id"), col("position"))
+      .as[(Long, Long)].collect()
+    assert(a.map(_._2).sorted.toSeq === (1L to a.length).toSeq, "positions are a permutation")
+    val b = Corpus.q109ShuffleOrder(spark, sf)
+      .select(col("doc_id"), col("position"))
+      .as[(Long, Long)].collect()
+    assert(a.toMap === b.toMap, "re-running must give the identical order")
+    // the hash order differs from the natural doc_id order (it shuffles)
+    assert(a.sortBy(_._1).map(_._2).toSeq !== (1L to a.length).toSeq)
+  }
+
+  test("q110 pipeline fuses five stages into a one-shuffle plan") {
+    val df = Corpus.q110CuratePipeline(spark, sf)
+    val p = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).length
+    assert(exchanges === 1,
+      s"normalize/score/filter/split/count must fuse map-side around ONE dedup shuffle:\n$p")
+    // stage consistency: every survivor clears the quality floor, content
+    // hashes are unique post-dedup, and splits match q91's pure function
+    val rows = df.select(col("doc_id"), col("split"), col("quality_score"))
+      .as[(Long, String, Double)].collect()
+    assert(rows.nonEmpty && rows.forall(_._3 >= 4.8))
+    val splits = Corpus.q91SplitAssign(spark, sf)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    rows.foreach { case (id, sp, _) => assert(sp === splits(id), s"split of $id") }
+  }
 }
