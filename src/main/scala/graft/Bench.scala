@@ -18,8 +18,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup outside the timed region
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // JVM/codegen warmup outside the timed region — a real column aggregate
+    // per fact table (a bare count() is parquet-footer-only and warms
+    // nothing), so the alphabetically-first queries don't absorb cold-start
+    Seq("lineitem", "events", "documents", "embeddings").foreach { t =>
+      val df = spark.read.parquet(s"$sfDir/$t.parquet")
+      df.agg(org.apache.spark.sql.functions.count(df.columns.map(df.col).head))
+        .collect()
+    }
+    // ... and one shuffle + window pass so the first measured query doesn't
+    // pay exchange/codegen machinery initialization either
+    locally {
+      import org.apache.spark.sql.functions._
+      val e = spark.read.parquet(s"$sfDir/events.parquet")
+      e.groupBy(col("user_id")).count()
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("count"))))
+        .write.format("noop").mode("overwrite").save()
+    }
     var failures = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // drop accumulated broadcast/codegen garbage so earlier queries don't
