@@ -54,6 +54,36 @@ class StreamingFunnelSpec extends SparkSpec {
     } finally q.stop()
   } }
 
+  test("funnel state survives a checkpointed restart") { withRocksDb {
+    val base = java.nio.file.Files.createTempDirectory("funnelckpt").toString
+    val input = MemoryStream[(Long, String, Long)]
+    val out = collection.mutable.ArrayBuffer.empty[StreamingFunnel.FunnelRow]
+    // memory sink refuses checkpoint recovery — foreachBatch supports it
+    def start() = StreamingFunnel.funnelTws(input.toDS())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[StreamingFunnel.FunnelRow], _: Long) =>
+          out.synchronized { out ++= df.collect() }; ()
+      }
+      .start()
+
+    val q1 = start()
+    input.addData((3L, "view", 100L))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the checkpoint: the stored first_view must qualify the
+    // click/purchase arriving after the restart
+    val q2 = start()
+    try {
+      input.addData((3L, "click", 200L), (3L, "purchase", 300L))
+      q2.processAllAvailable()
+      assert(out.synchronized(out.last) ===
+        StreamingFunnel.FunnelRow(3L, 100L, 200L, 300L, 3L))
+    } finally q2.stop()
+  } }
+
   test("a late earlier view re-qualifies a click seen before it") { withRocksDb {
     val input = MemoryStream[(Long, String, Long)]
     val q = StreamingFunnel.funnelTws(input.toDS())
