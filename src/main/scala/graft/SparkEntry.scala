@@ -130,6 +130,7 @@ object SparkEntry {
     "q108_lateral" -> (Relational.q108Lateral _),
     "q109_shuffle_order" -> ((s, d) => Corpus.q109ShuffleOrder(s, d)),
     "q110_curate_pipeline" -> ((s, d) => Corpus.q110CuratePipeline(s, d)),
+    "q111_split_leakage" -> ((s, d) => Corpus.q111SplitLeakage(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1063,5 +1064,31 @@ object SparkEntry {
         |       ELSE 'train' END AS split,
         |  words AS ws_tokens, quality_score
         |FROM d WHERE doc_id = keep_id""".stripMargin,
+    // q43's pair CTEs + q91's split CASE, oriented train→eval
+    "q111_split_leakage" ->
+      """WITH idx AS (
+        |  SELECT doc_id, source, text, unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, source, substring(text, i, 3) AS ng FROM idx
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |p0 AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM g a JOIN g b ON a.source = b.source AND a.ng = b.ng AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pr AS (SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jaccard
+        |  FROM p0 JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.3),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '19999999' THEN 'test'
+        |       WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '33333333' THEN 'val'
+        |       ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT CASE WHEN a.split = 'train' THEN doc_a ELSE doc_b END AS train_doc,
+        |  CASE WHEN a.split = 'train' THEN doc_b ELSE doc_a END AS eval_doc,
+        |  CASE WHEN a.split = 'train' THEN b.split ELSE a.split END AS eval_split,
+        |  jaccard
+        |FROM pr JOIN sp a ON doc_a = a.doc_id JOIN sp b ON doc_b = b.doc_id
+        |WHERE (a.split = 'train') <> (b.split = 'train')""".stripMargin,
   )
 }

@@ -677,6 +677,38 @@ object Corpus {
         min(col("doc_id")).as("min_doc_id"))
       .filter(col("n_docs") >= 2)
 
+  // ---------------------------------------------------------------- C45
+  /** Train→eval split LEAKAGE detection — near-dup pairs that straddle the
+    * train/val/test boundary: a random (even hash-stable) split puts the
+    * two copies of a near-duplicated document on opposite sides, silently
+    * inflating eval scores. Composes C4's similarity pairs with C39's
+    * pure-function split labels and orients each leak as (train_doc →
+    * eval_doc); the fix loop drops or re-splits the train side. The
+    * within-corpus complement of q68/q78's external-benchmark
+    * decontamination.
+    *
+    * Scale: the pair machinery dominates (q43's salted blocks); the split
+    * labels are map-side expressions joined by doc_id — two broadcast-size
+    * probes of an already-small pair list. */
+  def q111SplitLeakage(spark: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val pairs = Dedup.q43NgramJaccard(spark, dir, threshold)
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"), splitExpr(col("doc_id"), 0.1, 0.1).as("split"))
+    val sa = splits.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
+    val sb = splits.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
+    pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .filter((col("split_a") === "train") =!= (col("split_b") === "train"))
+      .select(
+        when(col("split_a") === "train", col("doc_a")).otherwise(col("doc_b"))
+          .as("train_doc"),
+        when(col("split_a") === "train", col("doc_b")).otherwise(col("doc_a"))
+          .as("eval_doc"),
+        when(col("split_a") === "train", col("split_b")).otherwise(col("split_a"))
+          .as("eval_split"),
+        col("jaccard"))
+  }
+
   // ---------------------------------------------------------------- C44
   /** Deterministic global corpus shuffle — every document's training-order
     * position as the rank of a salted content-independent hash (q84/q91's

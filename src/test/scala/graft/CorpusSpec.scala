@@ -328,6 +328,28 @@ class CorpusSpec extends SparkSpec {
     got.values.foreach(v => assert(v.size <= quota))
   }
 
+  test("q111 flags exactly the near-dup pairs straddling the train boundary") {
+    val pairs = graft.operators.Dedup.q43NgramJaccard(spark, sf, 0.3)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+    val splits = Corpus.q91SplitAssign(spark, sf)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    val expect = pairs.flatMap { case (a, b) =>
+      (splits(a) == "train", splits(b) == "train") match {
+        case (true, false) => Some((a, b, splits(b)))
+        case (false, true) => Some((b, a, splits(a)))
+        case _ => None
+      }
+    }.toSet
+    val got = Corpus.q111SplitLeakage(spark, sf)
+      .select(col("train_doc"), col("eval_doc"), col("eval_split"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "the duplicative synthetic corpus must show leakage")
+    got.foreach { case (t, e, s) =>
+      assert(splits(t) === "train" && splits(e) === s && s != "train")
+    }
+  }
+
   test("q109 shuffle order is a deterministic permutation") {
     val a = Corpus.q109ShuffleOrder(spark, sf)
       .select(col("doc_id"), col("position"))
