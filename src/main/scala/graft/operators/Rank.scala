@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
  * are `numPartitions` counts, an aggregate, never data. Total work: one
  * range exchange + local sorts, the same cost `ORDER BY` itself pays.
  *
- * Determinism: range boundaries come from reservoir sampling with
- * fixed per-partition seeds, so the two plan executions (count pass, rank
- * pass) see identical assignments; callers must pass a TOTAL order (include
- * a unique tiebreaker column) — with ties straddling a boundary the split
- * is boundary-dependent, with a total order every row has exactly one rank
- * under ANY boundary placement.
+ * Determinism: the ranged frame is MATERIALIZED once and both passes
+ * (count, rank) read that single materialization — without it the two
+ * executions could re-sample range boundaries (or AQE could re-plan an
+ * upstream shuffle) and the collected offsets would silently disagree with
+ * the partitions the window actually ranks. Callers must pass a TOTAL
+ * order (include a unique tiebreaker column) — with ties straddling a
+ * boundary the split is boundary-dependent, with a total order every row
+ * has exactly one rank under ANY boundary placement.
  */
 object Rank {
 
@@ -31,8 +33,9 @@ object Rank {
       rnCol: String = "rn"): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(parts, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
+    val ranged = graft.Lineage.truncate(
+      df.repartitionByRange(parts, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()), reliable = false).df
     // one long per non-empty partition to the driver — bounded by `parts`
     val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

@@ -21,13 +21,19 @@ class RankSpec extends SparkSpec {
     assert(got === expect)
   }
 
-  test("globalRowNumber ranks via a range exchange, not one reducer") {
-    val df = spark.range(0, 100).select(col("id").as("k"), col("id"))
-    val p = Rank.globalRowNumber(df, Seq(col("k"), col("id"))).queryExecution
-      .explainString(ExplainMode.fromString("formatted"))
-    assert(p.contains("rangepartitioning"), "sort must be range-distributed")
+  test("globalRowNumber never plans a single-partition window, even on a shuffle-rooted input") {
+    // a groupBy-derived input is the hazard case: AQE re-plans its shuffle,
+    // which is why the util materializes the ranged frame before counting
+    val df = spark.range(0, 1000)
+      .groupBy((col("id") % 97).as("k")).count()
+    val out = Rank.globalRowNumber(df, Seq(col("count"), col("k")))
+    val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("SinglePartition"),
       s"no single-partition global window allowed:\n$p")
+    val got = out.select($"k", $"rn").as[(Long, Long)].collect()
+    val expect = df.select($"count", $"k").as[(Long, Long)].collect()
+      .sortBy(identity).map(_._2).zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
+    assert(got.toMap === expect)
   }
 
   test("descending sort keys rank correctly (q86's vocab ordering)") {
