@@ -119,7 +119,14 @@ final class MaterializedView private (
         path.getFileSystem(conf).delete(path, true)
       }
     } else checkTargetSchema(v)
-    v.writeStream
+    // Spark-native observability (the Flink-metrics surface TiFlink
+    // inherits): per-batch row count + max version via `observe`, readable
+    // from every StreamingQueryProgress under `observedMetrics("graft_mv")`
+    // — no extra pass, the metrics ride the batch's own execution
+    import org.apache.spark.sql.functions.{count, lit, max}
+    v.observe("graft_mv", count(lit(1)).as("mv_rows"),
+        max(org.apache.spark.sql.functions.col(versionColumn)).as("mv_max_version"))
+      .writeStream
       .outputMode("update")
       .trigger(trigger)
       .option("checkpointLocation", checkpointLocation)

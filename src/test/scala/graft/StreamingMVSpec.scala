@@ -42,6 +42,17 @@ class StreamingMVSpec extends SparkSpec {
       input.addData((2L, 2L, "del", 0.0), (3L, 1L, "ins", 30.0), (1L, 3L, "upd", 12.0))
       q.processAllAvailable()
       assert(state === Set((1L, 3L, 12.0), (3L, 1L, 30.0)))
+
+      // observability: every batch's progress carries the observed metrics
+      // (row count + max version) without any extra job
+      val obs = q.recentProgress.toSeq
+        .filter(_.observedMetrics.containsKey("graft_mv"))
+        .map(_.observedMetrics.get("graft_mv"))
+        .filter(_.getAs[Long]("mv_rows") > 0)
+      assert(obs.nonEmpty, "progress must expose graft_mv observed metrics")
+      assert(obs.map(_.getAs[Long]("mv_rows")).sum >= 5L,
+        "counted rows across batches must cover the six inputs post-compaction")
+      assert(obs.map(_.getAs[Long]("mv_max_version")).max === 3L)
     } finally q.stop()
   }
 
