@@ -30,7 +30,14 @@ object Rank {
   /** Append `rnCol` = 1-based global row number of `df` under `sortCols`
     * (must be a total order — include a unique tiebreaker). */
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
-      rnCol: String = "rn"): DataFrame = {
+      rnCol: String = "rn"): DataFrame =
+    globalRowNumberAndTotal(df, sortCols, rnCol)._1
+
+  /** [[globalRowNumber]] plus the exact total row count — FREE, it is the
+    * sum of the per-partition counts the offset pass already collected (a
+    * caller needing rank AND n must not pay a second scan). */
+  def globalRowNumberAndTotal(df: DataFrame, sortCols: Seq[Column],
+      rnCol: String = "rn"): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = graft.Lineage.truncate(
@@ -44,8 +51,9 @@ object Rank {
     import spark.implicits._
     val offDf = offsets.toSeq.toDF("__pid", "__off")
     val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
-    ranged.join(broadcast(offDf), Seq("__pid"))
+    val ranked = ranged.join(broadcast(offDf), Seq("__pid"))
       .withColumn(rnCol, row_number().over(w).cast("long") + col("__off"))
       .drop("__pid", "__off")
+    (ranked, counts.map(_._2).sum)
   }
 }

@@ -835,8 +835,9 @@ object Relational {
     * aggregate pass. */
   def q105GlobalRank(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select($"doc_id", $"n_chars")
-    val total = docs.count()
-    Rank.globalRowNumber(docs, Seq($"n_chars", $"doc_id"))
+    val (ranked, total) =
+      Rank.globalRowNumberAndTotal(docs, Seq($"n_chars", $"doc_id"))
+    ranked
       .withColumn("decile", expr(s"((rn - 1) * 10) div ${total}L"))
       .select($"doc_id", $"n_chars", $"rn", $"decile")
   }

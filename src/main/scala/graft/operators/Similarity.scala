@@ -149,14 +149,17 @@ object Similarity {
     * ride the cell-key shuffle; salt the assignment side if one cell
     * dominates — same discipline as Skew.saltedSelfPairs.
     *
-    * Recall is probe-bounded exactly like q51's lookup (spec-asserted
-    * ≥ 0.9 vs brute force at test scale); fp scores → rows-only + spec. */
+    * Recall is probe-bounded exactly like q51's lookup — the spec asserts
+    * the same ≥0.4 mean-recall floor as q51's nProbe=4/16 regime vs brute
+    * force (raise nProbe for more); fp scores → rows-only + spec. */
   def q106KnnGraph(spark: SparkSession, dir: String, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val index = IvfIndex.build(e, nCells)
-    val vecs = e.select(col("vec_id"), toDoubles(col("embedding")).as("q_emb"),
-      l2Norm(col("embedding")).as("q_norm"))
+    // the probe side reuses the decoded emb/norm the index build already
+    // produced — no second corpus scan or float→double/norm pass
+    val vecs = index.assignments.select(col("vec_id"),
+      col("emb").as("q_emb"), col("norm").as("q_norm"))
     val d2 = aggregate(
       zip_with(col("q_emb"), col("centroid"), (a, b) => (a - b) * (a - b)),
       lit(0.0), _ + _)

@@ -96,6 +96,14 @@ object IncrementalMv {
           (coalesce(col("total"), lit(0.0)) + coalesce(col("__dv"), lit(0.0))).as("total"),
           col(BucketCol))
         .filter(col("cnt") > 0)
+      // merged feeds BOTH the changelog diff and the bucket swap —
+      // materialize once: a second execution would re-run the whole diff
+      // pipeline AND could re-merge the order-sensitive double sums
+      // differently (task retry/fetch order), letting the emitted
+      // changelog disagree with the committed state in the last ulp
+      val mergedMat = graft.Lineage.truncate(merged, reliable)
+      try {
+      val mergedM = mergedMat.df
       // 4a'. emit the MV's OWN output changelog (retraction stream — the
       // row-kind stream TiFlink's sink consumes and the feed a downstream
       // MV would maintain itself from; batch twin: Changelog.q101MvDiff).
@@ -112,7 +120,7 @@ object IncrementalMv {
         if (!fs.exists(dst)) {
           val oldA = aggCurrent.select(
             col(groupKey), col("cnt").as("__oc"), col("total").as("__ot"))
-          val newA = merged.select(col(groupKey), col("cnt"), col("total"))
+          val newA = mergedM.select(col(groupKey), col("cnt"), col("total"))
           val out = oldA.join(newA, Seq(groupKey), "full")
             // unchanged ride-along groups (same bucket, no delta) emit nothing
             .filter(!(col("__oc") <=> col("cnt") && col("__ot") <=> col("total")))
@@ -130,7 +138,8 @@ object IncrementalMv {
               s"changelog rename $staging -> $dst failed; batch $batchId not emitted")
         }
       }
-      swapTouched(merged, aggPath, touchedAgg)
+      swapTouched(mergedM, aggPath, touchedAgg)
+      } finally mergedMat.release()
     }
 
     // 4b. upsert the touched entity buckets (latest-row-wins + tombstones)

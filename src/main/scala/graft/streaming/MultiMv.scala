@@ -35,23 +35,20 @@ object MultiMv {
   final case class ViewDef(name: String, delta: DataFrame => DataFrame,
       keys: Seq[String], versionCol: String)
 
-  /** foreachBatch body maintaining all `views` under `basePath/<name>`. */
+  /** foreachBatch body maintaining all `views` under `basePath/<name>`.
+    * Each view's merge basis (its prior snapshot) resolves INSIDE
+    * `publishAllComputed`, with every store's lease already held — a
+    * competing writer can't publish between the basis read and the commit
+    * and have its rows silently dropped (the lost-update the store's
+    * `publishComputed` doc refuses; same discipline as `upsertSink`). */
   def fanOut(basePath: String, views: Seq[ViewDef], keep: Int = 3)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val frames = views.map { v =>
-      val store = s"$basePath/${v.name}"
-      val delta = v.delta(batch)
-      val prior = SnapshotStore.latestVersion(spark, store)
-        .map(ver => SnapshotStore.readSnapshot(spark, store, Some(ver)))
-      val unioned = prior.map(_.unionByName(delta)).getOrElse(delta)
-      val packed = unioned
-        .groupBy(v.keys.map(col): _*)
-        .agg(max_by(struct(unioned.columns.toIndexedSeq.map(col): _*),
-          col(v.versionCol)).as("__r"))
-        .select(col("__r.*"))
-      (packed, store)
-    }
-    SnapshotStore.publishAll(frames, batchId, keep)
+    SnapshotStore.publishAllComputed(
+      views.map { v =>
+        val store = s"$basePath/${v.name}"
+        (spark, store, () => SnapshotStore.mergeLatestByKey(
+          store, v.delta(batch), v.keys, v.versionCol, deleteCol = None))
+      }, batchId, keep)
   }
 }

@@ -187,16 +187,29 @@ object SnapshotStore {
     * still only ever see complete epochs. */
   def publishAll(
       snapshots: Seq[(DataFrame, String)], version: Long, keep: Int = 3,
-      lockLeaseMs: Long = DefaultLockLeaseMs): Unit = {
+      lockLeaseMs: Long = DefaultLockLeaseMs): Unit =
+    publishAllComputed(
+      snapshots.map { case (df, base) => (df.sparkSession, base, () => df) },
+      version, keep, lockLeaseMs)
+
+  /** [[publishAll]] variant whose frames are CONSTRUCTED under the leases —
+    * the multi-store twin of [[publishComputed]]: any epoch derived from a
+    * store's current state (e.g. a latest-by-key merge with the prior
+    * snapshot) must resolve that state inside `make`, AFTER every lease is
+    * held; resolving it earlier races a competing writer's publish and
+    * silently drops its rows from the merge basis. */
+  def publishAllComputed(
+      snapshots: Seq[(SparkSession, String, () => DataFrame)], version: Long,
+      keep: Int = 3, lockLeaseMs: Long = DefaultLockLeaseMs): Unit = {
     // all leases first (conflicts throw rather than block → no deadlock),
     // so no store's staging is written unless every store is ours to write
     val leases = scala.collection.mutable.ArrayBuffer.empty[WriterLease]
     try {
-      snapshots.foreach { case (df, base) =>
-        leases += acquireLease(df.sparkSession, base, lockLeaseMs)
+      snapshots.foreach { case (spark, base, _) =>
+        leases += acquireLease(spark, base, lockLeaseMs)
       }
-      val staged = snapshots.zip(leases).map { case ((df, base), lease) =>
-        (df.sparkSession, base, writeEpoch(df, base, version, lease.token), lease)
+      val staged = snapshots.zip(leases).map { case ((spark, base, make), lease) =>
+        (spark, base, writeEpoch(make(), base, version, lease.token), lease)
       }
       staged.foreach { case (spark, base, staging, lease) =>
         staging.foreach(s => commitEpoch(spark, base, version, s, lease))
@@ -206,6 +219,25 @@ object SnapshotStore {
         flipPointerLocked(spark, base, version, keep)
       }
     } finally leases.foreach(l => try l.close() catch { case NonFatal(_) => () })
+  }
+
+  /** Latest-by-key merge of a micro-batch into a store's CURRENT snapshot —
+    * the one packed computation shared by [[upsertSink]] and
+    * [[MultiMv.fanOut]] (call it only with the store's lease held, i.e.
+    * from inside a `publish*Computed` make). */
+  private[streaming] def mergeLatestByKey(
+      basePath: String, batch: DataFrame, keys: Seq[String],
+      versionCol: String, deleteCol: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val prior = latestVersion(spark, basePath)
+      .map(v => readSnapshot(spark, basePath, Some(v)))
+    val unioned = prior.map(_.unionByName(batch)).getOrElse(batch)
+    val packed = unioned
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(unioned.columns.toIndexedSeq.map(col): _*), col(versionCol)).as("__r"))
+      .select(col("__r.*"))
+    deleteCol.fold(packed)(d => packed.filter(!col(d)))
   }
 
   /** Phase 1: materialize the epoch into this attempt's own staging
@@ -391,17 +423,8 @@ object SnapshotStore {
       basePath: String, keys: Seq[String], versionCol: String,
       deleteCol: Option[String] = None, keep: Int = 3): (DataFrame, Long) => Unit =
     (batch, batchId) => {
-      import org.apache.spark.sql.functions._
-      val spark = batch.sparkSession
-      publishComputed(spark, basePath, batchId, keep) { () =>
-        val prior = latestVersion(spark, basePath)
-          .map(v => readSnapshot(spark, basePath, Some(v)))
-        val unioned = prior.map(_.unionByName(batch)).getOrElse(batch)
-        val packed = unioned
-          .groupBy(keys.map(col): _*)
-          .agg(max_by(struct(unioned.columns.toIndexedSeq.map(col): _*), col(versionCol)).as("__r"))
-          .select(col("__r.*"))
-        deleteCol.fold(packed)(d => packed.filter(!col(d)))
+      publishComputed(batch.sparkSession, basePath, batchId, keep) { () =>
+        mergeLatestByKey(basePath, batch, keys, versionCol, deleteCol)
       }
     }
 }

@@ -30,18 +30,24 @@ class StreamingFunnelSpec extends SparkSpec {
     val thirds = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
 
     val input = MemoryStream[(Long, String, Long)]
+    // collect (batchId, row): "latest emission per user" needs an explicit
+    // batch order — last() over the memory-sink table has none and can
+    // surface a stale pre-refinement row
+    val out = collection.mutable.ArrayBuffer.empty[(Long, StreamingFunnel.FunnelRow)]
     val q = StreamingFunnel.funnelTws(input.toDS())
       .writeStream.outputMode("update")
-      .format("memory").queryName("funnel_tws").start()
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[StreamingFunnel.FunnelRow], id: Long) =>
+          out.synchronized { out ++= df.collect().map(id -> _) }; ()
+      }
+      .start()
     try {
       thirds.foreach { part => input.addData(part.toSeq); q.processAllAvailable() }
-      // last emission per user (update mode re-emits on refinement)
-      val got = spark.table("funnel_tws")
-        .groupBy($"user_id")
-        .agg(last($"first_view_us").as("v"), last($"first_click_us").as("c"),
-          last($"first_purchase_us").as("p"), last($"stage").as("s"))
-        .as[(Long, Long, Long, Long, Long)].collect()
-        .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+      val got = out.synchronized(out.toList)
+        .groupBy(_._2.user_id).view.mapValues { rows =>
+          val r = rows.maxBy(_._1)._2
+          (r.first_view_us, r.first_click_us, r.first_purchase_us, r.stage)
+        }.toMap
       val expect = graft.operators.Relational.q82Funnel(spark, sf)
         .select($"user_id",
           coalesce(unix_micros($"first_view".cast("timestamp")), lit(-1L)),
@@ -86,25 +92,27 @@ class StreamingFunnelSpec extends SparkSpec {
 
   test("a late earlier view re-qualifies a click seen before it") { withRocksDb {
     val input = MemoryStream[(Long, String, Long)]
+    val out = collection.mutable.ArrayBuffer.empty[(Long, StreamingFunnel.FunnelRow)]
     val q = StreamingFunnel.funnelTws(input.toDS())
       .writeStream.outputMode("update")
-      .format("memory").queryName("funnel_late").start()
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[StreamingFunnel.FunnelRow], id: Long) =>
+          out.synchronized { out ++= df.collect().map(id -> _) }; ()
+      }
+      .start()
+    def latest = out.synchronized(out.maxBy(_._1)._2)
     try {
       // click at t=5, view at t=10: click precedes the view → stage 1
       input.addData((7L, "click", 5L), (7L, "view", 10L))
       q.processAllAvailable()
-      val mid = spark.table("funnel_late").orderBy($"first_view_us")
-        .as[StreamingFunnel.FunnelRow].collect().last
+      val mid = latest
       assert(mid.stage === 1L && mid.first_click_us === -1L)
       // late view at t=1 arrives: the t=5 click NOW follows a view; then a
       // purchase at t=6 completes the funnel
       input.addData((7L, "view", 1L), (7L, "purchase", 6L))
       q.processAllAvailable()
-      val fin = spark.table("funnel_late")
-        .groupBy($"user_id").agg(last($"first_view_us"), last($"first_click_us"),
-          last($"first_purchase_us"), last($"stage"))
-        .as[(Long, Long, Long, Long, Long)].collect().head
-      assert(fin === ((7L, 1L, 5L, 6L, 3L)))
+      val fin = latest
+      assert(fin === StreamingFunnel.FunnelRow(7L, 1L, 5L, 6L, 3L))
     } finally q.stop()
   } }
 }
