@@ -131,6 +131,7 @@ object SparkEntry {
     "q109_shuffle_order" -> ((s, d) => Corpus.q109ShuffleOrder(s, d)),
     "q110_curate_pipeline" -> ((s, d) => Corpus.q110CuratePipeline(s, d)),
     "q111_split_leakage" -> ((s, d) => Corpus.q111SplitLeakage(s, d)),
+    "q112_zorder" -> (Relational.q112Zorder _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1090,5 +1091,18 @@ object SparkEntry {
         |  jaccard
         |FROM pr JOIN sp a ON doc_a = a.doc_id JOIN sp b ON doc_b = b.doc_id
         |WHERE (a.split = 'train') <> (b.split = 'train')""".stripMargin,
+    // the same magic-mask spread-shift chain, exact BIGINT both engines
+    "q112_zorder" ->
+      """WITH d AS (SELECT DISTINCT CAST(l_partkey & 65535 AS BIGINT) AS p16,
+        |                           CAST(l_suppkey & 65535 AS BIGINT) AS s16 FROM lineitem),
+        |a1 AS (SELECT p16, s16, ((p16 | (p16 << 8)) & 16711935) AS pa,
+        |                        ((s16 | (s16 << 8)) & 16711935) AS sa FROM d),
+        |a2 AS (SELECT p16, s16, ((pa | (pa << 4)) & 252645135) AS pb,
+        |                        ((sa | (sa << 4)) & 252645135) AS sb FROM a1),
+        |a3 AS (SELECT p16, s16, ((pb | (pb << 2)) & 858993459) AS pc,
+        |                        ((sb | (sb << 2)) & 858993459) AS sc FROM a2),
+        |a4 AS (SELECT p16, s16, ((pc | (pc << 1)) & 1431655765) AS pd,
+        |                        ((sc | (sc << 1)) & 1431655765) AS sd FROM a3)
+        |SELECT p16, s16, (pd | (sd << 1)) AS zval FROM a4""".stripMargin,
   )
 }

@@ -897,6 +897,20 @@ object Relational {
     }
   }
 
+  // ---------------------------------------------------------------- B39
+  /** Z-order locality keys over (partkey, suppkey) — the layout-key
+    * computation behind multi-dimensional clustering
+    * ([[graft.sources.Storage.zorderKey]] has the layout recipe and the
+    * 100 TB rationale). Emitted per distinct key pair so the oracle checks
+    * the bit-interleave arithmetic itself, exactly. */
+  def q112Zorder(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        $"l_partkey".cast("long").bitwiseAND(lit(65535L)).as("p16"),
+        $"l_suppkey".cast("long").bitwiseAND(lit(65535L)).as("s16"),
+        graft.sources.Storage.zorderKey($"l_partkey", $"l_suppkey").as("zval"))
+      .distinct()
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

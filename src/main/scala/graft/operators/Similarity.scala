@@ -155,10 +155,15 @@ object Similarity {
   def q106KnnGraph(spark: SparkSession, dir: String, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val index = IvfIndex.build(e, nCells)
+    val built = IvfIndex.build(e, nCells)
+    // assignments feed BOTH join sides (probes + candidates) — materialize
+    // once or the KMeans transform + decode re-executes per reference
+    val assignments = graft.Lineage.truncate(
+      built.assignments, reliable = false).df
+    val index = built.copy(assignments = assignments)
     // the probe side reuses the decoded emb/norm the index build already
     // produced — no second corpus scan or float→double/norm pass
-    val vecs = index.assignments.select(col("vec_id"),
+    val vecs = assignments.select(col("vec_id"),
       col("emb").as("q_emb"), col("norm").as("q_norm"))
     val d2 = aggregate(
       zip_with(col("q_emb"), col("centroid"), (a, b) => (a - b) * (a - b)),

@@ -214,6 +214,20 @@ class Round9OpsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no per-outer-row nested loop")
   }
 
+  test("zorderKey interleaves bits exactly and is invertible") {
+    val rows = Relational.q112Zorder(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, s, z) =>
+      (0 until 16).foreach { j =>
+        assert(((z >> (2 * j)) & 1L) === ((p >> j) & 1L), s"p bit $j of ($p,$s)")
+        assert(((z >> (2 * j + 1)) & 1L) === ((s >> j) & 1L), s"s bit $j of ($p,$s)")
+      }
+    }
+    // invertible → distinct pairs get distinct keys
+    assert(rows.map(_._3).distinct.length === rows.length)
+  }
+
   test("q96 pivot shuffles only aggregated rows, no key-discovery job") {
     val p = Relational.q96Pivot(spark, sf).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
