@@ -43,4 +43,34 @@ class StorageSpec extends SparkSpec {
     val direct = spark.read.parquet(s"$base/events/event_type=click").count()
     assert(clicks.count() === direct)
   }
+
+  test("z-ordered layout keeps per-file ranges tight in BOTH dimensions") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    // a full 256×256 grid: both dimensions carry equal information — the
+    // regime z-order exists for (a heavily skewed bit-width degenerates to
+    // a major-minor sort, as the wide dimension owns the high bits)
+    val df = spark.range(0, 65536).select(
+      (col("id") % 256).as("a"), expr("id div 256").as("b"))
+      .withColumn("zval", Storage.zorderKey(col("a"), col("b")))
+    // the whole recipe: range-partition by the interleaved key, write
+    df.repartitionByRange(16, $"zval")
+      .write.mode("overwrite").parquet(s"$base/z")
+    // per-FILE min/max span per dimension — the stat parquet footer skipping
+    // uses; a z-ordered file must be narrow in both, a single-column sort
+    // is narrow in one and global-span in the other
+    val spans = spark.read.parquet(s"$base/z")
+      .groupBy(input_file_name().as("f"))
+      .agg((max($"a") - min($"a")).as("aspan"),
+        (max($"b") - min($"b")).as("bspan"))
+      .as[(String, Long, Long)].collect()
+    assert(spans.length > 1, "need multiple files for skipping to mean anything")
+    val avgA = spans.map(_._2).sum.toDouble / spans.length
+    val avgB = spans.map(_._3).sum.toDouble / spans.length
+    // 16 z-range files over a 256×256 grid ≈ 64×64 tiles: each file must be
+    // FAR narrower than the 255 global span in BOTH dims (a single-column
+    // sort gives ~16 in one dim and 255 in the other)
+    assert(avgA < 128 && avgB < 128,
+      s"z-order must shrink BOTH dimensions' per-file spans: a $avgA, b $avgB (global 255)")
+  }
 }
