@@ -42,9 +42,13 @@ object Corpus {
         .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .repartition(col("src")), reliable)
     val edges = edgesM.df
+    // init = the first HashMin round pre-applied (min of self and direct
+    // neighbors, one aggregation — cheaper than a distinct + a full join
+    // round): near-dup components are cliques, so this alone is usually
+    // the fixpoint and the loop's first iteration just confirms changed=0
     var labelsM = graft.Lineage.truncate(
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("cluster_id")), reliable)
+      edges.groupBy(col("dst").as("id")).agg(min(col("src")).as("__m"))
+        .select(col("id"), least(col("__m"), col("id")).as("cluster_id")), reliable)
     var labels = labelsM.df
     var changed = 1L
     var converged = false
