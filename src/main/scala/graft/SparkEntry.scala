@@ -132,6 +132,7 @@ object SparkEntry {
     "q110_curate_pipeline" -> ((s, d) => Corpus.q110CuratePipeline(s, d)),
     "q111_split_leakage" -> ((s, d) => Corpus.q111SplitLeakage(s, d)),
     "q112_zorder" -> (Relational.q112Zorder _),
+    "q113_map_funcs" -> (Relational.q113MapFuncs _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1104,5 +1105,13 @@ object SparkEntry {
         |a4 AS (SELECT p16, s16, ((pc | (pc << 1)) & 1431655765) AS pd,
         |                        ((sc | (sc << 1)) & 1431655765) AS sd FROM a3)
         |SELECT p16, s16, (pd | (sd << 1)) AS zval FROM a4""".stripMargin,
+    // the oracle states the map lookups' SEMANTICS relationally — the
+    // map-typed intermediate exists only on the Spark side
+    "q113_map_funcs" ->
+      """SELECT user_id,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        |FROM events GROUP BY user_id""".stripMargin,
   )
 }

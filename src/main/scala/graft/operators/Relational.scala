@@ -911,6 +911,30 @@ object Relational {
         graft.sources.Storage.zorderKey($"l_partkey", $"l_suppkey").as("zval"))
       .distinct()
 
+  // ---------------------------------------------------------------- A52
+  /** MAP-typed column surface — build a per-user event_type→count map IN
+    * THE PLAN (map_from_entries over the aggregated entries; keys unique
+    * by construction) and consume it with element_at/size. The map-typed
+    * intermediate is the point: Flink SQL's MAP type / Spark's MapType
+    * both ship this shape, and the oracle checks the lookups' results
+    * exactly (the map itself never crosses engines — parquet MAP vs
+    * DuckDB MAP representations are not comparable byte-wise).
+    *
+    * Scale: identical shuffle profile to q96's pivot — the map is built
+    * per user from that user's aggregated entries only. */
+  def q113MapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val m = $"m"
+    Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"user_id")
+      .agg(map_from_entries(collect_list(struct($"event_type", $"cnt"))).as("m"))
+      .select($"user_id",
+        size(m).cast("long").as("n_types"),
+        coalesce(element_at(m, "click"), lit(0L)).as("n_click"),
+        coalesce(element_at(m, "purchase"), lit(0L)).as("n_purchase"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
