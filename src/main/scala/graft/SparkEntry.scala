@@ -133,6 +133,7 @@ object SparkEntry {
     "q111_split_leakage" -> ((s, d) => Corpus.q111SplitLeakage(s, d)),
     "q112_zorder" -> (Relational.q112Zorder _),
     "q113_map_funcs" -> (Relational.q113MapFuncs _),
+    "q114_gap_fill" -> (Relational.q114GapFill _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1113,5 +1114,23 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
         |  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
         |FROM events GROUP BY user_id""".stripMargin,
+    // values pass through the fill untouched — exact; hour = epoch-µs div
+    "q114_gap_fill" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value, event_id
+        |           FROM events),
+        |h AS (SELECT user_id, us // 3600000000 AS h, us, value, event_id FROM e),
+        |obs AS (SELECT user_id, h, value AS v FROM (
+        |    SELECT user_id, h, value,
+        |      row_number() OVER (PARTITION BY user_id, h ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM h) x WHERE rn = 1),
+        |b AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM h GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(lo, hi)) AS h FROM b),
+        |j AS (SELECT s.user_id AS user_id, s.h AS hour_idx, o.v
+        |      FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.h = o.h)
+        |SELECT user_id, hour_idx,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+        |  v IS NOT NULL AS is_observed
+        |FROM j""".stripMargin,
   )
 }

@@ -935,6 +935,38 @@ object Relational {
         coalesce(element_at(m, "purchase"), lit(0L)).as("n_purchase"))
   }
 
+  // ---------------------------------------------------------------- A53
+  /** Time-series gap filling / resampling — per user, a dense hourly spine
+    * from first to last event with the last observed value FORWARD-FILLED
+    * into empty hours (last_value IGNORE NULLS): the resample-and-ffill
+    * step every downstream feature pipeline runs on irregular event
+    * streams, as one declarative plan (sequence+explode spine, left join,
+    * one ordered window). Values pass through untouched — no arithmetic,
+    * exact cross-engine; hour indexes are integer epoch-µs divisions.
+    *
+    * Scale: everything partitions by user_id and the spine is generated,
+    * not shuffled (explode is map-side); the fill window rides the same
+    * user partitioning. Spine size = active-hours per user, bounded by the
+    * observation horizon, not the event count. */
+  def q114GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val e = Tables.events(spark, dir).select($"user_id",
+      unix_micros($"ts".cast("timestamp")).as("us"), $"value", $"event_id")
+      .withColumn("h", expr(s"us div ${hourUs}L"))
+    val wLast = Window.partitionBy($"user_id", $"h")
+      .orderBy($"us".desc, $"event_id".desc)
+    val obs = e.withColumn("__rn", row_number().over(wLast))
+      .filter($"__rn" === 1).select($"user_id", $"h", $"value".as("v"))
+    val spine = e.groupBy($"user_id").agg(min($"h").as("lo"), max($"h").as("hi"))
+      .select($"user_id", explode(sequence($"lo", $"hi")).as("h"))
+    val wFill = Window.partitionBy($"user_id").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(obs, Seq("user_id", "h"), "left")
+      .select($"user_id", $"h".as("hour_idx"),
+        last($"v", ignoreNulls = true).over(wFill).as("value_ff"),
+        $"v".isNotNull.as("is_observed"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

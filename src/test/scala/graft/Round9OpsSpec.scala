@@ -214,6 +214,26 @@ class Round9OpsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no per-outer-row nested loop")
   }
 
+  test("q114 forward-fills every spine hour with the last observed value") {
+    val rows = Relational.q114GapFill(spark, sf)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // dense spine: consecutive hour indexes, starts observed
+      assert(sorted.map(_._2).toSeq ===
+        (sorted.head._2 to sorted.last._2).toSeq, s"user $u spine not dense")
+      assert(sorted.head._4, s"user $u first spine hour must be observed")
+      // fill semantics: unobserved hours carry the previous hour's value
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) if !cur._4 =>
+          assert(cur._3 === prev._3, s"user $u hour ${cur._2} fill")
+        case _ => ()
+      }
+    }
+    assert(rows.exists(!_._4), "data must exercise at least one filled gap")
+  }
+
   test("zorderKey interleaves bits exactly and is invertible") {
     val rows = Relational.q112Zorder(spark, sf)
       .as[(Long, Long, Long)].collect()
