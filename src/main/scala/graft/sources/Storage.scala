@@ -53,9 +53,9 @@ object Storage {
     * Pure bitwise spread-shift arithmetic (exact BIGINT, codegen'd
     * builtins, no UDF), identical cross-engine.
     *
-    * At 100 TB: `df.repartitionByRange(col(zorderKey(a, b)))` before the
-    * parquet write is the whole recipe — the key is map-side, the sort is
-    * the same range exchange any ORDER BY pays. */
+    * At 100 TB: `df.repartitionByRange(n, zorderKey(col("a"), col("b")))`
+    * before the parquet write is the whole recipe — the key is map-side,
+    * the sort is the same range exchange any ORDER BY pays. */
   def zorderKey(a: Column, b: Column): Column = {
     def spread(x0: Column): Column = {
       // 16 bits spread to even positions via magic-mask doubling
