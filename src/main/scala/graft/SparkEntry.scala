@@ -134,6 +134,7 @@ object SparkEntry {
     "q112_zorder" -> (Relational.q112Zorder _),
     "q113_map_funcs" -> (Relational.q113MapFuncs _),
     "q114_gap_fill" -> (Relational.q114GapFill _),
+    "q115_heavy_hitters" -> ((s, d) => Corpus.q115HeavyHitters(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1132,5 +1133,11 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
         |  v IS NOT NULL AS is_observed
         |FROM j""".stripMargin,
+    // the sketch path PROVES exactness at runtime (MG bound check), so the
+    // oracle is the plain exact top-k
+    "q115_heavy_hitters" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
   )
 }

@@ -713,6 +713,45 @@ object Corpus {
         col("jaccard"))
   }
 
+  // ---------------------------------------------------------------- C46
+  /** Exact top-k frequent tokens AT SKETCH MEMORY — the two-pass
+    * heavy-hitters pattern over [[graft.functions.HeavyHitters.MisraGries]]:
+    * pass 1 aggregates a ≤`cap`-counter summary (bounded state regardless
+    * of vocabulary size — the regime where q60's exact groupBy state
+    * explodes); pass 2 exact-counts ONLY the surviving candidates (a
+    * broadcast semi-join) and takes the top k. MG guarantees every key
+    * with frequency > N/(cap+1) survives pass 1, so when the k-th
+    * candidate's exact count clears that bound the result is PROVABLY the
+    * exact global top-k — checked at runtime and failed loudly otherwise
+    * (never a silently-approximate answer), which is what makes an exact
+    * DuckDB oracle legitimate for a sketch-based plan.
+    *
+    * Scale: pass 1 state is cap counters per partial buffer; pass 2
+    * touches cap keys. Nothing is vocabulary-sized. */
+  def q115HeavyHitters(spark: SparkSession, dir: String,
+      k: Int = 20, cap: Int = 256): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ", -1)).as("word"))
+    val mg = new graft.functions.HeavyHitters.MisraGries(cap)
+    val summary: Map[String, Long] = words.as[String].select(mg.toColumn).head()
+    val candidates = summary.keys.toSeq
+    val n = words.count()
+    val top = words.filter(col("word").isin(candidates: _*))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(k)
+    // conservative proof obligation: the k-th candidate must clear the MG
+    // survival bound (a no-eviction run would also be exact, but that is
+    // not observable post-hoc — fail loudly rather than assume)
+    val kth = top.collect().lastOption.map(_.getLong(1)).getOrElse(0L)
+    if (kth <= n / (cap + 1))
+      throw new IllegalStateException(
+        s"heavy-hitters cap=$cap cannot prove exact top-$k " +
+          s"(k-th count $kth ≤ N/(cap+1) = ${n / (cap + 1)}); raise cap")
+    top
+  }
+
   // ---------------------------------------------------------------- C44
   /** Deterministic global corpus shuffle — every document's training-order
     * position as the rank of a salted content-independent hash (q84/q91's

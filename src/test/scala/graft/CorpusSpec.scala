@@ -350,6 +350,48 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries keeps every key above N/(cap+1) with cap < distinct keys") {
+    import graft.functions.HeavyHitters.MisraGries
+    // planted Zipf-ish stream: 500 distinct keys, a few heavy ones — the
+    // regime the sketch exists for (cap ≪ distinct)
+    val data = (0 until 500).flatMap { i =>
+      val freq = if (i < 5) 400 else if (i < 50) 20 else 2
+      Seq.fill(freq)(s"w$i")
+    }
+    val n = data.size.toLong
+    val cap = 64
+    val ds = spark.createDataset(data)(org.apache.spark.sql.Encoders.STRING)
+      .repartition(7) // force partial buffers + merges
+    val summary: Map[String, Long] =
+      ds.select(new MisraGries(cap).toColumn).head()
+    assert(summary.size <= cap, "summary must respect the cap")
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = n / (cap + 1)
+    exact.filter(_._2 > bound).keys.foreach { k =>
+      assert(summary.contains(k), s"key $k above the MG bound must survive")
+    }
+    summary.foreach { case (k, c) =>
+      assert(c <= exact(k), s"MG counter for $k can only undercount")
+      assert(exact(k) - c <= bound, s"undercount of $k exceeds N/(cap+1)")
+    }
+  }
+
+  test("q115 equals the exact top-k and refuses an unprovable cap loudly") {
+    val got = Corpus.q115HeavyHitters(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    val exact = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ", -1)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect()
+      .sortBy { case (w, c) => (-c, w) }.take(20).toSeq
+    assert(got === exact)
+    // a cap too small to prove exactness must throw, not return approximate
+    val e = intercept[IllegalStateException] {
+      Corpus.q115HeavyHitters(spark, sf, k = 20, cap = 2)
+    }
+    assert(e.getMessage.contains("raise cap"))
+  }
+
   test("q109 shuffle order is a deterministic permutation") {
     val a = Corpus.q109ShuffleOrder(spark, sf)
       .select(col("doc_id"), col("position"))
