@@ -135,6 +135,7 @@ object SparkEntry {
     "q113_map_funcs" -> (Relational.q113MapFuncs _),
     "q114_gap_fill" -> (Relational.q114GapFill _),
     "q115_heavy_hitters" -> ((s, d) => Corpus.q115HeavyHitters(s, d)),
+    "q116_window_distinct" -> (Relational.q116WindowDistinct _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1139,5 +1140,12 @@ object SparkEntry {
       """SELECT word, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+    "q116_window_distinct" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS distinct_types_so_far
+        |FROM e""".stripMargin,
   )
 }

@@ -967,6 +967,31 @@ object Relational {
         $"v".isNotNull.as("is_observed"))
   }
 
+  // ---------------------------------------------------------------- A54
+  /** Running COUNT(DISTINCT) over an ordered window — a surface Spark's
+    * windowed aggregation does not offer natively (DISTINCT window aggs
+    * are rejected by the planner); the engine-idiomatic equivalent is
+    * `size(collect_set(...))` over the same frame, which this operator
+    * ships and the DuckDB oracle (which DOES support DISTINCT windows)
+    * checks exactly: per user, how many distinct event types have been
+    * seen up to each event.
+    *
+    * Scale: the set state is bounded by the TYPE vocabulary (5 here),
+    * not the frame length — collect_set over an unbounded-preceding frame
+    * is safe exactly when the distinct domain is small, which is the same
+    * condition under which the metric itself is meaningful. */
+  def q116WindowDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+      .withColumn("distinct_types_so_far",
+        size(collect_set($"event_type").over(w)).cast("long"))
+      .select($"user_id", $"event_id", $"distinct_types_so_far")
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
