@@ -136,6 +136,7 @@ object SparkEntry {
     "q114_gap_fill" -> (Relational.q114GapFill _),
     "q115_heavy_hitters" -> ((s, d) => Corpus.q115HeavyHitters(s, d)),
     "q116_window_distinct" -> (Relational.q116WindowDistinct _),
+    "q117_ratio_report" -> (Relational.q117RatioReport _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1147,5 +1148,17 @@ object SparkEntry {
         |  CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY us, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS distinct_types_so_far
         |FROM e""".stripMargin,
+    // single divisions of exact decimal sums cast to double — bit-exact
+    "q117_ratio_report" ->
+      """WITH rev AS (SELECT r_name, n_name,
+        |  sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE) AS region_share,
+        |  CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE) AS global_share
+        |FROM rev""".stripMargin,
   )
 }

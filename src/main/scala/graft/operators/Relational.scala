@@ -992,6 +992,31 @@ object Relational {
       .select($"user_id", $"event_id", $"distinct_types_so_far")
   }
 
+  // ---------------------------------------------------------------- A55
+  /** Ratio-to-report — each nation's share of its REGION's revenue and of
+    * the GLOBAL total, as unpartitioned/partitioned window sums over the
+    * pre-aggregated frame. Shares are single divisions of exact DECIMAL
+    * sums cast to double (both sums' underlying integers stay far below
+    * 2^53 at oracle scale — see q98's cast rule), so both engines agree
+    * bit-exactly.
+    *
+    * Scale: the windows run over the AGGREGATED |nations|-row frame — the
+    * empty-partition global window is fine at dimension cardinality; the
+    * fact-table work is one partial-aggregated groupBy. */
+  def q117RatioReport(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum(money($"o_totalprice")).as("rev"))
+    val byRegion = Window.partitionBy($"r_name")
+    val global = Window.partitionBy()
+    rev.select($"r_name", $"n_name", asDouble($"rev").as("revenue"),
+        (asDouble($"rev") / asDouble(sum($"rev").over(byRegion))).as("region_share"),
+        (asDouble($"rev") / asDouble(sum($"rev").over(global))).as("global_share"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
