@@ -24,41 +24,51 @@ import org.apache.spark.sql.expressions.Aggregator
  */
 object HeavyHitters {
 
+  /** Summary counters plus the exact TOTAL element count — MG loses mass
+    * on eviction, so N must ride the buffer for the bound check; carrying
+    * it here also saves the caller a separate counting pass. */
+  final case class MGBuf(counters: mutable.Map[String, Long], var n: Long)
+
   final class MisraGries(cap: Int)
-      extends Aggregator[String, mutable.Map[String, Long], Map[String, Long]] {
+      extends Aggregator[String, MGBuf, (Map[String, Long], Long)] {
     require(cap > 0, "cap must be positive")
 
-    override def zero: mutable.Map[String, Long] = mutable.Map.empty
+    override def zero: MGBuf = MGBuf(mutable.Map.empty, 0L)
 
-    /** Evict until ≤ cap counters: subtract the (cap+1)-th largest count
-      * from every counter and drop the non-positive — the batched form of
-      * MG's decrement-all step (equivalent bound, one pass). */
+    /** Evict until ≤ cap counters by subtracting a pivot ≥ the (cap+1)-th
+      * largest count and dropping the non-positive (batched MG decrement;
+      * same bound). reduce() can overflow by exactly one entry, so its
+      * pivot is the MINIMUM — O(cap), no sort; only merge() (≤ 2·cap
+      * entries) pays the selection sort. */
     private def shrink(b: mutable.Map[String, Long]): mutable.Map[String, Long] = {
       if (b.size <= cap) b
       else {
-        val pivot = b.values.toSeq.sorted(Ordering[Long].reverse).apply(cap)
+        val pivot =
+          if (b.size == cap + 1) b.values.min
+          else b.values.toSeq.sorted(Ordering[Long].reverse).apply(cap)
         val out = mutable.Map.empty[String, Long]
         b.foreach { case (k, v) => if (v > pivot) out(k) = v - pivot }
         out
       }
     }
 
-    override def reduce(b: mutable.Map[String, Long], a: String): mutable.Map[String, Long] = {
-      b.updateWith(a) { c => Some(c.getOrElse(0L) + 1L) }
-      shrink(b)
+    override def reduce(b: MGBuf, a: String): MGBuf = {
+      b.counters.updateWith(a) { c => Some(c.getOrElse(0L) + 1L) }
+      MGBuf(shrink(b.counters), b.n + 1L)
     }
 
-    override def merge(
-        x: mutable.Map[String, Long], y: mutable.Map[String, Long]): mutable.Map[String, Long] = {
-      y.foreach { case (k, v) => x.updateWith(k)(c => Some(c.getOrElse(0L) + v)) }
-      shrink(x)
+    override def merge(x: MGBuf, y: MGBuf): MGBuf = {
+      y.counters.foreach { case (k, v) =>
+        x.counters.updateWith(k)(c => Some(c.getOrElse(0L) + v))
+      }
+      MGBuf(shrink(x.counters), x.n + y.n)
     }
 
-    override def finish(b: mutable.Map[String, Long]): Map[String, Long] = b.toMap
+    override def finish(b: MGBuf): (Map[String, Long], Long) =
+      (b.counters.toMap, b.n)
 
-    override def bufferEncoder: Encoder[mutable.Map[String, Long]] =
-      Encoders.kryo[mutable.Map[String, Long]]
-    override def outputEncoder: Encoder[Map[String, Long]] =
+    override def bufferEncoder: Encoder[MGBuf] = Encoders.kryo[MGBuf]
+    override def outputEncoder: Encoder[(Map[String, Long], Long)] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 }

@@ -734,22 +734,28 @@ object Corpus {
     val words = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ", -1)).as("word"))
     val mg = new graft.functions.HeavyHitters.MisraGries(cap)
-    val summary: Map[String, Long] = words.as[String].select(mg.toColumn).head()
+    // summary + exact N in ONE pass (the buffer carries the total)
+    val (summary, n) = words.as[String].select(mg.toColumn).head()
     val candidates = summary.keys.toSeq
-    val n = words.count()
-    val top = words.filter(col("word").isin(candidates: _*))
+    val rows = words.filter(col("word").isin(candidates: _*))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word"))
       .limit(k)
-    // conservative proof obligation: the k-th candidate must clear the MG
-    // survival bound (a no-eviction run would also be exact, but that is
-    // not observable post-hoc — fail loudly rather than assume)
-    val kth = top.collect().lastOption.map(_.getLong(1)).getOrElse(0L)
-    if (kth <= n / (cap + 1))
+      .as[(String, Long)].collect()
+    // conservative proof obligation, both halves: (a) a FULL k rows came
+    // back — fewer candidates than k can silently truncate the answer even
+    // when every returned row clears the bound; (b) the k-th count clears
+    // the MG survival bound, so no non-candidate can belong to the top k.
+    // (A no-eviction run would also be exact, but that is not observable
+    // post-hoc — fail loudly rather than assume.)
+    val kth = rows.lastOption.map(_._2).getOrElse(0L)
+    if (rows.length < k || kth <= n / (cap + 1))
       throw new IllegalStateException(
         s"heavy-hitters cap=$cap cannot prove exact top-$k " +
-          s"(k-th count $kth ≤ N/(cap+1) = ${n / (cap + 1)}); raise cap")
-    top
+          s"(${rows.length} candidate rows, k-th count $kth vs bound " +
+          s"N/(cap+1) = ${n / (cap + 1)}); raise cap")
+    // the ≤k proven rows are already here — don't re-execute the plan
+    spark.createDataset(rows.toIndexedSeq).toDF("word", "cnt")
   }
 
   // ---------------------------------------------------------------- C44

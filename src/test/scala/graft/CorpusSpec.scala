@@ -362,9 +362,9 @@ class CorpusSpec extends SparkSpec {
     val cap = 64
     val ds = spark.createDataset(data)(org.apache.spark.sql.Encoders.STRING)
       .repartition(7) // force partial buffers + merges
-    val summary: Map[String, Long] =
-      ds.select(new MisraGries(cap).toColumn).head()
+    val (summary, total) = ds.select(new MisraGries(cap).toColumn).head()
     assert(summary.size <= cap, "summary must respect the cap")
+    assert(total === n, "the buffer-carried N must be the exact stream size")
     val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val bound = n / (cap + 1)
     exact.filter(_._2 > bound).keys.foreach { k =>
