@@ -932,9 +932,10 @@ object SparkEntry {
         |  CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
         |  FROM a)
         |SELECT l_returnflag, n,
-        |  (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) AS slope,
-        |  (syd - ((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd)) * sxd) / nd AS intercept,
-        |  (nd*sxyd - sxd*syd) / (sqrt(nd*sxxd - sxd*sxd) * sqrt(nd*syyd - syd*syd)) AS pearson_r
+        |  CASE WHEN nd*sxxd - sxd*sxd <> 0 THEN (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) END AS slope,
+        |  (syd - (CASE WHEN nd*sxxd - sxd*sxd <> 0 THEN (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) END) * sxd) / nd AS intercept,
+        |  CASE WHEN nd*sxxd - sxd*sxd <> 0 AND nd*syyd - syd*syd <> 0
+        |       THEN (nd*sxyd - sxd*syd) / (sqrt(nd*sxxd - sxd*sxd) * sqrt(nd*syyd - syd*syd)) END AS pearson_r
         |FROM d""".stripMargin,
     "q99_not_in" ->
       """SELECT c_custkey, c_name, c_mktsegment

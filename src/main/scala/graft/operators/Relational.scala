@@ -758,11 +758,19 @@ object Relational {
     val syyd = $"syy".cast("double")
     val cov = nd * sxyd - sxd * syd
     val varx = nd * sxxd - sxd * sxd
-    val slope = cov / varx
+    val vary = nd * syyd - syd * syd
+    // Degenerate-group guard: Spark's non-ANSI Divide returns NULL on a
+    // zero divisor even for doubles, DuckDB's IEEE division yields inf/NaN.
+    // A group with constant x (or constant y, for pearson) would diverge
+    // cross-engine; both sides carry the same explicit CASE so both emit
+    // NULL. Not refutable by the optimizer (data-dependent), so no plan
+    // change — mirrors q104GraphDegree's degree>=2 guard.
+    val slope = when(varx =!= 0.0, cov / varx)
     agg.select($"l_returnflag", $"n",
       slope.as("slope"),
       ((syd - slope * sxd) / nd).as("intercept"),
-      (cov / (sqrt(varx) * sqrt(nd * syyd - syd * syd))).as("pearson_r"))
+      when(varx =!= 0.0 && vary =!= 0.0,
+        cov / (sqrt(varx) * sqrt(vary))).as("pearson_r"))
   }
 
   // ---------------------------------------------------------------- A47
@@ -998,7 +1006,9 @@ object Relational {
     * pre-aggregated frame. Shares are single divisions of exact DECIMAL
     * sums cast to double (both sums' underlying integers stay far below
     * 2^53 at oracle scale — see q98's cast rule), so both engines agree
-    * bit-exactly.
+    * bit-exactly. Unlike q98 no zero-divisor guard is needed: the divisor
+    * is a sum of strictly positive o_totalprice over a frame that always
+    * contains the current row, so it is structurally > 0.
     *
     * Scale: the windows run over the AGGREGATED |nations|-row frame — the
     * empty-partition global window is fine at dimension cardinality; the

@@ -85,7 +85,16 @@ object IncrementalMv {
     // 4a. merge deltas into the touched agg buckets (groups of those buckets
     // that got no delta ride along via the full join and are preserved)
     val touchedAgg = touchedBuckets(deltas)
-    if (touchedAgg.nonEmpty) {
+    // Replay guard for the agg table: the entity version guard above zeroes
+    // deltas only once the ENTITY buckets have swapped, which happens after
+    // the agg swap. A replay that crashed between the two swaps recomputes
+    // non-empty deltas from the old entity state — the `_applied_batch`
+    // marker (written atomically after the agg swap) tells such a replay
+    // the agg already has them.
+    val aggFs = new org.apache.hadoop.fs.Path(aggPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aggMarker = new org.apache.hadoop.fs.Path(aggPath, "_applied_batch")
+    if (touchedAgg.nonEmpty && readMarker(aggFs, aggMarker) < batchId) {
       val aggCurrent = readTouched(spark, aggPath, touchedAgg).getOrElse(
         deltas.select(col(groupKey), lit(0L).as("cnt"), lit(0.0).as("total"),
           col(BucketCol)).limit(0))
@@ -107,12 +116,17 @@ object IncrementalMv {
       // 4a'. emit the MV's OWN output changelog (retraction stream — the
       // row-kind stream TiFlink's sink consumes and the feed a downstream
       // MV would maintain itself from; batch twin: Changelog.q101MvDiff).
-      // Ordering gives exactly-once: emit BEFORE the state swap, so a
-      // replay that crashed pre-swap recomputes the identical diff from
-      // the unchanged state, while a replay that crashed post-swap finds
-      // the batch directory already committed and skips. The write itself
-      // is staged + atomically renamed so a half-written directory can
-      // never be mistaken for a committed batch.
+      // Commit points, in order: changelog dir (guarded by its existence),
+      // agg swap + `_applied_batch` marker, entity swap (guarded by the
+      // per-key version filter). A replay crashing pre-agg-swap recomputes
+      // the identical diff from unchanged state and skips the committed
+      // changelog dir; one crashing after the marker skips the whole agg
+      // block and redoes only the entity swap. The residual window is the
+      // instants between the agg swap's last rename and the marker write —
+      // and a crash INSIDE the swap itself is loud (swapTouched refuses to
+      // run over a non-empty trash dir), not silent. The write below is
+      // staged + atomically renamed so a half-written directory can never
+      // be mistaken for a committed batch.
       changelogPath.foreach { cl =>
         val fs = new org.apache.hadoop.fs.Path(cl)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -139,6 +153,7 @@ object IncrementalMv {
         }
       }
       swapTouched(mergedM, aggPath, touchedAgg)
+      writeMarker(aggFs, aggMarker, batchId)
       } finally mergedMat.release()
     }
 
@@ -150,5 +165,30 @@ object IncrementalMv {
       .filter(col(op) =!= "delete")
     swapTouched(entity, entityPath, touchedEntity)
     } finally compactedMat.release()
+  }
+
+  /** Last batchId whose deltas were applied to this table; -1 if none.
+    * Underscore-prefixed, so parquet readers of the directory ignore it. */
+  private def readMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+
+  /** Atomic publish: write to a sibling tmp file, rename over the marker —
+    * a reader never observes a half-written batchId. */
+  private def writeMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, batchId: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(s"failed to publish batch marker $p")
   }
 }

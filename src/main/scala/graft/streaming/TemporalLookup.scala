@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
  * resolved ONCE per micro-batch, so every row of the batch joins the same
  * epoch — a dim publish landing mid-batch cannot split the batch across two
  * dim states (the torn-read hazard of naive lookup joins). Version upgrades
- * happen only at batch boundaries, and each output row carries the
- * `dim_version` it was resolved against for audit/replayability.
+ * happen only at batch-ATTEMPT boundaries: a foreachBatch replay of the
+ * same batchId after a mid-batch failure re-resolves `_LATEST`, which may
+ * have advanced, so two attempts of one batchId can enrich against
+ * different dim versions — standard processing-time lookup-join semantics
+ * (Flink's lookup join has the same property). Each output row carries the
+ * `dim_version` it was resolved against, which is also the audit trail for
+ * exactly this case; pin-per-batchId (a version file keyed by batchId)
+ * would be the upgrade if replay determinism were required.
  *
  * Scale: `readSnapshot` is a plain parquet read of the pinned epoch — at
  * 100 TB the dim is either broadcast (small) or bucketed (B23) for a

@@ -122,6 +122,38 @@ class IncrementalMvSpec extends SparkSpec {
     assert(after === first, "replay must not clobber the committed changelog batch")
   }
 
+  test("replay after agg swap but before entity swap does not double-apply") {
+    // Reconstructs the crash window the `_applied_batch` marker closes:
+    // batch 1 fully commits (changelog-less path), then the ENTITY table is
+    // rolled back to its pre-batch-1 buckets — exactly the on-disk state a
+    // replay sees when the crash landed between the marker write and the
+    // entity swap. The replayed deltas are non-empty (old entity state) but
+    // the marker must keep them out of the already-swapped agg.
+    val base = Files.createTempDirectory("imv3").toString
+    val b0 = Seq((1L, 1L, "ins", "g", 5.0), (2L, 1L, "ins", "g", 7.0))
+      .toDF("pk", "version", "op", "grp", "value")
+    val b1 = Seq((2L, 2L, "upd", "h", 9.0)).toDF("pk", "version", "op", "grp", "value")
+    IncrementalMv.maintain(s"$base/mv", "pk", "version", "op", "grp", "value")(b0, 0L)
+    // snapshot the pre-batch-1 entity buckets
+    val entityDir = new java.io.File(s"$base/mv/entity")
+    val saved = new java.io.File(s"$base/entity_saved")
+    org.apache.commons.io.FileUtils.copyDirectory(entityDir, saved)
+    IncrementalMv.maintain(s"$base/mv", "pk", "version", "op", "grp", "value")(b1, 1L)
+    def agg = spark.read.parquet(s"$base/mv/agg")
+      .select("grp", "cnt", "total").as[(String, Long, Double)].collect().toSet
+    assert(agg === Set(("g", 1L, 5.0), ("h", 1L, 9.0)))
+    // roll entity back to pre-batch-1 = the mid-crash state, then replay
+    org.apache.commons.io.FileUtils.deleteDirectory(entityDir)
+    org.apache.commons.io.FileUtils.copyDirectory(saved, entityDir)
+    IncrementalMv.maintain(s"$base/mv", "pk", "version", "op", "grp", "value")(b1, 1L)
+    assert(agg === Set(("g", 1L, 5.0), ("h", 1L, 9.0)),
+      "marker must stop the replayed deltas from double-applying to agg")
+    val entity = spark.read.parquet(s"$base/mv/entity")
+      .select("pk", "grp", "value").as[(Long, String, Double)].collect().toSet
+    assert(entity === Set((1L, "g", 5.0), (2L, "h", 9.0)),
+      "replay must still complete the entity swap")
+  }
+
   test("replaying a batch is a no-op (version guard gives idempotence)") {
     val base = Files.createTempDirectory("imv2").toString
     val batch = Seq((1L, 1L, "ins", "g", 5.0), (2L, 1L, "ins", "g", 7.0))
