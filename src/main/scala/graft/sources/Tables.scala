@@ -16,12 +16,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object Tables {
 
-  /** Table names of the test dataset (TPC-H-ish star schema + changelog + docs). */
+  /** Table names of the built-in test dataset (TPC-H-ish star schema +
+    * changelog + docs). Kept as the schema-known fallback; any OTHER
+    * dataset directory is served by [[discover]], which lists what is
+    * actually on disk — the `TiFlinkCatalog.listTables` behavior
+    * (TiFlinkCatalog.java:140-152 lists from the live store, not a
+    * compiled-in enum). */
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Primary keys — what TiFlinkCatalog derives from TiTableInfo indices. */
+  /** Primary keys of the built-in tables — what TiFlinkCatalog derives from
+    * TiTableInfo indices. For foreign datasets, [[primaryKeysIn]] reads the
+    * optional `_graft_meta.json` instead. */
   val primaryKeys: Map[String, Seq[String]] = Map(
     "region" -> Seq("r_regionkey"),
     "nation" -> Seq("n_nationkey"),
@@ -34,9 +41,57 @@ object Tables {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  /** Load one table from a dataset dir. */
+  /** Optional per-dataset metadata file name. Shape:
+    * `{"primaryKeys": {"my_table": ["id"], ...}}` — the role
+    * `TiTableInfo`'s index metadata plays for TiFlinkCatalog.getTable
+    * (TiFlinkCatalog.java:154-199): schemas come from parquet footers,
+    * keys from this sidecar. */
+  val MetaFile = "_graft_meta.json"
+
+  /** List the tables of a dataset directory: every `<name>.parquet` file or
+    * directory directly under `dir`, sorted. Listing is live (one FS
+    * listStatus — no caching, no compiled-in name set), so dropping a new
+    * parquet table into the directory makes it immediately queryable. */
+  def discover(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet"))
+      .filterNot(_.startsWith("_"))
+      .sorted
+  }
+
+  /** Primary key of `name` in `dir`: `_graft_meta.json` wins, then the
+    * built-in map, then none (a keyless table is still readable — only the
+    * changelog/upsert operators need keys, and they take them explicitly). */
+  def primaryKeysIn(spark: SparkSession, dir: String, name: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fromMeta: Option[Seq[String]] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        (JsonMethods.parse(text) \ "primaryKeys" \ name) match {
+          case JArray(vs) => Some(vs.collect { case JString(s) => s })
+          case _ => None
+        }
+      }
+    fromMeta.orElse(primaryKeys.get(name)).getOrElse(Seq.empty)
+  }
+
+  /** Load one table from a dataset dir — any discovered table, not just the
+    * built-ins. Unknown names fail with the live table listing. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    require(names.contains(name), s"unknown table: $name")
+    val p = new org.apache.hadoop.fs.Path(dir, s"$name.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"unknown table: $name (tables in $dir: ${discover(spark, dir).mkString(", ")})")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -68,12 +123,21 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 
-  /** Register every table as a temp view (tableEnv.useCatalog analog).
-    * `events` goes through its nanos-rebuilding reader so SQL over the
-    * catalog sees the same µs `ts` column the operators do. */
+  /** Register every DISCOVERED table as a temp view (tableEnv.useCatalog
+    * analog) — live directory listing, so a dataset dir with extra or
+    * missing tables registers exactly what exists. `events` goes through
+    * its nanos-rebuilding reader so SQL over the catalog sees the same µs
+    * `ts` column the operators do. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach { n =>
-      val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
+    discover(spark, dir).foreach { n =>
+      val raw = apply(spark, dir, n)
+      // nanos signature check, not just the name: a foreign dataset's own
+      // `events` table must not be put through the ns→µs rebuild
+      val df =
+        if (n == "events" && raw.schema.exists(f =>
+            f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
+          events(spark, dir)
+        else raw
       df.createOrReplaceTempView(n)
     }
 }

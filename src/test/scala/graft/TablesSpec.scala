@@ -38,4 +38,51 @@ class TablesSpec extends SparkSpec {
   test("unknown table name is rejected") {
     intercept[IllegalArgumentException](Tables(spark, sf, "nope"))
   }
+
+  test("catalog discovers a foreign dataset dir: list, PK metadata, SQL MV") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftcat").toString
+
+    // a brand-new table the built-in registry has never heard of …
+    Seq((1L, "eu", 10.0), (2L, "us", 20.0), (3L, "eu", 30.0))
+      .toDF("acct_id", "zone", "balance")
+      .coalesce(1).write.parquet(s"$dir/accounts.parquet")
+    // … plus one built-in-named table (different dir, same shape)
+    Tables(spark, sf, "nation").coalesce(1).write.parquet(s"$dir/nation.parquet")
+    // PK sidecar for the new table
+    Files.writeString(java.nio.file.Paths.get(s"$dir/${Tables.MetaFile}"),
+      """{"primaryKeys": {"accounts": ["acct_id"]}}""")
+
+    assert(Tables.discover(spark, dir) === Seq("accounts", "nation"))
+    assert(Tables.primaryKeysIn(spark, dir, "accounts") === Seq("acct_id"))
+    // built-in fallback still answers for tables absent from the meta file
+    assert(Tables.primaryKeysIn(spark, dir, "nation") === Seq("n_nationkey"))
+    assert(Tables(spark, dir, "accounts").count() === 3)
+
+    // end-to-end: a streaming MV whose SQL joins the foreign table through
+    // setCatalog — no edit to Tables.names anywhere in this test
+    implicit def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double)]
+    val base = Files.createTempDirectory("graftcatmv").toString
+    val q = graft.streaming.MaterializedView.newBuilder()
+      .setSource(input.toDF().toDF("acct_id", "ver", "amount"))
+      .setCatalog(dir)
+      .setSqlQuery(
+        """SELECT zone, max(ver) AS ver, sum(amount) AS total
+          |FROM txns JOIN accounts USING (acct_id) GROUP BY zone""".stripMargin,
+        "txns")
+      .setTargetPath(s"$base/mv")
+      .setVersionColumn("ver")
+      .setCheckpointLocation(s"$base/ckpt")
+      .build().start()
+    try {
+      input.addData((1L, 1L, 5.0), (2L, 1L, 7.0), (3L, 1L, 9.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/mv")
+        .select("zone", "total").as[(String, Double)].collect().toSet
+      assert(got === Set(("eu", 14.0), ("us", 7.0)))
+    } finally q.stop()
+  }
 }
