@@ -1,0 +1,197 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.streaming.SnapshotStore
+
+/**
+ * Spark SQL-native addressing for snapshot stores — the DataSource-V2
+ * `CatalogPlugin` analog of TiFlink's connector registration
+ * (reference: flink/src/main/java/org/tikv/flink/TikvDynamicTableFactory.java:26-59
+ * registers a factory so plain SQL DDL reaches the engine, and
+ * TiFlinkCatalog.java:140-199 lists/loads tables from the live store).
+ *
+ * Wire-up (one session conf, no DDL):
+ * {{{
+ *   spark.sql.catalog.graft      = graft.sources.GraftCatalog
+ *   spark.sql.catalog.graft.path = /data/graft          // catalog root
+ * }}}
+ * after which `SELECT * FROM graft.store.mv` reads the COMMITTED epoch of
+ * the [[SnapshotStore]] at `/data/graft/store/mv`, and
+ * `SELECT * FROM graft.store.mv VERSION AS OF 3` (or
+ * `spark.read.option("version", "3").table("graft.store.mv")`) pins an
+ * older epoch — TiFlink's "stale snapshot isolation" surfaced through
+ * standard SQL time travel.
+ *
+ * Read path: the identifier resolves to the epoch's immutable `_v=` parquet
+ * directory and delegates scanning to Spark's own parquet `FileTable`, so
+ * filter pushdown, column pruning, and vectorized reads all apply untouched
+ * — the catalog adds name resolution + MVCC pinning, not a scan engine.
+ * The epoch is resolved per SCAN, not per table-load, so a cached table
+ * handle follows the pointer while any one query reads a single consistent
+ * epoch (directories are immutable; only the pointer moves).
+ *
+ * Read-only by design: stores are WRITTEN through the leased publish path
+ * ([[SnapshotStore.publish]] / streaming sinks) — `CREATE TABLE` via SQL
+ * would bypass the writer lease and epoch fencing, so it fails loudly.
+ */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      s"GraftCatalog '$name' needs spark.sql.catalog.$name.path=<catalog root dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dirOf(parts: Seq[String]): Path =
+    parts.foldLeft(new Path(root))((p, n) => new Path(p, n))
+
+  private def storePath(ident: Identifier): String =
+    dirOf(ident.namespace.toIndexedSeq :+ ident.name).toString
+
+  /** A directory is a store iff it has at least one committed `_v=` epoch. */
+  private def isStore(p: Path): Boolean =
+    try fs.listStatus(p).exists(_.getPath.getName.startsWith("_v="))
+    catch { case _: java.io.IOException => false }
+
+  private def childDirs(p: Path): Seq[Path] =
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filterNot(_.getName.startsWith("_"))
+
+  // ---- TableCatalog ------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    childDirs(dirOf(namespace.toIndexedSeq)).filter(isStore)
+      .map(p => Identifier.of(namespace, p.getName)).toArray
+
+  override def tableExists(ident: Identifier): Boolean =
+    isStore(new Path(storePath(ident)))
+
+  override def loadTable(ident: Identifier): Table =
+    loadPinned(ident, None)
+
+  /** SQL `VERSION AS OF v` — pin one committed epoch. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadPinned(ident, Some(version.toLong))
+
+  private def loadPinned(ident: Identifier, pinned: Option[Long]): Table = {
+    val base = storePath(ident)
+    val s = spark
+    if (SnapshotStore.versions(s, base).isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (catalogName +: ident.namespace.toIndexedSeq) :+ ident.name)
+    pinned.foreach { v =>
+      require(SnapshotStore.versions(s, base).contains(v),
+        s"no committed epoch $v at $base (have: " +
+          s"${SnapshotStore.versions(s, base).sorted.mkString(", ")})")
+    }
+    new GraftSnapshotTable(ident.toString, base, pinned)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "GraftCatalog is read-only: publish epochs through SnapshotStore's " +
+        "leased write path, not SQL DDL")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("GraftCatalog is read-only")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "GraftCatalog is read-only: retention (keep=N) prunes old epochs")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("GraftCatalog is read-only")
+
+  // ---- SupportsNamespaces ------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    childDirs(new Path(root)).filterNot(isStore).map(p => Array(p.getName)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    childDirs(dirOf(namespace.toIndexedSeq)).filterNot(isStore)
+      .map(p => namespace :+ p.getName).toArray
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fs.exists(dirOf(namespace.toIndexedSeq))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace.toIndexedSeq)
+    Map("location" -> dirOf(namespace.toIndexedSeq).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    fs.mkdirs(dirOf(namespace.toIndexedSeq))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("GraftCatalog namespaces are plain dirs")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "GraftCatalog is read-only: remove store directories out of band")
+}
+
+/**
+ * One snapshot store surfaced as a DSv2 table. The scan delegates to
+ * Spark's parquet `FileTable` over the RESOLVED epoch's `_v=` directory —
+ * immutable for the lifetime of the scan, so a long query is isolated from
+ * concurrent publishes (the MVCC read contract,
+ * reference README "stale snapshot isolation").
+ *
+ * Version resolution order: `version` read option > `VERSION AS OF` pin >
+ * the `_LATEST` pointer at scan-build time.
+ */
+private[sources] final class GraftSnapshotTable(
+    ident: String, basePath: String, pinned: Option[Long])
+  extends Table with SupportsRead {
+
+  private def spark = SparkSession.active
+
+  private def resolve(version: Option[Long]): String = {
+    val v = version.orElse(pinned).orElse(SnapshotStore.latestVersion(spark, basePath))
+      .getOrElse(throw new IllegalStateException(s"no committed snapshot at $basePath"))
+    new Path(basePath, s"_v=$v").toString
+  }
+
+  override def name(): String = ident
+
+  override def schema(): StructType =
+    spark.read.parquet(resolve(None)).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val dir = resolve(Option(options.get("version")).map(_.toLong))
+    // Spark's own parquet table does the scanning: pushdown, pruning, and
+    // vectorization come from the engine, not from this catalog.
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      ident, spark, options, Seq(dir), Some(schema()),
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+      .newScanBuilder(options)
+  }
+}
