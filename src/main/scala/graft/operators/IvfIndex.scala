@@ -123,8 +123,17 @@ object IvfIndex {
     * cell so probes prune whole directories on load. Build rows carry
     * `__ver = 0`; streamed rows carry their batch id (see [[maintain]]). */
   def save(index: IvfIndex, path: String): Unit = {
+    val spark = index.centroids.sparkSession
     index.centroids.write.mode(SaveMode.Overwrite)
       .parquet(s"$path/centroids")
+    // save = fresh index: clear any compacted generations so the resolver
+    // cannot prefer a stale survivor of a previous index at this path
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base))
+      fs.listStatus(base).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(GenPrefix))
+        .foreach(p => fs.delete(p, true))
     val versioned =
       if (index.assignments.columns.contains(VerCol)) index.assignments
       else index.assignments.withColumn(VerCol, lit(0L))
@@ -136,10 +145,34 @@ object IvfIndex {
   def load(spark: SparkSession, path: String): IvfIndex =
     IvfIndex(
       spark.read.parquet(s"$path/centroids"),
-      spark.read.parquet(s"$path/assignments")
+      spark.read.parquet(assignmentsDir(spark, path))
         .select(col("vec_id"), col("cell"), col("emb"), col("norm")))
 
   private val VerCol = "__ver"
+  private val GenPrefix = "assignments_v="
+
+  /** Resolve the LIVE assignments directory. [[save]] writes generation-less
+    * `assignments`; every [[compact]] publishes a complete
+    * `assignments_v=<g>` directory by ATOMIC RENAME and readers take the
+    * highest generation — so at every instant some complete directory
+    * resolves, closing the reader-visible outage the old in-place
+    * `rename(live→old); rename(staging→live)` swap had between its two
+    * renames. The previous generation survives until the NEXT compact
+    * (one-generation grace), so a scan that resolved just before a flip
+    * still has its files. Same pointer-free MVCC discipline as
+    * [[graft.streaming.SnapshotStore]], minus the pointer: compacted
+    * generations have identical query semantics (latest-wins dedup), so
+    * "highest complete directory" needs no commit marker. */
+  def assignmentsDir(spark: SparkSession, path: String): String = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens =
+      if (!fs.exists(base)) Nil
+      else fs.listStatus(base).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(GenPrefix))
+        .map(_.stripPrefix(GenPrefix).toLong)
+    if (gens.isEmpty) s"$path/assignments" else s"$path/$GenPrefix${gens.max}"
+  }
 
   /** Map-only nearest-centroid assignment — the same fp64 euclidean the
     * build's KMeans `transform` evaluates (ties break by cell id; with
@@ -206,7 +239,11 @@ object IvfIndex {
       val touched = delta.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).toSeq
       if (touched.nonEmpty) {
-        val existing = spark.read.parquet(s"$path/assignments")
+        // resolved once per batch: ingest reads and overwrites the SAME live
+        // generation (ingest-vs-compact single-writer stays a precondition;
+        // only READERS are lock-free across compacts)
+        val live = assignmentsDir(spark, path)
+        val existing = spark.read.parquet(live)
           .filter(col("cell").isin(touched: _*)) // directory-pruned scan
         val kept = existing.join(delta.select(col("vec_id")), Seq("vec_id"), "left_anti")
         val merged = kept.select(delta.columns.map(col): _*).unionByName(delta)
@@ -216,15 +253,24 @@ object IvfIndex {
         merged.write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("cell")
-          .parquet(s"$path/assignments")
+          .parquet(live)
       }
     }
 
   /** Global latest-wins rewrite: one row per vec_id (max `__ver`), removing
     * stale copies left in old cells by cross-cell updates. A full-index
-    * pass — the offline complement of [[maintain]]'s O(delta) ingest. */
+    * pass — the offline complement of [[maintain]]'s O(delta) ingest.
+    *
+    * Publishes MVCC-style: the winners are staged under a private name,
+    * atomically RENAMED to the next `assignments_v=<g>` generation, and
+    * only generations at least two behind are pruned — a concurrent
+    * [[load]]/[[query]] resolves a complete directory at every instant
+    * (the old in-place swap had a window where no assignments path existed
+    * at all). Single-WRITER is still the precondition (one compactor, not
+    * concurrent with [[maintain]] batches); readers need no coordination. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val all = spark.read.parquet(s"$path/assignments")
+    val live = assignmentsDir(spark, path)
+    val all = spark.read.parquet(live)
     val winners = all
       .groupBy(col("vec_id"))
       .agg(max_by(
@@ -232,18 +278,26 @@ object IvfIndex {
         col(VerCol)).as("__r"))
       .select(col("vec_id"), col("__r.cell").as("cell"), col("__r.emb").as("emb"),
         col("__r.norm").as("norm"), col(s"__r.$VerCol").as(VerCol))
-    // rewrite through a staging dir: overwriting the tree being read would
-    // race the scan; rename swap keeps readers on a complete layout
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(s"$path/assignments.compacting")
+    val gen =
+      if (live.endsWith("/assignments")) 0L
+      else live.substring(live.lastIndexOf('=') + 1).toLong
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$path/.compacting-${java.util.UUID.randomUUID()}")
     winners.write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(staging.toString)
-    val live = new org.apache.hadoop.fs.Path(s"$path/assignments")
-    val old = new org.apache.hadoop.fs.Path(s"$path/assignments.old")
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(live, old), s"compact: could not stage out $live")
-    require(fs.rename(staging, live), s"compact: could not publish $staging")
-    fs.delete(old, true)
+    val next = new org.apache.hadoop.fs.Path(s"$path/$GenPrefix${gen + 1}")
+    if (fs.exists(next)) fs.delete(next, true) // debris of a crashed compact
+    require(fs.rename(staging, next), s"compact: could not publish $next")
+    // prune with one-generation grace: a reader that resolved the PREVIOUS
+    // generation just before the flip keeps its files until the next compact
+    fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        (n == "assignments" && gen >= 1) ||
+          (n.startsWith(GenPrefix) && n.stripPrefix(GenPrefix).toLong <= gen - 1)
+      }
+      .foreach(p => fs.delete(p, true))
   }
 }

@@ -104,10 +104,40 @@ class IvfMaintainSpec extends SparkSpec {
     assert(rows.count(_._1 == 0L) === 1) // same-cell replace, no dup
     assert(rows.count(_._1 == 1L) === 2) // stale copy documented pre-compact
     IvfIndex.compact(spark, path)
-    val afterC = spark.read.parquet(s"$path/assignments")
+    // compact publishes a NEW generation dir; resolve like a reader would
+    val afterC = spark.read.parquet(IvfIndex.assignmentsDir(spark, path))
       .select($"vec_id", $"cell").as[(Long, Int)].collect()
     assert(afterC.count(_._1 == 1L) === 1)
     assert(afterC.find(_._1 == 1L).get._2 === cellOf(donor)) // latest cell won
     assert(afterC.length === afterC.map(_._1).distinct.length)
+  }
+
+  test("a reader looping during repeated compacts never sees a missing dir") {
+    val path = Files.createTempDirectory("ivf-r").toString + "/idx"
+    val small = corpus.filter($"vec_id" < 200L)
+    IvfIndex.save(IvfIndex.build(small, nCells = 4), path)
+    val expected = small.count()
+
+    @volatile var failure: Option[Throwable] = None
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop && failure.isEmpty) {
+        try {
+          // full reader path: resolve generation, read, count — compaction
+          // is a semantic no-op, so the count must never change either
+          val n = IvfIndex.load(spark, path).assignments.count()
+          if (n != expected)
+            failure = Some(new AssertionError(s"saw $n rows, expected $expected"))
+        } catch { case t: Throwable => failure = Some(t) }
+      }
+    }, "ivf-compact-reader")
+    reader.start()
+    try (1 to 3).foreach(_ => IvfIndex.compact(spark, path))
+    finally { stop = true; reader.join(30000) }
+    failure.foreach(t => fail(s"reader failed during compact: $t", t))
+    // generations pruned with one-gen grace: at most live + previous remain
+    val gens = new java.io.File(path).listFiles.map(_.getName)
+      .filter(n => n == "assignments" || n.startsWith("assignments_v="))
+    assert(gens.length <= 2, s"stale generations not pruned: ${gens.mkString(", ")}")
   }
 }
