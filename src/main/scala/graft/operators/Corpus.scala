@@ -615,11 +615,17 @@ object Corpus {
     * source X") is actually materialized, vs q61's count quota.
     *
     * Scale: one shuffle on source + per-source sort with a running-sum
-    * frame; emitted rows stop at the budget but the sort still sees every
-    * candidate — pre-prune with a quality floor (q48 output) when a
-    * source's candidate set is corpus-sized. Determinism: the quality
-    * double is the q48 cross-engine-exact expression, and the running sum
-    * is integer. */
+    * frame, PRE-PRUNED by a provably-lossless candidate cap: `wsTokens` is
+    * `size(split(...))` ≥ 1 for every row, so the running token total at
+    * per-source quality-rank r is ≥ r — a row ranked past `budget` can
+    * never satisfy `cum_tokens <= budget`. The cap is a `row_number() <=
+    * budget` filter over the SAME (partition, order) as the running-sum
+    * window, which Catalyst compiles to WindowGroupLimit with a Partial
+    * stage BELOW the shuffle: each map task forwards at most `budget` rows
+    * per source, so a web-scale source pays a budget-sized top-k per task,
+    * not a corpus-sized sort (CorpusSpec asserts the Partial node sits
+    * under the exchange). Determinism: the quality double is the q48
+    * cross-engine-exact expression, and the running sum is integer. */
   def q87BudgetSelect(spark: SparkSession, dir: String,
       budget: Long = 600L): DataFrame = {
     val len = length(col("text")).cast("long")
@@ -628,14 +634,17 @@ object Corpus {
       .map(TextAnalysis.wordHits(col("text"), _)).reduce(_ + _)
     val quality = (stopHits.cast("double") / words.cast("double")) * 10.0 +
       (len - words + 1).cast("double") / words.cast("double")
-    val w = Window.partitionBy(col("source"))
+    val ord = Window.partitionBy(col("source"))
       .orderBy(col("quality_score").desc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         quality.as("quality_score"), words.as("words"))
+      .withColumn("__rn", row_number().over(ord))
+      .filter(col("__rn") <= budget) // lossless cap: cum at rank r is >= r
       .withColumn("cum_tokens", sum(col("words")).over(w))
       .filter(col("cum_tokens") <= budget)
+      .drop("__rn")
   }
 
   // ---------------------------------------------------------------- C39

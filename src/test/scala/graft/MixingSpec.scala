@@ -95,6 +95,21 @@ class MixingSpec extends SparkSpec {
     assert(keptIds > 0)
   }
 
+  test("budget select pre-prunes: partial WindowGroupLimit below the shuffle") {
+    val p = Corpus.q87BudgetSelect(spark, sf, budget = 600L)
+      .queryExecution.executedPlan.toString
+    // the lossless rank cap must compile to WindowGroupLimit twice —
+    // Partial (map-side, BEFORE the exchange) and Final — so each task
+    // forwards at most `budget` rows per source instead of the whole corpus
+    val partial = p.indexOf("WindowGroupLimit")
+    assert(partial >= 0, s"no WindowGroupLimit in:\n$p")
+    assert(p.indexOf("WindowGroupLimit", partial + 1) > partial,
+      s"expected Partial AND Final WindowGroupLimit in:\n$p")
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    assert(exchange >= 0 && p.lastIndexOf("WindowGroupLimit") > exchange,
+      "expected the partial limit to sit BELOW (after, in tree print) the exchange")
+  }
+
   test("sessionize: session_seq equals a brute-force gap scan per user") {
     val gapUs = 30L * 60L * 1000000L
     val e = graft.sources.Tables.events(spark, sf)
