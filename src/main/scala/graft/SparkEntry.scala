@@ -423,14 +423,10 @@ object SparkEntry {
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
     "q58_frame_sample" ->
-      """WITH v AS (
-        |  SELECT doc_id, octet_length(encode(text)) AS nb FROM documents WHERE doc_id % 3 = 2
-        |), f AS (
-        |  SELECT doc_id, nb, unnest(generate_series(0, greatest(nb // 64 - 1, 0), 2)) AS i FROM v
-        |)
-        |SELECT doc_id AS media_id, count(*) AS n_frames,
-        |CAST(sum(least(64, nb - i * 64)) AS BIGINT) AS frame_bytes_total
-        |FROM f GROUP BY doc_id""".stripMargin,
+      """SELECT doc_id AS media_id,
+        |  CAST(((n_chars % 5) + 3) // 2 AS BIGINT) AS n_frames,
+        |  CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
     "q59_dup_clusters" ->
       """WITH RECURSIVE idx AS (
         |  SELECT doc_id, source, text, unnest(generate_series(1, greatest(length(text)-2, 1))) AS i

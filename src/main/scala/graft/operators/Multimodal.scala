@@ -17,12 +17,15 @@ import graft.sources.Tables
  * payloads decode to true width/height and a luminance-histogram feature
  * ([[decode]]). AUDIO is real for the containers the JDK parses
  * (`javax.sound.sampled`: WAV/AIFF/AU PCM) — true sample rate, duration,
- * and an amplitude-histogram feature. Compressed audio (mp3/opus) and
- * video remain STUBBED (no ffmpeg-style codec libraries in this
- * container): deterministic fake features from the bytes, with the real
- * batched-iterator contract. The Spark-side plumbing — schema, batch
- * iteration, partition preservation, metadata propagation — is identical
- * for every path and covered by MultimodalSpec.
+ * and an amplitude-histogram feature. VIDEO is real for the containers a
+ * pure JVM can parse ([[AviCodec]]: RIFF/AVI with raw BI_RGB or MJPEG
+ * streams) — true dims, frame count, fps-derived duration, and per-frame
+ * luminance features ([[videoFrames]]). Compressed audio (mp3/opus) and
+ * compressed video codecs (H.264 etc.) remain STUBBED (no ffmpeg-style
+ * codec libraries in this container): deterministic fake features from the
+ * bytes, with the real batched-iterator contract. The Spark-side plumbing —
+ * schema, batch iteration, partition preservation, metadata propagation —
+ * is identical for every path and covered by MultimodalSpec.
  */
 object Multimodal {
 
@@ -189,6 +192,24 @@ object Multimodal {
                     None, None, Some(rate), Some(durMs), ampHist.toSeq)
                 case None => stub
               }
+              case "video" => AviCodec.parse(bytes) match {
+                case Some(clip) =>
+                  // mean of the per-frame luminance histograms = one clip
+                  // feature; dims/duration are the decoded truth
+                  val hists = clip.frames.flatMap(f =>
+                    AviCodec.frameLuminance(clip, f))
+                  val feature =
+                    if (hists.isEmpty) Array.fill(8)(0f)
+                    else {
+                      val acc = new Array[Float](8)
+                      hists.foreach(h => (0 until 8).foreach(i => acc(i) += h(i)))
+                      acc.map(_ / hists.length)
+                    }
+                  MediaFeature(id, kind, bytes.length.toLong, checksum,
+                    Some(clip.width), Some(clip.height), None,
+                    Some(clip.durationMs), feature.toSeq)
+                case None => stub
+              }
               case _ => stub
             }
           }
@@ -203,6 +224,74 @@ object Multimodal {
   def decodeStub(media: DataFrame, batchSize: Int = 256): DataFrame =
     decode(media, batchSize)
 
+  /** One decoded-and-sampled video frame (typed for the same
+    * Dataset-mapPartitions reasons as [[MediaFeature]]). */
+  final case class VideoFrame(
+      media_id: Long, frame_no: Int, width: Int, height: Int,
+      feature: Seq[Float])
+
+  /** REAL frame sampling: parse each video payload as a RIFF/AVI container
+    * ([[AviCodec]] — raw BI_RGB or MJPEG, the pure-JVM-decodable set), emit
+    * every `stride`-th frame with its true dims and per-frame luminance
+    * histogram. Payloads that are not decodable AVI (compressed codecs,
+    * junk bytes) emit nothing — callers that need 1:1 accounting use
+    * [[decode]], whose video path falls back to the documented stub.
+    * Map-only (`mapPartitions`, batched decode, partitioning preserved). */
+  def videoFrames(media: DataFrame, stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, b) =>
+          AviCodec.parse(Option(b).getOrElse(Array.emptyByteArray))
+            .iterator.flatMap { clip =>
+              Iterator.range(0, clip.frames.length, stride).map { f =>
+                val lum = AviCodec.frameLuminance(clip, clip.frames(f))
+                  .getOrElse(Array.fill(8)(0f))
+                VideoFrame(id, f, clip.width, clip.height, lum.toSeq)
+              }
+            }
+        }
+      }
+      .toDF()
+  }
+
+  /** Deterministic REAL-container video synthesis: each selected document
+    * (the `doc_id % 3 = 2` slice [[mediaFromDocuments]] labels "video")
+    * becomes an uncompressed 16×8 @ 10fps AVI with `(n_chars % 5) + 2`
+    * frames whose pixel bytes cycle through the text bytes. The clip's
+    * STRUCTURE is a pure function of the row, so a SQL oracle can predict
+    * exactly what the decoder must recover — the decode-inverts-encode
+    * check behind [[q58FrameSample]]. */
+  def videoFromDocuments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id"), col("text"), col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, nChars) =>
+          val tb = text.getBytes("UTF-8")
+          val n = ((nChars % 5) + 2).toInt
+          val w = 16; val h = 8
+          val strideB = AviCodec.rowStride(w)
+          val frames = (0 until n).map { f =>
+            val fr = new Array[Byte](strideB * h)
+            var j = 0
+            while (j < fr.length) {
+              fr(j) = if (tb.isEmpty) 0 else tb((f + j) % tb.length)
+              j += 1
+            }
+            fr
+          }
+          (id, "video", AviCodec.encodeRaw(w, h, 10, frames))
+        }
+      }
+      .toDF("media_id", "kind", "bytes")
+  }
+
   // ---------------------------------------------------------------- C12
   /** Driver-checked surface of the decode pipeline: media synthesis →
     * batched decode, projected to the oracle-expressible columns (the
@@ -211,12 +300,16 @@ object Multimodal {
     decode(mediaFromDocuments(spark, dir))
       .select(col("media_id"), col("kind"), col("n_bytes"))
 
-  /** Driver-checked frame sampling: per-video frame count + sampled bytes. */
+  /** Driver-checked REAL frame sampling: synthesize true AVI containers
+    * ([[videoFromDocuments]]), decode them ([[videoFrames]], stride 2), and
+    * report per-clip sampled-frame count + decoded dims. The oracle
+    * recomputes the clip structure from `n_chars` alone — the decoder must
+    * RECOVER those numbers from the container bytes for the hash to match. */
   def q58FrameSample(spark: SparkSession, dir: String): DataFrame =
-    frameSample(mediaFromDocuments(spark, dir), frameBytes = 64, stride = 2)
+    videoFrames(videoFromDocuments(spark, dir), stride = 2)
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"),
-        sum(length(col("frame_bytes"))).cast("long").as("frame_bytes_total"))
+        max(col("width")).as("width"), max(col("height")).as("height"))
 
   /** Frame-sampling shape for video payloads: slice the payload into
     * fixed-size "frames" and emit every `stride`-th — pure builtins. */

@@ -98,4 +98,77 @@ class MultimodalSpec extends SparkSpec {
     val lens = frames.select(length($"frame_bytes")).as[Int].collect()
     assert(lens.forall(_ <= 16) && lens.exists(_ == 16))
   }
+
+  /** A raw 4×2 clip with known pixels: frame 0 all-black, frame 1 all-white,
+    * frame 2 mid-gray — luminance bins 0, 7, and 3 respectively. */
+  private def knownClip: Array[Byte] = {
+    import graft.operators.AviCodec
+    val stride = AviCodec.rowStride(4)
+    def solid(v: Int) = Array.fill(stride * 2)(v.toByte)
+    AviCodec.encodeRaw(4, 2, 10, Seq(solid(0), solid(255), solid(110)))
+  }
+
+  test("videoFrames decodes a real raw AVI: true dims, count, luminance") {
+    val m = Seq((7L, "video", knownClip)).toDF("media_id", "kind", "bytes")
+    val f = Multimodal.videoFrames(m)
+      .select($"frame_no", $"width", $"height", $"feature")
+      .as[(Int, Int, Int, Seq[Float])].collect().sortBy(_._1)
+    assert(f.map(_._1).toSeq === Seq(0, 1, 2))
+    assert(f.forall(r => r._2 == 4 && r._3 == 2))
+    assert(f(0)._4(0) === 1.0f) // black  → bin 0
+    assert(f(1)._4(7) === 1.0f) // white  → bin 7
+    assert(f(2)._4(3) === 1.0f) // 110    → bin 3
+    // stride sampling: every 2nd frame
+    val sampled = Multimodal.videoFrames(m, stride = 2)
+      .select($"frame_no").as[Int].collect().sorted.toSeq
+    assert(sampled === Seq(0, 2))
+  }
+
+  test("videoFrames decodes an MJPEG AVI via imageio") {
+    import java.awt.image.BufferedImage
+    import graft.operators.AviCodec
+    def jpeg(rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(6, 4, BufferedImage.TYPE_INT_RGB)
+      (0 until 4).foreach(y => (0 until 6).foreach(x => img.setRGB(x, y, rgb)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val clip = AviCodec.encodeMjpeg(6, 4, 5, Seq(jpeg(0x000000), jpeg(0xFFFFFF)))
+    val f = Multimodal.videoFrames(
+      Seq((9L, "video", clip)).toDF("media_id", "kind", "bytes"))
+      .select($"frame_no", $"width", $"height", $"feature")
+      .as[(Int, Int, Int, Seq[Float])].collect().sortBy(_._1)
+    assert(f.length === 2)
+    assert(f.forall(r => r._2 == 6 && r._3 == 4))
+    // JPEG is lossy but solid black/white survive to the extreme bins
+    assert(f(0)._4(0) > 0.9f && f(1)._4(7) > 0.9f)
+  }
+
+  test("decode() fills real video metadata for AVI payloads, stub otherwise") {
+    val m = Seq(
+      (1L, "video", knownClip),
+      (2L, "video", "h264 would live here".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "bytes")
+    val f = Multimodal.decode(m)
+      .select($"media_id", $"width", $"height", $"duration_ms")
+      .as[(Long, Option[Int], Option[Int], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(f(1L)._2 === Some(4) && f(1L)._3 === Some(2))
+    assert(f(1L)._4 === Some(300L)) // 3 frames @ 10fps
+    assert(f(2L)._2 === None && f(2L)._4 === None) // documented stub path
+  }
+
+  test("q58: synthesized clips decode back to their oracle structure") {
+    val agg = Multimodal.q58FrameSample(spark, sf)
+      .select($"media_id", $"n_frames", $"width", $"height")
+      .as[(Long, Long, Int, Int)].collect()
+    assert(agg.nonEmpty)
+    val nChars = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars".cast("long")).as[(Long, Long)].collect().toMap
+    agg.foreach { case (id, n, w, h) =>
+      assert(w === 16 && h === 8)
+      assert(n === ((nChars(id) % 5) + 3) / 2, s"media $id sampled-frame count")
+    }
+  }
 }
