@@ -59,6 +59,28 @@ class SnapshotStoreSpec extends SparkSpec {
     intercept[IllegalStateException](SnapshotStore.readSnapshot(spark, base))
   }
 
+  test("empty-store reads skip the mid-flip retry: no sleeps on fresh stores") {
+    // the pointer-absent retry (2 x 25 ms) must only arm when committed _v=
+    // epochs exist without a pointer; a provably-empty store answers
+    // immediately, or every first publish and fresh-store read pays ~50ms
+    val base = Files.createTempDirectory("snapnr").toString + "/t"
+    SnapshotStore.latestVersion(spark, base) // warm fs/classloading
+    val t0 = System.nanoTime()
+    (1 to 5).foreach(_ => assert(SnapshotStore.latestVersion(spark, base).isEmpty))
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    // 5 armed retries would sleep >= 250 ms; generous slack for a loaded box
+    assert(elapsedMs < 100L, s"empty-store latestVersion took ${elapsedMs}ms")
+    // and the retry still arms on the mid-flip signature (epoch, no pointer)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotStore.publish(Seq((1L, "a")).toDF("id", "s"), base, 1L)
+    fs.delete(new org.apache.hadoop.fs.Path(base, "_LATEST"), false)
+    val t1 = System.nanoTime()
+    assert(SnapshotStore.latestVersion(spark, base).isEmpty)
+    assert((System.nanoTime() - t1) / 1000000L >= 50L,
+      "mid-flip signature must still retry before concluding absence")
+  }
+
   test("a held lock makes a second writer fail loudly, store untouched") {
     val base = Files.createTempDirectory("snapl").toString + "/t"
     SnapshotStore.publish(Seq((1L, "a")).toDF("id", "s"), base, 1L)
