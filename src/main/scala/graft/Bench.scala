@@ -54,7 +54,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failed = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // the driver keeps only a tail of stdout, which truncates the per-query
+    // map once the query count is large — persist the full line as a file
+    // so every round's numbers stay diffable (judge request, round 9)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()
   }
 }

@@ -35,33 +35,70 @@ object HeavyHitters {
 
     override def zero: MGBuf = MGBuf(mutable.Map.empty, 0L)
 
-    /** Evict until ≤ cap counters by subtracting a pivot ≥ the (cap+1)-th
-      * largest count and dropping the non-positive (batched MG decrement;
-      * same bound). reduce() can overflow by exactly one entry, so its
-      * pivot is the MINIMUM — O(cap), no sort; only merge() (≤ 2·cap
-      * entries) pays the selection sort. */
-    private def shrink(b: mutable.Map[String, Long]): mutable.Map[String, Long] = {
-      if (b.size <= cap) b
-      else {
-        val pivot =
-          if (b.size == cap + 1) b.values.min
-          else b.values.toSeq.sorted(Ordering[Long].reverse).apply(cap)
-        val out = mutable.Map.empty[String, Long]
-        b.foreach { case (k, v) => if (v > pivot) out(k) = v - pivot }
-        out
+    /** Evict IN PLACE until ≤ cap counters by subtracting a pivot ≥ the
+      * (cap+1)-th largest count and dropping the non-positive (batched MG
+      * decrement; same bound). reduce() can overflow by exactly one entry,
+      * so its pivot is the MINIMUM — one O(cap) scan; merge() (≤ 2·cap
+      * entries) finds its pivot by [[kthSmallest]] quickselect — expected
+      * O(cap), vs the full sort this used to pay per merge. No fresh map is
+      * allocated on either path: the Aggregator contract lets reduce/merge
+      * mutate and return their buffer, which matters when reduce runs once
+      * per input ROW. */
+    private def shrinkInPlace(b: mutable.Map[String, Long]): Unit = {
+      if (b.size <= cap) return
+      val pivot =
+        if (b.size == cap + 1) {
+          var m = Long.MaxValue
+          b.foreach { case (_, v) => if (v < m) m = v }
+          m
+        } else {
+          val vs = b.values.toArray
+          kthSmallest(vs, vs.length - 1 - cap) // = (cap+1)-th largest
+        }
+      b.mapValuesInPlace((_, v) => v - pivot)
+      b.filterInPlace((_, v) => v > 0)
+    }
+
+    /** In-place Hoare-partition quickselect: k-th smallest (0-based) of `a`.
+      * Median-of-three pivot; expected O(n), and n ≤ 2·cap here. */
+    private def kthSmallest(a: Array[Long], k: Int): Long = {
+      var lo = 0; var hi = a.length - 1
+      while (lo < hi) {
+        val mid = lo + (hi - lo) / 2
+        val p = math.max(math.min(a(lo), a(mid)),
+          math.min(math.max(a(lo), a(mid)), a(hi)))
+        var i = lo; var j = hi
+        while (i <= j) {
+          while (a(i) < p) i += 1
+          while (a(j) > p) j -= 1
+          if (i <= j) { val t = a(i); a(i) = a(j); a(j) = t; i += 1; j -= 1 }
+        }
+        if (k <= j) hi = j
+        else if (k >= i) lo = i
+        else return a(k)
       }
+      a(lo)
     }
 
     override def reduce(b: MGBuf, a: String): MGBuf = {
       b.counters.updateWith(a) { c => Some(c.getOrElse(0L) + 1L) }
-      MGBuf(shrink(b.counters), b.n + 1L)
+      shrinkInPlace(b.counters)
+      b.n += 1L
+      b
     }
 
     override def merge(x: MGBuf, y: MGBuf): MGBuf = {
-      y.counters.foreach { case (k, v) =>
-        x.counters.updateWith(k)(c => Some(c.getOrElse(0L) + v))
+      // fold the smaller summary into the larger — counter addition is
+      // commutative and the pivot comes from the combined values, so the
+      // result is direction-independent; the update count is not
+      val (big, small) =
+        if (x.counters.size >= y.counters.size) (x, y) else (y, x)
+      small.counters.foreach { case (k, v) =>
+        big.counters.updateWith(k)(c => Some(c.getOrElse(0L) + v))
       }
-      MGBuf(shrink(x.counters), x.n + y.n)
+      shrinkInPlace(big.counters)
+      big.n = x.n + y.n
+      big
     }
 
     override def finish(b: MGBuf): (Map[String, Long], Long) =
