@@ -182,6 +182,25 @@ object MaterializedView {
       * (TiFlinkApp's dropOldTable/forceNewTable). */
     def setDropIfExists(b: Boolean): Builder = { dropIfExists = b; this }
 
+    /** Apply a VALIDATED deployment config ([[graft.GraftOptions]] — the
+      * TiFlinkOptions analog): trigger cadence, bucket count, watermark,
+      * rebuild mode. Explicit setters called after this still win. */
+    def setOptions(opts: graft.GraftOptions): Builder = {
+      trigger = Trigger.ProcessingTime(math.max(opts.triggerMs, 0L))
+      numBuckets = opts.numBuckets
+      dropIfExists = opts.dropIfExists
+      watermark = opts.watermark
+      this
+    }
+
+    /** String-map form ([[setOptions]] after [[graft.GraftOptions.fromMap]]
+      * validation): a typo'd key or malformed value fails HERE, at build
+      * time, not as a surprising runtime default. */
+    def setOptions(options: Map[String, String]): Builder =
+      setOptions(graft.GraftOptions.fromMap(options))
+
+    private var watermark: Option[(String, String)] = None
+
     def build(): MaterializedView = {
       require(source != null, "source must be specified")
       require(targetPath != null, "targetPath must be specified")
@@ -194,7 +213,13 @@ object MaterializedView {
           }
         case None => query
       }
-      new MaterializedView(source, q, targetPath, primaryKeys,
+      // watermark stamps the SOURCE, before the query sees it — the same
+      // place Flink's WATERMARK FOR clause attaches in TiFlink DDL
+      val qWm = watermark match {
+        case Some((c, d)) => (df: DataFrame) => q(df.withWatermark(c, d))
+        case None => q
+      }
+      new MaterializedView(source, qWm, targetPath, primaryKeys,
         versionColumn, deleteColumn, checkpointLocation, trigger, numBuckets,
         dropIfExists)
     }

@@ -421,9 +421,10 @@ object SnapshotStore {
     * writer's epoch can never be silently dropped from the merge basis. */
   def upsertSink(
       basePath: String, keys: Seq[String], versionCol: String,
-      deleteCol: Option[String] = None, keep: Int = 3): (DataFrame, Long) => Unit =
+      deleteCol: Option[String] = None, keep: Int = 3,
+      lockLeaseMs: Long = DefaultLockLeaseMs): (DataFrame, Long) => Unit =
     (batch, batchId) => {
-      publishComputed(batch.sparkSession, basePath, batchId, keep) { () =>
+      publishComputed(batch.sparkSession, basePath, batchId, keep, lockLeaseMs) { () =>
         mergeLatestByKey(basePath, batch, keys, versionCol, deleteCol)
       }
     }
