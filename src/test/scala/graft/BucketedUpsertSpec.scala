@@ -20,6 +20,9 @@ class BucketedUpsertSpec extends SparkSpec {
     val root = Paths.get(dir)
     Files.walk(root).iterator().asScala
       .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
+      // metadata files (the _applied_batch replay marker) legitimately
+      // change every batch; byte-identity is a claim about BUCKET data
+      .filter(p => !p.getFileName.toString.startsWith("_"))
       .map { p =>
         val bytes = Files.readAllBytes(p)
         val md5 = MessageDigest.getInstance("MD5").digest(bytes)
