@@ -137,6 +137,11 @@ object SparkEntry {
     "q115_heavy_hitters" -> ((s, d) => Corpus.q115HeavyHitters(s, d)),
     "q116_window_distinct" -> (Relational.q116WindowDistinct _),
     "q117_ratio_report" -> (Relational.q117RatioReport _),
+    "q118_line_dedup" -> ((s, d) => Corpus.q118LineDedup(s, d)),
+    "q119_collocations" -> ((s, d) => Corpus.q119Collocations(s, d)),
+    "q120_fuzzy_join" -> (Relational.q120FuzzyJoin _),
+    "q121_quality_classifier" -> ((s, d) => Corpus.q121QualityClassifier(s, d)),
+    "q122_semantic_dedup" -> ((s, d) => Similarity.q122SemanticDedup(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1157,5 +1162,59 @@ object SparkEntry {
         |  CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE) AS region_share,
         |  CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE) AS global_share
         |FROM rev""".stripMargin,
+    // segment strings stand in for the scale path's 128-bit hashes
+    // (q43/q68 injectivity precedent); string_agg skips the NULLed-out
+    // duplicate segments, COALESCE covers an all-duplicate document
+    "q118_line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, i, array_to_string(ws[i*3+1 : i*3+3], ' ') AS seg
+        |      FROM (SELECT doc_id, ws,
+        |              unnest(generate_series(0, CAST(ceil(len(ws)/3.0) AS BIGINT) - 1)) AS i
+        |            FROM w)),
+        |d AS (SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS nd
+        |                       FROM s GROUP BY 1) t WHERE nd > 1),
+        |f AS (SELECT s.doc_id, s.i, s.seg, d.seg IS NOT NULL AS is_dup
+        |      FROM s LEFT JOIN d ON s.seg = d.seg)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN NOT is_dup THEN seg END, ' ' ORDER BY i), '')
+        |    AS kept_text,
+        |  CAST(count(*) AS BIGINT) AS n_segs,
+        |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        |FROM f GROUP BY doc_id""".stripMargin,
+    // lift ranks identically to PMI (log is monotone) and stays one IEEE
+    // division of exact integer products — no cross-engine ln ulp risk
+    "q119_collocations" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |u AS (SELECT unnest(ws) AS word FROM w),
+        |uc AS (SELECT word, count(*) AS c FROM u GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM u),
+        |b AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2
+        |      FROM (SELECT ws, unnest(generate_series(0, len(ws) - 2)) AS i FROM w)),
+        |bc AS (SELECT w1, w2, count(*) AS c_xy FROM b GROUP BY 1, 2
+        |       HAVING count(*) >= 5),
+        |s AS (SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y,
+        |        CAST(c_xy * n AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS lift
+        |      FROM bc JOIN uc u1 ON u1.word = w1 JOIN uc u2 ON u2.word = w2
+        |      CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS BIGINT)
+        |        AS rk FROM s)
+        |SELECT w1, w2, c_xy, c_x, c_y, lift, rk FROM r WHERE rk <= 50""".stripMargin,
+    // the oracle is the quadratic definition the deletion-neighborhood
+    // blocking provably equals at distance 1 (zero false negatives)
+    "q120_fuzzy_join" ->
+      """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |  a.c_name AS name_a, b.c_name AS name_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    // integer weights → integer score: bit-exact on both engines; DuckDB's
+    // HUGEINT sum is cast back to BIGINT
+    "q121_quality_classifier" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum((length(word) * 7) % 13 - 6) AS BIGINT) AS score,
+        |  sum((length(word) * 7) % 13 - 6) > 0 AS keep
+        |FROM w GROUP BY doc_id""".stripMargin,
   )
 }

@@ -870,4 +870,120 @@ object Corpus {
             / (col("degree") * (col("degree") - 1)).cast("double"))
           .otherwise(lit(0.0)))
   }
+
+  // ---------------------------------------------------------------- C47
+  /** Line-level corpus dedup — the CCNet/C4 "remove duplicated lines"
+    * pass, the within-document complement of whole-doc dedup (C1) and
+    * near-dup (C2-C5): a document that survives doc-level dedup can still
+    * carry navigation chrome / cookie banners / license footers repeated
+    * across thousands of pages. The corpus here has no newlines, so "line"
+    * is a non-overlapping `segLen`-word segment (the C4 paper's
+    * three-sentence-span analog); a segment present in MORE THAN ONE
+    * distinct document is removed from every document, and each document
+    * is reassembled from its surviving segments in original order.
+    *
+    * Scale: segment extraction is map-only array arithmetic inside
+    * codegen; the duplicate-segment set is one aggregated pass (distinct
+    * doc counting is partial-aggregable via the standard two-phase
+    * expand); membership is a hash join on the segment key — NOT broadcast
+    * (the dup set is data-dependent, q75's rule); reassembly is one
+    * groupBy(doc_id) whose per-doc state is the document itself. At 100 TB
+    * segments shuffle as 128-bit hashes (16 B/row, q40's rule) and the
+    * reassembly join carries only (doc_id, seg_idx) drop decisions; the
+    * string key here is what makes the DuckDB oracle exact (q43/q68
+    * injectivity precedent). */
+  def q118LineDedup(spark: SparkSession, dir: String, segLen: Int = 3): DataFrame = {
+    val segs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(ws) / ${segLen}.0) as int) - 1), " +
+          s"i -> array_join(slice(ws, i * $segLen + 1, $segLen), ' '))"))
+        .as(Seq("i", "seg")))
+    val dup = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("seg"), lit(true).as("__dup"))
+    segs.join(dup, Seq("seg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_sort(collect_list(struct(col("i"), col("seg"),
+          coalesce(col("__dup"), lit(false)).as("d")))).as("xs"),
+        count(lit(1)).as("n_segs"),
+        sum(when(col("__dup"), lit(1L)).otherwise(lit(0L))).as("n_removed"))
+      .select(col("doc_id"),
+        array_join(expr("transform(filter(xs, x -> not x.d), x -> x.seg)"), " ")
+          .as("kept_text"),
+        col("n_segs"), col("n_removed"))
+  }
+
+  // ---------------------------------------------------------------- C48
+  /** PMI collocation mining — the phrase/merge-candidate discovery pass a
+    * tokenizer-training pipeline runs over the corpus (BPE merge scoring,
+    * multi-word-expression vocab): adjacent word pairs ranked by
+    * pointwise mutual information. PMI = log(P(xy)/(P(x)P(y))) is ranked
+    * here by its argument `lift = (c_xy·N)/(c_x·c_y)` — log is monotone,
+    * so the ranking is identical and the score stays ONE IEEE division of
+    * exact integer products (both factors < 2^53 at any realistic vocab —
+    * q98's cast rule), with no cross-engine `ln` ulp risk (q86's rule).
+    * `minCount` is the standard PMI noise floor (rare pairs otherwise
+    * dominate).
+    *
+    * Scale: bigram and unigram extraction are map-side array ops feeding
+    * partial-aggregated counts (shuffle rows bounded by distinct-bigram
+    * count, not corpus size); unigram counts and the token total are
+    * vocab-bounded / single-row by construction, so their joins broadcast
+    * legitimately. The final ranking window runs over the ≤|vocab|²
+    * aggregated frame — dimension-bounded, q117's rule. */
+  def q119Collocations(spark: SparkSession, dir: String,
+      minCount: Int = 5, k: Int = 50): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("ws"))
+    val words = docs.select(explode(col("ws")).as("word"))
+    val uc = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val n = words.agg(count(lit(1)).as("n"))
+    val bc = docs.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), " +
+          "i -> struct(ws[i] as w1, ws[i + 1] as w2))")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val scored = bc
+      .join(broadcast(uc.select(col("word").as("w1"), col("c").as("c_x"))), Seq("w1"))
+      .join(broadcast(uc.select(col("word").as("w2"), col("c").as("c_y"))), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("lift",
+        (col("c_xy") * col("n")).cast("double")
+          / (col("c_x") * col("c_y")).cast("double"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("lift").desc, col("w1"), col("w2"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        col("lift"), col("rk"))
+  }
+
+  // ---------------------------------------------------------------- C49
+  /** Model-based quality scoring — the fastText-classifier pattern every
+    * production curation stack runs (CCNet's LM filter, the "looks like a
+    * reference page" classifiers behind LLaMA-style corpora): a LINEAR
+    * model over token features applied corpus-wide, keep = score above
+    * threshold. Model application is the part that must scale — it is
+    * embarrassingly parallel and this plan keeps it zero-shuffle map-only:
+    * one `aggregate` fold over the token array inside whole-stage codegen,
+    * no explode, no groupBy, nothing leaves the scan task. A trained
+    * model's weights generalize this by swapping the inline weight
+    * expression for a broadcast vocab→weight map (vocab-bounded by
+    * construction, q80's rule); the container has no model libs, so the
+    * weights here are a deterministic stand-in — `w(t) = (len(t)·7) mod
+    * 13 − 6`, integer-exact on both engines — which keeps the oracle
+    * bit-exact while exercising the real plan shape. */
+  def q121QualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        expr("aggregate(ws, 0L, (acc, w) -> " +
+          "acc + cast((length(w) * 7) % 13 - 6 as bigint))").as("score"))
+      .withColumn("keep", col("score") > 0L)
 }

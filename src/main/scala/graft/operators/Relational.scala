@@ -1027,6 +1027,52 @@ object Relational {
         (asDouble($"rev") / asDouble(sum($"rev").over(global))).as("global_share"))
   }
 
+  // ---------------------------------------------------------------- A56
+  /** Fuzzy self-join / entity resolution — all pairs of customers whose
+    * names are within Levenshtein distance 1, found WITHOUT the quadratic
+    * comparison a naive similarity join implies. Blocking is the
+    * deletion-neighborhood scheme (the FastSS family): each name emits
+    * itself plus its |name| single-character-deletion variants; two
+    * strings within edit distance 1 ALWAYS share a variant (equal → the
+    * full string; substitution at i → both deletions at i; insert/delete →
+    * one string IS the other's deletion variant), so the variant equi-join
+    * has zero false negatives, and the exact `levenshtein` filter removes
+    * the false positives (two different substitutions can collide on a
+    * deletion). `distinct()` collapses pairs that matched through several
+    * shared variants before the verify filter prices them.
+    *
+    * Scale: per-row fan-out is |name|+1 — linear, map-side, codegen'd;
+    * the candidate join is a plain hash equi-join on the variant string
+    * that Catalyst shuffles like any key (per-variant group size is
+    * bounded by the alphabet at each deletion slot, not the table size);
+    * the verify filter is codegen'd `levenshtein` on candidates only.
+    * Higher thresholds compose the same shape with q43's gram machinery
+    * (deletion neighborhoods grow combinatorially past distance 2). */
+  def q120FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select($"c_custkey", $"c_name")
+    // array_distinct: deleting any char of a repeated run yields the SAME
+    // variant (e.g. the zero-run in Customer#000000123), and duplicate
+    // variants within one name would multiply the join fan-out
+    // quadratically per colliding pair (measured 36× on this name shape)
+    val variants = c.select($"c_custkey", explode(array_distinct(expr(
+      "transform(sequence(0, length(c_name)), i -> if(i = 0, c_name, " +
+        "concat(substring(c_name, 1, i - 1), " +
+        "substring(c_name, i + 1, length(c_name)))))"))).as("v"))
+    // candidates carry only the two keys; names re-attach after the
+    // distinct so the pair shuffle is 16 B/row, not strings (q40's rule)
+    val cand = variants.as("a")
+      .join(variants.as("b"),
+        $"a.v" === $"b.v" && $"a.c_custkey" < $"b.c_custkey")
+      .select($"a.c_custkey".as("key_a"), $"b.c_custkey".as("key_b"))
+      .distinct()
+    cand
+      .join(c.select($"c_custkey".as("key_a"), $"c_name".as("name_a")), Seq("key_a"))
+      .join(c.select($"c_custkey".as("key_b"), $"c_name".as("name_b")), Seq("key_b"))
+      .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
+      .filter($"dist" <= 1)
+      .select($"key_a", $"key_b", $"name_a", $"name_b", $"dist")
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -206,4 +206,44 @@ object Similarity {
 
   private def planeComponent0(plane: Column, dim: Column): Column =
     (pmod(xxhash64(plane, dim), lit(100000L)).cast("double") / 100000.0) - 0.5
+
+  // ---------------------------------------------------------------- C50
+  /** Semantic dedup (the SemDeDup recipe): cluster the embedding corpus
+    * with the IVF coarse quantizer, then inside each cluster drop every
+    * vector that has a LOWER-id cellmate with cosine ≥ `threshold` —
+    * near-identical meaning expressed with different tokens, which
+    * hash/shingle dedup (C1-C4) cannot see. Greedy-by-id gives a
+    * deterministic survivor set (the id-minimal element of every
+    * within-cell similarity neighborhood survives) without iterating to a
+    * fixpoint the way full clustering (C13) does — exactly the published
+    * SemDeDup procedure, which accepts cross-cell duplicates as the price
+    * of bounding the pair space.
+    *
+    * Scale: the quadratic is confined to cells — nCells is chosen so
+    * cells are ~10⁴ vectors and the cost is nCells·(corpus/nCells)², the
+    * SemDeDup operating point; pair generation reuses the salted
+    * self-pair machinery (triangle salting spreads each cell's quadratic
+    * over the cluster, `maxBlock` excludes degenerate cells LOUDLY).
+    * Norms and float→double casts are hoisted per vector at build time
+    * (q44's rule); the verdict join is a hash join on vec_id. Rows-only
+    * in the driver (k-means cells aren't SQL-expressible) — the spec
+    * replays the whole procedure brute-force per cell and checks exact
+    * set equality. The default threshold sits in THIS corpus's near-dup
+    * regime (q44's cosine range — the synthetic embeddings never exceed
+    * ~0.51); real sentence embeddings run the published ~0.95. */
+  def q122SemanticDedup(spark: SparkSession, dir: String,
+      nCells: Int = 8, threshold: Double = 0.35): DataFrame = {
+    val idx = IvfIndex.build(Tables.embeddings(spark, dir), nCells)
+    val a = idx.assignments.select(
+      col("vec_id"), col("cell"), col("emb"), col("norm"))
+    val dup = Skew.saltedSelfPairs(a, "cell", "vec_id", salts = 4, maxBlock = 100000)
+      .filter((dotD(col("a.emb"), col("b.emb"))
+        / (col("a.norm") * col("b.norm"))) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("__dup", lit(true))
+    a.select(col("vec_id"), col("cell"))
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
 }
