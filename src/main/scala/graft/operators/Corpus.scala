@@ -930,10 +930,16 @@ object Corpus {
     *
     * Scale: bigram and unigram extraction are map-side array ops feeding
     * partial-aggregated counts (shuffle rows bounded by distinct-bigram
-    * count, not corpus size); unigram counts and the token total are
-    * vocab-bounded / single-row by construction, so their joins broadcast
-    * legitimately. The final ranking window runs over the ≤|vocab|²
-    * aggregated frame — dimension-bounded, q117's rule. */
+    * count, not corpus size). The unigram joins are plain hash joins with
+    * NO forced broadcast: raw-corpus vocabulary (typos, numbers, hashes)
+    * reaches hundreds of millions of distinct tokens at web scale, past
+    * any safe broadcast threshold — the optimizer (and AQE at runtime)
+    * broadcasts only when the side actually fits. The single-row token
+    * total still broadcasts by construction. Ranking is the q74 BM25
+    * shape: `.orderBy(...).limit(k)` compiles to TakeOrderedAndProject
+    * (per-partition top-k, then one ≤k·parts merge on the driver side of
+    * the exchange — never a global sort), and the `row_number` window only
+    * ever sees the k survivors. */
   def q119Collocations(spark: SparkSession, dir: String,
       minCount: Int = 5, k: Int = 50): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -949,16 +955,18 @@ object Corpus {
       .agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minCount)
     val scored = bc
-      .join(broadcast(uc.select(col("word").as("w1"), col("c").as("c_x"))), Seq("w1"))
-      .join(broadcast(uc.select(col("word").as("w2"), col("c").as("c_y"))), Seq("w2"))
+      .join(uc.select(col("word").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uc.select(col("word").as("w2"), col("c").as("c_y")), Seq("w2"))
       .crossJoin(broadcast(n))
       .withColumn("lift",
         (col("c_xy") * col("n")).cast("double")
           / (col("c_x") * col("c_y")).cast("double"))
+    // TakeOrderedAndProject first (per-partition tops, no global sort),
+    // THEN number the k survivors — the rank window only ever sees k rows
     scored
+      .orderBy(col("lift").desc, col("w1"), col("w2")).limit(k)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("lift").desc, col("w1"), col("w2"))).cast("long"))
-      .filter(col("rk") <= k)
       .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
         col("lift"), col("rk"))
   }

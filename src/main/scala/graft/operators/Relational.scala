@@ -1042,12 +1042,16 @@ object Relational {
     * shared variants before the verify filter prices them.
     *
     * Scale: per-row fan-out is |name|+1 — linear, map-side, codegen'd;
-    * the candidate join is a plain hash equi-join on the variant string
-    * that Catalyst shuffles like any key (per-variant group size is
-    * bounded by the alphabet at each deletion slot, not the table size);
-    * the verify filter is codegen'd `levenshtein` on candidates only.
-    * Higher thresholds compose the same shape with q43's gram machinery
-    * (deletion neighborhoods grow combinatorially past distance 2). */
+    * the candidate join keys on `xxhash64(variant)` — 8 bytes/row through
+    * the widest shuffle instead of the raw ~|name|-char string (q40's 16
+    * B/row rule; equal variants always hash equal, so zero false
+    * negatives, and a 64-bit collision's false positive is priced by the
+    * exact verify like any deletion-neighborhood collision); per-variant
+    * group size is bounded by the alphabet at each deletion slot, not the
+    * table size; the verify filter is codegen'd `levenshtein` on
+    * candidates only. Higher thresholds compose the same shape with q43's
+    * gram machinery (deletion neighborhoods grow combinatorially past
+    * distance 2). */
   def q120FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).select($"c_custkey", $"c_name")
     // array_distinct: deleting any char of a repeated run yields the SAME
@@ -1057,7 +1061,8 @@ object Relational {
     val variants = c.select($"c_custkey", explode(array_distinct(expr(
       "transform(sequence(0, length(c_name)), i -> if(i = 0, c_name, " +
         "concat(substring(c_name, 1, i - 1), " +
-        "substring(c_name, i + 1, length(c_name)))))"))).as("v"))
+        "substring(c_name, i + 1, length(c_name)))))"))).as("v0"))
+      .select($"c_custkey", xxhash64($"v0").as("v"))
     // candidates carry only the two keys; names re-attach after the
     // distinct so the pair shuffle is 16 B/row, not strings (q40's rule)
     val cand = variants.as("a")

@@ -219,31 +219,49 @@ object Similarity {
     * SemDeDup procedure, which accepts cross-cell duplicates as the price
     * of bounding the pair space.
     *
-    * Scale: the quadratic is confined to cells — nCells is chosen so
-    * cells are ~10⁴ vectors and the cost is nCells·(corpus/nCells)², the
-    * SemDeDup operating point; pair generation reuses the salted
-    * self-pair machinery (triangle salting spreads each cell's quadratic
-    * over the cluster, `maxBlock` excludes degenerate cells LOUDLY).
-    * Norms and float→double casts are hoisted per vector at build time
-    * (q44's rule); the verdict join is a hash join on vec_id. Rows-only
-    * in the driver (k-means cells aren't SQL-expressible) — the spec
-    * replays the whole procedure brute-force per cell and checks exact
-    * set equality. The default threshold sits in THIS corpus's near-dup
-    * regime (q44's cosine range — the synthetic embeddings never exceed
-    * ~0.51); real sentence embeddings run the published ~0.95. */
+    * Scale: the quadratic is confined to cells — SIZE `nCells` so cells
+    * run ~10⁴ vectors (nCells ≈ corpus/10⁴) and the cost is
+    * nCells·(corpus/nCells)², the SemDeDup operating point; pair
+    * generation reuses the salted self-pair machinery (triangle salting
+    * spreads each cell's quadratic over the cluster, `maxBlock` excludes
+    * degenerate cells loudly). A vector in an EXCLUDED cell got no pair
+    * verdicts at all, so its `is_dup` is NULL ("unknown") — never a
+    * silent false ("survivor"): a caller keeping `is_dup = false` rows
+    * drops unknowns by default, and one that wants them must say
+    * `is_dup IS NOT TRUE` explicitly. The assignments frame feeds three
+    * plan branches (both self-pair sides + the verdict join), so it is
+    * materialized ONCE (q106's rule — without it the seeded KMeans
+    * transform and emb/norm decode re-execute per reference). Norms and
+    * float→double casts are hoisted per vector at build time (q44's
+    * rule); the verdict join is a hash join on vec_id. Rows-only in the
+    * driver (k-means cells aren't SQL-expressible) — the spec replays the
+    * whole procedure brute-force per cell and checks exact set equality.
+    * The default threshold sits in THIS corpus's near-dup regime (q44's
+    * cosine range — the synthetic embeddings never exceed ~0.51); real
+    * sentence embeddings run the published ~0.95. */
   def q122SemanticDedup(spark: SparkSession, dir: String,
-      nCells: Int = 8, threshold: Double = 0.35): DataFrame = {
+      nCells: Int = 8, threshold: Double = 0.35,
+      maxBlock: Int = 100000): DataFrame = {
     val idx = IvfIndex.build(Tables.embeddings(spark, dir), nCells)
-    val a = idx.assignments.select(
-      col("vec_id"), col("cell"), col("emb"), col("norm"))
-    val dup = Skew.saltedSelfPairs(a, "cell", "vec_id", salts = 4, maxBlock = 100000)
+    val a = graft.Lineage.truncate(
+      idx.assignments.select(
+        col("vec_id"), col("cell"), col("emb"), col("norm")),
+      reliable = false).df
+    val dup = Skew.saltedSelfPairs(a, "cell", "vec_id", salts = 4,
+        maxBlock = maxBlock)
       .filter((dotD(col("a.emb"), col("b.emb"))
         / (col("a.norm") * col("b.norm"))) >= threshold)
       .select(col("b.vec_id").as("vec_id")).distinct()
       .withColumn("__dup", lit(true))
+    // over-cap cells carry an explicit unknown marker — ≤nCells rows,
+    // broadcast by construction
+    val unknown = Skew.oversizeBlocks(a, "cell", maxBlock)
+      .select(col("cell"), lit(true).as("__unk"))
     a.select(col("vec_id"), col("cell"))
       .join(dup, Seq("vec_id"), "left")
+      .join(broadcast(unknown), Seq("cell"), "left")
       .select(col("vec_id"), col("cell"),
-        coalesce(col("__dup"), lit(false)).as("is_dup"))
+        when(col("__unk"), lit(null).cast("boolean"))
+          .otherwise(coalesce(col("__dup"), lit(false))).as("is_dup"))
   }
 }

@@ -53,12 +53,12 @@ object Skew {
     val bounded =
       if (maxBlock == Int.MaxValue) d
       else {
-        val counts = d.groupBy(col(blockCol)).agg(count(lit(1)).as("__bn"))
         // "No silent caps": an excluded block makes the result diverge from
         // any uncapped oracle, so surface every drop loudly (bounded collect
         // — ≤20 rows — over the column-pruned partial-agg; the quadratic
         // pair stage dwarfs this extra pass).
-        val dropped = counts.filter(col("__bn") > maxBlock)
+        val over = oversizeBlocks(d, blockCol, maxBlock)
+        val dropped = over
           .select(col(blockCol).cast("string").as("__b"), col("__bn"))
           .limit(20).collect()
         if (dropped.nonEmpty)
@@ -66,8 +66,7 @@ object Skew {
             s"[graft] saltedSelfPairs(maxBlock=$maxBlock) DROPPING " +
               s"${dropped.length} oversize '$blockCol' block(s) (first 20 shown): " +
               dropped.map(r => s"${r.getString(0)}(${r.getLong(1)} rows)").mkString(", "))
-        val ok = counts.filter(col("__bn") <= maxBlock).select(col(blockCol))
-        d.join(broadcast(ok), Seq(blockCol), "left_semi")
+        d.join(broadcast(over.select(col(blockCol))), Seq(blockCol), "left_anti")
       }
     val partnerSalts = array((0 until salts).map(lit): _*)
     val own = pmod(xxhash64(col(idCol)), lit(salts)).cast("int")
@@ -88,6 +87,15 @@ object Skew {
         col("a.__sa") === col("b.__sa") && col("a.__sb") === col("b.__sb") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
   }
+
+  /** Block keys (with their `__bn` row counts) exceeding `maxBlock` — the
+    * blocks [[saltedSelfPairs]] EXCLUDES. Public so callers can join the
+    * exclusion back into their own result (e.g. a null/unknown verdict)
+    * instead of letting dropped rows silently read as negatives. One
+    * map-side partial-aggregated groupBy over the pruned block column. */
+  def oversizeBlocks(d: DataFrame, blockCol: String, maxBlock: Int): DataFrame =
+    d.groupBy(col(blockCol)).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBlock)
 
   /** Top-n hot keys of a frame by count — the diagnostic used to decide
     * whether salting/AQE-skew settings are warranted. */

@@ -49,6 +49,12 @@ class Round10OpsSpec extends SparkSpec {
   // --- q119 PMI collocations -------------------------------------------
 
   test("q119 lift ranking equals direct PMI computation") {
+    // tie-break like Spark/DuckDB do: UTF-8 binary collation, not Scala's
+    // UTF-16 code-unit compare (they diverge on supplementary-plane chars)
+    implicit val utf8: Ordering[String] = (a: String, b: String) =>
+      java.util.Arrays.compare(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val ws = docs.map(_._2.split(" ").toVector)
     val uc = ws.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val n = ws.map(_.length).sum.toLong
@@ -67,6 +73,20 @@ class Round10OpsSpec extends SparkSpec {
     // ranking by lift IS ranking by PMI: log is strictly monotone
     val byPmi = got.sortBy(r => (-math.log(r._6), r._1, r._2)).map(_._7)
     assert(byPmi === got.map(_._7), "PMI order equals lift order")
+  }
+
+  test("q119 ranks AFTER TakeOrdered: no window sees the pre-limit frame") {
+    val p = Corpus.q119Collocations(spark, sf)
+      .queryExecution.executedPlan.toString
+    val takeOrdered = p.indexOf("TakeOrderedAndProject")
+    assert(takeOrdered >= 0, s"no TakeOrderedAndProject in:\n$p")
+    // exactly one Window, and it sits ABOVE (before, in tree print) the
+    // top-k — so row_number only ever numbers the k survivors, never the
+    // full bigram frame (the single-task 100 TB cliff this guards against)
+    val win = p.indexOf("Window")
+    assert(win >= 0 && win < takeOrdered,
+      s"rank window must consume TakeOrdered's output, not the raw frame:\n$p")
+    assert(p.indexOf("Window", win + 1) < 0, s"expected exactly one Window:\n$p")
   }
 
   // --- q120 fuzzy join --------------------------------------------------
@@ -92,6 +112,17 @@ class Round10OpsSpec extends SparkSpec {
     val got = Relational.q120FuzzyJoin(spark, sf)
       .as[(Long, Long, String, String, Long)].collect().toSet
     assert(got === expect)
+  }
+
+  test("q120 candidate join shuffles an 8-byte hash, not variant strings") {
+    val p = Relational.q120FuzzyJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("xxhash64"), s"expected hashed join key in:\n$p")
+    // the candidate join keys on the bigint hash column `v` (the `L`
+    // suffix IS the 8-byte claim) — whether Catalyst broadcasts it (tiny
+    // sf) or shuffles it (at scale), the key through the wire is 8 bytes
+    assert("Join \\[v#\\d+L\\], \\[v#\\d+L\\]".r.findFirstIn(p).isDefined,
+      s"expected join keyed on the 8-byte hash in:\n$p")
   }
 
   test("q120 deletion-neighborhood theorem holds on adversarial shapes") {
@@ -157,6 +188,26 @@ class Round10OpsSpec extends SparkSpec {
     byCell.values.foreach { members =>
       val minId = members.map(_._1).min
       assert(!dup(minId), s"cell min id $minId must survive")
+    }
+  }
+
+  test("q122 over-cap cells verdict NULL (unknown), never a silent false") {
+    val idx = graft.operators.IvfIndex.build(
+      graft.sources.Tables.embeddings(spark, sf), nCells = 8)
+    val sizes = idx.assignments.groupBy($"cell").count()
+      .as[(Int, Long)].collect().toMap
+    // pick a cap that excludes at least one but not every cell
+    val cap = sizes.values.toSeq.sorted.apply(sizes.size / 2).toInt
+    val overCells = sizes.filter(_._2 > cap).keySet
+    assert(overCells.nonEmpty && overCells.size < sizes.size)
+    val got = Similarity.q122SemanticDedup(spark, sf, maxBlock = cap)
+      .as[(Long, Int, Option[Boolean])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, cell, verdict) =>
+      if (overCells(cell))
+        assert(verdict.isEmpty, s"vec $id in dropped cell $cell must be unknown")
+      else
+        assert(verdict.isDefined, s"vec $id in kept cell $cell must be decided")
     }
   }
 }
