@@ -222,7 +222,15 @@ object IvfIndex {
       .foreachBatch(ingestBatch(path))
       .start()
 
-  /** The foreachBatch body of [[maintain]] (factored out for spec replay). */
+  /** The foreachBatch body of [[maintain]] (factored out for spec replay).
+    *
+    * Runs under the index's exclusive writer lease
+    * ([[graft.streaming.SnapshotStore.withWriterLock]]) — the
+    * ingest-vs-compact single-writer rule is ENFORCED, not a documented
+    * precondition: a batch racing a [[compact]] throws
+    * `ConcurrentPublishException` (streaming retries the batch) instead of
+    * writing rows into a generation the compact is about to prune. Only
+    * readers are lock-free across compacts. */
   def ingestBatch(path: String): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val spark = batch.sparkSession
@@ -238,23 +246,23 @@ object IvfIndex {
       // justification as BucketedTable.touchedBuckets
       val touched = delta.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).toSeq
-      if (touched.nonEmpty) {
-        // resolved once per batch: ingest reads and overwrites the SAME live
-        // generation (ingest-vs-compact single-writer stays a precondition;
-        // only READERS are lock-free across compacts)
-        val live = assignmentsDir(spark, path)
-        val existing = spark.read.parquet(live)
-          .filter(col("cell").isin(touched: _*)) // directory-pruned scan
-        val kept = existing.join(delta.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        val merged = kept.select(delta.columns.map(col): _*).unionByName(delta)
-          // pin before writing: the overwrite target is also the read path
-          // (the UpsertSink pattern; a failed batch replays via streaming)
-          .localCheckpoint(true)
-        merged.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cell")
-          .parquet(live)
-      }
+      if (touched.nonEmpty)
+        graft.streaming.SnapshotStore.withWriterLock(spark, path) {
+          // resolved UNDER the lock: a compact cannot flip the live
+          // generation between resolution and the overwrite below
+          val live = assignmentsDir(spark, path)
+          val existing = spark.read.parquet(live)
+            .filter(col("cell").isin(touched: _*)) // directory-pruned scan
+          val kept = existing.join(delta.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          val merged = kept.select(delta.columns.map(col): _*).unionByName(delta)
+            // pin before writing: the overwrite target is also the read path
+            // (the UpsertSink pattern; a failed batch replays via streaming)
+            .localCheckpoint(true)
+          merged.write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(live)
+        }
     }
 
   /** Global latest-wins rewrite: one row per vec_id (max `__ver`), removing
@@ -266,9 +274,16 @@ object IvfIndex {
     * only generations at least two behind are pruned — a concurrent
     * [[load]]/[[query]] resolves a complete directory at every instant
     * (the old in-place swap had a window where no assignments path existed
-    * at all). Single-WRITER is still the precondition (one compactor, not
-    * concurrent with [[maintain]] batches); readers need no coordination. */
-  def compact(spark: SparkSession, path: String): Unit = {
+    * at all). Single-WRITER is ENFORCED via the index's exclusive writer
+    * lease (shared with [[ingestBatch]]) — a compact racing an ingest (or
+    * another compact) throws instead of pruning a generation a batch is
+    * mid-write into; readers need no coordination. */
+  def compact(spark: SparkSession, path: String): Unit =
+    graft.streaming.SnapshotStore.withWriterLock(spark, path) {
+      compactLocked(spark, path)
+    }
+
+  private def compactLocked(spark: SparkSession, path: String): Unit = {
     val live = assignmentsDir(spark, path)
     val all = spark.read.parquet(live)
     val winners = all

@@ -164,6 +164,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
  *
  * Version resolution order: `version` read option > `VERSION AS OF` pin >
  * the `_LATEST` pointer at scan-build time.
+ *
+ * Schema/scan consistency: `VERSION AS OF v` and the standard `versionAsOf`
+ * read option resolve through [[GraftCatalog.loadTable(ident,version)]]
+ * (Spark's `TimeTravelSpec`), so the ANALYZED schema is the pinned epoch's —
+ * schema evolution is fully safe on those paths. The raw `version` scan
+ * option reaches only `newScanBuilder` (analysis has already fixed the
+ * schema from the un-pinned table), so if the requested epoch's schema
+ * differs from the analyzed one the scan REFUSES loudly instead of
+ * null-filling/truncating columns the old files never had.
  */
 private[sources] final class GraftSnapshotTable(
     ident: String, basePath: String, pinned: Option[Long])
@@ -187,10 +196,21 @@ private[sources] final class GraftSnapshotTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val dir = resolve(Option(options.get("version")).map(_.toLong))
+    // the scan plans with the schema of the SAME directory it reads; if
+    // analysis fixed a different epoch's schema (possible only via the raw
+    // `version` scan option after evolution), refuse loudly — never
+    // null-fill columns the pinned files don't carry
+    val scanSchema = spark.read.parquet(dir).schema
+    val analyzed = schema()
+    require(scanSchema == analyzed,
+      s"epoch at $dir has schema ${scanSchema.simpleString} but the query " +
+        s"was analyzed with ${analyzed.simpleString}; pin the epoch at " +
+        "ANALYSIS time instead: SQL `VERSION AS OF v` or " +
+        ".option(\"versionAsOf\", v).table(...)")
     // Spark's own parquet table does the scanning: pushdown, pruning, and
     // vectorization come from the engine, not from this catalog.
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
-      ident, spark, options, Seq(dir), Some(schema()),
+      ident, spark, options, Seq(dir), Some(scanSchema),
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
       .newScanBuilder(options)
   }

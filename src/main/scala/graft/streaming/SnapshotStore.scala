@@ -176,6 +176,26 @@ object SnapshotStore {
     } finally lease.close()
   }
 
+  /** Run `body` under the path's exclusive writer lease — the same
+    * heartbeated `.lock` mutex [[publish]] takes, exposed for mutators
+    * whose write is NOT an epoch publish (e.g. [[graft.operators.IvfIndex]]
+    * ingest/compact, which rewrite cell directories in place). Conflicts
+    * THROW ([[ConcurrentPublishException]]) rather than block — the caller
+    * (a streaming batch, a cron'd compactor) retries on its own cadence —
+    * and a crashed holder's lock is broken after `lockLeaseMs` exactly as
+    * for publishes. The lease is re-checked AFTER `body` (fence): if it
+    * was lost mid-write the call fails loudly instead of reporting a
+    * possibly-clobbered mutation as success. */
+  def withWriterLock[T](spark: SparkSession, basePath: String,
+      lockLeaseMs: Long = DefaultLockLeaseMs)(body: => T): T = {
+    val lease = acquireLease(spark, basePath, lockLeaseMs)
+    try {
+      val r = body
+      lease.checkHeld()
+      r
+    } finally lease.close()
+  }
+
   /** Cross-store publish with 2PC shape — the local stand-in for TiFlink's
     * coordinated transactions (coordinator/Transaction.java: prewrite all
     * keys, then commit at one timestamp). Phase 1 PREPARES every store by

@@ -73,6 +73,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(ns.contains("s4"))
   }
 
+  test("schema evolution: analysis-time pins keep the old schema, scan-option pins refuse") {
+    publishMv("s6")
+    // epoch 3 ADDS a column
+    SnapshotStore.publish(
+      Seq((1L, "a", 12.0, true)).toDF("id", "grp", "v", "flag"),
+      s"$root/s6/mv", 3L)
+    // VERSION AS OF pins at load → the query is ANALYZED with the old schema
+    val asOf = spark.sql("SELECT * FROM graft.s6.mv VERSION AS OF 1")
+    assert(asOf.schema.fieldNames.toSeq === Seq("id", "grp", "v"))
+    assert(asOf.count() === 2L)
+    // the standard versionAsOf read option routes through the same
+    // time-travel load — schema-safe without SQL
+    val opt = spark.read.option("versionAsOf", "1").table("graft.s6.mv")
+    assert(opt.schema.fieldNames.toSeq === Seq("id", "grp", "v"))
+    assert(opt.count() === 2L)
+    // the raw `version` SCAN option cannot rewrite the analyzed schema:
+    // it must refuse loudly, never null-fill the column epoch 1 lacks
+    val e = intercept[Exception](
+      spark.read.option("version", "1").table("graft.s6.mv").collect())
+    assert(e.getMessage.contains("analyzed"), e.getMessage)
+    // a scan-option pin whose epoch schema MATCHES the analyzed one passes
+    val ok = spark.read.option("version", "3").table("graft.s6.mv")
+    assert(ok.count() === 1L)
+  }
+
   test("SQL writes are refused: epochs only move through the leased publish") {
     publishMv("s5")
     val e = intercept[Exception](

@@ -140,4 +140,29 @@ class IvfMaintainSpec extends SparkSpec {
       .filter(n => n == "assignments" || n.startsWith("assignments_v="))
     assert(gens.length <= 2, s"stale generations not pruned: ${gens.mkString(", ")}")
   }
+
+  test("write-side single-writer is enforced: ingest/compact conflict loudly") {
+    val path = Files.createTempDirectory("ivf-x").toString + "/idx"
+    val small = corpus.filter($"vec_id" < 100L)
+    IvfIndex.save(IvfIndex.build(small, nCells = 4), path)
+    val rows = small.count()
+    // a competing writer holds the index lease (lock held for the body's
+    // duration) — both mutators must THROW, never write into a generation
+    // the lock holder may be about to prune
+    graft.streaming.SnapshotStore.withWriterLock(spark, path) {
+      val c = intercept[Exception](IvfIndex.compact(spark, path))
+      assert(c.getMessage.contains("another writer holds"), c.getMessage)
+      val batch = small.limit(5).select($"vec_id", $"embedding")
+      val i = intercept[Exception](IvfIndex.ingestBatch(path)(batch, 7L))
+      assert(i.getMessage.contains("another writer holds"), i.getMessage)
+    }
+    // nothing was dropped or half-written: index content unchanged
+    assert(IvfIndex.load(spark, path).assignments.count() === rows)
+    // and once the lease is free, both mutators proceed
+    IvfIndex.ingestBatch(path)(
+      corpus.filter($"vec_id" >= 100L && $"vec_id" < 110L)
+        .select($"vec_id", $"embedding"), 8L)
+    IvfIndex.compact(spark, path)
+    assert(IvfIndex.load(spark, path).assignments.count() === rows + 10L)
+  }
 }
