@@ -41,20 +41,43 @@ import graft.streaming.SnapshotStore
  * handle follows the pointer while any one query reads a single consistent
  * epoch (directories are immutable; only the pointer moves).
  *
- * Read-only by design: stores are WRITTEN through the leased publish path
- * ([[SnapshotStore.publish]] / streaming sinks) — `CREATE TABLE` via SQL
- * would bypass the writer lease and epoch fencing, so it fails loudly.
+ * Writes: SQL `INSERT INTO` / `INSERT OVERWRITE` on store tables go
+ * THROUGH the leased epoch publish (see [[GraftSnapshotTable.newWriteBuilder]]
+ * — the TikvDynamicSink analog), so SQL writers and streaming sinks
+ * serialize on the same lock and readers keep full snapshot isolation. DDL
+ * (`CREATE`/`DROP`/`ALTER`) stays refused: table lifecycle belongs to the
+ * publish path and retention, not the SQL layer.
+ *
+ * Raw datasets: one more session conf,
+ * {{{
+ *   spark.sql.catalog.graft.dataPath = /data/sf100   // Tables.discover dir
+ * }}}
+ * mounts the discovered `*.parquet` tables of that directory under the
+ * reserved `data` namespace — `SELECT * FROM graft.data.lineitem` with no
+ * `registerAll` temp views, joinable to store MVs in one statement. This is
+ * the TiFlinkCatalog behavior for SOURCE tables (TiFlinkCatalog.java:140-199
+ * lists/loads from the live store) unified with the MV addressing path.
+ * Discovery is live per lookup; schemas come from parquet footers; raw
+ * tables have no epochs, so time travel over `data` is refused. When
+ * `dataPath` is set, the `data` namespace shadows any store subdirectory of
+ * the catalog root with that name.
  */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: String = _
+  private var dataPath: Option[String] = None
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     root = Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
       s"GraftCatalog '$name' needs spark.sql.catalog.$name.path=<catalog root dir>"))
+    dataPath = Option(options.get("dataPath"))
   }
+
+  private val DataNs = "data"
+  private def isDataNs(ns: Array[String]): Boolean =
+    dataPath.isDefined && ns.length == 1 && ns.head == DataNs
 
   override def name(): String = catalogName
 
@@ -80,18 +103,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // ---- TableCatalog ------------------------------------------------------
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    childDirs(dirOf(namespace.toIndexedSeq)).filter(isStore)
+    if (isDataNs(namespace))
+      Tables.discover(spark, dataPath.get)
+        .map(n => Identifier.of(namespace, n)).toArray
+    else childDirs(dirOf(namespace.toIndexedSeq)).filter(isStore)
       .map(p => Identifier.of(namespace, p.getName)).toArray
 
   override def tableExists(ident: Identifier): Boolean =
-    isStore(new Path(storePath(ident)))
+    if (isDataNs(ident.namespace))
+      Tables.discover(spark, dataPath.get).contains(ident.name)
+    else isStore(new Path(storePath(ident)))
 
   override def loadTable(ident: Identifier): Table =
-    loadPinned(ident, None)
+    if (isDataNs(ident.namespace)) loadData(ident)
+    else loadPinned(ident, None)
 
   /** SQL `VERSION AS OF v` — pin one committed epoch. */
   override def loadTable(ident: Identifier, version: String): Table =
-    loadPinned(ident, Some(version.toLong))
+    if (isDataNs(ident.namespace))
+      throw new UnsupportedOperationException(
+        s"raw dataset table ${ident.name} has no epochs: time travel applies " +
+          "to snapshot stores only")
+    else loadPinned(ident, Some(version.toLong))
+
+  private def loadData(ident: Identifier): Table = {
+    if (!Tables.discover(spark, dataPath.get).contains(ident.name))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (catalogName +: ident.namespace.toIndexedSeq) :+ ident.name)
+    new GraftDataTable(ident.toString,
+      s"${dataPath.get}/${ident.name}.parquet")
+  }
 
   private def loadPinned(ident: Identifier, pinned: Option[Long]): Table = {
     val base = storePath(ident)
@@ -125,26 +166,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   // ---- SupportsNamespaces ------------------------------------------------
 
-  override def listNamespaces(): Array[Array[String]] =
-    childDirs(new Path(root)).filterNot(isStore).map(p => Array(p.getName)).toArray
+  override def listNamespaces(): Array[Array[String]] = {
+    val stores = childDirs(new Path(root)).filterNot(isStore)
+      .map(p => Array(p.getName))
+    (if (dataPath.isDefined) Array(DataNs) +: stores.filterNot(_.head == DataNs)
+     else stores).toArray
+  }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     childDirs(dirOf(namespace.toIndexedSeq)).filterNot(isStore)
       .map(p => namespace :+ p.getName).toArray
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || fs.exists(dirOf(namespace.toIndexedSeq))
+    namespace.isEmpty || isDataNs(namespace) ||
+      fs.exists(dirOf(namespace.toIndexedSeq))
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
         namespace.toIndexedSeq)
-    Map("location" -> dirOf(namespace.toIndexedSeq).toString).asJava
+    val loc =
+      if (isDataNs(namespace)) dataPath.get
+      else dirOf(namespace.toIndexedSeq).toString
+    Map("location" -> loc).asJava
   }
 
   override def createNamespace(namespace: Array[String],
-      metadata: util.Map[String, String]): Unit =
+      metadata: util.Map[String, String]): Unit = {
+    if (isDataNs(namespace))
+      throw new UnsupportedOperationException(
+        s"'$DataNs' is the reserved raw-dataset namespace (dataPath=" +
+          s"${dataPath.get}); it cannot be created as a store namespace")
     fs.mkdirs(dirOf(namespace.toIndexedSeq))
+  }
 
   override def alterNamespace(namespace: Array[String],
       changes: NamespaceChange*): Unit =
@@ -153,6 +207,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     throw new UnsupportedOperationException(
       "GraftCatalog is read-only: remove store directories out of band")
+}
+
+/**
+ * One raw parquet dataset table surfaced read-only through the `data`
+ * namespace: schema from the footers, scanning delegated to Spark's own
+ * parquet `FileTable` (pushdown/pruning/vectorization untouched, exactly
+ * like the store tables). No epochs, no version options.
+ */
+private[sources] final class GraftDataTable(ident: String, file: String)
+  extends Table with SupportsRead {
+
+  private def spark = SparkSession.active
+
+  override def name(): String = ident
+
+  override def schema(): StructType = spark.read.parquet(file).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      ident, spark, options, Seq(file), Some(schema()),
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+      .newScanBuilder(options)
 }
 
 /**
@@ -176,7 +255,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
  */
 private[sources] final class GraftSnapshotTable(
     ident: String, basePath: String, pinned: Option[Long])
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   private def spark = SparkSession.active
 
@@ -192,7 +271,47 @@ private[sources] final class GraftSnapshotTable(
     spark.read.parquet(resolve(None)).schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` — the TikvDynamicSink analog
+    * (reference: TikvDynamicSink.java accepts SQL inserts into the store):
+    * both go through the LEASED epoch publish, never around it. `INSERT
+    * INTO` appends to the current snapshot (the prior epoch is resolved
+    * under the lease — a racing writer's epoch can't be dropped from the
+    * union basis); `INSERT OVERWRITE` replaces the snapshot wholesale.
+    * Keyed upserts stay the streaming path ([[SnapshotStore.upsertSink]])
+    * — SQL INSERT has row-append semantics, not merge-by-pk. Implemented
+    * as a DSv2 `V1Write`: the epoch directory layout is the store's own,
+    * so the write is one `publishNext` call, not a DataWriterFactory. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              require(pinned.isEmpty,
+                s"cannot INSERT into a VERSION AS OF pinned read of $ident")
+              SnapshotStore.publishNext(data.sparkSession, basePath) { cur =>
+                if (overwrite) data
+                else {
+                  val prior = cur.map(v =>
+                    SnapshotStore.readSnapshot(data.sparkSession, basePath, Some(v)))
+                  prior.map(_.unionByName(data)).getOrElse(data)
+                }
+              }
+              ()
+            }
+        }
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val dir = resolve(Option(options.get("version")).map(_.toLong))

@@ -176,6 +176,30 @@ object SnapshotStore {
     } finally lease.close()
   }
 
+  /** Publish the store's NEXT epoch with the version number resolved UNDER
+    * the lease — the shape SQL `INSERT` needs: two concurrent inserts must
+    * serialize into consecutive epochs, never both compute `latest+1`
+    * outside the lock (the loser's write would then alias a committed
+    * version and be silently swallowed by the immutable-replay rule).
+    * `make` receives the current committed version (None on an empty
+    * store) and returns the full next snapshot; the new epoch number is
+    * returned. */
+  def publishNext(spark: SparkSession, basePath: String, keep: Int = 3,
+      lockLeaseMs: Long = DefaultLockLeaseMs)(
+      make: Option[Long] => DataFrame): Long = {
+    val lease = acquireLease(spark, basePath, lockLeaseMs)
+    try {
+      val cur = latestVersion(spark, basePath)
+      val version = cur.getOrElse(0L) + 1L
+      val df = make(cur) // prior-state reads happen with the store ours
+      val staging = writeEpoch(df, basePath, version, lease.token)
+      staging.foreach(s => commitEpoch(spark, basePath, version, s, lease))
+      lease.checkHeld() // fence before the pointer flip
+      flipPointerLocked(spark, basePath, version, keep)
+      version
+    } finally lease.close()
+  }
+
   /** Run `body` under the path's exclusive writer lease — the same
     * heartbeated `.lock` mutex [[publish]] takes, exposed for mutators
     * whose write is NOT an epoch publish (e.g. [[graft.operators.IvfIndex]]

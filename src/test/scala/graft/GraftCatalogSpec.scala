@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.{count, lit, sum}
+
 import graft.streaming.SnapshotStore
 
 /** SQL-native addressing over snapshot stores: `graft.<ns>.<table>`
@@ -15,6 +17,7 @@ class GraftCatalogSpec extends SparkSpec {
     // catalog wiring is plain session conf — no DDL, no registry edits
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft.path", dir)
+    spark.conf.set("spark.sql.catalog.graft.dataPath", sf)
     dir
   }
 
@@ -98,12 +101,77 @@ class GraftCatalogSpec extends SparkSpec {
     assert(ok.count() === 1L)
   }
 
-  test("SQL writes are refused: epochs only move through the leased publish") {
+  test("data namespace serves the raw dataset dir; joins to a store MV in one statement") {
+    publishMv("s7")
+    // discovery is live, straight off the dataset directory
+    val tables = spark.sql("SHOW TABLES IN graft.data").select("tableName")
+      .as[String].collect().toSet
+    assert(tables === graft.sources.Tables.discover(spark, sf).toSet)
+    assert(spark.sql("SHOW NAMESPACES IN graft").select("namespace")
+      .as[String].collect().toSet.contains("data"))
+    // raw table + raw table + snapshot-store MV, one SQL statement
+    val got = spark.sql(
+      """SELECT n.n_name, count(*) AS cnt, sum(m.v) AS mv_v
+        |FROM graft.data.customer c
+        |JOIN graft.data.nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN graft.s7.mv m ON m.id = c.c_custkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+      .as[(String, Long, Double)].collect().toSeq
+    val expect = graft.sources.Tables.customer(spark, sf)
+      .join(graft.sources.Tables.nation(spark, sf),
+        $"c_nationkey" === $"n_nationkey")
+      .join(spark.read.parquet(s"$root/s7/mv/_v=2").select($"id", $"v"),
+        $"id" === $"c_custkey")
+      .groupBy($"n_name").agg(count(lit(1)), sum($"v"))
+      .orderBy($"n_name").as[(String, Long, Double)].collect().toSeq
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // pushdown reaches the parquet scan through the data namespace
+    val plan = spark.sql(
+      "SELECT c_name FROM graft.data.customer WHERE c_custkey = 7")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("c_custkey"), plan)
+    // raw tables have no epochs
+    val tt = intercept[Exception](
+      spark.sql("SELECT * FROM graft.data.customer VERSION AS OF 1").collect())
+    assert(tt.getMessage.contains("no epochs"), tt.getMessage)
+  }
+
+  test("SQL DDL is refused: table lifecycle belongs to the publish path") {
     publishMv("s5")
     val e = intercept[Exception](
       spark.sql("CREATE TABLE graft.s5.nope (id BIGINT) USING parquet"))
     assert(e.getMessage.toLowerCase.contains("read-only"))
     val d = intercept[Exception](spark.sql("DROP TABLE graft.s5.mv"))
     assert(d.getMessage.toLowerCase.contains("read-only"))
+  }
+
+  test("SQL INSERT publishes a new epoch through the lease") {
+    publishMv("s8")
+    // INSERT INTO appends to the current snapshot as epoch 3
+    spark.sql("INSERT INTO graft.s8.mv VALUES (9, 'z', 90.0)")
+    assert(SnapshotStore.versions(spark, s"$root/s8/mv").max === 3L)
+    val rows = spark.sql("SELECT id, grp, v FROM graft.s8.mv ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(rows === Seq((1L, "a", 11.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (9L, "z", 90.0)))
+    // prior epochs stay readable — the insert was a publish, not a mutation
+    assert(spark.sql("SELECT count(*) FROM graft.s8.mv VERSION AS OF 2")
+      .as[Long].head() === 3L)
+    // INSERT OVERWRITE replaces the snapshot wholesale as epoch 4
+    spark.sql("INSERT OVERWRITE graft.s8.mv VALUES (7, 'q', 1.0)")
+    assert(spark.sql("SELECT id, grp, v FROM graft.s8.mv")
+      .as[(Long, String, Double)].collect().toSeq === Seq((7L, "q", 1.0)))
+    assert(SnapshotStore.versions(spark, s"$root/s8/mv").max === 4L)
+    // a held writer lease makes SQL INSERT fail loudly — same lock
+    val err = intercept[Exception](
+      SnapshotStore.withWriterLock(spark, s"$root/s8/mv") {
+        spark.sql("INSERT INTO graft.s8.mv VALUES (8, 'y', 2.0)")
+      })
+    assert(err.getMessage.contains("another writer holds"), err.getMessage)
+    // pinned reads refuse writes
+    val p = intercept[Exception](
+      spark.sql("INSERT INTO graft.s8.mv VERSION AS OF 2 VALUES (1, 'x', 0.0)"))
+    assert(p.getMessage.nonEmpty)
   }
 }
