@@ -142,6 +142,12 @@ object SparkEntry {
     "q120_fuzzy_join" -> (Relational.q120FuzzyJoin _),
     "q121_quality_classifier" -> ((s, d) => Corpus.q121QualityClassifier(s, d)),
     "q122_semantic_dedup" -> ((s, d) => Similarity.q122SemanticDedup(s, d)),
+    "q123_skyline" -> (Relational.q123Skyline _),
+    "q124_transitions" -> (Relational.q124Transitions _),
+    "q125_histogram" -> (Relational.q125Histogram _),
+    "q126_char_classes" -> (TextAnalysis.q126CharClasses _),
+    "q127_ntile" -> (Relational.q127Ntile _),
+    "q128_cdf" -> (Relational.q128Cdf _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1216,5 +1222,63 @@ object SparkEntry {
         |  CAST(sum((length(word) * 7) % 13 - 6) AS BIGINT) AS score,
         |  sum((length(word) * 7) % 13 - 6) > 0 AS keep
         |FROM w GROUP BY doc_id""".stripMargin,
+    // the oracle is the dominance DEFINITION (quadratic NOT EXISTS); the
+    // Spark plan is the distributed prefix-max scan that provably equals it
+    "q123_skyline" ->
+      """SELECT a.p_partkey, a.p_retailprice, a.p_size FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))""".stripMargin,
+    "q124_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(count(*) AS DOUBLE)
+        |    / CAST(sum(count(*)) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+        |FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type""".stripMargin,
+    "q125_histogram" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(floor((l_quantity - 1) / 5) AS BIGINT) AS bin, l_quantity
+        |  FROM lineitem)
+        |SELECT l_returnflag, bin, bin * 5 + 1 AS bin_lo, bin * 5 + 5 AS bin_hi,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  min(l_quantity) AS q_min, max(l_quantity) AS q_max
+        |FROM b GROUP BY l_returnflag, bin""".stripMargin,
+    "q126_char_classes" ->
+      """WITH c AS (SELECT source,
+        |    CAST(length(text) AS BIGINT) AS c,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS l,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS d,
+        |    CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS s
+        |  FROM documents)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS chars,
+        |  CAST(sum(l) AS BIGINT) AS letters, CAST(sum(d) AS BIGINT) AS digits,
+        |  CAST(sum(s) AS BIGINT) AS spaces,
+        |  CAST(sum(c) - sum(l) - sum(d) - sum(s) AS BIGINT) AS other,
+        |  CAST(sum(l) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS letter_ratio
+        |FROM c GROUP BY source""".stripMargin,
+    "q127_ntile" ->
+      """WITH t AS (SELECT p_retailprice,
+        |    ntile(10) OVER (ORDER BY p_retailprice, p_partkey) AS decile
+        |  FROM part)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS cnt,
+        |  min(p_retailprice) AS lo, max(p_retailprice) AS hi
+        |FROM t GROUP BY decile""".stripMargin,
+    "q128_cdf" ->
+      """WITH d AS (SELECT p_retailprice, CAST(count(*) AS BIGINT) AS cnt
+        |    FROM part GROUP BY 1),
+        |  t AS (SELECT p_retailprice, cnt,
+        |    sum(cnt) OVER (ORDER BY p_retailprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER () AS n
+        |  FROM d)
+        |SELECT p_retailprice, cnt,
+        |  CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) AS cume_dist,
+        |  CAST(cum - cnt AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS percent_rank
+        |FROM t""".stripMargin,
   )
 }

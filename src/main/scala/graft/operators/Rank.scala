@@ -33,6 +33,91 @@ object Rank {
       rnCol: String = "rn"): DataFrame =
     globalRowNumberAndTotal(df, sortCols, rnCol)._1
 
+  /** Append `outCol` = max of `value` over every row STRICTLY BEFORE the
+    * current one in the `sortCols` total order (null for the global first
+    * row) — the distributed prefix-aggregate behind order-dependent
+    * operators (skyline dominance, record-breaking scans) that would
+    * otherwise need `max(...) OVER (ORDER BY ...)`: an unpartitioned
+    * window Spark executes on ONE task.
+    *
+    * Shape mirrors [[globalRowNumber]]: range-repartition on the sort key
+    * (contiguous ranges, all-parallel, materialized once), per-partition
+    * running max via an ordinary partitioned window, and the
+    * cross-partition carry-in from a ≤`shuffle.partitions`-row per-partition
+    * max table joined to itself on `pid < pid` — metadata-sized, broadcast,
+    * never a data-sized collect, and value-type-generic because no driver
+    * code touches the values. Pass a TOTAL order. */
+  def prefixMax(df: DataFrame, sortCols: Seq[Column], value: Column,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = graft.Lineage.truncate(
+      df.repartitionByRange(parts, sortCols: _*)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__v", value), reliable = false).df
+    val pmax = ranged.groupBy(col("__pid")).agg(max(col("__v")).as("__m"))
+    val prefix = pmax.as("a")
+      .join(broadcast(pmax.as("b")), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid")).agg(max(col("b.__m")).as("__pre"))
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(prefix), Seq("__pid"))
+      // greatest skips nulls: first row of the first partition → null
+      .withColumn(outCol, greatest(max(col("__v")).over(w), col("__pre")))
+      .drop("__pid", "__v", "__pre")
+  }
+
+  /** Append `outCol` = running sum of `value` over the `sortCols` order,
+    * INCLUSIVE of the current row, plus the exact grand total — the
+    * distributed prefix-sum behind CDFs and cumulative-share reports that
+    * would otherwise be `sum(...) OVER (ORDER BY ...)`: one task.
+    *
+    * Same shape as [[globalRowNumberAndTotal]] with per-partition SUMS as
+    * the carried offsets (still one number per partition to the driver —
+    * metadata, never data). `value` must be integral (LONG sums — exact);
+    * pass a TOTAL order. */
+  def prefixSumAndTotal(df: DataFrame, sortCols: Seq[Column], value: Column,
+      outCol: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = graft.Lineage.truncate(
+      df.repartitionByRange(parts, sortCols: _*)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__v", value.cast("long")), reliable = false).df
+    val sums = ranged.groupBy(col("__pid")).agg(sum(col("__v")).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = sums.map(_._1).zip(sums.scanLeft(0L)(_ + _._2).init)
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = ranged.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(outCol, sum(col("__v")).over(w) + col("__off"))
+      .drop("__pid", "__v", "__off")
+    (out, sums.map(_._2).sum)
+  }
+
+  /** Append `outCol` = NTILE(`n`) bucket (1-based) of each row under the
+    * `sortCols` total order — SQL NTILE semantics (first `N mod n` buckets
+    * take the extra row) computed arithmetically from
+    * [[globalRowNumberAndTotal]]'s rank: no unpartitioned window anywhere,
+    * bucket boundaries are exact integer math on (rn, N). */
+  def ntile(df: DataFrame, sortCols: Seq[Column], n: Int,
+      outCol: String = "bucket"): DataFrame = {
+    require(n > 0, s"ntile buckets must be positive, got $n")
+    val (ranked, total) = globalRowNumberAndTotal(df, sortCols, "__rn")
+    val q = total / n
+    val r = total % n
+    val cut = r * (q + 1) // rows 1..cut live in the (q+1)-sized buckets
+    // SQL `div`: exact integer division (Scala Column API has no idiv).
+    // The otherwise-branch divisor is clamped only to dodge div-by-zero
+    // codegen when q=0 — that branch is unreachable then (rn ≤ N = cut).
+    val bucket = when(col("__rn") <= lit(cut),
+        expr(s"(__rn - 1) div ${q + 1} + 1"))
+      .otherwise(expr(s"(__rn - ${cut + 1}) div ${math.max(q, 1)} + ${r + 1}"))
+    ranked.withColumn(outCol, bucket.cast("int")).drop("__rn")
+  }
+
   /** [[globalRowNumber]] plus the exact total row count — FREE, it is the
     * sum of the per-partition counts the offset pass already collected (a
     * caller needing rank AND n must not pay a second scan). */

@@ -1078,6 +1078,118 @@ object Relational {
       .select($"key_a", $"key_b", $"name_a", $"name_b", $"dist")
   }
 
+  // ---------------------------------------------------------------- A57
+  /** Skyline / Pareto frontier — parts no other part dominates on
+    * (price ↓, size ↑): the multi-objective selection shape a data-curation
+    * stack runs when trading off cost against quality (no row is kept if
+    * another is at least as good on both axes and strictly better on one).
+    *
+    * Distributed shape: the classic sort-scan skyline is a running max
+    * over the price order — an unpartitioned window, i.e. ONE task at any
+    * scale. Here: distinct (price, size) pairs first (one partial-agged
+    * shuffle; duplicates of a frontier point are all frontier), then
+    * [[Rank.prefixMax]] supplies max(size) over all STRICTLY-PRECEDING
+    * pairs in (price asc, size desc) order via range partitions + a
+    * metadata-sized carry-in — among distinct pairs a same-price
+    * predecessor has strictly larger size, so `prefix ≥ size` is exactly
+    * dominance; survivors semi-join back to the base rows by value. */
+  def q123Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+    val pairs = p.groupBy($"p_retailprice", $"p_size").agg(count(lit(1)).as("__n"))
+    val scanned = Rank.prefixMax(pairs,
+      Seq($"p_retailprice".asc, $"p_size".desc), $"p_size", "__m")
+    val frontier = scanned
+      .filter($"__m".isNull || $"__m" < $"p_size")
+      .select($"p_retailprice", $"p_size")
+    p.join(frontier, Seq("p_retailprice", "p_size"), "left_semi")
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+  }
+
+  // ---------------------------------------------------------------- A58
+  /** Per-user event-type transition matrix (first-order Markov counts) —
+    * the clickstream/path-analysis staple: for each user's time-ordered
+    * event sequence, count (from_type → to_type) steps and the exact
+    * conditional probability P(to | from).
+    *
+    * Scale: `lead` runs in per-user windows (hash-partitioned, parallel);
+    * the transition groupBy is bounded by |event_types|² — dimension-sized
+    * (q117's rule), as is the per-from total window. The probability is
+    * ONE IEEE division of two exact integer counts (q98's cast rule). */
+  def q124Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wf = Window.partitionBy($"from_type")
+    Tables.events(spark, dir)
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"from_type", $"to_type", $"cnt",
+        ($"cnt".cast("double") / sum($"cnt").over(wf).cast("double")).as("prob"))
+  }
+
+  // ---------------------------------------------------------------- A59
+  /** Equi-width histogram of lineitem quantity per return flag — the
+    * profiling pass every ingest pipeline runs. Bins are integer-exact:
+    * quantities are whole numbers 1..50, bin = floor((q-1)/5) (the
+    * boundary quotients are exactly representable, and both engines
+    * evaluate the identical IEEE expression anyway).
+    *
+    * Scale: map-only bin computation inside the scan's codegen stage, one
+    * partial-aggregated shuffle over ≤ |flags|·10 groups. */
+  def q125Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        floor(($"l_quantity" - 1d) / 5d).cast("long").as("bin"),
+        $"l_quantity")
+      .groupBy($"l_returnflag", $"bin")
+      .agg(count(lit(1)).as("cnt"),
+        min($"l_quantity").as("q_min"), max($"l_quantity").as("q_max"))
+      .select($"l_returnflag", $"bin",
+        ($"bin" * 5 + 1).as("bin_lo"), ($"bin" * 5 + 5).as("bin_hi"),
+        $"cnt", $"q_min", $"q_max")
+
+  // ---------------------------------------------------------------- A60
+  /** Global NTILE decile report over part retail price — the
+    * quantile-bucket profiling pass (price deciles with counts and
+    * boundaries). `ntile(10) OVER (ORDER BY ...)` is an unpartitioned
+    * window — ONE task at any scale; [[Rank.ntile]] computes the identical
+    * SQL bucketing arithmetically from the range-partitioned global row
+    * number (exact integer math on (rn, N), metadata-sized offsets only).
+    * Order includes p_partkey: a TOTAL order, so bucket assignment is
+    * engine-independent. Decile aggregation output is 10 rows. */
+  def q127Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select($"p_partkey", $"p_retailprice")
+    Rank.ntile(p, Seq($"p_retailprice".asc, $"p_partkey".asc), 10, "decile")
+      .withColumn("decile", $"decile".cast("long")) // DuckDB NTILE is BIGINT
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("cnt"),
+        min($"p_retailprice").as("lo"), max($"p_retailprice").as("hi"))
+  }
+
+  // ---------------------------------------------------------------- A61
+  /** Exact empirical CDF of part retail price — cume_dist + percent_rank
+    * per distinct value, the quantile-normalization table a curation
+    * pipeline uses to turn raw scores into percentiles.
+    *
+    * Distributed shape: distinct-value counts (one partial-agged shuffle,
+    * |distinct| rows), then [[Rank.prefixSumAndTotal]] supplies the
+    * inclusive running count over the value order via range partitions +
+    * metadata-sized carried offsets — never `sum() OVER (ORDER BY)`'s
+    * single task. cume_dist = cum/N and percent_rank = (cum-cnt)/(N-1)
+    * (rank over the BASE rows = count of strictly-smaller values + 1, tie
+    * rows share it) are single IEEE divisions of exact integer sums. */
+  def q128Cdf(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.part(spark, dir)
+      .groupBy($"p_retailprice").agg(count(lit(1)).as("cnt"))
+    val (ps, n) = Rank.prefixSumAndTotal(d, Seq($"p_retailprice".asc),
+      $"cnt", "cum")
+    ps.select($"p_retailprice", $"cnt",
+        ($"cum".cast("double") / lit(n.toDouble)).as("cume_dist"),
+        (($"cum" - $"cnt").cast("double") / lit((n - 1).toDouble))
+          .as("percent_rank"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -233,4 +233,36 @@ object TextAnalysis {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter((col("rn") - 1) % stride === 0)
   }
+
+  // ---------------------------------------------------------------- C51
+  /** Per-source character-class composition — the encoding/garbage
+    * diagnostic a crawl pipeline runs before tokenizer decisions: total
+    * chars and the letter/digit/space/other split, plus the letter ratio
+    * (a standard quality-filter feature alongside C9's scores). Class
+    * counts are `length(text) − length(class-stripped text)` — exact
+    * integers on both engines (the corpus is ASCII; for full Unicode the
+    * classes widen to `\p{L}` etc., same shape); the ratio is ONE IEEE
+    * division of exact integers (q98's rule).
+    *
+    * Scale: zero-shuffle per-row kernel inside the scan's codegen stage
+    * feeding a partial-aggregated groupBy over |sources| groups. */
+  def q126CharClasses(spark: SparkSession, dir: String): DataFrame = {
+    def stripped(re: String): Column =
+      length(col("text")) - length(regexp_replace(col("text"), re, ""))
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        length(col("text")).cast("long").as("__c"),
+        stripped("[A-Za-z]").cast("long").as("__l"),
+        stripped("[0-9]").cast("long").as("__d"),
+        stripped(" ").cast("long").as("__s"))
+      .groupBy(col("source"))
+      .agg(sum(col("__c")).as("chars"), sum(col("__l")).as("letters"),
+        sum(col("__d")).as("digits"), sum(col("__s")).as("spaces"))
+      .select(col("source"), col("chars"), col("letters"), col("digits"),
+        col("spaces"),
+        (col("chars") - col("letters") - col("digits") - col("spaces"))
+          .as("other"),
+        (col("letters").cast("double") / col("chars").cast("double"))
+          .as("letter_ratio"))
+  }
 }
