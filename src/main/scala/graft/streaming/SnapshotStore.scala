@@ -459,6 +459,59 @@ object SnapshotStore {
     spark.read.parquet(new Path(basePath, s"_v=$v").toString)
   }
 
+  /** Incremental read: the exact I/U/D changelog between two committed
+    * epochs — "give me what changed since the version I last saw", the
+    * TiCDC-style pull-based twin of IncrementalMv's push changelog (B35)
+    * and the inverse of [[readSnapshot]]'s full-state reads. A consumer
+    * that upserts I/U rows by key and deletes D keys onto its copy of
+    * `fromVersion` holds exactly `toVersion` (spec-asserted).
+    *
+    * Output: key columns, `op` ('I'/'U'/'D'), then the NEW epoch's
+    * non-key columns (null for D — the key is sufficient to delete).
+    * Reversed bounds (`from` > `to`) are legal and yield the inverse
+    * changelog (I and D swap; U carries the older values).
+    *
+    * Both epochs must still be retained, and must agree on columns —
+    * a schema-evolved pair fails loudly (the time-travel rule B40's
+    * catalog scans also enforce) rather than null-filling a phantom diff.
+    *
+    * Scale: one shuffle per side on the key columns (the same join
+    * q101_mv_diff ships), output O(|changed keys|); non-key payloads
+    * compared as a struct — one null-safe comparison, no per-column
+    * join-condition blowup. */
+  def changesBetween(spark: SparkSession, basePath: String,
+      fromVersion: Long, toVersion: Long, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val have = versions(spark, basePath).toSet
+    for (v <- Seq(fromVersion, toVersion) if !have.contains(v))
+      throw new IllegalArgumentException(
+        s"epoch $v is not committed/retained at $basePath (have: ${have.toSeq.sorted.mkString(",")})")
+    val o = readSnapshot(spark, basePath, Some(fromVersion))
+    val n = readSnapshot(spark, basePath, Some(toVersion))
+    if (o.columns.toSeq != n.columns.toSeq)
+      throw new IllegalArgumentException(
+        s"epochs $fromVersion and $toVersion have different schemas " +
+          s"(${o.columns.mkString(",")} vs ${n.columns.mkString(",")}); " +
+          "diff across an evolution boundary is not defined")
+    for (k <- keys if !n.columns.contains(k))
+      throw new IllegalArgumentException(s"key column $k not in schema")
+    val nonKeys = n.columns.toSeq.filterNot(keys.contains)
+    // a present row's payload struct is never null (even if every field
+    // is), so presence and all-null payloads stay distinguishable
+    def payload(df: DataFrame) =
+      if (nonKeys.isEmpty) lit(0) else struct(nonKeys.map(col): _*)
+    val oldS = o.select(keys.map(col) :+ payload(o).as("__old"): _*)
+    val newS = n.select(keys.map(col) :+ payload(n).as("__new"): _*)
+    val out = oldS.join(newS, keys, "full_outer")
+      .filter(!(col("__old") <=> col("__new")))
+      .withColumn("op",
+        when(col("__old").isNull, lit("I"))
+          .when(col("__new").isNull, lit("D"))
+          .otherwise(lit("U")))
+    out.select(keys.map(col) ++ Seq(col("op")) ++
+      nonKeys.map(c => col(s"__new.$c").as(c)): _*)
+  }
+
   /** foreachBatch sink: merge the micro-batch latest-by-key into the prior
     * snapshot and publish the result as a new epoch. The prior snapshot is
     * resolved UNDER the writer lease ([[publishComputed]]) — a competing
