@@ -148,6 +148,12 @@ object SparkEntry {
     "q126_char_classes" -> (TextAnalysis.q126CharClasses _),
     "q127_ntile" -> (Relational.q127Ntile _),
     "q128_cdf" -> (Relational.q128Cdf _),
+    "q129_zscore_anomaly" -> ((s, d) => Relational.q129ZscoreAnomaly(s, d)),
+    "q130_weighted_ma" -> (Relational.q130WeightedMa _),
+    "q131_top_paths" -> ((s, d) => Relational.q131TopPaths(s, d)),
+    "q132_uniform_sample" -> ((s, d) => Corpus.q132UniformSample(s, d)),
+    "q133_bloom_decontam" -> ((s, d) => Corpus.q133BloomDecontam(s, d)),
+    "q134_pagerank" -> ((s, d) => Corpus.q134PageRank(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1280,5 +1286,77 @@ object SparkEntry {
         |  CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) AS cume_dist,
         |  CAST(cum - cnt AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS percent_rank
         |FROM t""".stripMargin,
+    "q129_zscore_anomaly" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, value,
+        |    CAST(value AS DECIMAL(14,2)) AS v FROM events),
+        |w AS (SELECT event_id, user_id, ts, value,
+        |    CAST(count(*) OVER fr AS BIGINT) AS n,
+        |    CAST(sum(v) OVER fr AS DOUBLE) AS s1,
+        |    CAST(sum(v * v) OVER fr AS DOUBLE) AS s2
+        |  FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT event_id, user_id, ts, value,
+        |    s1 / CAST(n AS DOUBLE) AS mu,
+        |    sqrt(greatest((s2 - s1 * s1 / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0), 0.0)) AS sd
+        |  FROM w WHERE n >= 10)
+        |SELECT event_id, user_id, ts, value, mu, sd, (value - mu) / sd AS z
+        |FROM m WHERE sd > 0 AND abs((value - mu) / sd) > 2.5""".stripMargin,
+    "q130_weighted_ma" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, value,
+        |    CAST(value AS DECIMAL(14,2)) AS v FROM events),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS BIGINT) AS rn FROM e),
+        |w AS (SELECT event_id, user_id, ts, value, rn,
+        |    sum(v) OVER fr AS s0, sum(v * rn) OVER fr AS s1
+        |  FROM r WINDOW fr AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts, value,
+        |  (CAST(10 - rn AS DOUBLE) * CAST(s0 AS DOUBLE)
+        |    + CAST(s1 AS DOUBLE)) / 55.0 AS wma
+        |FROM w WHERE rn >= 10""".stripMargin,
+    "q131_top_paths" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+        |s AS (SELECT *, CASE WHEN lag(us) OVER o IS NULL
+        |      OR us - lag(us) OVER o > 1800000000 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW o AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |t AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM s),
+        |u AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+        |    ORDER BY us, event_id) AS k FROM t),
+        |p AS (SELECT user_id, sess,
+        |    string_agg(event_type, '>' ORDER BY k) AS path
+        |  FROM u WHERE k <= 8 GROUP BY user_id, sess),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM p GROUP BY path),
+        |top AS (SELECT * FROM c ORDER BY n_sessions DESC, path LIMIT 20)
+        |SELECT path, n_sessions,
+        |  CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT)
+        |    AS rk
+        |FROM top""".stripMargin,
+    "q132_uniform_sample" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    md5(concat('smpl:', CAST(doc_id AS VARCHAR))) AS pri
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, pri,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY pri, doc_id) AS BIGINT) AS rk FROM t)
+        |SELECT source, doc_id, pri, rk FROM r WHERE rk <= 10""".stripMargin,
+    "q133_bloom_decontam" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i : i + 2], ' ') AS gram
+        |      FROM (SELECT doc_id, ws,
+        |              unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+        |            FROM w)),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared,
+        |  count(*) >= 2 AS contaminated
+        |FROM g t JOIN bench USING (gram)
+        |WHERE t.doc_id % 41 <> 0
+        |GROUP BY t.doc_id""".stripMargin,
   )
 }

@@ -994,4 +994,145 @@ object Corpus {
         expr("aggregate(ws, 0L, (acc, w) -> " +
           "acc + cast((length(w) * 7) % 13 - 6 as bigint))").as("score"))
       .withColumn("keep", col("score") > 0L)
+
+  // ---------------------------------------------------------------- C52
+  /** Deterministic uniform sample of exactly `k` documents per source —
+    * the eval-set / spot-check draw every pipeline needs to be
+    * REPRODUCIBLE: the sample is a pure function of the data (priority =
+    * `md5('smpl:' || doc_id)`, keep the k smallest per source), so any
+    * engine, any partitioning, any rerun draws the same rows — a seeded
+    * `TABLESAMPLE` cannot promise that across engines, and a reservoir
+    * sample is arrival-order-dependent by construction. Hash-priority
+    * top-k IS uniform sampling without replacement: md5 order is
+    * independent of any data attribute.
+    *
+    * Scale: the rank filter compiles to WindowGroupLimit — each map task
+    * keeps only its local k candidates per source BEFORE the shuffle, so
+    * the exchange carries O(tasks·k) rows, not the corpus (q65's shape;
+    * plan-spec-asserted). doc_id tiebreak makes the order total (md5
+    * collisions cannot make the draw ambiguous). */
+  def q132UniformSample(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("pri"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        md5(concat(lit("smpl:"), col("doc_id").cast("string"))).as("pri"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  // ---------------------------------------------------------------- C53
+  /** Bloom-accelerated benchmark decontamination — q68's exact
+    * inverted-index join with the semi-join PREFILTER Spark's own
+    * runtime-filter framework would inject if it could see across this
+    * pipeline: the held-out side's distinct gram hashes are OR-ed into one
+    * bounded bloom sketch ([[graft.functions.BloomFilters]], the
+    * `bloom_filter_agg` expression Catalyst itself uses), and the corpus
+    * side tests membership INSIDE the scan's codegen stage — so the ~all
+    * of the corpus whose grams never appear in any benchmark is dropped
+    * map-side and never reaches the join shuffle. At 100 TB this is the
+    * difference between shuffling every (doc, gram) pair and shuffling
+    * only plausible hits: benchmarks are tiny and fixed, the corpus is
+    * not.
+    *
+    * Exactness: blooms have NO false negatives, so the prefilter cannot
+    * drop a real match; false positives are removed by the exact join
+    * that follows — the result equals q68's shape bit-for-bit (the oracle
+    * runs the plain exact join and never sees the bloom). The only
+    * driver-side value is the sketch itself — bounded by `expectedItems`
+    * at build time (~1 MB here), the same bound Spark's runtime-filter
+    * broadcast holds, never data-sized. */
+  def q133BloomDecontam(spark: SparkSession, dir: String,
+      benchMod: Int = 41, minShared: Int = 2,
+      expectedItems: Long = 1L << 20): DataFrame = {
+    import graft.functions.{BloomFilters, TextHashFunctions}
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextHashFunctions.wordShingleHashes(col("text"), 3)).as("h"))
+    val bench = grams.filter(col("doc_id") % benchMod === 0)
+      .select(col("h")).distinct()
+    val train = grams.filter(col("doc_id") % benchMod =!= 0)
+    val prefiltered = BloomFilters.buildProbe(bench, col("h"), expectedItems)
+      match {
+        case Some(probe) => train.filter(probe)
+        case None => train.limit(0) // empty held-out set: nothing can match
+      }
+    prefiltered.join(bench, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+  }
+
+  // ---------------------------------------------------------------- C54
+  /** PageRank over the near-dup graph — the canonical-document authority
+    * score (which page of a duplicate cluster is the "original" other
+    * pages derived from): power iteration with damping 0.85 on the
+    * symmetric near-dup edge list, `iters` fixed rounds so the result is
+    * a deterministic function of the graph, isolated docs keep rank
+    * (1−d)/N.
+    *
+    * Distributed shape = q59's loop discipline: the edge list (with
+    * out-degrees pre-joined, so each round is ONE hash join + ONE
+    * aggregation over E) is materialized once and reused every round;
+    * each round's rank frame is lineage-truncated (plan growth is the
+    * iterative-algorithm killer) and the previous round's spill released
+    * the moment the next lands; `reliable = true` makes rounds durable
+    * for long chains on a lossy cluster. No driver-side data values at
+    * all — ranks stay distributed; only the loop counter lives on the
+    * driver. The dangling-mass term is zero BY CONSTRUCTION here (every
+    * node of an undirected edge list has out-degree ≥ 1), noted where a
+    * directed variant would re-add it.
+    *
+    * Rows-only in the driver (iterative fixpoints aren't one SQL
+    * statement); the spec replays the identical iteration in-memory and
+    * compares every rank within 1e-9 — the per-node contribution sum is
+    * a double reduction whose association varies with partitioning, so
+    * ranks are reproducible to FP tolerance, not bit-identity (exact
+    * bit-stability would need decimal contributions; not worth 4× the
+    * shuffle width for a score whose consumers threshold it). */
+  def q134PageRank(spark: SparkSession, dir: String,
+      threshold: Double = 0.6, iters: Int = 10, damping: Double = 0.85,
+      reliable: Boolean = false): DataFrame = {
+    val pairs = Dedup.q43NgramJaccard(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edgesM = graft.Lineage.truncate(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(col("src")), reliable)
+    try {
+      val edges = edgesM.df
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // (src, dst, deg(src)) materialized ONCE — every round joins ranks
+      // to THIS, so the Jaccard pipeline never re-executes
+      val adjM = graft.Lineage.truncate(
+        edges.join(deg, Seq("src")).repartition(col("src")), reliable)
+      try {
+        val nodes = adjM.df.select(col("src").as("doc_id")).distinct()
+        val n = nodes.count()
+        if (n == 0L) // empty pair graph: nothing references released spills
+          return spark.range(0).select(col("id").as("doc_id"),
+            lit(0d).as("rank"))
+        val base = (1d - damping) / n.toDouble
+        var ranksM = graft.Lineage.truncate(
+          nodes.withColumn("rank", lit(1d / n.toDouble)), reliable)
+        var iter = 0
+        while (iter < iters) {
+          val contrib = adjM.df
+            .join(ranksM.df.withColumnRenamed("doc_id", "src"), Seq("src"))
+            .groupBy(col("dst").as("doc_id"))
+            .agg(sum(col("rank") / col("deg").cast("double")).as("__in"))
+          val nextM = graft.Lineage.truncate(
+            nodes.join(contrib, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                (lit(base) + lit(damping) * coalesce(col("__in"), lit(0d)))
+                  .as("rank")), reliable)
+          ranksM.release()
+          ranksM = nextM
+          iter += 1
+        }
+        ranksM.df
+      } finally adjM.release()
+    } finally edgesM.release()
+  }
 }

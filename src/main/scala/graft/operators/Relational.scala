@@ -1190,6 +1190,125 @@ object Relational {
           .as("percent_rank"))
   }
 
+  // ---------------------------------------------------------------- A62
+  /** Rolling z-score anomaly detection — flag events whose value deviates
+    * more than `zThresh` standard deviations from the user's own trailing
+    * baseline (the 20 events BEFORE this one — the current row is excluded
+    * so an outlier cannot dilute the baseline it is judged against). The
+    * monitoring primitive behind data-drift and fraud alerts.
+    *
+    * Determinism (the reason mean/stddev are NOT `avg`/`stddev_samp` over
+    * doubles): a double window sum is evaluated in frame order by Spark
+    * but DuckDB's sliding-window aggregates use segment trees — different
+    * association, different last bits, hash mismatch. Instead the frame
+    * sums Σv and Σv² run over DECIMAL(14,2) (exact, order-independent;
+    * `value` is 2-decimal by contract) and mean/variance/z are single
+    * IEEE expressions of those exact integers — bit-identical in both
+    * engines. `greatest(·,0)` guards the catastrophic-cancellation case
+    * (all-equal frame → tiny negative variance → NaN sqrt).
+    *
+    * Scale: one shuffle on user_id; both frame sums share the single
+    * per-user sort; output is only the flagged rows. */
+  def q129ZscoreAnomaly(spark: SparkSession, dir: String,
+      lookback: Int = 20, minPrior: Int = 10,
+      zThresh: Double = 2.5): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", unix_micros($"ts".cast("timestamp")).as("us"),
+        $"ts", $"value", money($"value").as("v"))
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(-lookback, -1)
+    e.select($"event_id", $"user_id", $"ts", $"value",
+        count(lit(1)).over(w).as("n"),
+        asDouble(sum($"v").over(w)).as("s1"),
+        asDouble(sum($"v" * $"v").over(w)).as("s2"))
+      .filter($"n" >= minPrior)
+      .withColumn("mu", $"s1" / $"n".cast("double"))
+      .withColumn("sd", sqrt(greatest(
+        ($"s2" - $"s1" * $"s1" / $"n".cast("double"))
+          / ($"n".cast("double") - 1d), lit(0d))))
+      .filter($"sd" > 0d)
+      .withColumn("z", ($"value" - $"mu") / $"sd")
+      .filter(abs($"z") > zThresh)
+      .select($"event_id", $"user_id", $"ts", $"value", $"mu", $"sd", $"z")
+  }
+
+  // ---------------------------------------------------------------- A63
+  /** Linearly-weighted moving average (WMA-10) per user — the trend
+    * smoother that weights the newest of the last 10 values 10× the
+    * oldest. The textbook formulation multiplies each frame row by a
+    * weight that depends on BOTH the frame row and the current row
+    * (w = 10 − (t−i)) — not directly a window aggregate. Decomposed:
+    * Σ vᵢ·(10−t+i) = (10−t)·Σvᵢ + Σ(vᵢ·i), two ORDINARY frame sums over
+    * per-row constants (i = the user's row number, computed once before
+    * windowing), combined per row in three IEEE ops over the exact sums;
+    * the weight total for a full frame is the constant 55. Emitted only
+    * where the frame is full (rn ≥ 10), so every output is a true WMA-10.
+    *
+    * Scale: one shuffle on user_id; rn and both frame sums share one
+    * per-user sort. All sums are DECIMAL-exact (q129's rule); the single
+    * division happens in double at the end. */
+  def q130WeightedMa(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", unix_micros($"ts".cast("timestamp")).as("us"),
+        $"ts", $"value", money($"value").as("v"))
+    val order = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val frame = order.rowsBetween(-9, 0)
+    e.withColumn("rn", row_number().over(order).cast("long"))
+      .select($"event_id", $"user_id", $"ts", $"value", $"rn",
+        sum($"v").over(frame).as("s0"),
+        sum($"v" * $"rn").over(frame).as("s1"))
+      .filter($"rn" >= 10)
+      // combine in DOUBLE: the frame sums are decimal-exact, and a
+      // BIGINT·DECIMAL(38,2) product would overflow DuckDB's width cap;
+      // double casts of identical exact decimals round identically, and
+      // the remaining three IEEE ops are written identically both sides
+      .withColumn("wma",
+        ((lit(10L) - $"rn").cast("double") * asDouble($"s0")
+          + asDouble($"s1")) / 55d)
+      .select($"event_id", $"user_id", $"ts", $"value", $"wma")
+  }
+
+  // ---------------------------------------------------------------- A64
+  /** Top user-journey paths — sessionize (q89's 30-min gap), render each
+    * session's first 8 event types as a `a>b>c` path string, and rank the
+    * 20 most frequent paths. The product-analytics "common flows" report.
+    *
+    * Determinism: the path string is built from `sort_array` over
+    * (within-session index, type) structs — the index is unique in its
+    * session, so concatenation order is a total order, not arrival order
+    * (q92's listagg rule). Scale: the session id and within-session index
+    * are two key-parallel window passes (user_id, then (user_id, session));
+    * the truncation to 8 events bounds every collected list; the path
+    * groupBy is a partial-agged shuffle; top-20 is TakeOrdered + a
+    * 20-row rank window (q119's pattern — no global sort, no
+    * single-task window over the full path table). */
+  def q131TopPaths(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30, maxLen: Int = 8, k: Int = 20): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val sessions = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", unix_micros($"ts".cast("timestamp")).as("us"),
+        $"event_type")
+      .withColumn("__new",
+        when(lag($"us", 1).over(byUser).isNull
+          || $"us" - lag($"us", 1).over(byUser) > gapUs, 1L).otherwise(0L))
+      .withColumn("sess", sum($"__new")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("k", row_number().over(
+        Window.partitionBy($"user_id", $"sess").orderBy($"us", $"event_id")))
+      .filter($"k" <= maxLen)
+    val paths = sessions
+      .groupBy($"user_id", $"sess")
+      .agg(concat_ws(">", transform(
+        sort_array(collect_list(struct($"k", $"event_type"))),
+        s => s.getField("event_type"))).as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+    paths
+      .orderBy($"n_sessions".desc, $"path").limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"n_sessions".desc, $"path")).cast("long"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
