@@ -154,6 +154,7 @@ object SparkEntry {
     "q132_uniform_sample" -> ((s, d) => Corpus.q132UniformSample(s, d)),
     "q133_bloom_decontam" -> ((s, d) => Corpus.q133BloomDecontam(s, d)),
     "q134_pagerank" -> ((s, d) => Corpus.q134PageRank(s, d)),
+    "q135_hybrid_rrf" -> ((s, d) => Corpus.q135HybridRrf(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1358,5 +1359,42 @@ object SparkEntry {
         |FROM g t JOIN bench USING (gram)
         |WHERE t.doc_id % 41 <> 0
         |GROUP BY t.doc_id""".stripMargin,
+    "q135_hybrid_rrf" ->
+      """WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |st AS (SELECT count(*) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+        |       WHERE word IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id, tf.word,
+        |        sqrt((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |             / (CAST(df AS DOUBLE) + 0.5))
+        |        * ((CAST(tf AS DOUBLE) * 2.2)
+        |           / (CAST(tf AS DOUBLE)
+        |              + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS tscore
+        |      FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN st),
+        |p AS (SELECT doc_id,
+        |        COALESCE(max(CASE WHEN word = 'spark' THEN tscore END), 0.0) AS s1,
+        |        COALESCE(max(CASE WHEN word = 'join' THEN tscore END), 0.0) AS s2,
+        |        COALESCE(max(CASE WHEN word = 'window' THEN tscore END), 0.0) AS s3
+        |      FROM s GROUP BY 1),
+        |r AS (SELECT doc_id, (s1 + s2) + s3 AS score FROM p),
+        |lex AS (SELECT doc_id, score AS bm25, CAST(row_number() OVER
+        |         (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex FROM r),
+        |lexk AS (SELECT * FROM lex WHERE r_lex <= 100),
+        |q AS (SELECT doc_id,
+        |        CAST(sum((length(word) * 7) % 13 - 6) AS BIGINT) AS q_score
+        |      FROM w GROUP BY doc_id),
+        |qr AS (SELECT doc_id, q_score, CAST(row_number() OVER
+        |         (ORDER BY q_score DESC, doc_id) AS BIGINT) AS r_quality FROM q),
+        |f AS (SELECT doc_id, bm25, r_lex, q_score, r_quality,
+        |        1.0 / (60.0 + CAST(r_lex AS DOUBLE))
+        |          + 1.0 / (60.0 + CAST(r_quality AS DOUBLE)) AS rrf
+        |      FROM lexk JOIN qr USING (doc_id)),
+        |top AS (SELECT * FROM f ORDER BY rrf DESC, doc_id LIMIT 20)
+        |SELECT doc_id, bm25, r_lex, q_score, r_quality, rrf,
+        |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+        |FROM top""".stripMargin,
   )
 }

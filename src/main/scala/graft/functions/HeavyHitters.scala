@@ -29,60 +29,68 @@ object HeavyHitters {
     * it here also saves the caller a separate counting pass. */
   final case class MGBuf(counters: mutable.Map[String, Long], var n: Long)
 
+  /** Evict IN PLACE until ≤ cap counters by subtracting a pivot ≥ the
+    * (cap+1)-th largest count and dropping the non-positive (batched MG
+    * decrement; same bound). A one-entry overflow (the per-row update
+    * path) pivots on the MINIMUM — one O(cap) scan; larger overflows
+    * (merge: ≤ 2·cap entries) find the pivot by [[kthSmallest]]
+    * quickselect — expected O(cap), vs a full sort. No fresh map is
+    * allocated: callers on per-row paths rely on mutation. Object-level
+    * so the streaming processor ([[graft.streaming.StreamingTopK]])
+    * shares the exact same eviction as the batch Aggregator. */
+  private[graft] def shrinkInPlace(b: mutable.Map[String, Long],
+      cap: Int): Unit = {
+    if (b.size <= cap) return
+    val pivot =
+      if (b.size == cap + 1) {
+        var m = Long.MaxValue
+        b.foreach { case (_, v) => if (v < m) m = v }
+        m
+      } else {
+        val vs = b.values.toArray
+        kthSmallest(vs, vs.length - 1 - cap) // = (cap+1)-th largest
+      }
+    b.mapValuesInPlace((_, v) => v - pivot)
+    b.filterInPlace((_, v) => v > 0)
+  }
+
+  /** MG point update: count `a` then re-bound — the per-element step both
+    * the batch reduce and the streaming processor apply. */
+  private[graft] def offer(b: mutable.Map[String, Long], a: String,
+      cap: Int): Unit = {
+    b.updateWith(a) { c => Some(c.getOrElse(0L) + 1L) }
+    shrinkInPlace(b, cap)
+  }
+
+  /** In-place Hoare-partition quickselect: k-th smallest (0-based) of `a`.
+    * Median-of-three pivot; expected O(n), and n ≤ 2·cap here. */
+  private def kthSmallest(a: Array[Long], k: Int): Long = {
+    var lo = 0; var hi = a.length - 1
+    while (lo < hi) {
+      val mid = lo + (hi - lo) / 2
+      val p = math.max(math.min(a(lo), a(mid)),
+        math.min(math.max(a(lo), a(mid)), a(hi)))
+      var i = lo; var j = hi
+      while (i <= j) {
+        while (a(i) < p) i += 1
+        while (a(j) > p) j -= 1
+        if (i <= j) { val t = a(i); a(i) = a(j); a(j) = t; i += 1; j -= 1 }
+      }
+      if (k <= j) hi = j
+      else if (k >= i) lo = i
+      else return a(k)
+    }
+    a(lo)
+  }
+
   final class MisraGries(cap: Int)
       extends Aggregator[String, MGBuf, (Map[String, Long], Long)] {
     require(cap > 0, "cap must be positive")
 
     override def zero: MGBuf = MGBuf(mutable.Map.empty, 0L)
 
-    /** Evict IN PLACE until ≤ cap counters by subtracting a pivot ≥ the
-      * (cap+1)-th largest count and dropping the non-positive (batched MG
-      * decrement; same bound). reduce() can overflow by exactly one entry,
-      * so its pivot is the MINIMUM — one O(cap) scan; merge() (≤ 2·cap
-      * entries) finds its pivot by [[kthSmallest]] quickselect — expected
-      * O(cap), vs the full sort this used to pay per merge. No fresh map is
-      * allocated on either path: the Aggregator contract lets reduce/merge
-      * mutate and return their buffer, which matters when reduce runs once
-      * per input ROW. */
-    private def shrinkInPlace(b: mutable.Map[String, Long]): Unit = {
-      if (b.size <= cap) return
-      val pivot =
-        if (b.size == cap + 1) {
-          var m = Long.MaxValue
-          b.foreach { case (_, v) => if (v < m) m = v }
-          m
-        } else {
-          val vs = b.values.toArray
-          kthSmallest(vs, vs.length - 1 - cap) // = (cap+1)-th largest
-        }
-      b.mapValuesInPlace((_, v) => v - pivot)
-      b.filterInPlace((_, v) => v > 0)
-    }
-
-    /** In-place Hoare-partition quickselect: k-th smallest (0-based) of `a`.
-      * Median-of-three pivot; expected O(n), and n ≤ 2·cap here. */
-    private def kthSmallest(a: Array[Long], k: Int): Long = {
-      var lo = 0; var hi = a.length - 1
-      while (lo < hi) {
-        val mid = lo + (hi - lo) / 2
-        val p = math.max(math.min(a(lo), a(mid)),
-          math.min(math.max(a(lo), a(mid)), a(hi)))
-        var i = lo; var j = hi
-        while (i <= j) {
-          while (a(i) < p) i += 1
-          while (a(j) > p) j -= 1
-          if (i <= j) { val t = a(i); a(i) = a(j); a(j) = t; i += 1; j -= 1 }
-        }
-        if (k <= j) hi = j
-        else if (k >= i) lo = i
-        else return a(k)
-      }
-      a(lo)
-    }
-
     override def reduce(b: MGBuf, a: String): MGBuf = {
-      b.counters.updateWith(a) { c => Some(c.getOrElse(0L) + 1L) }
-      shrinkInPlace(b.counters)
+      offer(b.counters, a, cap)
       b.n += 1L
       b
     }
@@ -96,7 +104,7 @@ object HeavyHitters {
       small.counters.foreach { case (k, v) =>
         big.counters.updateWith(k)(c => Some(c.getOrElse(0L) + v))
       }
-      shrinkInPlace(big.counters)
+      shrinkInPlace(big.counters, cap)
       big.n = x.n + y.n
       big
     }

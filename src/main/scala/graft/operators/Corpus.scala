@@ -1064,6 +1064,49 @@ object Corpus {
       .withColumn("contaminated", col("n_shared") >= minShared)
   }
 
+  // ---------------------------------------------------------------- C55
+  /** Hybrid retrieval via Reciprocal Rank Fusion — the standard way a
+    * data-mining pipeline combines heterogeneous relevance signals
+    * (RRF(d) = Σ 1/(c + rankᵢ(d)), c = 60 from the original TREC paper):
+    * here the lexical BM25 ranking (q74) fused with the corpus-wide
+    * quality-classifier prior (q121), the "relevant AND well-formed"
+    * selection used to mine training data for a target task. RRF needs
+    * only RANKS, never score calibration — which is exactly why it is
+    * the fusion of choice across signals with incomparable scales.
+    *
+    * Scale: the lexical side is already top-`candidates` (TakeOrdered);
+    * the quality side needs a GLOBAL rank of every document —
+    * [[Rank.globalRowNumber]] (range exchange + metadata offsets), never
+    * `row_number() OVER (ORDER BY …)`'s single task. The fusion join
+    * broadcasts the `candidates`-row lexical side into the ranked corpus
+    * (inner join ⇒ corpus-sized side never shuffles); final top-k is
+    * rank-after-TakeOrdered (q119's pattern). The RRF sum is two IEEE
+    * divisions of exact integer ranks, written identically in the
+    * oracle — bit-exact cross-engine. */
+  def q135HybridRrf(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "join", "window"),
+      candidates: Int = 100, k: Int = 20): DataFrame = {
+    val lex = q74Bm25(spark, dir, terms, candidates)
+      .select(col("doc_id"), col("score").as("bm25"),
+        col("rk").as("r_lex"))
+    val quality = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        expr("aggregate(ws, 0L, (acc, w) -> " +
+          "acc + cast((length(w) * 7) % 13 - 6 as bigint))").as("q_score"))
+    val ranked = Rank.globalRowNumber(quality,
+      Seq(col("q_score").desc, col("doc_id").asc), "r_quality")
+    ranked.join(broadcast(lex), Seq("doc_id"))
+      .withColumn("rrf",
+        lit(1.0) / (lit(60.0) + col("r_lex").cast("double"))
+          + lit(1.0) / (lit(60.0) + col("r_quality").cast("double")))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("bm25"), col("r_lex"), col("q_score"),
+        col("r_quality").cast("long").as("r_quality"), col("rrf"), col("rk"))
+  }
+
   // ---------------------------------------------------------------- C54
   /** PageRank over the near-dup graph — the canonical-document authority
     * score (which page of a duplicate cluster is the "original" other

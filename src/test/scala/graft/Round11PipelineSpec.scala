@@ -190,6 +190,37 @@ class Round11PipelineSpec extends SparkSpec {
     assert(got === decontamWant(41, 2))
   }
 
+  // --- q135 hybrid RRF retrieval ---------------------------------------
+
+  test("q135 RRF fusion equals a replay from its two input rankings") {
+    // lexical side: q74's output (its own spec + oracle gate it)
+    val lex = graft.operators.Corpus.q74Bm25(spark, sf, k = 100)
+      .as[(Long, Double, Long)].collect()
+    // quality side: replay q121's integer fold + global rank
+    val qRank = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.split(" ", -1).map(w => (w.length * 7) % 13 - 6L).sum
+      }
+      .sortBy { case (id, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, s), i) => id -> (s, i + 1L) }.toMap
+    val want = lex.map { case (id, bm, rl) =>
+        val (qs, rq) = qRank(id)
+        (id, bm, rl, qs, rq, 1.0 / (60.0 + rl) + 1.0 / (60.0 + rq))
+      }
+      .sortBy { case (id, _, _, _, _, rrf) => (-rrf, id) }.take(20).zipWithIndex
+      .map { case ((id, bm, rl, qs, rq, rrf), i) =>
+        (id, bm, rl, qs, rq, rrf, i + 1L)
+      }.toSet
+    val got = Corpus.q135HybridRrf(spark, sf)
+      .as[(Long, Double, Long, Long, Long, Double, Long)].collect().toSet
+    assert(got === want)
+    // the quality prior must genuinely re-rank, or the fusion is a no-op
+    val fusedOrder = got.toSeq.sortBy(_._7).map(_._1)
+    val lexOrder = lex.sortBy(_._3).map(_._1).take(20).toSeq
+    assert(fusedOrder !== lexOrder, "data must exercise re-ranking")
+  }
+
   // --- q134 PageRank ---------------------------------------------------
 
   test("q134 equals an in-memory power iteration within 1e-9") {
