@@ -155,6 +155,7 @@ object SparkEntry {
     "q133_bloom_decontam" -> ((s, d) => Corpus.q133BloomDecontam(s, d)),
     "q134_pagerank" -> ((s, d) => Corpus.q134PageRank(s, d)),
     "q135_hybrid_rrf" -> ((s, d) => Corpus.q135HybridRrf(s, d)),
+    "q136_twap" -> (Relational.q136Twap _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1396,5 +1397,21 @@ object SparkEntry {
         |SELECT doc_id, bm25, r_lex, q_score, r_quality, rrf,
         |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
         |FROM top""".stripMargin,
+    "q136_twap" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |g AS (SELECT user_id, cents,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+        |      AS gap
+        |  FROM e),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_holds,
+        |    CAST(sum(gap) AS BIGINT) AS span_us,
+        |    CAST(sum(cents * gap) AS BIGINT) AS num_cents
+        |  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_holds, span_us,
+        |  CAST(num_cents AS DOUBLE) / CAST(span_us * 100 AS DOUBLE) AS twap
+        |FROM a WHERE span_us > 0""".stripMargin,
   )
 }

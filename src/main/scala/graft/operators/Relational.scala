@@ -1309,6 +1309,41 @@ object Relational {
         Window.orderBy($"n_sessions".desc, $"path")).cast("long"))
   }
 
+  // ---------------------------------------------------------------- A65
+  /** Time-weighted average value per user (TWAP — the time-series summary
+    * that weights each reading by how long it was current, the standard
+    * fix for irregular sampling where a plain mean over-weights bursts):
+    * each event's value is held until the user's next event; TWAP =
+    * Σ vᵢ·gapᵢ / Σ gapᵢ over the hold intervals. Users with one event or
+    * a zero total span have no defined holding time and are excluded.
+    *
+    * Exactness: gaps are exact integer micros from `lead`; values go
+    * through cents (`decimal·100 → BIGINT`, exact), so the numerator is a
+    * pure BIGINT sum — NOT a wide decimal: DuckDB's wide-decimal→double
+    * cast double-rounds (unscaled→double, then /10^scale), off by an ulp
+    * from Spark's exact-rational rounding, and an integer→double cast is
+    * the identical single rounding everywhere. The final division is one
+    * IEEE op of two such casts. (Numerator headroom: cents ≤ 5e4, gaps ≤
+    * ~3e12 µs, so ~2e14/hold — loud long overflow needs ~50k year-long
+    * holds per user.) Scale: one shuffle on user_id; the lead window and
+    * the groupBy share the user partitioning (no second exchange — the
+    * aggregation is map-side-partial over data already hashed by user). */
+  def q136Twap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id",
+        unix_micros($"ts".cast("timestamp")).as("us"),
+        (money($"value") * 100).cast("long").as("cents"))
+      .withColumn("gap", lead($"us", 1).over(w) - $"us")
+      .filter($"gap".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_holds"), sum($"gap").as("span_us"),
+        sum($"cents" * $"gap").as("num_cents"))
+      .filter($"span_us" > 0)
+      .select($"user_id", $"n_holds", $"span_us",
+        (asDouble($"num_cents") / asDouble($"span_us" * 100)).as("twap"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
