@@ -102,23 +102,31 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark 4 refuses outright
-    * ([PARQUET_TYPE_ILLEGAL]) unless `spark.sql.legacy.parquet.nanosAsLong`
-    * is on — a session-build-time setting ([[graft.GraftSession.builder]]
-    * sets it; this reader must not mutate a live session's conf). The nanos
-    * long is rebuilt into a µs timestamp with integer division (a double
-    * division would lose precision at the 1e18 scale).
-    * Truncation-toward-floor matches DuckDB's CAST(ns AS TIMESTAMP). */
+  /** `ts` is normalized to TIMESTAMP_NTZ whatever physical type the dataset
+    * generation used, so every downstream operator (and the DuckDB oracle,
+    * whose timestamps are naive) sees one µs-precision naive-timestamp
+    * column:
+    *   - TIMESTAMP(MICROS), isAdjustedToUTC=false → read as NTZ, pass-through;
+    *   - legacy TIMESTAMP(NANOS) datasets → Spark 4 refuses the type outright
+    *     ([PARQUET_TYPE_ILLEGAL]) unless `spark.sql.legacy.parquet.nanosAsLong`
+    *     is on (a session-build-time setting; [[graft.GraftSession.builder]]
+    *     sets it — this reader must not mutate a live session's conf), and the
+    *     nanos long is rebuilt into µs with integer division (a double
+    *     division would lose precision at the 1e18 scale;
+    *     truncation-toward-floor matches DuckDB's CAST(ns AS TIMESTAMP)). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet is TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true (GraftSession.builder does)")
-    // TIMESTAMP_NTZ matches how Spark 4 reads the other tables' timestamps
-    // (parquet isAdjustedToUTC=false → NTZ) and DuckDB's naive timestamps.
-    apply(spark, dir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr(
-          "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case TimestampNTZType => raw
+      case LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+      case other =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampNTZType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
