@@ -171,4 +171,40 @@ class Round11OpsSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
     assert(got === want)
   }
+
+  // --- q136 TWAP --------------------------------------------------------
+
+  test("q136 equals a per-user brute-force replay of the hold intervals") {
+    // cents come from the SAME decimal cast the operator uses, so this
+    // replay tests the interval/windowing logic, not double→decimal rounding
+    val ev = sources.Tables.events(spark, sf)
+      .select($"user_id",
+        unix_micros($"ts".cast("timestamp")).as("us"),
+        $"event_id",
+        ($"value".cast("decimal(14,2)") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)].collect()
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val holds = rows.sortBy(r => (r._2, r._3)).toSeq.sliding(2).collect {
+        case Seq(a, b) => (a._4, b._2 - a._2) // (cents held, gap µs)
+      }.toSeq
+      val span = holds.map(_._2).sum
+      if (holds.isEmpty || span <= 0) None
+      else Some(u -> ((holds.size.toLong, span,
+        holds.map(h => h._1 * h._2).sum.toDouble / (span * 100).toDouble)))
+    }
+    val got = Relational.q136Twap(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("q136 plan shares ONE user_id exchange between window and agg") {
+    val plan = Relational.q136Twap(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges === 1,
+      s"expected the lead window and the groupBy to reuse one user_id " +
+        s"hash exchange, plan had $exchanges:\n$plan")
+  }
 }
