@@ -156,6 +156,12 @@ object SparkEntry {
     "q134_pagerank" -> ((s, d) => Corpus.q134PageRank(s, d)),
     "q135_hybrid_rrf" -> ((s, d) => Corpus.q135HybridRrf(s, d)),
     "q136_twap" -> (Relational.q136Twap _),
+    "q137_ohlc" -> (Relational.q137OhlcBars _),
+    "q138_copurchase" -> ((s, d) => Relational.q138Copurchase(s, d)),
+    "q139_posting_lists" -> ((s, d) => Corpus.q139PostingLists(s, d)),
+    "q140_concentration" -> ((s, d) => Corpus.q140Concentration(s, d)),
+    "q141_simpson" -> ((s, d) => TextAnalysis.q141SimpsonDiversity(s, d)),
+    "q142_peak_concurrency" -> ((s, d) => Relational.q142PeakConcurrency(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1413,5 +1419,74 @@ object SparkEntry {
         |SELECT user_id, n_holds, span_us,
         |  CAST(num_cents AS DOUBLE) / CAST(span_us * 100 AS DOUBLE) AS twap
         |FROM a WHERE span_us > 0""".stripMargin,
+    "q137_ohlc" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(value AS DECIMAL(14,2)) AS v FROM events),
+        |b AS (SELECT *, us // 300000000 AS bucket FROM e),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, bucket ORDER BY us, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY user_id, bucket ORDER BY us DESC, event_id DESC) AS rd
+        |  FROM b)
+        |SELECT user_id, bucket,
+        |  CAST(max(CASE WHEN ra = 1 THEN v END) AS DOUBLE) AS open,
+        |  CAST(max(v) AS DOUBLE) AS high, CAST(min(v) AS DOUBLE) AS low,
+        |  CAST(max(CASE WHEN rd = 1 THEN v END) AS DOUBLE) AS close,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS DOUBLE) AS vsum
+        |FROM r GROUP BY user_id, bucket""".stripMargin,
+    "q138_copurchase" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT a.pk AS pk_a, b.pk AS pk_b, CAST(count(*) AS BIGINT) AS n_orders
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |t AS (SELECT * FROM p ORDER BY n_orders DESC, pk_a, pk_b LIMIT 100)
+        |SELECT pk_a, pk_b, n_orders,
+        |  CAST(row_number() OVER (ORDER BY n_orders DESC, pk_a, pk_b) AS BIGINT) AS rk
+        |FROM t""".stripMargin,
+    "q139_posting_lists" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |tot AS (SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        |        FROM tf GROUP BY 1 HAVING count(*) >= 5),
+        |r AS (SELECT token, df, cf, doc_id, tf,
+        |    CAST(row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS BIGINT) AS rk
+        |  FROM tf JOIN tot USING (token))
+        |SELECT token, df, cf, doc_id, tf, rk FROM r WHERE rk <= 3""".stripMargin,
+    "q140_concentration" ->
+      """WITH bins AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(n_chars * count(*) AS BIGINT) AS chars
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |    CAST(sum(cnt) OVER ws AS BIGINT) AS cum_docs,
+        |    CAST(sum(chars) OVER ws AS BIGINT) AS cum_chars,
+        |    CAST(sum(cnt) OVER wt AS BIGINT) AS total_docs,
+        |    CAST(sum(chars) OVER wt AS BIGINT) AS total_chars
+        |  FROM bins
+        |  WINDOW ws AS (PARTITION BY source ORDER BY n_chars DESC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wt AS (PARTITION BY source)),
+        |p AS (SELECT c.*, CAST(t.pct AS BIGINT) AS pct
+        |      FROM c, (VALUES (50), (80), (90)) AS t(pct) WHERE total_chars > 0)
+        |SELECT source, pct,
+        |  CAST(cum_docs - cnt
+        |    + (pct * total_chars - 100 * (cum_chars - chars) + 100 * n_chars - 1)
+        |      // (100 * n_chars) AS BIGINT) AS docs_needed,
+        |  total_docs, total_chars
+        |FROM p
+        |WHERE 100 * cum_chars >= pct * total_chars
+        |  AND 100 * (cum_chars - chars) < pct * total_chars""".stripMargin,
+    "q141_simpson" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(c * c) AS BIGINT) AS sumsq FROM c GROUP BY 1)
+        |SELECT doc_id, n AS n_tokens, nd AS n_distinct, sumsq,
+        |  CAST(n * n - sumsq AS DOUBLE) / CAST(n * n AS DOUBLE) AS simpson
+        |FROM a""".stripMargin,
+    "q142_peak_concurrency" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |x AS (SELECT us AS pt, 1 AS d FROM e
+        |      UNION ALL SELECT us + 300000000, -1 FROM e),
+        |g AS (SELECT pt, CAST(sum(d) AS BIGINT) AS d FROM x GROUP BY pt),
+        |r AS (SELECT pt, CAST(sum(d) OVER (ORDER BY pt) AS BIGINT) AS conc FROM g)
+        |SELECT conc AS peak, pt AS at_us FROM r ORDER BY conc DESC, pt LIMIT 1""".stripMargin,
   )
 }

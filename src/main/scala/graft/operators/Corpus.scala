@@ -1178,4 +1178,83 @@ object Corpus {
       } finally adjM.release()
     } finally edgesM.release()
   }
+
+  // ---------------------------------------------------------------- C56
+  /** Capped inverted-index construction — per token: document frequency,
+    * collection frequency, and the top-`k` highest-tf postings (tf desc,
+    * doc_id tiebreak). The retrieval-index build pass (BM25 serving,
+    * impact-ordered / champion-list indexes keep exactly this per-term
+    * cap), restricted to tokens with df ≥ `minDf` (singleton-token
+    * postings are retrieval noise and index bloat).
+    *
+    * Scale: tf is one partial-aggregated (token, doc_id) shuffle; totals
+    * one more on token. The totals join is a plain hash join with NO
+    * forced broadcast — vocabulary is corpus-sized, not dimension-sized
+    * (q119's rule; the optimizer/AQE broadcast only if it actually fits).
+    * The cap is the critical part: `row_number ≤ k` per token compiles to
+    * WindowGroupLimit, so no task ever materializes a hot token's full
+    * posting list (a stopword's postings are |corpus|-sized — collecting
+    * them per group is the classic index-build OOM). */
+  def q139PostingLists(spark: SparkSession, dir: String,
+      minDf: Int = 5, k: Int = 3): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val totals = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .filter(col("df") >= minDf)
+    tf.join(totals, Seq("token"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("token"))
+          .orderBy(col("tf").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("token"), col("df"), col("cf"), col("doc_id"),
+        col("tf"), col("rk"))
+  }
+
+  // ---------------------------------------------------------------- C57
+  /** Size-concentration (Lorenz/Pareto) profile per source — how many of
+    * the largest documents it takes to cover 50/80/90% of a source's total
+    * characters. The "is this source a few giant pages or many small ones"
+    * diagnostic that drives chunking and per-source quota decisions; a
+    * docs_to_50 of 3 on a million-doc source is a red flag.
+    *
+    * Exactness: `docs_to_p` is the minimal m with (sum of the m largest
+    * sizes)·100 ≥ p·total — all-integer arithmetic (scaling by 100 instead
+    * of dividing; ceil via `(num + den - 1) div den`), so both engines
+    * agree bit-for-bit with no FP threshold ambiguity. Ties by size are
+    * handled exactly BECAUSE the scan is binned: within a bin every doc
+    * has the same size, so the partial-bin count is well defined.
+    *
+    * Scale: the corpus-sized work is ONE partial-aggregated groupBy on
+    * (source, n_chars). The ordered windows then run over the BINNED frame
+    * — |sources| × |distinct sizes| rows, bounded by the document length
+    * domain, not the corpus (q116's aggregated-frame rule) — and the ×3
+    * percentile fan-out is a literal-array explode on that same bounded
+    * frame. */
+  def q140Concentration(spark: SparkSession, dir: String): DataFrame = {
+    val bins = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("chars", col("n_chars") * col("cnt"))
+    val ws = Window.partitionBy(col("source")).orderBy(col("n_chars").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("source"))
+    bins
+      .withColumn("cum_docs", sum(col("cnt")).over(ws))
+      .withColumn("cum_chars", sum(col("chars")).over(ws))
+      .withColumn("total_docs", sum(col("cnt")).over(wt))
+      .withColumn("total_chars", sum(col("chars")).over(wt))
+      .filter(col("total_chars") > 0)
+      .withColumn("pct", explode(array(lit(50L), lit(80L), lit(90L))))
+      // the crossing bin: cumulative share reaches p here and not before
+      .filter(col("cum_chars") * 100 >= col("pct") * col("total_chars") &&
+        (col("cum_chars") - col("chars")) * 100 < col("pct") * col("total_chars"))
+      .withColumn("docs_needed",
+        col("cum_docs") - col("cnt") + expr(
+          "(pct * total_chars - 100 * (cum_chars - chars) + 100 * n_chars - 1) " +
+            "div (100 * n_chars)"))
+      .select(col("source"), col("pct"), col("docs_needed"),
+        col("total_docs"), col("total_chars"))
+  }
 }

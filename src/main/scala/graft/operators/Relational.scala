@@ -1344,6 +1344,90 @@ object Relational {
         (asDouble($"num_cents") / asDouble($"span_us" * 100)).as("twap"))
   }
 
+  // ---------------------------------------------------------------- A66
+  /** OHLC resampling — per user × 5-minute bucket open/high/low/close/
+    * count/sum, the downsampling pass every time-series store runs to turn
+    * an irregular event stream into fixed bars (and the batch twin of a
+    * tumbling-window streaming agg).
+    *
+    * Open/close are ORDER-DEPENDENT aggregates with no direct Spark
+    * aggregate function; the standard trick is an order-embedding struct:
+    * `min(struct(us, event_id, v))` compares lexicographically, so its `v`
+    * field IS the value of the earliest event (event_id breaks ts ties —
+    * total order, deterministic on any partitioning). That keeps the whole
+    * operator ONE partial-aggregated groupBy — no window, no per-bucket
+    * sort, map-side combine does most of the work before the single
+    * (user, bucket) shuffle. Bucket index is integer `div` of epoch µs
+    * (q83's rule: a double division can round across a boundary). Values
+    * go through DECIMAL(14,2) so high/low/sums are exact; the final cast
+    * to DOUBLE is the same single rounding in both engines. */
+  def q137OhlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_id",
+        unix_micros($"ts".cast("timestamp")).as("us"),
+        money($"value").as("v"))
+      .withColumn("bucket", expr("us div 300000000"))
+    e.groupBy($"user_id", $"bucket")
+      .agg(
+        asDouble(min(struct($"us", $"event_id", $"v")).getField("v")).as("open"),
+        asDouble(max($"v")).as("high"),
+        asDouble(min($"v")).as("low"),
+        asDouble(max(struct($"us", $"event_id", $"v")).getField("v")).as("close"),
+        count(lit(1)).as("n"),
+        asDouble(sum($"v")).as("vsum"))
+  }
+
+  // ---------------------------------------------------------------- A67
+  /** Co-purchase pairs — the market-basket co-occurrence matrix (parts
+    * bought together in one order), ranked by support: the classic
+    * recommender / affinity-analysis primitive.
+    *
+    * Scale: the quadratic lives INSIDE each order — the self-join keys on
+    * l_orderkey, so per-order fan-out is (items choose 2), bounded by the
+    * max basket size (single digits in order data), never |lineitem|²;
+    * both sides are the same distinct projection, so the join is
+    * co-partitioned on one orderkey exchange. Pair counts partial-agg
+    * before their shuffle; the final ranking is rank-after-TakeOrdered
+    * (q119's pattern — per-partition top-k, the row_number window only
+    * ever sees the k survivors). */
+  def q138Copurchase(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    li.as("a").join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .select($"a.pk".as("pk_a"), $"b.pk".as("pk_b"))
+      .groupBy($"pk_a", $"pk_b").agg(count(lit(1)).as("n_orders"))
+      .orderBy($"n_orders".desc, $"pk_a", $"pk_b").limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"n_orders".desc, $"pk_a", $"pk_b")).cast("long"))
+  }
+
+  // ---------------------------------------------------------------- A68
+  /** Peak concurrency — the maximum number of simultaneously-active events
+    * (each event held active for 5 minutes) and the earliest instant it is
+    * reached: the sweep-line / interval-stabbing query behind capacity
+    * planning and concurrency SLAs.
+    *
+    * The textbook solution is ±1 deltas at interval ends and a running sum
+    * over the global time order — `sum() OVER (ORDER BY pt)`: ONE task at
+    * any scale. Here deltas are pre-aggregated per distinct instant (which
+    * also makes the running value well-defined AT each instant — opens and
+    * closes at the same µs net out, no within-tie processing-order
+    * artifact; [start, end) semantics) and the running sum is
+    * [[Rank.prefixSumAndTotal]] — range partitions, per-partition sums, a
+    * metadata-sized carry-in per partition. The single-row answer is
+    * TakeOrdered over the swept points. */
+  def q142PeakConcurrency(spark: SparkSession, dir: String,
+      holdUs: Long = 300000000L): DataFrame = {
+    val us = Tables.events(spark, dir)
+      .select(unix_micros($"ts".cast("timestamp")).as("us"))
+    val deltas = us.select($"us".as("pt"), lit(1L).as("d"))
+      .unionAll(us.select(($"us" + holdUs).as("pt"), lit(-1L).as("d")))
+      .groupBy($"pt").agg(sum($"d").as("d"))
+    val (run, _) = Rank.prefixSumAndTotal(deltas, Seq($"pt".asc), $"d", "conc")
+    run.orderBy($"conc".desc, $"pt".asc).limit(1)
+      .select($"conc".as("peak"), $"pt".as("at_us"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -265,4 +265,36 @@ object TextAnalysis {
         (col("letters").cast("double") / col("chars").cast("double"))
           .as("letter_ratio"))
   }
+
+  // ---------------------------------------------------------------- C58
+  /** Per-document lexical diversity (Gini–Simpson index over tokens,
+    * 1 − Σ(cᵢ/N)²): the repetition/diversity quality signal — near-0 means
+    * the document is one token stamped N times (boilerplate, keyword spam),
+    * the complement of q48's max-run repetition filter (which sees only
+    * CONSECUTIVE repeats; Simpson catches interleaved ones).
+    *
+    * The obvious plan (explode → groupBy (doc, token) → Σc²) shuffles a
+    * corpus-token-sized table. This one never leaves the scan task:
+    * `array_sort` makes equal tokens adjacent (ANY total order groups
+    * equals — collation is irrelevant), run STARTS are the positions where
+    * s[i] ≠ s[i−1], run lengths are consecutive-start differences
+    * (zip_with against the shifted starts array), and Σc² is one aggregate
+    * fold — all per-row array kernels, zero shuffle, linear in tokens
+    * after the O(n log n) in-task sort. Σc² and N are exact BIGINTs; the
+    * index is ONE IEEE division of (N²−Σc²) by N². */
+  def q141SimpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), array_sort(split(col("text"), " ")).as("s"))
+      .withColumn("n", size(col("s")).cast("long"))
+      .withColumn("starts",
+        expr("filter(sequence(0, int(n) - 1), i -> i = 0 OR s[i] <> s[i-1])"))
+      .withColumn("sumsq", expr(
+        "aggregate(zip_with(starts, " +
+          "concat(slice(starts, 2, size(starts) - 1), array(int(n))), " +
+          "(a, b) -> cast(b - a as bigint) * cast(b - a as bigint)), " +
+          "0L, (acc, x) -> acc + x)"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        size(col("starts")).cast("long").as("n_distinct"), col("sumsq"),
+        ((col("n") * col("n") - col("sumsq")).cast("double")
+          / (col("n") * col("n")).cast("double")).as("simpson"))
 }

@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Corpus, Relational, TextAnalysis}
+
+/** Semantic checks for the round-11 widening batch (q137-q142): results
+  * re-derived brute-force from collected rows at sf0.001, independent of the
+  * DataFrame plan under test, plus plan-shape assertions for each operator's
+  * scale claim. Oracle parity runs separately at sf0.01.
+  */
+class Round11WideSpec extends SparkSpec {
+  import spark.implicits._
+
+  // events with the SAME decimal cast the operators use, so replays test
+  // the operator logic, not double→decimal rounding
+  private lazy val ev: Array[(Long, Long, Long, BigDecimal)] =
+    sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_id",
+        unix_micros($"ts".cast("timestamp")).as("us"),
+        $"value".cast("decimal(14,2)").as("v"))
+      .as[(Long, Long, Long, BigDecimal)].collect()
+
+  // --- q137 OHLC --------------------------------------------------------
+
+  test("q137 equals a per-bucket sorted replay") {
+    val want = ev.groupBy(e => (e._1, e._3 / 300000000L)).map {
+      case ((u, b), rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._2))
+        val vs = rows.map(_._4)
+        (u, b) -> ((sorted.head._4.toDouble, vs.max.toDouble, vs.min.toDouble,
+          sorted.last._4.toDouble, rows.length.toLong, vs.sum.toDouble))
+    }
+    val got = Relational.q137OhlcBars(spark, sf)
+      .as[(Long, Long, Double, Double, Double, Double, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7, r._8)))
+      .toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("q137 plan is one aggregation — no window, no join") {
+    val plan = Relational.q137OhlcBars(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+
+  // --- q138 co-purchase -------------------------------------------------
+
+  test("q138 equals a brute-force per-order pair count") {
+    val li = sources.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+      .distinct
+    val counts = li.groupBy(_._1).values.flatMap { items =>
+      val pks = items.map(_._2).sorted
+      for (i <- pks.indices; j <- i + 1 until pks.length)
+        yield (pks(i), pks(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = counts.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(100)
+      .zipWithIndex
+      .map { case (((a, b), n), i) => (a, b, n, i + 1L) }.toSet
+    val got = Relational.q138Copurchase(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.size === 100)
+  }
+
+  test("q138 ranks after a TakeOrdered top-k, never a global sort") {
+    val plan = Relational.q138Copurchase(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k:\n$plan")
+  }
+
+  // --- q139 posting lists -----------------------------------------------
+
+  test("q139 equals a brute-force inverted index") {
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val tf = docs.flatMap { case (d, t) => t.split(" ", -1).map((_, d)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val byTok = tf.groupBy(_._1._1)
+    val want = byTok.collect { case (tok, posts) if posts.size >= 5 =>
+      val df = posts.size.toLong
+      val cf = posts.values.sum
+      posts.toSeq.map { case ((_, d), c) => (d, c) }
+        .sortBy { case (d, c) => (-c, d) }.take(3).zipWithIndex
+        .map { case ((d, c), i) => (tok, df, cf, d, c, i + 1L) }
+    }.flatten.toSet
+    val got = Corpus.q139PostingLists(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("q139's per-token cap compiles to WindowGroupLimit") {
+    val plan = Corpus.q139PostingLists(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter did not compile to a group limit:\n$plan")
+  }
+
+  // --- q140 concentration -----------------------------------------------
+
+  test("q140 equals the direct minimal-m scan over sorted sizes") {
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+    val want = docs.groupBy(_._1).flatMap { case (src, rows) =>
+      val sizes = rows.map(_._2).sortBy(-_)
+      val total = sizes.sum
+      if (total <= 0) Nil
+      else Seq(50L, 80L, 90L).map { pct =>
+        // minimal m with (sum of m largest)*100 >= pct*total
+        var cum = 0L
+        var m = 0L
+        while (cum * 100 < pct * total) { cum += sizes(m.toInt); m += 1 }
+        (src, pct, m, sizes.length.toLong, total)
+      }
+    }.toSet
+    val got = Corpus.q140Concentration(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  // --- q141 Simpson diversity -------------------------------------------
+
+  test("q141 equals explode-and-count Simpson") {
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val want = docs.map { case (d, t) =>
+      val cs = t.split(" ", -1).groupBy(identity).values.map(_.length.toLong)
+      val n = cs.sum
+      val sumsq = cs.map(c => c * c).sum
+      d -> ((n, cs.size.toLong, sumsq,
+        (n * n - sumsq).toDouble / (n * n).toDouble))
+    }.toMap
+    val got = TextAnalysis.q141SimpsonDiversity(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === want)
+    assert(want.values.exists(_._4 > 0), "corpus must have diverse docs")
+  }
+
+  test("q141 is zero-shuffle: no Exchange in the plan") {
+    val plan = TextAnalysis.q141SimpsonDiversity(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  // --- q142 peak concurrency --------------------------------------------
+
+  test("q142 equals an in-memory sweep line") {
+    val hold = 300000000L
+    val deltas = ev.flatMap(e => Seq((e._3, 1L), (e._3 + hold, -1L)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy(_._1)
+    var cur = 0L
+    var peak = Long.MinValue
+    var at = 0L
+    deltas.foreach { case (pt, d) =>
+      cur += d
+      if (cur > peak) { peak = cur; at = pt }
+    }
+    val Array((gotPeak, gotAt)) = Relational.q142PeakConcurrency(spark, sf)
+      .as[(Long, Long)].collect()
+    assert((gotPeak, gotAt) === ((peak, at)))
+    assert(gotPeak > 1, "events must actually overlap at sf0.001")
+  }
+
+  test("q142's running sum never uses an unpartitioned window") {
+    val plan = Relational.q142PeakConcurrency(spark, sf)
+      .queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(l.contains("__pid"), s"unpartitioned window in plan: $l")
+    }
+  }
+}
