@@ -162,6 +162,9 @@ object SparkEntry {
     "q140_concentration" -> ((s, d) => Corpus.q140Concentration(s, d)),
     "q141_simpson" -> ((s, d) => TextAnalysis.q141SimpsonDiversity(s, d)),
     "q142_peak_concurrency" -> ((s, d) => Relational.q142PeakConcurrency(s, d)),
+    "q143_profile" -> (Relational.q143Profile _),
+    "q144_mad" -> ((s, d) => Relational.q144Mad(s, d)),
+    "q145_seasonality" -> (Relational.q145Seasonality _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1488,5 +1491,38 @@ object SparkEntry {
         |g AS (SELECT pt, CAST(sum(d) AS BIGINT) AS d FROM x GROUP BY pt),
         |r AS (SELECT pt, CAST(sum(d) OVER (ORDER BY pt) AS BIGINT) AS conc FROM g)
         |SELECT conc AS peak, pt AS at_us FROM r ORDER BY conc DESC, pt LIMIT 1""".stripMargin,
+    "q143_profile" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count($c) AS BIGINT) AS n_vals,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_val, CAST(max($c) AS DOUBLE) AS max_val,
+           |  CAST(sum(CAST($c AS DECIMAL(14,2))) AS DOUBLE) AS sum_val
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+    "q144_mad" ->
+      """WITH m AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+        |           FROM lineitem GROUP BY 1),
+        |d AS (SELECT l.l_returnflag, m.med, abs(l.l_quantity - m.med) AS adev
+        |      FROM lineitem l JOIN m USING (l_returnflag)),
+        |s AS (SELECT l_returnflag, any_value(med) AS med,
+        |             quantile_cont(adev, 0.5) AS mad,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM d GROUP BY 1)
+        |SELECT s.l_returnflag, s.med, s.mad, s.n,
+        |  CAST(sum(CASE WHEN d.adev > 3.0 * s.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  CAST(CAST(sum(CASE WHEN d.adev > 3.0 * s.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS DOUBLE) / CAST(s.n AS DOUBLE) AS outlier_rate
+        |FROM d JOIN s USING (l_returnflag)
+        |GROUP BY s.l_returnflag, s.med, s.mad, s.n""".stripMargin,
+    "q145_seasonality" ->
+      """WITH e AS (SELECT user_id, CAST(value AS DECIMAL(14,2)) AS v,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT (us // 86400000000 + 4) % 7 AS dow, (us // 3600000000) % 24 AS hod,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(v) AS DOUBLE) AS vsum
+        |FROM e GROUP BY 1, 2""".stripMargin,
   )
 }

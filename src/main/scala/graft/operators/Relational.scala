@@ -1428,6 +1428,98 @@ object Relational {
       .select($"conc".as("peak"), $"pt".as("at_us"))
   }
 
+  // ---------------------------------------------------------------- A69
+  /** One-scan column profiler — per numeric lineitem column: value/null
+    * counts, EXACT distinct count, min/max, and the decimal-exact sum. The
+    * data-quality audit every ingestion pipeline runs before a table is
+    * trusted; at 100 TB the whole point is doing ALL columns in ONE scan —
+    * a naive profiler issues one query per column and reads the table N
+    * times.
+    *
+    * Plan shape: a single Aggregate computes every column's stats
+    * together; the multiple exact `count(distinct)`s compile to Catalyst's
+    * Expand strategy (rows multiplied ×|columns| map-side, one shuffle,
+    * never N scans). The single stats row then unpivots driver-side via
+    * `stack` — metadata-sized. Exact distincts are the audit-grade choice;
+    * swap `approx_count_distinct` when ±2% is acceptable and the Expand
+    * multiply matters. */
+  def q143Profile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      asDouble(min(col(c))).as(s"${c}__min"),
+      asDouble(max(col(c))).as(s"${c}__max"),
+      asDouble(sum(money(col(c)))).as(s"${c}__sum")) }
+    val one = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__n, ${c}__nulls, ${c}__nd, ${c}__min, ${c}__max, ${c}__sum")
+      .mkString(", ")
+    one.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
+      "(col_name, n_vals, n_nulls, n_distinct, min_val, max_val, sum_val)")
+  }
+
+  // ---------------------------------------------------------------- A70
+  /** MAD robust outlier detection — per return flag: median, median
+    * absolute deviation, and the count beyond `k`·MAD. The
+    * breakdown-point-0.5 alternative to q129's z-score (a mean/stdev
+    * baseline is itself dragged by the outliers it is hunting; the median
+    * pair is not).
+    *
+    * Inherently multi-pass (MAD needs the median first): three pushed-down
+    * scans of the same two columns — cheaper than materializing a
+    * corpus-sized deviation table to save a scan. Each pass's per-group
+    * state is the value histogram (`percentile` buckets by DISTINCT value
+    * — the quantity domain is small), the medians/MADs are a ≤|flags|-row
+    * broadcast back into the fact scans, and the outlier test is exact
+    * IEEE compares on identically-derived doubles (quantile interpolation
+    * parity proven by q24). */
+  def q144Mad(spark: SparkSession, dir: String, k: Double = 3.0): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select($"l_returnflag", $"l_quantity")
+    val med = li.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+    val dev = li.join(broadcast(med), Seq("l_returnflag"))
+      .withColumn("adev", abs($"l_quantity" - $"med"))
+    val mads = dev.groupBy($"l_returnflag")
+      .agg(first($"med").as("med"),
+        expr("percentile(adev, 0.5)").as("mad"),
+        count(lit(1)).as("n"))
+    val outliers = dev
+      .join(broadcast(mads.select($"l_returnflag", $"mad".as("mad2"))),
+        Seq("l_returnflag"))
+      .groupBy($"l_returnflag")
+      .agg(sum(when($"adev" > lit(k) * $"mad2", 1L).otherwise(0L))
+        .as("n_outliers"))
+    mads.join(outliers, Seq("l_returnflag"))
+      .select($"l_returnflag", $"med", $"mad", $"n", $"n_outliers",
+        (asDouble($"n_outliers") / asDouble($"n")).as("outlier_rate"))
+  }
+
+  // ---------------------------------------------------------------- A71
+  /** Day-of-week × hour-of-day seasonality heat map — event count, exact
+    * distinct users, and value sum per (dow, hour) cell: the load-shape /
+    * staffing profile behind capacity dashboards.
+    *
+    * Calendar fields come from INTEGER epoch arithmetic, not calendar
+    * functions — `dayofweek`-style builtins disagree across engines on
+    * numbering (Sunday 0 vs 1 vs 7) and resolve through timezone
+    * machinery; `(days + 4) mod 7` (epoch day 0 was a Thursday) and
+    * `hours mod 24` are unambiguous everywhere. ≤168 cells: one
+    * partial-aggregated shuffle of a dimension-sized frame; the exact
+    * per-cell user distinct is the only corpus-sized state and rides the
+    * same single shuffle. */
+  def q145Seasonality(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select($"user_id", money($"value").as("v"),
+        unix_micros($"ts".cast("timestamp")).as("us"))
+      .withColumn("dow", expr("(us div 86400000000 + 4) % 7"))
+      .withColumn("hod", expr("(us div 3600000000) % 24"))
+      .groupBy($"dow", $"hod")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        asDouble(sum($"v")).as("vsum"))
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -175,4 +175,81 @@ class Round11WideSpec extends SparkSpec {
       assert(l.contains("__pid"), s"unpartitioned window in plan: $l")
     }
   }
+
+  // --- q143 profile -----------------------------------------------------
+
+  test("q143 equals per-column brute-force stats") {
+    val rows = sources.Tables.lineitem(spark, sf)
+      .select($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax")
+      .as[(Double, Double, Double, Double)].collect()
+    val byCol = Map(
+      "l_quantity" -> rows.map(_._1), "l_extendedprice" -> rows.map(_._2),
+      "l_discount" -> rows.map(_._3), "l_tax" -> rows.map(_._4))
+    val want = byCol.map { case (c, vs) =>
+      c -> ((vs.length.toLong, 0L, vs.distinct.length.toLong,
+        vs.min, vs.max,
+        vs.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble))
+    }
+    val got = Relational.q143Profile(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got === want)
+  }
+
+  test("q143 profiles every column in ONE table scan") {
+    val plan = Relational.q143Profile(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"expected a single scan, got $scans:\n$plan")
+    assert(plan.contains("Expand"),
+      s"multi-distinct should compile to Expand:\n$plan")
+  }
+
+  // --- q144 MAD ---------------------------------------------------------
+
+  test("q144 equals a direct robust-stats replay") {
+    // Spark `percentile`: index p·(n−1) into the sorted values, linear
+    // interpolation between the straddling pair
+    def pct50(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      val idx = 0.5 * (s.length - 1)
+      val lo = s(idx.toInt)
+      val hi = s(math.ceil(idx).toInt)
+      lo + (idx - idx.toInt) * (hi - lo)
+    }
+    val rows = sources.Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_quantity").as[(String, Double)].collect()
+    val want = rows.groupBy(_._1).map { case (f, rs) =>
+      val vs = rs.map(_._2).toSeq
+      val med = pct50(vs)
+      val adev = vs.map(v => math.abs(v - med))
+      val mad = pct50(adev)
+      val out = adev.count(_ > 3.0 * mad).toLong
+      f -> ((med, mad, vs.length.toLong, out,
+        out.toDouble / vs.length.toDouble))
+    }
+    val got = Relational.q144Mad(spark, sf)
+      .as[(String, Double, Double, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  // --- q145 seasonality -------------------------------------------------
+
+  test("q145 equals brute-force epoch arithmetic cells") {
+    val want = ev.groupBy { e =>
+      ((e._3 / 86400000000L + 4) % 7, (e._3 / 3600000000L) % 24)
+    }.map { case ((dow, hod), rows) =>
+      (dow, hod) -> ((rows.length.toLong,
+        rows.map(_._1).distinct.length.toLong,
+        rows.map(_._4).sum.toDouble))
+    }
+    val got = Relational.q145Seasonality(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
