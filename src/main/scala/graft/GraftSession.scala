@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.{CharNgramHashes, DotProduct, MinHashSig, NfcNormalize,
-  SimHash64, SortedIntersectCount, WordRepetitionStats, WordShingleHashes}
+  SimHash64, SortedIntersectCount, SortedRunCount, SortedRunSumSq,
+  WordRepetitionStats, WordShingleHashes}
 
 /**
  * Session entry point — the role TiFlinkApp.Builder's environment setup plays
@@ -63,7 +64,11 @@ object GraftSession {
     NativeFn("char_ngram_hashes", 2, classOf[CharNgramHashes],
       cs => CharNgramHashes(cs(0), litInt("char_ngram_hashes", cs(1)))),
     NativeFn("minhash_sig", 2, classOf[MinHashSig],
-      cs => MinHashSig(cs(0), litInt("minhash_sig", cs(1)))))
+      cs => MinHashSig(cs(0), litInt("minhash_sig", cs(1)))),
+    NativeFn("sorted_run_sumsq", 1, classOf[SortedRunSumSq],
+      cs => SortedRunSumSq(cs(0))),
+    NativeFn("sorted_run_count", 1, classOf[SortedRunCount],
+      cs => SortedRunCount(cs(0))))
 
   /** Extension installable via
     * `spark.sql.extensions=graft.GraftSession$Extensions`. */

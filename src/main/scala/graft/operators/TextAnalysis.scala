@@ -276,25 +276,23 @@ object TextAnalysis {
     * The obvious plan (explode → groupBy (doc, token) → Σc²) shuffles a
     * corpus-token-sized table. This one never leaves the scan task:
     * `array_sort` makes equal tokens adjacent (ANY total order groups
-    * equals — collation is irrelevant), run STARTS are the positions where
-    * s[i] ≠ s[i−1], run lengths are consecutive-start differences
-    * (zip_with against the shifted starts array), and Σc² is one aggregate
-    * fold — all per-row array kernels, zero shuffle, linear in tokens
-    * after the O(n log n) in-task sort. Σc² and N are exact BIGINTs; the
-    * index is ONE IEEE division of (N²−Σc²) by N². */
+    * equals — collation is irrelevant), then Σc² and the distinct count
+    * are the [[graft.functions.SortedRuns]] native expressions — one
+    * allocation-free run-length loop each inside whole-stage codegen (the
+    * first implementation's filter/zip_with/aggregate HOF chain allocated
+    * three index arrays per row and ran interpreted lambdas; same
+    * contract, ~2× measured — tools.TimeKernel). Zero shuffle, linear in
+    * tokens after the
+    * O(n log n) in-task sort. Σc² and N are exact BIGINTs; the index is
+    * ONE IEEE division of (N²−Σc²) by N². */
   def q141SimpsonDiversity(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), array_sort(split(col("text"), " ")).as("s"))
       .withColumn("n", size(col("s")).cast("long"))
-      .withColumn("starts",
-        expr("filter(sequence(0, int(n) - 1), i -> i = 0 OR s[i] <> s[i-1])"))
-      .withColumn("sumsq", expr(
-        "aggregate(zip_with(starts, " +
-          "concat(slice(starts, 2, size(starts) - 1), array(int(n))), " +
-          "(a, b) -> cast(b - a as bigint) * cast(b - a as bigint)), " +
-          "0L, (acc, x) -> acc + x)"))
+      .withColumn("sumsq", graft.functions.SortedRuns.sortedRunSumSq(col("s")))
       .select(col("doc_id"), col("n").as("n_tokens"),
-        size(col("starts")).cast("long").as("n_distinct"), col("sumsq"),
+        graft.functions.SortedRuns.sortedRunCount(col("s")).as("n_distinct"),
+        col("sumsq"),
         ((col("n") * col("n") - col("sumsq")).cast("double")
           / (col("n") * col("n")).cast("double")).as("simpson"))
 }

@@ -42,7 +42,9 @@ class KernelParitySpec extends SparkSpec {
         nfc_normalize(text) AS norm,
         sorted_intersect_count(word_shingle_hashes(text, 3),
                                word_shingle_hashes(text, 3)) AS sic,
-        dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+        dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        sorted_run_sumsq(array_sort(split(text, ' '))) AS srs,
+        sorted_run_count(array_sort(split(text, ' '))) AS src
       FROM __sqlfn_docs""").collect()
     val viaCols = docs(12).select(
       $"doc_id",
@@ -57,7 +59,11 @@ class KernelParitySpec extends SparkSpec {
         TextHashFunctions.wordShingleHashes($"text", 3),
         TextHashFunctions.wordShingleHashes($"text", 3)).as("sic"),
       graft.functions.VectorFunctions.dotD(
-        array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("dp")).collect()
+        array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("dp"),
+      graft.functions.SortedRuns.sortedRunSumSq(
+        array_sort(split($"text", " "))).as("srs"),
+      graft.functions.SortedRuns.sortedRunCount(
+        array_sort(split($"text", " "))).as("src")).collect()
     assert(viaSql.map(_.toString).sorted.toSeq === viaCols.map(_.toString).sorted.toSeq)
     // kernel parameters must be plan-time literals — reject a column there
     val e = intercept[Exception] {
@@ -129,6 +135,49 @@ class KernelParitySpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect()
       .map { case (id, s) => id -> (s(0), s(1), s(2)) }.toMap
     assert(kernel === declarative)
+  }
+
+  test("SortedRuns kernels === groupBy-count reference, incl. nulls/empties") {
+    val rows: Seq[Seq[Option[String]]] = Seq(
+      Seq(), Seq(Some("a")), Seq(Some("a"), Some("a"), Some("a")),
+      Seq(Some(""), Some(""), Some("x")),
+      Seq(None, None, Some("a")), Seq(Some("a"), None),
+      Seq(Some("データ"), Some("データ"), Some("röw")),
+      Seq(Some("a"), Some("b"), Some("b"), Some("c"), Some("c"), Some("c"))) ++
+      samples(Gen.listOf(Gen.option(wordGen)), 40).map(_.toSeq)
+    val df = rows.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "raw")
+      .withColumn("s", array_sort($"raw"))
+      .withColumn("sumsq", graft.functions.SortedRuns.sortedRunSumSq($"s"))
+      .withColumn("nd", graft.functions.SortedRuns.sortedRunCount($"s"))
+    val got = df.select($"id", $"sumsq", $"nd")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = rows.zipWithIndex.map { case (a, i) =>
+      val counts = a.groupBy(identity).values.map(_.size.toLong)
+      i.toLong -> ((counts.map(c => c * c).sum, counts.size.toLong))
+    }.toMap
+    assert(got === want)
+  }
+
+  test("SortedRuns agree between codegen and interpreted eval") {
+    val df = docs(30).select($"doc_id", array_sort(split($"text", " ")).as("s"))
+    def run(): Map[Long, (Long, Long)] =
+      df.select($"doc_id",
+          graft.functions.SortedRuns.sortedRunSumSq($"s"),
+          graft.functions.SortedRuns.sortedRunCount($"s"))
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val codegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted =
+      try run()
+      finally {
+        spark.conf.unset("spark.sql.codegen.wholeStage")
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    assert(codegen === interpreted)
+    assert(codegen.nonEmpty)
   }
 
   test("wrong-typed input to a TextHashes kernel fails at analysis time") {
