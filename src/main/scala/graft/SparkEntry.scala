@@ -163,6 +163,7 @@ object SparkEntry {
     "q141_simpson" -> ((s, d) => TextAnalysis.q141SimpsonDiversity(s, d)),
     "q142_peak_concurrency" -> ((s, d) => Relational.q142PeakConcurrency(s, d)),
     "q143_profile" -> (Relational.q143Profile _),
+    "q146_pq_ann" -> ((s, d) => Similarity.q146PqAnn(s, d)),
     "q144_mad" -> ((s, d) => Relational.q144Mad(s, d)),
     "q145_seasonality" -> (Relational.q145Seasonality _),
   )

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/**
+ * Product-quantization (PQ) ANN — the memory-bandwidth scale path past
+ * q67's int8 quantization: each D-dim vector is stored as `m` small-int
+ * codes (one per D/m-dim subspace, each the id of the nearest of `k`
+ * per-subspace codewords), so the corpus the query scan actually touches
+ * is `m` bytes + one norm per vector — 32× smaller than fp32 at the
+ * default (64-dim, m=8, k=16). At 100 TB of embeddings that is the
+ * difference between an ANN sweep bounded by interconnect/disk bandwidth
+ * and one bounded by compute; IVF (q51) composes on top by restricting
+ * which coded rows are scanned at all.
+ *
+ * Build: per-subspace codebooks fit with seeded MLlib KMeans on a BOUNDED
+ * sample (IvfIndex's discipline — the iterative fit never scales with the
+ * corpus), then ONE map-only encode pass: the codebook rides into the
+ * scan as a literal (m×k×(D/m) doubles — constant-folded, never a per-row
+ * allocation), per-subspace distances are HOF array kernels, and the code
+ * is `array_position(dists, array_min(dists))` (first minimum → ties
+ * break to the lowest codeword id, deterministic).
+ *
+ * Query (ADC — asymmetric distance computation): each query precomputes a
+ * `m×k` lookup table of subspace dot products against the codebook (its
+ * own m·k·(D/m) multiplies, once per query, NOT per candidate), then a
+ * candidate's approximate inner product is `Σ_mm lut[mm][code[mm]]` —
+ * m table lookups per (query, candidate) pair instead of D multiplies.
+ * Scores divide by the exact stored norms, so the approximation error is
+ * exactly the codeword quantization error of the candidate vector.
+ *
+ * Reference: TiFlink has no ANN surface; LLM-pipeline extension set
+ * (SemDeDup/decontam-style embedding workloads at corpus scale).
+ */
+final case class PqIndex(codebooks: Seq[Seq[Seq[Double]]], m: Int, k: Int,
+    ds: Int, codes: DataFrame)
+
+object PqIndex {
+
+  /** Fit per-subspace codebooks (seeded → reproducible) and encode the
+    * corpus. Expects `(vec_id, embedding array<float>)`; `dim` must be
+    * divisible by `m`. */
+  def build(corpus: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
+      fitSampleSize: Int = 25000): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
+    require(fitSampleSize >= k,
+      s"fitSampleSize ($fitSampleSize) must be >= k ($k)")
+    val ds = dim / m
+    val spark = corpus.sparkSession
+
+    val base = corpus.select(col("vec_id"),
+      toDoubles(col("embedding")).as("emb"),
+      l2Norm(col("embedding")).as("norm"))
+    val n = corpus.count()
+    val sample =
+      if (n <= fitSampleSize) base
+      else base.sample(withReplacement = false,
+        fitSampleSize.toDouble / n, seed = 42L)
+    // one bounded materialization feeds all m fits — not m corpus passes
+    val fitSet = graft.Lineage.truncate(sample, reliable = false)
+    try {
+      val codebooks = (0 until m).map { mm =>
+        val sliced = fitSet.df
+          .select(array_to_vector(
+            slice(col("emb"), mm * ds + 1, ds)).as("features"))
+        new KMeans().setK(k).setSeed(42L + mm).setMaxIter(10)
+          .setInitMode("random").fit(sliced)
+          .clusterCenters.toIndexedSeq.map(_.toArray.toSeq)
+      }
+      PqIndex(codebooks, m, k, ds, encode(base, codebooks, m, k, ds))
+    } finally fitSet.release()
+  }
+
+  /** Map-only encode: `(vec_id, codes array<int>, norm)`. */
+  private def encode(base: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      m: Int, k: Int, ds: Int): DataFrame =
+    base
+      .withColumn("cb", typedLit(codebooks))
+      // dists[mm][j] = ||emb_mm − cb[mm][j]||², computed ONCE
+      .withColumn("dists", expr(
+        s"""transform(sequence(0, ${m - 1}), mm ->
+           |  transform(sequence(0, ${k - 1}), j ->
+           |    aggregate(sequence(0, ${ds - 1}), 0D, (s, d) ->
+           |      s + (emb[mm * $ds + d] - cb[mm][j][d])
+           |        * (emb[mm * $ds + d] - cb[mm][j][d]))))""".stripMargin))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}), mm ->
+           |  cast(array_position(dists[mm], array_min(dists[mm])) - 1 as int))"""
+          .stripMargin))
+      .select(col("vec_id"), col("codes"), col("norm"))
+
+  /** Top-k neighbors per query. `queries` carries
+    * `(query_id, q_emb array<double>, q_norm)`.
+    *
+    * `rerank = 0` returns pure ADC ranks/scores. `rerank = r > 0` is the
+    * production two-stage shape: the coded scan shortlists the top `r·k`
+    * per query by ADC, then ONLY the shortlist's full-precision vectors
+    * are fetched (a broadcast semi-join — |queries|·r·k ids against the
+    * corpus, never a corpus shuffle) and rescored exactly; final ranks
+    * come from exact cosine. The corpus-sized stage still reads m bytes +
+    * a norm per row — re-ranking touches fp32 for a metadata-sized
+    * shortlist only. */
+  def query(index: PqIndex, queries: DataFrame, topK: Int,
+      excludeSelf: Boolean = false, rerank: Int = 0,
+      fullVectors: DataFrame = null): DataFrame = {
+    val m = index.m; val k = index.k; val ds = index.ds
+    val withLut = queries
+      .withColumn("cb", typedLit(index.codebooks))
+      .withColumn("lut", expr(
+        s"""transform(sequence(0, ${m - 1}), mm ->
+           |  transform(sequence(0, ${k - 1}), j ->
+           |    aggregate(sequence(0, ${ds - 1}), 0D, (s, d) ->
+           |      s + q_emb[mm * $ds + d] * cb[mm][j][d])))""".stripMargin))
+      .select(col("query_id"), col("q_norm"), col("lut"))
+    val cand = index.codes.as("c").crossJoin(broadcast(withLut.as("q")))
+    val scored = (if (excludeSelf) cand.filter(col("query_id") =!= col("vec_id"))
+      else cand)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr(s"aggregate(sequence(0, ${m - 1}), 0D, " +
+          "(s, mm) -> s + lut[mm][codes[mm]])")
+          / (col("q_norm") * col("norm"))).as("score_pq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_pq").desc, col("neighbor_id").asc)
+    val adcTop = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= (if (rerank > 0) rerank * topK else topK))
+    if (rerank <= 0)
+      adcTop.select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("score_pq"))
+    else {
+      require(fullVectors != null,
+        "rerank > 0 needs fullVectors: (vec_id, embedding)")
+      val exact = fullVectors.select(col("vec_id").as("neighbor_id"),
+        toDoubles(col("embedding")).as("emb"),
+        l2Norm(col("embedding")).as("norm"))
+      val shortlist = adcTop
+        .join(broadcast(queries.select(col("query_id"), col("q_emb"),
+          col("q_norm"))), Seq("query_id"))
+      // shortlist is |queries|·r·k rows — IT broadcasts, the corpus never moves
+      exact.join(broadcast(shortlist), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (dotD(col("q_emb"), col("emb")) / (col("q_norm") * col("norm")))
+            .as("score"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("neighbor_id").asc)).cast("long"))
+        .filter(col("rank") <= topK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+    }
+  }
+}

@@ -264,4 +264,25 @@ object Similarity {
         when(col("__unk"), lit(null).cast("boolean"))
           .otherwise(coalesce(col("__dup"), lit(false))).as("is_dup"))
   }
+
+  // ---------------------------------------------------------------- C59
+  /** Product-quantization ANN ([[PqIndex]]) — the memory-bandwidth scale
+    * path past q67's int8: the query scan reads m code bytes + a norm per
+    * vector (32× under fp32 at 64-dim/m=8/k=16) and scores candidates via
+    * per-query lookup tables instead of per-pair dot products. Build and
+    * query are split like q51's IVF; approximate scores → rows-only, with
+    * SimilaritySpec asserting recall vs brute force and replaying the ADC
+    * arithmetic exactly. */
+  def q146PqAnn(spark: SparkSession, dir: String, k: Int = 10,
+      m: Int = 8, codewords: Int = 16, rerank: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val index = PqIndex.build(e, dim, m, codewords)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        toDoubles(col("embedding")).as("q_emb"),
+        l2Norm(col("embedding")).as("q_norm"))
+    PqIndex.query(index, queries, k, excludeSelf = true,
+      rerank = rerank, fullVectors = e)
+  }
 }

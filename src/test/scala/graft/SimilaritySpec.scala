@@ -219,4 +219,70 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.4,
       s"nProbe=4/16 graph recall should match q51's lookup regime (got $mean)")
   }
+
+  // --- PQ ANN (C59) -----------------------------------------------------
+
+  test("PQ codes are fixed-width and in codeword range for every vector") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val idx = operators.PqIndex.build(e, dim = 64, m = 8, k = 16)
+    val codes = idx.codes.select($"vec_id", $"codes")
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.length.toLong === e.count())
+    codes.foreach { case (id, cs) =>
+      assert(cs.length === 8, s"vec $id code width")
+      assert(cs.forall(c => c >= 0 && c < 16), s"vec $id codes $cs")
+    }
+    assert(idx.codebooks.length === 8)
+    assert(idx.codebooks.forall(b => b.length === 16 && b.forall(_.length === 8)))
+  }
+
+  test("ADC scores replay exactly from the codebooks and codes") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val idx = operators.PqIndex.build(e, dim = 64, m = 8, k = 16)
+    val queries = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"),
+        graft.functions.VectorFunctions.toDoubles($"embedding").as("q_emb"),
+        graft.functions.VectorFunctions.l2Norm($"embedding").as("q_norm"))
+    val got = operators.PqIndex.query(idx, queries, topK = 5, excludeSelf = true)
+      .select($"query_id", $"neighbor_id", $"score_pq")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val codes = idx.codes.select($"vec_id", $"codes", $"norm")
+      .as[(Long, Seq[Int], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val qs = queries.select($"query_id", $"q_emb", $"q_norm")
+      .as[(Long, Seq[Double], Double)].collect()
+    val cb = idx.codebooks
+    got.foreach { case ((qid, nid), score) =>
+      val (q, qn) = qs.find(_._1 == qid).map(t => (t._2, t._3)).get
+      val (cs, nn) = codes(nid)
+      // replay the plan's fold order exactly: lut then Σ lut[mm][code]
+      val lut = (0 until 8).map(mm => (0 until 16).map(j =>
+        (0 until 8).foldLeft(0.0)((s, d) => s + q(mm * 8 + d) * cb(mm)(j)(d))))
+      val adc = (0 until 8).foldLeft(0.0)((s, mm) => s + lut(mm)(cs(mm)))
+      assert(score === adc / (qn * nn), s"query $qid neighbor $nid")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("PQ rerank recall dominates pure ADC and clears a floor") {
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val brute = Similarity.q45AnnBruteforce(spark, sf, k = 10)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val got = df.select($"query_id", $"neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = brute.keys.toSeq.map(q =>
+        got.getOrElse(q, Set.empty[Long]).intersect(brute(q)).size.toDouble
+          / brute(q).size)
+      rs.sum / rs.size
+    }
+    val pure = recall(Similarity.q146PqAnn(spark, sf, rerank = 0))
+    val reranked = recall(Similarity.q146PqAnn(spark, sf))
+    assert(reranked >= pure,
+      s"exact rescoring a superset shortlist cannot lose recall " +
+        s"($reranked vs $pure)")
+    assert(reranked >= 0.5,
+      s"m=8/k=16 with 4x rerank should clear a recall floor (got $reranked)")
+  }
 }
