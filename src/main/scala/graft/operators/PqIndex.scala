@@ -95,6 +95,42 @@ object PqIndex {
           .stripMargin))
       .select(col("vec_id"), col("codes"), col("norm"))
 
+  /** Persist: codes as parquet (the m-bytes-per-row artifact IS the
+    * index), codebooks + geometry as one tiny parquet of
+    * (mm, j, codeword) rows — engine-readable, no driver-side JSON. */
+  def save(index: PqIndex, path: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/codes")
+    index.codebooks.zipWithIndex
+      .flatMap { case (book, mm) => book.zipWithIndex.map { case (cw, j) =>
+        (mm, j, cw, index.m, index.k, index.ds) } }
+      .toDF("mm", "j", "codeword", "m", "k", "ds")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/codebooks")
+  }
+
+  /** Load a [[save]]d index; query-ready with no refit or re-encode. */
+  def load(spark: SparkSession, path: String): PqIndex = {
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .select(col("mm"), col("j"), col("codeword"), col("m"), col("k"),
+        col("ds"))
+      .collect() // m·k rows of ds doubles — metadata-sized by construction
+    val head = cbRows.head
+    val (m, k, ds) = (head.getInt(3), head.getInt(4), head.getInt(5))
+    val codebooks = (0 until m).map { mm =>
+      (0 until k).map { j =>
+        cbRows.find(r => r.getInt(0) == mm && r.getInt(1) == j)
+          .get.getSeq[Double](2)
+      }
+    }
+    PqIndex(codebooks, m, k, ds,
+      spark.read.parquet(s"$path/codes")
+        .select(col("vec_id"), col("codes"), col("norm")))
+  }
+
   /** Top-k neighbors per query. `queries` carries
     * `(query_id, q_emb array<double>, q_norm)`.
     *

@@ -265,6 +265,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("PQ save/load round-trips: loaded index answers identically") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val idx = operators.PqIndex.build(e, dim = 64, m = 8, k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("pq-idx").toString
+    operators.PqIndex.save(idx, dir)
+    val loaded = operators.PqIndex.load(spark, dir)
+    assert(loaded.codebooks === idx.codebooks)
+    assert((loaded.m, loaded.k, loaded.ds) === ((idx.m, idx.k, idx.ds)))
+    val queries = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"),
+        graft.functions.VectorFunctions.toDoubles($"embedding").as("q_emb"),
+        graft.functions.VectorFunctions.l2Norm($"embedding").as("q_norm"))
+    def answers(i: operators.PqIndex) =
+      operators.PqIndex.query(i, queries, topK = 5, excludeSelf = true)
+        .as[(Long, Long, Long, Double)].collect().toSet
+    assert(answers(loaded) === answers(idx))
+  }
+
   test("PQ rerank recall dominates pure ADC and clears a floor") {
     def recall(df: org.apache.spark.sql.DataFrame): Double = {
       val brute = Similarity.q45AnnBruteforce(spark, sf, k = 10)
