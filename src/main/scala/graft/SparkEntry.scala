@@ -164,6 +164,8 @@ object SparkEntry {
     "q142_peak_concurrency" -> ((s, d) => Relational.q142PeakConcurrency(s, d)),
     "q143_profile" -> (Relational.q143Profile _),
     "q146_pq_ann" -> ((s, d) => Similarity.q146PqAnn(s, d)),
+    "q147_grouping_sets" -> (Relational.q147GroupingSets _),
+    "q148_prefix_join" -> ((s, d) => Dedup.q148PrefixJoin(s, d)),
     "q144_mad" -> ((s, d) => Relational.q144Mad(s, d)),
     "q145_seasonality" -> (Relational.q145Seasonality _),
   )
@@ -1525,5 +1527,27 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(sum(v) AS DOUBLE) AS vsum
         |FROM e GROUP BY 1, 2""".stripMargin,
+    "q147_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())""".stripMargin,
+    "q148_prefix_join" ->
+      """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+        |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |             CAST(count(*) AS BIGINT) AS inter
+        |      FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter, na.n AS n_a, nb.n AS n_b,
+        |  CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jac
+        |FROM i
+        |JOIN n na ON na.doc_id = doc_a
+        |JOIN n nb ON nb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.9""".stripMargin,
   )
 }

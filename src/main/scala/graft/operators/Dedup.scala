@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -333,5 +334,60 @@ object Dedup {
         (inter.cast("double")
           / least(col("a.n_g"), col("b.n_g")).cast("double")).as("containment"))
       .filter(col("containment") >= threshold)
+  }
+
+  // ---------------------------------------------------------------- C60
+  /** Prefix-filtered set-similarity self-join (the PPJoin family): ALL
+    * document pairs with word-set Jaccard ≥ `threshold`, with ZERO false
+    * negatives and no blocking assumption — unlike q43's salted source
+    * blocks (which by construction never compare across blocks), prefix
+    * filtering is exact: order every document's distinct tokens by global
+    * rarity (df asc, token — one total order for the whole corpus), keep
+    * each document's first `n − ⌈t·n⌉ + 1` tokens as its PREFIX, and the
+    * classic prefix-filtering theorem guarantees two documents with
+    * Jaccard ≥ t share at least one prefix token — so the candidate join
+    * keys on prefix tokens only. Rare-first ordering is what makes the
+    * filter sharp: the join fans out on tokens that appear in few
+    * documents; a stopword never enters a prefix unless a document is
+    * almost all stopwords.
+    *
+    * Scale: token df is one partial-agged shuffle; the df join is
+    * UNFORCED (vocab-sized, q119's rule); per-doc prefix ranking is a
+    * key-parallel window; candidate fan-out per prefix token is that
+    * token's document frequency — bounded by rarity, the skew hazard is
+    * exactly a near-universal token reaching a prefix (degenerate
+    * all-stopword docs; cap with Skew.oversizeBlocks if a corpus has
+    * them). Verification is EXACT set intersection on the sorted distinct
+    * token arrays (attached once per doc, not recomputed per pair) — no
+    * hash-collision caveat anywhere in the operator. */
+  def q148PrefixJoin(spark: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val toks = d.select(col("doc_id"), col("n"), explode(col("toks")).as("w"))
+    val dfreq = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val prefix = toks.join(dfreq, Seq("w"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("w"))))
+      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("w"), col("doc_id"))
+    val cand = prefix.as("pa").join(prefix.as("pb"),
+        col("pa.w") === col("pb.w") && col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+        col("n").as("n_a")), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+        col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("jac", col("inter").cast("double")
+        / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
+        col("n_b"), col("jac"))
   }
 }

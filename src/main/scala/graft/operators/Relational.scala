@@ -1520,6 +1520,28 @@ object Relational {
         countDistinct($"user_id").as("n_users"),
         asDouble(sum($"v")).as("vsum"))
 
+  // ---------------------------------------------------------------- A72
+  /** Explicit GROUPING SETS with `grouping()` disambiguation — the
+    * reporting surface between q18's ROLLUP and q39's CUBE: exactly the
+    * requested grain combinations ((status, priority), (status), ()), plus
+    * the `grouping()` indicator that separates "NULL because aggregated
+    * over" from a genuine NULL group key — the distinction every BI layer
+    * needs and the raw NULL-filled output loses.
+    *
+    * Scale: same Expand-based single pass as rollup/cube (rows ×|sets|
+    * map-side, one partial-agged shuffle over the union of grain
+    * cardinalities — dimension-sized here). */
+  def q147GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select($"o_orderstatus", $"o_orderpriority", money($"o_totalprice").as("v"))
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderstatus"),
+          Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), asDouble(sum($"v")).as("total"),
+        grouping($"o_orderstatus").cast("long").as("g_status"),
+        grouping($"o_orderpriority").cast("long").as("g_priority"))
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

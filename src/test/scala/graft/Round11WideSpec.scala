@@ -236,6 +236,52 @@ class Round11WideSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // --- q147 grouping sets -----------------------------------------------
+
+  test("q147 grains are internally consistent and flags disambiguate") {
+    val rows = Relational.q147GroupingSets(spark, sf)
+      .as[(Option[String], Option[String], Long, Double, Long, Long)]
+      .collect()
+    val fine = rows.filter(r => r._5 == 0 && r._6 == 0)
+    val mid = rows.filter(r => r._5 == 0 && r._6 == 1)
+    val top = rows.filter(r => r._5 == 1 && r._6 == 1)
+    assert(fine.nonEmpty && mid.nonEmpty && top.length === 1)
+    assert(rows.length === fine.length + mid.length + top.length,
+      "exactly the three requested grains, no cube extras")
+    // counts roll up exactly across grains
+    assert(fine.map(_._3).sum === top.head._3)
+    assert(mid.map(_._3).sum === top.head._3)
+    mid.foreach { m =>
+      assert(fine.filter(_._1 == m._1).map(_._3).sum === m._3,
+        s"status ${m._1} rollup")
+    }
+    // grouping() flags, not NULL-ness, are the grain marker
+    assert(mid.forall(_._2.isEmpty) && top.head._1.isEmpty)
+  }
+
+  // --- q148 prefix join -------------------------------------------------
+
+  test("q148 equals the exact quadratic Jaccard definition (zero false negatives)") {
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (d, t) => d -> t.split(" ", -1).toSet }
+    val want = (for {
+      i <- docs.indices; j <- i + 1 until docs.length
+      (da, sa) = docs(i); (db, sb) = docs(j)
+      inter = (sa & sb).size.toLong
+      jac = inter.toDouble / (sa.size + sb.size - inter).toDouble
+      if jac >= 0.9
+    } yield {
+      val (x, y) = if (da < db) (da, db) else (db, da)
+      (x, y, inter, (if (da < db) sa else sb).size.toLong,
+        (if (da < db) sb else sa).size.toLong, jac)
+    }).toSet
+    val got = operators.Dedup.q148PrefixJoin(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty, "sf corpus must contain near-duplicate pairs")
+  }
+
   // --- q145 seasonality -------------------------------------------------
 
   test("q145 equals brute-force epoch arithmetic cells") {
