@@ -166,6 +166,8 @@ object SparkEntry {
     "q146_pq_ann" -> ((s, d) => Similarity.q146PqAnn(s, d)),
     "q147_grouping_sets" -> (Relational.q147GroupingSets _),
     "q148_prefix_join" -> ((s, d) => Dedup.q148PrefixJoin(s, d)),
+    "q149_bag_ops" -> (Relational.q149BagOps _),
+    "q150_wow_delta" -> (Relational.q150WowDelta _),
     "q144_mad" -> ((s, d) => Relational.q144Mad(s, d)),
     "q145_seasonality" -> (Relational.q145Seasonality _),
   )
@@ -1549,5 +1551,27 @@ object SparkEntry {
         |JOIN n na ON na.doc_id = doc_a
         |JOIN n nb ON nb.doc_id = doc_b
         |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.9""".stripMargin,
+    "q149_bag_ops" ->
+      """WITH a AS (SELECT o_orderstatus, o_orderpriority FROM orders),
+        |b AS (SELECT o_orderstatus, o_orderpriority FROM orders
+        |      WHERE o_totalprice > 150000.0),
+        |e AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+        |i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |SELECT 'except_all' AS op, o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS cnt FROM i GROUP BY 2, 3""".stripMargin,
+    "q150_wow_delta" ->
+      """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |           FROM events),
+        |g AS (SELECT event_type, us // 604800000000 AS week,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2),
+        |l AS (SELECT *, lag(n) OVER (PARTITION BY event_type ORDER BY week)
+        |             AS prev_n FROM g)
+        |SELECT event_type, week, n, prev_n, n - prev_n AS delta,
+        |  CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE) AS pct_change
+        |FROM l""".stripMargin,
   )
 }

@@ -1542,6 +1542,52 @@ object Relational {
         grouping($"o_orderstatus").cast("long").as("g_status"),
         grouping($"o_orderpriority").cast("long").as("g_priority"))
 
+  // ---------------------------------------------------------------- A73
+  /** Bag-semantics set operations — EXCEPT ALL / INTERSECT ALL, the
+    * multiset algebra q28/q29's DISTINCT variants can't express
+    * (multiplicities matter: "orders minus the expensive ones" must keep
+    * a status/priority combination once PER surviving order). Spark plans
+    * these as a replicated-count Generate (no row-by-row anti-join), so
+    * the cost is two aggregations over the group domain, not |rows|²; the
+    * result is aggregated to (op, group, multiplicity) — deterministic
+    * output, and the multiplicities ARE the bag semantics on display. */
+  def q149BagOps(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.orders(spark, dir)
+      .select($"o_orderstatus", $"o_orderpriority")
+    val expensive = Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 150000.0)
+      .select($"o_orderstatus", $"o_orderpriority")
+    def counted(df: DataFrame, op: String): DataFrame =
+      df.groupBy($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit(op).as("op"), $"o_orderstatus", $"o_orderpriority", $"cnt")
+    counted(all.exceptAll(expensive), "except_all")
+      .unionByName(counted(all.intersectAll(expensive), "intersect_all"))
+  }
+
+  // ---------------------------------------------------------------- A74
+  /** Week-over-week deltas — per event type: weekly event counts with the
+    * previous week's count, absolute delta, and relative change (the
+    * period-over-period reporting shape behind every growth dashboard).
+    * Weeks are integer epoch arithmetic (q145's rule — no calendar
+    * builtin drift); the lag window runs over the AGGREGATED
+    * (type × week) frame — dimension-sized, key-parallel (q116's rule);
+    * pct is ONE IEEE division of exact counts (first week of a type:
+    * null prev → null delta/pct, both engines). */
+  def q150WowDelta(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(spark, dir)
+      .select($"event_type",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+      .withColumn("week", expr("us div 604800000000"))
+      .groupBy($"event_type", $"week")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"week")
+    weekly
+      .withColumn("prev_n", lag($"n", 1).over(w))
+      .withColumn("delta", $"n" - $"prev_n")
+      .withColumn("pct_change", asDouble($"delta") / asDouble($"prev_n"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -282,6 +282,52 @@ class Round11WideSpec extends SparkSpec {
     assert(got.nonEmpty, "sf corpus must contain near-duplicate pairs")
   }
 
+  // --- q149 bag ops -----------------------------------------------------
+
+  test("q149 equals the multiset identities max(0, a−b) and min(a, b)") {
+    val rows = sources.Tables.orders(spark, sf)
+      .select($"o_orderstatus", $"o_orderpriority", $"o_totalprice")
+      .as[(String, String, Double)].collect()
+    val ca = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.length.toLong)
+    val cb = rows.filter(_._3 > 150000.0)
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.length.toLong)
+    val want = (ca.keys.map { k =>
+      ("except_all", k._1, k._2, ca(k) - cb.getOrElse(k, 0L))
+    }.filter(_._4 > 0) ++ ca.keys.map { k =>
+      ("intersect_all", k._1, k._2, math.min(ca(k), cb.getOrElse(k, 0L)))
+    }.filter(_._4 > 0)).toSet
+    val got = Relational.q149BagOps(spark, sf)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got === want)
+    assert(got.exists(_._1 == "except_all") && got.exists(_._1 == "intersect_all"))
+  }
+
+  // --- q150 WoW delta ---------------------------------------------------
+
+  test("q150 equals a per-type weekly replay incl. null first weeks") {
+    val byTypeWeek = sources.Tables.events(spark, sf)
+      .select($"event_type", unix_micros($"ts".cast("timestamp")).as("us"))
+      .as[(String, Long)].collect()
+      .groupBy(e => (e._1, e._2 / 604800000000L)).view
+      .mapValues(_.length.toLong).toMap
+    val want = byTypeWeek.map { case ((t, w), n) =>
+      val prev = byTypeWeek.keys.filter(k => k._1 == t && k._2 < w)
+        .map(_._2).maxOption.flatMap { pw =>
+          // lag(1) over consecutive ROWS: previous existing week's count
+          Some(byTypeWeek((t, pw)))
+        }
+      (t, w) -> ((n, prev, prev.map(p => n - p),
+        prev.map(p => (n - p).toDouble / p.toDouble)))
+    }
+    val got = Relational.q150WowDelta(spark, sf)
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Double])]
+      .collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got === want)
+    assert(want.values.exists(_._2.isEmpty), "first weeks must be null")
+    assert(want.values.exists(_._2.nonEmpty))
+  }
+
   // --- q145 seasonality -------------------------------------------------
 
   test("q145 equals brute-force epoch arithmetic cells") {
