@@ -131,6 +131,24 @@ object PqIndex {
         .select(col("vec_id"), col("codes"), col("norm")))
   }
 
+  /** Encode a NEW vector batch with the index's FROZEN codebooks and
+    * append it to a [[save]]d index's codes — the ingest path of a
+    * build-once index: no refit, no re-encode of the existing corpus,
+    * cost O(|batch|). Codebooks drift as the corpus distribution does —
+    * that is PQ's standard operating regime (quantization error grows
+    * gracefully; recall specs bound it at build time); re-fit via a fresh
+    * [[build]] + [[save]] when drift matters, exactly like IVF's
+    * compact-vs-maintain split. */
+  def ingestBatch(spark: SparkSession, path: String, batch: DataFrame): Unit = {
+    val idx = load(spark, path)
+    val base = batch.select(col("vec_id"),
+      toDoubles(col("embedding")).as("emb"),
+      l2Norm(col("embedding")).as("norm"))
+    encode(base, idx.codebooks, idx.m, idx.k, idx.ds)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/codes")
+  }
+
   /** Top-k neighbors per query. `queries` carries
     * `(query_id, q_emb array<double>, q_norm)`.
     *

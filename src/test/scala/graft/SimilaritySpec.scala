@@ -283,6 +283,39 @@ class SimilaritySpec extends SparkSpec {
     assert(answers(loaded) === answers(idx))
   }
 
+  test("PQ ingestBatch appends frozen-codebook codes a loaded index serves") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val old = e.filter($"vec_id" % 2 === 0)
+    val fresh = e.filter($"vec_id" % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("pq-ingest").toString
+    operators.PqIndex.save(operators.PqIndex.build(old, dim = 64), dir)
+    operators.PqIndex.ingestBatch(spark, dir, fresh)
+    val after = operators.PqIndex.load(spark, dir)
+    assert(after.codes.count() === e.count(),
+      "ingest must append, not replace")
+    // batch rows encode EXACTLY as the frozen codebooks dictate: re-encode
+    // one fresh vector against the loaded codebooks and compare
+    val ids = fresh.select($"vec_id").as[Long].collect().toSet
+    val gotCodes = after.codes.filter($"vec_id".isin(ids.toSeq: _*))
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    val embs = fresh
+      .select($"vec_id",
+        graft.functions.VectorFunctions.toDoubles($"embedding"))
+      .as[(Long, Seq[Double])].collect().toMap
+    gotCodes.foreach { case (id, cs) =>
+      val v = embs(id)
+      val expect = (0 until after.m).map { mm =>
+        (0 until after.k).minBy { j =>
+          (0 until after.ds).map { d =>
+            val diff = v(mm * after.ds + d) - after.codebooks(mm)(j)(d)
+            diff * diff
+          }.sum
+        }
+      }
+      assert(cs === expect, s"vec $id")
+    }
+  }
+
   test("PQ rerank recall dominates pure ADC and clears a floor") {
     def recall(df: org.apache.spark.sql.DataFrame): Double = {
       val brute = Similarity.q45AnnBruteforce(spark, sf, k = 10)
