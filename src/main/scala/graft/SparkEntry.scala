@@ -168,6 +168,7 @@ object SparkEntry {
     "q148_prefix_join" -> ((s, d) => Dedup.q148PrefixJoin(s, d)),
     "q149_bag_ops" -> (Relational.q149BagOps _),
     "q150_wow_delta" -> (Relational.q150WowDelta _),
+    "q151_decile_lift" -> ((s, d) => Corpus.q151DecileLift(s, d)),
     "q144_mad" -> ((s, d) => Relational.q144Mad(s, d)),
     "q145_seasonality" -> (Relational.q145Seasonality _),
   )
@@ -1573,5 +1574,25 @@ object SparkEntry {
         |SELECT event_type, week, n, prev_n, n - prev_n AS delta,
         |  CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE) AS pct_change
         |FROM l""".stripMargin,
+    "q151_decile_lift" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |s AS (SELECT doc_id, CAST(sum((length(word) * 7) % 13 - 6) AS BIGINT)
+        |             AS score FROM w GROUP BY doc_id),
+        |d AS (SELECT doc_id, score, score > 0 AS keep,
+        |             CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |               AS decile FROM s),
+        |p AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS n_keep
+        |      FROM d GROUP BY decile),
+        |t AS (SELECT *, CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |             AS keep_rate,
+        |             CAST(sum(n_keep) OVER () AS BIGINT) AS tk,
+        |             CAST(sum(n_docs) OVER () AS BIGINT) AS td
+        |      FROM p)
+        |SELECT decile, n_docs, n_keep, keep_rate,
+        |  keep_rate / (CAST(tk AS DOUBLE) / CAST(td AS DOUBLE)) AS lift
+        |FROM t""".stripMargin,
   )
 }

@@ -1212,6 +1212,41 @@ object Corpus {
         col("tf"), col("rk"))
   }
 
+  // ---------------------------------------------------------------- C61
+  /** Decile lift/gains table over the quality classifier — the model-eval
+    * report every filtering-classifier deployment needs: rank the corpus
+    * by score, cut into 10 equal global deciles, and compare each decile's
+    * keep rate against the corpus average (lift). A working classifier
+    * shows lift ≫ 1 in decile 1 and ≈ 0 in decile 10; a flat table means
+    * the scores are noise.
+    *
+    * The global decile cut uses [[Rank.ntile]] (SQL NTILE arithmetic on
+    * the range-partitioned global row number — never `ntile() OVER (ORDER
+    * BY …)`'s single task; parity specced by q127). The per-decile
+    * aggregate is 10 rows; the overall-rate window runs over THAT
+    * aggregated frame (q117's rule). keep_rate, overall, and lift are
+    * single IEEE divisions of exact integer counts. */
+  def q151DecileLift(spark: SparkSession, dir: String): DataFrame = {
+    val scored = q121QualityClassifier(spark, dir)
+      .select(col("doc_id"), col("score"), col("keep"))
+    val ranked = Rank.ntile(scored,
+      Seq(col("score").desc, col("doc_id").asc), 10, "decile")
+    val per = ranked.groupBy(col("decile").cast("long").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("keep_rate",
+        col("n_keep").cast("double") / col("n_docs").cast("double"))
+      .withColumn("overall",
+        sum(col("n_keep")).over(w).cast("double")
+          / sum(col("n_docs")).over(w).cast("double"))
+      .withColumn("lift", col("keep_rate") / col("overall"))
+      .select(col("decile"), col("n_docs"), col("n_keep"),
+        col("keep_rate"), col("lift"))
+  }
+
   // ---------------------------------------------------------------- C57
   /** Size-concentration (Lorenz/Pareto) profile per source — how many of
     * the largest documents it takes to cover 50/80/90% of a source's total

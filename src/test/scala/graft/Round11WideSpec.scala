@@ -328,6 +328,38 @@ class Round11WideSpec extends SparkSpec {
     assert(want.values.exists(_._2.nonEmpty))
   }
 
+  // --- q151 decile lift -------------------------------------------------
+
+  test("q151 equals a sorted-scan decile replay") {
+    val scored = operators.Corpus.q121QualityClassifier(spark, sf)
+      .select($"doc_id", $"score", $"keep")
+      .as[(Long, Long, Boolean)].collect()
+      .sortBy(r => (-r._2, r._1))
+    val n = scored.length
+    val q = n / 10; val r = n % 10
+    // SQL NTILE: first r buckets get q+1 rows
+    val deciles = scored.zipWithIndex.map { case (row, i) =>
+      val b = if (i < r * (q + 1)) i / (q + 1) + 1
+      else r + (i - r * (q + 1)) / q + 1
+      (b.toLong, row._3)
+    }
+    val per = deciles.groupBy(_._1).view.mapValues { xs =>
+      (xs.length.toLong, xs.count(_._2).toLong)
+    }.toMap
+    val totalKeep = per.values.map(_._2).sum
+    val overall = totalKeep.toDouble / n.toDouble
+    val want = per.map { case (d, (nd, nk)) =>
+      val rate = nk.toDouble / nd.toDouble
+      d -> ((nd, nk, rate, rate / overall))
+    }
+    val got = operators.Corpus.q151DecileLift(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5))).toMap
+    assert(got === want)
+    // the stand-in classifier must actually separate: top decile all-keep
+    assert(got(1L)._3 === 1.0)
+  }
+
   // --- q145 seasonality -------------------------------------------------
 
   test("q145 equals brute-force epoch arithmetic cells") {
