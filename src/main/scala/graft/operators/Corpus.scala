@@ -1197,9 +1197,14 @@ object Corpus {
     * them per group is the classic index-build OOM). */
   def q139PostingLists(spark: SparkSession, dir: String,
       minDf: Int = 5, k: Int = 3): DataFrame = {
-    val tf = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    // tf feeds BOTH the totals aggregate and the postings join —
+    // materialize once (q106's rule) or the corpus explode + first
+    // shuffle re-execute per plan reference
+    val tf = graft.Lineage.truncate(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf")),
+      reliable = false).df
     val totals = tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
       .filter(col("df") >= minDf)

@@ -1391,8 +1391,13 @@ object Relational {
     * (q119's pattern — per-partition top-k, the row_number window only
     * ever sees the k survivors). */
   def q138Copurchase(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    // both self-join sides read the SAME distinct projection — materialize
+    // it once (q106's rule): the spill is 16 B/row of deduped keys, cheaper
+    // than scanning + re-distincting lineitem per plan reference
+    val li = graft.Lineage.truncate(
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct(),
+      reliable = false).df
     li.as("a").join(li.as("b"), $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
       .select($"a.pk".as("pk_a"), $"b.pk".as("pk_b"))
       .groupBy($"pk_a", $"pk_b").agg(count(lit(1)).as("n_orders"))
