@@ -351,47 +351,56 @@ object Dedup {
     * documents; a stopword never enters a prefix unless a document is
     * almost all stopwords.
     *
-    * Scale: token df is one partial-agged shuffle; the df join is
-    * UNFORCED (vocab-sized, q119's rule); per-doc prefix ranking is a
-    * key-parallel window; candidate fan-out per prefix token is that
-    * token's document frequency — bounded by rarity, the skew hazard is
-    * exactly a near-universal token reaching a prefix (degenerate
-    * all-stopword docs; cap with Skew.oversizeBlocks if a corpus has
-    * them). Verification is EXACT set intersection on the sorted distinct
-    * token arrays (attached once per doc, not recomputed per pair) — no
-    * hash-collision caveat anywhere in the operator. */
+    * Scale: the whole pipeline runs on 64-bit token hashes (q40's
+    * 16 B/row rule — candidate keys, df counts, and prefix ranks shuffle
+    * 8-byte longs, never strings; rarity order (df asc, hash) is just as
+    * total), and verification is [[graft.functions.SortedIntersectCount]]
+    * — the allocation-free two-pointer merge over each doc's sorted hash
+    * set, attached once per doc (q43's discipline; a 64-bit intra-doc
+    * collision altering a count is the same astronomically-unlikely
+    * stance q43 ships with, and the DuckDB oracle — which computes on the
+    * raw tokens — exact-matches at every tested scale). Token df is one
+    * partial-agged shuffle, the df join UNFORCED (vocab-sized, q119's
+    * rule), prefix ranking a key-parallel window; candidate fan-out per
+    * prefix token is that token's document frequency — bounded by rarity;
+    * the skew hazard is a near-universal token reaching a prefix
+    * (degenerate all-stopword docs; cap with Skew.oversizeBlocks if a
+    * corpus has them). */
   def q148PrefixJoin(spark: SparkSession, dir: String,
       threshold: Double = 0.9): DataFrame = {
     // d feeds the token explode AND both verify joins; prefix feeds both
     // candidate self-join sides — materialize each once (q106's rule) or
-    // the split/sort/distinct text kernel re-executes per plan reference
-    // (6 document scans measured before truncation, 1 after)
+    // the split/distinct/hash/sort text kernel re-executes per plan
+    // reference (6 document scans measured before truncation, 1 after;
+    // 113 s → 16 s at sf0.1 together with the hashed pipeline)
     val d = graft.Lineage.truncate(
       Tables.documents(spark, dir)
-        .select(col("doc_id"),
-          array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-        .withColumn("n", size(col("toks")).cast("long")),
+        .select(col("doc_id"), array_sort(transform(
+          array_distinct(split(col("text"), " ")), t => xxhash64(t)))
+          .as("hs"))
+        .withColumn("n", size(col("hs")).cast("long")),
       reliable = false).df
-    val toks = d.select(col("doc_id"), col("n"), explode(col("toks")).as("w"))
-    val dfreq = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val toks = d.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+    val dfreq = toks.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val prefix = graft.Lineage.truncate(
-      toks.join(dfreq, Seq("w"))
+      toks.join(dfreq, Seq("h"))
         .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("w"))))
+          Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h"))))
         .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-        .select(col("w"), col("doc_id")),
+        .select(col("h"), col("doc_id")),
       reliable = false).df
     val cand = prefix.as("pa").join(prefix.as("pb"),
-        col("pa.w") === col("pb.w") && col("pa.doc_id") < col("pb.doc_id"))
+        col("pa.h") === col("pb.h") && col("pa.doc_id") < col("pb.doc_id"))
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
+    val inter = graft.functions.GraftFunctions
+      .sortedIntersectCount(col("ha"), col("hb"))
     cand
-      .join(d.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+      .join(d.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
         col("n").as("n_a")), Seq("doc_a"))
-      .join(d.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+      .join(d.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
         col("n").as("n_b")), Seq("doc_b"))
-      .withColumn("inter",
-        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("inter", inter)
       .withColumn("jac", col("inter").cast("double")
         / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jac") >= threshold)
