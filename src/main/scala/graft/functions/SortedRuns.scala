@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.GraftColumnBridge.AbstractType
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /**
  * Run-length kernels over a SORTED `array<string>` — the native-expression
@@ -22,8 +23,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
  * compare equal to each other (`array_sort` groups them last), matching
  * the count-by-value semantics of a groupBy.
  */
-abstract class SortedRunKernel extends UnaryExpression {
+abstract class SortedRunKernel extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
+  // analysis-time type gate (the sibling-kernel convention): without it a
+  // long-array or scalar argument passes analysis and getUTF8String reads
+  // garbage offsets at runtime
+  override def inputTypes: Seq[AbstractType] = Seq(ArrayType(StringType))
 
   /** (runLength → contribution) in eval; mirrored in generated Java. */
   protected def contribute(run: Long): Long

@@ -382,11 +382,17 @@ object Dedup {
       reliable = false).df
     val toks = d.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
     val dfreq = toks.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // prefix length n − ⌈t·n⌉ + 1 in INTEGER arithmetic: FP ceil(t·n)
+    // overestimates whenever t·n lands ε above an integer (0.55·20 =
+    // 11.000…002 → ceil 12), silently shortening the prefix and breaking
+    // the zero-false-negative guarantee. t is taken at 1e-6 resolution.
+    val tScaled = math.round(threshold * 1e6)
+    val ceilTn = expr(s"($tScaled * n + ${1000000L - 1}) div 1000000")
     val prefix = graft.Lineage.truncate(
       toks.join(dfreq, Seq("h"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h"))))
-        .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+        .filter(col("rn") <= col("n") - ceilTn + 1)
         .select(col("h"), col("doc_id")),
       reliable = false).df
     val cand = prefix.as("pa").join(prefix.as("pb"),

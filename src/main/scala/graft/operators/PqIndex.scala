@@ -58,6 +58,12 @@ object PqIndex {
       toDoubles(col("embedding")).as("emb"),
       l2Norm(col("embedding")).as("norm"))
     val n = corpus.count()
+    // KMeans silently returns FEWER than k centers when it trains on < k
+    // points; encode's sequence(0, k-1) would then index past the ragged
+    // codebook ([INVALID_ARRAY_INDEX] under ANSI). Fail loudly instead.
+    require(n >= k,
+      s"PQ needs a corpus of at least k=$k vectors to place $k codewords " +
+        s"per subspace, got $n")
     val sample =
       if (n <= fitSampleSize) base
       else base.sample(withReplacement = false,

@@ -124,8 +124,13 @@ object Tables {
           org.apache.spark.sql.functions.expr(
             "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
       case other =>
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.col("ts").cast(TimestampNTZType))
+        // fail loudly: a silent cast would route e.g. UTC-adjusted
+        // TimestampType through the session timezone and shift every ts
+        // relative to the oracle's naive read with no error
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported physical type $other — expected " +
+            "TIMESTAMP_NTZ (µs, isAdjustedToUTC=false) or legacy " +
+            "TIMESTAMP(NANOS)-as-long")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")

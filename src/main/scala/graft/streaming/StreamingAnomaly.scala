@@ -56,10 +56,17 @@ object StreamingAnomaly {
         case (u, eid, us, value, cents) =>
           val n = r.length
           val alert = if (n >= minPrior) {
-            // the batch plan's exact op sequence over the exact sums:
-            // s1 = cast(sum(v)::double), s2 = cast(sum(v*v)::double)
-            val s1 = r.sum.toDouble / 100.0
-            val s2 = r.map(c => c * c).sum.toDouble / 10000.0
+            // the batch plan's exact op sequence over the exact sums: the
+            // decimal sums are EXACT rationals (Σc/100, Σc²/10⁴) and the
+            // double casts are ONE correctly-rounded conversion each —
+            // accumulate in BigInt (c·c overflows Long past ~$30M values,
+            // and a Long.toDouble/1e4 two-step double-rounds past 2^53)
+            // and convert through scaled BigDecimal exactly like the plan
+            val s1 = new java.math.BigDecimal(
+              r.foldLeft(BigInt(0))(_ + _).bigInteger, 2).doubleValue
+            val s2 = new java.math.BigDecimal(
+              r.foldLeft(BigInt(0))((a, c) => a + BigInt(c) * BigInt(c))
+                .bigInteger, 4).doubleValue
             val nd = n.toDouble
             val mu = s1 / nd
             val sd = math.sqrt(math.max((s2 - s1 * s1 / nd) / (nd - 1d), 0d))

@@ -22,10 +22,16 @@ case class NearDupCandidate(doc_a: Long, doc_b: Long, band: Int,
  * Shared semantics by construction: signatures and band keys are computed
  * PLAN-SIDE with the exact expressions batch q41 uses
  * ([[graft.functions.TextHashes]] kernels + the same
- * `xxhash64(slice(sig), band)` banding), so the stream's candidate pair
- * set equals batch `Dedup.lshCandidates` over the same corpus
- * (spec-asserted) — the stateful layer only REMEMBERS, it never hashes
- * differently.
+ * `xxhash64(slice(sig), band)` banding), so AS LONG AS no bucket exceeds
+ * `cap`, the stream's candidate pair set equals batch
+ * `Dedup.lshCandidates` over the same corpus (spec-asserted) — the
+ * stateful layer only REMEMBERS, it never hashes differently. The two
+ * engines intentionally differ on an over-cap bucket: batch retroactively
+ * excludes the WHOLE bucket (it sees the final size), while a stream
+ * cannot retract Append-mode emissions, so it keeps the first-`cap`
+ * pairs already flagged and admits nothing more — size `cap` alike to
+ * batch's `maxBucket` for the parity regime, and treat an over-cap
+ * bucket's flags as unvetted (the batch rescore drops them).
  *
  * State: per (band, band_hash) bucket, the ≤`cap` (doc_id, signature)
  * rows seen first — 64 longs each, so total state is

@@ -159,6 +159,19 @@ class KernelParitySpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("SortedRuns reject non-string-array input at analysis time") {
+    val df = Seq((1L, Seq(1L, 2L))).toDF("id", "longs")
+    val e = intercept[Exception] {
+      df.select(graft.functions.SortedRuns.sortedRunSumSq($"longs")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"),
+      s"expected an analysis-time type error, got: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      df.select(graft.functions.SortedRuns.sortedRunCount($"id")).collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("type"))
+  }
+
   test("SortedRuns agree between codegen and interpreted eval") {
     val df = docs(30).select($"doc_id", array_sort(split($"text", " ")).as("s"))
     def run(): Map[Long, (Long, Long)] =

@@ -328,6 +328,26 @@ class Round11WideSpec extends SparkSpec {
     assert(want.values.exists(_._2.nonEmpty))
   }
 
+  test("q148 prefix length survives FP-hostile thresholds (0.55·20 = 11+ε)") {
+    // regression: ceil(0.55 * 20) = 12 in doubles; the integer ceil must
+    // give 11 or the prefix loses a token and pairs go missing
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (d, t) => d -> t.split(" ", -1).toSet }
+    val t = 0.55
+    val want = (for {
+      i <- docs.indices; j <- i + 1 until docs.length
+      (da, sa) = docs(i); (db, sb) = docs(j)
+      inter = (sa & sb).size.toLong
+      jac = inter.toDouble / (sa.size + sb.size - inter).toDouble
+      if jac >= t
+    } yield (math.min(da, db), math.max(da, db))).toSet
+    val got = operators.Dedup.q148PrefixJoin(spark, sf, threshold = t)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(docs.exists(_._2.size % 20 == 0) || got.nonEmpty)
+  }
+
   // --- q151 decile lift -------------------------------------------------
 
   test("q151 equals a sorted-scan decile replay") {

@@ -265,6 +265,14 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("PQ build refuses a corpus smaller than k (ragged-codebook guard)") {
+    val tiny = graft.sources.Tables.embeddings(spark, sf).filter($"vec_id" < 10)
+    val e = intercept[IllegalArgumentException] {
+      operators.PqIndex.build(tiny, dim = 64, m = 8, k = 16)
+    }
+    assert(e.getMessage.contains("at least k=16"))
+  }
+
   test("PQ save/load round-trips: loaded index answers identically") {
     val e = graft.sources.Tables.embeddings(spark, sf)
     val idx = operators.PqIndex.build(e, dim = 64, m = 8, k = 16)

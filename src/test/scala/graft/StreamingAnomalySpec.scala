@@ -62,6 +62,44 @@ class StreamingAnomalySpec extends SparkSpec {
     } finally q.stop()
   }}
 
+  test("sums stay exact past Long c*c and 2^53 (BigInt/BigDecimal path)") { withRocksDb {
+    // cents ≈ 4e9 → c² ≈ 1.6e19 > Long.MaxValue: a Long accumulator wraps
+    // negative; the BigDecimal conversion must match the plan's
+    // decimal→double single rounding computed here independently
+    val big = 4000000000L // $40M in cents
+    val obs: Seq[StreamingAnomaly.Obs] = (1 to 12).map { i =>
+      val cents = big + i * 1000000L
+      (7L, i.toLong, i.toLong * 1000000L, cents.toDouble / 100.0, cents)
+    }
+    val input = MemoryStream[StreamingAnomaly.Obs]
+    val out = collection.mutable.ArrayBuffer.empty[streaming.AnomalyAlert]
+    val q = StreamingAnomaly.detect(input.toDS(), zThresh = 0.0)
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[streaming.AnomalyAlert], _: Long) =>
+          out.synchronized { out ++= df.collect() }; ()
+      }
+      .start()
+    try {
+      input.addData(obs); q.processAllAvailable()
+      val alerts = out.synchronized(out.toList)
+      assert(alerts.nonEmpty, "zThresh=0 must fire once priors exist")
+      alerts.foreach { a =>
+        val prior = obs.filter(_._2 < a.event_id).map(_._5)
+        val n = prior.length
+        val s1 = new java.math.BigDecimal(
+          prior.foldLeft(BigInt(0))(_ + _).bigInteger, 2).doubleValue
+        val s2 = new java.math.BigDecimal(
+          prior.foldLeft(BigInt(0))((x, c) => x + BigInt(c) * BigInt(c))
+            .bigInteger, 4).doubleValue
+        val mu = s1 / n
+        val sd = math.sqrt(math.max((s2 - s1 * s1 / n) / (n - 1d), 0d))
+        assert(a.mu === mu && a.sd === sd, s"event ${a.event_id}")
+        assert(!a.z.isNaN && !a.z.isInfinite)
+      }
+    } finally q.stop()
+  }}
+
   test("state survives a mid-feed restart from the checkpoint") { withRocksDb {
     val obs = observations()
     val (first, second) = obs.splitAt(obs.length / 2)
