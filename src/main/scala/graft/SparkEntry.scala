@@ -169,6 +169,8 @@ object SparkEntry {
     "q149_bag_ops" -> (Relational.q149BagOps _),
     "q150_wow_delta" -> (Relational.q150WowDelta _),
     "q151_decile_lift" -> ((s, d) => Corpus.q151DecileLift(s, d)),
+    "q152_item_cf" -> ((s, d) => Relational.q152ItemCf(s, d)),
+    "q153_clamped_balance" -> (Relational.q153ClampedBalance _),
     "q144_mad" -> ((s, d) => Relational.q144Mad(s, d)),
     "q145_seasonality" -> (Relational.q145Seasonality _),
   )
@@ -1594,5 +1596,44 @@ object SparkEntry {
         |SELECT decile, n_docs, n_keep, keep_rate,
         |  keep_rate / (CAST(tk AS DOUBLE) / CAST(td AS DOUBLE)) AS lift
         |FROM t""".stripMargin,
+    "q152_item_cf" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |s AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1),
+        |p AS (SELECT a.pk AS pk_a, b.pk AS pk_b, CAST(count(*) AS BIGINT) AS n_ab
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |d AS (SELECT pk_a AS item, pk_b AS rec, n_ab FROM p
+        |      UNION ALL SELECT pk_b, pk_a, n_ab FROM p),
+        |j AS (SELECT d.item, d.rec, d.n_ab, si.n AS n_item, sr.n AS n_rec,
+        |             CAST(d.n_ab AS DOUBLE)
+        |               / sqrt(CAST(si.n * sr.n AS DOUBLE)) AS sim
+        |      FROM d JOIN s si ON si.pk = d.item JOIN s sr ON sr.pk = d.rec),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY item
+        |               ORDER BY sim DESC, rec) AS BIGINT) AS rk FROM j)
+        |SELECT item, rk, rec, n_ab, n_item, n_rec, sim FROM r WHERE rk <= 3""".stripMargin,
+    "q153_clamped_balance" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CASE WHEN event_type = 'purchase'
+        |         THEN -CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |         ELSE CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |    END AS delta
+        |  FROM events),
+        |b AS (SELECT user_id, us, event_id,
+        |    CAST(sum(delta) OVER w AS BIGINT) AS s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT user_id, us, event_id,
+        |    s - least(CAST(0 AS BIGINT), CAST(min(s) OVER w2 AS BIGINT))
+        |      AS balance
+        |  FROM b
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |             ORDER BY us DESC, event_id DESC) AS rn FROM c)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(CASE WHEN rn = 1 THEN balance END) AS BIGINT) AS final_cents,
+        |  CAST(max(balance) AS BIGINT) AS peak_cents,
+        |  CAST(sum(CASE WHEN balance = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_broke
+        |FROM r GROUP BY user_id""".stripMargin,
   )
 }

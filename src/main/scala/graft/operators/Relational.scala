@@ -1593,6 +1593,79 @@ object Relational {
       .withColumn("pct_change", asDouble($"delta") / asDouble($"prev_n"))
   }
 
+  // ---------------------------------------------------------------- A75
+  /** Item-item collaborative filtering — per part, the top-3 most-similar
+    * parts by cosine over order co-occurrence (sim = n_ab/√(n_a·n_b)):
+    * the classic "customers also bought" batch job, one normalization
+    * away from q138's support-ranked pairs.
+    *
+    * Scale: co-occurrence counting is q138's shape (quadratic confined
+    * inside each order, one materialized distinct projection feeding both
+    * self-join sides); the per-item support join is UNFORCED (item table
+    * is catalog-sized, not dimension-sized at retail scale — optimizer
+    * broadcasts only if it fits, q119's rule); symmetric pairs explode
+    * into both directions so each item ranks its OWN recommendation list,
+    * and the `rank ≤ 3` filter compiles to WindowGroupLimit — no item
+    * ever materializes its full candidate list. sim is one IEEE division
+    * by one IEEE sqrt of an exact integer product. */
+  def q152ItemCf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val li = graft.Lineage.truncate(
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct(),
+      reliable = false).df
+    val support = li.groupBy($"pk").agg(count(lit(1)).as("n"))
+    val pairs = li.as("a").join(li.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("pk_a"), $"b.pk".as("pk_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val directed = pairs.select($"pk_a".as("item"), $"pk_b".as("rec"), $"n_ab")
+      .unionAll(pairs.select($"pk_b".as("item"), $"pk_a".as("rec"), $"n_ab"))
+      .join(support.select($"pk".as("item"), $"n".as("n_item")), Seq("item"))
+      .join(support.select($"pk".as("rec"), $"n".as("n_rec")), Seq("rec"))
+      .withColumn("sim",
+        asDouble($"n_ab") / sqrt(asDouble($"n_item" * $"n_rec")))
+    directed
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"item")
+          .orderBy($"sim".desc, $"rec".asc)).cast("long"))
+      .filter($"rk" <= k)
+      .select($"item", $"rk", $"rec", $"n_ab", $"n_item", $"n_rec", $"sim")
+  }
+
+  // ---------------------------------------------------------------- A76
+  /** Clamped running balance — per user, a value ledger where purchases
+    * draw down and other events top up, with the balance FLOORED AT ZERO
+    * (inventory/credit semantics: you can't spend what you don't have).
+    *
+    * The recurrence b_t = max(0, b_{t−1} + δ_t) is NONLINEAR — not a
+    * window sum, and the naive evaluation is a sequential per-user scan.
+    * The max-plus identity b_t = S_t − min(0, min_{i≤t} S_i) (S = plain
+    * prefix sum) turns it into TWO ordinary prefix aggregates that share
+    * one per-user sort — fully key-parallel, no sequential pass anywhere
+    * (spec replays the recurrence directly to witness the identity).
+    * All arithmetic is exact integer cents; the ledger sign rule is
+    * deterministic (purchase = debit, everything else = credit). */
+  def q153ClampedBalance(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_id",
+        unix_micros($"ts".cast("timestamp")).as("us"),
+        when($"event_type" === "purchase",
+          -(money($"value") * 100).cast("long"))
+          .otherwise((money($"value") * 100).cast("long")).as("delta"))
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val balances = e
+      .withColumn("s", sum($"delta").over(w))
+      .withColumn("m", min($"s").over(w))
+      .withColumn("balance", $"s" - least(lit(0L), $"m"))
+    balances.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(struct($"us", $"event_id", $"balance")).getField("balance")
+          .as("final_cents"),
+        max($"balance").as("peak_cents"),
+        sum(when($"balance" === 0L, 1L).otherwise(0L)).as("n_broke"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

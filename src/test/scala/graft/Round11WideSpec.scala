@@ -348,6 +348,60 @@ class Round11WideSpec extends SparkSpec {
     assert(docs.exists(_._2.size % 20 == 0) || got.nonEmpty)
   }
 
+  // --- q152 item CF -----------------------------------------------------
+
+  test("q152 equals a brute-force cosine-over-co-occurrence ranking") {
+    val li = sources.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect().distinct
+    val support = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val co = li.groupBy(_._1).values.flatMap { items =>
+      val pks = items.map(_._2).sorted
+      for (i <- pks.indices; j <- i + 1 until pks.length)
+        yield (pks(i), pks(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val directed = co.toSeq.flatMap { case ((a, b), n) =>
+      Seq((a, b, n), (b, a, n)) }
+    val want = directed.groupBy(_._1).flatMap { case (item, cands) =>
+      cands.map { case (_, rec, nAb) =>
+        val sim = nAb.toDouble /
+          math.sqrt((support(item) * support(rec)).toDouble)
+        (rec, nAb, sim)
+      }.sortBy { case (rec, _, sim) => (-sim, rec) }.take(3).zipWithIndex
+        .map { case ((rec, nAb, sim), i) =>
+          (item, i + 1L, rec, nAb, support(item), support(rec), sim) }
+    }.toSet
+    val got = Relational.q152ItemCf(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  // --- q153 clamped balance ---------------------------------------------
+
+  test("q153's prefix-aggregate identity equals the sequential recurrence") {
+    val deltas = sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_id",
+        unix_micros($"ts".cast("timestamp")).as("us"),
+        when($"event_type" === "purchase",
+          -($"value".cast("decimal(14,2)") * 100).cast("long"))
+          .otherwise(($"value".cast("decimal(14,2)") * 100).cast("long"))
+          .as("delta"))
+      .as[(Long, Long, Long, Long)].collect()
+    val want = deltas.groupBy(_._1).map { case (u, rows) =>
+      // the DEFINITION: b_t = max(0, b_{t-1} + d_t), replayed sequentially
+      val bs = rows.sortBy(r => (r._3, r._2))
+        .scanLeft(0L) { case (b, (_, _, _, d)) => math.max(0L, b + d) }
+        .drop(1)
+      u -> ((rows.length.toLong, bs.last, bs.max,
+        bs.count(_ == 0L).toLong))
+    }
+    val got = Relational.q153ClampedBalance(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === want)
+    assert(want.values.exists(_._4 > 0), "some user must hit zero")
+  }
+
   // --- q151 decile lift -------------------------------------------------
 
   test("q151 equals a sorted-scan decile replay") {
