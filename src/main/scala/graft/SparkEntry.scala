@@ -171,6 +171,7 @@ object SparkEntry {
     "q151_decile_lift" -> ((s, d) => Corpus.q151DecileLift(s, d)),
     "q152_item_cf" -> ((s, d) => Relational.q152ItemCf(s, d)),
     "q153_clamped_balance" -> (Relational.q153ClampedBalance _),
+    "q154_image_neardup" -> ((s, d) => Multimodal.q154ImageNearDup(s, d)),
     "q144_mad" -> ((s, d) => Relational.q144Mad(s, d)),
     "q145_seasonality" -> (Relational.q145Seasonality _),
   )

@@ -258,6 +258,38 @@ object Multimodal {
       .toDF()
   }
 
+  /** Deterministic REAL-container image synthesis: each document of the
+    * `doc_id % 3 = 0` slice (the one [[mediaFromDocuments]] labels
+    * "image") becomes a true 16×16 PNG whose RGB pixels cycle through the
+    * text bytes — PNG is lossless, so [[decodeImage]] recovers the exact
+    * pixels and the luminance histogram is a pure function of the text
+    * (the encode→decode inversion witness behind [[q154ImageNearDup]]). */
+  def imagesFromDocuments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val tb = text.getBytes("UTF-8")
+          val w = 16; val h = 16
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var p = 0
+          while (p < w * h) {
+            def b(i: Int) = if (tb.isEmpty) 0 else tb((p * 3 + i) % tb.length) & 0xFF
+            img.setRGB(p % w, p / w, (b(0) << 16) | (b(1) << 8) | b(2))
+            p += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, "image", bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "kind", "bytes")
+  }
+
   /** Deterministic REAL-container video synthesis: each selected document
     * (the `doc_id % 3 = 2` slice [[mediaFromDocuments]] labels "video")
     * becomes an uncompressed 16×8 @ 10fps AVI with `(n_chars % 5) + 2`
@@ -310,6 +342,44 @@ object Multimodal {
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"),
         max(col("width")).as("width"), max(col("height")).as("height"))
+
+  /** Near-duplicate images by decoded luminance-histogram distance — the
+    * image arm of the dedup suite (C1/C2 catch byte- and text-level
+    * duplicates; re-encoded or resized images need a CONTENT feature):
+    * pairs of decodable images whose 8-bin normalized luminance
+    * histograms are within L1 distance `maxL1`.
+    *
+    * Blocking: dominant-luminance bin (argmax of the histogram, first-max
+    * tiebreak) — 8 blocks; two images within small L1 usually share their
+    * dominant bin, the same recall-for-scale trade q44 makes with label
+    * blocks (an exact variant would LSH the histogram like q46). The
+    * quadratic is confined inside blocks; at corpus scale salt the block
+    * key (Skew.saltedSelfPairs' discipline — dominant bins are skewed by
+    * construction). Verification is an exact per-pair L1 fold over the
+    * 8-float histograms; features come from ONE real PNG decode pass
+    * ([[imagesFromDocuments]] → [[decodeImage]] — true container
+    * round-trip), materialized once, never re-decoded per pair. */
+  def q154ImageNearDup(spark: SparkSession, dir: String,
+      maxL1: Double = 0.02): DataFrame = {
+    val imgs = graft.Lineage.truncate(
+      decode(imagesFromDocuments(spark, dir))
+        .filter(col("kind") === "image" && col("width").isNotNull)
+        .select(col("media_id"), col("feature"))
+        .withColumn("bin",
+          expr("array_position(feature, array_max(feature))").cast("int")),
+      reliable = false).df
+    imgs.select(col("media_id").as("img_a"), col("feature").as("fa"),
+        col("bin"))
+      .join(imgs.select(col("media_id").as("img_b"), col("feature").as("fb"),
+        col("bin")), Seq("bin"))
+      .filter(col("img_a") < col("img_b"))
+      .withColumn("l1", expr(
+        "aggregate(zip_with(fa, fb, (x, y) -> abs(cast(x as double) - " +
+          "cast(y as double))), 0D, (s, v) -> s + v)"))
+      .filter(col("l1") <= maxL1)
+      .select(col("img_a"), col("img_b"), col("bin").cast("long").as("bin"),
+        col("l1"))
+  }
 
   /** Frame-sampling shape for video payloads: slice the payload into
     * fixed-size "frames" and emit every `stride`-th — pure builtins. */

@@ -171,4 +171,43 @@ class MultimodalSpec extends SparkSpec {
       assert(n === ((nChars(id) % 5) + 3) / 2, s"media $id sampled-frame count")
     }
   }
+
+  test("q154 image near-dup equals a pre-encode pixel replay (PNG round-trip)") {
+    // recompute every image's luminance histogram from the ORIGINAL text
+    // bytes (the pixels BEFORE PNG encoding); PNG is lossless, so the
+    // operator's decoded histograms must match and so must the pair set
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter($"doc_id" % 3 === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def hist(text: String): Array[Float] = {
+      val tb = text.getBytes("UTF-8")
+      val h = new Array[Long](8)
+      var p = 0
+      while (p < 256) {
+        def b(i: Int) = if (tb.isEmpty) 0 else tb((p * 3 + i) % tb.length) & 0xFF
+        val lum = (b(0) * 299 + b(1) * 587 + b(2) * 114) / 1000
+        h(lum >> 5) += 1
+        p += 1
+      }
+      h.map(_ / 256f)
+    }
+    val feats = docs.map { case (id, t) => id -> hist(t) }
+    val withBin = feats.map { case (id, f) =>
+      (id, f, f.indexOf(f.max)) // first max — array_position semantics
+    }
+    val want = (for {
+      i <- withBin.indices; j <- i + 1 until withBin.length
+      (da, fa, ba) = withBin(i); (db, fb, bb) = withBin(j)
+      if ba == bb
+      l1 = fa.zip(fb).map { case (x, y) => math.abs(x.toDouble - y.toDouble) }.sum
+      if l1 <= 0.02
+    } yield {
+      val (lo, hi) = if (da < db) (da, db) else (db, da)
+      (lo, hi, ba.toLong + 1, l1)
+    }).toSet
+    val got = operators.Multimodal.q154ImageNearDup(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty, "corpus must contain near-dup images")
+  }
 }
