@@ -172,6 +172,7 @@ object SparkEntry {
     "q152_item_cf" -> ((s, d) => Relational.q152ItemCf(s, d)),
     "q153_clamped_balance" -> (Relational.q153ClampedBalance _),
     "q154_image_neardup" -> ((s, d) => Multimodal.q154ImageNearDup(s, d)),
+    "q155_quantile_normalize" -> ((s, d) => Corpus.q155QuantileNormalize(s, d)),
     "q144_mad" -> ((s, d) => Relational.q144Mad(s, d)),
     "q145_seasonality" -> (Relational.q145Seasonality _),
   )
@@ -1636,5 +1637,12 @@ object SparkEntry {
         |  CAST(max(balance) AS BIGINT) AS peak_cents,
         |  CAST(sum(CASE WHEN balance = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_broke
         |FROM r GROUP BY user_id""".stripMargin,
+    "q155_quantile_normalize" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |s AS (SELECT doc_id, CAST(sum((length(word) * 7) % 13 - 6) AS BIGINT)
+        |             AS score FROM w GROUP BY doc_id)
+        |SELECT doc_id, score, cume_dist() OVER (ORDER BY score) AS pctile
+        |FROM s""".stripMargin,
   )
 }

@@ -1252,6 +1252,33 @@ object Corpus {
         col("keep_rate"), col("lift"))
   }
 
+  // ---------------------------------------------------------------- C63
+  /** Quantile normalization of the quality score — every document's score
+    * mapped to its corpus-wide percentile (cume_dist): the
+    * distribution-free feature scaling step before mixing scores from
+    * different scorers (raw linear-model scores aren't comparable across
+    * models; percentiles are).
+    *
+    * Distributed shape: cume_dist is `count(score' ≤ score)/N` — the
+    * classic formulation is `cume_dist() OVER (ORDER BY score)`, ONE task
+    * at any scale. Here: distinct-score counts (bounded by the score
+    * domain, partial-agged), [[Rank.prefixSumAndTotal]] for the inclusive
+    * cumulative count (range partitions + metadata carry-in — q128's
+    * machinery applied back to the corpus), then a plain hash join maps
+    * every document to its score's percentile (UNFORCED — the distinct
+    * frame is domain-bounded but the optimizer decides, q119's rule).
+    * pctile is ONE IEEE division of exact integer counts. */
+  def q155QuantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val scored = q121QualityClassifier(spark, dir)
+      .select(col("doc_id"), col("score"))
+    val counts = scored.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+    val (cum, total) = Rank.prefixSumAndTotal(
+      counts, Seq(col("score").asc), col("cnt"), "cum")
+    scored.join(cum.select(col("score"), col("cum")), Seq("score"))
+      .select(col("doc_id"), col("score"),
+        (col("cum").cast("double") / lit(total.toDouble)).as("pctile"))
+  }
+
   // ---------------------------------------------------------------- C57
   /** Size-concentration (Lorenz/Pareto) profile per source — how many of
     * the largest documents it takes to cover 50/80/90% of a source's total

@@ -402,6 +402,25 @@ class Round11WideSpec extends SparkSpec {
     assert(want.values.exists(_._4 > 0), "some user must hit zero")
   }
 
+  // --- q155 quantile normalize ------------------------------------------
+
+  test("q155 pctile equals count(score' <= score)/N and no one-task window") {
+    val scores = operators.Corpus.q121QualityClassifier(spark, sf)
+      .select($"doc_id", $"score").as[(Long, Long)].collect()
+    val n = scores.length
+    val want = scores.map { case (d, s) =>
+      d -> ((s, scores.count(_._2 <= s).toDouble / n.toDouble))
+    }.toMap
+    val df = operators.Corpus.q155QuantileNormalize(spark, sf)
+    val got = df.as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === want)
+    val plan = df.queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(l.contains("__pid"), s"unpartitioned window in plan: $l")
+    }
+  }
+
   // --- q151 decile lift -------------------------------------------------
 
   test("q151 equals a sorted-scan decile replay") {
