@@ -1269,8 +1269,11 @@ object Corpus {
     * frame is domain-bounded but the optimizer decides, q119's rule).
     * pctile is ONE IEEE division of exact integer counts. */
   def q155QuantileNormalize(spark: SparkSession, dir: String): DataFrame = {
-    val scored = q121QualityClassifier(spark, dir)
-      .select(col("doc_id"), col("score"))
+    // scores feed both the distinct-count side and the join probe side —
+    // materialize the tokenize-and-score pass once (q106's rule)
+    val scored = graft.Lineage.truncate(
+      q121QualityClassifier(spark, dir).select(col("doc_id"), col("score")),
+      reliable = false).df
     val counts = scored.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
     val (cum, total) = Rank.prefixSumAndTotal(
       counts, Seq(col("score").asc), col("cnt"), "cum")

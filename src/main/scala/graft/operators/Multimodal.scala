@@ -271,6 +271,9 @@ object Multimodal {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
+        // same no-temp-file rule as decodeImage: the default write path
+        // spills a FileCacheImageOutputStream per image otherwise
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, text) =>
           val tb = text.getBytes("UTF-8")
           val w = 16; val h = 16

@@ -1614,10 +1614,14 @@ object Relational {
         .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct(),
       reliable = false).df
     val support = li.groupBy($"pk").agg(count(lit(1)).as("n"))
-    val pairs = li.as("a").join(li.as("b"),
-        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
-      .groupBy($"a.pk".as("pk_a"), $"b.pk".as("pk_b"))
-      .agg(count(lit(1)).as("n_ab"))
+    // the co-occurrence aggregate feeds BOTH union branches — materialize
+    // it too (q106's rule), or the quadratic self-join runs twice
+    val pairs = graft.Lineage.truncate(
+      li.as("a").join(li.as("b"),
+          $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+        .groupBy($"a.pk".as("pk_a"), $"b.pk".as("pk_b"))
+        .agg(count(lit(1)).as("n_ab")),
+      reliable = false).df
     val directed = pairs.select($"pk_a".as("item"), $"pk_b".as("rec"), $"n_ab")
       .unionAll(pairs.select($"pk_b".as("item"), $"pk_a".as("rec"), $"n_ab"))
       .join(support.select($"pk".as("item"), $"n".as("n_item")), Seq("item"))
