@@ -173,6 +173,7 @@ object SparkEntry {
     "q153_clamped_balance" -> (Relational.q153ClampedBalance _),
     "q154_image_neardup" -> ((s, d) => Multimodal.q154ImageNearDup(s, d)),
     "q155_quantile_normalize" -> ((s, d) => Corpus.q155QuantileNormalize(s, d)),
+    "q156_constraints" -> (Relational.q156Constraints _),
     "q144_mad" -> ((s, d) => Relational.q144Mad(s, d)),
     "q145_seasonality" -> (Relational.q145Seasonality _),
   )
@@ -1644,5 +1645,19 @@ object SparkEntry {
         |             AS score FROM w GROUP BY doc_id)
         |SELECT doc_id, score, cume_dist() OVER (ORDER BY score) AS pctile
         |FROM s""".stripMargin,
+    "q156_constraints" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nn,
+        |  CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS c_range,
+        |  CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS c_domain,
+        |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS c_unique,
+        |  CAST(sum(CASE WHEN l_quantity <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS c_pos
+        |  FROM lineitem)
+        |SELECT 'not_null' AS constraint, 'l_orderkey' AS col_name,
+        |  c_nn AS n_violations, n AS n_rows, c_nn = 0 AS pass FROM a
+        |UNION ALL SELECT 'range_0_to_0.1', 'l_discount', c_range, n, c_range = 0 FROM a
+        |UNION ALL SELECT 'accepted_values', 'l_returnflag', c_domain, n, c_domain = 0 FROM a
+        |UNION ALL SELECT 'unique_key', 'l_orderkey,l_linenumber', c_unique, n, c_unique = 0 FROM a
+        |UNION ALL SELECT 'positive', 'l_quantity', c_pos, n, c_pos = 0 FROM a""".stripMargin,
   )
 }

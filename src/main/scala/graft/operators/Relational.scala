@@ -1670,6 +1670,43 @@ object Relational {
         sum(when($"balance" === 0L, 1L).otherwise(0L)).as("n_broke"))
   }
 
+  // ---------------------------------------------------------------- A77
+  /** Declarative data-constraint audit (the Deequ/dbt-test shape): a
+    * fixed battery of table contracts — NOT NULL, value range, accepted
+    * values, compound-key uniqueness, positivity — evaluated in ONE scan,
+    * emitting one row per constraint with its violation count and
+    * verdict. The ingestion gate every production table sits behind; at
+    * 100 TB the whole point is that adding a constraint adds a counter to
+    * the SAME single-pass aggregate, not another table scan (q143's
+    * profiler discipline — the uniqueness check's exact distinct is the
+    * one Expand-widened counter).
+    *
+    * All counts are exact integers; `pass` is a pure predicate of the
+    * counts. The stats row unpivots driver-side via `stack` —
+    * metadata-sized. */
+  def q156Constraints(spark: SparkSession, dir: String): DataFrame = {
+    val one = Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n"),
+      sum(when($"l_orderkey".isNull, 1L).otherwise(0L)).as("c_nn"),
+      sum(when($"l_discount" < 0.0 || $"l_discount" > 0.1, 1L)
+        .otherwise(0L)).as("c_range"),
+      sum(when(!$"l_returnflag".isin("A", "N", "R"), 1L).otherwise(0L))
+        .as("c_domain"),
+      (count(lit(1)) - countDistinct($"l_orderkey", $"l_linenumber"))
+        .as("c_unique"),
+      sum(when($"l_quantity" <= 0.0, 1L).otherwise(0L)).as("c_pos"))
+    one.selectExpr(
+      """stack(5,
+        |  'not_null',        'l_orderkey',               c_nn,
+        |  'range_0_to_0.1',  'l_discount',               c_range,
+        |  'accepted_values', 'l_returnflag',             c_domain,
+        |  'unique_key',      'l_orderkey,l_linenumber',  c_unique,
+        |  'positive',        'l_quantity',               c_pos
+        |) AS (constraint, col_name, n_violations)""".stripMargin,
+      "n AS n_rows")
+      .withColumn("pass", $"n_violations" === 0L)
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

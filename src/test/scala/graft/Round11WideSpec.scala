@@ -421,6 +421,29 @@ class Round11WideSpec extends SparkSpec {
     }
   }
 
+  // --- q156 constraints -------------------------------------------------
+
+  test("q156 equals per-row brute-force counts and runs in ONE scan") {
+    val rows = sources.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_linenumber", $"l_discount", $"l_returnflag",
+        $"l_quantity")
+      .as[(Long, Int, Double, String, Double)].collect()
+    val n = rows.length.toLong
+    val want = Map(
+      "not_null" -> 0L,
+      "range_0_to_0.1" -> rows.count(r => r._3 < 0.0 || r._3 > 0.1).toLong,
+      "accepted_values" -> rows.count(r => !Set("A", "N", "R")(r._4)).toLong,
+      "unique_key" -> (n - rows.map(r => (r._1, r._2)).distinct.length),
+      "positive" -> rows.count(_._5 <= 0.0).toLong)
+    val df = Relational.q156Constraints(spark, sf)
+    val got = df.as[(String, String, Long, Long, Boolean)].collect()
+    assert(got.map(r => r._1 -> r._3).toMap === want)
+    got.foreach { r => assert(r._4 === n && r._5 === (r._3 == 0L)) }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      s"constraint battery must run in one scan:\n$plan")
+  }
+
   // --- q151 decile lift -------------------------------------------------
 
   test("q151 equals a sorted-scan decile replay") {
