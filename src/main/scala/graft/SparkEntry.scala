@@ -174,6 +174,7 @@ object SparkEntry {
     "q154_image_neardup" -> ((s, d) => Multimodal.q154ImageNearDup(s, d)),
     "q155_quantile_normalize" -> ((s, d) => Corpus.q155QuantileNormalize(s, d)),
     "q156_constraints" -> (Relational.q156Constraints _),
+    "q157_audio_stats" -> (Multimodal.q157AudioStats _),
     "q144_mad" -> ((s, d) => Relational.q144Mad(s, d)),
     "q145_seasonality" -> (Relational.q145Seasonality _),
   )
@@ -1659,5 +1660,14 @@ object SparkEntry {
         |UNION ALL SELECT 'accepted_values', 'l_returnflag', c_domain, n, c_domain = 0 FROM a
         |UNION ALL SELECT 'unique_key', 'l_orderkey,l_linenumber', c_unique, n, c_unique = 0 FROM a
         |UNION ALL SELECT 'positive', 'l_quantity', c_pos, n, c_pos = 0 FROM a""".stripMargin,
+    // decode-inverts-encode: the oracle predicts the WAV facts from n_chars
+    // alone; the Spark side must RECOVER them from the container bytes
+    "q157_audio_stats" ->
+      """WITH d AS (SELECT doc_id AS media_id, (n_chars % 400) + 100 AS n
+        |           FROM documents WHERE doc_id % 3 = 1)
+        |SELECT media_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(44 + n * 2 AS BIGINT) AS n_bytes
+        |FROM d""".stripMargin,
   )
 }

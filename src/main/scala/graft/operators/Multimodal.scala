@@ -293,6 +293,55 @@ object Multimodal {
       .toDF("media_id", "kind", "bytes")
   }
 
+  /** Deterministic REAL-container audio synthesis: each document of the
+    * `doc_id % 3 = 1` slice (the one [[mediaFromDocuments]] labels
+    * "audio") becomes a true 8 kHz mono 16-bit PCM WAV with
+    * `(n_chars % 400) + 100` samples built from consecutive text-byte
+    * pairs. The container STRUCTURE is a pure function of the row, so a
+    * SQL oracle over `documents` predicts exactly the sample rate and
+    * duration [[decodeAudio]] must recover from the bytes — the
+    * decode-inverts-encode check behind [[q157AudioStats]]. */
+  def audioFromDocuments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id"), col("text"), col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, nChars) =>
+          val tb = text.getBytes("UTF-8")
+          val n = ((nChars % 400) + 100).toInt
+          val pcm = new Array[Byte](n * 2) // little-endian 16-bit
+          var i = 0
+          while (i < pcm.length) {
+            pcm(i) = if (tb.isEmpty) 0 else tb(i % tb.length)
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+            true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, "audio", bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "kind", "bytes")
+  }
+
+  /** Real-audio decode surface: synthesize true WAVs
+    * ([[audioFromDocuments]]), decode them ([[decodeAudio]] via
+    * [[decode]]), and report the recovered header facts. The oracle
+    * recomputes sample count and duration from `n_chars` alone — the
+    * decoder must RECOVER them from the RIFF/fmt chunks for the driver's
+    * hash compare to pass (q58's discipline for the audio arm). */
+  def q157AudioStats(spark: SparkSession, dir: String): DataFrame =
+    decode(audioFromDocuments(spark, dir))
+      .filter(col("sample_rate").isNotNull)
+      .select(col("media_id"), col("sample_rate").cast("long").as("sample_rate"),
+        col("duration_ms"), col("n_bytes"))
+
   /** Deterministic REAL-container video synthesis: each selected document
     * (the `doc_id % 3 = 2` slice [[mediaFromDocuments]] labels "video")
     * becomes an uncompressed 16×8 @ 10fps AVI with `(n_chars % 5) + 2`

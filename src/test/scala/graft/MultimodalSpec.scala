@@ -172,6 +172,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q157 audio features equal a pre-encode PCM replay (WAV round-trip)") {
+    // decode()'s amplitude histogram must match one computed from the
+    // samples BEFORE WAV encoding — PCM is stored verbatim in the container
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter($"doc_id" % 3 === 1)
+      .select($"doc_id", $"text", $"n_chars".cast("long"))
+      .as[(Long, String, Long)].collect()
+    val want = docs.map { case (id, text, nChars) =>
+      val tb = text.getBytes("UTF-8")
+      val n = ((nChars % 400) + 100).toInt
+      val hist = new Array[Long](8)
+      var i = 0
+      while (i < n) {
+        def b(j: Int) = if (tb.isEmpty) 0 else tb((i * 2 + j) % tb.length) & 0xFF
+        val amp = math.abs((b(1).toByte.toInt << 8) | b(0))
+        hist(math.min(amp >> 12, 7)) += 1
+        i += 1
+      }
+      id -> hist.map(_.toFloat / n).toSeq
+    }.toMap
+    val got = operators.Multimodal
+      .decode(operators.Multimodal.audioFromDocuments(spark, sf))
+      .filter($"sample_rate".isNotNull)
+      .select($"media_id", $"feature").as[(Long, Seq[Float])].collect().toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("q154 image near-dup equals a pre-encode pixel replay (PNG round-trip)") {
     // recompute every image's luminance histogram from the ORIGINAL text
     // bytes (the pixels BEFORE PNG encoding); PNG is lossless, so the
