@@ -175,6 +175,8 @@ object SparkEntry {
     "q155_quantile_normalize" -> ((s, d) => Corpus.q155QuantileNormalize(s, d)),
     "q156_constraints" -> (Relational.q156Constraints _),
     "q157_audio_stats" -> (Multimodal.q157AudioStats _),
+    "q158_conversion_lag" -> (Relational.q158ConversionLag _),
+    "q159_growth_accounting" -> (Relational.q159GrowthAccounting _),
     "q144_mad" -> ((s, d) => Relational.q144Mad(s, d)),
     "q145_seasonality" -> (Relational.q145Seasonality _),
   )
@@ -1669,5 +1671,34 @@ object SparkEntry {
         |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
         |  CAST(44 + n * 2 AS BIGINT) AS n_bytes
         |FROM d""".stripMargin,
+    "q158_conversion_lag" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |s AS (SELECT user_id, min(us) AS s0 FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT user_id, min(us) AS p0 FROM e
+        |      WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT (p0 - s0) // 3600000000 AS lag_hours,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM s JOIN p USING (user_id) WHERE p0 >= s0
+        |GROUP BY 1""".stripMargin,
+    "q159_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
+        |  FROM events),
+        |f AS (SELECT week,
+        |    CASE WHEN lag(week) OVER w IS NULL THEN 'new'
+        |         WHEN lag(week) OVER w = week - 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS status
+        |  FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY week)),
+        |a AS (SELECT week, status, CAST(count(*) AS BIGINT) AS n_users
+        |      FROM f GROUP BY 1, 2),
+        |c AS (SELECT cur.week + 1 AS week, 'churned' AS status,
+        |             CAST(count(*) AS BIGINT) AS n_users
+        |      FROM uw cur
+        |      WHERE NOT EXISTS (SELECT 1 FROM uw nxt
+        |        WHERE nxt.user_id = cur.user_id AND nxt.week = cur.week + 1)
+        |      GROUP BY 1, 2)
+        |SELECT * FROM a UNION ALL SELECT * FROM c""".stripMargin,
   )
 }

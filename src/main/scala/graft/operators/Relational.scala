@@ -1707,6 +1707,72 @@ object Relational {
       .withColumn("pass", $"n_violations" === 0L)
   }
 
+  // ---------------------------------------------------------------- A78
+  /** Conversion-latency distribution — hours from a user's FIRST signup to
+    * their FIRST subsequent purchase, bucketed: the time-to-convert
+    * histogram behind activation dashboards (q82's funnel says WHO
+    * converts; this says HOW FAST). Users whose first purchase precedes
+    * signup (or who never purchase) are excluded — only true conversions
+    * have a latency.
+    *
+    * Scale: two filtered min-aggregates over one events scan pattern
+    * (each a partial-agged user_id shuffle), an equi-join of two
+    * user-sized frames, integer `div` bucketing (q83's boundary rule),
+    * and a ≤buckets-sized final aggregate. */
+  def q158ConversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_type",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+    val signup = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"us").as("s0"))
+    val purchase = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"us").as("p0"))
+    signup.join(purchase, Seq("user_id"))
+      .filter($"p0" >= $"s0")
+      .select(expr("(p0 - s0) div 3600000000").as("lag_hours"))
+      .groupBy($"lag_hours")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  // ---------------------------------------------------------------- A79
+  /** Growth accounting — per week: NEW users (first week of activity),
+    * RETAINED (active this week and last), RESURRECTED (active this week,
+    * inactive last week, but seen before), and CHURNED (active last week,
+    * inactive this one). The MAU-accounting report every growth team
+    * runs; q83's cohort retention slices by signup cohort, this slices by
+    * adjacent-period activity flow.
+    *
+    * Scale: the corpus-sized work is ONE distinct over (user, week)
+    * (partial-agged); classification is per-user `lag` + first-week
+    * windows over each user's ACTIVE WEEKS ONLY (≤ weeks-per-user rows —
+    * bounded by the calendar, not by events); churn attributes to week+1
+    * by construction (an active week that is nobody's `prev` week). The
+    * final aggregate is ≤|weeks|·4 rows. */
+  def q159GrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select($"user_id",
+        expr("unix_micros(cast(ts as timestamp)) div 604800000000")
+          .as("week"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"week")
+    val flagged = uw
+      .withColumn("prev", lag($"week", 1).over(w))
+      .withColumn("status",
+        when($"prev".isNull, lit("new"))
+          .when($"prev" === $"week" - 1, lit("retained"))
+          .otherwise(lit("resurrected")))
+    val active = flagged.groupBy($"week", $"status")
+      .agg(count(lit(1)).as("n_users"))
+    // churned at week w+1 = active at w with no activity at w+1
+    val churned = uw.as("cur")
+      .join(uw.as("nxt"),
+        $"cur.user_id" === $"nxt.user_id" &&
+          $"nxt.week" === $"cur.week" + 1, "left_anti")
+      .select(($"week" + 1).as("week"), lit("churned").as("status"))
+      .groupBy($"week", $"status").agg(count(lit(1)).as("n_users"))
+    active.unionByName(churned)
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -444,6 +444,64 @@ class Round11WideSpec extends SparkSpec {
       s"constraint battery must run in one scan:\n$plan")
   }
 
+  // --- q158 conversion lag ----------------------------------------------
+
+  test("q158 equals a brute-force first-signup-to-first-purchase replay") {
+    val events = sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_type",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+      .as[(Long, String, Long)].collect()
+    val byUser = events.groupBy(_._1)
+    val want = byUser.values.flatMap { es =>
+      val s = es.filter(_._2 == "signup").map(_._3).minOption
+      val p = es.filter(_._2 == "purchase").map(_._3).minOption
+      (s, p) match {
+        case (Some(s0), Some(p0)) if p0 >= s0 => Some((p0 - s0) / 3600000000L)
+        case _ => None
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Relational.q158ConversionLag(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  // --- q159 growth accounting -------------------------------------------
+
+  test("q159 equals a per-user week-walk and flows are conserved") {
+    val uw = sources.Tables.events(spark, sf)
+      .select($"user_id",
+        expr("unix_micros(cast(ts as timestamp)) div 604800000000").as("w"))
+      .distinct().as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val flows = collection.mutable.Map.empty[(Long, String), Long]
+      .withDefaultValue(0L)
+    uw.values.foreach { weeks =>
+      weeks.zipWithIndex.foreach { case (w, i) =>
+        val st =
+          if (i == 0) "new"
+          else if (weeks(i - 1) == w - 1) "retained"
+          else "resurrected"
+        flows((w, st)) += 1
+        if (i == weeks.length - 1 || weeks(i + 1) != w + 1)
+          flows((w + 1, "churned")) += 1
+      }
+    }
+    val got = Relational.q159GrowthAccounting(spark, sf)
+      .as[(Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === flows.toMap)
+    // conservation: active(w) = active(w-1) + new + resurrected - churned
+    val weeks = got.keys.map(_._1)
+    def active(w: Long) = uw.values.count(_.contains(w)).toLong
+    (weeks.min + 1 to weeks.max - 1).foreach { w =>
+      assert(active(w) === active(w - 1)
+        + got.getOrElse((w, "new"), 0L)
+        + got.getOrElse((w, "resurrected"), 0L)
+        - got.getOrElse((w, "churned"), 0L), s"week $w flow conservation")
+    }
+  }
+
   // --- q151 decile lift -------------------------------------------------
 
   test("q151 equals a sorted-scan decile replay") {
