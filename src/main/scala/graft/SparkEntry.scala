@@ -1676,29 +1676,31 @@ object SparkEntry {
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |s AS (SELECT user_id, min(us) AS s0 FROM e
         |      WHERE event_type = 'signup' GROUP BY 1),
-        |p AS (SELECT user_id, min(us) AS p0 FROM e
-        |      WHERE event_type = 'purchase' GROUP BY 1)
+        |p AS (SELECT e.user_id, min(e.us) AS p0, min(s.s0) AS s0
+        |      FROM e JOIN s USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.us >= s.s0
+        |      GROUP BY 1)
         |SELECT (p0 - s0) // 3600000000 AS lag_hours,
         |  CAST(count(*) AS BIGINT) AS n_users
-        |FROM s JOIN p USING (user_id) WHERE p0 >= s0
-        |GROUP BY 1""".stripMargin,
+        |FROM p GROUP BY 1""".stripMargin,
     "q159_growth_accounting" ->
       """WITH uw AS (SELECT DISTINCT user_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
         |  FROM events),
-        |f AS (SELECT week,
-        |    CASE WHEN lag(week) OVER w IS NULL THEN 'new'
-        |         WHEN lag(week) OVER w = week - 1 THEN 'retained'
-        |         ELSE 'resurrected' END AS status
+        |f AS (SELECT week, lag(week) OVER w AS prev, lead(week) OVER w AS next
         |  FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY week)),
-        |a AS (SELECT week, status, CAST(count(*) AS BIGINT) AS n_users
-        |      FROM f GROUP BY 1, 2),
-        |c AS (SELECT cur.week + 1 AS week, 'churned' AS status,
+        |a AS (SELECT week,
+        |    CASE WHEN prev IS NULL THEN 'new'
+        |         WHEN prev = week - 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS status,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM f GROUP BY 1, 2),
+        |c AS (SELECT week + 1 AS week, 'churned' AS status,
         |             CAST(count(*) AS BIGINT) AS n_users
-        |      FROM uw cur
-        |      WHERE NOT EXISTS (SELECT 1 FROM uw nxt
-        |        WHERE nxt.user_id = cur.user_id AND nxt.week = cur.week + 1)
-        |      GROUP BY 1, 2)
-        |SELECT * FROM a UNION ALL SELECT * FROM c""".stripMargin,
+        |      FROM f WHERE next IS NULL OR next <> week + 1
+        |      GROUP BY 1, 2),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM c)
+        |SELECT week, status, n_users FROM u
+        |WHERE week <= (SELECT max(week) FROM uw)""".stripMargin,
   )
 }

@@ -1692,7 +1692,12 @@ object Relational {
         .otherwise(0L)).as("c_range"),
       sum(when(!$"l_returnflag".isin("A", "N", "R"), 1L).otherwise(0L))
         .as("c_domain"),
-      (count(lit(1)) - countDistinct($"l_orderkey", $"l_linenumber"))
+      // distinct over the STRUCT, not the column list: countDistinct(a, b)
+      // skips rows where any column is NULL (mis-counting them as
+      // duplicates), and diverges from DuckDB's count(DISTINCT (a, b)) on
+      // exactly the dirty rows a constraint audit exists to catch
+      (count(lit(1)) -
+        countDistinct(struct($"l_orderkey", $"l_linenumber")))
         .as("c_unique"),
       sum(when($"l_quantity" <= 0.0, 1L).otherwise(0L)).as("c_pos"))
     one.selectExpr(
@@ -1709,26 +1714,29 @@ object Relational {
 
   // ---------------------------------------------------------------- A78
   /** Conversion-latency distribution — hours from a user's FIRST signup to
-    * their FIRST subsequent purchase, bucketed: the time-to-convert
-    * histogram behind activation dashboards (q82's funnel says WHO
-    * converts; this says HOW FAST). Users whose first purchase precedes
-    * signup (or who never purchase) are excluded — only true conversions
-    * have a latency.
+    * their first purchase AT OR AFTER that signup, bucketed: the
+    * time-to-convert histogram behind activation dashboards (q82's funnel
+    * says WHO converts; this says HOW FAST). A pre-signup purchase does
+    * NOT disqualify the user — the staged semantics q82 establishes (an
+    * earlier min-of-all-purchases formulation silently dropped users who
+    * bought both before and after signing up).
     *
-    * Scale: two filtered min-aggregates over one events scan pattern
-    * (each a partial-agged user_id shuffle), an equi-join of two
-    * user-sized frames, integer `div` bucketing (q83's boundary rule),
-    * and a ≤buckets-sized final aggregate. */
+    * Scale: ONE events scan — s0 rides a per-user window min, the
+    * post-signup purchase filter and the per-user min-aggregate share
+    * that same user_id partitioning (no second exchange), then integer
+    * `div` bucketing (q83's boundary rule) into a ≤buckets-sized final
+    * aggregate. */
   def q158ConversionLag(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy($"user_id")
+    Tables.events(spark, dir)
       .select($"user_id", $"event_type",
         unix_micros($"ts".cast("timestamp")).as("us"))
-    val signup = e.filter($"event_type" === "signup")
-      .groupBy($"user_id").agg(min($"us").as("s0"))
-    val purchase = e.filter($"event_type" === "purchase")
-      .groupBy($"user_id").agg(min($"us").as("p0"))
-    signup.join(purchase, Seq("user_id"))
-      .filter($"p0" >= $"s0")
+      .withColumn("s0",
+        min(when($"event_type" === "signup", $"us")).over(w))
+      .filter($"event_type" === "purchase" && $"s0".isNotNull &&
+        $"us" >= $"s0")
+      .groupBy($"user_id")
+      .agg(min($"us").as("p0"), max($"s0").as("s0"))
       .select(expr("(p0 - s0) div 3600000000").as("lag_hours"))
       .groupBy($"lag_hours")
       .agg(count(lit(1)).as("n_users"))
@@ -1743,34 +1751,45 @@ object Relational {
     * adjacent-period activity flow.
     *
     * Scale: the corpus-sized work is ONE distinct over (user, week)
-    * (partial-agged); classification is per-user `lag` + first-week
-    * windows over each user's ACTIVE WEEKS ONLY (≤ weeks-per-user rows —
-    * bounded by the calendar, not by events); churn attributes to week+1
-    * by construction (an active week that is nobody's `prev` week). The
-    * final aggregate is ≤|weeks|·4 rows. */
+    * (partial-agged), and classification + churn both come from a SINGLE
+    * per-user lag/lead window pass over each user's ACTIVE WEEKS ONLY
+    * (≤ weeks-per-user rows — bounded by the calendar, not by events; an
+    * earlier anti-join formulation re-ran the distinct three times).
+    * Churn attributes to week+1 (lead missing or non-adjacent) and is
+    * RIGHT-CENSORED at the last observed week — the data ending is not
+    * evidence that the final week's users churned. The final aggregate is
+    * ≤|weeks|·4 rows. */
   def q159GrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
-    val uw = Tables.events(spark, dir)
-      .select($"user_id",
-        expr("unix_micros(cast(ts as timestamp)) div 604800000000")
-          .as("week"))
-      .distinct()
+    // the distinct feeds the window pass AND the max-week censor —
+    // materialize once (q106's rule)
+    val uw = graft.Lineage.truncate(
+      Tables.events(spark, dir)
+        .select($"user_id",
+          expr("unix_micros(cast(ts as timestamp)) div 604800000000")
+            .as("week"))
+        .distinct(),
+      reliable = false).df
     val w = Window.partitionBy($"user_id").orderBy($"week")
     val flagged = uw
       .withColumn("prev", lag($"week", 1).over(w))
+      .withColumn("next", lead($"week", 1).over(w))
       .withColumn("status",
         when($"prev".isNull, lit("new"))
           .when($"prev" === $"week" - 1, lit("retained"))
           .otherwise(lit("resurrected")))
     val active = flagged.groupBy($"week", $"status")
       .agg(count(lit(1)).as("n_users"))
-    // churned at week w+1 = active at w with no activity at w+1
-    val churned = uw.as("cur")
-      .join(uw.as("nxt"),
-        $"cur.user_id" === $"nxt.user_id" &&
-          $"nxt.week" === $"cur.week" + 1, "left_anti")
+    val churned = flagged
+      .filter($"next".isNull || $"next" =!= $"week" + 1)
       .select(($"week" + 1).as("week"), lit("churned").as("status"))
       .groupBy($"week", $"status").agg(count(lit(1)).as("n_users"))
+    // censor the week past the observation window: a (maxWeek+1, churned)
+    // row would report the dataset ending as 100% churn
+    val maxWeek = uw.agg(max($"week").as("mw"))
     active.unionByName(churned)
+      .crossJoin(broadcast(maxWeek))
+      .filter($"week" <= $"mw")
+      .select($"week", $"status", $"n_users")
   }
 
   // `$"col"` interpolator without a SparkSession in scope.

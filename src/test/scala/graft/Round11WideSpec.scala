@@ -446,24 +446,32 @@ class Round11WideSpec extends SparkSpec {
 
   // --- q158 conversion lag ----------------------------------------------
 
-  test("q158 equals a brute-force first-signup-to-first-purchase replay") {
+  test("q158 equals the staged first-purchase-AFTER-signup replay") {
     val events = sources.Tables.events(spark, sf)
       .select($"user_id", $"event_type",
         unix_micros($"ts".cast("timestamp")).as("us"))
       .as[(Long, String, Long)].collect()
     val byUser = events.groupBy(_._1)
-    val want = byUser.values.flatMap { es =>
-      val s = es.filter(_._2 == "signup").map(_._3).minOption
-      val p = es.filter(_._2 == "purchase").map(_._3).minOption
-      (s, p) match {
-        case (Some(s0), Some(p0)) if p0 >= s0 => Some((p0 - s0) / 3600000000L)
-        case _ => None
+    val lags = byUser.values.flatMap { es =>
+      es.filter(_._2 == "signup").map(_._3).minOption.flatMap { s0 =>
+        // q82's staged semantics: a pre-signup purchase does NOT
+        // disqualify — the first purchase AT OR AFTER s0 counts
+        es.filter(e => e._2 == "purchase" && e._3 >= s0).map(_._3)
+          .minOption.map(p0 => (p0 - s0) / 3600000000L)
       }
-    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toSeq
+    val want = lags.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val got = Relational.q158ConversionLag(spark, sf)
       .as[(Long, Long)].collect().toMap
     assert(got === want)
     assert(got.nonEmpty)
+    // the regression that motivated the staged form: at least one user
+    // with a pre-signup purchase still converts afterwards
+    assert(byUser.values.exists { es =>
+      val s0 = es.filter(_._2 == "signup").map(_._3).minOption
+      s0.exists(s => es.exists(e => e._2 == "purchase" && e._3 < s) &&
+        es.exists(e => e._2 == "purchase" && e._3 >= s))
+    }, "corpus must exercise the pre-signup-purchase case")
   }
 
   // --- q159 growth accounting -------------------------------------------
@@ -476,6 +484,7 @@ class Round11WideSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     val flows = collection.mutable.Map.empty[(Long, String), Long]
       .withDefaultValue(0L)
+    val maxWeek = uw.values.flatten.max
     uw.values.foreach { weeks =>
       weeks.zipWithIndex.foreach { case (w, i) =>
         val st =
@@ -483,7 +492,8 @@ class Round11WideSpec extends SparkSpec {
           else if (weeks(i - 1) == w - 1) "retained"
           else "resurrected"
         flows((w, st)) += 1
-        if (i == weeks.length - 1 || weeks(i + 1) != w + 1)
+        // right-censored: the dataset ending is not churn evidence
+        if ((i == weeks.length - 1 || weeks(i + 1) != w + 1) && w < maxWeek)
           flows((w + 1, "churned")) += 1
       }
     }
@@ -491,10 +501,13 @@ class Round11WideSpec extends SparkSpec {
       .as[(Long, String, Long)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(got === flows.toMap)
-    // conservation: active(w) = active(w-1) + new + resurrected - churned
+    assert(!got.keys.exists(_._1 > maxWeek),
+      "no phantom post-observation week may appear")
+    // conservation over the FULL observed range:
+    // active(w) = active(w-1) + new + resurrected - churned
     val weeks = got.keys.map(_._1)
     def active(w: Long) = uw.values.count(_.contains(w)).toLong
-    (weeks.min + 1 to weeks.max - 1).foreach { w =>
+    (weeks.min + 1 to maxWeek).foreach { w =>
       assert(active(w) === active(w - 1)
         + got.getOrElse((w, "new"), 0L)
         + got.getOrElse((w, "resurrected"), 0L)
