@@ -38,7 +38,15 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
     var failures = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_ONLY=q148_prefix_join,q134_pagerank restricts
+    // the run to a comma-separated subset (full run when unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(s) => SparkEntry.queries.filter { case (k, _) => s(k) }
+      case None    => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // drop accumulated broadcast/codegen garbage so earlier queries don't
       // tax later ones' measurements
       System.gc()

@@ -393,10 +393,17 @@ object Dedup {
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h"))))
         .filter(col("rn") <= col("n") - ceilTn + 1)
-        .select(col("h"), col("doc_id")),
+        .select(col("h"), col("doc_id"), col("n")),
       reliable = false).df
+    // PPJoin length filter, exact: J ≥ t ⟹ I ≥ t·(n_a+n_b)/(1+t) and
+    // I ≤ min, so min·(1+t) ≥ t·(n_a+n_b) ⟺ min ≥ t·max — same 1e-6
+    // integer resolution as the prefix bound. Applied IN the candidate
+    // join condition so length-incompatible pairs never reach the
+    // distinct or the array-carrying verify joins.
     val cand = prefix.as("pa").join(prefix.as("pb"),
-        col("pa.h") === col("pb.h") && col("pa.doc_id") < col("pb.doc_id"))
+        col("pa.h") === col("pb.h") && col("pa.doc_id") < col("pb.doc_id")
+          && least(col("pa.n"), col("pb.n")) * lit(1000000L)
+             >= lit(tScaled) * greatest(col("pa.n"), col("pb.n")))
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
     val inter = graft.functions.GraftFunctions
