@@ -179,6 +179,12 @@ object SparkEntry {
     "q159_growth_accounting" -> (Relational.q159GrowthAccounting _),
     "q144_mad" -> ((s, d) => Relational.q144Mad(s, d)),
     "q145_seasonality" -> (Relational.q145Seasonality _),
+    "q160_sorted_neighborhood" -> ((s, d) => Dedup.q160SortedNeighborhood(s, d)),
+    "q161_hard_negatives" -> ((s, d) => Similarity.q161HardNegatives(s, d)),
+    "q162_rfm" -> (Relational.q162Rfm _),
+    "q163_drift_chi2" -> ((s, d) => Relational.q163DriftChi2(s, d)),
+    "q164_skipgram" -> ((s, d) => Corpus.q164SkipgramCounts(s, d)),
+    "q165_budget_alloc" -> ((s, d) => Corpus.q165BudgetAllocation(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1702,5 +1708,96 @@ object SparkEntry {
         |u AS (SELECT * FROM a UNION ALL SELECT * FROM c)
         |SELECT week, status, n_users FROM u
         |WHERE week <= (SELECT max(week) FROM uw)""".stripMargin,
+    "q160_sorted_neighborhood" ->
+      """WITH r AS (SELECT doc_id, text,
+        |    row_number() OVER (ORDER BY substr(text, 1, 24), doc_id) AS rn
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5
+        |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
+    "q161_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS anchor_id, label AS ql, emb AS qe FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT anchor_id, e.vec_id AS negative_id,
+        |    list_dot_product(qe, emb) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(emb, emb))) AS score
+        |  FROM e CROSS JOIN q WHERE e.label <> ql),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY score DESC, negative_id) AS BIGINT) AS rank
+        |      FROM scored WHERE score < 0.95)
+        |SELECT anchor_id, rank, negative_id, score FROM r WHERE rank <= 10""".stripMargin,
+    "q162_rfm" ->
+      """WITH base AS (SELECT o_custkey AS custkey, max(o_orderdate) AS last_order,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    sum(CAST(o_totalprice AS DECIMAL(14,2))) AS m_exact
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT *,
+        |    CAST(ntile(5) OVER (ORDER BY last_order DESC, custkey) AS BIGINT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS BIGINT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY m_exact DESC, custkey) AS BIGINT) AS m_score
+        |  FROM base)
+        |SELECT custkey, last_order, frequency, CAST(m_exact AS DOUBLE) AS monetary,
+        |  r_score, f_score, m_score,
+        |  CASE WHEN r_score <= 2 AND f_score <= 2 AND m_score <= 2 THEN 'champion'
+        |       WHEN r_score <= 2 AND f_score <= 3 THEN 'loyal'
+        |       WHEN r_score >= 4 AND f_score >= 4 THEN 'lost'
+        |       WHEN r_score >= 4 THEN 'at_risk'
+        |       ELSE 'regular' END AS segment
+        |FROM s""".stripMargin,
+    "q163_drift_chi2" ->
+      """WITH c AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT week, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1),
+        |cur AS (SELECT week, event_type, n AS cur_n FROM c),
+        |ref AS (SELECT week + 1 AS week, event_type, n AS ref_n FROM c),
+        |wk AS (SELECT week FROM cur INTERSECT SELECT week FROM ref),
+        |j AS (SELECT COALESCE(cur.week, ref.week) AS week,
+        |    COALESCE(cur.event_type, ref.event_type) AS event_type,
+        |    COALESCE(cur_n, 0) AS cur_n, COALESCE(ref_n, 0) AS ref_n
+        |  FROM cur FULL OUTER JOIN ref
+        |    ON cur.week = ref.week AND cur.event_type = ref.event_type),
+        |x AS (SELECT j.week, j.event_type, ref_n, cur_n,
+        |    CAST(ref_n AS DOUBLE) * CAST(ct.total AS DOUBLE) / CAST(rt.total AS DOUBLE) AS expected
+        |  FROM j
+        |  JOIN wk ON j.week = wk.week
+        |  JOIN t ct ON ct.week = j.week
+        |  JOIN (SELECT week + 1 AS week, total FROM t) rt ON rt.week = j.week)
+        |SELECT week, event_type, ref_n, cur_n, expected,
+        |  CASE WHEN expected > 0
+        |       THEN (CAST(cur_n AS DOUBLE) - expected) * (CAST(cur_n AS DOUBLE) - expected) / expected
+        |       ELSE CAST(cur_n AS DOUBLE) END AS contrib,
+        |  (CASE WHEN expected > 0
+        |        THEN (CAST(cur_n AS DOUBLE) - expected) * (CAST(cur_n AS DOUBLE) - expected) / expected
+        |        ELSE CAST(cur_n AS DOUBLE) END) > 25.0 AS drifted
+        |FROM x""".stripMargin,
+    "q164_skipgram" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (SELECT unnest(flatten(list_transform(range(1, len(ws)), i ->
+        |        list_transform(range(i + 1, least(i + 3, len(ws)) + 1),
+        |          j -> {'w1': ws[i], 'w2': ws[j]}))), recursive := true) FROM t),
+        |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2),
+        |f AS (SELECT * FROM c WHERE c >= 5 ORDER BY c DESC, w1, w2 LIMIT 100)
+        |SELECT w1, w2, c,
+        |  CAST(row_number() OVER (ORDER BY c DESC, w1, w2) AS BIGINT) AS rk
+        |FROM f""".stripMargin,
+    "q165_budget_alloc" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM c),
+        |b AS (SELECT source, n_s, (100 * n_s) // n_total AS base,
+        |             (100 * n_s) % n_total AS rem FROM c, t),
+        |e AS (SELECT 100 - CAST(sum(base) AS BIGINT) AS extra FROM b),
+        |q AS (SELECT source, n_s,
+        |    CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= extra
+        |                     THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |  FROM b, e),
+        |r AS (SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5('alloc:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS BIGINT) AS pos
+        |  FROM d)
+        |SELECT r.source, doc_id, pos, n_s, quota
+        |FROM r JOIN q ON r.source = q.source WHERE pos <= quota""".stripMargin,
   )
 }

@@ -1327,4 +1327,87 @@ object Corpus {
       .select(col("source"), col("pct"), col("docs_needed"),
         col("total_docs"), col("total_chars"))
   }
+
+  // ---------------------------------------------------------------- C67
+  /** Skip-gram co-occurrence counts — the word2vec/GloVe input pipeline:
+    * ordered word pairs co-occurring within `window` positions, counted
+    * corpus-wide, top-`k` by count. Generalizes q119's adjacent-only
+    * bigrams (window = 1) to the context windows embedding training
+    * actually uses.
+    *
+    * Scale: pair generation is a MAP-SIDE nested array comprehension
+    * inside the scan's codegen stage (≤ window·len pairs per doc, linear
+    * in corpus size — never a positions self-join, which would shuffle
+    * every (doc, position) row and rediscover the same pairs as join
+    * output), feeding one partial-aggregated count whose shuffle rows are
+    * bounded by DISTINCT pair count, not corpus size. Ranking is the q74
+    * shape: `minCount` floor, then TakeOrderedAndProject top-k, then
+    * `row_number` over the ≤k survivors only. */
+  def q164SkipgramCounts(spark: SparkSession, dir: String,
+      window: Int = 3, minCount: Int = 5, k: Int = 100): DataFrame = {
+    val pairs = graft.sources.Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, size(ws) - 2), i ->
+           |  transform(sequence(i + 1, least(i + $window, size(ws) - 1)),
+           |    j -> struct(ws[i] as w1, ws[j] as w2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val counted = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val w = Window.orderBy(col("c").desc, col("w1").asc, col("w2").asc)
+    counted
+      .orderBy(col("c").desc, col("w1").asc, col("w2").asc).limit(k)
+      .withColumn("rk", row_number().over(w).cast("long"))
+  }
+
+  // ---------------------------------------------------------------- C68
+  /** Fixed-budget stratified sampling by largest-remainder (Hamilton)
+    * allocation — "give me exactly `budget` documents, proportional to
+    * source sizes": quota_s = ⌊budget·n_s/N⌋ plus one extra for the
+    * sources with the largest remainders until the budget is exact. The
+    * fixed-TOTAL complement of q66's fixed-RATE stratified sample — rate
+    * sampling can't hit an exact corpus-wide budget, and naive rounding
+    * over- or under-shoots by up to |sources|/2. All-integer arithmetic
+    * (budget·n_s stays < 2^63 for any real corpus), deterministic
+    * per-source pick order via the q84 md5 key.
+    *
+    * Scale: allocation math runs on the |sources|-row aggregate (the
+    * remainder-rank window is unpartitioned but its frame is
+    * sources-bounded BY CONSTRUCTION — the q116 collect_set caveat class,
+    * not q119's unbounded-frame bug); the quota table broadcasts back and
+    * document selection is one partitioned rank window with per-source
+    * limits — the only corpus-sized shuffle is that single source
+    * partitioning. */
+  def q165BudgetAllocation(spark: SparkSession, dir: String,
+      budget: Long = 100L): DataFrame = {
+    val d = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val counts = graft.Lineage.truncate(
+      d.groupBy(col("source")).agg(count(lit(1)).as("n_s")),
+      reliable = false).df
+    val total = counts.agg(sum(col("n_s")).as("n_total"))
+    val based = counts.crossJoin(broadcast(total))
+      .withColumn("base", expr(s"($budget * n_s) div n_total"))
+      .withColumn("rem", expr(s"($budget * n_s) % n_total"))
+    val extraTotal = based.agg((lit(budget) - sum(col("base"))).as("extra"))
+    val quotas = based.crossJoin(broadcast(extraTotal))
+      // sources-bounded frame: |sources| rows by construction
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("source").asc)))
+      .withColumn("quota",
+        (col("base") + when(col("rr") <= col("extra"), 1L).otherwise(0L))
+          .cast("long"))
+      .select(col("source"), col("n_s"), col("quota"))
+    d.withColumn("h", hashKey("alloc:", col("doc_id")))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("pos") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("pos"), col("n_s"),
+        col("quota"))
+  }
 }

@@ -420,4 +420,50 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
         col("n_b"), col("jac"))
   }
+
+  // ---------------------------------------------------------------- C65
+  /** Sorted-neighborhood near-dup detection (Hernández–Stolfo merge/purge):
+    * order the corpus by a blocking key (here the text's leading
+    * `prefixLen` chars — near-identical documents sort adjacent), then
+    * compare each document only to its `window` successors in that global
+    * order, verifying candidates with exact edit distance. The classic
+    * alternative to hash blocking (q43's salted source blocks) and LSH
+    * (q41): linear candidate count `n·window` by CONSTRUCTION — no skew
+    * hazard, no bucket cap, at the price of missing duplicate pairs whose
+    * first `prefixLen` chars diverge (spec documents the trade; the
+    * multi-pass variant re-runs with a second key).
+    *
+    * Scale: the global order comes from [[Rank.globalRowNumber]] (range
+    * exchange + metadata offsets — never a single-task window), and the
+    * "next `window` neighbors" join is a map-side fan-out of each row to
+    * `window` successor ranks joined hash-equi on the 8-byte rank — a
+    * banded join, not a range join, so it partitions like any equi-join.
+    * Edit-distance verification (codegen'd `levenshtein`, threshold-capped)
+    * runs only on the n·window candidates. TiFlink analog: dedup-by-key
+    * over a sorted changelog (`FlinkTikvConsumer.java:161-191` orders by
+    * (commit_ts, key)); here the order itself is the blocking structure. */
+  def q160SortedNeighborhood(spark: SparkSession, dir: String,
+      window: Int = 5, prefixLen: Int = 24, maxDist: Int = 20): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        substring(col("text"), 1, prefixLen).as("k"))
+    val ranked = graft.Lineage.truncate(
+      Rank.globalRowNumber(d, Seq(col("k").asc, col("doc_id").asc), "rn"),
+      reliable = false).df
+    // each row meets its `window` successors: fan the LEFT side out to the
+    // successor ranks (map-side, ×window) and equi-join on the rank long
+    val probes = ranked.select(col("doc_id").as("doc_a"),
+        col("text").as("ta"),
+        explode(expr(s"transform(sequence(1, $window), i -> rn + i)"))
+          .as("rn"))
+    probes.join(ranked.select(col("rn"), col("doc_id").as("doc_b"),
+        col("text").as("tb")), Seq("rn"))
+      // threshold-capped levenshtein: the DP row prunes to the band
+      // |i-j| ≤ maxDist and early-exits at the cap — O(len·maxDist), not
+      // O(len²); -1 marks "above cap", exact distance otherwise
+      .withColumn("dist",
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long"))
+      .filter(col("dist") =!= -1L)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
 }

@@ -1792,6 +1792,104 @@ object Relational {
       .select($"week", $"status", $"n_users")
   }
 
+  // ---------------------------------------------------------------- A80
+  /** RFM customer segmentation — recency / frequency / monetary quintiles,
+    * the standard CRM scoring matrix (score 1 = best quintile on each
+    * axis) plus the classic named segments derived from the score triple.
+    *
+    * Every quintile comes from [[Rank.ntile]] — SQL NTILE(5) semantics
+    * computed as integer arithmetic on a distributed global row number
+    * (range exchange + metadata offsets), never the unpartitioned
+    * `ntile() OVER (ORDER BY …)` window that funnels every customer
+    * through one task (q105's rule). Ties break on custkey so the order
+    * is total and engine-independent. The monetary axis ranks the EXACT
+    * decimal sum (q1's convention) — fp addition order can't reorder two
+    * customers. One orders-table aggregation feeds all three rankings. */
+  def q162Rfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val base = graft.Lineage.truncate(
+      o.groupBy($"o_custkey".as("custkey"))
+        .agg(max($"o_orderdate").as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum($"o_totalprice".cast("decimal(14,2)")).as("monetary")),
+      reliable = false).df
+    val r = Rank.ntile(base, Seq($"last_order".desc, $"custkey".asc), 5,
+      "r_score")
+    val rf = Rank.ntile(r, Seq($"frequency".desc, $"custkey".asc), 5,
+      "f_score")
+    val rfm = Rank.ntile(rf, Seq($"monetary".desc, $"custkey".asc), 5,
+      "m_score")
+    rfm.select($"custkey", $"last_order", $"frequency",
+        $"monetary".cast("double").as("monetary"),
+        $"r_score".cast("long").as("r_score"),
+        $"f_score".cast("long").as("f_score"),
+        $"m_score".cast("long").as("m_score"))
+      .withColumn("segment",
+        when($"r_score" <= 2 && $"f_score" <= 2 && $"m_score" <= 2,
+          lit("champion"))
+          .when($"r_score" <= 2 && $"f_score" <= 3, lit("loyal"))
+          .when($"r_score" >= 4 && $"f_score" >= 4, lit("lost"))
+          .when($"r_score" >= 4, lit("at_risk"))
+          .otherwise(lit("regular")))
+  }
+
+  // ---------------------------------------------------------------- A81
+  /** Week-over-week distribution drift — the production data-quality
+    * monitor that catches a broken event producer or a scraper behind a
+    * changed site: each week's event-type distribution is tested against
+    * the PREVIOUS week's with a chi-squared statistic; a per-type
+    * contribution above `threshold` flags the drifted type.
+    *
+    * Cross-engine exactness: every count is an exact integer; `expected`
+    * is one fp expression over exact ints (ref_n·cur_total/ref_total) and
+    * `contrib` one more ((cur_n−expected)²/expected) — fixed operation
+    * order, no fp accumulation anywhere (q93's rule: the only doubles are
+    * final expressions of exact sums, never sums of doubles). The global
+    * statistic is the client-trivial sum of per-type contributions;
+    * emitting per-type rows is what makes the monitor actionable anyway.
+    *
+    * Scale: one partial-aggregated count per (week, type) — shuffle rows
+    * bounded by weeks×types, not events — then metadata-sized self-joins
+    * on (week−1, type) and per-week totals. Types absent in one of the
+    * two weeks surface with a zero side (full outer), so a NEW event type
+    * appearing is itself a drift signal, not a silent drop. */
+  def q163DriftChi2(spark: SparkSession, dir: String,
+      threshold: Double = 25.0): DataFrame = {
+    val wk = expr("unix_micros(cast(ts as timestamp)) div 604800000000")
+    val counts = graft.Lineage.truncate(
+      Tables.events(spark, dir)
+        .select(wk.as("week"), $"event_type")
+        .groupBy($"week", $"event_type").agg(count(lit(1)).as("n")),
+      reliable = false).df
+    val totals = counts.groupBy($"week").agg(sum($"n").as("total"))
+    val cur = counts.select($"week", $"event_type", $"n".as("cur_n"))
+    val ref = counts.select(($"week" + 1).as("week"), $"event_type",
+      $"n".as("ref_n"))
+    // weeks present on both sides (full outer over types WITHIN such
+    // weeks: a type missing one side shows n = 0 there)
+    val weeks = cur.select($"week").distinct()
+      .intersect(ref.select($"week").distinct())
+    val curTot = totals.select($"week", $"total".as("cur_total"))
+    val refTot = totals.select(($"week" + 1).as("week"),
+      $"total".as("ref_total"))
+    cur.join(ref, Seq("week", "event_type"), "full_outer")
+      .join(weeks, Seq("week"), "left_semi")
+      .na.fill(0L, Seq("cur_n", "ref_n"))
+      .join(curTot, Seq("week")).join(refTot, Seq("week"))
+      .withColumn("expected",
+        $"ref_n".cast("double") * $"cur_total".cast("double")
+          / $"ref_total".cast("double"))
+      .withColumn("contrib",
+        when($"expected" > 0.0,
+          ($"cur_n".cast("double") - $"expected")
+            * ($"cur_n".cast("double") - $"expected") / $"expected")
+          // a brand-new type has expected 0: conventionally its own count
+          .otherwise($"cur_n".cast("double")))
+      .withColumn("drifted", $"contrib" > threshold)
+      .select($"week", $"event_type", $"ref_n", $"cur_n", $"expected",
+        $"contrib", $"drifted")
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

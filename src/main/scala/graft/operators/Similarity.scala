@@ -285,4 +285,42 @@ object Similarity {
     PqIndex.query(index, queries, k, excludeSelf = true,
       rerank = rerank, fullVectors = e)
   }
+
+  // ---------------------------------------------------------------- C66
+  /** Hard-negative mining — the contrastive-training data pipeline
+    * (sentence-embedding / retrieval-model training needs, per anchor, the
+    * negatives the model most confuses: DIFFERENT label, HIGHEST cosine):
+    * for each anchor, the top-`k` other-label vectors by similarity, with
+    * a `dupCeiling` guard excluding score ≥ ceiling pairs — those are
+    * near-duplicates mislabeled across classes (SemDeDup territory, q122),
+    * poison as negatives.
+    *
+    * Scale: identical posture to q45's brute-force baseline — the anchor
+    * set broadcasts, the corpus streams map-only through one codegen'd
+    * dot-product scan, top-k per anchor is a bounded WindowGroupLimit
+    * (k rows of state per anchor per partition). Swap the scan for
+    * [[IvfIndex]] probing (q51) when the corpus outgrows linear — the
+    * ranking semantics and this oracle stay fixed. Norms computed once per
+    * side, never per pair. */
+  def q161HardNegatives(spark: SparkSession, dir: String, k: Int = 10,
+      dupCeiling: Double = 0.95): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val c = e.select(col("vec_id"), col("label"),
+      toDoubles(col("embedding")).as("emb"),
+      l2Norm(col("embedding")).as("norm"))
+    val q = c.filter(col("vec_id") < 5)
+    val scored = c.as("c")
+      .join(broadcast(q.as("q")), col("q.label") =!= col("c.label"))
+      .select(
+        col("q.vec_id").as("anchor_id"),
+        col("c.vec_id").as("negative_id"),
+        (dotD(col("q.emb"), col("c.emb"))
+          / (col("q.norm") * col("c.norm"))).as("score"))
+      .filter(col("score") < dupCeiling)
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("score").desc, col("negative_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("negative_id"), col("score"))
+  }
 }
