@@ -185,6 +185,12 @@ object SparkEntry {
     "q163_drift_chi2" -> ((s, d) => Relational.q163DriftChi2(s, d)),
     "q164_skipgram" -> ((s, d) => Corpus.q164SkipgramCounts(s, d)),
     "q165_budget_alloc" -> ((s, d) => Corpus.q165BudgetAllocation(s, d)),
+    "q166_market_share" -> ((s, d) => Relational.q166MarketShare(s, d)),
+    "q167_value_share" -> ((s, d) => Relational.q167ValueShare(s, d)),
+    "q168_waiting_suppliers" -> ((s, d) => Relational.q168WaitingSuppliers(s, d)),
+    "q169_attribution" -> ((s, d) => Relational.q169Attribution(s, d)),
+    "q170_span_dedup" -> ((s, d) => Dedup.q170SpanDedup(s, d)),
+    "q171_bitext_mnn" -> ((s, d) => Similarity.q171BitextMnn(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1799,5 +1805,110 @@ object SparkEntry {
         |  FROM d)
         |SELECT r.source, doc_id, pos, n_s, quota
         |FROM r JOIN q ON r.source = q.source WHERE pos <= quota""".stripMargin,
+    "q166_market_share" ->
+      """WITH v AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE o_custkey IN (
+        |    SELECT c_custkey FROM customer
+        |    JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |    JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'))
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+        |                ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE) AS nation_volume,
+        |  CAST(sum(volume) AS DOUBLE) AS total_volume,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+        |                ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+        |    / CAST(sum(volume) AS DOUBLE) AS mkt_share
+        |FROM v GROUP BY o_year""".stripMargin,
+    "q167_value_share" ->
+      """WITH p AS (SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS value_dec
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(value_dec) AS total_dec FROM p)
+        |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value,
+        |  CAST(value_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS share
+        |FROM p, t
+        |WHERE CAST(value_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) > 0.0005""".stripMargin,
+    "q168_waiting_suppliers" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ps AS (SELECT l_orderkey, l_suppkey, max(late) AS supp_late
+        |  FROM li GROUP BY 1, 2),
+        |po AS (SELECT l_orderkey, count(*) AS n_supps,
+        |    sum(CASE WHEN supp_late THEN 1 ELSE 0 END) AS n_late
+        |  FROM ps GROUP BY 1)
+        |SELECT s_name, ps.l_suppkey AS suppkey, CAST(count(*) AS BIGINT) AS numwait
+        |FROM ps
+        |JOIN po ON ps.l_orderkey = po.l_orderkey
+        |JOIN supplier ON ps.l_suppkey = s_suppkey
+        |WHERE ps.supp_late AND po.n_supps >= 2 AND po.n_late = 1
+        |GROUP BY s_name, ps.l_suppkey""".stripMargin,
+    "q169_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |t AS (SELECT *,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_us,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_type
+        |  FROM ev)
+        |SELECT CASE WHEN t_us IS NOT NULL AND us - t_us <= 604800000000
+        |            THEN t_type ELSE 'direct' END AS channel,
+        |  CAST(count(*) AS BIGINT) AS conversions,
+        |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+    "q170_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |w AS (SELECT doc_id, i, array_to_string(ws[i+1 : i+5], ' ') AS gram
+        |      FROM (SELECT doc_id, ws,
+        |              unnest(generate_series(0, len(ws) - 5)) AS i
+        |            FROM t WHERE len(ws) >= 5)),
+        |d AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd
+        |                        FROM w GROUP BY 1) x WHERE nd > 1),
+        |c AS (SELECT DISTINCT doc_id, pos FROM (
+        |        SELECT w.doc_id, unnest(generate_series(w.i, w.i + 4)) AS pos
+        |        FROM w SEMI JOIN d ON w.gram = d.gram) y),
+        |words AS (SELECT doc_id,
+        |    unnest(generate_series(1, len(ws))) - 1 AS pos,
+        |    unnest(ws) AS word FROM t)
+        |SELECT words.doc_id,
+        |  COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN word END,
+        |    ' ' ORDER BY words.pos), '') AS kept_text,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed
+        |FROM words LEFT JOIN c
+        |  ON words.doc_id = c.doc_id AND words.pos = c.pos
+        |GROUP BY words.doc_id""".stripMargin,
+    "q171_bitext_mnn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    label % 2 = 0 AS side_a FROM embeddings),
+        |a AS (SELECT vec_id AS vec_a, emb AS ea,
+        |    sqrt(list_dot_product(emb, emb)) AS na FROM e WHERE side_a),
+        |b AS (SELECT vec_id AS vec_b, emb AS eb,
+        |    sqrt(list_dot_product(emb, emb)) AS nb FROM e WHERE NOT side_a),
+        |s AS (SELECT vec_a, vec_b,
+        |    list_dot_product(ea, eb) / (na * nb) AS cosine
+        |  FROM a CROSS JOIN b),
+        |ba AS (SELECT vec_a, vec_b FROM (SELECT vec_a, vec_b,
+        |    row_number() OVER (PARTITION BY vec_a
+        |      ORDER BY cosine DESC, vec_b DESC) AS rk FROM s) x WHERE rk = 1),
+        |bb AS (SELECT vec_a, vec_b FROM (SELECT vec_a, vec_b,
+        |    row_number() OVER (PARTITION BY vec_b
+        |      ORDER BY cosine DESC, vec_a DESC) AS rk FROM s) y WHERE rk = 1)
+        |SELECT s.vec_a, s.vec_b, s.cosine
+        |FROM ba JOIN bb ON ba.vec_a = bb.vec_a AND ba.vec_b = bb.vec_b
+        |JOIN s ON s.vec_a = ba.vec_a AND s.vec_b = ba.vec_b""".stripMargin,
   )
 }

@@ -466,4 +466,54 @@ object Dedup {
       .filter(col("dist") =!= -1L)
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
+
+  // ---------------------------------------------------------------- C69
+  /** Cross-document SPAN dedup — the "Deduplicating Training Data Makes
+    * Language Models Better" (Lee et al. 2022) exact-substring pass: any
+    * `w`-token window that occurs in MORE THAN ONE document is removed
+    * from every document, with OVERLAPPING stride-1 windows so the
+    * removed region is the full union of duplicated spans (q118's
+    * non-overlapping segments can only drop whole aligned lines — a span
+    * straddling a segment boundary survives there; here it cannot). The
+    * published implementation builds a corpus suffix array; the
+    * distributed re-expression is windows→counts→span union, which needs
+    * no global ordered structure and partitions like any aggregation.
+    *
+    * Scale: window extraction is map-only array arithmetic inside the
+    * scan's codegen (×w byte fan-out is the price of overlap — the
+    * suffix array pays the same ×w in suffix pointers); the dup-window
+    * set is one partial-aggregable distinct-doc count keyed on the gram
+    * (string key at test scale for oracle exactness; 128-bit hash + the
+    * q43 collision stance at 100 TB — q118's rule); span union is a
+    * (doc_id, pos) distinct — 16 B rows; reassembly is q118's one
+    * groupBy(doc_id) whose state is the document itself. Membership is a
+    * hash join, NOT broadcast (dup set is data-dependent, q75's rule). */
+  def q170SpanDedup(spark: SparkSession, dir: String, w: Int = 5): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val wins = toks.filter(size(col("ws")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ws) - $w), " +
+          s"i -> array_join(slice(ws, i + 1, $w), ' '))")).as(Seq("i", "gram")))
+    val dup = wins.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select(col("gram"))
+    // union of duplicated spans: every position any flagged window covers
+    val covered = wins.join(dup, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(i, i + $w - 1)")).as("pos"))
+      .distinct()
+      .withColumn("__c", lit(true))
+    toks.select(col("doc_id"),
+        posexplode(col("ws")).as(Seq("pos", "word")))
+      .join(covered, Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(expr(
+          "transform(filter(array_sort(collect_list(struct(pos, word, " +
+            "coalesce(__c, false) as c))), x -> not x.c), x -> x.word)"), " ")
+          .as("kept_text"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__c"), lit(1L)).otherwise(lit(0L))).as("n_removed"))
+  }
 }

@@ -1890,6 +1890,146 @@ object Relational {
         $"contrib", $"drifted")
   }
 
+  // ---------------------------------------------------------------- A82
+  /** TPC-H Q8 shape — national market share: of all `pType`-part volume
+    * sold into `regionName` customers, what fraction per order-year came
+    * from `targetNation` suppliers. The classic nested-aggregation report
+    * (a conditional sum over the SAME groups as the total), expressed as
+    * one groupBy with a `when`-guarded numerator — never two scans joined
+    * back (reference query surface: TiFlinkApp.java:270 StreamSQL).
+    *
+    * Scale: part/supplier/nation/region are dimensions → broadcast; the
+    * two fact joins (lineitem→orders, orders→customer) shuffle on their
+    * keys. Part filter applied BEFORE its broadcast so the build side is
+    * the matching-parts subset. Volume sums in exact DECIMAL; the share is
+    * ONE IEEE division of the two decimal→double casts (q117's rule). */
+  def q166MarketShare(spark: SparkSession, dir: String,
+      pType: String = "PROMO", targetNation: String = "NATION_3",
+      regionName: String = "ASIA"): DataFrame = {
+    val one = lit(1).cast(DecimalType(3, 2))
+    val volume = money($"l_extendedprice") * (one - rate($"l_discount"))
+    val custRegion = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir).filter($"r_name" === regionName)),
+          $"n_regionkey" === $"r_regionkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter($"p_type" === pType)
+        .select($"p_partkey")), $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(custRegion, $"o_custkey" === $"c_custkey", "left_semi")
+      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(
+        asDouble(sum(when($"supp_nation" === targetNation, volume)
+          .otherwise(lit(0).cast(DecimalType(14, 2))))).as("nation_volume"),
+        asDouble(sum(volume)).as("total_volume"))
+      .withColumn("mkt_share", $"nation_volume" / $"total_volume")
+  }
+
+  // ---------------------------------------------------------------- A83
+  /** TPC-H Q11 shape — parts whose revenue exceeds a fixed FRACTION of
+    * corpus-wide revenue: a per-group aggregate filtered against a global
+    * scalar. The global total is a 1-row aggregate cross-joined back
+    * broadcast (metadata-sized — never a second full scan through a
+    * non-equi join), so the fact table is read ONCE for the per-part sums
+    * and once for the total; Spark's ReuseExchange collapses the shared
+    * aggregate when the plan allows.
+    *
+    * Scale: per-part sums partial-aggregate map-side; the threshold
+    * compare is a map-only filter over the |parts|-sized aggregate. Value
+    * sums decimal-exact; `share` ONE IEEE division (q117's rule). */
+  def q167ValueShare(spark: SparkSession, dir: String,
+      fraction: Double = 0.0005): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_partkey", money($"l_extendedprice").as("v"))
+    val perPart = li.groupBy($"l_partkey").agg(sum($"v").as("value_dec"))
+    val total = perPart.agg(sum($"value_dec").as("total_dec"))
+    perPart.crossJoin(broadcast(total))
+      .withColumn("share",
+        asDouble($"value_dec") / asDouble($"total_dec"))
+      .filter($"share" > fraction)
+      .select($"l_partkey", asDouble($"value_dec").as("value"), $"share")
+  }
+
+  // ---------------------------------------------------------------- A84
+  /** TPC-H Q21 shape — suppliers who alone held up a multi-supplier
+    * order: the supplier shipped LATE (> `lateDays` after the order
+    * date), at least one OTHER supplier is on the same order (EXISTS),
+    * and no OTHER supplier on the order also shipped late (NOT EXISTS).
+    * The exists/not-exists pair over the same fact table is the hard part
+    * of Q21's plan: both collapse to per-order AGGREGATES (distinct
+    * supplier count, distinct LATE supplier count) computed in ONE pass
+    * over lineitem — never two correlated-subquery re-scans.
+    *
+    * Scale: one lineitem→orders shuffle join keyed on orderkey, one
+    * per-(order, supplier) aggregate, one per-order aggregate over that
+    * (both partial-aggregable), then a supplier-keyed count. Supplier dim
+    * broadcasts for the name lookup. */
+  def q168WaitingSuppliers(spark: SparkSession, dir: String,
+      lateDays: Int = 60): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_shipdate" > $"o_orderdate" + expr(s"INTERVAL $lateDays DAYS"))
+          .as("late"))
+    // one pass: per (order, supplier) did-ship-late, then per order the
+    // supplier census — the EXISTS/NOT-EXISTS pair as two counts
+    val perSupp = li.groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"late").as("supp_late"))
+    val perOrder = perSupp.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_supps"),
+        sum(when($"supp_late", lit(1L)).otherwise(lit(0L))).as("n_late"))
+    perSupp.filter($"supp_late")
+      .join(perOrder.filter($"n_supps" >= 2 && $"n_late" === 1),
+        Seq("l_orderkey"), "left_semi")
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
+      .select($"s_name", $"l_suppkey".as("suppkey"), $"numwait")
+  }
+
+  // ---------------------------------------------------------------- A85
+  /** Last-touch marketing attribution: each purchase is credited to the
+    * most recent click/view by the same user STRICTLY before it and
+    * within `windowDays`; purchases with no in-window touch are 'direct'.
+    * Per channel: conversions + decimal-exact attributed revenue. The
+    * attribution itself is ONE per-user window pass — `last(touch,
+    * ignoreNulls)` over rows-preceding carries the latest touch struct to
+    * every event with no self-join of purchases against touches (the
+    * naive range-join formulation shuffles |purchases|·|touches| pairs).
+    *
+    * Scale: one user_id hash exchange + one per-user sort shared by the
+    * window; the channel rollup is a ≤|event_types|+1-group aggregate.
+    * Order within the frame is (ts, event_id) — total, so the "latest"
+    * touch is deterministic under ties (q25's rule). */
+  def q169Attribution(spark: SparkSession, dir: String,
+      windowDays: Int = 7): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = ev.withColumn("lt",
+      last(when($"event_type".isin("click", "view"),
+        struct($"us".as("t_us"), $"event_type".as("t_type"))), ignoreNulls = true)
+        .over(w))
+    touched.filter($"event_type" === "purchase")
+      .withColumn("channel",
+        when($"lt".isNotNull &&
+          $"us" - $"lt.t_us" <= lit(windowDays.toLong * 86400000000L),
+          $"lt.t_type").otherwise(lit("direct")))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("conversions"),
+        asDouble(sum(money($"value"))).as("revenue"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

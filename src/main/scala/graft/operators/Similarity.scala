@@ -323,4 +323,43 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("anchor_id"), col("rank"), col("negative_id"), col("score"))
   }
+
+  // ---------------------------------------------------------------- C70
+  /** Mutual-nearest-neighbor bitext mining (the LASER/CCMatrix parallel-
+    * corpus alignment core): side A = even labels, side B = odd labels
+    * (the two-language stand-in this corpus affords); a pair aligns when
+    * each vector is the OTHER side's cosine top-1 — the mutual condition
+    * is what kills the hub problem (a B-vector near everything wins many
+    * forward top-1s but can return at most one).
+    *
+    * Scale: the scored frame is built ONCE and materialized (both argmax
+    * passes read it — without truncation the cross join re-executes per
+    * direction); candidate generation here is the exact brute-force cross
+    * (the recall=1 oracle-able baseline, q45's posture) and swaps to
+    * q106's IVF-cell-blocked candidates past linear scale with the mutual
+    * filter unchanged. Each direction's top-1 is ONE `max(struct)` partial
+    * aggregate — never a per-side sort. Tie-break inside the struct is
+    * (score, partner_id) — total, engine-identical (q44's fp parity). */
+  def q171BitextMnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"),
+      toDoubles(col("embedding")).as("emb"), l2Norm(col("embedding")).as("norm"),
+      (col("label") % 2 === 0).as("sideA"))
+    val a = e.filter(col("sideA")).select(col("vec_id").as("vec_a"),
+      col("emb").as("ea"), col("norm").as("na"))
+    val b = e.filter(!col("sideA")).select(col("vec_id").as("vec_b"),
+      col("emb").as("eb"), col("norm").as("nb"))
+    val scored = graft.Lineage.truncate(
+      a.crossJoin(broadcast(b)).select(col("vec_a"), col("vec_b"),
+        (dotD(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine")),
+      reliable = false).df
+    val bestA = scored.groupBy(col("vec_a"))
+      .agg(max(struct(col("cosine"), col("vec_b"))).as("m"))
+      .select(col("vec_a"), col("m.vec_b").as("vec_b"))
+    val bestB = scored.groupBy(col("vec_b"))
+      .agg(max(struct(col("cosine"), col("vec_a"))).as("m"))
+      .select(col("m.vec_a").as("vec_a"), col("vec_b"))
+    bestA.join(bestB, Seq("vec_a", "vec_b"), "left_semi")
+      .join(scored, Seq("vec_a", "vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
 }
