@@ -191,6 +191,8 @@ object SparkEntry {
     "q169_attribution" -> ((s, d) => Relational.q169Attribution(s, d)),
     "q170_span_dedup" -> ((s, d) => Dedup.q170SpanDedup(s, d)),
     "q171_bitext_mnn" -> ((s, d) => Similarity.q171BitextMnn(s, d)),
+    "q172_bpe_merges" -> ((s, d) => Corpus.q172BpeMerges(s, d)),
+    "q173_mmr_rerank" -> ((s, d) => Similarity.q173MmrRerank(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact

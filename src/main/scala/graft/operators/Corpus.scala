@@ -1410,4 +1410,75 @@ object Corpus {
       .select(col("source"), col("doc_id"), col("pos"), col("n_s"),
         col("quota"))
   }
+
+  // ---------------------------------------------------------------- C71
+  /** BPE merge-table training (Sennrich et al. 2016 — the tokenizer-
+    * construction loop itself, downstream of q119's one-shot candidate
+    * scoring): start from characters, then `rounds` times (1) count
+    * adjacent symbol pairs across the frequency-weighted word vocabulary,
+    * (2) take the count-argmax pair, (3) merge it greedily left-to-right
+    * in every word. The output IS the tokenizer artifact: the ordered
+    * merge table.
+    *
+    * Scale: the corpus is touched ONCE (word frequencies); every round
+    * then runs on the |vocab|-bounded (symbols, freq) frame — pair
+    * counting is one partial-aggregable explode+groupBy, the argmax is
+    * `.orderBy().limit(1)` (TakeOrdered — per-partition tops, never a
+    * global sort) and the single winning row to the driver is a bounded
+    * aggregate (the repo's ≤k-row collect rule). The merge application is
+    * a map-only codegen'd `aggregate` fold — the greedy left-to-right
+    * scan is per-word sequential BY DEFINITION, but words are independent
+    * so the fold parallelizes perfectly. Per-round lineage truncation +
+    * release, q134's loop discipline. Driver-only in the oracle harness
+    * (iteration isn't SQL-expressible) → rows-only + exact in-memory
+    * replay spec. */
+  def q172BpeMerges(spark: SparkSession, dir: String, rounds: Int = 8,
+      reliable: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val empty = array().cast("array<string>")
+    var vocabM = graft.Lineage.truncate(
+      Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .select(split(col("word"), "").as("syms"), col("freq")),
+      reliable)
+    val merges = collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    try {
+      var round = 1
+      while (round <= rounds) {
+        val best = vocabM.df
+          .filter(size(col("syms")) >= 2) // 1-symbol words have no pairs
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(syms[i - 1] as s1, syms[i] as s2))")).as("p"))
+          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+          .agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("s1").asc, col("s2").asc)
+          .limit(1).collect() // the argmax row — bounded (1 row/round)
+        if (best.isEmpty) {
+          round = rounds + 1 // every word is a single symbol: done
+        } else {
+          val (x, y, c) = (best(0).getString(0), best(0).getString(1),
+            best(0).getLong(2))
+          val xy = x + y
+          merges += ((round.toLong, x, y, xy, c))
+          // greedy left-to-right merge: replace the last accumulated
+          // symbol when (last, current) is the winning pair; the merged
+          // value x||y can never equal x, so merges don't cascade
+          val applied = aggregate(col("syms"), empty, (acc, s) =>
+            when(size(acc) > 0 && element_at(acc, -1) === lit(x) &&
+                s === lit(y),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(xy))))
+              .otherwise(concat(acc, array(s))))
+          val nextM = graft.Lineage.truncate(
+            vocabM.df.select(applied.as("syms"), col("freq")), reliable)
+          vocabM.release()
+          vocabM = nextM
+          round += 1
+        }
+      }
+    } finally vocabM.release()
+    merges.toSeq.toDF("round", "s1", "s2", "merged", "pair_count")
+  }
 }

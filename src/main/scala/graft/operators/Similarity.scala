@@ -362,4 +362,58 @@ object Similarity {
       .join(scored, Seq("vec_a", "vec_b"))
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
+
+  // ---------------------------------------------------------------- C72
+  /** MMR-diversified retrieval (Carbonell & Goldstein 1998 — the rerank
+    * every RAG/eval-set sampler runs so top-k isn't k near-copies of the
+    * best hit): shortlist the `r` highest-cosine candidates, then greedily
+    * select k maximizing `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`.
+    *
+    * Scale split: the RELEVANCE scan is the distributed part — map-only
+    * broadcast-query cosine over the whole corpus (q45's posture; IVF
+    * probing swaps in past linear scale) with the shortlist cut by
+    * `.orderBy().limit(r)` (TakeOrdered, never a global sort). The greedy
+    * phase is sequential BY DEFINITION (each pick depends on all previous
+    * picks), over a CONSTANT-bound r·dim frame — that is a bounded
+    * driver-side aggregate (the repo's ≤k-row collect rule), not a
+    * distributed-work smell; r never grows with the corpus. Ties at equal
+    * MMR score break by vec_id asc — deterministic. Driver-only iteration
+    * → rows-only + exact in-memory replay spec. */
+  def q173MmrRerank(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, r: Int = 50, lambda: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"),
+      toDoubles(col("embedding")).as("emb"), l2Norm(col("embedding")).as("norm"))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("emb").as("qe"), col("norm").as("qn"))
+    val shortlist = e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("emb"), col("norm"),
+        (dotD(col("qe"), col("emb")) / (col("qn") * col("norm"))).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(r)
+      .select(col("vec_id"), col("emb"), col("norm"), col("rel"))
+      .as[(Long, Array[Double], Double, Double)]
+      .collect() // bounded: r rows, constant
+    def cos(a: (Long, Array[Double], Double, Double),
+        b: (Long, Array[Double], Double, Double)): Double = {
+      var d = 0.0
+      var i = 0
+      while (i < a._2.length) { d += a._2(i) * b._2(i); i += 1 }
+      d / (a._3 * b._3)
+    }
+    val chosen = collection.mutable.ArrayBuffer[(Long, Array[Double], Double, Double)]()
+    val out = collection.mutable.ArrayBuffer[(Long, Long, Double, Double)]()
+    val remaining = collection.mutable.ArrayBuffer(shortlist: _*)
+    while (out.length < k && remaining.nonEmpty) {
+      val (score, c) = remaining.map { c =>
+        val div = if (chosen.isEmpty) 0.0 else chosen.map(cos(c, _)).max
+        (lambda * c._4 - (1 - lambda) * div, c)
+      }.minBy { case (s, c) => (-s, c._1) }
+      out += ((out.length + 1L, c._1, c._4, score))
+      chosen += c
+      remaining -= c
+    }
+    out.toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
 }
