@@ -193,6 +193,9 @@ object SparkEntry {
     "q171_bitext_mnn" -> ((s, d) => Similarity.q171BitextMnn(s, d)),
     "q172_bpe_merges" -> ((s, d) => Corpus.q172BpeMerges(s, d)),
     "q173_mmr_rerank" -> ((s, d) => Similarity.q173MmrRerank(s, d)),
+    "q174_approx_quantiles" -> ((s, d) => Relational.q174ApproxQuantiles(s, d)),
+    "q175_hll_union" -> ((s, d) => Corpus.q175HllUnion(s, d)),
+    "q176_rake_keywords" -> ((s, d) => TextAnalysis.q176RakeKeywords(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1912,5 +1915,38 @@ object SparkEntry {
         |SELECT s.vec_a, s.vec_b, s.cosine
         |FROM ba JOIN bb ON ba.vec_a = bb.vec_a AND ba.vec_b = bb.vec_b
         |JOIN s ON s.vec_a = ba.vec_a AND s.vec_b = ba.vec_b""".stripMargin,
+    "q176_rake_keywords" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |raw AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, len(ws))) AS i, unnest(ws) AS word
+        |  FROM t),
+        |w AS (SELECT doc_id, i, word,
+        |    len(list_filter(ws[1:i], x -> list_contains(['a','the'], x))) AS seg
+        |  FROM raw WHERE NOT list_contains(['a','the'], word)),
+        |ph AS (SELECT doc_id, seg,
+        |    string_agg(word, ' ' ORDER BY i) AS phrase,
+        |    CAST(count(*) AS BIGINT) AS plen
+        |  FROM w GROUP BY 1, 2),
+        |st AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(plen) AS BIGINT) AS deg
+        |  FROM w JOIN ph ON w.doc_id = ph.doc_id AND w.seg = ph.seg
+        |  GROUP BY 1),
+        |inst AS (SELECT w.doc_id, w.seg,
+        |    CAST(sum(deg) AS BIGINT) AS sum_deg,
+        |    CAST(sum(freq) AS BIGINT) AS sum_freq
+        |  FROM w JOIN st ON w.word = st.word GROUP BY 1, 2),
+        |agg AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |    CAST(max(sum_deg) AS BIGINT) AS sum_deg,
+        |    CAST(max(sum_freq) AS BIGINT) AS sum_freq
+        |  FROM inst JOIN ph ON inst.doc_id = ph.doc_id AND inst.seg = ph.seg
+        |  GROUP BY 1),
+        |top AS (SELECT *,
+        |    CAST(sum_deg AS DOUBLE) / CAST(sum_freq AS DOUBLE) AS score
+        |  FROM agg
+        |  ORDER BY score DESC, n_occurrences DESC, phrase LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, n_occurrences DESC,
+        |    phrase) AS BIGINT) AS rk,
+        |  phrase, n_occurrences, sum_deg, sum_freq, score
+        |FROM top""".stripMargin,
   )
 }

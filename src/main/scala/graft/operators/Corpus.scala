@@ -1432,6 +1432,33 @@ object Corpus {
     * release, q134's loop discipline. Driver-only in the oracle harness
     * (iteration isn't SQL-expressible) → rows-only + exact in-memory
     * replay spec. */
+  // ---------------------------------------------------------------- C73
+  /** Mergeable-sketch vocabulary rollup (Apache DataSketches HLL via
+    * Spark's native `hll_sketch_agg`/`hll_union_agg`): per-source distinct
+    * word estimates whose sketches UNION into the corpus-wide estimate
+    * without re-touching the data — the re-aggregable rollup an exact
+    * `count(distinct)` fundamentally cannot give (distinct counts don't
+    * add; q79's ROLLUP re-scans; a 100 TB corpus's per-shard sketches
+    * merge in one |sources|-row pass forever after). Relative standard
+    * error at lgK=12 is 1.04/√2¹² ≈ 1.6%.
+    *
+    * Scale: sketches are fixed ≤2¹² bytes each — the shuffle carries
+    * |sources| sketches, not values; the union is a 1-row aggregate.
+    * Approximate by design → rows-only; the spec prices the estimates
+    * against exact distincts with the published error bound. */
+  def q175HllUnion(spark: SparkSession, dir: String, lgK: Int = 12): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+    val perSource = words.groupBy(col("source"))
+      .agg(expr(s"hll_sketch_agg(word, $lgK)").as("sk"))
+    val bySource = perSource.select(col("source"),
+      expr("hll_sketch_estimate(sk)").as("est_distinct"))
+    val all = perSource.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_distinct"))
+      .select(lit("__all__").as("source"), col("est_distinct"))
+    bySource.unionAll(all)
+  }
+
   def q172BpeMerges(spark: SparkSession, dir: String, rounds: Int = 8,
       reliable: Boolean = false): DataFrame = {
     import spark.implicits._

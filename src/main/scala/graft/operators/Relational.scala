@@ -2030,6 +2030,30 @@ object Relational {
         asDouble(sum(money($"value"))).as("revenue"))
   }
 
+  // ---------------------------------------------------------------- A86
+  /** Sketch-based quantile profiling (`approx_percentile`, Greenwald-
+    * Khanna): p50/p90/p99 of event value per type at bounded memory — the
+    * scale path past q24's exact percentiles, whose full sort-per-group
+    * a 100 TB column can't afford. GK guarantees rank error ≤ n/accuracy:
+    * with accuracy 10⁴ the p99 of a billion rows sits within ±0.01% of
+    * true rank, and the sketch is partial/merge-shaped (map-side partials,
+    * one |types|-group shuffle of sketches, not values).
+    *
+    * Approximate by design → rows-only in the driver; the spec prices the
+    * approximation against q24's exact machinery with the GK rank bound.
+    * Results are still DETERMINISTIC for a fixed input (GK is
+    * merge-order-stable under Spark's sorted partial aggregation at a
+    * fixed partitioning — the spec asserts repeat-run equality). */
+  def q174ApproxQuantiles(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx($"value", lit(0.5), lit(accuracy)).as("p50"),
+        percentile_approx($"value", lit(0.9), lit(accuracy)).as("p90"),
+        percentile_approx($"value", lit(0.99), lit(accuracy)).as("p99"))
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -295,4 +296,74 @@ object TextAnalysis {
         col("sumsq"),
         ((col("n") * col("n") - col("sumsq")).cast("double")
           / (col("n") * col("n")).cast("double")).as("simpson"))
+
+  // ---------------------------------------------------------------- C74
+  /** RAKE keyword extraction (Rose et al. 2010, the statistical-phrase
+    * complement of q72's TF-IDF unigrams): documents segment into
+    * candidate phrases at stopwords, each word accumulates freq (its
+    * occurrences in phrases) and degree (the summed length of every
+    * phrase it occurs in — co-occurrence reach), and phrases rank by
+    * score. This variant scores a phrase as `Σdeg / Σfreq` over its words
+    * — ONE IEEE division of two exact integer sums, engine-identical —
+    * rather than RAKE's Σ(deg/freq), whose per-word double sum would
+    * reassociate differently across engines (q93's rule; the ordering the
+    * two variants induce agrees except where fp noise would have decided).
+    *
+    * Scale: segmentation is map-only array arithmetic in the scan's
+    * codegen stage (running stopword count splits each doc into
+    * segments); word stats are one partial-agged |vocab|-bounded groupBy
+    * joined back by word (unforced — vocab outgrows broadcast, q119's
+    * rule); phrase rollup partial-aggregates on the phrase string; top-k
+    * is rank-after-TakeOrdered (q74's shape). */
+  def q176RakeKeywords(spark: SparkSession, dir: String, k: Int = 20,
+      stops: Seq[String] = Seq("a", "the")): DataFrame = {
+    val stopLit = stops.map(s => "'" + s.replace("'", "\\'") + "'")
+      .mkString("array(", ", ", ")")
+    // (doc, seg, pos, word) with seg = running count of stopwords — each
+    // stopword starts a new segment and is excluded from it; ONE linear
+    // codegen'd fold per doc (a prefix-count-per-position formulation
+    // would be quadratic per doc)
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        "aggregate(ws, " +
+          "struct(0 as seg, " +
+          "  cast(array() as array<struct<word:string, seg:int>>) as out), " +
+          s"(acc, w) -> if(array_contains($stopLit, w), " +
+          "  struct(acc.seg + 1 as seg, acc.out as out), " +
+          "  struct(acc.seg as seg, " +
+          "    concat(acc.out, array(struct(w as word, acc.seg as seg))) as out)), " +
+          "acc -> acc.out)")).as(Seq("pos", "x")))
+      .select(col("doc_id"), col("x.seg").as("seg"), col("pos"),
+        col("x.word").as("word"))
+    val phrases = graft.Lineage.truncate(
+      words.groupBy(col("doc_id"), col("seg"))
+        .agg(array_join(expr("transform(array_sort(collect_list(" +
+          "struct(pos, word))), x -> x.word)"), " ").as("phrase"),
+          count(lit(1)).as("plen")),
+      reliable = false).df
+    // word stats over phrase occurrences: freq = occurrences, deg = Σ plen
+    val stats = words.join(
+        phrases.select(col("doc_id"), col("seg"), col("plen")),
+        Seq("doc_id", "seg"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    val scored = words
+      .join(stats, Seq("word"))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(sum(col("deg")).as("sum_deg"), sum(col("freq")).as("sum_freq"))
+      .join(phrases, Seq("doc_id", "seg"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        max(col("sum_deg")).as("sum_deg"), max(col("sum_freq")).as("sum_freq"))
+      .withColumn("score",
+        col("sum_deg").cast("double") / col("sum_freq").cast("double"))
+    scored.orderBy(col("score").desc, col("n_occurrences").desc,
+        col("phrase").asc).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("n_occurrences").desc,
+          col("phrase").asc)).cast("long"))
+      .select(col("rk"), col("phrase"), col("n_occurrences"),
+        col("sum_deg"), col("sum_freq"), col("score"))
+  }
 }
