@@ -196,6 +196,9 @@ object SparkEntry {
     "q174_approx_quantiles" -> ((s, d) => Relational.q174ApproxQuantiles(s, d)),
     "q175_hll_union" -> ((s, d) => Corpus.q175HllUnion(s, d)),
     "q176_rake_keywords" -> ((s, d) => TextAnalysis.q176RakeKeywords(s, d)),
+    "q177_vocab_growth" -> ((s, d) => Corpus.q177VocabGrowth(s, d)),
+    "q178_event_gaps" -> ((s, d) => Relational.q178InterEventGaps(s, d)),
+    "q179_pca_power" -> ((s, d) => Similarity.q179PcaPower(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1948,5 +1951,47 @@ object SparkEntry {
         |    phrase) AS BIGINT) AS rk,
         |  phrase, n_occurrences, sum_deg, sum_freq, score
         |FROM top""".stripMargin,
+    "q177_vocab_growth" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT (max(doc_id) // 10) + 1 AS step FROM t),
+        |tok AS (SELECT doc_id, unnest(ws) AS word FROM t),
+        |fd AS (SELECT word, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+        |vb AS (SELECT (first_doc // step) + 1 AS bin,
+        |    CAST(count(*) AS BIGINT) AS new_words FROM fd, s GROUP BY 1),
+        |tb AS (SELECT (doc_id // step) + 1 AS bin,
+        |    CAST(count(*) AS BIGINT) AS bin_tokens FROM tok, s GROUP BY 1),
+        |j AS (SELECT COALESCE(vb.bin, tb.bin) AS bin,
+        |    COALESCE(new_words, 0) AS new_words,
+        |    COALESCE(bin_tokens, 0) AS bin_tokens
+        |  FROM vb FULL OUTER JOIN tb ON vb.bin = tb.bin)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(sum(new_words) OVER (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS vocab_size,
+        |  CAST(sum(bin_tokens) OVER (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_tokens
+        |FROM j""".stripMargin,
+    "q178_event_gaps" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT event_type,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS gap_us
+        |  FROM ev),
+        |f AS (SELECT event_type, gap_us,
+        |    CASE WHEN gap_us < 60000000 THEN 'lt_1m'
+        |         WHEN gap_us < 600000000 THEN 'lt_10m'
+        |         WHEN gap_us < 3600000000 THEN 'lt_1h'
+        |         WHEN gap_us < 86400000000 THEN 'lt_1d'
+        |         ELSE 'ge_1d' END AS band
+        |  FROM g WHERE gap_us IS NOT NULL),
+        |c AS (SELECT event_type, band, CAST(count(*) AS BIGINT) AS n,
+        |    min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+        |  FROM f GROUP BY 1, 2)
+        |SELECT event_type, band, n, min_gap_us, max_gap_us,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+        |FROM c""".stripMargin,
   )
 }

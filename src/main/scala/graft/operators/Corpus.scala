@@ -1411,6 +1411,46 @@ object Corpus {
         col("quota"))
   }
 
+  // ---------------------------------------------------------------- C75
+  /** Vocabulary-growth curve (Heaps' law diagnostic — how fast distinct
+    * vocabulary grows as the corpus grows, the sizing input for tokenizer
+    * vocab budgets and dedup-payoff estimates): distinct words and total
+    * tokens within the first-N-docs prefix, at `bins` doc_id thresholds.
+    * The trick that keeps it ONE pass: a word enters the vocabulary at
+    * `min(doc_id)` — so per-threshold vocab sizes are a running sum over
+    * the binned first-appearance counts, never `bins` separate distinct
+    * counts over growing prefixes.
+    *
+    * Scale: one |vocab|-bounded groupBy (min doc_id per word) + one
+    * |docs|-bounded token count, both partial-aggregable; the cumulative
+    * sums run over the ≤`bins` aggregated frame (dimension-bounded
+    * window, q116's rule). */
+  def q177VocabGrowth(spark: SparkSession, dir: String,
+      bins: Int = 10): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val maxDoc = d.agg(max(col("doc_id")).as("md"))
+      .select((floor(col("md") / bins) + 1).as("step"))
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " "))
+      .as("word"))
+    val vocabByBin = toks.groupBy(col("word"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(maxDoc))
+      .select((floor(col("first_doc") / col("step")) + 1).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("new_words"))
+    val toksByBin = toks
+      .crossJoin(broadcast(maxDoc))
+      .select((floor(col("doc_id") / col("step")) + 1).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("bin_tokens"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the ordered window runs over ≤bins aggregated rows — bounded frame
+    vocabByBin.join(toksByBin, Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("new_words", "bin_tokens"))
+      .select(col("bin").cast("long").as("bin"),
+        sum(col("new_words")).over(w).as("vocab_size"),
+        sum(col("bin_tokens")).over(w).as("n_tokens"))
+  }
+
   // ---------------------------------------------------------------- C71
   /** BPE merge-table training (Sennrich et al. 2016 — the tokenizer-
     * construction loop itself, downstream of q119's one-shot candidate

@@ -2054,6 +2054,41 @@ object Relational {
         percentile_approx($"value", lit(0.9), lit(accuracy)).as("p90"),
         percentile_approx($"value", lit(0.99), lit(accuracy)).as("p99"))
 
+  // ---------------------------------------------------------------- A87
+  /** Inter-event-time (burstiness) profile: per event type, the
+    * distribution of gaps between a user's consecutive events over fixed
+    * human-scale bands (<1min, <10min, <1h, <1day, ≥1day) — the arrival-
+    * process diagnostic behind session-gap and watermark choices (q89's
+    * 30-min gap, B14's watermark are both parameters this report
+    * justifies). Bands are a CASE ladder over exact integer µs — no
+    * log-bucketing fp, no engine calendar (q145's rule).
+    *
+    * Scale: one user_id hash exchange + per-user sort for the lag window;
+    * the rollup is a ≤|types|·5-group partial aggregate. Share is ONE
+    * IEEE division of exact counts. */
+  def q178InterEventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val gaps = ev
+      .withColumn("gap_us", $"us" - lag($"us", 1).over(w))
+      .filter($"gap_us".isNotNull)
+      .withColumn("band",
+        when($"gap_us" < 60L * 1000000L, "lt_1m")
+          .when($"gap_us" < 600L * 1000000L, "lt_10m")
+          .when($"gap_us" < 3600L * 1000000L, "lt_1h")
+          .when($"gap_us" < 86400L * 1000000L, "lt_1d")
+          .otherwise("ge_1d"))
+    val counts = gaps.groupBy($"event_type", $"band")
+      .agg(count(lit(1)).as("n"),
+        min($"gap_us").as("min_gap_us"), max($"gap_us").as("max_gap_us"))
+    val totals = Window.partitionBy($"event_type")
+    // share window runs over the ≤|types|·5 aggregated frame — bounded
+    counts.withColumn("share",
+      $"n".cast("double") / sum($"n").over(totals).cast("double"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

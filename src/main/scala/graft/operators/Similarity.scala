@@ -416,4 +416,54 @@ object Similarity {
     }
     out.toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
   }
+
+  // ---------------------------------------------------------------- C76
+  /** Top principal component by MATRIX-FREE power iteration (the
+    * embedding-drift / anisotropy diagnostic — sentence-embedding spaces
+    * are notoriously dominated by one rogue direction, and whitening it
+    * out needs exactly this vector): never materializes the d×d
+    * covariance — each round is ONE map-only scan computing
+    * `w = Σ (x−μ)·((x−μ)ᵀv)` as a codegen'd zip_with/aggregate fold, with
+    * only the d per-dimension partial sums leaving the executors
+    * (dimension-bounded collect, d rows/round — the repo's ≤k-row rule;
+    * the corpus never moves). Centered vectors are materialized once;
+    * `v` rides each scan as a constant-folded array literal (broadcast by
+    * construction). Deterministic: fixed uniform init, largest-|loading|
+    * sign convention, fixed iteration count. Driver-side normalization is
+    * O(d) per round. Rows-only (iteration isn't SQL) + in-memory replay
+    * spec with a Rayleigh-dominance witness. */
+  def q179PcaPower(spark: SparkSession, dir: String,
+      iters: Int = 12): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.embeddings(spark, dir)
+      .select(toDoubles(col("embedding")).as("emb"))
+    val dim = raw.select(size(col("emb")).as("d")).head().getInt(0)
+    val n = raw.count()
+    val mean = raw.select(posexplode(col("emb")).as(Seq("d", "v")))
+      .groupBy(col("d")).agg(sum(col("v")).as("s"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1) / n)
+    val mLit = array(mean.map(lit): _*)
+    val centered = graft.Lineage.truncate(
+      raw.select(zip_with(col("emb"), mLit, (a, b) => a - b).as("x")),
+      reliable = false).df
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val vLit = array(v.map(lit): _*)
+      val s = aggregate(zip_with(col("x"), vLit, (a, b) => a * b),
+        lit(0.0), (acc, t) => acc + t)
+      val sums = centered.select(col("x"), s.as("s"))
+        .select(posexplode(expr("transform(x, xi -> xi * s)"))
+          .as(Seq("d", "w")))
+        .groupBy(col("d")).agg(sum(col("w")).as("sw"))
+        .collect().sortBy(_.getInt(0)).map(_.getDouble(1)) // d rows
+      val norm = math.sqrt(sums.map(x => x * x).sum)
+      lambda = norm / n // Rayleigh quotient of the unit previous v
+      val flip = if (sums(sums.map(math.abs).zipWithIndex.max._2) < 0) -1.0
+        else 1.0
+      v = sums.map(_ * flip / norm)
+    }
+    v.zipWithIndex.map { case (l, d) => (d, l, lambda) }.toSeq
+      .toDF("dim", "loading", "eigenvalue")
+  }
 }

