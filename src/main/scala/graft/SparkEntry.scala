@@ -199,6 +199,7 @@ object SparkEntry {
     "q177_vocab_growth" -> ((s, d) => Corpus.q177VocabGrowth(s, d)),
     "q178_event_gaps" -> ((s, d) => Relational.q178InterEventGaps(s, d)),
     "q179_pca_power" -> ((s, d) => Similarity.q179PcaPower(s, d)),
+    "q180_er_pipeline" -> ((s, d) => Dedup.q180ErPipeline(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -1993,5 +1994,26 @@ object SparkEntry {
         |  CAST(n AS DOUBLE)
         |    / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS share
         |FROM c""".stripMargin,
+    "q180_er_pipeline" ->
+      """WITH RECURSIVE c AS (SELECT c_custkey AS k, c_name AS n FROM customer),
+        |pairs AS (SELECT a.k AS ka, b.k AS kb FROM c a JOIN c b
+        |  ON a.k < b.k WHERE levenshtein(a.n, b.n) <= 1),
+        |nodes AS (SELECT ka AS id FROM pairs UNION SELECT kb FROM pairs),
+        |edges AS (SELECT ka AS src, kb AS dst FROM pairs
+        |          UNION ALL SELECT kb, ka FROM pairs),
+        |reach(id, l) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.l FROM edges e JOIN reach r ON e.src = r.id),
+        |lbl AS (SELECT id, min(l) AS cl FROM reach GROUP BY 1),
+        |asg AS (SELECT c.k, c.n, COALESCE(lbl.cl, c.k) AS canonical_key
+        |  FROM c LEFT JOIN lbl ON c.k = lbl.id),
+        |sz AS (SELECT canonical_key, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM asg GROUP BY 1)
+        |SELECT asg.k AS c_custkey, asg.n AS c_name, asg.canonical_key,
+        |  cn.n AS canonical_name, sz.cluster_size
+        |FROM asg
+        |JOIN sz ON asg.canonical_key = sz.canonical_key
+        |JOIN c cn ON cn.k = asg.canonical_key""".stripMargin,
   )
 }

@@ -467,6 +467,97 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
+  // ---------------------------------------------------------------- A88
+  /** End-to-end entity resolution as ONE composed operator — the
+    * block→match→cluster→canonicalize pipeline every MDM/identity stack
+    * runs, built from this repo's own primitives: FastSS deletion-
+    * neighborhood candidates on hashed variants (q120, zero false
+    * negatives at distance 1, 8-byte join keys), exact codegen'd
+    * levenshtein verify, HashMin connected components (q59's loop
+    * discipline: edges materialized once, per-round truncate+release,
+    * loud non-convergence), and canonical-record election. With min-label
+    * propagation the component label IS the minimum member key, so the
+    * canonical key needs no second argmax pass — it falls out of the CC
+    * labels. Every customer appears exactly once (singletons are their
+    * own canonical record).
+    *
+    * Scale: candidate generation is the linear |name|+1 map-side fan-out;
+    * the CC loop is O(E) per round on the data-dependent (and in ER,
+    * sparse) match graph; the final size/name joins key on the 8-byte
+    * canonical key. */
+  def q180ErPipeline(spark: SparkSession, dir: String, maxIters: Int = 20,
+      reliable: Boolean = false): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"))
+    val variants = c.select(col("c_custkey"),
+      explode(array_distinct(expr(
+        "transform(sequence(0, length(c_name)), i -> if(i = 0, c_name, " +
+          "concat(substring(c_name, 1, i - 1), " +
+          "substring(c_name, i + 1, length(c_name)))))"))).as("v0"))
+      .select(col("c_custkey"), xxhash64(col("v0")).as("v"))
+    val cand = variants.as("a")
+      .join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("ka"), col("b.c_custkey").as("kb"))
+      .distinct()
+    val pairs = cand
+      .join(c.select(col("c_custkey").as("ka"), col("c_name").as("na")), Seq("ka"))
+      .join(c.select(col("c_custkey").as("kb"), col("c_name").as("nb")), Seq("kb"))
+      .filter(levenshtein(col("na"), col("nb")) <= 1)
+      .select(col("ka"), col("kb"))
+    // HashMin CC (q59's discipline, compacted: the match graph is sparse)
+    val edgesM = graft.Lineage.truncate(
+      pairs.select(col("ka").as("src"), col("kb").as("dst"))
+        .unionAll(pairs.select(col("kb").as("src"), col("ka").as("dst")))
+        .repartition(col("src")), reliable)
+    try {
+      val edges = edgesM.df
+      var labelsM = graft.Lineage.truncate(
+        edges.groupBy(col("dst").as("id")).agg(min(col("src")).as("__m"))
+          .select(col("id"), least(col("__m"), col("id")).as("cl")), reliable)
+      var changed = 1L
+      var iter = 0
+      try {
+        while (changed > 0 && iter < maxIters) {
+          val prop = edges.join(labelsM.df, col("src") === col("id"))
+            .groupBy(col("dst")).agg(min(col("cl")).as("nl"))
+          val nextM = graft.Lineage.truncate(
+            labelsM.df.join(prop, col("id") === col("dst"), "left")
+              .select(col("id"), col("cl").as("__old"),
+                least(col("cl"), coalesce(col("nl"), col("cl"))).as("cl")),
+            reliable)
+          changed =
+            try nextM.df.agg(coalesce(sum(
+                when(col("__old") =!= col("cl"), 1L).otherwise(0L)), lit(0L)))
+              .first().getLong(0)
+            catch { case e: Throwable =>
+              try nextM.release() catch { case s: Throwable => e.addSuppressed(s) }
+              throw e
+            }
+          labelsM.release()
+          labelsM = nextM
+          iter += 1
+        }
+        if (changed > 0) throw new IllegalStateException(
+          s"ER label propagation did not converge in $maxIters rounds")
+        val asg = c
+          .join(labelsM.df.select(col("id").as("c_custkey"), col("cl")),
+            Seq("c_custkey"), "left")
+          .select(col("c_custkey"), col("c_name"),
+            coalesce(col("cl"), col("c_custkey")).as("canonical_key"))
+        val sizes = asg.groupBy(col("canonical_key"))
+          .agg(count(lit(1)).as("cluster_size"))
+        asg.join(sizes, Seq("canonical_key"))
+          .join(c.select(col("c_custkey").as("canonical_key"),
+            col("c_name").as("canonical_name")), Seq("canonical_key"))
+          .select(col("c_custkey"), col("c_name"), col("canonical_key"),
+            col("canonical_name"), col("cluster_size"))
+          // the CC labels must be consumed before release: materialize
+          .localCheckpoint()
+      } finally labelsM.release()
+    } finally edgesM.release()
+  }
+
   // ---------------------------------------------------------------- C69
   /** Cross-document SPAN dedup — the "Deduplicating Training Data Makes
     * Language Models Better" (Lee et al. 2022) exact-substring pass: any

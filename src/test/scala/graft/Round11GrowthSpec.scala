@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Corpus, Relational, Similarity}
+import graft.operators.{Corpus, Dedup, Relational, Similarity}
 
 /** Semantic checks for the growth/gaps/PCA batch (q177-q179): exact
   * replays for the exact operators, convergence + dominance witnesses for
@@ -113,5 +113,47 @@ class Round11GrowthSpec extends SparkSpec {
       centered.map(x => x(d) * x(d)).sum / n
     }.max
     assert(gotL >= maxVar - 1e-9, s"lambda $gotL < max per-dim var $maxVar")
+  }
+
+  // --- q180 ER pipeline ------------------------------------------------
+
+  test("q180 equals a union-find replay over quadratic edit-distance pairs") {
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      val curr = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        curr(0) = i
+        for (j <- 1 to b.length)
+          curr(j) = math.min(math.min(curr(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(curr, 0, prev, 0, b.length + 1)
+      }
+      prev(b.length)
+    }
+    val cust = sources.Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_name").as[(Long, String)].collect()
+    val parent = collection.mutable.Map(cust.map(c => c._1 -> c._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      i <- cust.indices; j <- (i + 1) until cust.length
+      if lev(cust(i)._2, cust(j)._2) <= 1
+    } {
+      val (ra, rb) = (find(cust(i)._1), find(cust(j)._1))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val canon = cust.map(c => c._1 -> find(c._1)).toMap
+    val sizes = canon.values.groupBy(identity).view.mapValues(_.size.toLong)
+    val names = cust.toMap
+    val want = cust.map { case (k, n) =>
+      (k, n, canon(k), names(canon(k)), sizes(canon(k)))
+    }.toSet
+    val got = Dedup.q180ErPipeline(spark, sf)
+      .as[(Long, String, Long, String, Long)].collect().toSet
+    assert(got === want)
+    // ER actually merges something on this corpus, and every customer
+    // appears exactly once
+    assert(got.exists(_._5 > 1))
+    assert(got.size === cust.length)
   }
 }
