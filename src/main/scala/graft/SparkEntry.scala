@@ -200,6 +200,8 @@ object SparkEntry {
     "q178_event_gaps" -> ((s, d) => Relational.q178InterEventGaps(s, d)),
     "q179_pca_power" -> ((s, d) => Similarity.q179PcaPower(s, d)),
     "q180_er_pipeline" -> ((s, d) => Dedup.q180ErPipeline(s, d)),
+    "q181_jpeg_neardup" -> ((s, d) => Multimodal.q181JpegNearDup(s, d)),
+    "q182_lsh_eval" -> ((s, d) => Dedup.q182LshEval(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact

@@ -467,6 +467,64 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
+  // ---------------------------------------------------------------- C78
+  /** LSH quality evaluation — the recall/precision report that justifies
+    * q41's banding parameters BEFORE a production dedup run trusts them
+    * (every published near-dup pipeline reports exactly this table; the
+    * S-curve promise is probabilistic and corpus-dependent): on a
+    * deterministic hash-priority document sample, exact word-shingle
+    * Jaccard ground truth is computed for ALL sample pairs and q41's LSH
+    * candidate set is scored against it.
+    *
+    * Scale: ground truth is inherently quadratic — it is THE cost LSH
+    * exists to avoid, so production evals run it on a bounded sample
+    * exactly as here (`cap` docs via md5 priority, q132's reproducible
+    * draw; the LSH side still uses the real banding machinery). The
+    * sample is ≤cap BY CONSTRUCTION → its broadcast in the pair join is
+    * legitimate (q80's rule); the exact rescore is the codegen'd sorted-
+    * merge kernel. Rows-only (minhash isn't SQL) + set-arithmetic spec. */
+  def q182LshEval(spark: SparkSession, dir: String, threshold: Double = 0.5,
+      cap: Int = 1000): DataFrame = {
+    import graft.functions.TextHashFunctions
+    val docs = graft.Lineage.truncate(
+      Tables.documents(spark, dir)
+        .orderBy(md5(concat(lit("lsheval:"),
+          col("doc_id").cast("string"))).asc, col("doc_id").asc)
+        .limit(cap) // TakeOrdered: the reproducible sample, never a sort
+        .select(col("doc_id"),
+          TextHashFunctions.wordShingleHashes(col("text"), 3).as("sh"))
+        .select(col("doc_id"), col("sh"),
+          TextHashFunctions.minhashSig(col("sh"), 64).as("sig"),
+          size(col("sh")).cast("long").as("n_sh")),
+      reliable = false).df
+    val inter = graft.functions.GraftFunctions
+      .sortedIntersectCount(col("a.sh"), col("b.sh"))
+    val truth = docs.as("a")
+      .join(broadcast(docs.as("b")), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("__i", inter)
+      .filter(col("__i").cast("double")
+        / (col("a.n_sh") + col("b.n_sh") - col("__i")).cast("double")
+        >= threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cands = lshCandidates(
+      docs.select(col("doc_id"), col("sig")), "doc_id", "sig", bands = 16)
+    val truthM = graft.Lineage.truncate(truth, reliable = false).df
+    val candsM = graft.Lineage.truncate(cands, reliable = false).df
+    val tp = candsM.join(truthM, Seq("doc_a", "doc_b"), "left_semi")
+    val nT = truthM.agg(count(lit(1)).as("n")).select(col("n").as("n_true"))
+    val nC = candsM.agg(count(lit(1)).as("n")).select(col("n").as("n_cand"))
+    val nTp = tp.agg(count(lit(1)).as("n")).select(col("n").as("n_tp"))
+    nT.crossJoin(nC).crossJoin(nTp) // three 1-row aggregates
+      .select(lit(cap).cast("long").as("sample_cap"),
+        col("n_true"), col("n_cand"), col("n_tp"),
+        when(col("n_cand") > 0,
+          col("n_tp").cast("double") / col("n_cand").cast("double"))
+          .otherwise(lit(1.0)).as("precision"),
+        when(col("n_true") > 0,
+          col("n_tp").cast("double") / col("n_true").cast("double"))
+          .otherwise(lit(1.0)).as("recall"))
+  }
+
   // ---------------------------------------------------------------- A88
   /** End-to-end entity resolution as ONE composed operator — the
     * block→match→cluster→canonicalize pipeline every MDM/identity stack
