@@ -202,11 +202,38 @@ object SparkEntry {
     "q180_er_pipeline" -> ((s, d) => Dedup.q180ErPipeline(s, d)),
     "q181_jpeg_neardup" -> ((s, d) => Multimodal.q181JpegNearDup(s, d)),
     "q182_lsh_eval" -> ((s, d) => Dedup.q182LshEval(s, d)),
+    "q183_knn_classify" -> ((s, d) => Similarity.q183KnnClassify(s, d)),
+    "q184_lang_confusion" -> ((s, d) => TextAnalysis.q184LangConfusion(s, d)),
+    "q185_ks_test" -> ((s, d) => Corpus.q185KsTest(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
     * aggregation convention — see Relational's scaladoc). Queries absent here
     * (sketches, LSH, …) get the driver's rows-only check + a ScalaTest spec. */
+  /** q47's oracle body — also embedded in q184's confusion matrix. */
+  private val q47LangIdSql: String =
+    """WITH s AS (SELECT doc_id,
+        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' the ',' ')))/4
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' a ',' ')))/2
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' of ',' ')))/3 AS BIGINT) AS score_en,
+        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' der ',' ')))/4
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' und ',' ')))/4
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' nicht ',' ')))/6 AS BIGINT) AS score_de,
+        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' le ',' ')))/3
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' et ',' ')))/3
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' les ',' ')))/4 AS BIGINT) AS score_fr,
+        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' el ',' ')))/3
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' y ',' ')))/2
+        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' los ',' ')))/4 AS BIGINT) AS score_es
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN score_de > greatest(score_en, score_es, score_fr, 0) THEN 'de'
+        |       WHEN score_en > greatest(score_de, score_es, score_fr, 0) THEN 'en'
+        |       WHEN score_es > greatest(score_de, score_en, score_fr, 0) THEN 'es'
+        |       WHEN score_fr > greatest(score_de, score_en, score_es, 0) THEN 'fr'
+        |       ELSE 'und' END AS lang_pred,
+        |  score_en, score_de, score_fr, score_es FROM s""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS cnt,
@@ -441,28 +468,7 @@ object SparkEntry {
         |  FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank FROM scored)
         |SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 10""".stripMargin,
-    "q47_lang_id" ->
-      """WITH s AS (SELECT doc_id,
-        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' the ',' ')))/4
-        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' a ',' ')))/2
-        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' of ',' ')))/3 AS BIGINT) AS score_en,
-        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' der ',' ')))/4
-        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' und ',' ')))/4
-        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' nicht ',' ')))/6 AS BIGINT) AS score_de,
-        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' le ',' ')))/3
-        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' et ',' ')))/3
-        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' les ',' ')))/4 AS BIGINT) AS score_fr,
-        |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' el ',' ')))/3
-        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' y ',' ')))/2
-        |     + (length(' '||text||' ') - length(replace(' '||text||' ',' los ',' ')))/4 AS BIGINT) AS score_es
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CASE WHEN score_de > greatest(score_en, score_es, score_fr, 0) THEN 'de'
-        |       WHEN score_en > greatest(score_de, score_es, score_fr, 0) THEN 'en'
-        |       WHEN score_es > greatest(score_de, score_en, score_fr, 0) THEN 'es'
-        |       WHEN score_fr > greatest(score_de, score_en, score_es, 0) THEN 'fr'
-        |       ELSE 'und' END AS lang_pred,
-        |  score_en, score_de, score_fr, score_es FROM s""".stripMargin,
+    "q47_lang_id" -> q47LangIdSql,
     "q48_quality_score" ->
       """WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
@@ -2017,5 +2023,62 @@ object SparkEntry {
         |FROM asg
         |JOIN sz ON asg.canonical_key = sz.canonical_key
         |JOIN c cn ON cn.k = asg.canonical_key""".stripMargin,
+    "q183_knn_classify" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |p AS (SELECT q.vec_id AS qid, q.label AS qlabel,
+        |    c.label AS nlabel, c.vec_id AS nid,
+        |    list_dot_product(q.emb, c.emb)
+        |      / (sqrt(list_dot_product(q.emb, q.emb))
+        |         * sqrt(list_dot_product(c.emb, c.emb))) AS score
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id),
+        |t AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, nid) AS rk FROM p),
+        |v AS (SELECT qid, qlabel, nlabel, CAST(count(*) AS BIGINT) AS votes
+        |  FROM t WHERE rk <= 5 GROUP BY 1, 2, 3),
+        |b AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY votes DESC, nlabel) AS vr FROM v)
+        |SELECT qid AS vec_id, qlabel AS true_label, nlabel AS pred_label,
+        |  votes, nlabel = qlabel AS correct
+        |FROM b WHERE vr = 1""".stripMargin,
+    "q184_lang_confusion" ->
+      (s"""WITH pred AS ($q47LangIdSql),
+        |j AS (SELECT d.lang, p.lang_pred FROM documents d
+        |      JOIN pred p ON d.doc_id = p.doc_id),
+        |c AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        |      FROM j GROUP BY 1, 2)
+        |SELECT lang, lang_pred, n,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS share,
+        |  lang = lang_pred AS hit
+        |FROM c""").stripMargin,
+    "q185_ks_test" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |sc AS (SELECT doc_id, CAST(sum((length(word) * 7) % 13 - 6) AS BIGINT)
+        |    AS score FROM w GROUP BY 1),
+        |ss AS (SELECT source, score FROM documents d
+        |       JOIN sc ON d.doc_id = sc.doc_id),
+        |c AS (SELECT source, score, CAST(count(*) AS BIGINT) AS n
+        |      FROM ss GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_src FROM c GROUP BY 1),
+        |g AS (SELECT s.score, t.source, t.n_src, COALESCE(c.n, 0) AS n
+        |  FROM (SELECT DISTINCT score FROM c) s CROSS JOIN t
+        |  LEFT JOIN c ON c.source = t.source AND c.score = s.score),
+        |f AS (SELECT score, source, n_src,
+        |    CAST(sum(n) OVER (PARTITION BY source ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / CAST(n_src AS DOUBLE) AS f
+        |  FROM g),
+        |d AS (SELECT a.source AS sa, b.source AS sb, a.n_src AS na,
+        |    b.n_src AS nb, max(abs(a.f - b.f)) AS d_stat
+        |  FROM f a JOIN f b ON a.score = b.score AND a.source < b.source
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT sa AS source_a, sb AS source_b, na AS n_a, nb AS n_b, d_stat,
+        |  1.358 * sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE))
+        |    AS threshold,
+        |  d_stat > 1.358 * sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE))
+        |    AS drifted
+        |FROM d""".stripMargin,
   )
 }

@@ -1411,6 +1411,55 @@ object Corpus {
         col("quota"))
   }
 
+  // ---------------------------------------------------------------- C81
+  /** Two-sample Kolmogorov-Smirnov drift test between every pair of
+    * sources over the quality-score distribution (the distribution-free
+    * "did this source change character" monitor a mixing pipeline runs
+    * before trusting fixed thresholds across sources): D = sup over the
+    * score axis of |F_a − F_b|, evaluated EXACTLY at every observed
+    * score. Scores are C49's integer classifier output, so every input
+    * to the CDFs is an exact integer count; each F is ONE IEEE division
+    * and D one subtraction chain — engine-identical. The large-sample
+    * rejection bound c(α)·√((n+m)/nm) with c(0.05) = 1.358 rides along.
+    *
+    * Scale: corpus-sized work is ONE (source, score) partial-agged
+    * count; the CDF windows run per source over the |distinct scores|
+    * frame — bounded by the integer score DOMAIN, not the corpus (q140's
+    * rule); the pair comparison joins the ≤|sources|·|scores| grid on
+    * score and aggregates a max per pair (|sources|²-bounded output,
+    * q76's shape). */
+  def q185KsTest(spark: SparkSession, dir: String,
+      crit: Double = 1.358): DataFrame = {
+    val scores = q121QualityClassifier(spark, dir)
+      .select(col("doc_id"), col("score"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+    val counts = scores.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("n")).as("n_src"))
+    val grid = counts.select(col("score")).distinct()
+      .crossJoin(broadcast(totals)) // |scores| × |sources| evaluation grid
+      .join(counts, Seq("source", "score"), "left")
+      .na.fill(0L, Seq("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = grid.withColumn("f",
+      sum(col("n")).over(w).cast("double") / col("n_src").cast("double"))
+    cdf.select(col("score"), col("source").as("source_a"),
+        col("f").as("fa"), col("n_src").as("n_a"))
+      .join(cdf.select(col("score"), col("source").as("source_b"),
+        col("f").as("fb"), col("n_src").as("n_b")), Seq("score"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("fa") - col("fb"))).as("d_stat"))
+      .withColumn("threshold", lit(crit) *
+        sqrt((col("n_a") + col("n_b")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double")))
+      .withColumn("drifted", col("d_stat") > col("threshold"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("d_stat"), col("threshold"), col("drifted"))
+  }
+
   // ---------------------------------------------------------------- C75
   /** Vocabulary-growth curve (Heaps' law diagnostic — how fast distinct
     * vocabulary grows as the corpus grows, the sizing input for tokenizer

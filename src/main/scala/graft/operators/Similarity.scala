@@ -417,6 +417,46 @@ object Similarity {
     out.toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
   }
 
+  // ---------------------------------------------------------------- C79
+  /** kNN label classification with leave-one-out evaluation (the
+    * weak-supervision primitive: propagate labels through embedding
+    * space, and the standard "are these embeddings any good" probe): each
+    * vector is classified by the majority label of its `k` nearest OTHER
+    * vectors by cosine; its own label is the held-out truth. Vote ties
+    * break (higher count, lower label) — total, engine-identical.
+    *
+    * Scale: q45's posture — the candidate scan is exact brute-force with
+    * the query side broadcast (the recall=1 oracle-able baseline; q51's
+    * IVF probing swaps in past linear scale with the vote unchanged);
+    * top-k compiles to WindowGroupLimit, the vote is one partial-agged
+    * groupBy over n·k rows. */
+  def q183KnnClassify(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
+      toDoubles(col("embedding")).as("emb"), l2Norm(col("embedding")).as("norm"))
+    val neighbors = e.as("c")
+      .join(broadcast(e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("emb").as("qe"), col("norm").as("qn")).as("q")),
+        col("qid") =!= col("c.vec_id"))
+      .select(col("qid"), col("qlabel"),
+        col("c.label").as("nlabel"), col("c.vec_id").as("nid"),
+        (dotD(col("qe"), col("c.emb")) / (col("qn") * col("c.norm")))
+          .as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid").asc)
+    val topk = neighbors.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    val votes = topk.groupBy(col("qid"), col("qlabel"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("nlabel").asc)
+    votes.withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+      .select(col("qid").as("vec_id"), col("qlabel").as("true_label"),
+        col("nlabel").as("pred_label"), col("votes"),
+        (col("nlabel") === col("qlabel")).as("correct"))
+  }
+
   // ---------------------------------------------------------------- C76
   /** Top principal component by MATRIX-FREE power iteration (the
     * embedding-drift / anisotropy diagnostic — sentence-embedding spaces

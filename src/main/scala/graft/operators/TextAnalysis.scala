@@ -297,6 +297,29 @@ object TextAnalysis {
         ((col("n") * col("n") - col("sumsq")).cast("double")
           / (col("n") * col("n")).cast("double")).as("simpson"))
 
+  // ---------------------------------------------------------------- C80
+  /** Language-ID confusion matrix — the model-eval report for C8 (every
+    * classifier that gates corpus admission needs one before anyone
+    * trusts its filter decisions): predicted vs true language cross-tab
+    * with per-true-class share (row-normalized recall). The 'und'
+    * fallback column shows exactly where the marker heuristic abstains.
+    *
+    * Scale: the prediction is q47's map-only codegen'd scan; the
+    * cross-tab is a ≤|langs|²-group partial aggregate; share is ONE IEEE
+    * division of exact counts over the per-true-class window on the
+    * aggregated dimension-bounded frame (q116's rule). */
+  def q184LangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val pred = q47LangId(spark, dir).select(col("doc_id"), col("lang_pred"))
+    val truth = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val cells = truth.join(pred, Seq("doc_id"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang"))
+    cells.withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(w).cast("double"))
+      .withColumn("hit", col("lang") === col("lang_pred"))
+  }
+
   // ---------------------------------------------------------------- C74
   /** RAKE keyword extraction (Rose et al. 2010, the statistical-phrase
     * complement of q72's TF-IDF unigrams): documents segment into
