@@ -205,6 +205,8 @@ object SparkEntry {
     "q183_knn_classify" -> ((s, d) => Similarity.q183KnnClassify(s, d)),
     "q184_lang_confusion" -> ((s, d) => TextAnalysis.q184LangConfusion(s, d)),
     "q185_ks_test" -> ((s, d) => Corpus.q185KsTest(s, d)),
+    "q186_ngram_novelty" -> ((s, d) => Corpus.q186NgramNovelty(s, d)),
+    "q187_assoc_rules" -> ((s, d) => Relational.q187AssocRules(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2080,5 +2082,45 @@ object SparkEntry {
         |  d_stat > 1.358 * sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE))
         |    AS drifted
         |FROM d""".stripMargin,
+    "q186_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |    array_to_string(ws[i+1 : i+3], ' ') AS gram
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 3)) AS i
+        |        FROM t WHERE len(ws) >= 3) x),
+        |c AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+        |p AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN c.nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_unique
+        |  FROM g JOIN c ON g.gram = c.gram GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_grams, 0) AS n_grams,
+        |  COALESCE(p.n_unique, 0) AS n_unique,
+        |  CASE WHEN p.n_grams IS NOT NULL
+        |       THEN CAST(p.n_unique AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+        |       END AS novelty
+        |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id""".stripMargin,
+    "q187_assoc_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+        |       FROM b GROUP BY 1),
+        |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+        |       FROM b),
+        |p AS (SELECT a.l_partkey AS antecedent, c.l_partkey AS consequent,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+        |    AND a.l_partkey <> c.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT antecedent, consequent, n_ab,
+        |  ia.n_item AS n_a, ib.n_item AS n_b,
+        |  CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+        |  CAST(n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confidence,
+        |  (CAST(n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE))
+        |    / (CAST(ib.n_item AS DOUBLE) / CAST(n_baskets AS DOUBLE)) AS lift
+        |FROM p
+        |JOIN ic ia ON p.antecedent = ia.l_partkey
+        |JOIN ic ib ON p.consequent = ib.l_partkey
+        |CROSS JOIN nb
+        |WHERE CAST(n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE) >= 0.1""".stripMargin,
   )
 }

@@ -1411,6 +1411,44 @@ object Corpus {
         col("quota"))
   }
 
+  // ---------------------------------------------------------------- C82
+  /** N-gram novelty / originality score — the complement of q75's
+    * boilerplate fraction: the share of a document's distinct word
+    * 3-grams that appear in NO other document. Boilerplate detection
+    * finds what's HOT; novelty finds what's singular — upweighting
+    * original text is a standard mixing signal, and a near-zero novelty
+    * score flags templated/spun content q75's hot-gram share misses
+    * (a page of moderately-common grams is neither hot nor original).
+    *
+    * Scale: one (doc, gram)-distinct pass, one |gram-vocab|-bounded
+    * doc-count aggregate, membership re-join on the gram key (unforced —
+    * gram vocabulary outgrows broadcast, q119's rule); string gram keys
+    * for oracle exactness, 128-bit hashes at 100 TB (q118's rule). Docs
+    * under 3 words have no grams: novelty NULL, never a fake 0 or 1. */
+  def q186NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3) // shorter docs have no 3-grams
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 3), " +
+          "i -> array_join(slice(ws, i + 1, 3), ' '))")).as("gram"))
+      .distinct()
+    val counts = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val perDoc = grams.join(counts, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") === 1, 1L).otherwise(0L)).as("n_unique"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(col("n_grams").isNotNull,
+          col("n_unique").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+  }
+
   // ---------------------------------------------------------------- C81
   /** Two-sample Kolmogorov-Smirnov drift test between every pair of
     * sources over the quality-score distribution (the distribution-free

@@ -2089,6 +2089,53 @@ object Relational {
       $"n".cast("double") / sum($"n").over(totals).cast("double"))
   }
 
+  // ---------------------------------------------------------------- A89
+  /** Association-rule mining over order baskets (the confidence/lift
+    * step q138's raw co-purchase counts feed — support alone can't tell
+    * "bought together because both are popular" from a real association;
+    * LIFT = P(b|a)/P(b) is the standard correction): directed rules
+    * a→b with support ≥ `minSupport` baskets and confidence ≥
+    * `minConfidence`. All three metrics are single IEEE divisions of
+    * exact basket counts — no fp accumulation (q93's rule).
+    *
+    * Scale: q138's order-confined pair machinery (quadratic bounded by
+    * basket size, never |lineitem|²) — pair counts and per-item basket
+    * counts partial-aggregate; the item-count joins are UNFORCED (catalog
+    * can be corpus-sized, q119's rule); the total-baskets scalar (1 row)
+    * broadcasts by construction. */
+  def q187AssocRules(spark: SparkSession, dir: String,
+      minSupport: Long = 2L, minConfidence: Double = 0.1): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val itemCounts = baskets.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n_item"))
+    val nBaskets = baskets.select($"l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" =!= $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("antecedent"),
+        $"b.l_partkey".as("consequent"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= minSupport)
+    pairs
+      .join(itemCounts.select($"l_partkey".as("antecedent"),
+        $"n_item".as("n_a")), Seq("antecedent"))
+      .join(itemCounts.select($"l_partkey".as("consequent"),
+        $"n_item".as("n_b")), Seq("consequent"))
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("support",
+        $"n_ab".cast("double") / $"n_baskets".cast("double"))
+      .withColumn("confidence",
+        $"n_ab".cast("double") / $"n_a".cast("double"))
+      .withColumn("lift", $"confidence" /
+        ($"n_b".cast("double") / $"n_baskets".cast("double")))
+      .filter($"confidence" >= minConfidence)
+      .select($"antecedent", $"consequent", $"n_ab", $"n_a", $"n_b",
+        $"support", $"confidence", $"lift")
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

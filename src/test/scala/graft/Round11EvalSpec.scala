@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Corpus, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Relational, Similarity, TextAnalysis}
 
 /** Semantic checks for the model-eval batch (q183 kNN classify, q184
   * confusion matrix, q185 KS test): exact in-memory replays. */
@@ -79,5 +79,60 @@ class Round11EvalSpec extends SparkSpec {
       .collect().toSet
     assert(got === want)
     assert(got.nonEmpty)
+  }
+
+  test("q186 equals a brute-force unique-gram count and complements q75") {
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val gramDocs = collection.mutable.Map[String, collection.mutable.Set[Long]]()
+    docs.foreach { case (id, t) =>
+      val ws = t.split(" ", -1)
+      for (i <- 0 to ws.length - 3)
+        gramDocs.getOrElseUpdate(ws.slice(i, i + 3).mkString(" "),
+          collection.mutable.Set[Long]()) += id
+    }
+    val want = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val gs = (for (i <- 0 to ws.length - 3)
+        yield ws.slice(i, i + 3).mkString(" ")).distinct
+      if (gs.isEmpty) (id, 0L, 0L, None)
+      else {
+        val u = gs.count(g => gramDocs(g).size == 1)
+        (id, gs.length.toLong, u.toLong, Some(u.toDouble / gs.length))
+      }
+    }.toSet
+    val got = Corpus.q186NgramNovelty(spark, sf)
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    assert(got === want)
+    // the corpus has both original and templated text
+    assert(got.exists(_._4.exists(_ > 0.0)))
+    assert(got.exists(_._4.exists(_ < 1.0)))
+  }
+
+  test("q187 equals a brute-force rule-mining replay with correct lift") {
+    val rows = sources.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+      .distinct
+    val nBaskets = rows.map(_._1).distinct.length.toLong
+    val itemN = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairN = rows.groupBy(_._1).values.toSeq.flatMap { basket =>
+      val items = basket.map(_._2).toSeq
+      for (a <- items; b <- items if a != b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = pairN.collect {
+      case ((a, b), nab)
+          if nab >= 2 && nab.toDouble / itemN(a) >= 0.1 =>
+        (a, b, nab, itemN(a), itemN(b),
+          nab.toDouble / nBaskets, nab.toDouble / itemN(a),
+          (nab.toDouble / itemN(a)) / (itemN(b).toDouble / nBaskets))
+    }.toSet
+    val got = Relational.q187AssocRules(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // lift discriminates: the report contains both >1 and ≤1 rules, so
+    // confidence alone would have ranked popular-but-unrelated pairs
+    assert(got.exists(_._8 > 1.0))
   }
 }
