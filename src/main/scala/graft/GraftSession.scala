@@ -4,9 +4,9 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CharNgramHashes, DotProduct, MinHashSig, NfcNormalize,
-  SimHash64, SortedIntersectCount, SortedRunCount, SortedRunSumSq,
-  WordRepetitionStats, WordShingleHashes}
+import graft.functions.{CharNgramHashes, DotProduct, L1Distance, MinHashSig,
+  NfcNormalize, SimHash64, SortedIntersectCount, SortedRunCount,
+  SortedRunSumSq, WordRepetitionStats, WordShingleHashes}
 
 /**
  * Session entry point — the role TiFlinkApp.Builder's environment setup plays
@@ -53,6 +53,8 @@ object GraftSession {
       cs => SortedIntersectCount(cs(0), cs(1))),
     NativeFn("dot_product", 2, classOf[DotProduct],
       cs => DotProduct(cs(0), cs(1))),
+    NativeFn("l1_distance", 2, classOf[L1Distance],
+      cs => L1Distance(cs(0), cs(1))),
     NativeFn("nfc_normalize", 1, classOf[NfcNormalize],
       cs => NfcNormalize(cs(0))),
     NativeFn("simhash64", 1, classOf[SimHash64],

@@ -557,13 +557,18 @@ object Multimodal {
       col("blocks").as("fb"),
       explode(expr(s"sequence(floor(mean_lum * $buckets) - 1, " +
         s"floor(mean_lum * $buckets) + 1)")).as("bkt"))
+    // a (jpeg, png) pair meets in EXACTLY one bucket (the png holds one
+    // bucket; the jpeg's three probes are distinct) — no distinct needed.
+    // The pair scan is the hot path (a degenerate-luminance corpus can
+    // put most images in one bucket): score with the native codegen'd
+    // L1 kernel ([[graft.functions.L1Distance]]) — the HOF fold
+    // materializes a fresh array per pair and runs interpreted (15×
+    // measured on this scan, the DotProduct lesson applied to distance).
     val scored = a.join(b, Seq("bkt"))
-      .withColumn("l1", expr(
-        "aggregate(zip_with(fa, fb, (x, y) -> abs(x - y)), 0D, " +
-          "(s, v) -> s + v) / 64.0"))
+      .withColumn("l1",
+        graft.functions.L1Distance.ofColumns(col("fa"), col("fb")) / 64.0)
       .filter(col("l1") <= maxL1)
       .select(col("jpeg_id"), col("png_id"), col("l1"))
-      .distinct() // a pair can meet in two probed buckets
     import org.apache.spark.sql.expressions.Window
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("jpeg_id"))

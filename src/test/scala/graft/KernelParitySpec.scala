@@ -43,6 +43,7 @@ class KernelParitySpec extends SparkSpec {
         sorted_intersect_count(word_shingle_hashes(text, 3),
                                word_shingle_hashes(text, 3)) AS sic,
         dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        l1_distance(array(1.0d, 5.0d), array(3.0d, 4.0d)) AS l1,
         sorted_run_sumsq(array_sort(split(text, ' '))) AS srs,
         sorted_run_count(array_sort(split(text, ' '))) AS src
       FROM __sqlfn_docs""").collect()
@@ -60,6 +61,8 @@ class KernelParitySpec extends SparkSpec {
         TextHashFunctions.wordShingleHashes($"text", 3)).as("sic"),
       graft.functions.VectorFunctions.dotD(
         array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("dp"),
+      graft.functions.L1Distance.ofColumns(
+        array(lit(1.0), lit(5.0)), array(lit(3.0), lit(4.0))).as("l1"),
       graft.functions.SortedRuns.sortedRunSumSq(
         array_sort(split($"text", " "))).as("srs"),
       graft.functions.SortedRuns.sortedRunCount(
@@ -181,6 +184,31 @@ class KernelParitySpec extends SparkSpec {
         .as[(Long, Long, Long)].collect()
         .map(r => r._1 -> ((r._2, r._3))).toMap
     val codegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted =
+      try run()
+      finally {
+        spark.conf.unset("spark.sql.codegen.wholeStage")
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    assert(codegen === interpreted)
+    assert(codegen.nonEmpty)
+  }
+
+  test("L1Distance agrees with the HOF fold it replaces, codegen and interpreted") {
+    val vecs = samples(Gen.listOfN(16, Gen.choose(-10.0, 10.0)), 20)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toArray, v.reverse.toArray) }
+      .toDF("id", "a", "b")
+    def run(): Map[Long, Double] =
+      vecs.select($"id",
+          graft.functions.L1Distance.ofColumns($"a", $"b").as("l1"))
+        .as[(Long, Double)].collect().toMap
+    val viaHof = vecs.select($"id", expr(
+        "aggregate(zip_with(a, b, (x, y) -> abs(x - y)), 0D, (s, v) -> s + v)")
+        .as("l1")).as[(Long, Double)].collect().toMap
+    val codegen = run()
+    assert(codegen === viaHof)
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     val interpreted =
