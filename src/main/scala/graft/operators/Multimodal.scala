@@ -416,7 +416,9 @@ object Multimodal {
     val imgs = graft.Lineage.truncate(
       decode(imagesFromDocuments(spark, dir))
         .filter(col("kind") === "image" && col("width").isNotNull)
-        .select(col("media_id"), col("feature"))
+        // float→double hoisted here: once per image, not per pair
+        .select(col("media_id"),
+          expr("transform(feature, x -> cast(x as double))").as("feature"))
         .withColumn("bin",
           expr("array_position(feature, array_max(feature))").cast("int")),
       reliable = false).df
@@ -425,9 +427,10 @@ object Multimodal {
       .join(imgs.select(col("media_id").as("img_b"), col("feature").as("fb"),
         col("bin")), Seq("bin"))
       .filter(col("img_a") < col("img_b"))
-      .withColumn("l1", expr(
-        "aggregate(zip_with(fa, fb, (x, y) -> abs(cast(x as double) - " +
-          "cast(y as double))), 0D, (s, v) -> s + v)"))
+      // native codegen'd kernel — the HOF fold runs interpreted and
+      // allocates a fresh array per pair (q181's lesson)
+      .withColumn("l1",
+        graft.functions.L1Distance.ofColumns(col("fa"), col("fb")))
       .filter(col("l1") <= maxL1)
       .select(col("img_a"), col("img_b"), col("bin").cast("long").as("bin"),
         col("l1"))
