@@ -207,6 +207,8 @@ object SparkEntry {
     "q185_ks_test" -> ((s, d) => Corpus.q185KsTest(s, d)),
     "q186_ngram_novelty" -> ((s, d) => Corpus.q186NgramNovelty(s, d)),
     "q187_assoc_rules" -> ((s, d) => Relational.q187AssocRules(s, d)),
+    "q188_ab_test" -> ((s, d) => Relational.q188AbTest(s, d)),
+    "q189_dedup_funnel" -> ((s, d) => Dedup.q189DedupFunnel(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2122,5 +2124,72 @@ object SparkEntry {
         |JOIN ic ib ON p.consequent = ib.l_partkey
         |CROSS JOIN nb
         |WHERE CAST(n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE) >= 0.1""".stripMargin,
+    "q188_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(14,2)) * 100) AS BIGINT) AS cents,
+        |    CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |         THEN 'A' ELSE 'B' END AS grp
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |st AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(CAST(sum(cents) AS DECIMAL(38,0)) AS DOUBLE) AS s,
+        |    CAST(CAST(sum(cents * cents) AS DECIMAL(38,0)) AS DOUBLE) AS ss
+        |  FROM u GROUP BY grp),
+        |a AS (SELECT n AS n_a, s AS s_a, ss AS ss_a FROM st WHERE grp = 'A'),
+        |b AS (SELECT n AS n_b, s AS s_b, ss AS ss_b FROM st WHERE grp = 'B')
+        |SELECT n_a, n_b,
+        |  s_a / CAST(n_a AS DOUBLE) / 100.0 AS mean_a,
+        |  s_b / CAST(n_b AS DOUBLE) / 100.0 AS mean_b,
+        |  (s_a / CAST(n_a AS DOUBLE) / 100.0 - s_b / CAST(n_b AS DOUBLE) / 100.0)
+        |    / sqrt(((ss_a - s_a * s_a / CAST(n_a AS DOUBLE))
+        |              / (CAST(n_a AS DOUBLE) - 1.0) / 10000.0) / CAST(n_a AS DOUBLE)
+        |         + ((ss_b - s_b * s_b / CAST(n_b AS DOUBLE))
+        |              / (CAST(n_b AS DOUBLE) - 1.0) / 10000.0) / CAST(n_b AS DOUBLE))
+        |    AS t_stat,
+        |  abs((s_a / CAST(n_a AS DOUBLE) / 100.0 - s_b / CAST(n_b AS DOUBLE) / 100.0)
+        |    / sqrt(((ss_a - s_a * s_a / CAST(n_a AS DOUBLE))
+        |              / (CAST(n_a AS DOUBLE) - 1.0) / 10000.0) / CAST(n_a AS DOUBLE)
+        |         + ((ss_b - s_b * s_b / CAST(n_b AS DOUBLE))
+        |              / (CAST(n_b AS DOUBLE) - 1.0) / 10000.0) / CAST(n_b AS DOUBLE)))
+        |    > 1.96 AS significant
+        |FROM a CROSS JOIN b""".stripMargin,
+    "q189_dedup_funnel" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |ex AS (SELECT 'exact_doc' AS stage,
+        |    CAST(COALESCE(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS BIGINT)
+        |      AS docs_affected,
+        |    CAST(COALESCE(sum(cnt - 1), 0) AS BIGINT) AS units_removed,
+        |    CAST(COALESCE(sum((cnt - 1) * tok), 0) AS BIGINT) AS tokens_removed
+        |  FROM (SELECT text, count(*) AS cnt,
+        |          len(string_split(text, ' ')) AS tok
+        |        FROM t GROUP BY text) g),
+        |segs AS (SELECT doc_id, i,
+        |    array_to_string(ws[i*3+1 : i*3+3], ' ') AS seg
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(0, CAST(ceil(len(ws)/3.0) AS BIGINT) - 1)) AS i
+        |        FROM t) x),
+        |dseg AS (SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS nd
+        |                          FROM segs GROUP BY 1) y WHERE nd > 1),
+        |li AS (SELECT 'shared_segment' AS stage,
+        |    CAST(COALESCE(count(DISTINCT s.doc_id), 0) AS BIGINT) AS docs_affected,
+        |    CAST(COALESCE(count(*), 0) AS BIGINT) AS units_removed,
+        |    CAST(COALESCE(sum(len(string_split(s.seg, ' '))), 0) AS BIGINT)
+        |      AS tokens_removed
+        |  FROM segs s SEMI JOIN dseg ON s.seg = dseg.seg),
+        |wins AS (SELECT doc_id, i, array_to_string(ws[i+1 : i+5], ' ') AS gram
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 5)) AS i
+        |        FROM t WHERE len(ws) >= 5) z),
+        |dwin AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd
+        |                           FROM wins GROUP BY 1) q WHERE nd > 1),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |          SELECT w.doc_id, unnest(generate_series(w.i, w.i + 4)) AS pos
+        |          FROM wins w SEMI JOIN dwin ON w.gram = dwin.gram) c),
+        |sp AS (SELECT 'dup_span' AS stage,
+        |    CAST(COALESCE(count(DISTINCT doc_id), 0) AS BIGINT) AS docs_affected,
+        |    CAST(COALESCE(count(*), 0) AS BIGINT) AS units_removed,
+        |    CAST(COALESCE(count(*), 0) AS BIGINT) AS tokens_removed
+        |  FROM cov)
+        |SELECT * FROM ex UNION ALL SELECT * FROM li UNION ALL
+        |SELECT * FROM sp""".stripMargin,
   )
 }

@@ -467,6 +467,75 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
+  // ---------------------------------------------------------------- C83
+  /** Dedup-funnel impact report — what each dedup GRANULARITY would
+    * remove from the original corpus (whole-document exact (C1), shared
+    * line/segment (C47), overlapping span (C69)), side by side: the
+    * go/no-go artifact a curation team reads before paying for a pass,
+    * and the regression canary watched across crawls (a jump in span
+    * removal with flat exact removal = template drift, not re-crawling).
+    * Each stage is measured INDEPENDENTLY against the original corpus —
+    * a funnel of potentials, not a sequential application.
+    *
+    * Scale: each stage is its operator's aggregation shape (hash groupBy
+    * / segment count join / window span union) collapsed to 3 report
+    * rows; nothing new shuffles beyond what the underlying operators
+    * already shuffle, and reassembled text is never built — the report
+    * counts tokens directly on the flagged structures. */
+  def q189DedupFunnel(spark: SparkSession, dir: String, segLen: Int = 3,
+      spanW: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"), col("text"))
+    // stage 1: whole-document exact — keep one copy per distinct text
+    val exact = docs.groupBy(col("text"))
+      .agg(count(lit(1)).as("cnt"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .agg(
+        // docs_affected = every member of a duplicated group
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("docs_affected"),
+        sum(col("cnt") - 1).as("units_removed"),
+        sum((col("cnt") - 1) * col("tok")).as("tokens_removed"))
+      .select(lit("exact_doc").as("stage"), col("docs_affected"),
+        col("units_removed"), col("tokens_removed"))
+    // stage 2: shared segments (q118's structure, counted not reassembled)
+    val segs = docs
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(ws) / ${segLen}.0) as int) - 1), " +
+          s"i -> array_join(slice(ws, i * $segLen + 1, $segLen), ' '))"))
+        .as(Seq("i", "seg")))
+    val dupSegs = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") > 1)
+      .select(col("seg"))
+    val line = segs.join(dupSegs, Seq("seg"), "left_semi")
+      .select(col("doc_id"),
+        size(split(col("seg"), " ")).cast("long").as("tok"))
+      .agg(countDistinct(col("doc_id")).as("docs_affected"),
+        count(lit(1)).as("units_removed"),
+        sum(col("tok")).as("tokens_removed"))
+      .select(lit("shared_segment").as("stage"), col("docs_affected"),
+        col("units_removed"), col("tokens_removed"))
+    // stage 3: overlapping spans (q170's union, counted)
+    val wins = docs.filter(size(col("ws")) >= spanW)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ws) - $spanW), " +
+          s"i -> array_join(slice(ws, i + 1, $spanW), ' '))")).as(Seq("i", "gram")))
+    val dupWins = wins.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") > 1)
+      .select(col("gram"))
+    val span = wins.join(dupWins, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(i, i + $spanW - 1)")).as("pos"))
+      .distinct()
+      .agg(countDistinct(col("doc_id")).as("docs_affected"),
+        count(lit(1)).as("units_removed"))
+      .select(lit("dup_span").as("stage"), col("docs_affected"),
+        col("units_removed"), col("units_removed").as("tokens_removed"))
+    exact.unionAll(line).unionAll(span)
+      .select(col("stage"), coalesce(col("docs_affected"), lit(0L)).as("docs_affected"),
+        coalesce(col("units_removed"), lit(0L)).as("units_removed"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"))
+  }
+
   // ---------------------------------------------------------------- C78
   /** LSH quality evaluation — the recall/precision report that justifies
     * q41's banding parameters BEFORE a production dedup run trusts them

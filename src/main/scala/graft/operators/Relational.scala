@@ -2136,6 +2136,51 @@ object Relational {
         $"support", $"confidence", $"lift")
   }
 
+  // ---------------------------------------------------------------- A90
+  /** A/B experiment readout — Welch's t-test between two deterministic
+    * user cohorts on per-user purchase revenue (the "did the treatment
+    * move the metric" primitive; Welch because real cohorts never share
+    * a variance): assignment is q84's md5-hex threshold (a pure function
+    * of user_id — reproducible on any engine, no RNG state), and every
+    * statistical input (n, Σx, Σx²) is an EXACT integer in cents, so
+    * mean/variance/t are a fixed-order IEEE expression both engines
+    * compute bit-identically — no fp accumulation anywhere (q93's rule).
+    *
+    * Scale: one per-user aggregation (partial-aggregable), then a 2-row
+    * group aggregate; the t statistic is computed on the 2-row frame.
+    * Σx² of 64-bit cents stays within Long for any realistic per-user
+    * total; the DECIMAL(38,0) sum guards the corpus-wide aggregate. */
+  def q188AbTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(sum(money($"value") * 100).cast("long").as("cents"))
+      .withColumn("grp",
+        when(substring(md5(concat(lit("ab:"), $"user_id".cast("string"))),
+          1, 1) < "8", "A").otherwise("B"))
+    val stats = perUser.groupBy($"grp")
+      .agg(count(lit(1)).as("n"),
+        sum($"cents").cast(DecimalType(38, 0)).as("s"),
+        sum($"cents" * $"cents").cast(DecimalType(38, 0)).as("ss"))
+      .select($"grp", $"n", asDouble($"s").as("s"), asDouble($"ss").as("ss"))
+    val a = stats.filter($"grp" === "A")
+      .select($"n".as("n_a"), $"s".as("s_a"), $"ss".as("ss_a"))
+    val b = stats.filter($"grp" === "B")
+      .select($"n".as("n_b"), $"s".as("s_b"), $"ss".as("ss_b"))
+    val na = $"n_a".cast("double"); val nb = $"n_b".cast("double")
+    val meanA = $"s_a" / na / 100.0
+    val meanB = $"s_b" / nb / 100.0
+    val varA = ($"ss_a" - $"s_a" * $"s_a" / na) / (na - 1.0) / 10000.0
+    val varB = ($"ss_b" - $"s_b" * $"s_b" / nb) / (nb - 1.0) / 10000.0
+    a.crossJoin(b) // two 1-row frames
+      .withColumn("mean_a", meanA).withColumn("mean_b", meanB)
+      .withColumn("t_stat",
+        (meanA - meanB) / sqrt(varA / na + varB / nb))
+      .withColumn("significant", abs($"t_stat") > 1.96)
+      .select($"n_a", $"n_b", $"mean_a", $"mean_b", $"t_stat",
+        $"significant")
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

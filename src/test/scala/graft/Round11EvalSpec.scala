@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Corpus, Relational, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Relational, Similarity, TextAnalysis}
 
 /** Semantic checks for the model-eval batch (q183 kNN classify, q184
   * confusion matrix, q185 KS test): exact in-memory replays. */
@@ -134,5 +134,71 @@ class Round11EvalSpec extends SparkSpec {
     // lift discriminates: the report contains both >1 and ≤1 rules, so
     // confidence alone would have ranked popular-but-unrelated pairs
     assert(got.exists(_._8 > 1.0))
+  }
+
+  test("q188 equals a sequential Welch replay over the deterministic cohorts") {
+    val purchases = sources.Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", ($"value".cast("decimal(14,2)") * 100).cast("long"))
+      .as[(Long, Long)].collect()
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val perUser = purchases.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    val groups = perUser.toSeq.groupBy { case (u, _) =>
+      if (md5hex(s"ab:$u").head < '8') "A" else "B"
+    }
+    def stats(g: String) = {
+      val xs = groups(g).map(_._2)
+      val n = xs.length.toLong
+      val s = xs.sum.toDouble
+      val ss = xs.map(x => x * x).sum.toDouble
+      (n, s, ss)
+    }
+    val (na, sa, ssa) = stats("A")
+    val (nb, sb, ssb) = stats("B")
+    val meanA = sa / na / 100.0
+    val meanB = sb / nb / 100.0
+    val varA = (ssa - sa * sa / na) / (na - 1.0) / 10000.0
+    val varB = (ssb - sb * sb / nb) / (nb - 1.0) / 10000.0
+    val t = (meanA - meanB) / math.sqrt(varA / na + varB / nb)
+    val Array((gNa, gNb, gMa, gMb, gT, gSig)) =
+      Relational.q188AbTest(spark, sf)
+        .as[(Long, Long, Double, Double, Double, Boolean)].collect()
+    assert((gNa, gNb) === ((na, nb)))
+    assert(gMa === meanA && gMb === meanB)
+    assert(math.abs(gT - t) < 1e-12)
+    assert(gSig === (math.abs(t) > 1.96))
+    // the hash split actually produced two real cohorts
+    assert(na > 1 && nb > 1)
+  }
+
+  test("q189 funnel counts are consistent with the underlying dedup operators") {
+    val got = Dedup.q189DedupFunnel(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet === Set("exact_doc", "shared_segment", "dup_span"))
+    // shared_segment agrees with q118's own per-doc removals
+    val line = operators.Corpus.q118LineDedup(spark, sf)
+      .select($"doc_id", $"kept_text", $"n_segs", $"n_removed")
+      .as[(Long, String, Long, Long)].collect()
+    val lineDocs = line.count(_._4 > 0).toLong
+    val lineSegs = line.map(_._4).sum
+    assert(got("shared_segment")._1 === lineDocs)
+    assert(got("shared_segment")._2 === lineSegs)
+    // dup_span agrees with q170's per-doc removals
+    val span = Dedup.q170SpanDedup(spark, sf)
+      .select($"doc_id", $"n_removed").as[(Long, Long)].collect()
+    assert(got("dup_span")._1 === span.count(_._2 > 0).toLong)
+    assert(got("dup_span")._2 === span.map(_._2).sum)
+    assert(got("dup_span")._3 === span.map(_._2).sum)
+    // exact stage agrees with a direct text groupBy
+    val texts = sources.Tables.documents(spark, sf)
+      .select($"text").as[String].collect()
+    val dups = texts.groupBy(identity).values.map(_.length)
+      .filter(_ > 1)
+    assert(got("exact_doc")._2 === dups.map(_ - 1).sum.toLong)
   }
 }
