@@ -209,6 +209,9 @@ object SparkEntry {
     "q187_assoc_rules" -> ((s, d) => Relational.q187AssocRules(s, d)),
     "q188_ab_test" -> ((s, d) => Relational.q188AbTest(s, d)),
     "q189_dedup_funnel" -> ((s, d) => Dedup.q189DedupFunnel(s, d)),
+    "q190_tpch_q17" -> ((s, d) => Relational.q190Tpch17(s, d)),
+    "q191_tpch_q18" -> ((s, d) => Relational.q191Tpch18(s, d)),
+    "q192_tpch_q22" -> ((s, d) => Relational.q192Tpch22(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2191,5 +2194,38 @@ object SparkEntry {
         |  FROM cov)
         |SELECT * FROM ex UNION ALL SELECT * FROM li UNION ALL
         |SELECT * FROM sp""".stripMargin,
+    "q190_tpch_q17" ->
+      """WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1'),
+        |a AS (SELECT l_partkey AS pk,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+        |      AS avg_qty
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+        |    AS small_revenue
+        |FROM li JOIN a ON li.l_partkey = a.pk
+        |WHERE l_quantity < avg_qty * 0.2""".stripMargin,
+    "q191_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty,
+        |    CAST(count(*) AS BIGINT) AS n_items
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  total_qty, n_items
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q192_tpch_q22" ->
+      """WITH a AS (SELECT
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+        |      AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+        |FROM customer, a
+        |WHERE c_acctbal > avg_bal
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_nationkey""".stripMargin,
   )
 }

@@ -2181,6 +2181,82 @@ object Relational {
         $"significant")
   }
 
+  // ---------------------------------------------------------------- A91
+  /** TPC-H Q17 shape — small-quantity-order revenue: lineitems whose
+    * quantity is below 20% of their part's average quantity, summed. The
+    * correlated per-part average is ONE aggregation joined back (never a
+    * correlated re-scan per row); parts filtered to a brand before
+    * anything shuffles.
+    *
+    * Scale: the per-part averages partial-aggregate; the join back is
+    * keyed on partkey (both sides pruned to the brand's parts via the
+    * broadcast part dim). avg = ONE IEEE division of the exact decimal
+    * sum by the count; the 0.2 multiple and compare are single fp ops. */
+  def q190Tpch17(spark: SparkSession, dir: String,
+      brand: String = "Brand#1"): DataFrame = {
+    val parts = Tables.part(spark, dir).filter($"p_brand" === brand)
+      .select($"p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+    val avgQty = li.groupBy($"l_partkey".as("pk"))
+      .agg((asDouble(sum(money($"l_quantity"))) / count(lit(1))).as("avg_qty"))
+    li.join(avgQty, $"l_partkey" === $"pk")
+      .filter($"l_quantity" < $"avg_qty" * 0.2)
+      .agg(count(lit(1)).as("n_small"),
+        asDouble(sum(money($"l_extendedprice"))).as("small_revenue"))
+  }
+
+  // ---------------------------------------------------------------- A92
+  /** TPC-H Q18 shape — large-volume orders: orders whose total quantity
+    * exceeds `minQty`, with the customer attached and the order's item
+    * census. HAVING on a per-order aggregate, then enrichment joins —
+    * the aggregate-then-join order matters: filtering to the few large
+    * orders BEFORE touching customer keeps the join input tiny.
+    *
+    * Scale: one orderkey aggregation (partial map-side), the survivors
+    * join orders/customer keyed on their ids; quantity sums are integral
+    * doubles (exact in fp). */
+  def q191Tpch18(spark: SparkSession, dir: String,
+      minQty: Double = 150.0): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("total_qty"), count(lit(1)).as("n_items"))
+      .filter($"total_qty" > minQty)
+    big.join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"total_qty", $"n_items")
+  }
+
+  // ---------------------------------------------------------------- A93
+  /** TPC-H Q22 shape — dormant high-balance customers: customers whose
+    * account balance exceeds the average POSITIVE balance and who have
+    * placed no RECENT orders (none since `cutoff` — every customer in
+    * this corpus has SOME order, so Q22's literal no-orders-ever filter
+    * is degenerate here; recency-dormancy keeps the same NOT EXISTS
+    * shape non-trivially), grouped by nation. The global scalar (avg
+    * positive balance) broadcasts back; dormancy is a left-anti join.
+    *
+    * Scale: the scalar is a 1-row aggregate (map-side partials); the
+    * anti-join shuffles on custkey; the rollup is ≤|nations| groups.
+    * Balance sums decimal-exact; the avg and the compare are single
+    * IEEE ops. */
+  def q192Tpch22(spark: SparkSession, dir: String,
+      cutoff: String = "2001-01-01"): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter($"c_acctbal" > 0.0)
+      .agg((asDouble(sum(money($"c_acctbal"))) / count(lit(1))).as("avg_bal"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(Tables.orders(spark, dir)
+        .filter($"o_orderdate" >= lit(cutoff).cast("timestamp"))
+        .select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_custs"),
+        asDouble(sum(money($"c_acctbal"))).as("total_bal"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -188,6 +188,63 @@ class Round11ExtraSpec extends SparkSpec {
     assert(!p.contains("Cartesian"), s"cartesian:\n$p")
   }
 
+  // --- q190-q192 TPC-H Q17/Q18/Q22 shapes ------------------------------
+
+  test("q190 small-order revenue equals a per-part-average replay") {
+    val li = sources.Tables.lineitem(spark, sf)
+      .join(sources.Tables.part(spark, sf).filter($"p_brand" === "Brand#1"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .as[(Long, Double, Double)].collect()
+    val byPart = li.groupBy(_._1)
+    var n = 0L
+    var cents = 0L
+    byPart.values.foreach { ls =>
+      val avg = ls.map(l => math.round(l._2 * 100)).sum.toDouble / 100.0 /
+        ls.length
+      ls.foreach { l =>
+        if (l._2 < avg * 0.2) { n += 1; cents += math.round(l._3 * 100) }
+      }
+    }
+    val Array((gN, gRev)) = Relational.q190Tpch17(spark, sf)
+      .as[(Long, Double)].collect()
+    assert(gN === n)
+    assert(gRev === cents / 100.0)
+    assert(n > 0)
+  }
+
+  test("q191 keeps exactly the orders above the quantity threshold") {
+    val totals = sources.Tables.lineitem(spark, sf)
+      .groupBy($"l_orderkey").agg(sum($"l_quantity").as("q"))
+      .as[(Long, Double)].collect().toMap
+    val got = Relational.q191Tpch18(spark, sf)
+      .select($"o_orderkey", $"total_qty").as[(Long, Double)].collect()
+    assert(got.map(_._1).toSet === totals.filter(_._2 > 150.0).keySet)
+    got.foreach { case (o, q) => assert(q === totals(o)) }
+    assert(got.nonEmpty)
+  }
+
+  test("q192 dormant set is the anti-join of the above-average balances") {
+    val cust = sources.Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      .as[(Long, Int, Double)].collect()
+    val pos = cust.filter(_._3 > 0.0)
+    val avg = pos.map(c => math.round(c._3 * 100)).sum.toDouble / 100.0 /
+      pos.length
+    val recent = sources.Tables.orders(spark, sf)
+      .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
+      .select($"o_custkey").as[Long].collect().toSet
+    val want = cust.filter(c => c._3 > avg && !recent(c._1))
+      .groupBy(_._2).map { case (nk, cs) =>
+        (nk, cs.length.toLong,
+          cs.map(c => math.round(c._3 * 100)).sum / 100.0)
+      }.toSet
+    val got = Relational.q192Tpch22(spark, sf)
+      .as[(Int, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   // --- q171 bitext MNN -------------------------------------------------
 
   test("q171 equals brute-force mutual top-1 and each vector pairs at most once") {
