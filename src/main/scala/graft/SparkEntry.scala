@@ -212,6 +212,7 @@ object SparkEntry {
     "q190_tpch_q17" -> ((s, d) => Relational.q190Tpch17(s, d)),
     "q191_tpch_q18" -> ((s, d) => Relational.q191Tpch18(s, d)),
     "q192_tpch_q22" -> ((s, d) => Relational.q192Tpch22(s, d)),
+    "q193_link_prediction" -> ((s, d) => Corpus.q193LinkPrediction(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2227,5 +2228,42 @@ object SparkEntry {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderdate >= TIMESTAMP '2001-01-01')
         |GROUP BY c_nationkey""".stripMargin,
+    "q193_link_prediction" ->
+      """WITH idx AS (
+        |  SELECT doc_id, source, text,
+        |    unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, source, substring(text, i, 3) AS ng FROM idx
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |p0 AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM g a JOIN g b ON a.source = b.source AND a.ng = b.ng
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS (SELECT doc_a, doc_b
+        |  FROM p0 JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.6),
+        |adj AS (SELECT doc_a AS src, doc_b AS dst FROM e
+        |        UNION ALL SELECT doc_b, doc_a FROM e),
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+        |        FROM adj GROUP BY 1),
+        |cn AS (SELECT x.dst AS a, y.dst AS b, CAST(count(*) AS BIGINT) AS cn
+        |  FROM adj x JOIN adj y ON x.src = y.src AND x.dst < y.dst
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT * FROM cn
+        |  WHERE NOT EXISTS (SELECT 1 FROM adj
+        |                    WHERE adj.src = cn.a AND adj.dst = cn.b)),
+        |sc AS (SELECT a, b, cn, da.degree AS deg_a, db.degree AS deg_b,
+        |    CAST(cn AS DOUBLE) / CAST(da.degree + db.degree - cn AS DOUBLE)
+        |      AS score
+        |  FROM cand JOIN deg da ON cand.a = da.id
+        |  JOIN deg db ON cand.b = db.id),
+        |top AS (SELECT * FROM sc ORDER BY score DESC, a, b LIMIT 50)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, a, b) AS BIGINT)
+        |    AS rk,
+        |  a AS doc_a, b AS doc_b, cn, deg_a, deg_b, score
+        |FROM top""".stripMargin,
   )
 }

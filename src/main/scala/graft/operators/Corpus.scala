@@ -1411,6 +1411,52 @@ object Corpus {
         col("quota"))
   }
 
+  // ---------------------------------------------------------------- C84
+  /** Link prediction over the near-dup graph (common-neighbor Jaccard —
+    * the "these two are probably duplicates too" candidates the pairwise
+    * thresholds narrowly missed): non-adjacent pairs sharing ≥1 neighbor
+    * score |N(a)∩N(b)| / |N(a)∪N(b)|, top-k. Pair machinery gives edges
+    * of CONFIDENT duplicates; transitive structure recovers the
+    * borderline ones — the principled re-check list before raising
+    * recall by lowering thresholds corpus-wide.
+    *
+    * Scale: q85's wedge shape — common-neighbor counts come from ONE
+    * self-join of the symmetric edge list on the shared endpoint (O(Σ
+    * deg²), the wedge bound), existing edges leave by anti-join, degrees
+    * join UNFORCED, top-k is rank-after-TakeOrdered (q74's shape). The
+    * edge list is materialized once and feeds all three plan branches
+    * (q106's rule). Score is ONE IEEE division of exact integer counts. */
+  def q193LinkPrediction(spark: SparkSession, dir: String,
+      threshold: Double = 0.6, k: Int = 50): DataFrame = {
+    val pairs = Dedup.q43NgramJaccard(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edgesM = graft.Lineage.truncate(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+      reliable = false)
+    val adj = edgesM.df
+    val deg = adj.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree"))
+    val cn = adj.select(col("src"), col("dst").as("a"))
+      .join(adj.select(col("src"), col("dst").as("b")), Seq("src"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+    val cand = cn.join(
+        adj.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+    val scored = cand
+      .join(deg.select(col("id").as("a"), col("degree").as("deg_a")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("degree").as("deg_b")), Seq("b"))
+      .withColumn("score", col("cn").cast("double")
+        / (col("deg_a") + col("deg_b") - col("cn")).cast("double"))
+    scored.orderBy(col("score").desc, col("a").asc, col("b").asc).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("a").asc, col("b").asc))
+        .cast("long"))
+      .select(col("rk"), col("a").as("doc_a"), col("b").as("doc_b"),
+        col("cn"), col("deg_a"), col("deg_b"), col("score"))
+  }
+
   // ---------------------------------------------------------------- C82
   /** N-gram novelty / originality score — the complement of q75's
     * boilerplate fraction: the share of a document's distinct word

@@ -156,4 +156,35 @@ class Round11GrowthSpec extends SparkSpec {
     assert(got.exists(_._5 > 1))
     assert(got.size === cust.length)
   }
+
+  // --- q193 link prediction --------------------------------------------
+
+  test("q193 equals a brute-force common-neighbor replay and excludes existing edges") {
+    val pairs = operators.Dedup.q43NgramJaccard(spark, sf, 0.6)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val adj = collection.mutable.Map[Long, collection.mutable.Set[Long]]()
+    pairs.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, collection.mutable.Set()) += b
+      adj.getOrElseUpdate(b, collection.mutable.Set()) += a
+    }
+    val edgeSet = pairs.toSet
+    val cands = (for {
+      (x, ns) <- adj.toSeq; a <- ns; b <- ns if a < b
+      if !edgeSet((a, b))
+    } yield (a, b)).groupBy(identity).map { case ((a, b), occ) =>
+      val cn = occ.length.toLong
+      val (da, db) = (adj(a).size.toLong, adj(b).size.toLong)
+      (a, b, cn, da, db, cn.toDouble / (da + db - cn))
+    }.toSeq
+    val want = cands.sortBy { case (a, b, _, _, _, s) => (-s, a, b) }
+      .take(50).zipWithIndex
+      .map { case ((a, b, cn, da, db, s), i) => (i + 1L, a, b, cn, da, db, s) }
+    val got = Corpus.q193LinkPrediction(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      .sortBy(_._1).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+    // no predicted link is an existing edge
+    got.foreach { case (_, a, b, _, _, _, _) => assert(!edgeSet((a, b))) }
+  }
 }
