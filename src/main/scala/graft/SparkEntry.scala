@@ -213,6 +213,8 @@ object SparkEntry {
     "q191_tpch_q18" -> ((s, d) => Relational.q191Tpch18(s, d)),
     "q192_tpch_q22" -> ((s, d) => Relational.q192Tpch22(s, d)),
     "q193_link_prediction" -> ((s, d) => Corpus.q193LinkPrediction(s, d)),
+    "q194_seasonal_naive" -> ((s, d) => Relational.q194SeasonalNaive(s, d)),
+    "q195_retrieval_eval" -> ((s, d) => Similarity.q195RetrievalEval(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2265,5 +2267,41 @@ object SparkEntry {
         |    AS rk,
         |  a AS doc_a, b AS doc_b, cn, deg_a, deg_b, score
         |FROM top""".stripMargin,
+    "q194_seasonal_naive" ->
+      """WITH b AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.event_type, a.n AS actual, f.n AS forecast
+        |  FROM b a JOIN (SELECT event_type, h + 168 AS h, n FROM b) f
+        |    ON a.event_type = f.event_type AND a.h = f.h)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(abs(actual - forecast)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mae,
+        |  CAST(sum(actual - forecast) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS bias
+        |FROM j GROUP BY 1""".stripMargin,
+    "q195_retrieval_eval" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS qlabel, emb AS qe
+        |  FROM e WHERE vec_id < 20),
+        |s AS (SELECT query_id, qlabel, e.vec_id AS neighbor_id,
+        |    e.label AS nlabel,
+        |    list_dot_product(qe, emb)
+        |      / (sqrt(list_dot_product(qe, qe))
+        |         * sqrt(list_dot_product(emb, emb))) AS score
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank FROM s)
+        |SELECT query_id, CAST(count(*) AS BIGINT) AS n_retrieved,
+        |  CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_relevant,
+        |  CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS precision_at_k,
+        |  min(CASE WHEN nlabel = qlabel THEN rank END) AS first_rel_rank,
+        |  1.0 / CAST(min(CASE WHEN nlabel = qlabel THEN rank END) AS DOUBLE)
+        |    AS reciprocal_rank
+        |FROM r WHERE rank <= 10 GROUP BY query_id""".stripMargin,
   )
 }

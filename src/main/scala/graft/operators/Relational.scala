@@ -2257,6 +2257,40 @@ object Relational {
         asDouble(sum(money($"c_acctbal"))).as("total_bal"))
   }
 
+  // ---------------------------------------------------------------- A94
+  /** Seasonal-naive forecast evaluation (the baseline every real
+    * forecasting effort must beat, and the everyday anomaly yardstick:
+    * predict each (type, week-hour) bucket's event count with the SAME
+    * bucket one week earlier, report per-type MAE and bias): bucket
+    * counts are exact integers from integer epoch arithmetic (q145's
+    * rule — no engine calendar); the week-shift join is a self-join of
+    * the AGGREGATED bucket frame (dimension×weeks-sized, not corpus-
+    * sized); MAE/bias are single IEEE divisions of exact integer sums.
+    * Only buckets with BOTH a forecast and an actual score — the first
+    * week predicts nothing and is not charged.
+    *
+    * Scale: corpus-sized work is ONE partial-agged (type, hour-bucket)
+    * count; everything after runs on the aggregated frame. */
+  def q194SeasonalNaive(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val weekHours = 168L
+    val buckets = Tables.events(spark, dir)
+      .select($"event_type",
+        (unix_micros($"ts".cast("timestamp")) / hourUs).cast("long").as("h"))
+      .groupBy($"event_type", $"h").agg(count(lit(1)).as("n"))
+    val actual = buckets.select($"event_type", $"h", $"n".as("actual"))
+    val forecast = buckets.select($"event_type",
+      ($"h" + weekHours).as("h"), $"n".as("forecast"))
+    actual.join(forecast, Seq("event_type", "h"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(abs($"actual" - $"forecast")).as("abs_err"),
+        sum($"actual" - $"forecast").as("bias_sum"))
+      .select($"event_type", $"n_buckets",
+        ($"abs_err".cast("double") / $"n_buckets".cast("double")).as("mae"),
+        ($"bias_sum".cast("double") / $"n_buckets".cast("double")).as("bias"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

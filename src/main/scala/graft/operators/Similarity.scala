@@ -417,6 +417,43 @@ object Similarity {
     out.toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
   }
 
+  // ---------------------------------------------------------------- C85
+  /** Retrieval-quality evaluation of the ANN surface (the report that
+    * justifies k, the index type, and every recall-for-speed trade this
+    * repo documents): per query, precision@k and the reciprocal rank of
+    * the first relevant hit, with relevance = label match (the standard
+    * proxy when no human judgments exist). Emits PER-QUERY rows, not a
+    * corpus mean — 1/rank is an exact rational per query, but a mean
+    * over queries would be an unordered fp sum (q93's rule: the consumer
+    * averages, or sums the exact integer numerators). NDCG is
+    * deliberately absent: its log2 discount is not IEEE-exact
+    * cross-engine (q86's ln rule).
+    *
+    * Scale: q45's brute-force scoring scan (the recall=1 baseline being
+    * evaluated); metrics are a per-query k-row aggregate. */
+  def q195RetrievalEval(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 20): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val labels = e.select(col("vec_id"), col("label"))
+    val topk = bruteForceTopK(e, e.filter(col("vec_id") < nQueries), k)
+    topk
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel")), Seq("query_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), Seq("neighbor_id"))
+      .withColumn("rel", col("nlabel") === col("qlabel"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_retrieved"),
+        sum(when(col("rel"), 1L).otherwise(0L)).as("n_relevant"),
+        min(when(col("rel"), col("rank"))).as("first_rel_rank"))
+      .select(col("query_id"), col("n_retrieved"), col("n_relevant"),
+        (col("n_relevant").cast("double") / col("n_retrieved").cast("double"))
+          .as("precision_at_k"),
+        col("first_rel_rank"),
+        (lit(1.0) / col("first_rel_rank").cast("double"))
+          .as("reciprocal_rank"))
+  }
+
   // ---------------------------------------------------------------- C79
   /** kNN label classification with leave-one-out evaluation (the
     * weak-supervision primitive: propagate labels through embedding

@@ -175,6 +175,60 @@ class Round11EvalSpec extends SparkSpec {
     assert(na > 1 && nb > 1)
   }
 
+  test("q194 equals a week-shifted bucket replay; first week is never charged") {
+    val ev = sources.Tables.events(spark, sf)
+      .select($"event_type",
+        (unix_micros($"ts".cast("timestamp")) / 3600000000L).cast("long"))
+      .as[(String, Long)].collect()
+    val buckets = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val scored = buckets.toSeq.flatMap { case ((t, h), actual) =>
+      buckets.get((t, h - 168L)).map(f => (t, actual, f))
+    }
+    val want = scored.groupBy(_._1).map { case (t, xs) =>
+      val n = xs.length.toLong
+      (t, n,
+        xs.map(x => math.abs(x._2 - x._3)).sum.toDouble / n,
+        xs.map(x => x._2 - x._3).sum.toDouble / n)
+    }.toSet
+    val got = Relational.q194SeasonalNaive(spark, sf)
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the first week can't be forecast: scored buckets < total buckets
+    assert(scored.length < buckets.size)
+  }
+
+  test("q195 retrieval metrics equal a brute-force per-query replay") {
+    val vecs = sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d, na, nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = vecs.filter(_._1 < 20).map { q =>
+      val top = vecs.filter(_._1 != q._1)
+        .map(c => (cos(q._3, c._3), c._1, c._2))
+        .sortBy { case (s, id, _) => (-s, id) }.take(10)
+      val nRel = top.count(_._3 == q._2).toLong
+      val first = top.zipWithIndex.collectFirst {
+        case ((_, _, l), i) if l == q._2 => i + 1L
+      }
+      (q._1, top.length.toLong, nRel, nRel.toDouble / top.length,
+        first, first.map(1.0 / _))
+    }.toSet
+    val got = Similarity.q195RetrievalEval(spark, sf)
+      .as[(Long, Long, Long, Double, Option[Long], Option[Double])]
+      .collect().toSet
+    assert(got === want)
+    assert(got.size === 20)
+  }
+
   test("q189 funnel counts are consistent with the underlying dedup operators") {
     val got = Dedup.q189DedupFunnel(spark, sf)
       .as[(String, Long, Long, Long)].collect()
