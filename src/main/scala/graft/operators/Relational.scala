@@ -2158,10 +2158,13 @@ object Relational {
       .withColumn("grp",
         when(substring(md5(concat(lit("ab:"), $"user_id".cast("string"))),
           1, 1) < "8", "A").otherwise("B"))
+    // sums accumulate in DECIMAL(38,0) — a Long Σx² wraps silently at
+    // corpus scale (ANSI off) and only THEN would have been cast
+    val dec = DecimalType(38, 0)
     val stats = perUser.groupBy($"grp")
       .agg(count(lit(1)).as("n"),
-        sum($"cents").cast(DecimalType(38, 0)).as("s"),
-        sum($"cents" * $"cents").cast(DecimalType(38, 0)).as("ss"))
+        sum($"cents".cast(dec)).as("s"),
+        sum($"cents".cast(dec) * $"cents".cast(dec)).as("ss"))
       .select($"grp", $"n", asDouble($"s").as("s"), asDouble($"ss").as("ss"))
     val a = stats.filter($"grp" === "A")
       .select($"n".as("n_a"), $"s".as("s_a"), $"ss".as("ss_a"))
@@ -2274,9 +2277,11 @@ object Relational {
   def q194SeasonalNaive(spark: SparkSession, dir: String): DataFrame = {
     val hourUs = 3600000000L
     val weekHours = 168L
+    // integer `div`, not fp `/`+cast: a quotient landing within one ulp
+    // of an integer would round UP in fp and bucket the event an hour off
     val buckets = Tables.events(spark, dir)
       .select($"event_type",
-        (unix_micros($"ts".cast("timestamp")) / hourUs).cast("long").as("h"))
+        expr(s"unix_micros(cast(ts as timestamp)) div ${hourUs}L").as("h"))
       .groupBy($"event_type", $"h").agg(count(lit(1)).as("n"))
     val actual = buckets.select($"event_type", $"h", $"n".as("actual"))
     val forecast = buckets.select($"event_type",

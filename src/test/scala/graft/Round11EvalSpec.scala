@@ -178,7 +178,7 @@ class Round11EvalSpec extends SparkSpec {
   test("q194 equals a week-shifted bucket replay; first week is never charged") {
     val ev = sources.Tables.events(spark, sf)
       .select($"event_type",
-        (unix_micros($"ts".cast("timestamp")) / 3600000000L).cast("long"))
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000L"))
       .as[(String, Long)].collect()
     val buckets = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
     val scored = buckets.toSeq.flatMap { case ((t, h), actual) =>
