@@ -1518,8 +1518,12 @@ object Corpus {
       .select(col("doc_id"), col("score"))
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
         Seq("doc_id"))
-    val counts = scores.groupBy(col("source"), col("score"))
-      .agg(count(lit(1)).as("n"))
+    // materialized once: counts feeds totals, the score grid, and the
+    // grid join — without truncation the classifier+join pipeline above
+    // re-executes per branch (q106's rule)
+    val counts = graft.Lineage.truncate(
+      scores.groupBy(col("source"), col("score"))
+        .agg(count(lit(1)).as("n")), reliable = false).df
     val totals = counts.groupBy(col("source")).agg(sum(col("n")).as("n_src"))
     val grid = counts.select(col("score")).distinct()
       .crossJoin(broadcast(totals)) // |scores| × |sources| evaluation grid

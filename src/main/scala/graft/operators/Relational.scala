@@ -1948,7 +1948,12 @@ object Relational {
       fraction: Double = 0.0005): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select($"l_partkey", money($"l_extendedprice").as("v"))
-    val perPart = li.groupBy($"l_partkey").agg(sum($"v").as("value_dec"))
+    // materialized once: the global total reads the |parts|-sized
+    // aggregate, not a second corpus scan (Catalyst does not reuse the
+    // exchange across the two aggregations on its own — measured)
+    val perPart = graft.Lineage.truncate(
+      li.groupBy($"l_partkey").agg(sum($"v").as("value_dec")),
+      reliable = false).df
     val total = perPart.agg(sum($"value_dec").as("total_dec"))
     perPart.crossJoin(broadcast(total))
       .withColumn("share",
@@ -2279,10 +2284,14 @@ object Relational {
     val weekHours = 168L
     // integer `div`, not fp `/`+cast: a quotient landing within one ulp
     // of an integer would round UP in fp and bucket the event an hour off
-    val buckets = Tables.events(spark, dir)
-      .select($"event_type",
-        expr(s"unix_micros(cast(ts as timestamp)) div ${hourUs}L").as("h"))
-      .groupBy($"event_type", $"h").agg(count(lit(1)).as("n"))
+    // materialized once: both the actual and the week-shifted forecast
+    // branch read this aggregate (one corpus scan, not two)
+    val buckets = graft.Lineage.truncate(
+      Tables.events(spark, dir)
+        .select($"event_type",
+          expr(s"unix_micros(cast(ts as timestamp)) div ${hourUs}L").as("h"))
+        .groupBy($"event_type", $"h").agg(count(lit(1)).as("n")),
+      reliable = false).df
     val actual = buckets.select($"event_type", $"h", $"n".as("actual"))
     val forecast = buckets.select($"event_type",
       ($"h" + weekHours).as("h"), $"n".as("forecast"))
