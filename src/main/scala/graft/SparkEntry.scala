@@ -215,6 +215,7 @@ object SparkEntry {
     "q193_link_prediction" -> ((s, d) => Corpus.q193LinkPrediction(s, d)),
     "q194_seasonal_naive" -> ((s, d) => Relational.q194SeasonalNaive(s, d)),
     "q195_retrieval_eval" -> ((s, d) => Similarity.q195RetrievalEval(s, d)),
+    "q196_cusum" -> ((s, d) => Relational.q196CusumChangepoint(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2303,5 +2304,27 @@ object SparkEntry {
         |  1.0 / CAST(min(CASE WHEN nlabel = qlabel THEN rank END) AS DOUBLE)
         |    AS reciprocal_rank
         |FROM r WHERE rank <= 10 GROUP BY query_id""".stripMargin,
+    "q196_cusum" ->
+      """WITH wkc AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_weeks,
+        |    CAST(sum(x) AS BIGINT) AS s_total FROM wkc GROUP BY 1),
+        |d AS (SELECT wkc.event_type, week, x,
+        |    n_weeks * x - s_total AS delta, s_total
+        |  FROM wkc JOIN st ON wkc.event_type = st.event_type),
+        |p AS (SELECT *, CAST(sum(delta) OVER (PARTITION BY event_type
+        |    ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS p
+        |  FROM d),
+        |m AS (SELECT *, CAST(min(p) OVER (PARTITION BY event_type
+        |    ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS pmin
+        |  FROM p)
+        |SELECT event_type, week, x,
+        |  CAST(p - least(pmin, 0) AS BIGINT) AS cusum,
+        |  (p - least(pmin, 0)) * 2 > s_total AS flagged
+        |FROM m""".stripMargin,
   )
 }

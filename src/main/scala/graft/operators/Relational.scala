@@ -2305,6 +2305,42 @@ object Relational {
         ($"bias_sum".cast("double") / $"n_buckets".cast("double")).as("bias"))
   }
 
+  // ---------------------------------------------------------------- A95
+  /** CUSUM changepoint detection on weekly event volume (the classic
+    * "when did the level shift" monitor — q163's chi² asks whether two
+    * ADJACENT weeks differ; CUSUM accumulates small sustained drifts a
+    * pairwise test never sees): per type, C_t = max(0, C_{t−1} + (x_t −
+    * μ)), flagged when the accumulated excess passes half a mean week.
+    * ALL-INTEGER: deviations are scaled by n (δ = n·x − Σx, mean-free
+    * without division), and the nonlinear recurrence is computed by
+    * q153's max-plus identity — C = P − min(0, running-min P) — as two
+    * ordinary window passes, so the exact oracle needs no recursion and
+    * no fp enters until never (the flag compares 2·C > Σx in integers).
+    *
+    * Scale: corpus-sized work is ONE (type, week) partial-agged count;
+    * both windows run per type over the ≤|weeks| aggregated frame
+    * (q150's rule). */
+  def q196CusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = graft.Lineage.truncate(
+      Tables.events(spark, dir)
+        .select($"event_type",
+          expr("unix_micros(cast(ts as timestamp)) div 604800000000L")
+            .as("week"))
+        .groupBy($"event_type", $"week").agg(count(lit(1)).as("x")),
+      reliable = false).df
+    val stats = weekly.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_weeks"), sum($"x").as("s_total"))
+    val w = Window.partitionBy($"event_type").orderBy($"week")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly.join(broadcast(stats), Seq("event_type"))
+      .withColumn("delta", $"n_weeks" * $"x" - $"s_total")
+      .withColumn("p", sum($"delta").over(w))
+      .withColumn("pmin", min($"p").over(w))
+      .withColumn("cusum", $"p" - least($"pmin", lit(0L)))
+      .withColumn("flagged", $"cusum" * 2 > $"s_total")
+      .select($"event_type", $"week", $"x", $"cusum", $"flagged")
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

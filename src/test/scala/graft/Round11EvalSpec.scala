@@ -229,6 +229,31 @@ class Round11EvalSpec extends SparkSpec {
     assert(got.size === 20)
   }
 
+  test("q196 equals the sequential CUSUM recurrence it re-expresses") {
+    val ev = sources.Tables.events(spark, sf)
+      .select($"event_type",
+        expr("unix_micros(cast(ts as timestamp)) div 604800000000L"))
+      .as[(String, Long)].collect()
+    val weekly = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = weekly.keys.map(_._1).toSeq.distinct.flatMap { t =>
+      val weeks = weekly.keys.filter(_._1 == t).map(_._2).toSeq.sorted
+      val n = weeks.length.toLong
+      val s = weeks.map(w => weekly((t, w))).sum
+      var c = 0L
+      weeks.map { w =>
+        val x = weekly((t, w))
+        // the recurrence ITSELF — the operator computes this via the
+        // max-plus identity, never sequentially
+        c = math.max(0L, c + (n * x - s))
+        (t, w, x, c, c * 2 > s)
+      }
+    }.toSet
+    val got = Relational.q196CusumChangepoint(spark, sf)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("q189 funnel counts are consistent with the underlying dedup operators") {
     val got = Dedup.q189DedupFunnel(spark, sf)
       .as[(String, Long, Long, Long)].collect()
