@@ -216,6 +216,7 @@ object SparkEntry {
     "q194_seasonal_naive" -> ((s, d) => Relational.q194SeasonalNaive(s, d)),
     "q195_retrieval_eval" -> ((s, d) => Similarity.q195RetrievalEval(s, d)),
     "q196_cusum" -> ((s, d) => Relational.q196CusumChangepoint(s, d)),
+    "q197_winsorize" -> ((s, d) => Relational.q197Winsorize(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2326,5 +2327,25 @@ object SparkEntry {
         |  CAST(p - least(pmin, 0) AS BIGINT) AS cusum,
         |  (p - least(pmin, 0)) * 2 > s_total AS flagged
         |FROM m""".stripMargin,
+    "q197_winsorize" ->
+      """WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |    max(lo) AS lo, max(hi) AS hi,
+        |    CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_lo,
+        |    CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hi,
+        |    CAST(sum(CASE WHEN value >= lo AND value <= hi
+        |             THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE)
+        |      AS inlier_sum
+        |  FROM events e JOIN b ON e.event_type = b.event_type
+        |  GROUP BY 1)
+        |SELECT event_type, n, lo, hi, n_lo, n_hi,
+        |  (COALESCE(inlier_sum, 0.0) + CAST(n_lo AS DOUBLE) * lo
+        |   + CAST(n_hi AS DOUBLE) * hi) / CAST(n AS DOUBLE)
+        |    AS winsorized_mean
+        |FROM s""".stripMargin,
   )
 }

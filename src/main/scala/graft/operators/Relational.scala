@@ -2341,6 +2341,42 @@ object Relational {
       .select($"event_type", $"week", $"x", $"cusum", $"flagged")
   }
 
+  // ---------------------------------------------------------------- A96
+  /** Winsorized robust statistics per event type (clip to [p05, p95]
+    * before averaging — the standard outlier-robust preprocessing before
+    * any mean-based downstream stat; q144's MAD DETECTS outliers, this
+    * NEUTRALIZES them): two exact percentile bounds (q24's
+    * interpolation-parity machinery) broadcast back, then ONE aggregation
+    * pass counting the clipped tails and summing inliers. The winsorized
+    * mean is assembled as `(Σ_inlier + n_lo·lo + n_hi·hi) / n` — the
+    * inlier sum is DECIMAL-exact and the tails contribute as two exact
+    * products, so the whole mean is ONE fixed-order fp expression; a
+    * naive `avg(clip(v))` would sum engine-ordered doubles (q93's rule).
+    *
+    * Scale: the percentile pass is per-group exact (swap q174's GK
+    * sketch past memory limits, same shape); bounds are a ≤|types|-row
+    * broadcast; the stats pass is one partial-agged aggregation. */
+  def q197Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select($"event_type", $"value")
+    val bounds = ev.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        max($"lo").as("lo"), max($"hi").as("hi"), // constant per group
+        sum(when($"value" < $"lo", 1L).otherwise(0L)).as("n_lo"),
+        sum(when($"value" > $"hi", 1L).otherwise(0L)).as("n_hi"),
+        asDouble(sum(when($"value" >= $"lo" && $"value" <= $"hi",
+          money($"value")))).as("inlier_sum"))
+      .withColumn("winsorized_mean",
+        (coalesce($"inlier_sum", lit(0.0))
+          + $"n_lo".cast("double") * $"lo"
+          + $"n_hi".cast("double") * $"hi") / $"n".cast("double"))
+      .select($"event_type", $"n", $"lo", $"hi", $"n_lo", $"n_hi",
+        $"winsorized_mean")
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -254,6 +254,41 @@ class Round11EvalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q197 equals an in-memory winsorization replay") {
+    val ev = sources.Tables.events(spark, sf)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    def pct(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted
+      val pos = q * (s.length - 1)
+      val lo = pos.toInt
+      if (lo == s.length - 1) s(lo)
+      else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+    }
+    val want = ev.groupBy(_._1).map { case (t, rows) =>
+      val vs = rows.map(_._2).toSeq
+      val lo = pct(vs, 0.05); val hi = pct(vs, 0.95)
+      val nLo = vs.count(_ < lo).toLong
+      val nHi = vs.count(_ > hi).toLong
+      val inlier = vs.filter(v => v >= lo && v <= hi)
+        .map(v => math.round(v * 100)).sum / 100.0
+      (t, vs.length.toLong, lo, hi, nLo, nHi,
+        (inlier + nLo * lo + nHi * hi) / vs.length)
+    }.toSet
+    val got = Relational.q197Winsorize(spark, sf)
+      .as[(String, Long, Double, Double, Long, Long, Double)].collect().toSet
+    // fp interpolation: compare with per-field tolerance on the doubles
+    val wantM = want.map(w => (w._1) -> w).toMap
+    assert(got.map(_._1) === wantM.keySet)
+    got.foreach { case (t, n, lo, hi, nLo, nHi, m) =>
+      val w = wantM(t)
+      assert(n === w._2 && nLo === w._5 && nHi === w._6, t)
+      assert(math.abs(lo - w._3) < 1e-9 && math.abs(hi - w._4) < 1e-9, t)
+      assert(math.abs(m - w._7) < 1e-9, t)
+    }
+    // winsorization actually clipped something
+    assert(got.exists(r => r._5 > 0 || r._6 > 0))
+  }
+
   test("q189 funnel counts are consistent with the underlying dedup operators") {
     val got = Dedup.q189DedupFunnel(spark, sf)
       .as[(String, Long, Long, Long)].collect()
