@@ -289,6 +289,28 @@ class Round11EvalSpec extends SparkSpec {
     assert(got.exists(r => r._5 > 0 || r._6 > 0))
   }
 
+  test("the round's relational additions plan without cartesian products") {
+    val plans = Seq(
+      "q187" -> Relational.q187AssocRules(spark, sf),
+      "q188" -> Relational.q188AbTest(spark, sf),
+      "q190" -> Relational.q190Tpch17(spark, sf),
+      "q191" -> Relational.q191Tpch18(spark, sf),
+      "q192" -> Relational.q192Tpch22(spark, sf),
+      "q194" -> Relational.q194SeasonalNaive(spark, sf),
+      "q196" -> Relational.q196CusumChangepoint(spark, sf),
+      "q197" -> Relational.q197Winsorize(spark, sf))
+    plans.foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+    // the claimed broadcasts are real: q190's brand-filtered part dim and
+    // q197's ≤|types| bounds frame build sides
+    assert(Relational.q190Tpch17(spark, sf).queryExecution.executedPlan
+      .toString.contains("BroadcastHashJoin"))
+    assert(Relational.q197Winsorize(spark, sf).queryExecution.executedPlan
+      .toString.contains("BroadcastHashJoin"))
+  }
+
   test("q189 funnel counts are consistent with the underlying dedup operators") {
     val got = Dedup.q189DedupFunnel(spark, sf)
       .as[(String, Long, Long, Long)].collect()
