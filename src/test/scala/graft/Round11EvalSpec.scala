@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.{Corpus, Dedup, Relational, Similarity, TextAnalysis}
 
-/** Semantic checks for the model-eval batch (q183 kNN classify, q184
-  * confusion matrix, q185 KS test): exact in-memory replays. */
+/** Semantic checks for the model-eval and monitoring batch (q183-q189,
+  * q194-q197): exact in-memory replays plus plan-shape assertions. */
 class Round11EvalSpec extends SparkSpec {
   import spark.implicits._
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Relational, Similarity}
 
-/** Semantic checks for the round-11 extra batch (q166-q171): results
+/** Semantic checks for the round-11 extra batch (q166-q171, q190-q192): results
   * re-derived brute-force from collected rows at sf0.001, independent of
   * the DataFrame plan under test, plus plan-shape assertions for each
   * operator's scale claim. Oracle parity runs separately at sf0.01.
