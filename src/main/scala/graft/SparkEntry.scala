@@ -217,6 +217,7 @@ object SparkEntry {
     "q195_retrieval_eval" -> ((s, d) => Similarity.q195RetrievalEval(s, d)),
     "q196_cusum" -> ((s, d) => Relational.q196CusumChangepoint(s, d)),
     "q197_winsorize" -> ((s, d) => Relational.q197Winsorize(s, d)),
+    "q198_training_manifest" -> ((s, d) => Corpus.q198TrainingManifest(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2347,5 +2348,22 @@ object SparkEntry {
         |   + CAST(n_hi AS DOUBLE) * hi) / CAST(n AS DOUBLE)
         |    AS winsorized_mean
         |FROM s""".stripMargin,
+    "q198_training_manifest" ->
+      """WITH k AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents
+        |  WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |        < 'c0000000'),
+        |o AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY ord, doc_id) AS BIGINT) AS pos,
+        |    CAST(sum(n_tokens) OVER (ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM k)
+        |SELECT doc_id, source, n_tokens, pos,
+        |  (cum - n_tokens) // 2048 AS pack_id,
+        |  (cum - n_tokens) % 2048 AS offset
+        |FROM o""".stripMargin,
   )
 }

@@ -1411,6 +1411,43 @@ object Corpus {
         col("quota"))
   }
 
+  // ---------------------------------------------------------------- C86
+  /** Training-run manifest — the pipeline's FINAL artifact, composed
+    * end-to-end from this repo's own primitives: deterministic mixing
+    * (q84's md5-hex threshold), deterministic global shuffle (q109's
+    * hash-rank order), and GPT-style continuous sequence packing (q71's
+    * concat-and-chop, here corpus-wide: documents stream into fixed
+    * `budget`-token packs in shuffle order, straddling pack boundaries
+    * exactly as a production loader does). Every position is a pure
+    * function of the data — any engine, cluster size, or rerun produces
+    * the SAME manifest, which is what makes a training run reproducible
+    * and auditable row-for-row.
+    *
+    * Scale: mixing is map-only; the shuffle order comes from
+    * [[Rank.globalRowNumber]] and the pack offsets from the inclusive
+    * prefix token sum ([[Rank.prefixSumAndTotal]]) — range exchange +
+    * metadata-sized carry-ins, never a single-task window; pack_id /
+    * offset are integer div/mod of exact token counts. */
+  def q198TrainingManifest(spark: SparkSession, dir: String,
+      keepHexLt: String = "c0000000", budget: Long = 2048L): DataFrame = {
+    val kept = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+          1, 8).as("__mix"),
+        md5(concat(lit("shuffle:"), col("doc_id").cast("string"))).as("__ord"))
+      .filter(col("__mix") < keepHexLt)
+    val ordered = Rank.globalRowNumber(kept,
+      Seq(col("__ord").asc, col("doc_id").asc), "pos")
+    val (withSum, _) = Rank.prefixSumAndTotal(ordered,
+      Seq(col("__ord").asc, col("doc_id").asc), col("n_tokens"), "__cum")
+    withSum
+      .withColumn("__start", col("__cum") - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("pos"),
+        expr(s"__start div ${budget}L").as("pack_id"),
+        expr(s"__start % ${budget}L").as("offset"))
+  }
+
   // ---------------------------------------------------------------- C84
   /** Link prediction over the near-dup graph (common-neighbor Jaccard —
     * the "these two are probably duplicates too" candidates the pairwise

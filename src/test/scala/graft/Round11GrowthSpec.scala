@@ -157,6 +157,43 @@ class Round11GrowthSpec extends SparkSpec {
     assert(got.size === cust.length)
   }
 
+  // --- q198 training manifest ------------------------------------------
+
+  test("q198 equals a sequential mix→shuffle→pack replay and is a valid manifest") {
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", size(split($"text", " ")).cast("long"))
+      .as[(Long, String, Long)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val kept = docs.filter(d => md5hex(s"mix:${d._1}").take(8) < "c0000000")
+      .sortBy(d => (md5hex(s"shuffle:${d._1}"), d._1))
+    var cum = 0L
+    val want = kept.zipWithIndex.map { case ((id, src, n), i) =>
+      val start = cum
+      cum += n
+      (id, src, n, i + 1L, start / 2048L, start % 2048L)
+    }.toSet
+    val got = Corpus.q198TrainingManifest(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // manifest validity: packs fill contiguously — sorting by pos, each
+    // doc starts exactly where the previous ended (mod budget)
+    val byPos = got.toSeq.sortBy(_._4)
+    byPos.sliding(2).foreach {
+      case Seq(a, b) =>
+        val aEnd = a._5 * 2048L + a._6 + a._3
+        val bStart = b._5 * 2048L + b._6
+        assert(bStart === aEnd, s"gap between pos ${a._4} and ${b._4}")
+      case _ =>
+    }
+    // determinism: a second run is identical
+    val again = Corpus.q198TrainingManifest(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(again === got)
+  }
+
   // --- durable-mode parity for the new iterative operators -------------
 
   test("q172 and q180 produce identical results in reliable (durable-spill) mode") {
