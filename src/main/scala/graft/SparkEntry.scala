@@ -218,6 +218,7 @@ object SparkEntry {
     "q196_cusum" -> ((s, d) => Relational.q196CusumChangepoint(s, d)),
     "q197_winsorize" -> ((s, d) => Relational.q197Winsorize(s, d)),
     "q198_training_manifest" -> ((s, d) => Corpus.q198TrainingManifest(s, d)),
+    "q199_threshold_sweep" -> ((s, d) => Dedup.q199ThresholdSweep(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2365,5 +2366,44 @@ object SparkEntry {
         |  (cum - n_tokens) // 2048 AS pack_id,
         |  (cum - n_tokens) % 2048 AS offset
         |FROM o""".stripMargin,
+    "q199_threshold_sweep" ->
+      """WITH idx AS (
+        |  SELECT doc_id, source, text,
+        |    unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, source, substring(text, i, 3) AS ng FROM idx
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |p0 AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS iv
+        |  FROM g a JOIN g b ON a.source = b.source AND a.ng = b.ng
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pp AS (SELECT doc_a, doc_b, iv, sa.n + sb.n - iv AS u
+        |  FROM p0 JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id),
+        |f AS (SELECT doc_a, doc_b, (20 * iv) // u AS bin
+        |  FROM pp WHERE CAST(iv AS DOUBLE) >= CAST(u AS DOUBLE) * 0.2),
+        |pb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM f GROUP BY 1),
+        |db AS (SELECT max_bin AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_docs_at_max
+        |  FROM (SELECT doc_id, max(bin) AS max_bin
+        |        FROM (SELECT doc_a AS doc_id, bin FROM f
+        |              UNION ALL SELECT doc_b, bin FROM f) x GROUP BY 1) y
+        |  GROUP BY 1),
+        |j AS (SELECT COALESCE(pb.bin, db.bin) AS bin,
+        |    COALESCE(n_pairs, 0) AS n_pairs,
+        |    COALESCE(n_docs_at_max, 0) AS nd
+        |  FROM pb FULL OUTER JOIN db ON pb.bin = db.bin)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(bin AS DOUBLE) / 20.0 AS threshold, n_pairs,
+        |  CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_pairs,
+        |  CAST(sum(nd) OVER (ORDER BY bin DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_docs
+        |FROM j""".stripMargin,
   )
 }

@@ -467,6 +467,61 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
+  // ---------------------------------------------------------------- C87
+  /** Near-dup threshold tuning curve — how many pairs (and how many
+    * documents) each candidate Jaccard threshold would implicate, in ONE
+    * pass: the artifact that turns "pick 0.3" from folklore into a read
+    * off a table (paired with C78's LSH eval, it prices both sides of
+    * the dedup design). Pair Jaccards bin INTEGER-exactly — bin =
+    * (20·|∩|) div |∪|, integer division of exact counts, no fp boundary
+    * straddle — and the cumulative columns run over the ≤20-bin
+    * aggregated frame (q116's rule): `cum_pairs`/`cum_docs` at bin b =
+    * pairs/docs a threshold of b/20 would implicate.
+    *
+    * Scale: q43's machinery exactly (salted source blocks, size-ratio
+    * prefilter AT THE SWEEP FLOOR, codegen'd sorted-merge intersect);
+    * cum_docs counts documents via a bin-level distinct that is NOT a
+    * sum of per-bin counts (a doc in pairs of two bins must count once
+    * at the lower threshold). */
+  def q199ThresholdSweep(spark: SparkSession, dir: String,
+      floor: Double = 0.2): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextHashFunctions.charNgramHashes(col("text"), 3).as("gs"))
+      .withColumn("n_g", size(col("gs")).cast("long"))
+    val inter = graft.functions.GraftFunctions
+      .sortedIntersectCount(col("a.gs"), col("b.gs"))
+    val pairs = graft.Lineage.truncate(
+      Skew.saltedSelfPairs(d, "source", "doc_id", salts = 4, maxBlock = 10000)
+        .filter(greatest(col("a.n_g"), col("b.n_g")) * floor
+          <= least(col("a.n_g"), col("b.n_g")))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          inter.as("i"),
+          (col("a.n_g") + col("b.n_g")).as("s"))
+        .withColumn("u", col("s") - col("i"))
+        .filter(col("i").cast("double") >= col("u").cast("double") * floor)
+        .select(col("doc_a"), col("doc_b"),
+          expr("(20L * i) div u").as("bin")),
+      reliable = false).df
+    val perBin = pairs.groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+    // docs implicated at threshold b/20 = docs in any pair with bin ≥ b:
+    // per-doc MAX bin, then a cumulative count from the top
+    val docBins = pairs.select(col("doc_a").as("doc_id"), col("bin"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"), col("bin")))
+      .groupBy(col("doc_id")).agg(max(col("bin")).as("max_bin"))
+      .groupBy(col("max_bin")).agg(count(lit(1)).as("n_docs_at_max"))
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ≤21-row frame: the ordered windows are dimension-bounded
+    perBin.join(docBins.withColumnRenamed("max_bin", "bin"), Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_pairs", "n_docs_at_max"))
+      .select(col("bin"),
+        (col("bin").cast("double") / 20.0).as("threshold"),
+        col("n_pairs"),
+        sum(col("n_pairs")).over(w).as("cum_pairs"),
+        sum(col("n_docs_at_max")).over(w).as("cum_docs"))
+  }
+
   // ---------------------------------------------------------------- C83
   /** Dedup-funnel impact report — what each dedup GRANULARITY would
     * remove from the original corpus (whole-document exact (C1), shared

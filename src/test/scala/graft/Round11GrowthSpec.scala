@@ -194,6 +194,37 @@ class Round11GrowthSpec extends SparkSpec {
     assert(again === got)
   }
 
+  // --- q199 threshold sweep --------------------------------------------
+
+  test("q199 sweep agrees with q43 run at each threshold it summarizes") {
+    val sweep = operators.Dedup.q199ThresholdSweep(spark, sf)
+      .as[(Long, Double, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(sweep.nonEmpty)
+    // cum_pairs at bin b must equal |q43 pairs at threshold b/20| for a
+    // threshold where the integer binning and q43's fp filter agree
+    // (b/20 exactly representable → jac >= b/20 ⟺ 20·i div u >= b
+    //  whenever 20·i = b·u has no fp ambiguity; integer counts make the
+    //  two definitions coincide except exactly AT the boundary, where
+    //  20·i div u >= b ⟺ i/u >= b/20 holds in exact rationals)
+    for (b <- Seq(8L, 12L, 16L)) {
+      if (sweep.contains(b)) {
+        val viaQ43 = operators.Dedup.q43NgramJaccard(spark, sf, b / 20.0)
+          .count()
+        assert(sweep(b)._4 === viaQ43,
+          s"bin $b: sweep ${sweep(b)._4} vs q43 $viaQ43")
+      }
+    }
+    // cumulative columns are monotone non-increasing in the threshold
+    val byBin = sweep.values.toSeq.sortBy(_._1)
+    byBin.sliding(2).foreach {
+      case Seq(lo, hi) =>
+        assert(lo._4 >= hi._4 && lo._5 >= hi._5,
+          s"cumulatives must shrink as the threshold rises: $lo vs $hi")
+      case _ =>
+    }
+  }
+
   // --- durable-mode parity for the new iterative operators -------------
 
   test("q172 and q180 produce identical results in reliable (durable-spill) mode") {
