@@ -219,6 +219,7 @@ object SparkEntry {
     "q197_winsorize" -> ((s, d) => Relational.q197Winsorize(s, d)),
     "q198_training_manifest" -> ((s, d) => Corpus.q198TrainingManifest(s, d)),
     "q199_threshold_sweep" -> ((s, d) => Dedup.q199ThresholdSweep(s, d)),
+    "q200_datasheet" -> ((s, d) => Corpus.q200Datasheet(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2405,5 +2406,42 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_docs
         |FROM j""".stripMargin,
+    "q200_datasheet" ->
+      """WITH d AS (SELECT doc_id, source, lang, text, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    (SELECT CAST(COALESCE(sum((length(w.word) * 7) % 13 - 6), 0)
+        |       AS BIGINT)
+        |     FROM (SELECT unnest(string_split(text, ' ')) AS word) w) > 0
+        |      AS keep
+        |  FROM documents),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+        |    quantile_cont(toks, 0.5) AS p50_tokens,
+        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |  FROM d),
+        |t AS (SELECT CAST(max(ns) AS BIGINT) AS top_source_docs FROM
+        |  (SELECT source, count(*) AS ns FROM documents GROUP BY 1) x)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value
+        |    FROM s, t
+        |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM s, t
+        |  UNION ALL SELECT 'n_chars', CAST(sum_chars AS DOUBLE) FROM s, t
+        |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM s, t
+        |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM s, t
+        |  UNION ALL SELECT 'distinct_text_share',
+        |    CAST(n_distinct_texts AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    FROM s, t
+        |  UNION ALL SELECT 'mean_doc_tokens',
+        |    CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM s, t
+        |  UNION ALL SELECT 'p50_doc_tokens', p50_tokens FROM s, t
+        |  UNION ALL SELECT 'quality_keep_rate',
+        |    CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM s, t
+        |  UNION ALL SELECT 'top_source_share',
+        |    CAST(top_source_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    FROM s, t) z""".stripMargin,
   )
 }

@@ -1411,6 +1411,60 @@ object Corpus {
         col("quota"))
   }
 
+  // ---------------------------------------------------------------- C88
+  /** Dataset datasheet — the one-page "Datasheets for Datasets" summary
+    * (Gebru et al. 2021) every corpus release ships: size, composition,
+    * duplication, and quality in one (metric, value) table. TWO scans
+    * total: every whole-corpus statistic — counts, token/char sums,
+    * THREE exact distincts (source, lang, text — Catalyst's Expand,
+    * q143's single-scan pattern), the exact median document length
+    * (q24's parity), and the C49 quality keep-rate (the classifier fold
+    * inline in the same scan) — rides ONE aggregation; the top-source
+    * share needs a per-source groupBy, whose 1-row maximum cross-joins
+    * back broadcast. Every value is an exact integer or ONE IEEE
+    * division of exact integers (the median's interpolation is q24's
+    * proven-parity arithmetic); the row unpivot is driver-side `stack`
+    * over the 1-row frame (metadata-sized, q143's rule). */
+  def q200Datasheet(spark: SparkSession, dir: String): DataFrame = {
+    val score = expr("aggregate(split(text, ' '), 0L, (acc, w) -> " +
+      "acc + cast((length(w) * 7) % 13 - 6 as bigint))")
+    val stats = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        col("n_chars").cast("long").as("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        (score > 0L).as("keep"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        expr("percentile(toks, 0.5)").as("p50_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+    val topSource = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      .agg(max(col("ns")).as("top_source_docs"))
+    stats.crossJoin(broadcast(topSource))
+      .select(expr(
+        """stack(10,
+          |  'n_docs', cast(n_docs as double),
+          |  'n_tokens', cast(n_tokens as double),
+          |  'n_chars', cast(sum_chars as double),
+          |  'n_sources', cast(n_sources as double),
+          |  'n_langs', cast(n_langs as double),
+          |  'distinct_text_share',
+          |    cast(n_distinct_texts as double) / cast(n_docs as double),
+          |  'mean_doc_tokens',
+          |    cast(n_tokens as double) / cast(n_docs as double),
+          |  'p50_doc_tokens', p50_tokens,
+          |  'quality_keep_rate',
+          |    cast(n_keep as double) / cast(n_docs as double),
+          |  'top_source_share',
+          |    cast(top_source_docs as double) / cast(n_docs as double))
+          |  as (metric, value)""".stripMargin))
+  }
+
   // ---------------------------------------------------------------- C86
   /** Training-run manifest — the pipeline's FINAL artifact, composed
     * end-to-end from this repo's own primitives: deterministic mixing

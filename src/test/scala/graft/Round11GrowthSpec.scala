@@ -194,6 +194,29 @@ class Round11GrowthSpec extends SparkSpec {
     assert(again === got)
   }
 
+  // --- q200 datasheet ---------------------------------------------------
+
+  test("q200 datasheet metrics agree with the operators they summarize") {
+    val got = Corpus.q200Datasheet(spark, sf)
+      .as[(String, Double)].collect().toMap
+    assert(got.size === 10)
+    val docs = sources.Tables.documents(spark, sf)
+    assert(got("n_docs") === docs.count().toDouble)
+    // keep-rate agrees with C49's own output
+    val keep = Corpus.q121QualityClassifier(spark, sf)
+      .filter($"keep").count()
+    assert(got("quality_keep_rate") === keep.toDouble / docs.count())
+    // distinct-text share complements the exact-dedup funnel
+    import org.apache.spark.sql.functions.countDistinct
+    val distinctTexts = docs.agg(countDistinct($"text")).head().getLong(0)
+    assert(got("distinct_text_share") ===
+      distinctTexts.toDouble / docs.count())
+    // sanity relations every datasheet must satisfy
+    assert(got("mean_doc_tokens") > 0.0)
+    assert(got("top_source_share") > 0.0 && got("top_source_share") <= 1.0)
+    assert(got("n_tokens") >= got("n_docs"))
+  }
+
   // --- q199 threshold sweep --------------------------------------------
 
   test("q199 sweep agrees with q43 run at each threshold it summarizes") {
