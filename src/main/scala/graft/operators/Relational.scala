@@ -1923,7 +1923,9 @@ object Relational {
         .select($"p_partkey")), $"l_partkey" === $"p_partkey")
       .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
       .join(custRegion, $"o_custkey" === $"c_custkey", "left_semi")
-      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      // supplier joins UNFORCED: a real supplier dim is bounded, but the
+      // optimizer/AQE should decide it fits, not a hint (q119's rule)
+      .join(suppNation, $"l_suppkey" === $"s_suppkey")
       .groupBy(year($"o_orderdate").cast("long").as("o_year"))
       .agg(
         asDouble(sum(when($"supp_nation" === targetNation, volume)
