@@ -220,6 +220,7 @@ object SparkEntry {
     "q198_training_manifest" -> ((s, d) => Corpus.q198TrainingManifest(s, d)),
     "q199_threshold_sweep" -> ((s, d) => Dedup.q199ThresholdSweep(s, d)),
     "q200_datasheet" -> ((s, d) => Corpus.q200Datasheet(s, d)),
+    "q201_share_of_parent" -> ((s, d) => Relational.q201ShareOfParent(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2443,5 +2444,24 @@ object SparkEntry {
         |  UNION ALL SELECT 'top_source_share',
         |    CAST(top_source_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)
         |    FROM s, t) z""".stripMargin,
+    "q201_share_of_parent" ->
+      """WITH n AS (SELECT r_name, n_name,
+        |    sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev_dec
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |w AS (SELECT r_name, n_name, rev_dec,
+        |    sum(rev_dec) OVER (PARTITION BY r_name) AS region_dec,
+        |    sum(rev_dec) OVER () AS total_dec
+        |  FROM n)
+        |SELECT r_name, n_name,
+        |  CAST(rev_dec AS DOUBLE) AS nation_rev,
+        |  CAST(region_dec AS DOUBLE) AS region_rev,
+        |  CAST(rev_dec AS DOUBLE) / CAST(region_dec AS DOUBLE)
+        |    AS share_of_region,
+        |  CAST(region_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)
+        |    AS region_share_of_total
+        |FROM w""".stripMargin,
   )
 }

@@ -2379,6 +2379,41 @@ object Relational {
         $"winsorized_mean")
   }
 
+  // ---------------------------------------------------------------- A97
+  /** Share-of-parent drilldown (the BI staple q18's ROLLUP totals can't
+    * express — each nation's revenue as a share of ITS REGION, and each
+    * region's as a share of the corpus): one fact aggregation to the
+    * finest grain, then parent totals from window sums over the
+    * AGGREGATED ≤|nations| frame (q116's rule) — the fact table is
+    * touched once, not once per grain. Revenue decimal-exact; each share
+    * ONE IEEE division.
+    *
+    * Scale: one custkey-joined orders aggregation partial-aggregates to
+    * |nations| rows; everything hierarchical happens on that frame. */
+  def q201ShareOfParent(spark: SparkSession, dir: String): DataFrame = {
+    val perNation = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum(money($"o_totalprice")).as("rev_dec"))
+    val wRegion = Window.partitionBy($"r_name")
+    val wAll = Window.partitionBy()
+    // both windows run over the ≤|nations| aggregated frame
+    perNation
+      .withColumn("region_dec", sum($"rev_dec").over(wRegion))
+      .withColumn("total_dec", sum($"rev_dec").over(wAll))
+      .select($"r_name", $"n_name",
+        asDouble($"rev_dec").as("nation_rev"),
+        asDouble($"region_dec").as("region_rev"),
+        (asDouble($"rev_dec") / asDouble($"region_dec"))
+          .as("share_of_region"),
+        (asDouble($"region_dec") / asDouble($"total_dec"))
+          .as("region_share_of_total"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

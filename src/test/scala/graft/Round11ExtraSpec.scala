@@ -245,6 +245,33 @@ class Round11ExtraSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // --- q201 share of parent --------------------------------------------
+
+  test("q201 shares are consistent: nations sum to their region, regions to 1") {
+    val got = Relational.q201ShareOfParent(spark, sf)
+      .as[(String, String, Double, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    // within each region, nation shares sum to 1 and revenues to the
+    // region total (exact decimal sums → exact doubles)
+    got.groupBy(_._1).foreach { case (r, rows) =>
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9, s"region $r")
+      assert(math.abs(rows.map(_._3).sum - rows.head._4) < 1e-6, s"region $r")
+    }
+    // region shares of total sum to 1 (one row per region)
+    val regionShares = got.groupBy(_._1).map(_._2.head._6)
+    assert(math.abs(regionShares.sum - 1.0) < 1e-9)
+    // independent replay of one nation's share from raw tables
+    val perNation = sources.Tables.orders(spark, sf)
+      .join(sources.Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .join(sources.Tables.nation(spark, sf), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum($"o_totalprice".cast("decimal(14,2)")).as("rev"))
+      .as[(String, java.math.BigDecimal)].collect().toMap
+    got.foreach { case (_, n, rev, _, _, _) =>
+      assert(rev === perNation(n).doubleValue, n)
+    }
+  }
+
   // --- q171 bitext MNN -------------------------------------------------
 
   test("q171 equals brute-force mutual top-1 and each vector pairs at most once") {
