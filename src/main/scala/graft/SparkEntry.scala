@@ -221,6 +221,7 @@ object SparkEntry {
     "q199_threshold_sweep" -> ((s, d) => Dedup.q199ThresholdSweep(s, d)),
     "q200_datasheet" -> ((s, d) => Corpus.q200Datasheet(s, d)),
     "q201_share_of_parent" -> ((s, d) => Relational.q201ShareOfParent(s, d)),
+    "q202_dsir_weights" -> ((s, d) => Corpus.q202DsirWeights(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact

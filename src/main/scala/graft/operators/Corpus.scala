@@ -1411,6 +1411,71 @@ object Corpus {
         col("quota"))
   }
 
+  // ---------------------------------------------------------------- C89
+  /** DSIR importance weights (Xie et al. 2023 — Data Selection via
+    * Importance Resampling, the principled "make the crawl look like the
+    * target domain" selector behind domain-tuned corpora): documents
+    * score by the log-likelihood ratio of their hashed-bigram features
+    * under the TARGET distribution (here the `targetLang` slice) vs the
+    * RAW corpus, with add-one smoothing over `buckets` hashed feature
+    * buckets. High weight = "looks like the target"; resample ∝ weight.
+    *
+    * Scale: both feature distributions are `buckets`-bounded aggregates
+    * — broadcast BY CONSTRUCTION (q80's rule), carrying the
+    * per-bucket log-ratio so the corpus-side scan is ONE map-side join +
+    * partial-agged per-doc sum; nothing corpus-sized shuffles but the
+    * (doc, bucket, n) triples. Rows-only: the weight is a sum of `ln`
+    * terms, and ln is not IEEE-exact cross-engine (q86's rule — the spec
+    * replays in-JVM where it IS exact); ranking ties break by doc_id. */
+  def q202DsirWeights(spark: SparkSession, dir: String,
+      targetLang: String = "en", buckets: Int = 1024,
+      k: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+    val feats = graft.Lineage.truncate(
+      docs.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(0, size(ws) - 2), " +
+            "i -> concat(ws[i], ' ', ws[i + 1]))")).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          pmod(xxhash64(col("bg")), lit(buckets)).as("b"))
+        .groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("n")),
+      reliable = false).df
+    def dist(df: DataFrame) = df.groupBy(col("b")).agg(sum(col("n")).as("c"))
+    val target = dist(feats.filter(col("lang") === targetLang))
+      .select(col("b"), col("c").as("ct"))
+    val raw = dist(feats).select(col("b"), col("c").as("cr"))
+    // buckets-bounded: the full smoothed log-ratio table broadcasts
+    val grid = spark.range(buckets).select(col("id").as("b"))
+      .join(target, Seq("b"), "left").join(raw, Seq("b"), "left")
+      .na.fill(0L, Seq("ct", "cr"))
+    val totals = grid.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val ratios = grid.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("ct") + 1).cast("double")
+            / (col("tt") + buckets).cast("double"))
+          - log((col("cr") + 1).cast("double")
+            / (col("tr") + buckets).cast("double")))
+          .as("log_ratio"))
+    // per-doc sum folds in BUCKET order (sorted collect + fold): a plain
+    // `sum` would add in partial-aggregation order, which varies with
+    // partitioning — the weight must be bit-deterministic across reruns
+    val scored = feats
+      .join(broadcast(ratios), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        "aggregate(array_sort(collect_list(struct(b, " +
+          "cast(n as double) * log_ratio as t))), 0D, " +
+          "(acc, x) -> acc + x.t)").as("log_weight"),
+        sum(col("n")).as("n_features"))
+    scored.orderBy(col("log_weight").desc, col("doc_id").asc).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("log_weight").desc, col("doc_id").asc))
+        .cast("long"))
+      .select(col("rk"), col("doc_id"), col("n_features"), col("log_weight"))
+  }
+
   // ---------------------------------------------------------------- C88
   /** Dataset datasheet — the one-page "Datasheets for Datasets" summary
     * (Gebru et al. 2021) every corpus release ships: size, composition,

@@ -194,6 +194,55 @@ class Round11GrowthSpec extends SparkSpec {
     assert(again === got)
   }
 
+  // --- q202 DSIR importance weights ------------------------------------
+
+  test("q202 equals an in-memory DSIR replay and prefers the target language") {
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+    val buckets = 1024
+    // bigram buckets must use Spark's xxhash64 — read them back from a
+    // minimal plan so the replay shares the exact hashing
+    val hashed = sources.Tables.documents(spark, sf)
+      .select($"doc_id", explode(org.apache.spark.sql.functions.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 2), " +
+          "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))"))
+        .as("bg"))
+      .select($"doc_id", pmod(xxhash64($"bg"), lit(buckets)).as("b"))
+      .as[(Long, Long)].collect()
+    val langOf = docs.map(d => d._1 -> d._2).toMap
+    val perDoc = hashed.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.length.toLong).toMap).toMap
+    val rawC = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val tgtC = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    perDoc.foreach { case (id, bs) =>
+      bs.foreach { case (b, n) =>
+        rawC(b) += n
+        if (langOf(id) == "en") tgtC(b) += n
+      }
+    }
+    val tt = tgtC.values.sum; val tr = rawC.values.sum
+    def ratio(b: Long): Double =
+      // Spark's Log expression evaluates via StrictMath — Math.log can
+      // differ in the last ulp on intrinsic-enabled JVMs
+      StrictMath.log((tgtC(b) + 1).toDouble / (tt + buckets)) -
+        StrictMath.log((rawC(b) + 1).toDouble / (tr + buckets))
+    val weights = perDoc.map { case (id, bs) =>
+      val w = bs.toSeq.sortBy(_._1).map { case (b, n) => n * ratio(b) }
+        .foldLeft(0.0)(_ + _)
+      (id, bs.values.sum, w)
+    }.toSeq
+    val want = weights.sortBy { case (id, _, w) => (-w, id) }.take(100)
+      .zipWithIndex.map { case ((id, nf, w), i) => (i + 1L, id, nf, w) }
+    val got = Corpus.q202DsirWeights(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === want)
+    // DSIR does its job: the top quartile of selected docs is mostly the
+    // target language
+    val top25 = got.take(25).map(_._2)
+    val enShare = top25.count(id => langOf(id) == "en").toDouble / 25
+    assert(enShare >= 0.8, s"target-language share $enShare")
+  }
+
   // --- q200 datasheet ---------------------------------------------------
 
   test("q200 datasheet metrics agree with the operators they summarize") {
