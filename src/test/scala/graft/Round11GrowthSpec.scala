@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.{Corpus, Dedup, Relational, Similarity}
 
-/** Semantic checks for the growth/gaps/PCA batch (q177-q179): exact
-  * replays for the exact operators, convergence + dominance witnesses for
-  * the power iteration. */
+/** Semantic checks for the growth/gaps/PCA/ER/manifest batch (q177-q180,
+  * q193, q198-q200, q202) plus durable-mode parity: exact replays for the
+  * exact operators, convergence/dominance witnesses for the power
+  * iteration, bit-exact in-JVM replay for DSIR. */
 class Round11GrowthSpec extends SparkSpec {
   import spark.implicits._
 
