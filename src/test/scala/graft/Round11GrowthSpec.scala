@@ -195,6 +195,13 @@ class Round11GrowthSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("q180 refuses loudly when the CC loop cannot converge") {
+    val e = intercept[IllegalStateException] {
+      Dedup.q180ErPipeline(spark, sf, maxIters = 0).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   // --- q202 DSIR importance weights ------------------------------------
 
   test("q202 equals an in-memory DSIR replay and prefers the target language") {

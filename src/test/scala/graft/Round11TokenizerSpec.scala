@@ -130,6 +130,14 @@ class Round11TokenizerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quota rejects a non-positive quota at construction") {
+    val input = MemoryStream[(String, Long)]
+    val e = intercept[IllegalArgumentException] {
+      StreamingQuota.admit(input.toDS(), quota = 0)
+    }
+    assert(e.getMessage.contains("positive"))
+  }
+
   test("streaming quota state survives a checkpointed restart") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
