@@ -222,6 +222,8 @@ object SparkEntry {
     "q200_datasheet" -> ((s, d) => Corpus.q200Datasheet(s, d)),
     "q201_share_of_parent" -> ((s, d) => Relational.q201ShareOfParent(s, d)),
     "q202_dsir_weights" -> ((s, d) => Corpus.q202DsirWeights(s, d)),
+    "q203_soft_dedup" -> ((s, d) => Corpus.q203SoftDedup(s, d)),
+    "q204_kanon_risk" -> ((s, d) => Relational.q204KAnonRisk(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2464,5 +2466,54 @@ object SparkEntry {
         |  CAST(region_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)
         |    AS region_share_of_total
         |FROM w""".stripMargin,
+    "q203_soft_dedup" ->
+      """WITH RECURSIVE idx AS (
+        |  SELECT doc_id, source, text,
+        |    unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, source, substring(text, i, 3) AS ng FROM idx
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM g a JOIN g b ON a.source = b.source AND a.ng = b.ng
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.3),
+        |nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, l) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.l FROM edges e JOIN reach r ON e.src = r.id),
+        |lbl AS (SELECT id, min(l) AS cl FROM reach GROUP BY 1),
+        |asg AS (SELECT d.doc_id, COALESCE(lbl.cl, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.id),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM asg GROUP BY 1)
+        |SELECT asg.doc_id, asg.cluster_id, sz.cluster_size,
+        |  1.0 / CAST(sz.cluster_size AS DOUBLE) AS weight
+        |FROM asg JOIN sz ON asg.cluster_id = sz.cluster_id""".stripMargin,
+    "q204_kanon_risk" ->
+      """WITH c AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) // 1000
+        |      AS value_band,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risky_classes,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(n) AS DOUBLE) AS risk_share
+        |FROM c GROUP BY 1""".stripMargin,
   )
 }

@@ -1411,6 +1411,34 @@ object Corpus {
         col("quota"))
   }
 
+  // ---------------------------------------------------------------- C90
+  /** Soft dedup — down-WEIGHT duplicates instead of dropping them (the
+    * "duplication is signal, not noise" alternative: a document repeated
+    * n× across the corpus trains with weight 1/n, so the effective
+    * distribution matches the deduped one while no text is lost): each
+    * document's weight is the reciprocal of its near-dup cluster size
+    * (C13's connected components; singletons weigh 1). The repo's hard
+    * dedup (C1/C22) keeps one representative; this keeps everything and
+    * lets the sampler equalize.
+    *
+    * Scale: q59's CC machinery verbatim (its cost dominates); the weight
+    * join is one |clusters|-keyed aggregation + a doc-keyed join; weight
+    * is ONE IEEE division of exact integers. */
+  def q203SoftDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val labels = q59DupClusters(spark, dir, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val all = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = all.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
+  }
+
   // ---------------------------------------------------------------- C89
   /** DSIR importance weights (Xie et al. 2023 — Data Selection via
     * Importance Resampling, the principled "make the crawl look like the

@@ -2414,6 +2414,39 @@ object Relational {
           .as("region_share_of_total"))
   }
 
+  // ---------------------------------------------------------------- A98
+  /** k-anonymity risk report over the event stream (the privacy audit a
+    * release pipeline runs AFTER q65's PII scrub — scrubbing direct
+    * identifiers does not stop re-identification through QUASI-
+    * identifier combinations): per (event_type, day, value-band)
+    * equivalence class, how many classes and rows fall below the
+    * anonymity threshold `k`, overall and per type. Bands are integer
+    * arithmetic (q145's calendar rule, value to the nearest 10) so class
+    * membership is engine-exact.
+    *
+    * Scale: ONE partial-agged class count (classes bounded by the QI
+    * domain, not the row count), then a ≤|types|-group rollup; at-risk
+    * share is ONE IEEE division of exact counts. */
+  def q204KAnonRisk(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val classes = Tables.events(spark, dir)
+      .select($"event_type",
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000L").as("day"),
+        // exact integer band: cents div 1000 (a decimal/10 + cast would
+        // TRUNCATE in Spark but ROUND in DuckDB)
+        expr("cast(cast(value as decimal(14,2)) * 100 as bigint) div 1000")
+          .as("value_band"))
+      .groupBy($"event_type", $"day", $"value_band")
+      .agg(count(lit(1)).as("n"))
+    classes.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when($"n" < k, lit(1L)).otherwise(0L)).as("n_risky_classes"),
+        sum($"n").as("n_rows"),
+        sum(when($"n" < k, $"n").otherwise(0L)).as("n_rows_at_risk"))
+      .withColumn("risk_share",
+        $"n_rows_at_risk".cast("double") / $"n_rows".cast("double"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

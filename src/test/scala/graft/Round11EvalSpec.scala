@@ -311,6 +311,44 @@ class Round11EvalSpec extends SparkSpec {
       .toString.contains("BroadcastHashJoin"))
   }
 
+  test("q203 soft-dedup weights are consistent with q59's clusters and sum to the dedup count") {
+    val got = Corpus.q203SoftDedup(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    val nDocs = sources.Tables.documents(spark, sf).count()
+    assert(got.length === nDocs.toInt)
+    // sizes agree with the labels and the weight is exactly 1/size
+    got.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.forall(_._3 === rows.length.toLong), s"cluster $c")
+      rows.foreach(r => assert(r._4 === 1.0 / r._3))
+    }
+    // Σ weights = number of clusters = what hard dedup would keep
+    val nClusters = got.map(_._2).distinct.length
+    assert(math.abs(got.map(_._4).sum - nClusters) < 1e-9)
+    // duplicates exist and are down-weighted
+    assert(got.exists(_._3 > 1))
+  }
+
+  test("q204 risk report equals a direct equivalence-class census") {
+    val classes = sources.Tables.events(spark, sf)
+      .select($"event_type",
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000L"),
+        expr("cast(cast(value as decimal(14,2)) * 100 as bigint) div 1000"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = classes.groupBy(_._1._1).map { case (t, cs) =>
+      val risky = cs.filter(_._2 < 5)
+      (t, cs.size.toLong, risky.size.toLong,
+        cs.values.sum, risky.values.sum,
+        risky.values.sum.toDouble / cs.values.sum)
+    }.toSet
+    val got = Relational.q204KAnonRisk(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the audit finds real risk on this sparse QI grid
+    assert(got.exists(_._5 > 0))
+  }
+
   test("q189 funnel counts are consistent with the underlying dedup operators") {
     val got = Dedup.q189DedupFunnel(spark, sf)
       .as[(String, Long, Long, Long)].collect()
