@@ -69,6 +69,12 @@ class Round11SketchSpec extends SparkSpec {
   // --- q176 RAKE keywords ----------------------------------------------
 
   test("q176 equals an in-memory RAKE replay") {
+    // tie-break like Spark/DuckDB: UTF-8 binary collation (q119's rule —
+    // Scala's UTF-16 compare diverges on supplementary-plane chars)
+    implicit val utf8: Ordering[String] = (a: String, b: String) =>
+      java.util.Arrays.compare(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val docs = sources.Tables.documents(spark, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect()
     val stops = Set("a", "the")
