@@ -224,6 +224,7 @@ object SparkEntry {
     "q202_dsir_weights" -> ((s, d) => Corpus.q202DsirWeights(s, d)),
     "q203_soft_dedup" -> ((s, d) => Corpus.q203SoftDedup(s, d)),
     "q204_kanon_risk" -> ((s, d) => Relational.q204KAnonRisk(s, d)),
+    "q205_session_outcomes" -> ((s, d) => Relational.q205SessionOutcomes(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2515,5 +2516,30 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(n) AS DOUBLE) AS risk_share
         |FROM c GROUP BY 1""".stripMargin,
+    "q205_session_outcomes" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM m),
+        |g AS (SELECT user_id, session_seq, min(us) AS start_us,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM s GROUP BY 1, 2)
+        |SELECT start_us // 604800000000 AS week,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(converted) AS BIGINT) AS n_converted,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounced,
+        |  CAST(sum(converted) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS conversion_rate,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS bounce_rate
+        |FROM g GROUP BY 1""".stripMargin,
   )
 }

@@ -2447,6 +2447,48 @@ object Relational {
         $"n_rows_at_risk".cast("double") / $"n_rows".cast("double"))
   }
 
+  // ---------------------------------------------------------------- A99
+  /** Session outcome report — per week: sessions, conversion rate
+    * (session contained a purchase), bounce rate (single-event session).
+    * q89 says WHERE sessions are; this says what they were WORTH — the
+    * e-commerce/product headline metric pair, computed on q89's exact
+    * session boundaries (30-min gap) so the two reports can never
+    * disagree about what a session is. A session belongs to the week of
+    * its FIRST event (integer epoch weeks, q145's rule).
+    *
+    * Scale: one user_id exchange + per-user sort shared by the gap
+    * window and the session rollup (same keys); the week rollup is
+    * ≤|weeks| groups; rates are single IEEE divisions of exact counts. */
+  def q205SessionOutcomes(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val e = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+    val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val sessions = e
+      .withColumn("__new",
+        when(lag($"us", 1).over(byUser).isNull
+          || $"us" - lag($"us", 1).over(byUser) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum($"__new")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_seq")
+      .agg(min($"us").as("start_us"), count(lit(1)).as("n_events"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    sessions
+      .withColumn("week", expr("start_us div 604800000000L"))
+      .groupBy($"week")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($"converted").as("n_converted"),
+        sum(when($"n_events" === 1, 1L).otherwise(0L)).as("n_bounced"))
+      .select($"week", $"n_sessions", $"n_converted", $"n_bounced",
+        ($"n_converted".cast("double") / $"n_sessions".cast("double"))
+          .as("conversion_rate"),
+        ($"n_bounced".cast("double") / $"n_sessions".cast("double"))
+          .as("bounce_rate"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -349,6 +349,39 @@ class Round11EvalSpec extends SparkSpec {
     assert(got.exists(_._5 > 0))
   }
 
+  test("q205 equals a sequential sessionization replay") {
+    val ev = sources.Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val gap = 30L * 60L * 1000000L
+    val sessions = ev.groupBy(_._2).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._4, e._1))
+      val out = collection.mutable.ArrayBuffer[
+        collection.mutable.ArrayBuffer[(Long, Long, String, Long)]]()
+      sorted.foreach { e =>
+        if (out.isEmpty || e._4 - out.last.last._4 > gap)
+          out += collection.mutable.ArrayBuffer(e)
+        else out.last += e
+      }
+      out
+    }.toSeq
+    val want = sessions.groupBy(_.head._4 / 604800000000L).map {
+      case (w, ss) =>
+        (w, ss.length.toLong,
+          ss.count(_.exists(_._3 == "purchase")).toLong,
+          ss.count(_.length == 1).toLong,
+          ss.count(_.exists(_._3 == "purchase")).toDouble / ss.length,
+          ss.count(_.length == 1).toDouble / ss.length)
+    }.toSet
+    val got = Relational.q205SessionOutcomes(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // both outcome classes occur on this corpus
+    assert(got.exists(_._3 > 0) && got.exists(_._4 > 0))
+  }
+
   test("q189 funnel counts are consistent with the underlying dedup operators") {
     val got = Dedup.q189DedupFunnel(spark, sf)
       .as[(String, Long, Long, Long)].collect()
