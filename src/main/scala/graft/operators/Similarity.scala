@@ -153,8 +153,16 @@ object Similarity {
     * the same ≥0.4 mean-recall floor as q51's nProbe=4/16 regime vs brute
     * force (raise nProbe for more); fp scores → rows-only + spec. */
   def q106KnnGraph(spark: SparkSession, dir: String, k: Int = 5,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+      nCells: Int = 16, nProbe: Int = 4): DataFrame =
+    allVectorsTopK(Tables.embeddings(spark, dir), k, nCells, nProbe)
+
+  /** The q106 cell-blocked all-vectors top-k, factored out so every
+    * "queries ARE the corpus" consumer (q106's kNN graph, q183's
+    * leave-one-out classifier) shares the one scale-safe shape: shuffle
+    * join on cell, centroids-only broadcast, pair-keyed dedup, bounded
+    * rank. Returns `(query_id, rank, neighbor_id, score)`, self excluded. */
+  private[operators] def allVectorsTopK(e: DataFrame, k: Int,
+      nCells: Int, nProbe: Int): DataFrame = {
     val built = IvfIndex.build(e, nCells)
     // assignments feed BOTH join sides (probes + candidates) — materialize
     // once or the KMeans transform + decode re-executes per reference
@@ -462,34 +470,46 @@ object Similarity {
     * vectors by cosine; its own label is the held-out truth. Vote ties
     * break (higher count, lower label) — total, engine-identical.
     *
-    * Scale: q45's posture — the candidate scan is exact brute-force with
-    * the query side broadcast (the recall=1 oracle-able baseline; q51's
-    * IVF probing swaps in past linear scale with the vote unchanged);
-    * top-k compiles to WindowGroupLimit, the vote is one partial-agged
-    * groupBy over n·k rows. */
-  def q183KnnClassify(spark: SparkSession, dir: String,
-      k: Int = 5): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
-      toDoubles(col("embedding")).as("emb"), l2Norm(col("embedding")).as("norm"))
-    val neighbors = e.as("c")
-      .join(broadcast(e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
-        col("emb").as("qe"), col("norm").as("qn")).as("q")),
-        col("qid") =!= col("c.vec_id"))
-      .select(col("qid"), col("qlabel"),
-        col("c.label").as("nlabel"), col("c.vec_id").as("nid"),
-        (dotD(col("qe"), col("c.emb")) / (col("qn") * col("c.norm")))
-          .as("score"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("nid").asc)
-    val topk = neighbors.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-    val votes = topk.groupBy(col("qid"), col("qlabel"), col("nlabel"))
+    * Scale: SIZE-GATED candidate generation. Under `bruteForceMax` rows
+    * the scorer is exact brute force with the query side broadcast — a
+    * broadcast BOUNDED BY THE GATE, not by luck (the recall=1 oracle-able
+    * regime, and what the sf0.01 oracle exercises). PAST the gate the
+    * corpus must never be replicated to every executor, so the candidate
+    * scan swaps to q106's cell-blocked machinery ([[allVectorsTopK]]):
+    * IVF cells, shuffle hash join keyed on cell with both sides
+    * |corpus|-sized, nothing broadcast but the (nCells × dim) centroid
+    * table — the key-ranged-scan posture, probe-bounded recall. The
+    * leave-one-out exclusion and the exact two-level vote tie-break
+    * (more votes, then lower label) are IDENTICAL in both arms — the arm
+    * only changes which pairs get scored. With `nProbe = nCells` the IVF
+    * arm probes every cell and is bit-equal to brute force
+    * (Round12ScaleSpec asserts exactly that, plus that the scaled arm's
+    * plan shuffles on cell instead of broadcasting the corpus).
+    * The count() gate is one parquet-metadata pass, same as
+    * [[IvfIndex.build]]'s. Vote is one partial-agged groupBy over n·k
+    * rows; label attachment is a hash join on vec_id (corpus-sized both
+    * sides — AQE may legitimately broadcast it at small sf; no hint). */
+  def q183KnnClassify(spark: SparkSession, dir: String, k: Int = 5,
+      bruteForceMax: Long = 200000L, nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+    val n = raw.count()
+    val topk =
+      if (n <= bruteForceMax) bruteForceTopK(raw, raw, k)
+      else allVectorsTopK(raw, k, nCells, nProbe)
+    val labels = raw.select(col("vec_id"), col("label"))
+    val votes = topk
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel")), Seq("query_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("qlabel"), col("nlabel"))
       .agg(count(lit(1)).as("votes"))
-    val wv = Window.partitionBy(col("qid"))
+    val wv = Window.partitionBy(col("query_id"))
       .orderBy(col("votes").desc, col("nlabel").asc)
     votes.withColumn("vr", row_number().over(wv))
       .filter(col("vr") === 1)
-      .select(col("qid").as("vec_id"), col("qlabel").as("true_label"),
+      .select(col("query_id").as("vec_id"), col("qlabel").as("true_label"),
         col("nlabel").as("pred_label"), col("votes"),
         (col("nlabel") === col("qlabel")).as("correct"))
   }
