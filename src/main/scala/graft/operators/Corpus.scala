@@ -557,24 +557,24 @@ object Corpus {
     * loses content — the standard diagnostic before trusting q59's
     * connected components as dedup units.
     *
-    * Scale: the node-iterator shape — wedges from one self-join on the
-    * shared middle vertex, closed by a semi-join on the (va, vc) edge key.
-    * The a<b<c orientation counts each triangle exactly once AND bounds
-    * wedge fan-out by out-degree; the classic refinement (orient edges by
-    * degree so every vertex's out-degree is O(√E)) drops in here unchanged
-    * when hub vertices appear. Shuffles carry only id pairs/triples. */
+    * Scale: DEGREE-ORIENTED node-iterator ([[Graph.triangles]]) — wedges
+    * come from pairs of out-edges after pointing every edge at its
+    * (degree, id)-larger endpoint, so per-key wedge work is outdeg² with
+    * max outdeg O(√E) and a hub generates no wedges at all (its edges all
+    * point in); the closing semi-join keys on the oriented edge. A
+    * counting identity — each triangle is found exactly once from its
+    * ≺-minimal vertex and re-emitted id-sorted, so the rows match the
+    * naive id-order enumeration bit for bit (GraphSpec plants a
+    * 10³-degree hub and asserts the wedge stage stays bounded). Shuffles
+    * carry only id pairs/triples. */
   def q85DupTriangles(spark: SparkSession, dir: String,
       threshold: Double = 0.2): DataFrame = {
-    // three plan references (wedge sides + closing semi-join) — materialize
-    // the edge list once rather than re-running the pair scoring per branch
+    // the pair list feeds the degree aggregation + orientation joins —
+    // materialize once rather than re-running the pair scoring per branch
     val e = graft.Lineage.truncate(
       Dedup.q44DedupEmbedding(spark, dir, threshold)
         .select(col("vec_a"), col("vec_b")), reliable = false).df
-    val wedges = e.as("x").join(e.as("y"), col("x.vec_b") === col("y.vec_a"))
-      .select(col("x.vec_a").as("va"), col("x.vec_b").as("vb"),
-        col("y.vec_b").as("vc"))
-    wedges.join(e.as("z"),
-      col("va") === col("z.vec_a") && col("vc") === col("z.vec_b"), "left_semi")
+    Graph.triangles(e, "vec_a", "vec_b")
   }
 
   // ---------------------------------------------------------------- C37
@@ -831,20 +831,20 @@ object Corpus {
     * representative. All counts are exact integers; the coefficient is one
     * fp division of exact ints — bit-identical cross-engine.
     *
-    * Scale: degree is one hash aggregation over 2·|E|; triangles reuse
-    * q85's node-iterator shape (wedge join + closing semi-join). Wedge
-    * volume is the whole cost and it is threshold-sensitive: this graph's
-    * components are near-CLIQUES, where any enumeration is Θ(Σdeg³)-ish
-    * because that IS the triangle count — at 0.3 the synthetic corpus
-    * forms 239-degree components (228M wedges, 32s at sf0.1); the 0.6
-    * default is the true near-dup regime (4.3M wedges, 2.3s). For
-    * hub-skewed (non-clique) graphs, degree-orientation is the drop-in
-    * that bounds wedges by Σ outdeg² — unnecessary for cliques, where
-    * id-order wedges already hit the output lower bound. */
+    * Scale: degree is one hash aggregation over 2·|E|; triangles run
+    * through the DEGREE-ORIENTED enumeration ([[Graph.triangles]] — q85's
+    * machinery), so per-key wedge work is outdeg² with max outdeg O(√E)
+    * even when one boilerplate hub dominates. Wedge volume is still
+    * threshold-sensitive: this graph's components are near-CLIQUES, where
+    * any enumeration is Θ(Σdeg³)-ish because that IS the triangle count —
+    * at 0.3 the synthetic corpus forms 239-degree components (228M wedges,
+    * 32s at sf0.1); the 0.6 default is the true near-dup regime (4.3M
+    * wedges, 2.3s). Orientation is a counting identity, so the per-node
+    * triangle counts are unchanged. */
   def q104GraphDegree(spark: SparkSession, dir: String,
       threshold: Double = 0.6): DataFrame = {
-    // the pair pipeline feeds FOUR plan references (degree union ×2, wedge
-    // sides, closing semi-join) — materialize once or the whole
+    // the pair pipeline feeds several plan references (degree union ×2 +
+    // the orientation/wedge machinery) — materialize once or the whole
     // shingle/Jaccard computation re-runs per reference (measured 60s → 3s
     // at sf0.1); the edge list is tiny next to what produced it
     val e = graft.Lineage.truncate(
@@ -853,11 +853,7 @@ object Corpus {
     val deg = e.select(col("doc_a").as("doc_id"))
       .unionAll(e.select(col("doc_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
-    val wedges = e.as("x").join(e.as("y"), col("x.doc_b") === col("y.doc_a"))
-      .select(col("x.doc_a").as("va"), col("x.doc_b").as("vb"),
-        col("y.doc_b").as("vc"))
-    val tri = wedges.join(e.as("z"),
-      col("va") === col("z.doc_a") && col("vc") === col("z.doc_b"), "left_semi")
+    val tri = Graph.triangles(e, "doc_a", "doc_b")
     val triPerNode = tri.select(col("va").as("doc_id"))
       .unionAll(tri.select(col("vb").as("doc_id")))
       .unionAll(tri.select(col("vc").as("doc_id")))
@@ -1604,12 +1600,18 @@ object Corpus {
     * borderline ones — the principled re-check list before raising
     * recall by lowering thresholds corpus-wide.
     *
-    * Scale: q85's wedge shape — common-neighbor counts come from ONE
-    * self-join of the symmetric edge list on the shared endpoint (O(Σ
-    * deg²), the wedge bound), existing edges leave by anti-join, degrees
-    * join UNFORCED, top-k is rank-after-TakeOrdered (q74's shape). The
-    * edge list is materialized once and feeds all three plan branches
-    * (q106's rule). Score is ONE IEEE division of exact integer counts. */
+    * Scale: the wedge bound O(Σ deg²) is INHERENT here — unlike q85's
+    * triangles, every wedge contributes to a common-neighbor count no
+    * matter how its edges orient, so degree orientation is not an
+    * identity. The hub hazard (one center's deg² pairs landing in a
+    * single task) is instead handled by TRIANGLE-SALTED pair generation
+    * ([[Skew.saltedSelfPairs]] keyed on the center): each center's pairs
+    * spread over salts² reducers, pair set unchanged (GraphSpec plants a
+    * 10³-degree hub and asserts the spread). Existing edges leave by
+    * anti-join, degrees join UNFORCED, top-k is rank-after-TakeOrdered
+    * (q74's shape). The edge list is materialized once and feeds all
+    * three plan branches (q106's rule). Score is ONE IEEE division of
+    * exact integer counts. */
   def q193LinkPrediction(spark: SparkSession, dir: String,
       threshold: Double = 0.6, k: Int = 50): DataFrame = {
     val pairs = Dedup.q43NgramJaccard(spark, dir, threshold)
@@ -1621,9 +1623,8 @@ object Corpus {
     val adj = edgesM.df
     val deg = adj.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("degree"))
-    val cn = adj.select(col("src"), col("dst").as("a"))
-      .join(adj.select(col("src"), col("dst").as("b")), Seq("src"))
-      .filter(col("a") < col("b"))
+    val cn = Skew.saltedSelfPairs(adj, "src", "dst", salts = 4)
+      .select(col("a.dst").as("a"), col("b.dst").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
     val cand = cn.join(
         adj.select(col("src").as("a"), col("dst").as("b")),
