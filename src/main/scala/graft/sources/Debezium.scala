@@ -159,13 +159,76 @@ object Debezium {
     * — the file-based stand-in for a Kafka topic (same envelope; swap the
     * reader, keep `fromJson`). Checkpointed like any file source: a
     * restarted query resumes after the last committed file, so a feed
-    * replayed across restarts applies exactly once. */
+    * replayed across restarts applies exactly once.
+    *
+    * Sugar for `DirTail(dir, …).debezium(spark, rowSchema, …)` — the
+    * [[ChangefeedSource]] seam is where the Kafka binding swaps in. */
   def stream(spark: SparkSession, dir: String, rowSchema: StructType,
       maxFilesPerTrigger: Option[Int] = None,
-      permissive: Boolean = false): DataFrame = {
+      permissive: Boolean = false): DataFrame =
+    DirTail(dir, maxFilesPerTrigger).debezium(spark, rowSchema, permissive)
+}
+
+/**
+ * The transport seam under the changefeed decoders: a [[ChangefeedSource]]
+ * yields a streaming frame with ONE string `value` column per feed event
+ * (the Kafka record-value shape), and the Debezium/Canal decoders bolt on
+ * unchanged — decode is plan-level (`from_json` on `value`), so dir-tail in
+ * tests and a real broker in production are a one-config swap, never a
+ * code-path fork (the reference hard-wires its consumer to a live feed,
+ * FlinkTikvConsumer.java:92-199; graft keeps transport and decode
+ * orthogonal).
+ */
+sealed trait ChangefeedSource {
+  /** The raw feed: a streaming DataFrame with a string `value` column. */
+  def frame(spark: SparkSession): DataFrame
+
+  /** The feed decoded as a Debezium-JSON changelog ([[Debezium.fromJson]]). */
+  def debezium(spark: SparkSession, rowSchema: StructType,
+      permissive: Boolean = false): DataFrame =
+    Debezium.fromJson(frame(spark), rowSchema, "value", permissive)
+
+  /** The feed decoded as a Canal-JSON changelog ([[Debezium.fromCanalJson]]). */
+  def canal(spark: SparkSession, rowSchema: StructType,
+      permissive: Boolean = false): DataFrame =
+    Debezium.fromCanalJson(frame(spark), rowSchema, "value", permissive)
+}
+
+/** JSON-line directory tail — the checkpointed file stand-in for a topic. */
+final case class DirTail(dir: String,
+    maxFilesPerTrigger: Option[Int] = None) extends ChangefeedSource {
+  def frame(spark: SparkSession): DataFrame = {
     var reader = spark.readStream
     maxFilesPerTrigger.foreach(n =>
       reader = reader.option("maxFilesPerTrigger", n))
-    fromJson(reader.text(dir), rowSchema, "value", permissive)
+    reader.text(dir)
+  }
+}
+
+/** A Kafka topic via Structured Streaming's `kafka` source (requires the
+  * spark-sql-kafka connector on the classpath at runtime — not bundled
+  * here, which is why [[readerOptions]] is a pure function the spec can
+  * assert without a broker). The record value is CAST to string, landing
+  * exactly on the decoders' `value` contract; keys/offsets ride along
+  * untouched if `keepMetadata`. */
+final case class KafkaTopic(bootstrapServers: String, topic: String,
+    startingOffsets: String = "earliest",
+    extraOptions: Map[String, String] = Map.empty,
+    keepMetadata: Boolean = false) extends ChangefeedSource {
+
+  /** The exact option map handed to `readStream.format("kafka")` — pure,
+    * so wiring is testable with no broker and no connector jar. */
+  def readerOptions: Map[String, String] =
+    Map("kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets) ++ extraOptions
+
+  def frame(spark: SparkSession): DataFrame = {
+    val raw = spark.readStream.format("kafka").options(readerOptions).load()
+    if (keepMetadata)
+      raw.select(col("value").cast(StringType).as("value"),
+        col("key").cast(StringType).as("key"),
+        col("topic"), col("partition"), col("offset"), col("timestamp"))
+    else raw.select(col("value").cast(StringType).as("value"))
   }
 }
