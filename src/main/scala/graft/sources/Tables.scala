@@ -136,6 +136,82 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 
+  /** One introspected JDBC table: its Spark frame (the built-in `jdbc`
+    * relation — filters push down to the database as WHERE clauses) plus
+    * the primary key read from `DatabaseMetaData`, KEY_SEQ-ordered. */
+  final case class JdbcTable(name: String, primaryKey: Seq[String], df: DataFrame)
+
+  /** Introspect one table of a live database over JDBC: schema via the
+    * Spark `jdbc` source, primary key via `DatabaseMetaData.getPrimaryKeys`
+    * — the "point me at an existing database" bootstrap the reference does
+    * against TiDB (TiJDBCHelper.java:76-130 reads `getPrimaryKeys` /
+    * `getColumns` from the information schema; here the JDBC metadata API
+    * is the engine-neutral equivalent, so the same call serves Derby, H2,
+    * Postgres, MySQL…). Unquoted identifiers are case-normalized by each
+    * engine (Derby/H2 upper-case them), so the metadata lookup tries the
+    * given, upper- and lower-cased spellings and uses whichever the
+    * database knows. A table with no declared key yields `Seq.empty` —
+    * readable, but the changelog/upsert operators will demand explicit
+    * keys, same contract as [[primaryKeysIn]].
+    *
+    * Scale: introspection is a handful of driver-side metadata calls; the
+    * data path stays declarative (`spark.read.jdbc` partitions via the
+    * usual partitionColumn options passed through `options`). */
+  def fromJdbc(spark: SparkSession, url: String, table: String,
+      options: Map[String, String] = Map.empty): JdbcTable = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    val (resolved, pk) =
+      try {
+        val md = conn.getMetaData
+        def tableExists(n: String): Boolean = {
+          val rs = md.getTables(null, null, n, null)
+          try rs.next() finally rs.close()
+        }
+        val name = Seq(table, table.toUpperCase, table.toLowerCase)
+          .distinct.find(tableExists).getOrElse(throw new IllegalArgumentException(
+            s"table '$table' not found via JDBC metadata at $url"))
+        val rs = md.getPrimaryKeys(null, null, name)
+        val cols = Iterator.continually(rs)
+          .takeWhile(_.next())
+          .map(r => (r.getShort("KEY_SEQ"), r.getString("COLUMN_NAME")))
+          .toSeq
+        rs.close()
+        (name, cols.sortBy(_._1).map(_._2))
+      } finally conn.close()
+    val df = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", resolved)
+      .options(options).load()
+    JdbcTable(resolved, pk, df)
+  }
+
+  /** Every user table the database reports via `getTables(TABLE)` —
+    * `TiFlinkCatalog.listTables` against a JDBC endpoint instead of a
+    * dataset directory. */
+  def jdbcTables(url: String): Seq[String] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      try Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getString("TABLE_NAME")).toSeq.sorted
+      finally rs.close()
+    } finally conn.close()
+  }
+
+  /** Register every (or the named) JDBC table as a temp view and return
+    * each table's introspected primary key — the JDBC twin of
+    * [[registerAll]]: after this, SQL joins the live database against the
+    * parquet catalog, and the returned keys feed the MV/upsert builders. */
+  def registerJdbc(spark: SparkSession, url: String,
+      tables: Seq[String] = Seq.empty,
+      options: Map[String, String] = Map.empty): Map[String, Seq[String]] = {
+    val names = if (tables.nonEmpty) tables else jdbcTables(url)
+    names.map { n =>
+      val t = fromJdbc(spark, url, n, options)
+      t.df.createOrReplaceTempView(t.name.toLowerCase)
+      t.name.toLowerCase -> t.primaryKey
+    }.toMap
+  }
+
   /** Register every DISCOVERED table as a temp view (tableEnv.useCatalog
     * analog) — live directory listing, so a dataset dir with extra or
     * missing tables registers exactly what exists. `events` goes through

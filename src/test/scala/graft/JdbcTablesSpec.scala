@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.DriverManager
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.sources.Tables
+import graft.streaming.MaterializedView
+
+/** JDBC schema/PK introspection (TiJDBCHelper analog) against embedded
+  * Derby — the engine the Spark distribution already ships; the metadata
+  * calls are engine-neutral (same path serves H2/Postgres/MySQL). */
+class JdbcTablesSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val url = "jdbc:derby:memory:graftjdbc;create=true"
+
+  private def setup(): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      def ignoreExists(sql: String): Unit =
+        try st.execute(sql) catch { case e: java.sql.SQLException
+          if e.getSQLState == "X0Y32" => () } // already exists
+      ignoreExists("""CREATE TABLE dim_rate (
+        nation_key BIGINT NOT NULL, rate DOUBLE,
+        PRIMARY KEY (nation_key))""")
+      ignoreExists("""CREATE TABLE audit_log (
+        region_key BIGINT NOT NULL, seq INT NOT NULL, note VARCHAR(64),
+        PRIMARY KEY (region_key, seq))""")
+      st.execute("DELETE FROM dim_rate")
+      st.execute("DELETE FROM audit_log")
+      st.execute("INSERT INTO dim_rate VALUES (0, 1.5), (1, 2.5), (2, 3.5)")
+      st.execute("INSERT INTO audit_log VALUES (0, 1, 'a'), (0, 2, 'b')")
+      st.close()
+    } finally conn.close()
+  }
+
+  test("fromJdbc introspects schema and KEY_SEQ-ordered primary keys") {
+    setup()
+    val t = Tables.fromJdbc(spark, url, "dim_rate")
+    assert(t.primaryKey === Seq("NATION_KEY"))
+    assert(t.df.columns.toSeq.map(_.toLowerCase) === Seq("nation_key", "rate"))
+    assert(t.df.count() === 3)
+    // composite key comes back in declaration (KEY_SEQ) order
+    val a = Tables.fromJdbc(spark, url, "AUDIT_LOG")
+    assert(a.primaryKey === Seq("REGION_KEY", "SEQ"))
+    assert(Tables.jdbcTables(url).map(_.toLowerCase)
+      .filter(Set("dim_rate", "audit_log")) === Seq("audit_log", "dim_rate"))
+  }
+
+  test("a registered JDBC table joins the parquet catalog in SQL") {
+    setup()
+    val pks = Tables.registerJdbc(spark, url, Seq("dim_rate"))
+    assert(pks === Map("dim_rate" -> Seq("NATION_KEY")))
+    Tables.registerAll(spark, sf)
+    val got = spark.sql(
+      """SELECT n.n_name, d.rate FROM nation n
+        |JOIN dim_rate d ON n.n_nationkey = d.NATION_KEY
+        |ORDER BY n.n_nationkey""".stripMargin)
+      .as[(String, Double)].collect()
+    assert(got.length === 3)
+    assert(got.map(_._2).toSeq === Seq(1.5, 2.5, 3.5))
+  }
+
+  test("an MV built over the introspected table converges") {
+    setup()
+    val dim = Tables.fromJdbc(spark, url, "dim_rate")
+    val pk = dim.primaryKey
+    assert(pk === Seq("NATION_KEY"))
+    val input = MemoryStream[(Long, Long, Double)]
+    val source = input.toDF().toDF("nation_key", "version", "amount")
+    val base = Files.createTempDirectory("jdbcmv").toString
+    val mv = MaterializedView.newBuilder()
+      .setSource(source)
+      // join the stream against the live-database dimension, keyed by the
+      // INTROSPECTED primary key — nothing hand-declared
+      .setQuery(df => df.join(dim.df,
+        df("nation_key") === dim.df(pk.head))
+        .select(df("nation_key"), df("version"),
+          (df("amount") * dim.df("RATE")).as("scaled")))
+      .setTargetPath(s"$base/target")
+      .setPrimaryKeys("nation_key")
+      .setVersionColumn("version")
+      .setCheckpointLocation(s"$base/ckpt")
+      .build()
+    val q = mv.start()
+    try {
+      input.addData((0L, 1L, 10.0), (1L, 1L, 10.0), (0L, 2L, 20.0))
+      q.processAllAvailable()
+      val state = spark.read.parquet(s"$base/target")
+        .select("nation_key", "version", "scaled")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(state === Set((0L, 2L, 30.0), (1L, 1L, 25.0)))
+    } finally q.stop()
+  }
+}
