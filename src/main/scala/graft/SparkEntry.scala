@@ -225,6 +225,7 @@ object SparkEntry {
     "q203_soft_dedup" -> ((s, d) => Corpus.q203SoftDedup(s, d)),
     "q204_kanon_risk" -> ((s, d) => Relational.q204KAnonRisk(s, d)),
     "q205_session_outcomes" -> ((s, d) => Relational.q205SessionOutcomes(s, d)),
+    "q206_companded_audio" -> (Multimodal.q206CompandedAudio _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2541,5 +2542,15 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS bounce_rate
         |FROM g GROUP BY 1""".stripMargin,
+    // the decoder must recover rate/duration from REAL μ-law/A-law (WAVE
+    // format code 7/6) containers; the oracle predicts them from the
+    // deterministic synthesis structure alone
+    "q206_companded_audio" ->
+      """WITH d AS (SELECT doc_id AS media_id, (n_chars % 400) + 100 AS n
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |e AS (SELECT unnest(['ulaw', 'alaw']) AS encoding)
+        |SELECT media_id, encoding, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms
+        |FROM d CROSS JOIN e""".stripMargin,
   )
 }

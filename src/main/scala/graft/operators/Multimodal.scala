@@ -109,33 +109,50 @@ object Multimodal {
 
   /** Real audio decode for JDK-parseable containers (WAV/AIFF/AU):
     * true sample rate + duration from the header, and an 8-bin normalized
-    * amplitude histogram from the 16-bit PCM samples (header-only metadata
-    * for other sample sizes). Returns None for undecodable bytes. */
+    * amplitude histogram from the samples. 16-bit PCM reads directly;
+    * G.711 μ-law/A-law payloads (WAVE format codes 7/6 — the telephony
+    * companding the JDK decodes natively) are expanded to 16-bit PCM
+    * through the JDK codec chain first, so the histogram reflects DECODED
+    * amplitudes, not companded byte values. Other sample sizes get
+    * header-only metadata. Returns None for undecodable bytes. */
   private def decodeAudio(bytes: Array[Byte]): Option[(Int, Long, Array[Float])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
     if (bytes.isEmpty) return None
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val in = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
         val frames = in.getFrameLength
         val durMs = (frames * 1000.0 / fmt.getFrameRate).toLong
+        val companded = fmt.getEncoding == AudioFormat.Encoding.ULAW ||
+          fmt.getEncoding == AudioFormat.Encoding.ALAW
+        // μ-law/A-law expand 1:1 in frame count, so duration/rate keep the
+        // container's truth while samples come from the decoded stream
+        val pcm =
+          if (companded)
+            AudioSystem.getAudioInputStream(new AudioFormat(
+              AudioFormat.Encoding.PCM_SIGNED, fmt.getSampleRate, 16,
+              fmt.getChannels, fmt.getChannels * 2, fmt.getSampleRate,
+              false), in)
+          else in
+        val pcmFmt = pcm.getFormat
         val hist = new Array[Long](8)
         var total = 0L
-        if (fmt.getSampleSizeInBits == 16) {
+        if (pcmFmt.getSampleSizeInBits == 16) {
           val buf = new Array[Byte](8192)
-          var n = in.read(buf)
+          var n = pcm.read(buf)
           while (n > 0) {
             var i = 0
             while (i + 1 < n) {
-              val lo = buf(if (fmt.isBigEndian) i + 1 else i) & 0xFF
-              val hi = buf(if (fmt.isBigEndian) i else i + 1).toInt
+              val lo = buf(if (pcmFmt.isBigEndian) i + 1 else i) & 0xFF
+              val hi = buf(if (pcmFmt.isBigEndian) i else i + 1).toInt
               val amp = math.abs((hi << 8) | lo)
               hist(math.min(amp >> 12, 7)) += 1 // |sample| 0..32768 → 8 bins
               total += 1
               i += 2
             }
-            n = in.read(buf)
+            n = pcm.read(buf)
           }
         }
         val feature =
@@ -328,6 +345,68 @@ object Multimodal {
         }
       }
       .toDF("media_id", "kind", "bytes")
+  }
+
+  /** G.711 μ-law/A-law WAV synthesis — the same deterministic PCM signal
+    * as [[audioFromDocuments]], COMPANDED through the JDK's codec chain
+    * into a true telephony WAVE container (format code 7 = μ-law, 6 =
+    * A-law, 8 bits/sample). This is real lossy re-encoding, not a stub:
+    * the container's fmt chunk, fact chunk and 1-byte frames are the
+    * JDK encoder's own output, and [[decodeAudio]] must expand them back
+    * through the codec to recover amplitudes. Same map-only posture as
+    * every synthesis arm (mapPartitions, partitioning preserved). */
+  def compandedAudioFromDocuments(spark: SparkSession, dir: String,
+      aLaw: Boolean = false): DataFrame = {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id"), col("text"), col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .mapPartitions { rows =>
+        val enc = if (aLaw) AudioFormat.Encoding.ALAW
+          else AudioFormat.Encoding.ULAW
+        rows.map { case (id, text, nChars) =>
+          val tb = text.getBytes("UTF-8")
+          val n = ((nChars % 400) + 100).toInt
+          val pcm = new Array[Byte](n * 2) // little-endian 16-bit
+          var i = 0
+          while (i < pcm.length) {
+            pcm(i) = if (tb.isEmpty) 0 else tb(i % tb.length)
+            i += 1
+          }
+          val srcFmt = new AudioFormat(8000f, 16, 1, true, false)
+          val src = new AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), srcFmt, n.toLong)
+          val companded = AudioSystem.getAudioInputStream(
+            new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false), src)
+          val bos = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(companded,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, "audio", bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "kind", "bytes")
+  }
+
+  /** Companded-codec decode surface (the μ-law/A-law sliver of C12's
+    * compressed-codec gap): synthesize BOTH telephony encodings
+    * ([[compandedAudioFromDocuments]]), decode them through the codec
+    * chain, and report the recovered facts per encoding. The oracle
+    * recomputes sample count and duration from `n_chars` alone — the
+    * decoder must RECOVER them from real format-code-7/6 containers
+    * (q157's discipline, now through a lossy codec; MultimodalSpec
+    * additionally checks the expanded amplitudes approximate the PCM
+    * truth, which header parsing alone could not produce). */
+  def q206CompandedAudio(spark: SparkSession, dir: String): DataFrame = {
+    def arm(aLaw: Boolean) =
+      decode(compandedAudioFromDocuments(spark, dir, aLaw))
+        .filter(col("sample_rate").isNotNull)
+        .select(col("media_id"),
+          lit(if (aLaw) "alaw" else "ulaw").as("encoding"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("duration_ms"))
+    arm(aLaw = false).unionAll(arm(aLaw = true))
   }
 
   /** Real-audio decode surface: synthesize true WAVs

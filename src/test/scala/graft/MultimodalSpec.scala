@@ -238,4 +238,72 @@ class MultimodalSpec extends SparkSpec {
     assert(got === want)
     assert(got.nonEmpty, "corpus must contain near-dup images")
   }
+
+  test("q206: containers really carry WAVE format code 7/6 (μ-law/A-law)") {
+    // parse the RIFF fmt chunk by hand — if the synthesis silently fell
+    // back to PCM (code 1) the "companded decode" test would prove nothing
+    def fmtCode(b: Array[Byte]): Int = {
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val len = (b(i + 4) & 0xFF) | ((b(i + 5) & 0xFF) << 8) |
+          ((b(i + 6) & 0xFF) << 16) | ((b(i + 7) & 0xFF) << 24)
+        if (id == "fmt ") return (b(i + 8) & 0xFF) | ((b(i + 9) & 0xFF) << 8)
+        i += 8 + len + (len & 1)
+      }
+      -1
+    }
+    val u = Multimodal.compandedAudioFromDocuments(spark, sf)
+      .select($"bytes").as[Array[Byte]].head()
+    val a = Multimodal.compandedAudioFromDocuments(spark, sf, aLaw = true)
+      .select($"bytes").as[Array[Byte]].head()
+    assert(fmtCode(u) === 7, "μ-law container must use WAVE format code 7")
+    assert(fmtCode(a) === 6, "A-law container must use WAVE format code 6")
+  }
+
+  test("q206 companded decode approximates the pre-encode PCM amplitudes") {
+    // G.711 is lossy but coarse-bin histograms survive: every decoded
+    // 8-bin amplitude histogram must sit within a small L1 distance of the
+    // exact pre-encode PCM histogram (header-only parsing would return an
+    // empty/zero histogram and fail this)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter($"doc_id" % 3 === 1)
+      .select($"doc_id", $"text", $"n_chars".cast("long"))
+      .as[(Long, String, Long)].collect()
+    val want = docs.map { case (id, text, nChars) =>
+      val tb = text.getBytes("UTF-8")
+      val n = ((nChars % 400) + 100).toInt
+      val hist = new Array[Long](8)
+      var i = 0
+      while (i < n) {
+        def b(j: Int) = if (tb.isEmpty) 0 else tb((i * 2 + j) % tb.length) & 0xFF
+        val amp = math.abs((b(1).toByte.toInt << 8) | b(0))
+        hist(math.min(amp >> 12, 7)) += 1
+        i += 1
+      }
+      id -> hist.map(_.toFloat / n).toSeq
+    }.toMap
+    for (aLaw <- Seq(false, true)) {
+      val got = Multimodal
+        .decode(Multimodal.compandedAudioFromDocuments(spark, sf, aLaw))
+        .filter($"sample_rate".isNotNull)
+        .select($"media_id", $"feature").as[(Long, Seq[Float])]
+        .collect().toMap
+      assert(got.keySet === want.keySet)
+      got.foreach { case (id, h) =>
+        val l1 = h.zip(want(id)).map { case (x, y) => math.abs(x - y) }.sum
+        assert(l1 <= 0.12f, s"media $id aLaw=$aLaw drifted l1=$l1")
+      }
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("q206 recovers rate and duration from the companded containers") {
+    val got = Multimodal.q206CompandedAudio(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf)
+      .filter($"doc_id" % 3 === 1).count()
+    assert(got.length === 2 * nDocs, "every doc must decode in both arms")
+    assert(got.forall(_._3 == 8000L))
+  }
 }
