@@ -226,6 +226,16 @@ object SparkEntry {
     "q204_kanon_risk" -> ((s, d) => Relational.q204KAnonRisk(s, d)),
     "q205_session_outcomes" -> ((s, d) => Relational.q205SessionOutcomes(s, d)),
     "q206_companded_audio" -> (Multimodal.q206CompandedAudio _),
+    "q207_tpch_q7" -> ((s, d) => Relational.q207Tpch7(s, d)),
+    "q208_tpch_q10" -> ((s, d) => Relational.q208Tpch10(s, d)),
+    "q209_disjunctive" -> (Relational.q209DisjunctiveRevenue _),
+    "q211_gini" -> (Relational.q211Gini _),
+    "q212_mann_whitney" -> ((s, d) => Relational.q212MannWhitney(s, d)),
+    "q213_benford" -> (Relational.q213Benford _),
+    "q214_acf" -> ((s, d) => Relational.q214Acf(s, d)),
+    "q215_token_runs" -> (TextAnalysis.q215TokenRuns _),
+    "q216_temperature_mix" -> (Corpus.q216TemperatureMix _),
+    "q217_winnowing" -> ((s, d) => TextAnalysis.q217Winnowing(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2552,5 +2562,176 @@ object SparkEntry {
         |SELECT media_id, encoding, CAST(8000 AS BIGINT) AS sample_rate,
         |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms
         |FROM d CROSS JOIN e""".stripMargin,
+    "q207_tpch_q7" ->
+      """WITH n AS (SELECT n_nationkey, n_name FROM nation
+        |           WHERE n_name IN ('NATION_3', 'NATION_7'))
+        |SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN n sn ON s_nationkey = sn.n_nationkey
+        |JOIN n cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q208_tpch_q10" ->
+      """WITH lost AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |    count(*) AS n_items
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-07-01'
+        |  GROUP BY 1)
+        |SELECT CAST(row_number() OVER
+        |    (ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rk,
+        |  c_custkey, c_name, n_name, revenue, n_items
+        |FROM lost
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q209_disjunctive" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 25 AND 50
+        |       AND l_quantity BETWEEN 20 AND 35)
+        |GROUP BY 1""".stripMargin,
+    "q211_gini" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT rev, CAST(row_number() OVER
+        |    (ORDER BY rev, o_custkey) AS BIGINT) AS i FROM rev)
+        |SELECT count(*) AS n,
+        |  CAST(sum(rev) AS DOUBLE) AS total_revenue,
+        |  2.0 * CAST(sum(rev * i) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * CAST(sum(rev) AS DOUBLE))
+        |  - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gini
+        |FROM rk""".stripMargin,
+    "q212_mann_whitney" ->
+      """WITH o AS (SELECT o_orderkey, c_mktsegment AS seg,
+        |    CAST(o_totalprice AS DECIMAL(14,2)) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |rk AS (SELECT seg, CAST(row_number() OVER
+        |    (ORDER BY v, o_orderkey) AS BIGINT) AS r FROM o),
+        |g AS (SELECT
+        |    sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS n_b,
+        |    sum(CASE WHEN seg = 'BUILDING' THEN r ELSE 0 END) AS rank_sum_a
+        |  FROM rk)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(rank_sum_a - (n_a * (n_a + 1)) // 2 AS BIGINT) AS u,
+        |  CAST(n_a * n_b AS DOUBLE) / 2.0 AS mu,
+        |  sqrt(CAST(n_a * n_b * (n_a + n_b + 1) AS DOUBLE) / 12.0) AS sigma,
+        |  (CAST(rank_sum_a - (n_a * (n_a + 1)) // 2 AS DOUBLE)
+        |    - CAST(n_a * n_b AS DOUBLE) / 2.0)
+        |  / sqrt(CAST(n_a * n_b * (n_a + n_b + 1) AS DOUBLE) / 12.0) AS z
+        |FROM g""".stripMargin,
+    "q213_benford" ->
+      """WITH b0 AS (SELECT unnest([0.3010299956639812e0,
+        |    0.17609125905568124e0, 0.12493873660829993e0,
+        |    0.09691001300805642e0, 0.07918124604762482e0,
+        |    0.06694678963061322e0, 0.05799194697768673e0,
+        |    0.05115252244738129e0, 0.04575749056067514e0]) AS benford,
+        |    unnest(generate_series(1, 9)) AS digit0),
+        |b AS (SELECT benford, CAST(digit0 AS INT) AS digit FROM b0),
+        |d AS (SELECT CAST(substr(CAST(CAST(
+        |      CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, count(*) AS cnt FROM d GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS n FROM c)
+        |SELECT c.digit, c.cnt,
+        |  CAST(c.cnt AS DOUBLE) / CAST(t.n AS DOUBLE) AS share,
+        |  b.benford,
+        |  (CAST(c.cnt AS DOUBLE) - CAST(t.n AS DOUBLE) * b.benford)
+        |    * (CAST(c.cnt AS DOUBLE) - CAST(t.n AS DOUBLE) * b.benford)
+        |    / (CAST(t.n AS DOUBLE) * b.benford) AS chi2_term
+        |FROM c CROSS JOIN t JOIN b ON b.digit = c.digit""".stripMargin,
+    "q214_acf" ->
+      """WITH days AS (SELECT epoch_us(CAST(ts AS TIMESTAMP))
+        |      // 86400000000 AS day, count(*) AS x
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT unnest(generate_series(1, 7)) AS lag),
+        |p AS (SELECT l.lag, a.x AS x, b.x AS y
+        |  FROM days a CROSS JOIN l JOIN days b ON a.day + l.lag = b.day),
+        |g AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |  CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf
+        |FROM g""".stripMargin,
+    "q215_token_runs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |t0 AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, len(ws))) AS i FROM d),
+        |t AS (SELECT doc_id, ws[i] AS word, CAST(i AS BIGINT) AS pos
+        |  FROM t0),
+        |i AS (SELECT doc_id, word,
+        |    pos - row_number() OVER (PARTITION BY doc_id, word ORDER BY pos)
+        |      AS island
+        |  FROM t),
+        |r AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS run
+        |  FROM i GROUP BY doc_id, word, island)
+        |SELECT doc_id, max_run, run_word FROM (
+        |  SELECT doc_id, run AS max_run, word AS run_word,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY run DESC, word) AS rn
+        |  FROM r) WHERE rn = 1""".stripMargin,
+    "q216_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+        |  GROUP BY 1),
+        |w AS (SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |    CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)
+        |      AS p
+        |  FROM c),
+        |f AS (SELECT *, sum(sqrt(p)) OVER (ORDER BY source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_sqrt
+        |  FROM w)
+        |SELECT source, n_docs, p,
+        |  sqrt(p) / max(cum_sqrt) OVER () AS weight,
+        |  sqrt(p) / max(cum_sqrt) OVER () / p AS boost
+        |FROM f""".stripMargin,
+    "q217_winnowing" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 6),
+        |g0 AS (SELECT doc_id, ws,
+        |    unnest(generate_series(0, len(ws) - 3)) AS i FROM d),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    substr(md5(array_to_string(ws[i + 1 : i + 3], ' ')), 1, 8) AS h
+        |  FROM g0),
+        |win0 AS (SELECT doc_id, pos, h,
+        |    unnest(generate_series(greatest(pos - 3, 0), pos)) AS s FROM g),
+        |win AS (SELECT doc_id, pos, h, CAST(s AS BIGINT) AS s FROM win0),
+        |mx AS (SELECT doc_id, max(pos) AS max_pos FROM g GROUP BY 1),
+        |valid AS (SELECT w.doc_id, w.pos, w.h, w.s
+        |  FROM win w JOIN mx ON w.doc_id = mx.doc_id
+        |  WHERE w.s <= mx.max_pos - 3),
+        |m AS (SELECT doc_id, s, min(h) AS fp_hash
+        |  FROM valid GROUP BY 1, 2)
+        |SELECT DISTINCT v.doc_id, max(v.pos) AS fp_pos, m.fp_hash
+        |FROM m JOIN valid v
+        |  ON v.doc_id = m.doc_id AND v.s = m.s AND v.h = m.fp_hash
+        |GROUP BY v.doc_id, m.s, m.fp_hash""".stripMargin,
   )
 }

@@ -1506,7 +1506,10 @@ object Corpus {
     * duplication, and quality in one (metric, value) table. TWO scans
     * total: every whole-corpus statistic — counts, token/char sums,
     * THREE exact distincts (source, lang, text — Catalyst's Expand,
-    * q143's single-scan pattern), the exact median document length
+    * q143's single-scan pattern; Expand multiplies map-side rows
+    * ×|distinct cols|, the right trade for one scan — per-column HLL
+    * sketches are the swap-in if the Expand factor ever dominates, at
+    * the cost of exactness), the exact median document length
     * (q24's parity), and the C49 quality keep-rate (the classifier fold
     * inline in the same scan) — rides ONE aggregation; the top-source
     * share needs a per-source groupBy, whose 1-row maximum cross-joins
@@ -1869,5 +1872,36 @@ object Corpus {
       }
     } finally vocabM.release()
     merges.toSeq.toDF("round", "s1", "s2", "merged", "pair_count")
+  }
+
+  // ---------------------------------------------------------------- C94
+  /** Temperature-scaled source mixing weights (the multilingual-corpus
+    * rebalancing rule: sample source s ∝ p_s^α, α < 1 upweights the tail
+    * — mBERT/XLM-R's exponent-smoothed sampling): at the α = 1/2 operating
+    * point the power is `sqrt`, which is IEEE-EXACT, so unlike an
+    * arbitrary-α `pow` the whole table carries an exact oracle. Emits
+    * per-source natural share p, smoothed weight w = √p / Σ√p, and the
+    * boost factor w/p a sampler applies.
+    *
+    * Determinism: Σ√p is an ORDERED fold — a cumulative window over the
+    * source-sorted |sources|-row aggregate, whose final value both engines
+    * reach by the same addition order (a plain SUM of doubles would be
+    * partitioning-dependent, q202's rule). All windows run on the
+    * |sources|-bounded frame, never the corpus. */
+  def q216TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val ordered = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy() // |sources|-row frame — bounded
+    counts
+      .withColumn("total", sum(col("n_docs")).over(whole))
+      .withColumn("p",
+        col("n_docs").cast("double") / col("total").cast("double"))
+      .withColumn("cum_sqrt", sum(sqrt(col("p"))).over(ordered))
+      .withColumn("denom", max(col("cum_sqrt")).over(whole))
+      .select(col("source"), col("n_docs"), col("p"),
+        (sqrt(col("p")) / col("denom")).as("weight"),
+        (sqrt(col("p")) / col("denom") / col("p")).as("boost"))
   }
 }

@@ -2489,6 +2489,232 @@ object Relational {
           .as("bounce_rate"))
   }
 
+  // ---------------------------------------------------------------- A100
+  /** TPC-H Q7 shape — volume shipping between two trading nations: revenue
+    * of lineitems whose SUPPLIER sits in one nation and whose CUSTOMER in
+    * the other (both directions), by shipping year.
+    *
+    * Scale: the two fact joins (orders, then lineitem) shuffle on their
+    * keys; supplier/customer pre-FILTER to the two nations before joining
+    * (the nation predicate lands on the dimension scan, so the fact rows
+    * of 23/25 nations never shuffle); nation broadcasts. The asymmetric
+    * pair filter runs post-join on two ints. Revenue sums in exact
+    * DECIMAL. */
+  def q207Tpch7(spark: SparkSession, dir: String,
+      nationA: String = "NATION_3", nationB: String = "NATION_7"): DataFrame = {
+    val one = lit(1).cast(DecimalType(3, 2))
+    val revenue = money($"l_extendedprice") * (one - rate($"l_discount"))
+    val n = Tables.nation(spark, dir)
+      .filter($"n_name".isin(nationA, nationB))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(asDouble(sum(revenue)).as("revenue"), count(lit(1)).as("cnt"))
+  }
+
+  // ---------------------------------------------------------------- A101
+  /** TPC-H Q10 shape — returned-item revenue report: the top 20 customers
+    * by revenue lost to returns (l_returnflag = 'R') in a quarter window,
+    * with their nation.
+    *
+    * Scale: the returnflag + date predicates push into the lineitem scan
+    * (the dominant input shrinks before any join); customer joins by key,
+    * nation broadcasts; top-20 is orderBy+limit = TakeOrdered (k rows per
+    * partition, never a global sort), rank stamped AFTER the take over 20
+    * rows (q119's rule). */
+  def q208Tpch10(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val one = lit(1).cast(DecimalType(3, 2))
+    val revenue = money($"l_extendedprice") * (one - rate($"l_discount"))
+    val lost = Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R" &&
+        $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-07-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(asDouble(sum(revenue)).as("revenue"), count(lit(1)).as("n_items"))
+    val top = lost
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name", $"revenue", $"n_items")
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(k)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy($"revenue".desc, $"c_custkey".asc)).cast("long"))
+      .select($"rk", $"c_custkey", $"c_name", $"n_name", $"revenue",
+        $"n_items")
+  }
+
+  // ---------------------------------------------------------------- A102
+  /** TPC-H Q19 shape — disjunctive pushdown: revenue from three OR-ed
+    * (brand, size-range, quantity-range) branches. The optimizer test the
+    * original query exists for: the OR of ANDs must still prune — Catalyst
+    * extracts the common `p_partkey = l_partkey` join key, pushes the
+    * part-only disjunction (brand/size) into the part scan and the
+    * quantity bounds into the lineitem scan (the OR's per-side envelope),
+    * and evaluates the full disjunction post-join. Part broadcasts as the
+    * dim side; revenue in exact DECIMAL. */
+  def q209DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(3, 2))
+    val revenue = money($"l_extendedprice") * (one - rate($"l_discount"))
+    val branch1 = $"p_brand" === "Brand#1" &&
+      $"p_size".between(1, 15) && $"l_quantity".between(1, 15)
+    val branch2 = $"p_brand" === "Brand#2" &&
+      $"p_size".between(10, 30) && $"l_quantity".between(10, 25)
+    val branch3 = $"p_brand" === "Brand#3" &&
+      $"p_size".between(25, 50) && $"l_quantity".between(20, 35)
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .filter(branch1 || branch2 || branch3)
+      .groupBy($"p_brand")
+      .agg(asDouble(sum(revenue)).as("revenue"), count(lit(1)).as("cnt"))
+  }
+
+  // ---------------------------------------------------------------- A103
+  /** Gini coefficient of customer revenue concentration — the standard
+    * inequality index over "how skewed is our revenue base" (the
+    * single-number complement of q140's HHI and q167's share table):
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over revenues sorted ascending.
+    *
+    * Exactness: revenues aggregate in DECIMAL; the sorted index i comes
+    * from [[Rank.globalRowNumber]] (range exchange, never a single-task
+    * window) with custkey tie-break, so Σ i·xᵢ is an exact DECIMAL·LONG
+    * fold and G is ONE IEEE expression of exact terms — bit-identical
+    * cross-engine. Output: one row (n, total, gini). */
+  def q211Gini(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(money($"o_totalprice")).as("rev"))
+    val ranked = Rank.globalRowNumber(rev,
+      Seq($"rev".asc, $"o_custkey".asc), rnCol = "i")
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum($"rev").as("total"),
+        sum($"rev" * $"i").as("weighted"))
+      .select($"n",
+        asDouble($"total").as("total_revenue"),
+        (lit(2.0) * asDouble($"weighted")
+          / ($"n".cast("double") * asDouble($"total"))
+          - ($"n" + 1).cast("double") / $"n".cast("double")).as("gini"))
+  }
+
+  // ---------------------------------------------------------------- A104
+  /** Mann-Whitney U test between two market segments on order value — the
+    * rank-based (distribution-free) A/B complement of q188's Welch t:
+    * robust to the heavy-tailed revenue distributions where mean tests
+    * mislead. DETERMINISTIC VARIANT: ranks are row_numbers with orderkey
+    * tie-break (not midranks), so every quantity is an exact integer —
+    * the standard tie-broken U, bit-identical cross-engine (midranks
+    * would need a ties correction whose fp fold is order-dependent).
+    *
+    * Scale: one global rank over the two segments' orders
+    * ([[Rank.globalRowNumber]] — range exchange), one two-group
+    * aggregation; U/μ/σ/z are exact-integer expressions with one sqrt. */
+  def q212MannWhitney(spark: SparkSession, dir: String,
+      segA: String = "BUILDING", segB: String = "MACHINERY"): DataFrame = {
+    val seg = Tables.customer(spark, dir)
+      .filter($"c_mktsegment".isin(segA, segB))
+      .select($"c_custkey", $"c_mktsegment".as("seg"))
+    val orders = Tables.orders(spark, dir)
+      .join(seg, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"seg", money($"o_totalprice").as("v"))
+    val ranked = Rank.globalRowNumber(orders,
+      Seq($"v".asc, $"o_orderkey".asc), rnCol = "r")
+    ranked.groupBy($"seg")
+      .agg(count(lit(1)).as("n"), sum($"r").as("rank_sum"))
+      .groupBy()
+      .agg(
+        max(when($"seg" === segA, $"n")).as("n_a"),
+        max(when($"seg" === segB, $"n")).as("n_b"),
+        max(when($"seg" === segA, $"rank_sum")).as("rank_sum_a"))
+      .select($"n_a", $"n_b",
+        ($"rank_sum_a" - expr("(n_a * (n_a + 1)) div 2")).as("u"),
+        (($"n_a" * $"n_b").cast("double") / 2.0).as("mu"),
+        sqrt(($"n_a" * $"n_b" * ($"n_a" + $"n_b" + 1)).cast("double") / 12.0)
+          .as("sigma"))
+      .withColumn("z", ($"u".cast("double") - $"mu") / $"sigma")
+  }
+
+  // ---------------------------------------------------------------- A105
+  /** Benford first-digit audit over order values — the classic synthetic /
+    * fabricated-amounts screen: the distribution of the first significant
+    * digit of the integer-cents amount vs Benford's log₁₀(1+1/d)
+    * expectation, with per-digit χ² contributions.
+    *
+    * Exactness: cents are a DECIMAL·100 → long (never fp rounding); the
+    * first digit comes from the bigint's decimal STRING — integer
+    * formatting is engine-identical, where log10-of-double near powers of
+    * ten is not. Benford expectations are 9 shared double literals, so
+    * every output is an exact count or one IEEE expression of them. 9
+    * groups — dimension-bounded aggregation. */
+  def q213Benford(spark: SparkSession, dir: String): DataFrame = {
+    val benford = Seq(
+      0.30102999566398120, 0.17609125905568124, 0.12493873660829993,
+      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+    val expected = element_at(array(benford.map(lit): _*), $"digit")
+    val digits = Tables.orders(spark, dir)
+      .select((money($"o_totalprice") * 100).cast("long").as("cents"))
+      .select(substring($"cents".cast("string"), 1, 1).cast("int").as("digit"))
+    val counts = digits.groupBy($"digit")
+      .agg(count(lit(1)).as("cnt"))
+    val total = Window.partitionBy() // 9-row frame — bounded
+    counts
+      .withColumn("n", sum($"cnt").over(total))
+      .select($"digit", $"cnt",
+        ($"cnt".cast("double") / $"n".cast("double")).as("share"),
+        expected.as("benford"),
+        (($"cnt".cast("double") - $"n".cast("double") * expected)
+          * ($"cnt".cast("double") - $"n".cast("double") * expected)
+          / ($"n".cast("double") * expected)).as("chi2_term"))
+  }
+
+  // ---------------------------------------------------------------- A106
+  /** Lag-k autocorrelation of daily event volume (k = 1..7) — the
+    * weekly-rhythm diagnostic under q145's seasonality profile: Pearson r
+    * between the daily-count series and itself shifted k days, one row
+    * per lag.
+    *
+    * Exactness: the series is integer counts per epoch-day, so every
+    * Pearson sum (Σx, Σy, Σxy, Σx², Σy²) is an exact bigint over the
+    * lag-joined pairs and r is one IEEE expression per lag. Scale: the
+    * event scan aggregates to ≤|days| rows; the lag join and the 7-lag
+    * explode run on that dimension-bounded frame. */
+  def q214Acf(spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val days = Tables.events(spark, dir)
+      // integer div, not fp-divide-then-cast: a double quotient one ulp
+      // above the true value would round a boundary event into the wrong day
+      .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000L")
+        .as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("x"))
+    val lagged = days
+      .withColumn("lag",
+        explode(array((1 to maxLag).map(i => lit(i.toLong)): _*)))
+      .select($"day", $"lag", $"x")
+      .join(days.select($"day".as("__d2"), $"x".as("y")),
+        $"day" + $"lag" === $"__d2")
+    lagged.groupBy($"lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+      .select($"lag", $"n_pairs",
+        (($"n_pairs" * $"sxy" - $"sx" * $"sy").cast("double")
+          / (sqrt(($"n_pairs" * $"sxx" - $"sx" * $"sx").cast("double"))
+            * sqrt(($"n_pairs" * $"syy" - $"sy" * $"sy").cast("double"))))
+          .as("acf"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

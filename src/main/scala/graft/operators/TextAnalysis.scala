@@ -394,4 +394,78 @@ object TextAnalysis {
       .select(col("rk"), col("phrase"), col("n_occurrences"),
         col("sum_deg"), col("sum_freq"), col("score"))
   }
+
+  // ---------------------------------------------------------------- C92
+  /** Longest identical-token run per document — the degenerate-loop
+    * detector ("the the the …") that catches what q64's windowed
+    * repetition RATIO dilutes: a long document with one pathological burst
+    * can pass a global ratio test while being exactly the model-collapse
+    * artifact a filter exists to drop. Emits each document's longest run
+    * and the repeated token (longest run, then lexicographically-least
+    * token — total order).
+    *
+    * Scale: the gaps-and-islands identity — island id = pos − rank within
+    * (doc, token) — turns run detection into two hash aggregations; every
+    * window partitions by doc_id (parallel, never global). Counts are
+    * exact integers; the argmax tie-break is a deterministic min-struct. */
+  def q215TokenRuns(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ", -1)).as(Seq("pos", "word")))
+    val byWord = Window.partitionBy(col("doc_id"), col("word"))
+      .orderBy(col("pos"))
+    val runs = toks
+      .withColumn("island", col("pos") - row_number().over(byWord))
+      .groupBy(col("doc_id"), col("word"), col("island"))
+      .agg(count(lit(1)).as("run"))
+    runs.groupBy(col("doc_id"))
+      .agg(min(struct((-col("run")).as("neg"), col("word"))).as("best"))
+      .select(col("doc_id"), (-col("best.neg")).as("max_run"),
+        col("best.word").as("run_word"))
+  }
+
+  // ---------------------------------------------------------------- C93
+  /** Winnowing fingerprints (Schleimer-Wilkerson-Aiken 2003 — the MOSS
+    * algorithm): per document, hash every k-gram of tokens, slide a
+    * w-gram window, and keep each window's MINIMAL hash (ties → rightmost
+    * position) — a position-robust fingerprint set with guaranteed
+    * coverage (any match of length ≥ w+k−1 shares a fingerprint), the
+    * principled middle ground between q50's single rolling hash and
+    * q41's probabilistic MinHash.
+    *
+    * Exactness: the hash is the first 8 hex chars of md5 (engine-identical;
+    * fixed-width lowercase hex compares as the number), selection is a
+    * per-window min + rightmost-tie argmax — all expressible in both
+    * engines, so the fingerprint SET has an exact oracle. Scale: windows
+    * come from a ×w positional explode of the gram frame (w is a small
+    * constant), the min is one (doc, window-start) aggregation, and the
+    * tie-resolving join keys on the same aggregated frame — hash
+    * shuffles only; everything partitions by doc. */
+  def q217Winnowing(spark: SparkSession, dir: String, k: Int = 3,
+      w: Int = 4): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+      .filter(size(col("ws")) >= k + w - 1)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ws) - $k), " +
+          s"i -> substring(md5(array_join(slice(ws, i + 1, $k), ' ')), 1, 8))"))
+        .as(Seq("pos", "h")))
+    // window starting at s covers gram positions [s, s+w-1]: replicate each
+    // gram into the ≤w windows containing it (bounded ×w map-side)
+    val inWindow = grams
+      .withColumn("s", explode(expr(
+        s"sequence(greatest(pos - ${w - 1}, 0), pos)")))
+    val nGrams = grams.groupBy(col("doc_id"))
+      .agg(max(col("pos")).as("max_pos"))
+    val valid = inWindow.join(nGrams, Seq("doc_id"))
+      .filter(col("s") <= col("max_pos") - (w - 1))
+    val selected = valid
+      .groupBy(col("doc_id"), col("s"))
+      // min hash, rightmost tie: min over (hash asc, -pos asc)
+      .agg(min(struct(col("h"), (-col("pos")).as("np"))).as("m"))
+      .select(col("doc_id"), col("m.h").as("fp_hash"),
+        (-col("m.np")).cast("long").as("fp_pos"))
+      .distinct()
+    selected.select(col("doc_id"), col("fp_pos"), col("fp_hash"))
+  }
 }

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Corpus, Relational, TextAnalysis}
+
+/** Semantic witnesses for the round-12 growth batch (q207-q217): exact
+  * in-memory replays, algebraic invariants, and plan-shape assertions —
+  * alongside each query's exact DuckDB oracle. */
+class Round12GrowthSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q209 pushes both OR-envelopes into the scans") {
+    val p = Relational.q209DisjunctiveRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the lineitem scan must carry the quantity envelope, the part scan the
+    // brand/size disjunction — neither side reads the table unfiltered
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"quantity envelope not pushed:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(p_partkey), Or(Or(And(EqualTo(p_brand"),
+      s"brand/size envelope not pushed:\n$p")
+  }
+
+  test("q211 gini equals a sorted in-memory replay and sits in [0, 1)") {
+    val revs = sources.Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(14,2)")).as("rev"))
+      .select($"o_custkey", $"rev".cast("string"))
+      .as[(Long, String)].collect()
+      .map { case (k, r) => (k, BigDecimal(r)) }
+    val sorted = revs.sortBy { case (k, r) => (r, k) }
+    val n = sorted.length
+    val total = sorted.map(_._2).sum
+    val weighted = sorted.zipWithIndex
+      .map { case ((_, r), i) => r * (i + 1) }.sum
+    val want = 2.0 * weighted.toDouble / (n.toDouble * total.toDouble) -
+      (n + 1).toDouble / n.toDouble
+    val got = Relational.q211Gini(spark, sf)
+      .select($"n", $"gini").as[(Long, Double)].head()
+    assert(got._1 === n.toLong)
+    assert(got._2 === want)
+    assert(got._2 >= 0.0 && got._2 < 1.0)
+  }
+
+  test("q212 U statistic equals an in-memory rank replay") {
+    val rows = sources.Tables.orders(spark, sf)
+      .join(sources.Tables.customer(spark, sf),
+        $"o_custkey" === $"c_custkey")
+      .filter($"c_mktsegment".isin("BUILDING", "MACHINERY"))
+      .select($"o_orderkey", $"c_mktsegment",
+        $"o_totalprice".cast("decimal(14,2)").cast("string"))
+      .as[(Long, String, String)].collect()
+      .map { case (k, s, v) => (k, s, BigDecimal(v)) }
+    val ranked = rows.sortBy { case (k, _, v) => (v, k) }.zipWithIndex
+    val nA = rows.count(_._2 == "BUILDING").toLong
+    val nB = rows.count(_._2 == "MACHINERY").toLong
+    val rankSumA = ranked
+      .collect { case ((_, "BUILDING", _), i) => i + 1L }.sum
+    val u = rankSumA - nA * (nA + 1) / 2
+    val got = Relational.q212MannWhitney(spark, sf)
+      .select($"n_a", $"n_b", $"u", $"z")
+      .as[(Long, Long, Long, Double)].head()
+    assert((got._1, got._2, got._3) === ((nA, nB, u)))
+    // z is U standardized under H0 — finite and sane for real data
+    assert(math.abs(got._4) < 50.0)
+  }
+
+  test("q213 benford shares sum to 1 over all orders, chi2 terms >= 0") {
+    val got = Relational.q213Benford(spark, sf)
+      .select($"digit", $"cnt", $"share", $"benford", $"chi2_term")
+      .as[(Int, Long, Double, Double, Double)].collect()
+    assert(got.map(_._1).sorted.toSeq === (1 to 9))
+    assert(got.map(_._2).sum === sources.Tables.orders(spark, sf).count())
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-12)
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-12)
+    assert(got.forall(_._5 >= 0.0))
+  }
+
+  test("q214 acf equals an in-memory lagged-Pearson replay") {
+    val counts = sources.Tables.events(spark, sf)
+      .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000L"))
+      .as[Long].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = (1 to 7).map { k =>
+      val pairs = counts.toSeq.flatMap { case (d, x) =>
+        counts.get(d + k).map(y => (x, y)) }
+      val n = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      k.toLong -> ((n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble)))
+    }.toMap
+    val got = Relational.q214Acf(spark, sf)
+      .select($"lag", $"acf").as[(Long, Double)].collect().toMap
+    assert(got === want)
+    assert(got.values.forall(v => v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9))
+  }
+
+  test("q215 longest runs equal a linear-scan replay") {
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val want = docs.map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      var best = (0L, "")
+      var i = 0
+      while (i < ws.length) {
+        var j = i
+        while (j < ws.length && ws(j) == ws(i)) j += 1
+        val run = (j - i).toLong
+        if (run > best._1 || (run == best._1 && ws(i) < best._2))
+          best = (run, ws(i))
+        i = j
+      }
+      (id, best._1, best._2)
+    }.toSet
+    val got = TextAnalysis.q215TokenRuns(spark, sf)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === want)
+  }
+
+  test("q216 weights sum to 1 and smooth toward the tail") {
+    val got = Corpus.q216TemperatureMix(spark, sf)
+      .select($"source", $"p", $"weight", $"boost")
+      .as[(String, Double, Double, Double)].collect()
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-12)
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-12)
+    // α = 1/2 upweights below-average sources, downweights the head, and
+    // the boost ordering is the inverse of the share ordering
+    val byP = got.sortBy(_._2)
+    assert(byP.head._4 >= byP.last._4)
+    assert(byP.map(_._4).reverse.sameElements(byP.map(_._4).reverse.sorted))
+  }
+
+  test("q217 fingerprints satisfy the winnowing coverage guarantee") {
+    // the algorithm's defining invariant: EVERY w-window of k-grams
+    // contributes a fingerprint, so any match of length >= w+k-1 tokens is
+    // caught; verify per document against the gram counts
+    val k = 3; val w = 4
+    val fps = TextAnalysis.q217Winnowing(spark, sf, k, w)
+      .select($"doc_id", $"fp_pos").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ", -1)).as("n"))
+      .as[(Long, Int)].collect()
+      .filter(_._2 >= k + w - 1)
+    assert(docs.nonEmpty)
+    docs.foreach { case (id, n) =>
+      val nGrams = n - k + 1
+      val sel = fps.getOrElse(id, Set.empty)
+      assert(sel.nonEmpty, s"doc $id has no fingerprints")
+      (0 to nGrams - w).foreach { s =>
+        assert((s until s + w).exists(p => sel.contains(p.toLong)),
+          s"doc $id window at $s uncovered")
+      }
+    }
+    // and fingerprints are a strict sparsification (expected density 2/(w+1))
+    val totalGrams = docs.map(d => d._2 - k + 1L).sum
+    val totalFps = docs.map(d => fps.getOrElse(d._1, Set.empty).size.toLong).sum
+    assert(totalFps < totalGrams, "winnowing selected every gram")
+  }
+}
