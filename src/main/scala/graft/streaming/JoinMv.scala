@@ -1,0 +1,255 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Incrementally-maintained equi-JOIN MV over TWO keyed changelogs — the
+ * multi-table heart of the reference: TiFlink exists to keep
+ * `SELECT ... FROM fact JOIN dim ON fact.fk = dim.pk` fresh under CDC on
+ * BOTH tables (reference: TiFlinkApp.java:270 runs arbitrary multi-table
+ * StreamSQL; FlinkTikvConsumer.java:244-268 feeds each table's row-kinds).
+ * [[IncrementalMv]] maintains the aggregate shape; this maintains the join
+ * shape with the delta-join algebra: a batch's output changes are exactly
+ * Δfact ⋈ dim ∪ fact ⋈ Δdim — never a full recompute.
+ *
+ * Storage (all [[BucketedTable]]-bucketed, per-bucket atomic swaps):
+ *   - `left`        fact rows, latest per `pkA`, bucketed by pkA
+ *   - `left_by_fk`  secondary index (fk, pkA), bucketed by fk — the
+ *                   reverse pointer that makes "which facts reference this
+ *                   changed dim row" a partition-pruned lookup instead of
+ *                   a fact-table scan (TiKV's key-ranged scan analog,
+ *                   TableKeyRangeUtils.java:30-60)
+ *   - `right`       dim rows, latest per `pkB`, bucketed by pkB
+ *   - `mv`          joined output, keyed/bucketed by pkA
+ *
+ * Per batch: compact each side to one final change per key, upsert both
+ * entity tables and the index (touched buckets only), derive the affected
+ * output keys as ΔA.pk ∪ index⁻¹(ΔB.pk), re-join JUST those fact rows
+ * against the current dim buckets they reference, diff against the
+ * current MV rows, emit an I/U/D changelog, and swap the touched MV
+ * buckets. Work per batch ∝ |ΔA| + |ΔB| + |affected| + the buckets they
+ * hash into — never table-sized. An update that MOVES a fact row between
+ * fk values retracts the old index entry (its old bucket) and inserts the
+ * new one, so both dim sides see it correctly forever after.
+ *
+ * Replay safety: entity/index upserts are idempotent (latest-version-wins
+ * over content-addressed state); the changelog batch directory is written
+ * (staged + atomic rename) BEFORE the MV swap and guarded by existence;
+ * the `_applied_batch` marker lands after the MV swap. A replay at any
+ * crash point recomputes identical state and skips what already
+ * committed — same commit discipline as [[IncrementalMv]].
+ *
+ * Join semantics: LEFT OUTER by default (`innerJoin = true` drops
+ * unmatched facts) — a fact arriving before its dim row emits with null
+ * dim columns and UPGRADES to the joined row when the dim arrives, which
+ * is the late-dimension behavior a CDC pipeline needs. Column names of
+ * the two sides must be disjoint (checked loudly).
+ */
+object JoinMv {
+  import BucketedTable._
+
+  /** Latest row per `pk` within one batch. */
+  private def compact(batch: DataFrame, pk: String, ver: String): DataFrame =
+    batch.groupBy(col(pk))
+      .agg(max_by(struct(batch.columns.toIndexedSeq.map(col): _*), col(ver))
+        .as("__r"))
+      .select(col("__r.*"))
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem, p: Path): Long =
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      batchId: Long): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(s"marker rename $tmp -> $p failed")
+  }
+
+  /** Apply one micro-batch of both changelogs; see object doc. `batchA`
+    * carries `(pkA, verA, opA, fk, payload...)`, `batchB`
+    * `(pkB, verB, opB, payload...)`; `op` value "delete" tombstones. */
+  def applyBatch(basePath: String,
+      pkA: String, verA: String, opA: String, fk: String,
+      pkB: String, verB: String, opB: String,
+      nBuckets: Int = 16, innerJoin: Boolean = false,
+      reliable: Boolean = false,
+      changelogPath: Option[String] = None)
+      (batchA: DataFrame, batchB: DataFrame, batchId: Long): Unit = {
+    val spark = batchA.sparkSession
+    val leftPath = s"$basePath/left"
+    val idxPath = s"$basePath/left_by_fk"
+    val rightPath = s"$basePath/right"
+    val mvPath = s"$basePath/mv"
+    val overlap = batchA.columns.toSet.intersect(batchB.columns.toSet)
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint, both have: $overlap")
+
+    val fs = new Path(basePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(mvPath, "_applied_batch")
+    if (readMarker(fs, marker) >= batchId) return // full replay of a done batch
+
+    val dAMat = graft.Lineage.truncate(
+      compact(batchA, pkA, verA)
+        .withColumn(BucketCol, bucketOf(Seq(col(pkA)), nBuckets)), reliable)
+    val dBMat = graft.Lineage.truncate(
+      compact(batchB, pkB, verB)
+        .withColumn(BucketCol, bucketOf(Seq(col(pkB)), nBuckets)), reliable)
+    try {
+      val dA = dAMat.df
+      val dB = dBMat.df
+
+      // ---- LEFT entity upsert (latest-wins + tombstones), touched buckets
+      val touchedL = touchedBuckets(dA)
+      val curL = readTouched(spark, leftPath, touchedL).getOrElse(dA.limit(0))
+      // the pre-swap rows of the keys this batch changes — snapshot them
+      // (they feed the index retraction AFTER the left swap invalidates
+      // any frame still scanning the old bucket files)
+      val changedOldMat = graft.Lineage.truncate(
+        curL.join(dA.select(col(pkA)), Seq(pkA), "left_semi"), reliable)
+      try {
+        val unionL = curL.unionByName(dA)
+        val newLMat = graft.Lineage.truncate(
+          unionL.groupBy(col(pkA))
+            .agg(max_by(struct(unionL.columns.toIndexedSeq.map(col): _*),
+              col(verA)).as("__r"))
+            .select(col("__r.*"))
+            .filter(col(opA) =!= "delete"), reliable)
+        try {
+          if (touchedL.nonEmpty) swapTouched(newLMat.df, leftPath, touchedL)
+
+          // ---- secondary index (fk, pkA): retract changed keys' OLD
+          // entries from their old-fk buckets, insert the new ones
+          val oldEntries = changedOldMat.df
+            .select(col(fk).as("__fk"), col(pkA).as("__pk"))
+          val newEntries = newLMat.df
+            .join(dA.select(col(pkA)), Seq(pkA), "left_semi")
+            .select(col(fk).as("__fk"), col(pkA).as("__pk"))
+          val idxDelta = oldEntries.unionByName(newEntries)
+            .withColumn(BucketCol, bucketOf(Seq(col("__fk")), nBuckets))
+          val touchedIdx = touchedBuckets(idxDelta)
+          if (touchedIdx.nonEmpty) {
+            val curIdx = readTouched(spark, idxPath, touchedIdx)
+              .getOrElse(idxDelta.limit(0).select(
+                col("__fk"), col("__pk"), col(BucketCol)))
+            val newIdx = curIdx
+              .join(dA.select(col(pkA).as("__pk")), Seq("__pk"), "left_anti")
+              .unionByName(newEntries.withColumn(BucketCol,
+                bucketOf(Seq(col("__fk")), nBuckets)))
+            swapTouched(newIdx, idxPath, touchedIdx)
+          }
+        } finally newLMat.release()
+      } finally changedOldMat.release()
+
+      // ---- RIGHT entity upsert
+      val touchedR = touchedBuckets(dB)
+      val curR = readTouched(spark, rightPath, touchedR).getOrElse(dB.limit(0))
+      val unionR = curR.unionByName(dB)
+      val newR = unionR.groupBy(col(pkB))
+        .agg(max_by(struct(unionR.columns.toIndexedSeq.map(col): _*),
+          col(verB)).as("__r"))
+        .select(col("__r.*"))
+        .filter(col(opB) =!= "delete")
+      if (touchedR.nonEmpty) swapTouched(newR, rightPath, touchedR)
+
+      // ---- affected output keys: Δfact ∪ index⁻¹(Δdim)
+      val dBKeyBuckets = touchedBuckets(
+        dB.select(col(pkB)).withColumn(BucketCol,
+          bucketOf(Seq(col(pkB)), nBuckets)))
+      val fromB = readTouched(spark, idxPath, dBKeyBuckets)
+        .map(_.join(dB.select(col(pkB).as("__fk")), Seq("__fk"), "left_semi")
+          .select(col("__pk").as("__k")))
+        .getOrElse(dA.limit(0).select(col(pkA).as("__k")))
+      val affectedMat = graft.Lineage.truncate(
+        dA.select(col(pkA).as("__k")).unionByName(fromB).distinct()
+          .withColumn(BucketCol, bucketOf(Seq(col("__k")), nBuckets)),
+        reliable)
+      try {
+        val affected = affectedMat.df
+        val touchedMv = touchedBuckets(affected)
+        if (touchedMv.nonEmpty) {
+          // re-join just the affected fact rows against the dim buckets
+          // they reference — both reads are post-swap and bucket-pruned
+          val leftRows = readTouched(spark, leftPath, touchedMv)
+            .getOrElse(dA.limit(0))
+            .join(affected.select(col("__k").as(pkA)), Seq(pkA), "left_semi")
+          val leftMat = graft.Lineage.truncate(leftRows, reliable)
+          try {
+            val rightNeeded = touchedBuckets(leftMat.df
+              .select(bucketOf(Seq(col(fk)), nBuckets).as(BucketCol)))
+            val dimCols = batchB.columns.filterNot(c => c == opB)
+            val rightState = readTouched(spark, rightPath, rightNeeded)
+              .map(_.select(dimCols.toIndexedSeq.map(col): _*))
+              .getOrElse(dB.select(dimCols.toIndexedSeq.map(col): _*).limit(0))
+            val outCols = batchA.columns.filterNot(c => c == opA) ++
+              dimCols.filterNot(c => c == pkB || c == verB)
+            val joined = leftMat.df.drop(BucketCol)
+              .join(rightState, col(fk) === col(pkB),
+                if (innerJoin) "inner" else "left")
+              .select(outCols.toIndexedSeq.map(col): _*)
+              .withColumn(BucketCol, bucketOf(Seq(col(pkA)), nBuckets))
+            val newOutMat = graft.Lineage.truncate(joined, reliable)
+            try {
+              val curMv = readTouched(spark, mvPath, touchedMv)
+                .getOrElse(newOutMat.df.limit(0))
+              // changelog BEFORE the swap (guarded by dir existence) so a
+              // replay after the swap skips it instead of emitting a
+              // spurious empty diff
+              changelogPath.foreach { cl =>
+                val clFs = new Path(cl).getFileSystem(
+                  spark.sparkContext.hadoopConfiguration)
+                val dst = new Path(cl, s"batch=$batchId")
+                if (!clFs.exists(dst)) {
+                  val dataCols = outCols.toIndexedSeq.filterNot(_ == pkA)
+                  // presence flags, not struct-null tests: a full join's
+                  // missing side nulls the COLUMNS, and a struct of null
+                  // fields is still a non-null struct
+                  val oldRows = curMv
+                    .join(affected.select(col("__k").as(pkA)), Seq(pkA),
+                      "left_semi")
+                    .select(col(pkA) +: lit(true).as("__has_old") +:
+                      dataCols.map(c => col(c).as(s"__o_$c")): _*)
+                  val newRows = newOutMat.df
+                    .select(col(pkA) +: lit(true).as("__has_new") +:
+                      dataCols.map(col): _*)
+                  val diff = oldRows.join(newRows, Seq(pkA), "full")
+                    .filter(col("__has_old").isNull ||
+                      col("__has_new").isNull ||
+                      !(struct(dataCols.map(c => col(s"__o_$c")): _*) <=>
+                        struct(dataCols.map(col): _*)))
+                    .select(col(pkA),
+                      when(col("__has_old").isNull, lit("I"))
+                        .when(col("__has_new").isNull, lit("D"))
+                        .otherwise(lit("U")).as("__op"),
+                      struct(dataCols.map(col): _*).as("__row"))
+                  val staging = new Path(cl, s"_staging_$batchId")
+                  clFs.delete(staging, true)
+                  diff.write.mode("overwrite").parquet(staging.toString)
+                  clFs.mkdirs(dst.getParent)
+                  if (!clFs.rename(staging, dst))
+                    throw new IllegalStateException(
+                      s"changelog rename $staging -> $dst failed")
+                }
+              }
+              val kept = curMv
+                .join(affected.select(col("__k").as(pkA)), Seq(pkA),
+                  "left_anti")
+              swapTouched(kept.unionByName(newOutMat.df), mvPath, touchedMv)
+            } finally newOutMat.release()
+          } finally leftMat.release()
+        }
+      } finally affectedMat.release()
+      writeMarker(fs, marker, batchId)
+    } finally { dAMat.release(); dBMat.release() }
+  }
+}
