@@ -236,6 +236,9 @@ object SparkEntry {
     "q215_token_runs" -> (TextAnalysis.q215TokenRuns _),
     "q216_temperature_mix" -> (Corpus.q216TemperatureMix _),
     "q217_winnowing" -> ((s, d) => TextAnalysis.q217Winnowing(s, d)),
+    "q218_tpch_q9_profit" -> (Relational.q218Tpch9Profit _),
+    "q219_whale_share" -> ((s, d) => Relational.q219WhaleShare(s, d)),
+    "q220_bpe_encode" -> ((s, d) => Corpus.q220BpeEncode(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2733,5 +2736,30 @@ object SparkEntry {
         |FROM m JOIN valid v
         |  ON v.doc_id = m.doc_id AND v.s = m.s AND v.h = m.fp_hash
         |GROUP BY v.doc_id, m.s, m.fp_hash""".stripMargin,
+    "q218_tpch_q9_profit" ->
+      """SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS profit,
+        |  count(*) AS cnt
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q219_whale_share" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT rev,
+        |    CAST(row_number() OVER (ORDER BY rev DESC, o_custkey) AS BIGINT)
+        |      AS r,
+        |    count(*) OVER () AS n FROM rev),
+        |t AS (SELECT CAST(sum(rev) AS DOUBLE) AS total FROM rev),
+        |p0 AS (SELECT unnest([1, 5, 10, 25]) AS pct0),
+        |m AS (SELECT CAST(pct0 AS INT) AS pct, count(*) AS n_customers,
+        |    sum(rk.rev) AS bracket_rev
+        |  FROM rk JOIN p0 ON 100 * rk.r <= pct0 * rk.n GROUP BY 1)
+        |SELECT pct, n_customers,
+        |  CAST(bracket_rev AS DOUBLE) AS bracket_revenue,
+        |  CAST(bracket_rev AS DOUBLE) / total AS share
+        |FROM m CROSS JOIN t""".stripMargin,
   )
 }

@@ -1874,6 +1874,51 @@ object Corpus {
     merges.toSeq.toDF("round", "s1", "s2", "merged", "pair_count")
   }
 
+  // ---------------------------------------------------------------- C95
+  /** BPE ENCODE — apply the merge table [[q172BpeMerges]] learns to the
+    * corpus (the tokenizer-application step every data pipeline runs after
+    * training one: token counts for budgeting, packing, and manifest
+    * generation are counts of THESE symbols, not whitespace words).
+    * Applies each learned merge, in training order, with training's OWN
+    * greedy left-to-right fold — encode and train can never disagree about
+    * what a merge does. Emits per-document word count, encoded BPE symbol
+    * count, and chars-per-token (the compression diagnostic).
+    *
+    * Scale: the merge table is `rounds`-bounded (collected driver-side by
+    * construction, never data-sized) and COMPOSES into one codegen'd
+    * expression — `rounds` nested folds applied in a single map-only pass
+    * over the tokens; the per-doc rollup is one partial-agged groupBy.
+    * Rows-only (merge learning is iterative argmax, not SQL); the spec
+    * replays encode in-memory from the same merge table, exact. */
+  def q220BpeEncode(spark: SparkSession, dir: String,
+      rounds: Int = 8): DataFrame = {
+    val merges = q172BpeMerges(spark, dir, rounds)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    val empty = array().cast("array<string>")
+    def applyMerge(syms: Column, x: String, y: String, xy: String): Column =
+      aggregate(syms, empty, (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(x) &&
+            s === lit(y),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(xy))))
+          .otherwise(concat(acc, array(s))))
+    val encoded = merges.foldLeft(split(col("word"), ""): Column) {
+      case (c, (x, y, xy)) => applyMerge(c, x, y, xy)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"), col("n_chars"), size(encoded).as("n_syms"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms").cast("long")).as("n_bpe_tokens"),
+        first(col("n_chars")).as("__nc"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        (col("__nc").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("chars_per_token"))
+  }
+
   // ---------------------------------------------------------------- C94
   /** Temperature-scaled source mixing weights (the multilingual-corpus
     * rebalancing rule: sample source s ∝ p_s^α, α < 1 upweights the tail

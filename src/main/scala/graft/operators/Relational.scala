@@ -2715,6 +2715,53 @@ object Relational {
           .as("acf"))
   }
 
+  // ---------------------------------------------------------------- A107
+  /** TPC-H Q9 shape — supplier-nation profit by year (adapted to this
+    * schema's columns: revenue net of discount, no partsupp cost table).
+    * Scale: lineitem joins supplier by key (supplier is dimension-scaled
+    * but corpus-derived — unforced, stats decide), nation broadcasts;
+    * group domain = \|nations\|·\|years\|. DECIMAL-exact. */
+  def q218Tpch9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(3, 2))
+    val profit = money($"l_extendedprice") * (one - rate($"l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", year($"l_shipdate").cast("long").as("o_year"))
+      .agg(asDouble(sum(profit)).as("profit"), count(lit(1)).as("cnt"))
+  }
+
+  // ---------------------------------------------------------------- A108
+  /** Whale-concentration brackets — the share of total revenue held by
+    * the top 1%/5%/10%/25% of customers (the cumulative complement of
+    * q211's single-number Gini): per bracket, member count and exact
+    * revenue share.
+    *
+    * Exactness: customers rank by (revenue desc, custkey) through
+    * [[Rank.globalRowNumberAndTotal]] (range exchange + one count pass —
+    * never a single-task window); bracket membership is the integer test
+    * `100·rank ≤ pct·n` (no fp ceil); revenue sums in DECIMAL per
+    * bracket×4 via one explode of the ranked frame; shares are single
+    * IEEE divisions. */
+  def q219WhaleShare(spark: SparkSession, dir: String,
+      brackets: Seq[Int] = Seq(1, 5, 10, 25)): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(money($"o_totalprice")).as("rev"))
+    val (ranked, n) = Rank.globalRowNumberAndTotal(rev,
+      Seq($"rev".desc, $"o_custkey".asc), rnCol = "r")
+    val total = ranked.agg(sum($"rev")).head().getDecimal(0)
+    ranked
+      .withColumn("pct", explode(array(brackets.map(lit): _*)))
+      .filter($"r" * 100 <= $"pct" * n)
+      .groupBy($"pct")
+      .agg(count(lit(1)).as("n_customers"), sum($"rev").as("bracket_rev"))
+      .select($"pct", $"n_customers",
+        asDouble($"bracket_rev").as("bracket_revenue"),
+        (asDouble($"bracket_rev") / lit(total.doubleValue())).as("share"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

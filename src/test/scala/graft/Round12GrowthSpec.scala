@@ -133,6 +133,57 @@ class Round12GrowthSpec extends SparkSpec {
     assert(byP.map(_._4).reverse.sameElements(byP.map(_._4).reverse.sorted))
   }
 
+  test("q219 whale brackets nest monotonically and top-1% leads") {
+    val got = Relational.q219WhaleShare(spark, sf)
+      .select($"pct", $"n_customers", $"share")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(1, 5, 10, 25))
+    // brackets nest: counts and shares are non-decreasing in pct
+    assert(got.map(_._2).toSeq === got.map(_._2).sorted.toSeq)
+    assert(got.map(_._3).toSeq === got.map(_._3).sorted.toSeq)
+    // a bracket can never hold more than its share of customers would at
+    // uniform revenue... but always at least pct% by count construction
+    val n = sources.Tables.orders(spark, sf)
+      .select($"o_custkey").distinct().count()
+    got.foreach { case (pct, cnt, share) =>
+      assert(cnt === pct.toLong * n / 100, s"pct $pct count")
+      assert(share >= pct / 100.0 - 1e-9, s"top $pct% below uniform share")
+      assert(share <= 1.0 + 1e-12)
+    }
+  }
+
+  test("q220 BPE encode equals an in-memory replay of the learned merges") {
+    val merges = Corpus.q172BpeMerges(spark, sf)
+      .orderBy($"round")
+      .select($"s1", $"s2", $"merged").as[(String, String, String)].collect()
+    def applyMerge(syms: Vector[String], x: String, y: String,
+        xy: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == x && s == y)
+          acc.init :+ xy
+        else acc :+ s
+      }
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"n_chars").as[(Long, String, Long)]
+      .collect()
+    val want = docs.map { case (id, text, nc) =>
+      val words = text.split(" ", -1).filter(_.nonEmpty)
+      val counts = words.map { w =>
+        merges.foldLeft(w.split("").toVector) {
+          case (s, (x, y, xy)) => applyMerge(s, x, y, xy)
+        }.length.toLong
+      }
+      (id, words.length.toLong, counts.sum,
+        nc.toDouble / counts.sum.toDouble)
+    }.toSet
+    val got = Corpus.q220BpeEncode(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === want)
+    // merges really compress: total BPE tokens < total characters
+    val totalChars = docs.map(_._3).sum
+    assert(got.toSeq.map(_._3).sum < totalChars)
+  }
+
   test("q217 fingerprints satisfy the winnowing coverage guarantee") {
     // the algorithm's defining invariant: EVERY w-window of k-grams
     // contributes a fingerprint, so any match of length >= w+k-1 tokens is
