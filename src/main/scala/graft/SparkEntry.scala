@@ -239,6 +239,7 @@ object SparkEntry {
     "q218_tpch_q9_profit" -> (Relational.q218Tpch9Profit _),
     "q219_whale_share" -> ((s, d) => Relational.q219WhaleShare(s, d)),
     "q220_bpe_encode" -> ((s, d) => Corpus.q220BpeEncode(s, d)),
+    "q221_dim_ablation" -> ((s, d) => Similarity.q221DimAblation(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2761,5 +2762,37 @@ object SparkEntry {
         |  CAST(bracket_rev AS DOUBLE) AS bracket_revenue,
         |  CAST(bracket_rev AS DOUBLE) / total AS share
         |FROM m CROSS JOIN t""".stripMargin,
+    "q221_dim_ablation" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, emb FROM e WHERE vec_id < 20),
+        |fp AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_dot_product(q.emb, c.emb)
+        |        / (sqrt(list_dot_product(q.emb, q.emb))
+        |           * sqrt(list_dot_product(c.emb, c.emb))) DESC,
+        |      c.vec_id) AS rk
+        |  FROM q JOIN e c ON c.vec_id <> q.vec_id),
+        |fk AS (SELECT qid, nid FROM fp WHERE rk <= 10),
+        |d0 AS (SELECT unnest([4, 8, 16]) AS dim0),
+        |d AS (SELECT CAST(dim0 AS INT) AS dim FROM d0),
+        |tp AS (SELECT d.dim, q.vec_id AS qid, c.vec_id AS nid,
+        |    row_number() OVER (PARTITION BY d.dim, q.vec_id ORDER BY
+        |      list_dot_product(list_slice(q.emb, 1, d.dim),
+        |                       list_slice(c.emb, 1, d.dim))
+        |        / (sqrt(list_dot_product(list_slice(q.emb, 1, d.dim),
+        |                                 list_slice(q.emb, 1, d.dim)))
+        |           * sqrt(list_dot_product(list_slice(c.emb, 1, d.dim),
+        |                                   list_slice(c.emb, 1, d.dim))))
+        |      DESC, c.vec_id) AS rk
+        |  FROM d CROSS JOIN q JOIN e c ON c.vec_id <> q.vec_id),
+        |tk AS (SELECT dim, qid, nid FROM tp WHERE rk <= 10)
+        |SELECT tk.dim, tk.qid AS query_id,
+        |  CAST(sum(CASE WHEN fk.nid IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_overlap,
+        |  CAST(sum(CASE WHEN fk.nid IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / 10.0 AS recall
+        |FROM tk LEFT JOIN fk ON tk.qid = fk.qid AND tk.nid = fk.nid
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -514,6 +514,49 @@ object Similarity {
         (col("nlabel") === col("qlabel")).as("correct"))
   }
 
+  // ---------------------------------------------------------------- C96
+  /** Embedding-dimension ablation (the Matryoshka question: how much
+    * retrieval quality survives truncating vectors to their first d
+    * dimensions — what decides whether the 100 TB index stores 64 floats
+    * or 16): per candidate d, each query's truncated-cosine top-k is
+    * scored by its overlap with the FULL-dimension top-k (recall@k). Rows
+    * stay PER QUERY (q195's rule — a corpus mean would be an unordered fp
+    * sum); overlap counts are exact integers, recall one IEEE division.
+    *
+    * Scale: q45's bounded-broadcast posture ×(|dims|+1) brute-force scans
+    * (the recall=1 baseline being evaluated — the IVF path is what the
+    * answer tunes); each arm's slice is constant-folded, top-k compiles
+    * to WindowGroupLimit, the overlap join keys on (query, neighbor). */
+  def q221DimAblation(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 20, dims: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    def topK(proj: Column => Column): DataFrame = {
+      val c = e.select(col("vec_id"), proj(toDoubles(col("embedding"))).as("emb"))
+        .select(col("vec_id"), col("emb"),
+          sqrt(dotD(col("emb"), col("emb"))).as("norm"))
+      val q = c.filter(col("vec_id") < nQueries)
+      val scored = c.as("c")
+        .join(broadcast(q.select(col("vec_id").as("qid"), col("emb").as("qe"),
+          col("norm").as("qn"))), col("qid") =!= col("c.vec_id"))
+        .select(col("qid"), col("c.vec_id").as("nid"),
+          (dotD(col("qe"), col("c.emb")) / (col("qn") * col("c.norm")))
+            .as("score"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("nid").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select(col("qid"), col("nid"))
+    }
+    val full = topK(identity)
+    dims.map { d =>
+      topK(v => slice(v, 1, d))
+        .join(full.withColumn("__hit", lit(1L)), Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+        .select(lit(d).as("dim"), col("qid").as("query_id"), col("n_overlap"),
+          (col("n_overlap").cast("double") / lit(k.toDouble)).as("recall"))
+    }.reduce(_ unionAll _)
+  }
+
   // ---------------------------------------------------------------- C76
   /** Top principal component by MATRIX-FREE power iteration (the
     * embedding-drift / anisotropy diagnostic — sentence-embedding spaces

@@ -184,6 +184,22 @@ class Round12GrowthSpec extends SparkSpec {
     assert(got.toSeq.map(_._3).sum < totalChars)
   }
 
+  test("q221 ablation recalls are valid and improve with dimensions") {
+    val got = graft.operators.Similarity.q221DimAblation(spark, sf)
+      .select($"dim", $"query_id", $"n_overlap", $"recall")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(got.map(_._1).distinct.sorted.toSeq === Seq(4, 8, 16))
+    assert(got.groupBy(_._1).values.forall(_.length == 20))
+    got.foreach { case (_, _, ov, r) =>
+      assert(ov >= 0 && ov <= 10)
+      assert(r === ov / 10.0)
+    }
+    // deterministic data: more dimensions recover more of the full top-k
+    val mean = got.groupBy(_._1).view.mapValues(
+      rs => rs.map(_._4).sum / rs.length).toMap
+    assert(mean(16) >= mean(4), s"recall did not improve: $mean")
+  }
+
   test("q217 fingerprints satisfy the winnowing coverage guarantee") {
     // the algorithm's defining invariant: EVERY w-window of k-grams
     // contributes a fingerprint, so any match of length >= w+k-1 tokens is
