@@ -240,6 +240,7 @@ object SparkEntry {
     "q219_whale_share" -> ((s, d) => Relational.q219WhaleShare(s, d)),
     "q220_bpe_encode" -> ((s, d) => Corpus.q220BpeEncode(s, d)),
     "q221_dim_ablation" -> ((s, d) => Similarity.q221DimAblation(s, d)),
+    "q222_wilson_rank" -> ((s, d) => Relational.q222WilsonRank(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2794,5 +2795,32 @@ object SparkEntry {
         |    / 10.0 AS recall
         |FROM tk LEFT JOIN fk ON tk.qid = fk.qid AND tk.nid = fk.nid
         |GROUP BY 1, 2""".stripMargin,
+    // z and z^2 literals in e-notation: a plain decimal literal parses as
+    // DECIMAL and its double conversion can land one ulp off (q213 lesson);
+    // z^2 is written as z*z so both engines square the same double
+    "q222_wilson_rank" ->
+      """WITH c AS (SELECT user_id, count(*) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conversions
+        |  FROM events GROUP BY 1 HAVING count(*) >= 5),
+        |s AS (SELECT user_id, n, conversions,
+        |    CAST(conversions AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+        |    (CAST(conversions AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + (1.959963984540054e0 * 1.959963984540054e0)
+        |        / (2.0e0 * CAST(n AS DOUBLE))
+        |      - 1.959963984540054e0
+        |        * sqrt((CAST(conversions AS DOUBLE) / CAST(n AS DOUBLE)
+        |            * (1.0e0 - CAST(conversions AS DOUBLE)
+        |               / CAST(n AS DOUBLE))
+        |            + (1.959963984540054e0 * 1.959963984540054e0)
+        |              / (4.0e0 * CAST(n AS DOUBLE)))
+        |          / CAST(n AS DOUBLE)))
+        |    / (1.0e0 + (1.959963984540054e0 * 1.959963984540054e0)
+        |       / CAST(n AS DOUBLE)) AS wilson_lb
+        |  FROM c)
+        |SELECT CAST(row_number() OVER (ORDER BY wilson_lb DESC, user_id)
+        |    AS BIGINT) AS rk,
+        |  user_id, n, conversions, p_hat, wilson_lb
+        |FROM s""".stripMargin,
   )
 }

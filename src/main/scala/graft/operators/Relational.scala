@@ -2762,6 +2762,39 @@ object Relational {
         (asDouble($"bracket_rev") / lit(total.doubleValue())).as("share"))
   }
 
+  // ---------------------------------------------------------------- A109
+  /** Wilson-score lower bound on per-user conversion rate — the
+    * small-sample-honest ranking (a 1/1 user must NOT outrank a 95/100
+    * user, which raw p̂ ranking does): the standard "sort by lower
+    * confidence bound" correction, z = 1.96 shared literal.
+    *
+    * Exactness: n and conversions are exact counts; the bound is ONE
+    * fixed-association IEEE expression of them (sqrt is exact), so both
+    * engines produce bit-identical doubles. Scale: one partial-agged
+    * groupBy over events; the rank is [[Rank.globalRowNumber]]'s range
+    * exchange, never a single-task window. */
+  def q222WilsonRank(spark: SparkSession, dir: String,
+      minEvents: Long = 5L): DataFrame = {
+    val z = 1.959963984540054 // Φ⁻¹(0.975), shared with the oracle
+    val counts = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("conversions"))
+      .filter($"n" >= minEvents)
+    val nD = $"n".cast("double")
+    val p = $"conversions".cast("double") / nD
+    val z2 = lit(z * z)
+    val lb = (p + z2 / (lit(2.0) * nD) -
+      lit(z) * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * nD)) / nD)) /
+      (lit(1.0) + z2 / nD)
+    val scored = counts.select($"user_id", $"n", $"conversions",
+      p.as("p_hat"), lb.as("wilson_lb"))
+    Rank.globalRowNumber(scored,
+      Seq($"wilson_lb".desc, $"user_id".asc), rnCol = "rk")
+      .select($"rk", $"user_id", $"n", $"conversions", $"p_hat", $"wilson_lb")
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
