@@ -222,6 +222,10 @@ object JoinMv {
                   val newRows = newOutMat.df
                     .select(col(pkA) +: lit(true).as("__has_new") +:
                       dataCols.map(col): _*)
+                  // both images ride along (Debezium's before/after shape):
+                  // a downstream MV maintained from this changelog needs
+                  // the OLD row to retract U/D contributions without ever
+                  // re-reading this MV's state
                   val diff = oldRows.join(newRows, Seq(pkA), "full")
                     .filter(col("__has_old").isNull ||
                       col("__has_new").isNull ||
@@ -231,7 +235,11 @@ object JoinMv {
                       when(col("__has_old").isNull, lit("I"))
                         .when(col("__has_new").isNull, lit("D"))
                         .otherwise(lit("U")).as("__op"),
-                      struct(dataCols.map(col): _*).as("__row"))
+                      when(col("__has_new").isNull, lit(null))
+                        .otherwise(struct(dataCols.map(col): _*)).as("__row"),
+                      when(col("__has_old").isNull, lit(null))
+                        .otherwise(struct(dataCols.map(c =>
+                          col(s"__o_$c").as(c)): _*)).as("__old"))
                   val staging = new Path(cl, s"_staging_$batchId")
                   clFs.delete(staging, true)
                   diff.write.mode("overwrite").parquet(staging.toString)

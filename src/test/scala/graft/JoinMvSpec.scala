@@ -124,6 +124,26 @@ class JoinMvSpec extends SparkSpec {
       val replaySet = replayed.map { case (k, (v, f, m, n)) =>
         (k, v, f, m, n) }.toSet
       assert(replaySet === mv)
+
+      // a DOWNSTREAM aggregate maintained from the changelog ALONE — the
+      // before/after images make U/D retractable without reading MV state
+      val agg = scala.collection.mutable.Map[Option[String], Double]()
+        .withDefaultValue(0.0)
+      batches.foreach { dir =>
+        spark.read.parquet(dir.getAbsolutePath)
+          .select($"__old.cust_name", $"__old.amount",
+            $"__row.cust_name", $"__row.amount")
+          .as[(Option[String], Option[Double], Option[String], Option[Double])]
+          .collect()
+          .foreach { case (on, oa, nn, na) =>
+            oa.foreach(a => agg(on) += -a)
+            na.foreach(a => agg(nn) += a)
+          }
+      }
+      val wantAgg = mv.groupBy(_._5).view
+        .mapValues(_.toSeq.map(_._4).sum).toMap
+      val gotAgg = agg.filter(_._2.abs > 1e-9).toMap
+      assert(gotAgg === wantAgg.filter(_._2.abs > 1e-9))
     } finally q.stop()
   }
 
