@@ -241,6 +241,7 @@ object SparkEntry {
     "q220_bpe_encode" -> ((s, d) => Corpus.q220BpeEncode(s, d)),
     "q221_dim_ablation" -> ((s, d) => Similarity.q221DimAblation(s, d)),
     "q222_wilson_rank" -> ((s, d) => Relational.q222WilsonRank(s, d)),
+    "q223_ivf_balance" -> ((s, d) => Similarity.q223IvfBalance(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact

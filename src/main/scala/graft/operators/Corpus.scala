@@ -1886,10 +1886,12 @@ object Corpus {
     *
     * Scale: the merge table is `rounds`-bounded (collected driver-side by
     * construction, never data-sized) and COMPOSES into one codegen'd
-    * expression — `rounds` nested folds applied in a single map-only pass
-    * over the tokens; the per-doc rollup is one partial-agged groupBy.
-    * Rows-only (merge learning is iterative argmax, not SQL); the spec
-    * replays encode in-memory from the same merge table, exact. */
+    * expression of `rounds` nested folds — applied to each DISTINCT word
+    * exactly once (the vocabulary is Heaps-law small next to the token
+    * stream, the same economy BPE TRAINING exploits), with per-doc counts
+    * joining back on the word key; the rollup is one partial-agged
+    * groupBy. Rows-only (merge learning is iterative argmax, not SQL);
+    * the spec replays encode in-memory from the same merge table, exact. */
   def q220BpeEncode(spark: SparkSession, dir: String,
       rounds: Int = 8): DataFrame = {
     val merges = q172BpeMerges(spark, dir, rounds)
@@ -1905,15 +1907,19 @@ object Corpus {
     val encoded = merges.foldLeft(split(col("word"), ""): Column) {
       case (c, (x, y, xy)) => applyMerge(c, x, y, xy)
     }
-    Tables.documents(spark, dir)
+    val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),
         explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
-      .select(col("doc_id"), col("n_chars"), size(encoded).as("n_syms"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n_occ"), first(col("n_chars")).as("__nc"))
+    val vocab = toks.select(col("word")).distinct()
+      .select(col("word"), size(encoded).cast("long").as("n_syms"))
+    toks.join(vocab, Seq("word"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("n_syms").cast("long")).as("n_bpe_tokens"),
-        first(col("n_chars")).as("__nc"))
+      .agg(sum(col("n_occ")).as("n_words"),
+        sum(col("n_occ") * col("n_syms")).as("n_bpe_tokens"),
+        first(col("__nc")).as("__nc"))
       .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
         (col("__nc").cast("double") / col("n_bpe_tokens").cast("double"))
           .as("chars_per_token"))

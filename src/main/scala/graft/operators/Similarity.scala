@@ -557,6 +557,40 @@ object Similarity {
     }.reduce(_ unionAll _)
   }
 
+  // ---------------------------------------------------------------- C97
+  /** IVF index health report — per-cell population, share, and
+    * ratio-to-mean, plus the cumulative share of the largest cells (what
+    * a worst-case adversarial probe pattern would scan): the diagnostic
+    * that decides whether an index needs re-training or more cells before
+    * queries hit it (a 10× hot cell makes every probe that lands there
+    * 10× the average scan — the q106/q122 cell-skew hazard, quantified).
+    *
+    * Scale: one partial-agged groupBy over the assignments to ≤nCells
+    * rows; every window runs on that nCells-bounded frame. Rows-only
+    * (k-means cells aren't SQL); the spec checks the shares are a
+    * partition of the corpus and the cumulative column is the sorted
+    * prefix sum. */
+  def q223IvfBalance(spark: SparkSession, dir: String,
+      nCells: Int = 16): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val built = IvfIndex.build(e, nCells)
+    val sizes = built.assignments.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val whole = Window.partitionBy() // ≤nCells rows — bounded
+    val bySize = Window.orderBy(col("n_vectors").desc, col("cell").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sizes
+      .withColumn("total", sum(col("n_vectors")).over(whole))
+      .withColumn("n_cells", count(lit(1)).over(whole))
+      .select(col("cell"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("total").cast("double"))
+          .as("share"),
+        (col("n_vectors").cast("double") * col("n_cells").cast("double")
+          / col("total").cast("double")).as("ratio_to_mean"),
+        (sum(col("n_vectors")).over(bySize).cast("double")
+          / col("total").cast("double")).as("cum_share_if_probed_first"))
+  }
+
   // ---------------------------------------------------------------- C76
   /** Top principal component by MATRIX-FREE power iteration (the
     * embedding-drift / anisotropy diagnostic — sentence-embedding spaces

@@ -200,6 +200,32 @@ class Round12GrowthSpec extends SparkSpec {
     assert(mean(16) >= mean(4), s"recall did not improve: $mean")
   }
 
+  test("q223 IVF balance report partitions the corpus exactly") {
+    val got = graft.operators.Similarity.q223IvfBalance(spark, sf)
+      .select($"cell", $"n_vectors", $"share", $"ratio_to_mean",
+        $"cum_share_if_probed_first")
+      .as[(Int, Long, Double, Double, Double)].collect()
+    val n = sources.Tables.embeddings(spark, sf).count()
+    assert(got.map(_._2).sum === n, "cells must partition the corpus")
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-12)
+    assert(got.forall(_._4 > 0.0))
+    // cumulative column is the prefix sum over cells sorted by size desc
+    val sorted = got.sortBy(r => (-r._2, r._1))
+    val prefix = sorted.scanLeft(0.0)(_ + _._3.toDouble).tail
+    sorted.map(_._5).zip(prefix).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-9)
+    }
+    assert(sorted.last._5 > 1.0 - 1e-9)
+  }
+
+  test("r12 text operators keep every window doc-partitioned") {
+    for (df <- Seq(TextAnalysis.q215TokenRuns(spark, sf),
+        TextAnalysis.q217Winnowing(spark, sf))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("SinglePartition"), s"one-task window:\n$p")
+    }
+  }
+
   test("q217 fingerprints satisfy the winnowing coverage guarantee") {
     // the algorithm's defining invariant: EVERY w-window of k-grams
     // contributes a fingerprint, so any match of length >= w+k-1 tokens is
