@@ -242,6 +242,8 @@ object SparkEntry {
     "q221_dim_ablation" -> ((s, d) => Similarity.q221DimAblation(s, d)),
     "q222_wilson_rank" -> ((s, d) => Relational.q222WilsonRank(s, d)),
     "q223_ivf_balance" -> ((s, d) => Similarity.q223IvfBalance(s, d)),
+    "q224_cohort_ltv" -> (Relational.q224CohortLtv _),
+    "q225_ship_lag" -> (Relational.q225ShipLag _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2823,5 +2825,40 @@ object SparkEntry {
         |    AS BIGINT) AS rk,
         |  user_id, n, conversions, p_hat, wilson_lb
         |FROM s""".stripMargin,
+    "q224_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(value AS DECIMAL(14,2)) AS v,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (SELECT user_id, min(us) AS s0 FROM e GROUP BY 1),
+        |cs AS (SELECT s0 // 604800000000 AS cohort_week,
+        |    count(*) AS n_users FROM f GROUP BY 1),
+        |cells AS (SELECT f.s0 // 604800000000 AS cohort_week,
+        |    (e.us - f.s0) // 604800000000 AS age_weeks,
+        |    sum(e.v) AS week_value, count(*) AS n_purchases
+        |  FROM e JOIN f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+        |cum AS (SELECT *, sum(week_value) OVER (PARTITION BY cohort_week
+        |    ORDER BY age_weeks
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_value
+        |  FROM cells)
+        |SELECT cum.cohort_week, age_weeks, cs.n_users,
+        |  CAST(n_purchases AS BIGINT) AS n_purchases,
+        |  CAST(week_value AS DOUBLE) AS week_value,
+        |  CAST(cum_value AS DOUBLE) AS cum_ltv,
+        |  CAST(cum_value AS DOUBLE) / CAST(cs.n_users AS DOUBLE)
+        |    AS ltv_per_user
+        |FROM cum JOIN cs ON cum.cohort_week = cs.cohort_week""".stripMargin,
+    "q225_ship_lag" ->
+      """WITH fs AS (SELECT l_orderkey,
+        |    min(epoch_us(CAST(l_shipdate AS TIMESTAMP))) AS ship_us
+        |  FROM lineitem GROUP BY 1),
+        |lags AS (SELECT (ship_us - epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+        |      // 86400000000 AS lag_days
+        |  FROM orders JOIN fs ON o_orderkey = l_orderkey),
+        |h AS (SELECT lag_days, count(*) AS n_orders FROM lags GROUP BY 1)
+        |SELECT lag_days, n_orders,
+        |  CAST(n_orders AS DOUBLE) / CAST(sum(n_orders) OVER () AS DOUBLE)
+        |    AS share
+        |FROM h""".stripMargin,
   )
 }

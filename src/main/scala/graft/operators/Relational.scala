@@ -2795,6 +2795,74 @@ object Relational {
       .select($"rk", $"user_id", $"n", $"conversions", $"p_hat", $"wilson_lb")
   }
 
+  // ---------------------------------------------------------------- A110
+  /** Cohort LTV matrix — cumulative purchase value by (signup-week cohort
+    * × weeks-since-signup age): the revenue complement of q83's retention
+    * counts, and the table every growth model is fit on. A user's cohort
+    * is their FIRST event's integer epoch week; purchase value accrues to
+    * the integer age week it lands in; the running LTV per cohort is a
+    * cumulative window over the ≤\|cohorts×ages\| aggregated frame.
+    *
+    * Exactness: value sums in DECIMAL; weeks are integer `div`s of
+    * epoch-µs; ltv_per_user is ONE IEEE division of the decimal-exact
+    * cumulative by the cohort's exact user count. Scale: one user_id
+    * shuffle for first-event, one (cohort, age) aggregation, windows on
+    * the dimension-bounded frame. */
+  def q224CohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", money($"value").as("v"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+    val first = e.groupBy($"user_id").agg(min($"us").as("s0"))
+    val sized = first
+      .select(expr("s0 div 604800000000L").as("cohort_week"), $"user_id")
+    val cohortSizes = sized.groupBy($"cohort_week")
+      .agg(count(lit(1)).as("n_users"))
+    val cells = e.join(first, Seq("user_id"))
+      .filter($"event_type" === "purchase")
+      .select(expr("s0 div 604800000000L").as("cohort_week"),
+        expr("(us - s0) div 604800000000L").as("age_weeks"), $"v")
+      .groupBy($"cohort_week", $"age_weeks")
+      .agg(sum($"v").as("week_value"), count(lit(1)).as("n_purchases"))
+    val wCum = Window.partitionBy($"cohort_week").orderBy($"age_weeks")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_value", sum($"week_value").over(wCum))
+      .join(cohortSizes, Seq("cohort_week"))
+      .select($"cohort_week", $"age_weeks", $"n_users", $"n_purchases",
+        asDouble($"week_value").as("week_value"),
+        asDouble($"cum_value").as("cum_ltv"),
+        (asDouble($"cum_value") / $"n_users".cast("double"))
+          .as("ltv_per_user"))
+  }
+
+  // ---------------------------------------------------------------- A111
+  /** Order-to-ship lag distribution — days from order date to the order's
+    * FIRST shipment, as an exact integer-day histogram (the fulfilment
+    * SLA report): per-order min shipdate pre-aggregates BEFORE the orders
+    * join (one row per order into the join — q5's rule), lag in whole
+    * days by integer µs `div`, histogram a ≤\|lags\| aggregation.
+    * NEGATIVE lags (ship before order — present in this synthetic data)
+    * surface as their own histogram rows, a data-quality signal the
+    * report must show rather than clamp; both timestamps are
+    * date-granular, so the µs difference is an exact day multiple and
+    * truncating `div` equals floor — cross-engine safe even negative. */
+  def q225ShipLag(spark: SparkSession, dir: String): DataFrame = {
+    val firstShip = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(min(expr("unix_micros(cast(l_shipdate as timestamp))"))
+        .as("ship_us"))
+    val lags = Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("ord_us"))
+      .join(firstShip, $"o_orderkey" === $"l_orderkey")
+      .select(expr("(ship_us - ord_us) div 86400000000L").as("lag_days"))
+    val whole = Window.partitionBy() // ≤|distinct lags| rows — bounded
+    lags.groupBy($"lag_days")
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("share",
+        $"n_orders".cast("double") / sum($"n_orders").over(whole).cast("double"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
