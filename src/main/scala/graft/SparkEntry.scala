@@ -244,6 +244,8 @@ object SparkEntry {
     "q223_ivf_balance" -> ((s, d) => Similarity.q223IvfBalance(s, d)),
     "q224_cohort_ltv" -> (Relational.q224CohortLtv _),
     "q225_ship_lag" -> (Relational.q225ShipLag _),
+    "q226_tpch_q6" -> (Relational.q226Tpch6 _),
+    "q227_tpch_q15" -> (Relational.q227Tpch15 _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2860,5 +2862,26 @@ object SparkEntry {
         |  CAST(n_orders AS DOUBLE) / CAST(sum(n_orders) OVER () AS DOUBLE)
         |    AS share
         |FROM h""".stripMargin,
+    "q226_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+        |    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q227_tpch_q15" ->
+      """WITH revenue AS (SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(14,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin,
   )
 }

@@ -2863,6 +2863,47 @@ object Relational {
         $"n_orders".cast("double") / sum($"n_orders").over(whole).cast("double"))
   }
 
+  // ---------------------------------------------------------------- A112
+  /** TPC-H Q6 — the forecast-revenue-change query: one banded filter
+    * (year × discount band × quantity cap) and one DECIMAL product sum.
+    * The POINT is the plan: every predicate must reach the parquet scan
+    * (PushedFilters on shipdate/discount/quantity) and the aggregation is
+    * a map-side partial over the surviving rows — zero joins, zero
+    * shuffles beyond the 1-row final agg (plan-spec asserted). */
+  def q226Tpch6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+        $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .agg(asDouble(sum(money($"l_extendedprice") * rate($"l_discount")))
+        .as("revenue"), count(lit(1)).as("cnt"))
+
+  // ---------------------------------------------------------------- A113
+  /** TPC-H Q15 shape — top supplier(s) by period revenue: the "view +
+    * scalar max" query. ALL suppliers achieving the maximum are returned
+    * (the tie semantics that make this different from a top-1 rank).
+    *
+    * Scale: the revenue "view" pre-aggregates lineitem to one row per
+    * supplier BEFORE anything else; the scalar max of that ≤\|suppliers\|
+    * frame broadcasts back as a 1-row cross join (q87's argmax shape) and
+    * the supplier dim joins by key. Ties survive exactly; DECIMAL compare
+    * (fp revenue equality would be a correctness bug). */
+  def q227Tpch15(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(3, 2))
+    val revenue = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum(money($"l_extendedprice") * (one - rate($"l_discount")))
+        .as("total_revenue"))
+    val maxRev = revenue.agg(max($"total_revenue").as("__max"))
+    revenue
+      .join(broadcast(maxRev), $"total_revenue" === $"__max")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name",
+        asDouble($"total_revenue").as("total_revenue"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

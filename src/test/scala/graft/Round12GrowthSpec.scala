@@ -226,6 +226,36 @@ class Round12GrowthSpec extends SparkSpec {
     }
   }
 
+  test("q226 pushes every predicate into the scan and joins nothing") {
+    val df = Relational.q226Tpch6(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"),
+      s"predicates not pushed:\n$p")
+    assert(!p.contains("Join"), s"Q6 must be join-free:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"no map-side partial aggregation:\n$p")
+    assert(df.count() === 1)
+  }
+
+  test("q227 returns every supplier tied at the max, decimal-exact") {
+    val got = Relational.q227Tpch15(spark, sf)
+      .select($"s_suppkey", $"total_revenue").as[(Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(_._2).distinct.length === 1, "all rows share the max")
+    // replay: the max over the same pre-aggregated view
+    val rev = sources.Tables.lineitem(spark, sf)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_extendedprice".cast("decimal(14,2)") *
+        (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(4,2)")))
+        .as("r"))
+      .select($"l_suppkey", $"r".cast("string")).as[(Long, String)].collect()
+      .map { case (k, r) => (k, BigDecimal(r)) }
+    val mx = rev.map(_._2).max
+    assert(got.map(_._1).toSet === rev.filter(_._2 == mx).map(_._1).toSet)
+  }
+
   test("q217 fingerprints satisfy the winnowing coverage guarantee") {
     // the algorithm's defining invariant: EVERY w-window of k-grams
     // contributes a fingerprint, so any match of length >= w+k-1 tokens is
