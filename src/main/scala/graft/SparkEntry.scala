@@ -246,6 +246,7 @@ object SparkEntry {
     "q225_ship_lag" -> (Relational.q225ShipLag _),
     "q226_tpch_q6" -> (Relational.q226Tpch6 _),
     "q227_tpch_q15" -> (Relational.q227Tpch15 _),
+    "q228_image_resize" -> ((s, d) => Multimodal.q228ImageResize(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2883,5 +2884,12 @@ object SparkEntry {
         |  CAST(total_revenue AS DOUBLE) AS total_revenue
         |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin,
+    // dims the resizer must RECOVER from real PNG containers; the
+    // synthesis is 16x16 and the box filter halves with floor semantics
+    "q228_image_resize" ->
+      """SELECT doc_id AS media_id, CAST(16 AS INT) AS src_w,
+        |  CAST(16 AS INT) AS src_h, CAST(8 AS INT) AS dst_w,
+        |  CAST(8 AS INT) AS dst_h
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
   )
 }

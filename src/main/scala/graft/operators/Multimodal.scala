@@ -310,6 +310,83 @@ object Multimodal {
       .toDF("media_id", "kind", "bytes")
   }
 
+  /** REAL image resize — exact integer box-filter downscale by `factor`
+    * (each output channel = sum of the factor² source block div factor²,
+    * pure integer math — no Graphics2D interpolation whose rounding is
+    * JVM-drawing-pipeline-dependent): decode the container via imageio,
+    * average, re-encode lossless PNG. The resize every multimodal
+    * training pipeline runs before feature extraction, with deterministic
+    * pixels a spec can replay bit-for-bit (MultimodalSpec checks every
+    * resized pixel equals the exact block mean of the decoded source).
+    * Trailing rows/columns that don't fill a block are dropped (floor
+    * semantics — dims are `src div factor`). Map-only batched
+    * mapPartitions, partitioning preserved; undecodable payloads emit
+    * nothing (q58's accounting rule — use [[decode]] for 1:1). */
+  def resizeImages(media: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select("media_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, b) =>
+          val in = Option(b).getOrElse(Array.emptyByteArray)
+          val img =
+            if (in.isEmpty) None
+            else Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(in)))
+          img.flatMap { src =>
+            val dw = src.getWidth / factor; val dh = src.getHeight / factor
+            if (dw == 0 || dh == 0) None
+            else {
+              val dst = new java.awt.image.BufferedImage(
+                dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < dh) {
+                var x = 0
+                while (x < dw) {
+                  var r = 0; var g = 0; var bl = 0
+                  var dy = 0
+                  while (dy < factor) {
+                    var dx = 0
+                    while (dx < factor) {
+                      val p = src.getRGB(x * factor + dx, y * factor + dy)
+                      r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF
+                      bl += p & 0xFF
+                      dx += 1
+                    }
+                    dy += 1
+                  }
+                  val n = factor * factor
+                  dst.setRGB(x, y,
+                    ((r / n) << 16) | ((g / n) << 8) | (bl / n))
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", bos)
+              Some((id, src.getWidth, src.getHeight, dw, dh, bos.toByteArray))
+            }
+          }.iterator
+        }
+      }
+      .toDF("media_id", "src_w", "src_h", "dst_w", "dst_h", "bytes")
+  }
+
+  /** Driver-checked resize surface: synthesize real PNGs, box-downscale
+    * them ([[resizeImages]]), and report the dims the resizer RECOVERED
+    * from the containers — the oracle predicts them from the synthesis
+    * structure alone (16×16 → 8×8), so a resizer that failed to decode or
+    * misread dimensions hash-mismatches. Pixel-level exactness is
+    * MultimodalSpec's block-mean replay. */
+  def q228ImageResize(spark: SparkSession, dir: String,
+      factor: Int = 2): DataFrame =
+    resizeImages(imagesFromDocuments(spark, dir), factor)
+      .select(col("media_id"), col("src_w"), col("src_h"),
+        col("dst_w"), col("dst_h"))
+
   /** Deterministic REAL-container audio synthesis: each document of the
     * `doc_id % 3 = 1` slice (the one [[mediaFromDocuments]] labels
     * "audio") becomes a true 8 kHz mono 16-bit PCM WAV with

@@ -298,6 +298,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q228 resize: every output pixel is the exact block mean of the source") {
+    def pixels(b: Array[Byte]): (Int, Int, Array[Int]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      val w = img.getWidth; val h = img.getHeight
+      (w, h, Array.tabulate(w * h)(p => img.getRGB(p % w, p / w) & 0xFFFFFF))
+    }
+    val src = Multimodal.imagesFromDocuments(spark, sf)
+      .select($"media_id", $"bytes").as[(Long, Array[Byte])]
+      .collect().toMap
+    val out = Multimodal.resizeImages(Multimodal.imagesFromDocuments(spark, sf))
+      .select($"media_id", $"dst_w", $"dst_h", $"bytes")
+      .as[(Long, Int, Int, Array[Byte])].collect()
+    assert(out.length === src.size)
+    out.foreach { case (id, dw, dh, b) =>
+      val (ow, oh, op) = pixels(b)
+      assert((ow, oh) === ((dw, dh)))
+      val (sw, _, sp) = pixels(src(id))
+      for (y <- 0 until dh; x <- 0 until dw) {
+        var r = 0; var g = 0; var bl = 0
+        for (dy <- 0 until 2; dx <- 0 until 2) {
+          val p = sp((y * 2 + dy) * sw + (x * 2 + dx))
+          r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; bl += p & 0xFF
+        }
+        val want = ((r / 4) << 16) | ((g / 4) << 8) | (bl / 4)
+        assert(op(y * dw + x) === want, s"media $id pixel ($x,$y)")
+      }
+    }
+  }
+
   test("q206 recovers rate and duration from the companded containers") {
     val got = Multimodal.q206CompandedAudio(spark, sf)
       .as[(Long, String, Long, Long)].collect()
