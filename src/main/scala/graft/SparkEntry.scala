@@ -247,6 +247,7 @@ object SparkEntry {
     "q226_tpch_q6" -> (Relational.q226Tpch6 _),
     "q227_tpch_q15" -> (Relational.q227Tpch15 _),
     "q228_image_resize" -> ((s, d) => Multimodal.q228ImageResize(s, d)),
+    "q229_head_coverage" -> ((s, d) => Corpus.q229HeadCoverage(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2891,5 +2892,22 @@ object SparkEntry {
         |  CAST(16 AS INT) AS src_h, CAST(8 AS INT) AS dst_w,
         |  CAST(8 AS INT) AS dst_h
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+    "q229_head_coverage" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |f AS (SELECT word, count(*) AS freq FROM w WHERE word <> ''
+        |  GROUP BY 1),
+        |c AS (SELECT freq, sum(freq) OVER (ORDER BY freq DESC, word
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM f),
+        |t AS (SELECT sum(freq) AS total FROM f),
+        |p0 AS (SELECT unnest([50, 90, 99]) AS pct0),
+        |p AS (SELECT CAST(pct0 AS INT) AS pct FROM p0)
+        |SELECT pct,
+        |  CAST(sum(CASE WHEN cum * 100 < pct * total THEN 1 ELSE 0 END)
+        |    + 1 AS BIGINT) AS head_size,
+        |  CAST(min(CASE WHEN cum * 100 >= pct * total THEN cum END)
+        |    AS DOUBLE) / CAST(total AS DOUBLE) AS covered_share
+        |FROM c CROSS JOIN t CROSS JOIN p GROUP BY pct, total""".stripMargin,
   )
 }

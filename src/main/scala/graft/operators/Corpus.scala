@@ -1925,6 +1925,40 @@ object Corpus {
           .as("chars_per_token"))
   }
 
+  // ---------------------------------------------------------------- C99
+  /** Vocabulary head-coverage curve — the smallest frequency-ranked head
+    * of the vocabulary covering 50/90/99% of the token stream (the
+    * tokenizer-budget diagnostic: how many types a vocab must spend
+    * before coverage flattens into the Zipf tail; C33's fixed-vocab
+    * coverage read in the other direction).
+    *
+    * Exactness: the running token total comes from
+    * [[Rank.prefixSumAndTotal]] over (freq desc, word) — range exchange,
+    * never a single-task window; the coverage test is INTEGER (100·cum ≥
+    * pct·total), head size = (#words strictly before the crossing) + 1
+    * and the crossing word's cum — both plain aggregates, no second rank
+    * pass; shares one IEEE division each. */
+  def q229HeadCoverage(spark: SparkSession, dir: String,
+      thresholds: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val (cum, total) = Rank.prefixSumAndTotal(freq,
+      Seq(col("freq").desc, col("word").asc), col("freq"), "cum_tokens")
+    cum
+      .withColumn("pct", explode(array(thresholds.map(lit): _*)))
+      .groupBy(col("pct"))
+      .agg(
+        (sum(when(col("cum_tokens") * 100 < col("pct") * total, 1L)
+          .otherwise(0L)) + 1L).as("head_size"),
+        min(when(col("cum_tokens") * 100 >= col("pct") * total,
+          col("cum_tokens"))).as("__cum_at_head"))
+      .select(col("pct"), col("head_size"),
+        (col("__cum_at_head").cast("double") / lit(total.toDouble))
+          .as("covered_share"))
+  }
+
   // ---------------------------------------------------------------- C94
   /** Temperature-scaled source mixing weights (the multilingual-corpus
     * rebalancing rule: sample source s ∝ p_s^α, α < 1 upweights the tail

@@ -256,6 +256,26 @@ class Round12GrowthSpec extends SparkSpec {
     assert(got.map(_._1).toSet === rev.filter(_._2 == mx).map(_._1).toSet)
   }
 
+  test("q229 head coverage equals a sorted-vocabulary replay") {
+    val words = sources.Tables.documents(spark, sf)
+      .select($"text").as[String].collect()
+      .flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+    val freq = words.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (w, f) => (-f, w) }
+    val total = freq.map(_._2).sum
+    val cums = freq.scanLeft(0L)(_ + _._2).tail
+    val want = Seq(50, 90, 99).map { pct =>
+      val idx = cums.indexWhere(c => c * 100 >= pct * total)
+      (pct, idx + 1L, cums(idx).toDouble / total.toDouble)
+    }.toSet
+    val got = Corpus.q229HeadCoverage(spark, sf)
+      .as[(Int, Long, Double)].collect().toSet
+    assert(got === want)
+    // the curve is monotone: higher coverage needs a larger head
+    val sorted = got.toSeq.sortBy(_._1)
+    assert(sorted.map(_._2) === sorted.map(_._2).sorted)
+  }
+
   test("q217 fingerprints satisfy the winnowing coverage guarantee") {
     // the algorithm's defining invariant: EVERY w-window of k-grams
     // contributes a fingerprint, so any match of length >= w+k-1 tokens is
