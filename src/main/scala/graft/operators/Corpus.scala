@@ -1907,12 +1907,16 @@ object Corpus {
     val encoded = merges.foldLeft(split(col("word"), ""): Column) {
       case (c, (x, y, xy)) => applyMerge(c, x, y, xy)
     }
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"),
-        explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("n_occ"), first(col("n_chars")).as("__nc"))
+    // the (doc, word) counts feed TWO branches (vocab distinct + the
+    // rollup join) — materialize once (q106's rule)
+    val toks = graft.Lineage.truncate(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"),
+          explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("n_occ"), first(col("n_chars")).as("__nc")),
+      reliable = false).df
     val vocab = toks.select(col("word")).distinct()
       .select(col("word"), size(encoded).cast("long").as("n_syms"))
     toks.join(vocab, Seq("word"))

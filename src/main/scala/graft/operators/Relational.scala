@@ -2691,12 +2691,15 @@ object Relational {
     * event scan aggregates to ≤|days| rows; the lag join and the 7-lag
     * explode run on that dimension-bounded frame. */
   def q214Acf(spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
-    val days = Tables.events(spark, dir)
-      // integer div, not fp-divide-then-cast: a double quotient one ulp
-      // above the true value would round a boundary event into the wrong day
-      .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000L")
-        .as("day"))
-      .groupBy($"day").agg(count(lit(1)).as("x"))
+    // the daily aggregate feeds BOTH sides of the lag self-join —
+    // materialize the ≤|days| frame once (q106's rule)
+    val days = graft.Lineage.truncate(
+      Tables.events(spark, dir)
+        // integer div, not fp-divide-then-cast: a double quotient one ulp
+        // above the true value would round a boundary event a day over
+        .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000L")
+          .as("day"))
+        .groupBy($"day").agg(count(lit(1)).as("x")), reliable = false).df
     val lagged = days
       .withColumn("lag",
         explode(array((1 to maxLag).map(i => lit(i.toLong)): _*)))

@@ -443,13 +443,17 @@ object TextAnalysis {
     * shuffles only; everything partitions by doc. */
   def q217Winnowing(spark: SparkSession, dir: String, k: Int = 3,
       w: Int = 4): DataFrame = {
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
-      .filter(size(col("ws")) >= k + w - 1)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(ws) - $k), " +
-          s"i -> substring(md5(array_join(slice(ws, i + 1, $k), ' ')), 1, 8))"))
-        .as(Seq("pos", "h")))
+    // the gram frame feeds TWO plan branches (window replication + the
+    // per-doc max-pos bound) — materialize once or the document scan and
+    // md5 hashing run twice (q106's rule)
+    val grams = graft.Lineage.truncate(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+        .filter(size(col("ws")) >= k + w - 1)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(ws) - $k), " +
+            s"i -> substring(md5(array_join(slice(ws, i + 1, $k), ' ')), 1, 8))"))
+          .as(Seq("pos", "h"))), reliable = false).df
     // window starting at s covers gram positions [s, s+w-1]: replicate each
     // gram into the ≤w windows containing it (bounded ×w map-side)
     val inWindow = grams
