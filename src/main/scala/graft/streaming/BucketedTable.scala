@@ -37,6 +37,34 @@ object BucketedTable {
   def touchedBuckets(df: DataFrame): Seq[Int] =
     df.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq.sorted
 
+  /** Pin a table root's bucket count: first caller records `n` in a
+    * `_n_buckets` sidecar, later callers are checked against it. A bucket
+    * count that silently changed between runs would hash every key into
+    * the WRONG directories — upserts would duplicate keys and pruned
+    * reads would miss rows with no error anywhere downstream — so the
+    * mismatch fails loudly here instead. */
+  def pinBucketCount(spark: SparkSession, root: String, n: Int): Unit = {
+    val p = new Path(root, "_n_buckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stored = try new String(in.readAllBytes(), "UTF-8").trim.toInt
+        finally in.close()
+      if (stored != n)
+        throw new IllegalStateException(
+          s"$root was built with nBuckets=$stored but this run uses " +
+            s"nBuckets=$n — keys would hash into the wrong buckets; " +
+            "rebuild the table or match the original count")
+    } else {
+      fs.mkdirs(p.getParent)
+      val tmp = new Path(root, "._n_buckets_tmp")
+      val out = fs.create(tmp, true)
+      try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, p) && !fs.exists(p))
+        throw new IllegalStateException(s"could not record $p")
+    }
+  }
+
   /** Current contents of the touched buckets only — a partition-pruned scan
     * (the `__bucket` predicate eliminates directories before I/O). None if
     * the table has no buckets yet. A target holding NON-bucketed parquet

@@ -44,6 +44,7 @@ object IncrementalMv {
       changelogPath: Option[String] = None)(batch: DataFrame, batchId: Long): Unit = {
     import BucketedTable._
     val spark = batch.sparkSession
+    BucketedTable.pinBucketCount(spark, basePath, nBuckets)
     val entityPath = s"$basePath/entity"
     val aggPath = s"$basePath/agg"
 

@@ -96,6 +96,7 @@ object JoinMv {
 
     val fs = new Path(basePath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    pinBucketCount(spark, basePath, nBuckets)
     val marker = new Path(mvPath, "_applied_batch")
     if (readMarker(fs, marker) >= batchId) return // full replay of a done batch
 

@@ -64,6 +64,7 @@ object StreamingScd2 {
     val spark = batch.sparkSession
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    pinBucketCount(spark, path, nBuckets)
     val marker = new Path(path, "_applied_batch")
     if (readMarker(fs, marker) >= batchId) return
 

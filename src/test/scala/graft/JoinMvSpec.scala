@@ -163,6 +163,21 @@ class JoinMvSpec extends SparkSpec {
     assert(first.nonEmpty)
   }
 
+  test("a changed bucket count fails loudly instead of corrupting state") {
+    val base = Files.createTempDirectory("jmvb").toString
+    val fa = Seq((1L, 1L, "ins", 10L, 5.0))
+      .toDF("order_id", "aver", "aop", "cust_id", "amount")
+    val fb = Seq((10L, 1L, "ins", "alice"))
+      .toDF("cust_pk", "bver", "bop", "cust_name")
+    JoinMv.applyBatch(s"$base/mv", "order_id", "aver", "aop", "cust_id",
+      "cust_pk", "bver", "bop", nBuckets = 4)(fa, fb, 0L)
+    val e = intercept[IllegalStateException] {
+      JoinMv.applyBatch(s"$base/mv", "order_id", "aver", "aop", "cust_id",
+        "cust_pk", "bver", "bop", nBuckets = 8)(fa, fb, 1L)
+    }
+    assert(e.getMessage.contains("nBuckets"))
+  }
+
   test("inner-join mode drops unmatched facts instead of null-padding") {
     val base = Files.createTempDirectory("jmvi").toString
     val fa = Seq((1L, 1L, "ins", 10L, 5.0), (2L, 1L, "ins", 99L, 7.0))
