@@ -248,6 +248,9 @@ object SparkEntry {
     "q227_tpch_q15" -> (Relational.q227Tpch15 _),
     "q228_image_resize" -> ((s, d) => Multimodal.q228ImageResize(s, d)),
     "q229_head_coverage" -> ((s, d) => Corpus.q229HeadCoverage(s, d)),
+    "q230_tpch_q13" -> (Relational.q230Tpch13 _),
+    "q231_supplier_diversity" -> (Relational.q231SupplierDiversity _),
+    "q232_retention_matrix" -> (Relational.q232RetentionMatrix _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2909,5 +2912,29 @@ object SparkEntry {
         |  CAST(min(CASE WHEN cum * 100 >= pct * total THEN cum END)
         |    AS DOUBLE) / CAST(total AS DOUBLE) AS covered_share
         |FROM c CROSS JOIN t CROSS JOIN p GROUP BY pct, total""".stripMargin,
+    "q230_tpch_q13" ->
+      """WITH pc AS (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1)
+        |SELECT COALESCE(pc.c, 0) AS c_count, count(*) AS custdist
+        |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+    "q231_supplier_diversity" ->
+      """SELECT p_brand, CAST((p_size - 1) // 10 AS BIGINT) AS size_band,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        |  count(*) AS n_lineitems
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q232_retention_matrix" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |f AS (SELECT user_id, min(us) AS s0 FROM e GROUP BY 1),
+        |cs AS (SELECT s0 // 604800000000 AS cohort_week,
+        |    count(*) AS n_users FROM f GROUP BY 1),
+        |act AS (SELECT f.s0 // 604800000000 AS cohort_week,
+        |    (e.us - f.s0) // 604800000000 AS age_weeks,
+        |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |  FROM e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2)
+        |SELECT act.cohort_week, age_weeks, cs.n_users, n_active,
+        |  CAST(n_active AS DOUBLE) / CAST(cs.n_users AS DOUBLE) AS retention
+        |FROM act JOIN cs ON act.cohort_week = cs.cohort_week""".stripMargin,
   )
 }

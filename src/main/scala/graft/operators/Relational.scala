@@ -2907,6 +2907,58 @@ object Relational {
         asDouble($"total_revenue").as("total_revenue"))
   }
 
+  // ---------------------------------------------------------------- A114
+  /** TPC-H Q13 — customer order-count distribution INCLUDING the
+    * zero-order customers (the LEFT join the benchmark exists to test: an
+    * inner count silently drops exactly the customers a churn analysis is
+    * about): count per customer via a pre-aggregated left join, then a
+    * ≤\|distinct counts\| histogram. */
+  def q230Tpch13(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("c_count"))
+    Tables.customer(spark, dir)
+      .join(perCust, $"c_custkey" === $"o_custkey", "left")
+      .select(coalesce($"c_count", lit(0L)).as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  // ---------------------------------------------------------------- A115
+  /** TPC-H Q16 shape (adapted: supplier diversity from lineitem, no
+    * partsupp) — distinct suppliers serving each (brand, size-band): a
+    * sourcing-concentration report where COUNT(DISTINCT) is the point
+    * (two-phase Expand distinct, partial-aggregable). Part broadcasts as
+    * the dim side; band arithmetic integer. */
+  def q231SupplierDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", expr("(p_size - 1) div 10").as("size_band"))
+      .agg(countDistinct($"l_suppkey").as("n_suppliers"),
+        count(lit(1)).as("n_lineitems"))
+
+  // ---------------------------------------------------------------- A116
+  /** Cohort retention matrix — DISTINCT active users per (signup-week ×
+    * age-week) and the retention share of the cohort (the count complement
+    * of A110's LTV values; q83's week-over-week retention generalized to
+    * the full triangle): activity at any event type counts, share one
+    * IEEE division of exact counts. */
+  def q232RetentionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select($"user_id", expr("unix_micros(cast(ts as timestamp))").as("us"))
+    val first = e.groupBy($"user_id").agg(min($"us").as("s0"))
+    val sized = first.groupBy(expr("s0 div 604800000000L").as("cohort_week"))
+      .agg(count(lit(1)).as("n_users"))
+    e.join(first, Seq("user_id"))
+      .select(expr("s0 div 604800000000L").as("cohort_week"),
+        expr("(us - s0) div 604800000000L").as("age_weeks"), $"user_id")
+      .groupBy($"cohort_week", $"age_weeks")
+      .agg(countDistinct($"user_id").as("n_active"))
+      .join(sized, Seq("cohort_week"))
+      .select($"cohort_week", $"age_weeks", $"n_users", $"n_active",
+        ($"n_active".cast("double") / $"n_users".cast("double"))
+          .as("retention"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
