@@ -251,6 +251,7 @@ object SparkEntry {
     "q230_tpch_q13" -> (Relational.q230Tpch13 _),
     "q231_supplier_diversity" -> (Relational.q231SupplierDiversity _),
     "q232_retention_matrix" -> (Relational.q232RetentionMatrix _),
+    "q233_tpch_q14" -> (Relational.q233Tpch14 _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2936,5 +2937,24 @@ object SparkEntry {
         |SELECT act.cohort_week, age_weeks, cs.n_users, n_active,
         |  CAST(n_active AS DOUBLE) / CAST(cs.n_users AS DOUBLE) AS retention
         |FROM act JOIN cs ON act.cohort_week = cs.cohort_week""".stripMargin,
+    "q233_tpch_q14" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+        |    AS ship_month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(14,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |    ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |    AS total_revenue,
+        |  100.0e0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(14,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |    ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |    AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -2959,6 +2959,27 @@ object Relational {
           .as("retention"))
   }
 
+  // ---------------------------------------------------------------- A117
+  /** TPC-H Q14 — promotion revenue share by ship month: the conditional
+    * aggregate ratio (promo revenue / total revenue) computed in ONE pass
+    * — the case-inside-sum idiom, never two scans joined. Both sums are
+    * DECIMAL-exact; the share is one IEEE division per month; part
+    * broadcasts as the dim side. */
+  def q233Tpch14(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(3, 2))
+    val revenue = money($"l_extendedprice") * (one - rate($"l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .groupBy(date_trunc("month", $"l_shipdate").cast(TimestampNTZType)
+        .as("ship_month"))
+      .agg(
+        asDouble(sum(when($"p_type" === "PROMO", revenue)
+          .otherwise(lit(0).cast(DecimalType(14, 2))))).as("promo_revenue"),
+        asDouble(sum(revenue)).as("total_revenue"))
+      .withColumn("promo_share",
+        lit(100.0) * $"promo_revenue" / $"total_revenue")
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
