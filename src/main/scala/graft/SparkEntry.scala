@@ -252,6 +252,8 @@ object SparkEntry {
     "q231_supplier_diversity" -> (Relational.q231SupplierDiversity _),
     "q232_retention_matrix" -> (Relational.q232RetentionMatrix _),
     "q233_tpch_q14" -> (Relational.q233Tpch14 _),
+    "q234_centroid_outliers" -> ((s, d) => Similarity.q234CentroidOutliers(s, d)),
+    "q235_ttr" -> (TextAnalysis.q235Ttr _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2956,5 +2958,39 @@ object SparkEntry {
         |    AS promo_share
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin,
+    "q234_centroid_outliers" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |b0 AS (SELECT vec_id, label, emb,
+        |    unnest(generate_series(1, len(emb))) AS i FROM e),
+        |bd AS (SELECT vec_id, label, i, emb[i] AS x FROM b0),
+        |c0 AS (SELECT label, i, vec_id,
+        |    sum(x) OVER (PARTITION BY label, i ORDER BY vec_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bd),
+        |cm AS (SELECT label, i,
+        |    arg_max(cum, vec_id) / CAST(count(*) AS DOUBLE) AS m
+        |  FROM c0 GROUP BY 1, 2),
+        |ct AS (SELECT label, list(m ORDER BY i) AS centroid
+        |  FROM cm GROUP BY 1),
+        |d AS (SELECT e.label, e.vec_id,
+        |    sqrt(list_dot_product(
+        |      list_transform(generate_series(1, len(e.emb)),
+        |        i -> e.emb[i] - ct.centroid[i]),
+        |      list_transform(generate_series(1, len(e.emb)),
+        |        i -> e.emb[i] - ct.centroid[i]))) AS dist
+        |  FROM e JOIN ct ON e.label = ct.label),
+        |r AS (SELECT label, vec_id, dist,
+        |    CAST(row_number() OVER (PARTITION BY label
+        |      ORDER BY dist DESC, vec_id) AS BIGINT) AS rk FROM d)
+        |SELECT label, rk, vec_id, dist FROM r WHERE rk <= 5""".stripMargin,
+    "q235_ttr" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(count(DISTINCT word) AS BIGINT) AS n_types,
+        |  CAST(count(DISTINCT word) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS ttr
+        |FROM w WHERE word <> '' GROUP BY 1""".stripMargin,
   )
 }

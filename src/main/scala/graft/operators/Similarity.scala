@@ -591,6 +591,56 @@ object Similarity {
           / col("total").cast("double")).as("cum_share_if_probed_first"))
   }
 
+  // ---------------------------------------------------------------- C100
+  /** Embedding outliers by distance-to-label-centroid — the embedding-QA
+    * screen (mislabeled or out-of-distribution vectors sit far from their
+    * class mean; the per-label complement of C76's global anisotropy
+    * check): per label, the top-k vectors by Euclidean distance to the
+    * label's mean vector.
+    *
+    * Scale: centroids are a \|labels\|·d-bounded aggregation — broadcast
+    * BY CONSTRUCTION back onto the corpus scan (q80's rule); distances
+    * are one codegen'd zip_with fold per vector; top-k per label compiles
+    * to WindowGroupLimit. Exact-oracle-able: the mean divides once per
+    * dimension (n exact, per-dimension sums exact fp of identical adds?
+    * NO — sum order varies), so the centroid uses a SORTED per-dimension
+    * fold: explode to (label, dim, value), aggregate per (label, dim)
+    * with an ORDERED cumulative over vec_id — both engines add in vec_id
+    * order, bit-identical. */
+  def q234CentroidOutliers(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), toDoubles(col("embedding")).as("emb"))
+    // per-(label, dim) mean with a DETERMINISTIC fold order: cumulative
+    // sum over vec_id, final value = the ordered total (q216's rule —
+    // a plain SUM of doubles is partitioning-dependent)
+    val byDim = e.select(col("vec_id"), col("label"),
+      posexplode(col("emb")).as(Seq("dim", "x")))
+    val wOrd = Window.partitionBy(col("label"), col("dim"))
+      .orderBy(col("vec_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val centroids = byDim
+      .withColumn("cum", sum(col("x")).over(wOrd))
+      .groupBy(col("label"), col("dim"))
+      // the ordered total is the cum at the LAST vec_id (values are
+      // signed, so a max over cums would be wrong) — max_by, tie-free
+      .agg((max_by(col("cum"), col("vec_id"))
+        / count(lit(1)).cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), " +
+        "s -> s.m)").as("centroid"))
+    val d2 = aggregate(
+      zip_with(col("emb"), col("centroid"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), _ + _)
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist").desc, col("vec_id").asc)
+    e.join(broadcast(centroids), Seq("label"))
+      .select(col("label"), col("vec_id"), sqrt(d2).as("dist"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("label"), col("rk"), col("vec_id"), col("dist"))
+  }
+
   // ---------------------------------------------------------------- C76
   /** Top principal component by MATRIX-FREE power iteration (the
     * embedding-drift / anisotropy diagnostic — sentence-embedding spaces

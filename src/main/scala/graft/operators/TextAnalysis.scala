@@ -395,6 +395,23 @@ object TextAnalysis {
         col("sum_deg"), col("sum_freq"), col("score"))
   }
 
+  // ---------------------------------------------------------------- C101
+  /** Type-token ratio per document — the lexical-diversity readability
+    * metric (low TTR = repetitive/templated text, the cheap cousin of
+    * q64's windowed repetition and q141's Simpson index): distinct words
+    * over total words, both exact counts (two-phase Expand distinct),
+    * one IEEE division. */
+  def q235Ttr(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("word")).as("n_types"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"))
+
   // ---------------------------------------------------------------- C92
   /** Longest identical-token run per document — the degenerate-loop
     * detector ("the the the …") that catches what q64's windowed
