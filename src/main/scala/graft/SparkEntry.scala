@@ -254,6 +254,7 @@ object SparkEntry {
     "q233_tpch_q14" -> (Relational.q233Tpch14 _),
     "q234_centroid_outliers" -> ((s, d) => Similarity.q234CentroidOutliers(s, d)),
     "q235_ttr" -> (TextAnalysis.q235Ttr _),
+    "q236_burstiness" -> (Relational.q236Burstiness _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -2992,5 +2993,22 @@ object SparkEntry {
         |  CAST(count(DISTINCT word) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    AS ttr
         |FROM w WHERE word <> '' GROUP BY 1""".stripMargin,
+    "q236_burstiness" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, count(*) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, sx AS n_events,
+        |  CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+        |  CAST(n_days * sxx - sx * sx AS DOUBLE)
+        |    / CAST(n_days * (n_days - 1) AS DOUBLE) AS var_daily,
+        |  CAST(n_days * sxx - sx * sx AS DOUBLE)
+        |    / CAST(n_days * (n_days - 1) AS DOUBLE)
+        |    / (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano
+        |FROM g WHERE n_days >= 2""".stripMargin,
   )
 }

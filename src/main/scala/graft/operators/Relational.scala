@@ -2980,6 +2980,32 @@ object Relational {
         lit(100.0) * $"promo_revenue" / $"total_revenue")
   }
 
+  // ---------------------------------------------------------------- A118
+  /** Burstiness (Fano factor) of daily volume per event type — the
+    * over-dispersion diagnostic (Fano ≈ 1 = Poisson-like arrivals; ≫ 1 =
+    * bursty/incident-driven; the dispersion complement of A106's ACF):
+    * sample variance over mean of the per-day counts, OBSERVED days only
+    * (a zero-filled calendar would need an external range — documented).
+    *
+    * Exactness: counts and both moment sums are exact bigints over the
+    * ≤\|types×days\| aggregate; variance/mean/Fano are one fixed
+    * expression of them (q93's moment discipline). */
+  def q236Burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select($"event_type",
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000L").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("x"))
+    daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"))
+      .filter($"n_days" >= 2)
+      .select($"event_type", $"n_days", $"sx".as("n_events"),
+        ($"sx".cast("double") / $"n_days".cast("double")).as("mean_daily"),
+        (($"n_days" * $"sxx" - $"sx" * $"sx").cast("double")
+          / ($"n_days" * ($"n_days" - 1)).cast("double")).as("var_daily"))
+      .withColumn("fano", $"var_daily" / $"mean_daily")
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
