@@ -255,6 +255,8 @@ object SparkEntry {
     "q234_centroid_outliers" -> ((s, d) => Similarity.q234CentroidOutliers(s, d)),
     "q235_ttr" -> (TextAnalysis.q235Ttr _),
     "q236_burstiness" -> (Relational.q236Burstiness _),
+    "q237_gap_percentiles" -> (Relational.q237GapPercentiles _),
+    "q238_abc_class" -> (Relational.q238AbcClass _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3010,5 +3012,32 @@ object SparkEntry {
         |    / CAST(n_days * (n_days - 1) AS DOUBLE)
         |    / (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano
         |FROM g WHERE n_days >= 2""".stripMargin,
+    "q237_gap_percentiles" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT event_type,
+        |    us - lag(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS gap_us FROM e)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  quantile_cont(gap_us, 0.5) AS p50_us,
+        |  quantile_cont(gap_us, 0.9) AS p90_us,
+        |  quantile_cont(gap_us, 0.99) AS p99_us
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
+    "q238_abc_class" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT l_partkey, cents,
+        |    sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_cents FROM rev),
+        |t AS (SELECT sum(cents) AS total FROM rev)
+        |SELECT l_partkey, CAST(cents AS DOUBLE) / 100.0e0 AS revenue,
+        |  CAST(cum_cents AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+        |  CASE WHEN cum_cents * 5 <= total * 4 THEN 'A'
+        |       WHEN cum_cents * 20 <= total * 19 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM c CROSS JOIN t""".stripMargin,
   )
 }

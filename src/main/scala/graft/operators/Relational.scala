@@ -3006,6 +3006,51 @@ object Relational {
       .withColumn("fano", $"var_daily" / $"mean_daily")
   }
 
+  // ---------------------------------------------------------------- A119
+  /** Exact inter-event gap percentiles per event type — the SLA numbers
+    * (p50/p90/p99 seconds between a user's consecutive events) under
+    * A87/q178's banded profile: the same lag window feeds `percentile`
+    * over exact integer µs gaps (q24's interpolation-parity discipline —
+    * integral inputs, both engines interpolate identically). */
+  def q237GapPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    ev.withColumn("gap_us", $"us" - lag($"us", 1).over(w))
+      .filter($"gap_us".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_us, 0.5)").as("p50_us"),
+        expr("percentile(gap_us, 0.9)").as("p90_us"),
+        expr("percentile(gap_us, 0.99)").as("p99_us"))
+  }
+
+  // ---------------------------------------------------------------- A120
+  /** ABC classification of parts by cumulative revenue share — the
+    * inventory-management standard (A ≈ first 80% of revenue, B to 95%,
+    * C the tail), the per-item classification under A108's bracket
+    * totals: every part gets its revenue, cumulative share, and class.
+    *
+    * Exactness: revenue in integer CENTS through the prefix machinery
+    * ([[Rank.prefixSumAndTotal]] casts its value to long — a DECIMAL
+    * would truncate silently at that seam, cents don't); class
+    * boundaries are INTEGER tests (5·cum ≤ 4·total, 20·cum ≤ 19·total);
+    * shares/revenue single IEEE divisions at the end. */
+  def q238AbcClass(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey")
+      .agg((sum(money($"l_extendedprice")) * 100).cast("long").as("cents"))
+    val (cum, total) = Rank.prefixSumAndTotal(rev,
+      Seq($"cents".desc, $"l_partkey".asc), $"cents", "cum_cents")
+    cum.select($"l_partkey",
+        ($"cents".cast("double") / 100.0).as("revenue"),
+        ($"cum_cents".cast("double") / lit(total.toDouble)).as("cum_share"),
+        when($"cum_cents" * 5 <= lit(total) * 4, "A")
+          .when($"cum_cents" * 20 <= lit(total) * 19, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
