@@ -257,6 +257,7 @@ object SparkEntry {
     "q236_burstiness" -> (Relational.q236Burstiness _),
     "q237_gap_percentiles" -> (Relational.q237GapPercentiles _),
     "q238_abc_class" -> (Relational.q238AbcClass _),
+    "q239_neighborhood_purity" -> ((s, d) => Similarity.q239NeighborhoodPurity(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3039,5 +3040,23 @@ object SparkEntry {
         |       WHEN cum_cents * 20 <= total * 19 THEN 'B'
         |       ELSE 'C' END AS abc_class
         |FROM c CROSS JOIN t""".stripMargin,
+    "q239_neighborhood_purity" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |p AS (SELECT q.vec_id AS qid, q.label AS qlabel,
+        |    c.vec_id AS nid, c.label AS nlabel,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_dot_product(q.emb, c.emb)
+        |        / (sqrt(list_dot_product(q.emb, q.emb))
+        |           * sqrt(list_dot_product(c.emb, c.emb))) DESC,
+        |      c.vec_id) AS rk
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id)
+        |SELECT qlabel AS label,
+        |  CAST(count(DISTINCT qid) AS BIGINT) AS n_vectors,
+        |  CAST(sum(CASE WHEN qlabel = nlabel THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_matching,
+        |  CAST(sum(CASE WHEN qlabel = nlabel THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(DISTINCT qid) * 5 AS DOUBLE) AS mean_purity
+        |FROM p WHERE rk <= 5 GROUP BY 1""".stripMargin,
   )
 }

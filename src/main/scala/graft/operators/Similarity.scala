@@ -641,6 +641,38 @@ object Similarity {
       .select(col("label"), col("rk"), col("vec_id"), col("dist"))
   }
 
+  // ---------------------------------------------------------------- C102
+  /** Neighborhood label purity per class — the aggregate embedding-quality
+    * report over C79's per-vector votes (is each class a coherent region,
+    * or scattered?): for every vector, the share of its k nearest OTHER
+    * vectors carrying its own label, rolled up per label.
+    *
+    * Exactness: the mean purity is Σ matching-neighbor counts / (k·n) —
+    * ONE division of exact integers (averaging per-vector double shares
+    * would sum in partition order, q93's rule). Scale: q45's bounded
+    * brute-force scoring (the oracle-able baseline; the IVF cell path
+    * swaps in past the gate exactly as q183), WindowGroupLimit top-k,
+    * label joins on vec_id. */
+  def q239NeighborhoodPurity(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val labels = e.select(col("vec_id"), col("label"))
+    val topk = bruteForceTopK(e, e, k)
+      .select(col("query_id"), col("neighbor_id"))
+    topk
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel")), Seq("query_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), Seq("neighbor_id"))
+      .groupBy(col("qlabel").as("label"))
+      .agg(countDistinct(col("query_id")).as("n_vectors"),
+        sum(when(col("qlabel") === col("nlabel"), 1L).otherwise(0L))
+          .as("n_matching"))
+      .select(col("label"), col("n_vectors"), col("n_matching"),
+        (col("n_matching").cast("double")
+          / (col("n_vectors") * k).cast("double")).as("mean_purity"))
+  }
+
   // ---------------------------------------------------------------- C76
   /** Top principal component by MATRIX-FREE power iteration (the
     * embedding-drift / anisotropy diagnostic — sentence-embedding spaces
