@@ -258,6 +258,7 @@ object SparkEntry {
     "q237_gap_percentiles" -> (Relational.q237GapPercentiles _),
     "q238_abc_class" -> (Relational.q238AbcClass _),
     "q239_neighborhood_purity" -> ((s, d) => Similarity.q239NeighborhoodPurity(s, d)),
+    "q240_attribution_compare" -> ((s, d) => Relational.q240AttributionCompare(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3058,5 +3059,32 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN qlabel = nlabel THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(DISTINCT qid) * 5 AS DOUBLE) AS mean_purity
         |FROM p WHERE rk <= 5 GROUP BY 1""".stripMargin,
+    "q240_attribution_compare" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(value AS DECIMAL(14,2)) AS v,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |p AS (SELECT user_id, event_id AS p_id, us AS p_us, v FROM e
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, us AS t_us,
+        |    lpad(CAST(us AS VARCHAR), 20, '0')
+        |      || lpad(CAST(event_id AS VARCHAR), 10, '0')
+        |      || event_type AS ordkey
+        |  FROM e WHERE event_type IN ('click', 'view')),
+        |w AS (SELECT p.user_id, p.p_id, min(t.ordkey) AS fk,
+        |    max(t.ordkey) AS lk
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.t_us >= p.p_us - 604800000000 AND t.t_us < p.p_us
+        |  GROUP BY 1, 2),
+        |a AS (SELECT p.v,
+        |    COALESCE(substr(w.fk, 31), 'direct') AS first_ch,
+        |    COALESCE(substr(w.lk, 31), 'direct') AS last_ch
+        |  FROM p LEFT JOIN w ON p.user_id = w.user_id AND p.p_id = w.p_id)
+        |SELECT 'first_touch' AS model, first_ch AS channel,
+        |  count(*) AS conversions, CAST(sum(v) AS DOUBLE) AS revenue
+        |FROM a GROUP BY 2
+        |UNION ALL
+        |SELECT 'last_touch' AS model, last_ch AS channel,
+        |  count(*) AS conversions, CAST(sum(v) AS DOUBLE) AS revenue
+        |FROM a GROUP BY 2""".stripMargin,
   )
 }

@@ -3051,6 +3051,49 @@ object Relational {
           .otherwise("C").as("abc_class"))
   }
 
+  // ---------------------------------------------------------------- A121
+  /** First-touch vs last-touch attribution, side by side — the comparison
+    * marketing actually argues about (A85/q169 ships last-touch alone;
+    * the delta between models IS the report). Both models share ONE
+    * purchase×touch interval join (q90's shape: user-keyed shuffle, band
+    * predicate inside), and the earliest/latest touch inside each
+    * purchase's window come from min/max over a SINGLE sortable key —
+    * zero-padded `us ‖ event_id` with the channel embedded as suffix, so
+    * ASCII order equals numeric order and both engines pick identical
+    * touches with no struct-aggregate dependence. Touchless purchases
+    * attribute to 'direct' in both models. Revenue DECIMAL-exact. */
+  def q240AttributionCompare(spark: SparkSession, dir: String,
+      windowDays: Int = 7): DataFrame = {
+    val winUs = windowDays.toLong * 86400000000L
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", money($"value").as("v"),
+        unix_micros($"ts".cast("timestamp")).as("us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_id"), $"us".as("p_us"), $"v")
+    val touches = ev.filter($"event_type".isin("click", "view"))
+      .select($"user_id", $"us".as("t_us"),
+        concat(lpad($"us".cast("string"), 20, "0"),
+          lpad($"event_id".cast("string"), 10, "0"),
+          $"event_type").as("ordkey"))
+    val windows = purchases
+      .join(touches, Seq("user_id"))
+      .filter($"t_us" >= $"p_us" - winUs && $"t_us" < $"p_us")
+      .groupBy($"user_id", $"p_id")
+      .agg(min($"ordkey").as("fk"), max($"ordkey").as("lk"))
+    val attributed = purchases
+      .join(windows, Seq("user_id", "p_id"), "left")
+      .select($"v",
+        coalesce(substring($"fk", 31, 100), lit("direct")).as("first_ch"),
+        coalesce(substring($"lk", 31, 100), lit("direct")).as("last_ch"))
+    def model(ch: Column, name: String) = attributed
+      .groupBy(ch.as("channel"))
+      .agg(count(lit(1)).as("conversions"),
+        asDouble(sum($"v")).as("revenue"))
+      .select(lit(name).as("model"), $"channel", $"conversions", $"revenue")
+    model($"first_ch", "first_touch")
+      .unionAll(model($"last_ch", "last_touch"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
