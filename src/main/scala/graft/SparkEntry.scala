@@ -259,6 +259,7 @@ object SparkEntry {
     "q238_abc_class" -> (Relational.q238AbcClass _),
     "q239_neighborhood_purity" -> ((s, d) => Similarity.q239NeighborhoodPurity(s, d)),
     "q240_attribution_compare" -> ((s, d) => Relational.q240AttributionCompare(s, d)),
+    "q241_cluster_size_hist" -> ((s, d) => Corpus.q241ClusterSizeHist(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3086,5 +3087,39 @@ object SparkEntry {
         |SELECT 'last_touch' AS model, last_ch AS channel,
         |  count(*) AS conversions, CAST(sum(v) AS DOUBLE) AS revenue
         |FROM a GROUP BY 2""".stripMargin,
+    "q241_cluster_size_hist" ->
+      """WITH RECURSIVE idx AS (
+        |  SELECT doc_id, source, text,
+        |    unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, source, substring(text, i, 3) AS ng
+        |  FROM idx
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM g a JOIN g b ON a.source = b.source AND a.ng = b.ng
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.3),
+        |nodes AS (SELECT doc_a AS id FROM pairs
+        |          UNION SELECT doc_b FROM pairs),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, l) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.l FROM edges e JOIN reach r ON e.src = r.id),
+        |lab AS (SELECT id, min(l) AS cluster_id FROM reach GROUP BY id),
+        |cs AS (SELECT cluster_id, count(*) AS size FROM lab GROUP BY 1),
+        |h AS (SELECT size, count(*) AS n_clusters FROM cs GROUP BY 1)
+        |SELECT size, n_clusters, size * n_clusters AS n_docs,
+        |  CAST(size * n_clusters AS DOUBLE)
+        |    / CAST(sum(size * n_clusters) OVER () AS DOUBLE) AS doc_share
+        |FROM h""".stripMargin,
   )
 }

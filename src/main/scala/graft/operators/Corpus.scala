@@ -1929,6 +1929,29 @@ object Corpus {
           .as("chars_per_token"))
   }
 
+  // ---------------------------------------------------------------- C103
+  /** Duplicate-cluster size histogram — the shape report over C13's
+    * connected components (how MUCH of the dup mass sits in pairs vs
+    * mega-clusters decides whether keep-one dedup or per-cluster review
+    * is the right pass; C90's soft weights and C22's representatives both
+    * read differently under a fat tail): cluster size → number of
+    * clusters + documents and doc share. One \|clusters\|-keyed size
+    * aggregation over q59's labels, one ≤\|sizes\| histogram rollup;
+    * share one IEEE division against the clustered-doc total. */
+  def q241ClusterSizeHist(spark: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val labels = q59DupClusters(spark, dir, threshold)
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("size"))
+    val whole = Window.partitionBy() // ≤|distinct sizes| rows — bounded
+    sizes.groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("size") * col("n_clusters"))
+      .withColumn("doc_share",
+        col("n_docs").cast("double")
+          / sum(col("n_docs")).over(whole).cast("double"))
+  }
+
   // ---------------------------------------------------------------- C99
   /** Vocabulary head-coverage curve — the smallest frequency-ranked head
     * of the vocabulary covering 50/90/99% of the token stream (the
