@@ -260,6 +260,8 @@ object SparkEntry {
     "q239_neighborhood_purity" -> ((s, d) => Similarity.q239NeighborhoodPurity(s, d)),
     "q240_attribution_compare" -> ((s, d) => Relational.q240AttributionCompare(s, d)),
     "q241_cluster_size_hist" -> ((s, d) => Corpus.q241ClusterSizeHist(s, d)),
+    "q242_dow_hour_heatmap" -> (Relational.q242DowHourHeatmap _),
+    "q243_dedup_savings" -> (Corpus.q243DedupSavings _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3121,5 +3123,32 @@ object SparkEntry {
         |  CAST(size * n_clusters AS DOUBLE)
         |    / CAST(sum(size * n_clusters) OVER () AS DOUBLE) AS doc_share
         |FROM h""".stripMargin,
+    "q242_dow_hour_heatmap" ->
+      """WITH e AS (SELECT CAST(value AS DECIMAL(14,2)) AS v,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |c AS (SELECT v,
+        |    (us // 86400000000 + 4) % 7 AS dow,
+        |    (us % 86400000000) // 3600000000 AS hour FROM e),
+        |g AS (SELECT dow, hour, count(*) AS n_events,
+        |    CAST(sum(v) AS DOUBLE) AS total_value FROM c GROUP BY 1, 2)
+        |SELECT dow, hour, n_events, total_value,
+        |  CAST(n_events AS DOUBLE) / CAST(sum(n_events) OVER () AS DOUBLE)
+        |    AS share
+        |FROM g""".stripMargin,
+    "q243_dedup_savings" ->
+      """WITH d AS (SELECT doc_id, source, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |s AS (SELECT text, min(doc_id) AS keep_id FROM d GROUP BY 1)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN doc_id = keep_id THEN toks ELSE 0 END)
+        |    AS BIGINT) AS tokens_kept,
+        |  CAST(sum(toks) - sum(CASE WHEN doc_id = keep_id THEN toks
+        |    ELSE 0 END) AS BIGINT) AS tokens_saved,
+        |  CAST(sum(toks) - sum(CASE WHEN doc_id = keep_id THEN toks
+        |    ELSE 0 END) AS DOUBLE) / CAST(sum(toks) AS DOUBLE)
+        |    AS savings_share
+        |FROM d JOIN s ON d.text = s.text GROUP BY 1""".stripMargin,
   )
 }

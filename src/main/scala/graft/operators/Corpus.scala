@@ -1952,6 +1952,36 @@ object Corpus {
           / sum(col("n_docs")).over(whole).cast("double"))
   }
 
+  // ---------------------------------------------------------------- C104
+  /** Exact-dedup token savings per source — what C1's keep-lowest-id pass
+    * actually buys, broken down by where the duplication lives (the
+    * per-source complement of C83's corpus-level funnel; a source whose
+    * savings dominate is a crawl-config bug before it is a data fact):
+    * per source, total vs post-dedup tokens and the savings share.
+    *
+    * Scale: duplicate detection keys on the text (128-bit hashes at
+    * 100 TB — q40's rule; the string key here keeps the oracle exact);
+    * survivors = min doc_id per text via one aggregation; token counts
+    * are exact whitespace counts; one ≤\|sources\| rollup. */
+  def q243DedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        TextAnalysis.wsTokens(col("text")).as("toks"))
+    val survivors = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    docs.join(survivors, Seq("text"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("tokens_total"),
+        sum(when(col("doc_id") === col("keep_id"), col("toks"))
+          .otherwise(0L)).as("tokens_kept"))
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+        col("tokens_kept"),
+        (col("tokens_total") - col("tokens_kept")).as("tokens_saved"),
+        ((col("tokens_total") - col("tokens_kept")).cast("double")
+          / col("tokens_total").cast("double")).as("savings_share"))
+  }
+
   // ---------------------------------------------------------------- C99
   /** Vocabulary head-coverage curve — the smallest frequency-ranked head
     * of the vocabulary covering 50/90/99% of the token stream (the

@@ -3094,6 +3094,28 @@ object Relational {
       .unionAll(model($"last_ch", "last_touch"))
   }
 
+  // ---------------------------------------------------------------- A122
+  /** Day-of-week × hour activity heatmap — the staffing/capacity matrix:
+    * counts and value per (dow, hour) cell, CALENDAR-FREE integer
+    * arithmetic (dow = (epoch_day + 4) mod 7 with 0 = Sunday — epoch day
+    * 0 was a Thursday; hour = µs-in-day div 3600·10⁶), so no engine
+    * timezone/locale machinery touches the keys (q145's rule). 168-cell
+    * bounded aggregate, DECIMAL value, share one IEEE division. */
+  def q242DowHourHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val whole = Window.partitionBy() // ≤168 rows — bounded
+    Tables.events(spark, dir)
+      .select(money($"value").as("v"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .select($"v",
+        expr("pmod((us div 86400000000L) + 4, 7)").as("dow"),
+        expr("(us % 86400000000L) div 3600000000L").as("hour"))
+      .groupBy($"dow", $"hour")
+      .agg(count(lit(1)).as("n_events"), asDouble(sum($"v")).as("total_value"))
+      .withColumn("share",
+        $"n_events".cast("double")
+          / sum($"n_events").over(whole).cast("double"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
