@@ -262,6 +262,7 @@ object SparkEntry {
     "q241_cluster_size_hist" -> ((s, d) => Corpus.q241ClusterSizeHist(s, d)),
     "q242_dow_hour_heatmap" -> (Relational.q242DowHourHeatmap _),
     "q243_dedup_savings" -> (Corpus.q243DedupSavings _),
+    "q244_knn_confusion" -> ((s, d) => Similarity.q244KnnConfusion(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3150,5 +3151,29 @@ object SparkEntry {
         |    ELSE 0 END) AS DOUBLE) / CAST(sum(toks) AS DOUBLE)
         |    AS savings_share
         |FROM d JOIN s ON d.text = s.text GROUP BY 1""".stripMargin,
+    "q244_knn_confusion" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |p AS (SELECT q.vec_id AS qid, q.label AS qlabel,
+        |    c.label AS nlabel,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_dot_product(q.emb, c.emb)
+        |        / (sqrt(list_dot_product(q.emb, q.emb))
+        |           * sqrt(list_dot_product(c.emb, c.emb))) DESC,
+        |      c.vec_id) AS rk
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id),
+        |v AS (SELECT qid, qlabel, nlabel, count(*) AS votes
+        |  FROM p WHERE rk <= 5 GROUP BY 1, 2, 3),
+        |pred AS (SELECT qid, qlabel AS true_label, nlabel AS pred_label
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY votes DESC, nlabel) AS vr FROM v)
+        |  WHERE vr = 1),
+        |m AS (SELECT true_label, pred_label, count(*) AS n
+        |  FROM pred GROUP BY 1, 2)
+        |SELECT true_label, pred_label, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER
+        |    (PARTITION BY true_label) AS DOUBLE) AS row_share,
+        |  true_label = pred_label AS hit
+        |FROM m""".stripMargin,
   )
 }

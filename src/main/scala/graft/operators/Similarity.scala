@@ -673,6 +673,27 @@ object Similarity {
           / (col("n_vectors") * k).cast("double")).as("mean_purity"))
   }
 
+  // ---------------------------------------------------------------- C105
+  /** Confusion matrix of the kNN label classifier — C79's per-vector
+    * verdicts rolled into the (true × predicted) matrix with per-cell
+    * share-of-true-label (the embedding twin of C80's language confusion:
+    * WHICH classes bleed into which, where C102's purity only says how
+    * much): counts exact, the row share one IEEE division against the
+    * true label's exact total. Bounded \|labels\|² output; inherits
+    * q183's size-gated candidate generation unchanged. */
+  def q244KnnConfusion(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val verdicts = q183KnnClassify(spark, dir, k)
+      .select(col("true_label"), col("pred_label"))
+    val wTrue = Window.partitionBy(col("true_label")) // ≤|labels|² frame
+    verdicts.groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_share",
+        col("n").cast("double")
+          / sum(col("n")).over(wTrue).cast("double"))
+      .withColumn("hit", col("true_label") === col("pred_label"))
+  }
+
   // ---------------------------------------------------------------- C76
   /** Top principal component by MATRIX-FREE power iteration (the
     * embedding-drift / anisotropy diagnostic — sentence-embedding spaces
