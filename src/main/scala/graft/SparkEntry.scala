@@ -263,6 +263,7 @@ object SparkEntry {
     "q242_dow_hour_heatmap" -> (Relational.q242DowHourHeatmap _),
     "q243_dedup_savings" -> (Corpus.q243DedupSavings _),
     "q244_knn_confusion" -> ((s, d) => Similarity.q244KnnConfusion(s, d)),
+    "q245_discount_response" -> (Relational.q245DiscountResponse _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3175,5 +3176,19 @@ object SparkEntry {
         |    (PARTITION BY true_label) AS DOUBLE) AS row_share,
         |  true_label = pred_label AS hit
         |FROM m""".stripMargin,
+    "q245_discount_response" ->
+      """WITH b AS (SELECT
+        |    CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+        |      AS discount_pct,
+        |    l_quantity, CAST(l_extendedprice AS DECIMAL(14,2)) AS price
+        |  FROM lineitem),
+        |g AS (SELECT discount_pct, count(*) AS n,
+        |    sum(l_quantity) AS total_qty,
+        |    CAST(sum(price) AS DOUBLE) AS total_price
+        |  FROM b GROUP BY 1)
+        |SELECT discount_pct, n,
+        |  total_qty / CAST(n AS DOUBLE) AS avg_qty,
+        |  total_price / CAST(n AS DOUBLE) AS avg_price
+        |FROM g""".stripMargin,
   )
 }

@@ -3116,6 +3116,25 @@ object Relational {
           / sum($"n_events").over(whole).cast("double"))
   }
 
+  // ---------------------------------------------------------------- A123
+  /** Discount-band volume response — quantity and revenue per discount
+    * band (the merchandising "does discounting move volume" read, the
+    * descriptive table under any elasticity fit): bands are exact integer
+    * percent points (DECIMAL(4,2)·100 → long — an fp band edge would
+    * straddle), quantity sums exact (integral doubles), averages single
+    * IEEE divisions over the ≤\|bands\| frame. */
+  def q245DiscountResponse(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select((rate($"l_discount") * 100).cast("long").as("discount_pct"),
+        $"l_quantity", money($"l_extendedprice").as("price"))
+      .groupBy($"discount_pct")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity").as("total_qty"),
+        asDouble(sum($"price")).as("total_price"))
+      .select($"discount_pct", $"n",
+        ($"total_qty" / $"n".cast("double")).as("avg_qty"),
+        ($"total_price" / $"n".cast("double")).as("avg_price"))
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
