@@ -264,6 +264,7 @@ object SparkEntry {
     "q243_dedup_savings" -> (Corpus.q243DedupSavings _),
     "q244_knn_confusion" -> ((s, d) => Similarity.q244KnnConfusion(s, d)),
     "q245_discount_response" -> (Relational.q245DiscountResponse _),
+    "q246_length_quality_corr" -> (Corpus.q246LengthQualityCorr _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3189,6 +3190,24 @@ object SparkEntry {
         |SELECT discount_pct, n,
         |  total_qty / CAST(n AS DOUBLE) AS avg_qty,
         |  total_price / CAST(n AS DOUBLE) AS avg_price
+        |FROM g""".stripMargin,
+    "q246_length_quality_corr" ->
+      """WITH s AS (SELECT source, n_chars AS x,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |      w -> (length(w) * 7) % 13 - 6)) AS BIGINT) AS y
+        |  FROM documents),
+        |u AS (SELECT source, x, y FROM s
+        |  UNION ALL SELECT '__all__' AS source, x, y FROM s),
+        |g AS (SELECT source, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM u GROUP BY 1)
+        |SELECT source, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
         |FROM g""".stripMargin,
   )
 }

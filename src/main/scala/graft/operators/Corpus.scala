@@ -1982,6 +1982,37 @@ object Corpus {
           / col("tokens_total").cast("double")).as("savings_share"))
   }
 
+  // ---------------------------------------------------------------- C106
+  /** Length-vs-quality correlation — Pearson r between document length
+    * and the C49 classifier score, per source and corpus-wide (the filter
+    * audit: a quality model strongly correlated with raw length is mostly
+    * a length filter wearing a costume, and its keep-set could be had for
+    * free): both variables are exact integers (n_chars; q121's integer
+    * score), so all five Pearson sums are exact bigints and r is one IEEE
+    * expression per group — the q214 discipline on a cross-variable
+    * correlation. One scan, ≤\|sources\|+1 output rows. */
+  def q246LengthQualityCorr(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("x"),
+        expr("aggregate(split(text, ' '), 0L, (acc, w) -> " +
+          "acc + cast((length(w) * 7) % 13 - 6 as bigint))").as("y"))
+    def corr(grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = grouped
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("source"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double")))).as("pearson_r"))
+    corr(scored.groupBy(col("source")))
+      .unionAll(corr(scored.withColumn("source", lit("__all__"))
+        .groupBy(col("source"))))
+  }
+
   // ---------------------------------------------------------------- C99
   /** Vocabulary head-coverage curve — the smallest frequency-ranked head
     * of the vocabulary covering 50/90/99% of the token stream (the
