@@ -265,6 +265,7 @@ object SparkEntry {
     "q244_knn_confusion" -> ((s, d) => Similarity.q244KnnConfusion(s, d)),
     "q245_discount_response" -> (Relational.q245DiscountResponse _),
     "q246_length_quality_corr" -> (Corpus.q246LengthQualityCorr _),
+    "q247_lang_similarity" -> (TextAnalysis.q247LangSimilarity _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3209,5 +3210,24 @@ object SparkEntry {
         |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
         |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
         |FROM g""".stripMargin,
+    "q247_lang_similarity" ->
+      """WITH i AS (SELECT lang, text,
+        |    unnest(generate_series(1, greatest(length(text) - 2, 1)))
+        |      AS p FROM documents),
+        |g AS (SELECT lang, substring(text, p, 3) AS gram FROM i
+        |  WHERE length(substring(text, p, 3)) = 3),
+        |prof AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |norms AS (SELECT lang, CAST(sum(cnt * cnt) AS BIGINT) AS nrm2
+        |  FROM prof GROUP BY 1),
+        |dots AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |    CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+        |  FROM prof a JOIN prof b ON a.gram = b.gram AND a.lang < b.lang
+        |  GROUP BY 1, 2)
+        |SELECT lang_a, lang_b, dot,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm2 AS DOUBLE))
+        |    * sqrt(CAST(nb.nrm2 AS DOUBLE))) AS cosine
+        |FROM dots
+        |JOIN norms na ON lang_a = na.lang
+        |JOIN norms nb ON lang_b = nb.lang""".stripMargin,
   )
 }

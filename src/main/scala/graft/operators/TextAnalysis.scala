@@ -395,7 +395,48 @@ object TextAnalysis {
         col("sum_deg"), col("sum_freq"), col("score"))
   }
 
-  // ---------------------------------------------------------------- C101
+  // ---------------------------------------------------------------- C107
+  /** Language similarity matrix — cosine between per-language character
+    * 3-gram COUNT profiles (which language pairs genuinely look alike —
+    * the prior that explains C80's confusion matrix: a lang-ID mistake
+    * between profile-similar languages is expected, one between distant
+    * ones is a bug): profiles are exact integer counts, so dot products
+    * and norms are exact bigints and each cosine is one IEEE expression.
+    *
+    * Scale: profiles aggregate to (lang, gram) — gram vocabulary is
+    * alphabet-bounded, langs are a dimension; the pair dot product is a
+    * hash join on gram between two |langs|·|grams| frames (salt the gram
+    * key if one gram dominates), ≤\|langs\|² output. */
+  def q247LangSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("lang"), col("text"))
+      .select(col("lang"), posexplode(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), " +
+          "i -> substring(text, i, 3))")).as(Seq("__p", "gram")))
+      .filter(length(col("gram")) === 3)
+      .groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    // the profile feeds THREE plan branches (norms + both join sides) —
+    // materialize once (q106's rule; returned frames keep their
+    // checkpoint, q85's pattern)
+    val prof = graft.Lineage.truncate(grams, reliable = false).df
+    val norms = prof.groupBy(col("lang"))
+      .agg(sum(col("cnt") * col("cnt")).as("nrm2"))
+    prof.select(col("lang").as("lang_a"), col("gram"), col("cnt").as("ca"))
+      .join(prof.select(col("lang").as("lang_b"), col("gram"),
+        col("cnt").as("cb")), Seq("gram"))
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+      .join(norms.select(col("lang").as("lang_a"),
+        col("nrm2").as("na")), Seq("lang_a"))
+      .join(norms.select(col("lang").as("lang_b"),
+        col("nrm2").as("nb")), Seq("lang_b"))
+      .select(col("lang_a"), col("lang_b"), col("dot"),
+        (col("dot").cast("double")
+          / (sqrt(col("na").cast("double"))
+            * sqrt(col("nb").cast("double")))).as("cosine"))
+  }
   /** Type-token ratio per document — the lexical-diversity readability
     * metric (low TTR = repetitive/templated text, the cheap cousin of
     * q64's windowed repetition and q141's Simpson index): distinct words
