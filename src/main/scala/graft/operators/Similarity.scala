@@ -156,6 +156,21 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 4): DataFrame =
     allVectorsTopK(Tables.embeddings(spark, dir), k, nCells, nProbe)
 
+  /** THE shared size-gated candidate provider for every "queries ARE the
+    * corpus" consumer (q183 classify, q239 purity, q244 confusion via
+    * q183): under `bruteForceMax` rows the exact brute-force scan runs
+    * with a broadcast BOUNDED BY THE GATE (the recall=1 oracle-able
+    * regime); past it [[allVectorsTopK]]'s IVF-cell shuffle join swaps in
+    * — nothing corpus-sized is ever broadcast. One gate, one count (a
+    * parquet-metadata pass), so a future scale fix lands once for the
+    * whole eval family (Round13ScaleSpec pins each consumer's plan). */
+  private[operators] def gatedAllVectorsTopK(e: DataFrame, k: Int,
+      bruteForceMax: Long, nCells: Int, nProbe: Int): DataFrame = {
+    val n = e.count()
+    if (n <= bruteForceMax) bruteForceTopK(e, e, k)
+    else allVectorsTopK(e, k, nCells, nProbe)
+  }
+
   /** The q106 cell-blocked all-vectors top-k, factored out so every
     * "queries ARE the corpus" consumer (q106's kNN graph, q183's
     * leave-one-out classifier) shares the one scale-safe shape: shuffle
@@ -197,6 +212,60 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
+  /** q171's scaled-arm candidate generator: IVF-cell-blocked CROSS-SIDE
+    * scored pairs `(vec_a, vec_b, cosine)` — [[allVectorsTopK]]'s shuffle
+    * machinery with the pair space restricted to opposite sides of
+    * `sideExpr`. Probed from BOTH directions (A probing B's cells ∪ B
+    * probing A's cells) so the candidate set is direction-symmetric — the
+    * mutual-top-1 filter downstream sees the same pair whichever side
+    * found it; a pair met twice collapses via a pair-keyed first-score
+    * aggregation (cosine is bit-identical in either direction: fp multiply
+    * is commutative, the dot fold is by index). Nothing is broadcast but
+    * the (nCells × dim) centroid table; the cell join is a shuffle hash
+    * join with both sides corpus-sized. With nProbe = nCells the pair set
+    * is ALL cross pairs — bit-equal to the brute arm (Round13ScaleSpec). */
+  private[operators] def cellBlockedCrossScores(corpus: DataFrame, sideExpr: Column,
+      nCells: Int, nProbe: Int): DataFrame = {
+    val side = corpus.select(col("vec_id"), sideExpr.as("sideA"))
+    val built = IvfIndex.build(corpus, nCells)
+    val assignments = graft.Lineage.truncate(
+      built.assignments.join(side, Seq("vec_id")), reliable = false).df
+    val d2 = aggregate(
+      zip_with(col("q_emb"), col("centroid"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), _ + _)
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cell").asc)
+    val probes = assignments
+      .select(col("vec_id"), col("sideA"),
+        col("emb").as("q_emb"), col("norm").as("q_norm"))
+      .crossJoin(broadcast(built.centroids))
+      .withColumn("d2", d2)
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("vec_id"), col("sideA"), col("q_emb"), col("q_norm"),
+        col("cell"))
+    // probes feed BOTH union branches — materialize once, or the
+    // centroid cross + probe window re-executes per direction
+    val probesM = graft.Lineage.truncate(probes, reliable = false).df
+    def pairs(probeSideA: Boolean): DataFrame = {
+      val p = probesM.filter(if (probeSideA) col("sideA") else !col("sideA"))
+        .select(col("vec_id").as("p_id"), col("q_emb"), col("q_norm"),
+          col("cell"))
+      val c = assignments
+        .filter(if (probeSideA) !col("sideA") else col("sideA"))
+        .select(col("vec_id").as("c_id"), col("emb"), col("norm"), col("cell"))
+      c.join(p, Seq("cell")) // shuffle join on cell — both sides big
+        .select(
+          (if (probeSideA) col("p_id") else col("c_id")).as("vec_a"),
+          (if (probeSideA) col("c_id") else col("p_id")).as("vec_b"),
+          (dotD(col("q_emb"), col("emb"))
+            / (col("q_norm") * col("norm"))).as("cosine"))
+    }
+    pairs(probeSideA = true).unionAll(pairs(probeSideA = false))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(first(col("cosine")).as("cosine"))
   }
 
   /** bucket = Σ_p (dot(v, plane_p) > 0) << p — built from nested codegen'd
@@ -341,25 +410,41 @@ object Similarity {
     * forward top-1s but can return at most one).
     *
     * Scale: the scored frame is built ONCE and materialized (both argmax
-    * passes read it — without truncation the cross join re-executes per
-    * direction); candidate generation here is the exact brute-force cross
-    * (the recall=1 oracle-able baseline, q45's posture) and swaps to
-    * q106's IVF-cell-blocked candidates past linear scale with the mutual
-    * filter unchanged. Each direction's top-1 is ONE `max(struct)` partial
-    * aggregate — never a per-side sort. Tie-break inside the struct is
-    * (score, partner_id) — total, engine-identical (q44's fp parity). */
-  def q171BitextMnn(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"),
-      toDoubles(col("embedding")).as("emb"), l2Norm(col("embedding")).as("norm"),
-      (col("label") % 2 === 0).as("sideA"))
-    val a = e.filter(col("sideA")).select(col("vec_id").as("vec_a"),
-      col("emb").as("ea"), col("norm").as("na"))
-    val b = e.filter(!col("sideA")).select(col("vec_id").as("vec_b"),
-      col("emb").as("eb"), col("norm").as("nb"))
-    val scored = graft.Lineage.truncate(
-      a.crossJoin(broadcast(b)).select(col("vec_a"), col("vec_b"),
-        (dotD(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine")),
-      reliable = false).df
+    * passes read it — without truncation the candidate join re-executes
+    * per direction). Candidate generation is SIZE-GATED: under
+    * `bruteForceMax` rows the exact brute-force cross runs (the recall=1
+    * oracle-able baseline, its side-B broadcast BOUNDED BY THE GATE);
+    * past it [[cellBlockedCrossScores]] swaps in — q106's IVF-cell
+    * shuffle machinery restricted to cross-side pairs, probed from BOTH
+    * directions so the candidate set is direction-symmetric, nothing
+    * broadcast but the centroid table. The mutual `max(struct)` passes
+    * read a generic (vec_a, vec_b, cosine) frame and are IDENTICAL in
+    * both arms; with nProbe=nCells the arms are bit-equal
+    * (Round13ScaleSpec). Each direction's top-1 is ONE `max(struct)`
+    * partial aggregate — never a per-side sort. Tie-break inside the
+    * struct is (score, partner_id) — total, engine-identical (q44's fp
+    * parity; cosine is direction-independent bit-for-bit because fp
+    * multiply is commutative and the fold order is by index). */
+  def q171BitextMnn(spark: SparkSession, dir: String,
+      bruteForceMax: Long = 200000L, nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+    val n = raw.count()
+    val scored0 =
+      if (n <= bruteForceMax) {
+        val e = raw.select(col("vec_id"),
+          toDoubles(col("embedding")).as("emb"),
+          l2Norm(col("embedding")).as("norm"),
+          (col("label") % 2 === 0).as("sideA"))
+        val a = e.filter(col("sideA")).select(col("vec_id").as("vec_a"),
+          col("emb").as("ea"), col("norm").as("na"))
+        val b = e.filter(!col("sideA")).select(col("vec_id").as("vec_b"),
+          col("emb").as("eb"), col("norm").as("nb"))
+        a.crossJoin(broadcast(b)).select(col("vec_a"), col("vec_b"),
+          (dotD(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+      } else cellBlockedCrossScores(raw,
+        (col("label") % 2 === 0), nCells, nProbe)
+    val scored = graft.Lineage.truncate(scored0, reliable = false).df
     val bestA = scored.groupBy(col("vec_a"))
       .agg(max(struct(col("cosine"), col("vec_b"))).as("m"))
       .select(col("vec_a"), col("m.vec_b").as("vec_b"))
@@ -378,8 +463,12 @@ object Similarity {
     * select k maximizing `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`.
     *
     * Scale split: the RELEVANCE scan is the distributed part — map-only
-    * broadcast-query cosine over the whole corpus (q45's posture; IVF
-    * probing swaps in past linear scale) with the shortlist cut by
+    * broadcast-query cosine over the whole corpus. The broadcast side is
+    * ONE query row — bounded by construction, not by a gate — so this is
+    * the scale-safe baseline BY DESIGN (no swap exists or is needed; a
+    * caller with a large corpus can feed the shortlist from
+    * [[IvfIndex.query]] instead, the greedy phase is agnostic to where
+    * the r candidates came from). The shortlist is cut by
     * `.orderBy().limit(r)` (TakeOrdered, never a global sort). The greedy
     * phase is sequential BY DEFINITION (each pick depends on all previous
     * picks), over a CONSTANT-bound r·dim frame — that is a bounded
@@ -493,10 +582,7 @@ object Similarity {
       bruteForceMax: Long = 200000L, nCells: Int = 16,
       nProbe: Int = 4): DataFrame = {
     val raw = Tables.embeddings(spark, dir)
-    val n = raw.count()
-    val topk =
-      if (n <= bruteForceMax) bruteForceTopK(raw, raw, k)
-      else allVectorsTopK(raw, k, nCells, nProbe)
+    val topk = gatedAllVectorsTopK(raw, k, bruteForceMax, nCells, nProbe)
     val labels = raw.select(col("vec_id"), col("label"))
     val votes = topk
       .join(labels.select(col("vec_id").as("query_id"),
@@ -649,15 +735,19 @@ object Similarity {
     *
     * Exactness: the mean purity is Σ matching-neighbor counts / (k·n) —
     * ONE division of exact integers (averaging per-vector double shares
-    * would sum in partition order, q93's rule). Scale: q45's bounded
-    * brute-force scoring (the oracle-able baseline; the IVF cell path
-    * swaps in past the gate exactly as q183), WindowGroupLimit top-k,
-    * label joins on vec_id. */
+    * would sum in partition order, q93's rule). Scale: candidates come
+    * from [[gatedAllVectorsTopK]] — q183's exact size gate, shared, so
+    * under `bruteForceMax` the oracle-able brute arm runs and past it
+    * the IVF-cell shuffle arm swaps in with nothing corpus-sized
+    * broadcast (Round13ScaleSpec pins both the arm equivalence at
+    * nProbe=nCells and the scaled plan's centroid-only broadcast). The
+    * purity rollup is arm-agnostic — it reads only (query, neighbor). */
   def q239NeighborhoodPurity(spark: SparkSession, dir: String,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, bruteForceMax: Long = 200000L, nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val labels = e.select(col("vec_id"), col("label"))
-    val topk = bruteForceTopK(e, e, k)
+    val topk = gatedAllVectorsTopK(e, k, bruteForceMax, nCells, nProbe)
       .select(col("query_id"), col("neighbor_id"))
     topk
       .join(labels.select(col("vec_id").as("query_id"),
