@@ -2679,10 +2679,12 @@ object SparkEntry {
         |    0.05115252244738129e0, 0.04575749056067514e0]) AS benford,
         |    unnest(generate_series(1, 9)) AS digit0),
         |b AS (SELECT benford, CAST(digit0 AS INT) AS digit FROM b0),
-        |d AS (SELECT CAST(substr(CAST(CAST(
-        |      CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
-        |      AS VARCHAR), 1, 1) AS INT) AS digit
+        |d0 AS (SELECT CAST(
+        |      CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
         |  FROM orders),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+        |      AS digit
+        |  FROM d0 WHERE cents > 0),
         |c AS (SELECT digit, count(*) AS cnt FROM d GROUP BY 1),
         |t AS (SELECT sum(cnt) AS n FROM c)
         |SELECT c.digit, c.cnt,

@@ -2665,6 +2665,12 @@ object Relational {
     val expected = element_at(array(benford.map(lit): _*), $"digit")
     val digits = Tables.orders(spark, dir)
       .select((money($"o_totalprice") * 100).cast("long").as("cents"))
+      // Benford is defined on positive magnitudes; a zero amount would
+      // yield digit 0 and crash element_at (1-based), a negative one a
+      // '-' first char — exclude them HERE, identically to the oracle,
+      // instead of diverging on dirty data (zero crashes vs the oracle's
+      // silent inner-join drop)
+      .filter($"cents" > 0)
       .select(substring($"cents".cast("string"), 1, 1).cast("int").as("digit"))
     val counts = digits.groupBy($"digit")
       .agg(count(lit(1)).as("cnt"))

@@ -159,13 +159,20 @@ object Tables {
     * usual partitionColumn options passed through `options`). */
   def fromJdbc(spark: SparkSession, url: String, table: String,
       options: Map[String, String] = Map.empty): JdbcTable = {
-    val conn = java.sql.DriverManager.getConnection(url)
+    val conn = jdbcConnect(url, options)
     val (resolved, pk) =
       try {
         val md = conn.getMetaData
         def tableExists(n: String): Boolean = {
-          val rs = md.getTables(null, null, n, null)
-          try rs.next() finally rs.close()
+          // getTables treats the name as a LIKE pattern — escape '_'/'%'
+          // where the driver supports it, and ALWAYS verify the returned
+          // TABLE_NAME exactly: some drivers (Derby) declare no escape
+          // string at all, so 'a_b' would otherwise resolve via a
+          // pattern match on a different table
+          val rs = md.getTables(null, null, escapeJdbcPattern(md, n), null)
+          try Iterator.continually(rs).takeWhile(_.next())
+            .exists(_.getString("TABLE_NAME") == n)
+          finally rs.close()
         }
         val name = Seq(table, table.toUpperCase, table.toLowerCase)
           .distinct.find(tableExists).getOrElse(throw new IllegalArgumentException(
@@ -184,11 +191,35 @@ object Tables {
     JdbcTable(resolved, pk, df)
   }
 
+  /** Metadata connection honoring the standard Spark-JDBC `user` /
+    * `password` options — a bare `getConnection(url)` would authenticate
+    * the DATA read but fail the schema/PK introspection against any
+    * credentialed database (creds would have to ride the URL). */
+  private def jdbcConnect(url: String,
+      options: Map[String, String]): java.sql.Connection = {
+    val props = new java.util.Properties()
+    options.get("user").foreach(props.setProperty("user", _))
+    options.get("password").foreach(props.setProperty("password", _))
+    java.sql.DriverManager.getConnection(url, props)
+  }
+
+  /** Escape LIKE metacharacters (`_`, `%`, and the escape itself) for the
+    * `DatabaseMetaData` pattern arguments, using the driver's own escape
+    * string. `getPrimaryKeys` takes a literal name — no escaping there. */
+  private def escapeJdbcPattern(md: java.sql.DatabaseMetaData,
+      name: String): String = {
+    val esc = md.getSearchStringEscape
+    if (esc == null || esc.isEmpty) name
+    else name.replace(esc, esc + esc)
+      .replace("_", esc + "_").replace("%", esc + "%")
+  }
+
   /** Every user table the database reports via `getTables(TABLE)` —
     * `TiFlinkCatalog.listTables` against a JDBC endpoint instead of a
     * dataset directory. */
-  def jdbcTables(url: String): Seq[String] = {
-    val conn = java.sql.DriverManager.getConnection(url)
+  def jdbcTables(url: String,
+      options: Map[String, String] = Map.empty): Seq[String] = {
+    val conn = jdbcConnect(url, options)
     try {
       val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
       try Iterator.continually(rs).takeWhile(_.next())
@@ -204,7 +235,7 @@ object Tables {
   def registerJdbc(spark: SparkSession, url: String,
       tables: Seq[String] = Seq.empty,
       options: Map[String, String] = Map.empty): Map[String, Seq[String]] = {
-    val names = if (tables.nonEmpty) tables else jdbcTables(url)
+    val names = if (tables.nonEmpty) tables else jdbcTables(url, options)
     names.map { n =>
       val t = fromJdbc(spark, url, n, options)
       t.df.createOrReplaceTempView(t.name.toLowerCase)

@@ -46,22 +46,41 @@ object BucketedTable {
   def pinBucketCount(spark: SparkSession, root: String, n: Int): Unit = {
     val p = new Path(root, "_n_buckets")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
+    def storedCount(): Int = {
       val in = fs.open(p)
-      val stored = try new String(in.readAllBytes(), "UTF-8").trim.toInt
-        finally in.close()
+      try new String(in.readAllBytes(), "UTF-8").trim.toInt
+      finally in.close()
+    }
+    def check(stored: Int): Unit =
       if (stored != n)
         throw new IllegalStateException(
           s"$root was built with nBuckets=$stored but this run uses " +
             s"nBuckets=$n — keys would hash into the wrong buckets; " +
             "rebuild the table or match the original count")
-    } else {
-      fs.mkdirs(p.getParent)
-      val tmp = new Path(root, "._n_buckets_tmp")
-      val out = fs.create(tmp, true)
-      try out.write(n.toString.getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, p) && !fs.exists(p))
-        throw new IllegalStateException(s"could not record $p")
+    // serialize in-JVM racers (concurrent streaming queries in one
+    // driver — the realistic contention) on the interned marker path;
+    // POSIX rename REPLACES an existing destination, so without this two
+    // same-process first writers could both "win" with different counts
+    s"graft.pinBucketCount:$p".intern().synchronized {
+      if (fs.exists(p)) check(storedCount())
+      else {
+        fs.mkdirs(p.getParent)
+        // unique temp per attempt: two concurrent first writers must not
+        // share a staging file (one would rename the other's content)
+        val tmp = new Path(root,
+          s"._n_buckets_tmp_${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
+        try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, p)) {
+          // lost a cross-process race (or rename failed): whatever is
+          // pinned now wins — but it must still AGREE with n, else fail
+          // exactly as the exists-branch would have
+          fs.delete(tmp, false)
+          if (!fs.exists(p))
+            throw new IllegalStateException(s"could not record $p")
+          check(storedCount())
+        }
+      }
     }
   }
 

@@ -31,7 +31,13 @@ import org.apache.spark.sql.functions._
  *
  * Replay safety: the recompute is content-deterministic and the
  * `_applied_batch` marker (written after the swap) makes a full replay a
- * no-op; a replay of a half-applied batch recomputes identical buckets.
+ * no-op. A replay of a HALF-APPLIED batch (crash between swap and marker:
+ * rows stored, marker stale) is made safe by anti-joining the batch
+ * against the stored history on the full version key (key, valid_from,
+ * tie) BEFORE the disorder check — already-stored rows drop out, so the
+ * replay neither duplicates them nor trips the append-only check against
+ * its own rows; the remainder (empty on a clean replay) recomputes
+ * identical buckets.
  */
 object StreamingScd2 {
   import BucketedTable._
@@ -80,10 +86,23 @@ object StreamingScd2 {
       if (touched.isEmpty) { writeMarker(fs, marker, batchId); return }
       val cur = readTouched(spark, path, touched).getOrElse(newMat.df.limit(0))
 
+      // a crash between swapTouched and writeMarker leaves the batch's
+      // rows stored under the PREVIOUS marker; on replay those rows are
+      // already history and must neither re-union (duplicates) nor trip
+      // the disorder check (the stored max IS the batch's own row). Drop
+      // them first — replay of a half-applied batch is then a true no-op
+      // on the remainder. Keys map to one bucket and buckets swap whole,
+      // so a key's batch rows are stored all-or-nothing; the anti-join
+      // identity is the full version key (key, valid_from, tie).
+      val fresh = newMat.df.join(
+        cur.select(col(keyCol), col("valid_from"), col(tieCol)),
+        Seq(keyCol, "valid_from", tieCol), "left_anti")
+      if (fresh.isEmpty) { writeMarker(fs, marker, batchId); return }
+
       // disorder is loud: every key's incoming versions must order
       // strictly after its stored history (one bounded collect)
       val ord = struct(col("valid_from"), col(tieCol))
-      val bad = newMat.df.groupBy(col(keyCol)).agg(min(ord).as("__mn"))
+      val bad = fresh.groupBy(col(keyCol)).agg(min(ord).as("__mn"))
         .join(cur.groupBy(col(keyCol)).agg(max(ord).as("__mx")), Seq(keyCol))
         .filter(col("__mn") <= col("__mx"))
         .limit(1).collect()
@@ -93,7 +112,7 @@ object StreamingScd2 {
             "is append-only per key; a late event would rewrite an " +
             "already-served interval")
 
-      val unioned = cur.unionByName(newMat.df)
+      val unioned = cur.unionByName(fresh)
       val w = Window.partitionBy(col(keyCol))
         .orderBy(col("valid_from"), col(tieCol))
       val recomputed = unioned

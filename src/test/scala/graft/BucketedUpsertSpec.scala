@@ -187,4 +187,46 @@ class BucketedUpsertSpec extends SparkSpec {
       .groupBy(_._1).map { case (g, vs) => (g, vs.size.toLong, vs.map(_._2).sum) }.toSet
     assert(agg === want)
   }
+
+  test("pinBucketCount: mismatch fails loudly, concurrent first pins agree") {
+    val base = Files.createTempDirectory("pin").toString
+    BucketedTable.pinBucketCount(spark, s"$base/t1", 8)
+    val e = intercept[IllegalStateException] {
+      BucketedTable.pinBucketCount(spark, s"$base/t1", 4)
+    }
+    assert(e.getMessage.contains("nBuckets=8"))
+    // re-pinning the SAME count is a no-op
+    BucketedTable.pinBucketCount(spark, s"$base/t1", 8)
+
+    // N concurrent FIRST pins of the same count: all must succeed (unique
+    // temp per attempt — the old shared-temp path let one racer rename
+    // another's in-flight file) and the pinned value must read back
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 8).map { _ =>
+      new Thread(() =>
+        try BucketedTable.pinBucketCount(spark, s"$base/t2", 16)
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent same-count pins failed: ${errs.asScala.toList}")
+    assert(new String(Files.readAllBytes(
+      Paths.get(s"$base/t2/_n_buckets")), "UTF-8").trim === "16")
+
+    // racing pins of DIFFERENT counts: exactly one value wins, every
+    // loser observes the winner (throws) — never a silent divergent pin
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[Int, Int]]()
+    val racers = Seq(4, 32).flatMap(n => (1 to 4).map(_ => n)).map { n =>
+      new Thread(() =>
+        try { BucketedTable.pinBucketCount(spark, s"$base/t3", n); outcomes.add(Right(n)) }
+        catch { case _: IllegalStateException => outcomes.add(Left(n)) })
+    }
+    racers.foreach(_.start()); racers.foreach(_.join())
+    val pinned = new String(Files.readAllBytes(
+      Paths.get(s"$base/t3/_n_buckets")), "UTF-8").trim.toInt
+    assert(Set(4, 32).contains(pinned))
+    // every thread that succeeded used the pinned value
+    assert(outcomes.asScala.collect { case Right(n) => n }.forall(_ == pinned))
+    // and the losing count's threads all failed loudly
+    assert(outcomes.asScala.collect { case Left(n) => n }.forall(_ != pinned))
+  }
 }

@@ -50,6 +50,30 @@ class JdbcTablesSpec extends SparkSpec {
       .filter(Set("dim_rate", "audit_log")) === Seq("audit_log", "dim_rate"))
   }
 
+  test("metadata lookup escapes LIKE metacharacters and honors cred options") {
+    setup()
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("CREATE TABLE ABXC (k BIGINT NOT NULL, PRIMARY KEY (k))")
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+      st.close()
+    } finally conn.close()
+    // 'ab_c' does not exist; unescaped it would pattern-match ABXC and
+    // then fail later on the data read — it must fail HERE, loudly
+    val e = intercept[IllegalArgumentException] {
+      Tables.fromJdbc(spark, url, "ab_c")
+    }
+    assert(e.getMessage.contains("not found"))
+    // user/password in options ride the metadata connection as Properties
+    // (embedded Derby accepts any credentials; the point is the code path)
+    val t = Tables.fromJdbc(spark, url, "dim_rate",
+      Map("user" -> "APP", "password" -> "pw"))
+    assert(t.primaryKey === Seq("NATION_KEY"))
+    assert(Tables.jdbcTables(url, Map("user" -> "APP", "password" -> "pw"))
+      .map(_.toLowerCase).contains("dim_rate"))
+  }
+
   test("a registered JDBC table joins the parquet catalog in SQL") {
     setup()
     val pks = Tables.registerJdbc(spark, url, Seq("dim_rate"))

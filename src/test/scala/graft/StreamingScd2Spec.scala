@@ -91,4 +91,38 @@ class StreamingScd2Spec extends SparkSpec {
     apply0(df((1L, 1L, "a", 1.0, t0)), 0L)
     assert(spark.read.parquet(s"$base/hist").count() === 2)
   }
+
+  test("replay of a half-applied batch (stale marker) is a no-op, not stuck") {
+    // Crash window: swapTouched succeeded, writeMarker did not — the
+    // batch's rows are already history but the marker still reads the
+    // previous batch. The replay must neither duplicate rows nor trip the
+    // disorder check against the batch's own stored rows.
+    val base = Files.createTempDirectory("scd2replay").toString
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    def df(rows: (Long, Long, String, Double, java.time.LocalDateTime)*) =
+      rows.toDF("user_id", "event_id", "event_type", "value", "ts")
+    def apply0(b: DataFrame, id: Long) =
+      StreamingScd2.applyBatch(s"$base/hist", "user_id", "ts", "event_id",
+        nBuckets = 4)(b, id)
+    val batch = df((1L, 1L, "a", 1.0, t0), (1L, 2L, "b", 2.0, t0.plusHours(1)),
+      (2L, 3L, "c", 3.0, t0))
+    apply0(batch, 0L)
+    val before = spark.read.parquet(s"$base/hist")
+      .select($"user_id", $"event_id", $"valid_from", $"valid_to", $"is_current")
+      .collect().toSet
+    // simulate the crash: remove the marker (via the Hadoop FS, which owns
+    // the checksum sidecar) so the replay really runs
+    val markerPath = new org.apache.hadoop.fs.Path(s"$base/hist/_applied_batch")
+    markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(markerPath, false)
+    apply0(batch, 0L) // must not throw 'out-of-order', must not duplicate
+    val after = spark.read.parquet(s"$base/hist")
+      .select($"user_id", $"event_id", $"valid_from", $"valid_to", $"is_current")
+      .collect().toSet
+    assert(after === before)
+    assert(after.size === 3)
+    // and the marker is repaired so the next batch proceeds normally
+    apply0(df((1L, 4L, "d", 4.0, t0.plusHours(2))), 1L)
+    assert(spark.read.parquet(s"$base/hist").count() === 4)
+  }
 }
