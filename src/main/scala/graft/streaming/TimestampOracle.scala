@@ -1,0 +1,220 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Cross-JOB timestamp/epoch authority for one snapshot store root — the
+ * file-protocol analog of the reference's grpc timestamp oracle shared by
+ * concurrent jobs (coordinator/grpc/GrpcService.java:20-99 issues global
+ * timestamps; Coordinator.java:6-12 is the client seam). [[SnapshotStore]]
+ * leases already serialize writers PER TABLE; what they cannot give is a
+ * GLOBAL order across independent MV jobs writing different tables of one
+ * store. This oracle does: every `begin()` CAS-allocates the next integer
+ * timestamp for the whole store, so two jobs' epochs interleave into one
+ * monotone sequence and a pinned reader has a total order to pin against.
+ *
+ * Protocol (all under `<root>/_tso/`):
+ *   - `t=<n>`  allocated (pending) timestamp — the CAS object: exactly one
+ *     `begin()` can create it (create-if-absent; in-JVM racers additionally
+ *     serialize on the interned root path, since a local FS create is
+ *     check-then-act). Allocation = max(existing, floor) + 1, retried on
+ *     collision.
+ *   - `c=<n>` / `a=<n>`  resolution markers. If both ever exist (a commit
+ *     that lost its lease racing the expiry scan), ABORT WINS — deciders
+ *     must agree, so the late committer throws instead of un-aborting.
+ *   - `_floor`  compaction high-water mark: every n ≤ floor is resolved
+ *     and its files are deleted ([[gc]]), keeping the directory listing
+ *     O(in-flight + recent) instead of O(history).
+ *
+ * `safePoint()` is the resolved-ts analog (FlinkTikvConsumer.java:163-191
+ * emits rows only at resolved-ts boundaries): the largest timestamp below
+ * which nothing is still in flight. A reader that pins `min(safePoint)`
+ * across its tables never sees skew: epochs publish BEFORE their
+ * timestamp commits, so once a timestamp resolves, no new epoch at-or-
+ * below it can appear later. A pending allocation whose holder died holds
+ * the safe point back only until `leaseMs`, then the scan writes its
+ * abort marker and moves on — same expiring-lease posture as
+ * [[SnapshotStore]]'s writer lock. Residual window (documented, same as
+ * any lease scheme): a writer whose whole process stalls past the lease
+ * can still publish after its timestamp was aborted; the abort-wins rule
+ * makes its commit fail LOUDLY, and the epoch it published is a complete,
+ * consistent snapshot — late, never torn.
+ */
+object TimestampOracle {
+
+  /** Generous vs the seconds-scale begin→publish→commit it bounds. */
+  val DefaultLeaseMs: Long = 10 * 60 * 1000L
+
+  final case class Ts(ts: Long)
+
+  final class TimestampFencedException(msg: String)
+    extends IllegalStateException(msg)
+
+  private def tsoDir(root: String) = new Path(root, "_tso")
+  private def fsOf(spark: SparkSession, root: String) =
+    tsoDir(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def listEntries(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[(String, Long, Long)] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      val i = n.indexOf('=')
+      if (i < 0) None
+      else scala.util.Try(
+        (n.take(i), n.drop(i + 1).toLong, st.getModificationTime)).toOption
+    }
+
+  private def readFloor(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Long = {
+    val p = new Path(dir, "_floor")
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Allocate the store's next global timestamp (pending until [[commit]]
+    * or [[abort]]). Strictly increasing and unique across jobs. */
+  def begin(spark: SparkSession, root: String): Ts = {
+    val fs = fsOf(spark, root)
+    val dir = tsoDir(root)
+    s"graft.tso:$dir".intern().synchronized {
+      fs.mkdirs(dir)
+      var attempt = 0
+      while (attempt < 1000) {
+        val floor = readFloor(fs, dir)
+        val top = (listEntries(fs, dir).collect { case ("t", n, _) => n } :+ floor).max
+        val cand = top + 1L
+        val ok =
+          try { fs.create(new Path(dir, s"t=$cand"), false).close(); true }
+          catch { case _: java.io.IOException => false } // lost the CAS
+        if (ok) return Ts(cand)
+        attempt += 1
+      }
+      throw new IllegalStateException(
+        s"could not allocate a timestamp at $dir after 1000 attempts")
+    }
+  }
+
+  /** Resolve `ts` as committed. Throws [[TimestampFencedException]] if the
+    * expiry scan already aborted it (the holder outlived its lease) —
+    * abort wins, loudly, so no reader's resolved view is retracted. */
+  def commit(spark: SparkSession, root: String, ts: Ts): Unit = {
+    val fs = fsOf(spark, root)
+    val dir = tsoDir(root)
+    if (fs.exists(new Path(dir, s"a=${ts.ts}")))
+      throw new TimestampFencedException(
+        s"timestamp ${ts.ts} at $dir was aborted by lease expiry before " +
+          "this commit — the holder outlived its lease")
+    fs.create(new Path(dir, s"c=${ts.ts}"), true).close()
+    // the decider race: if the expiry scan aborted between our check and
+    // our marker, agree with it (abort wins) and report the fence
+    if (fs.exists(new Path(dir, s"a=${ts.ts}")))
+      throw new TimestampFencedException(
+        s"timestamp ${ts.ts} at $dir lost the commit/abort race; abort wins")
+  }
+
+  /** Resolve `ts` as aborted (idempotent). */
+  def abort(spark: SparkSession, root: String, ts: Ts): Unit = {
+    val fs = fsOf(spark, root)
+    fs.create(new Path(tsoDir(root), s"a=${ts.ts}"), true).close()
+  }
+
+  /** The largest timestamp with nothing in flight at or below it — pin
+    * multi-table reads here ([[readStoreAt]]) and they can never be
+    * overtaken by a late-arriving lower epoch. Pending allocations older
+    * than `leaseMs` are aborted in passing (marker written — the verdict
+    * is durable, so a stalled holder's later commit fences loudly). */
+  def safePoint(spark: SparkSession, root: String,
+      leaseMs: Long = DefaultLeaseMs): Long = {
+    val fs = fsOf(spark, root)
+    val dir = tsoDir(root)
+    val entries = listEntries(fs, dir)
+    val resolved = entries.collect {
+      case ("c", n, _) => n
+      case ("a", n, _) => n
+    }.toSet
+    val now = System.currentTimeMillis()
+    val pending = entries.collect {
+      case ("t", n, mtime) if !resolved.contains(n) => (n, mtime)
+    }
+    val livePending = pending.filter { case (n, mtime) =>
+      if (now - mtime > leaseMs) { // holder outlived its lease: abort it
+        fs.create(new Path(dir, s"a=$n"), true).close(); false
+      } else true
+    }
+    val floor = readFloor(fs, dir)
+    val top = (entries.collect { case ("t", n, _) => n } :+ floor).max
+    if (livePending.isEmpty) top else livePending.map(_._1).min - 1L
+  }
+
+  /** Compact: delete resolution files for every timestamp ≤ the current
+    * safe point and record it as the `_floor` — keeps `_tso` listings
+    * bounded by in-flight work, the role TiKV GC plays for old versions. */
+  def gc(spark: SparkSession, root: String,
+      leaseMs: Long = DefaultLeaseMs): Long = {
+    val fs = fsOf(spark, root)
+    val dir = tsoDir(root)
+    val sp = safePoint(spark, root, leaseMs)
+    s"graft.tso:$dir".intern().synchronized {
+      val floorPath = new Path(dir, "_floor")
+      if (sp > readFloor(fs, dir)) {
+        // floor first (raising it is safe: it only widens "resolved"),
+        // then the now-redundant per-ts files
+        val tmp = new Path(dir, s"._floor_tmp_${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
+        try out.write(sp.toString.getBytes("UTF-8")) finally out.close()
+        fs.delete(floorPath, false)
+        if (!fs.rename(tmp, floorPath))
+          throw new IllegalStateException(s"could not advance $floorPath")
+      }
+      listEntries(fs, dir).foreach { case (_, n, _) =>
+        if (n <= sp) fs.delete(new Path(dir, s"t=$n"), false)
+      }
+      listEntries(fs, dir).foreach { case (k, n, _) =>
+        if (n <= sp && (k == "c" || k == "a"))
+          fs.delete(new Path(dir, s"$k=$n"), false)
+      }
+    }
+    sp
+  }
+
+  /** Publish `table`'s next epoch under a GLOBAL timestamp: allocate,
+    * publish the snapshot at that epoch number (under the table's own
+    * writer lease — [[SnapshotStore.publishComputed]]), then commit the
+    * timestamp. Publish-before-commit is what makes [[safePoint]] a
+    * consistency fence; any failure aborts the timestamp so the safe
+    * point is never held back by a dead writer longer than the lease. */
+  def publishGlobal(spark: SparkSession, root: String, table: String,
+      keep: Int = 3)(make: () => DataFrame): Long = {
+    val ts = begin(spark, root)
+    try {
+      SnapshotStore.publishComputed(
+        spark, new Path(root, table).toString, ts.ts, keep)(make)
+      commit(spark, root, ts)
+      ts.ts
+    } catch {
+      case e: Throwable =>
+        try abort(spark, root, ts)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+  }
+
+  /** Pinned multi-table read: for each table, its latest committed epoch
+    * at-or-below `ts` (None while a table has no epoch ≤ ts yet). Pin at
+    * [[safePoint]] and the map is a consistent cut: re-resolving at the
+    * same `ts` later returns the SAME epochs however many writers have
+    * committed since. */
+  def readStoreAt(spark: SparkSession, root: String, tables: Seq[String],
+      ts: Long): Map[String, Option[DataFrame]] =
+    tables.map { t =>
+      val base = new Path(root, t).toString
+      val v = SnapshotStore.versions(spark, base).filter(_ <= ts)
+      t -> (if (v.isEmpty) None
+            else Some(SnapshotStore.readSnapshot(spark, base, Some(v.max))))
+    }.toMap
+}
