@@ -205,6 +205,18 @@ final case class DirTail(dir: String,
   }
 }
 
+/** The binding over a live [[MiniBroker]] (or any server speaking
+  * [[SocketLogProtocol]]): real bytes over TCP consumed by the custom
+  * DSv2 micro-batch source ([[SocketLogSource]]) with checkpoint-
+  * meaningful, replayable offsets — the in-sandbox transport that runs
+  * the whole changefeed seam end-to-end, where [[KafkaTopic]] (below)
+  * must stay plan-level without a connector jar. */
+final case class SocketLog(host: String, port: Int) extends ChangefeedSource {
+  def frame(spark: SparkSession): DataFrame =
+    spark.readStream.format(classOf[SocketLogSource].getName)
+      .option("host", host).option("port", port.toString).load()
+}
+
 /** A Kafka topic via Structured Streaming's `kafka` source (requires the
   * spark-sql-kafka connector on the classpath at runtime — not bundled
   * here, which is why [[readerOptions]] is a pure function the spec can
