@@ -266,6 +266,14 @@ object SparkEntry {
     "q245_discount_response" -> (Relational.q245DiscountResponse _),
     "q246_length_quality_corr" -> (Corpus.q246LengthQualityCorr _),
     "q247_lang_similarity" -> (TextAnalysis.q247LangSimilarity _),
+    "q248_gopher_rules" -> ((s, d) => TextAnalysis.q248GopherRules(s, d)),
+    "q249_wordlen_hist" -> (Corpus.q249WordlenHist _),
+    "q250_kwic" -> ((s, d) => TextAnalysis.q250Kwic(s, d)),
+    "q251_orphan_audit" -> (Relational.q251OrphanAudit _),
+    "q252_dup_orders" -> (Relational.q252DupOrders _),
+    "q253_lorenz" -> (Relational.q253Lorenz _),
+    "q254_nation_hhi" -> (Relational.q254NationHhi _),
+    "q255_norm_profile" -> (Similarity.q255NormProfile _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3231,5 +3239,135 @@ object SparkEntry {
         |FROM dots
         |JOIN norms na ON lang_a = na.lang
         |JOIN norms nb ON lang_b = nb.lang""".stripMargin,
+    "q248_gopher_rules" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |    CAST(length(text) AS BIGINT) AS nchars FROM documents),
+        |f AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS words,
+        |    nchars - (CAST(len(ws) AS BIGINT) - 1) AS word_chars,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+        |      AS BIGINT) AS alpha_words,
+        |    CAST(len(list_filter(ws,
+        |      w -> w IN ('the','a','of','and','to','in'))) AS BIGINT)
+        |      AS stop_hits
+        |  FROM d)
+        |SELECT doc_id, words,
+        |  CAST(word_chars AS DOUBLE) / CAST(words AS DOUBLE)
+        |    AS mean_word_len,
+        |  CAST(alpha_words AS DOUBLE) / CAST(words AS DOUBLE)
+        |    AS alpha_share,
+        |  stop_hits,
+        |  words >= 15 AND words <= 100000 AS ok_word_count,
+        |  word_chars >= words * 2 AND word_chars <= words * 10
+        |    AS ok_mean_word_len,
+        |  alpha_words * 10 >= words * 8 AS ok_alpha_share,
+        |  stop_hits >= 2 AS ok_stopwords,
+        |  (words >= 15 AND words <= 100000)
+        |    AND (word_chars >= words * 2 AND word_chars <= words * 10)
+        |    AND (alpha_words * 10 >= words * 8)
+        |    AND (stop_hits >= 2) AS keep
+        |FROM f""".stripMargin,
+    "q249_wordlen_hist" ->
+      """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT lang, CAST(length(w) AS BIGINT) AS word_len,
+        |    CAST(count(*) AS BIGINT) AS n_words FROM w GROUP BY 1, 2)
+        |SELECT lang, word_len, n_words,
+        |  CAST(n_words AS DOUBLE)
+        |    / CAST(sum(n_words) OVER (PARTITION BY lang) AS DOUBLE)
+        |    AS share
+        |FROM c""".stripMargin,
+    "q250_kwic" ->
+      """WITH h AS (SELECT doc_id, lang, text,
+        |    CAST((length(' '||text||' ')
+        |      - length(replace(' '||text||' ', ' spark ', ' '))) / 6
+        |      AS BIGINT) AS n_hits,
+        |    strpos(' '||text||' ', ' spark ') AS padded_pos
+        |  FROM documents)
+        |SELECT doc_id, lang, n_hits,
+        |  CAST(padded_pos AS BIGINT) AS first_pos,
+        |  substring(text, greatest(padded_pos - 20, 1), 45) AS context
+        |FROM h WHERE n_hits > 0""".stripMargin,
+    "q251_orphan_audit" ->
+      """SELECT 'lineitem->orders' AS fk_edge,
+        |  (SELECT count(*) FROM lineitem) AS total,
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS orphans,
+        |  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS DOUBLE) / CAST((SELECT count(*) FROM lineitem) AS DOUBLE)
+        |    AS orphan_share
+        |UNION ALL SELECT 'orders->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |  CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |    AS DOUBLE) / CAST((SELECT count(*) FROM orders) AS DOUBLE)
+        |UNION ALL SELECT 'customer->nation',
+        |  (SELECT count(*) FROM customer),
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+        |  CAST((SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |    AS DOUBLE) / CAST((SELECT count(*) FROM customer) AS DOUBLE)
+        |UNION ALL SELECT 'supplier->nation',
+        |  (SELECT count(*) FROM supplier),
+        |  (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)),
+        |  CAST((SELECT count(*) FROM supplier s WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+        |    AS DOUBLE) / CAST((SELECT count(*) FROM supplier) AS DOUBLE)""".stripMargin,
+    "q252_dup_orders" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate,
+        |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      AS cents FROM orders)
+        |SELECT o_custkey, o_orderdate,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM o GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
+    "q253_lorenz" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT rev,
+        |    row_number() OVER (ORDER BY rev ASC, o_custkey ASC) AS i,
+        |    count(*) OVER () AS n FROM rev),
+        |d AS (SELECT CAST(((i - 1) * 10) // CAST(n AS BIGINT) AS INT)
+        |    AS decile, rev FROM r),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |    sum(rev) AS decile_rev FROM d GROUP BY 1)
+        |SELECT decile, n_customers,
+        |  CAST(decile_rev AS DOUBLE) AS decile_revenue,
+        |  CAST(sum(decile_rev) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(sum(decile_rev) OVER () AS DOUBLE) AS cum_share
+        |FROM g""".stripMargin,
+    "q254_nation_hhi" ->
+      """WITH pc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT c.c_nationkey, pc.cnt FROM pc
+        |  JOIN customer c ON pc.o_custkey = c.c_custkey),
+        |g AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(cnt) AS BIGINT) AS total_orders,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq
+        |  FROM j GROUP BY 1)
+        |SELECT n.n_name AS nation, g.n_customers, g.total_orders,
+        |  CAST(g.sum_sq AS DOUBLE)
+        |    / CAST(g.total_orders * g.total_orders AS DOUBLE) AS hhi
+        |FROM g JOIN nation n ON g.c_nationkey = n.n_nationkey""".stripMargin,
+    // the ordered total uses list_reduce (sequential left-to-right fold,
+    // matching Spark's running-window adds) — DuckDB's windowed SUM over
+    // doubles aggregates via a segment tree, which can land one ulp off
+    "q255_norm_profile" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS norm FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  min(norm) AS min_norm, max(norm) AS max_norm,
+        |  list_reduce(list(norm ORDER BY vec_id), (x, y) -> x + y)
+        |    / CAST(count(*) AS DOUBLE) AS mean_norm
+        |FROM e GROUP BY label""".stripMargin,
   )
 }

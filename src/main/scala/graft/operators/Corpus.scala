@@ -2077,4 +2077,27 @@ object Corpus {
         (sqrt(col("p")) / col("denom")).as("weight"),
         (sqrt(col("p")) / col("denom") / col("p")).as("boost"))
   }
+
+  // ---------------------------------------------------------------- C110
+  /** Per-language word-length histogram — the tokenizer-design input
+    * (vocabulary/merge budgets follow the length distribution, and a
+    * language whose profile shifts between corpus versions signals a
+    * scraping/encoding regression the aggregate stats C32 reports would
+    * average away): count and within-language share per (lang, length).
+    *
+    * Exactness: lengths/counts exact ints, the share one division
+    * against the language's exact total. Scale: explode is map-side; the
+    * aggregation partial-aggs to ≤\|langs\|·\|lengths\| rows and every
+    * window runs on that bounded frame. */
+  def q249WordlenHist(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ", -1)).as("w"))
+      .select(col("lang"), length(col("w")).cast("long").as("word_len"))
+    val perLang = Window.partitionBy(col("lang")) // bounded frame
+    words.groupBy(col("lang"), col("word_len"))
+      .agg(count(lit(1)).as("n_words"))
+      .withColumn("share",
+        col("n_words").cast("double")
+          / sum(col("n_words")).over(perLang).cast("double"))
+  }
 }

@@ -3141,6 +3141,135 @@ object Relational {
         ($"total_qty" / $"n".cast("double")).as("avg_qty"),
         ($"total_price" / $"n".cast("double")).as("avg_price"))
 
+  // ---------------------------------------------------------------- A124
+  /** Referential-integrity audit — orphan counts for every FK edge of the
+    * schema (lineitem→orders, orders→customer, customer→nation,
+    * supplier→nation): the data-quality precondition every join in this
+    * repo silently assumes, reported instead of assumed. One row per
+    * edge: total child rows, orphan rows, orphan share.
+    *
+    * Exactness: counts are exact bigints, the share one IEEE division.
+    * Scale: each check is ONE anti-join on the FK — the two nation edges
+    * broadcast the 25-row parent; the orders/lineitem edges are shuffle
+    * hash anti-joins on their natural keys (AQE may still broadcast the
+    * parent at small sf — size-adaptive, no forced hint on a big side).
+    * Output is 4 rows — the union is of aggregates, not of tables. */
+  def q251OrphanAudit(spark: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, child: DataFrame, fk: Column,
+        parent: DataFrame, pk: Column, broadcastParent: Boolean): DataFrame = {
+      val p = if (broadcastParent) broadcast(parent) else parent
+      val total = child.agg(count(lit(1)).as("total"))
+      val orphans = child.join(p, fk === pk, "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+      total.crossJoin(orphans) // 1×1 — trivially bounded
+        .select(lit(name).as("fk_edge"), $"total", $"orphans",
+          ($"orphans".cast("double") / $"total".cast("double"))
+            .as("orphan_share"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    audit("lineitem->orders", li, $"l_orderkey", o, $"o_orderkey",
+        broadcastParent = false)
+      .unionAll(audit("orders->customer", o, $"o_custkey", c, $"c_custkey",
+        broadcastParent = false))
+      .unionAll(audit("customer->nation", c, $"c_nationkey", n, $"n_nationkey",
+        broadcastParent = true))
+      .unionAll(audit("supplier->nation", s, $"s_nationkey", n, $"n_nationkey",
+        broadcastParent = true))
+  }
+
+  // ---------------------------------------------------------------- A125
+  /** Duplicate-order screen — customers with MULTIPLE orders on one date
+    * (the double-submission audit; the relational sibling of the corpus
+    * dedup family C1-C4, on transactional keys instead of text). Emits
+    * each suspect group with its size and the amount range as integer
+    * cents — identical amounts (min = max) are the strongest duplicate
+    * signal, differing ones are legitimate same-day activity to triage.
+    *
+    * Exactness: amounts compare as integer CENTS (DECIMAL·100 → long —
+    * min/max on a double would order on ulps); counts/keys exact.
+    * Scale: one partial-agged groupBy on (customer, date); output only
+    * the >1 groups. */
+  def q252DupOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderdate",
+        (money($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+      .filter($"n_orders" > 1)
+
+  // ---------------------------------------------------------------- A126
+  /** Lorenz curve of customer revenue by decile — the inequality PROFILE
+    * under q211's single Gini number (which decile carries the revenue,
+    * and how far the curve sags below equality): per revenue-decile, the
+    * customer count, decile revenue, and the CUMULATIVE revenue share up
+    * to that decile.
+    *
+    * Exactness: revenue is DECIMAL (exact sums); deciles are integer
+    * arithmetic on the global rank (((i-1)·10) div n); the cumulative
+    * share is a DECIMAL prefix sum over the 10-row frame divided once by
+    * the DECIMAL total — every double is one IEEE division of exact
+    * decimals. Scale: the global order rides [[Rank.globalRowNumber]]'s
+    * range exchange; everything after is a 10-row frame. */
+  def q253Lorenz(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(money($"o_totalprice")).as("rev"))
+    val (ranked, n) = Rank.globalRowNumberAndTotal(rev,
+      Seq($"rev".asc, $"o_custkey".asc), rnCol = "i")
+    val byDecile = ranked
+      .select(expr(s"CAST(((i - 1) * 10) div ${n}L AS INT)").as("decile"),
+        $"rev")
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"), sum($"rev").as("decile_rev"))
+    val w10 = Window.orderBy($"decile") // 10-row frame — bounded
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("cum_rev", sum($"decile_rev").over(w10))
+      .withColumn("total", sum($"decile_rev").over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select($"decile", $"n_customers",
+        asDouble($"decile_rev").as("decile_revenue"),
+        (asDouble($"cum_rev") / asDouble($"total")).as("cum_share"))
+  }
+
+  // ---------------------------------------------------------------- A127
+  /** Per-nation customer-concentration HHI — is a nation's order volume
+    * spread across its customers or owned by a few (the within-group
+    * complement of q166's cross-group market share, and the
+    * Herfindahl-Hirschman index regulators actually compute):
+    * HHI = Σ_c (orders_c / total)².
+    *
+    * Exactness trick: Σ (c_i/T)² summed as doubles would be partition-
+    * order fp — instead HHI = (Σ c_i²) / T² with BOTH sides exact
+    * bigints and ONE division, bit-identical cross-engine (q239's
+    * integer-rollup rule). Scale: orders aggregate per customer (partial
+    * agg), nation attach is a broadcast dim join, per-nation rollup is
+    * ≤\|nations\| rows. */
+  def q254NationHhi(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("cnt"))
+      .join(Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+    perCust
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"cnt").as("total_orders"),
+        sum($"cnt" * $"cnt").as("sum_sq"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), $"n_customers", $"total_orders",
+        ($"sum_sq".cast("double")
+          / ($"total_orders" * $"total_orders").cast("double")).as("hhi"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -784,6 +784,34 @@ object Similarity {
       .withColumn("hit", col("true_label") === col("pred_label"))
   }
 
+  // ---------------------------------------------------------------- C111
+  /** Per-label embedding NORM profile — the cheapest embedding-QA screen
+    * (an un-normalized batch, a collapsed class, or a scale drift between
+    * encoder versions shows up in the norm distribution before any
+    * similarity metric moves; the scalar complement of C100's per-vector
+    * centroid distances): per label, vector count and the min / max /
+    * mean L2 norm.
+    *
+    * Exactness: each norm is one deterministic index-ordered fold + sqrt
+    * (engine-identical); min/max are order-free; the MEAN uses the
+    * ordered-cumulative trick (cumulative sum over vec_id, take the
+    * value at the last id via max_by — q234's rule) so both engines add
+    * in the same order. Scale: map-only norm scan; the window and rollup
+    * partition by label; output ≤\|labels\| rows. */
+  def q255NormProfile(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), l2Norm(col("embedding")).as("norm"))
+    val wOrd = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("cum", sum(col("norm")).over(wOrd))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("norm")).as("min_norm"),
+        max(col("norm")).as("max_norm"),
+        (max_by(col("cum"), col("vec_id"))
+          / count(lit(1)).cast("double")).as("mean_norm"))
+  }
+
   // ---------------------------------------------------------------- C76
   /** Top principal component by MATRIX-FREE power iteration (the
     * embedding-drift / anisotropy diagnostic — sentence-embedding spaces

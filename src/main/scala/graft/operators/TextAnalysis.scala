@@ -530,4 +530,80 @@ object TextAnalysis {
       .distinct()
     selected.select(col("doc_id"), col("fp_pos"), col("fp_hash"))
   }
+
+  // ---------------------------------------------------------------- C108
+  /** Gopher-style quality RULE screen (Rae et al. 2021's repetition-free
+    * subset — the hard-cutoff companion to C9's continuous score: rules
+    * give an auditable KEEP/DROP with named reasons, scores give a
+    * ranking): per document, the rule inputs (word count, mean word
+    * length, share of words containing a letter, stopword hits) plus one
+    * boolean per rule and the conjunction verdict.
+    *
+    * Exactness: word counts/lengths are exact integers on the single-
+    * space split (q49's convention); mean word length and the alpha
+    * share are ONE division of exact ints each; rule edges compare
+    * integers cross-multiplied (`alpha_words · 10 ≥ words · 8` rather
+    * than a double ≥ 0.8 — no fp boundary straddle). Scale: map-only
+    * codegen'd scan, no UDF, no shuffle. */
+  def q248GopherRules(spark: SparkSession, dir: String,
+      minWords: Int = 15, maxWords: Int = 100000,
+      minMeanLen: Int = 2, maxMeanLen: Int = 10,
+      minStopHits: Int = 2): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val ws = split(col("text"), " ", -1)
+    val words = size(ws).cast("long")
+    val chars = (length(col("text")) - (size(ws) - 1)).cast("long")
+    val alphaWords = size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("long")
+    val stops = Seq("the", "a", "of", "and", "to", "in")
+    val stopHits = size(filter(ws, w => w.isin(stops.map(lit): _*))).cast("long")
+    d.select(col("doc_id"), words.as("words"), chars.as("word_chars"),
+        alphaWords.as("alpha_words"), stopHits.as("stop_hits"))
+      .select(col("doc_id"), col("words"),
+        (col("word_chars").cast("double") / col("words").cast("double"))
+          .as("mean_word_len"),
+        (col("alpha_words").cast("double") / col("words").cast("double"))
+          .as("alpha_share"),
+        col("stop_hits"),
+        (col("words") >= minWords && col("words") <= maxWords)
+          .as("ok_word_count"),
+        (col("word_chars") >= col("words") * minMeanLen &&
+          col("word_chars") <= col("words") * maxMeanLen)
+          .as("ok_mean_word_len"),
+        (col("alpha_words") * 10 >= col("words") * 8).as("ok_alpha_share"),
+        (col("stop_hits") >= minStopHits).as("ok_stopwords"))
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_alpha_share") && col("ok_stopwords"))
+  }
+
+  // ---------------------------------------------------------------- C109
+  /** Keyword-in-context (KWIC) extraction — the concordance view every
+    * corpus audit starts from (what surrounds this term?): for documents
+    * containing `term` as a whole word, the occurrence count, the
+    * 1-based character offset of the first hit, and a fixed window of
+    * text around it.
+    *
+    * Exactness: occurrence count rides the padded-replace whole-word
+    * trick (q48's `wordHits` — both engines scan left-to-right);
+    * position/substring are byte-identical string ops on single-space
+    * text; the window clamps identically at both ends (substr on an
+    * out-of-range start yields the same truncation in both engines when
+    * the start is computed with the same `greatest`). Scale: map-only
+    * scan, predicate `hits > 0` pushed at the scan. */
+  def q250Kwic(spark: SparkSession, dir: String, term: String = "spark",
+      window: Int = 20): DataFrame = {
+    require(term.matches("[a-z0-9]+"), "term must be a plain lowercase word")
+    val hits = wordHits(col("text"), term)
+    val pos = instr(concat(lit(" "), col("text"), lit(" ")),
+      s" $term ") // whole-word first hit in padded text = 1-based offset
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"), hits.as("n_hits"),
+        pos.as("padded_pos"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("lang"), col("n_hits"),
+        col("padded_pos").cast("long").as("first_pos"),
+        substring(col("text"),
+          greatest(col("padded_pos") - window, lit(1)).cast("int"),
+          lit(term.length + 2 * window)).as("context"))
+  }
 }
