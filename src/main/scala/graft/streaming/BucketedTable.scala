@@ -148,4 +148,43 @@ object BucketedTable {
     fs.delete(trash, true)
     fs.delete(stage, true)
   }
+
+  /** Small-file MAINTENANCE: rewrite every bucket holding ≥
+    * `minFilesPerBucket` part-files into a single file, through the same
+    * staged atomic [[swapTouched]] publish writers use (readers never see
+    * a half-compacted bucket; an interrupted compaction trips the same
+    * trash-dir guard). Each swap leaves up-to-task-count part-files per
+    * bucket; over many batches the read amplification compounds — at
+    * 100 TB a bucket scanned per probe wants ONE row-group-packed file,
+    * the role TiKV's region compaction plays for the reference. Content
+    * is row-identical by construction (read → repartition on the bucket
+    * key so each bucket lands in exactly one task → swap); only layout
+    * changes. Returns the compacted bucket ids.
+    *
+    * Run it like the IVF compactor (B31): cron'd or piggybacked between
+    * batches, under the table's writer coordination — it takes the same
+    * whole-bucket swap path as any writer, so co-running it with a live
+    * upsert needs the store's lock ([[SnapshotStore.withWriterLock]]). */
+  def compact(spark: SparkSession, path: String,
+      minFilesPerBucket: Int = 2): Seq[Int] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val crowded = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
+      .filter { s =>
+        fs.listStatus(s.getPath).count(f =>
+          f.getPath.getName.endsWith(".parquet") &&
+            !f.getPath.getName.startsWith(".")) >= minFilesPerBucket
+      }
+      .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt)
+      .sorted
+    if (crowded.isEmpty) return Nil
+    val merged = spark.read.parquet(path)
+      .filter(col(BucketCol).isin(crowded: _*))
+      // one task per bucket → one part-file per bucket directory
+      .repartition(crowded.length, col(BucketCol))
+    swapTouched(merged, path, crowded)
+    crowded
+  }
 }

@@ -188,6 +188,37 @@ class BucketedUpsertSpec extends SparkSpec {
     assert(agg === want)
   }
 
+  test("compact rewrites crowded buckets to one file, row-identical, atomically") {
+    val base = Files.createTempDirectory("compact").toString
+    val path = s"$base/t"
+    // rows of every bucket spread across 4 tasks → up to 4 files/bucket
+    val df = (1L to 400L).map(k => (k, s"v$k")).toDF("k", "v")
+      .withColumn(BucketedTable.BucketCol,
+        BucketedTable.bucketOf(Seq(col("k")), 4))
+      .repartition(4)
+    BucketedTable.swapTouched(df, path, Seq(0, 1, 2, 3))
+    def filesOf(b: Int): Seq[String] = {
+      val d = Paths.get(s"$path/${BucketedTable.BucketCol}=$b")
+      Files.list(d).iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).toSeq
+    }
+    assert((0 to 3).exists(filesOf(_).size > 1), "precondition: crowded buckets")
+    val before = spark.read.parquet(path)
+      .select($"k", $"v").as[(Long, String)].collect().toSet
+    val singles = (0 to 3).filter(filesOf(_).size == 1)
+
+    val compacted = BucketedTable.compact(spark, path)
+    assert(compacted.nonEmpty)
+    assert(compacted.intersect(singles).isEmpty,
+      "a single-file bucket was rewritten for nothing")
+    compacted.foreach(b => assert(filesOf(b).size === 1))
+    // content is row-identical; only the layout changed
+    assert(spark.read.parquet(path)
+      .select($"k", $"v").as[(Long, String)].collect().toSet === before)
+    // idempotent: nothing left to do
+    assert(BucketedTable.compact(spark, path) === Nil)
+  }
+
   test("pinBucketCount: mismatch fails loudly, concurrent first pins agree") {
     val base = Files.createTempDirectory("pin").toString
     BucketedTable.pinBucketCount(spark, s"$base/t1", 8)
