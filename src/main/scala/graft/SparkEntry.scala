@@ -274,6 +274,7 @@ object SparkEntry {
     "q253_lorenz" -> (Relational.q253Lorenz _),
     "q254_nation_hhi" -> (Relational.q254NationHhi _),
     "q255_norm_profile" -> (Similarity.q255NormProfile _),
+    "q256_source_tvd" -> (Corpus.q256SourceTvd _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3369,5 +3370,24 @@ object SparkEntry {
         |  list_reduce(list(norm ORDER BY vec_id), (x, y) -> x + y)
         |    / CAST(count(*) AS DOUBLE) AS mean_norm
         |FROM e GROUP BY label""".stripMargin,
+    "q256_source_tvd" ->
+      """WITH wrd AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n
+        |  FROM wrd GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM cnt GROUP BY 1),
+        |grid AS (SELECT t.source, v.w,
+        |    CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+        |  FROM (SELECT DISTINCT w FROM cnt) v
+        |  CROSS JOIN tot t
+        |  LEFT JOIN cnt c ON c.source = t.source AND c.w = v.w),
+        |term AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    a.w AS w, abs(a.p - b.p) AS d
+        |  FROM grid a JOIN grid b
+        |    ON a.w = b.w AND a.source < b.source)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  list_reduce(list(d ORDER BY w), (x, y) -> x + y) / 2.0 AS tvd
+        |FROM term GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -2100,4 +2100,50 @@ object Corpus {
         col("n_words").cast("double")
           / sum(col("n_words")).over(perLang).cast("double"))
   }
+
+  // ---------------------------------------------------------------- C112
+  /** Pairwise TOTAL-VARIATION distance between source unigram
+    * distributions — the corpus-mix divergence diagnostic with an exact
+    * cross-engine answer (KL's ln is not IEEE-reproducible, q86's rule;
+    * TVD = ½·Σ\|p−q\| needs only divisions and an ordered add): how far
+    * apart two sources' vocabularies really are, the quantitative prior
+    * under C29's overlap counts and the drift pair C81's KS gives for
+    * CONTINUOUS features.
+    *
+    * Exactness: per-token probabilities are ONE division of exact ints;
+    * \|p−q\| is exact IEEE; the per-pair sum uses the ordered-cumulative
+    * fold over the token order (both engines add in token order —
+    * DuckDB side via list_reduce, the q255 rule). Scale: the token grid
+    * is vocab×\|sources\| (explode against the ≤\|sources\| total row,
+    * broadcast by construction); the pair join keys on token with
+    * source-pair filters — output ≤\|sources\|² rows. */
+  def q256SourceTvd(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.Lineage.truncate(
+      Tables.documents(spark, dir)
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("n")), reliable = false).df
+    val totals = counts.groupBy(col("source")).agg(sum(col("n")).as("tot"))
+    // the full vocab × sources grid: a token ABSENT from a source
+    // contributes |p - 0| — left join fills its probability with 0
+    // the grid feeds BOTH sides of the pair self-join — materialize once
+    val grid = graft.Lineage.truncate(
+      counts.select(col("w")).distinct()
+        .crossJoin(broadcast(totals))
+        .join(counts, Seq("source", "w"), "left")
+        .select(col("source"), col("w"),
+          (coalesce(col("n"), lit(0L)).cast("double")
+            / col("tot").cast("double")).as("p")), reliable = false).df
+    val terms = grid.as("a").join(grid.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.w").as("w"), abs(col("a.p") - col("b.p")).as("d"))
+    val wOrd = Window.partitionBy(col("source_a"), col("source_b"))
+      .orderBy(col("w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    terms.withColumn("cum", sum(col("d")).over(wOrd))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (max_by(col("cum"), col("w")) / 2.0).as("tvd"))
+  }
 }

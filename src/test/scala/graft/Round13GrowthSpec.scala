@@ -98,6 +98,33 @@ class Round13GrowthSpec extends SparkSpec {
     assert(rows.map(_._3).sum === totalOrders)
   }
 
+  test("q256 TVD is bounded, covers every source pair, and replays in memory") {
+    val rows = Corpus.q256SourceTvd(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    val nSrc = graft.sources.Tables.documents(spark, sf)
+      .select(countDistinct($"source")).head().getLong(0).toInt
+    assert(rows.length === nSrc * (nSrc - 1) / 2)
+    rows.foreach { case (a, b, n, tvd) =>
+      assert(a < b); assert(n > 0)
+      assert(tvd >= 0.0 && tvd <= 1.0 + 1e-12)
+    }
+    // sequential replay for one pair (the definition, no Spark)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+    val (sa, sb) = (rows.head._1, rows.head._2)
+    def dist(s: String): Map[String, Double] = {
+      val ws = docs.filter(_._1 == s).flatMap(_._2.split(" ", -1))
+      val tot = ws.length.toDouble
+      ws.groupBy(identity).map { case (w, g) => w -> g.length / tot }
+    }
+    val (pa, pb) = (dist(sa), dist(sb))
+    val want = (pa.keySet ++ pb.keySet).toSeq.sorted
+      .map(w => math.abs(pa.getOrElse(w, 0.0) - pb.getOrElse(w, 0.0)))
+      .sum / 2.0
+    val got = rows.find(r => r._1 == sa && r._2 == sb).get._4
+    assert(math.abs(got - want) < 1e-12)
+  }
+
   test("q255 per-label norm profile brackets the mean and covers the corpus") {
     val rows = Similarity.q255NormProfile(spark, sf)
       .as[(Int, Long, Double, Double, Double)].collect()
