@@ -36,7 +36,8 @@ final class MaterializedView private (
     checkpointLocation: String,
     trigger: Trigger,
     numBuckets: Int,
-    dropIfExists: Boolean) {
+    dropIfExists: Boolean,
+    bootstrap: Option[DataFrame]) {
 
   /** The maintained view (unstarted plan). */
   def view: DataFrame = query(source)
@@ -119,6 +120,38 @@ final class MaterializedView private (
         path.getFileSystem(conf).delete(path, true)
       }
     } else checkTargetSchema(v)
+    // SNAPSHOT-THEN-STREAM bootstrap — the reference's two-phase start
+    // (FlinkTikvConsumer.java:133-159: full scan of the source table at a
+    // start timestamp emitted as INSERT rows, then the changefeed from
+    // that timestamp): the snapshot runs through the SAME query transform
+    // and the SAME upsert path as every micro-batch, once, before the
+    // stream starts. Exactly-once across restarts via a marker in the
+    // CHECKPOINT location (not the target: the flat-table upsert path
+    // atomically replaces the whole target directory every batch, and
+    // checkpoint lifetime is the right scope anyway — wiping the
+    // checkpoint to reprocess the feed from scratch correctly re-applies
+    // the snapshot too). A crash between upsert and marker re-applies on
+    // the next start, which the latest-by-key merge makes a no-op (same
+    // rows, same versions). The feed must begin at the snapshot
+    // timestamp — changes BEFORE it would be stale against the
+    // bootstrapped state and lose to it on version, which is exactly the
+    // right outcome.
+    bootstrap.foreach { snap =>
+      val conf = v.sparkSession.sparkContext.hadoopConfiguration
+      val marker = new org.apache.hadoop.fs.Path(
+        checkpointLocation, "_graft_bootstrap_done")
+      val fs = marker.getFileSystem(conf)
+      if (!fs.exists(marker)) {
+        val v0 = query(snap)
+        require(v0.columns.toSet == cols,
+          s"bootstrap snapshot produces ${v0.columns.toSet} through the " +
+            s"query but the stream produces $cols — same query, same shape")
+        UpsertSink.forStream(
+          targetPath, pks, versionColumn, deleteColumn, numBuckets)(v0, -1L)
+        val out = fs.create(marker, true)
+        try out.writeBytes("1") finally out.close()
+      }
+    }
     // Spark-native observability (the Flink-metrics surface TiFlink
     // inherits): per-batch row count + max version via `observe`, readable
     // from every StreamingQueryProgress under `observedMetrics("graft_mv")`
@@ -151,6 +184,7 @@ object MaterializedView {
     private var catalogDir: Option[String] = None
     private var numBuckets: Int = 64
     private var dropIfExists: Boolean = false
+    private var bootstrap: Option[DataFrame] = None
 
     def setSource(df: DataFrame): Builder = { source = df; this }
     /** Transform applied to the source — TiFlinkApp.Builder.setQuery analog.
@@ -181,6 +215,15 @@ object MaterializedView {
     /** Recreate the target from scratch on start: drop target + checkpoint
       * (TiFlinkApp's dropOldTable/forceNewTable). */
     def setDropIfExists(b: Boolean): Builder = { dropIfExists = b; this }
+
+    /** Snapshot-then-stream bootstrap: a BATCH frame holding the source
+      * table's state at the changefeed's start timestamp (the reference's
+      * snapshot phase, FlinkTikvConsumer.java:133-159). Applied once
+      * through the same query + upsert path before the stream starts;
+      * exactly-once across restarts via a target-side marker. */
+    def setBootstrap(snapshot: DataFrame): Builder = {
+      bootstrap = Some(snapshot); this
+    }
 
     /** Apply a VALIDATED deployment config ([[graft.GraftOptions]] — the
       * TiFlinkOptions analog): trigger cadence, bucket count, watermark,
@@ -221,7 +264,7 @@ object MaterializedView {
       }
       new MaterializedView(source, qWm, targetPath, primaryKeys,
         versionColumn, deleteColumn, checkpointLocation, trigger, numBuckets,
-        dropIfExists)
+        dropIfExists, bootstrap)
     }
   }
 }

@@ -56,6 +56,52 @@ class StreamingMVSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshot-then-stream bootstrap applies once and CDC maintains it") {
+    // the reference's two-phase start: full snapshot at t0, changefeed
+    // from t0 — the MV begins consistent with the table, not empty
+    val input = MemoryStream[(Long, Long, String, Double)]
+    val source = input.toDF().toDF("user_id", "version", "op", "value")
+    val base = Files.createTempDirectory("mvboot").toString
+    val snapshot = Seq((1L, 10L, "ins", 1.0), (2L, 10L, "ins", 2.0),
+      (3L, 10L, "ins", 3.0)).toDF("user_id", "version", "op", "value")
+
+    def build() = MaterializedView.newBuilder()
+      .setSource(source)
+      .setBootstrap(snapshot)
+      .setQuery(df => ChangelogOps.latestByKey(df, Seq("user_id"), "version")
+        .withColumn("is_delete", $"op" === "del"))
+      .setTargetPath(s"$base/target")
+      .setPrimaryKeys("user_id")
+      .setVersionColumn("version")
+      .setDeleteColumn("is_delete")
+      .setCheckpointLocation(s"$base/ckpt")
+      .build()
+    def state = spark.read.parquet(s"$base/target")
+      .select("user_id", "version", "value").as[(Long, Long, Double)]
+      .collect().toSet
+
+    val q1 = build().start()
+    try {
+      q1.processAllAvailable() // zero stream batches yet
+      assert(state === Set((1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 10L, 3.0)))
+      // CDC from the snapshot timestamp: update, delete, insert
+      input.addData((1L, 11L, "upd", 1.5), (2L, 11L, "del", 0.0),
+        (4L, 11L, "ins", 4.0))
+      q1.processAllAvailable()
+      assert(state === Set((1L, 11L, 1.5), (3L, 10L, 3.0), (4L, 11L, 4.0)))
+    } finally q1.stop()
+
+    // restart: the marker prevents a re-apply — the deleted key 2 must
+    // NOT be resurrected by the snapshot, and stale snapshot versions
+    // must not overwrite newer state
+    val q2 = build().start()
+    try {
+      input.addData((3L, 12L, "upd", 3.5))
+      q2.processAllAvailable()
+      assert(state === Set((1L, 11L, 1.5), (3L, 12L, 3.5), (4L, 11L, 4.0)))
+    } finally q2.stop()
+  }
+
   test("sessionize emits closed sessions with gap semantics") {
     val input = MemoryStream[ChangelogOps.Event]
     def ev(u: Long, sec: Long) =
