@@ -275,6 +275,8 @@ object SparkEntry {
     "q254_nation_hhi" -> (Relational.q254NationHhi _),
     "q255_norm_profile" -> (Similarity.q255NormProfile _),
     "q256_source_tvd" -> (Corpus.q256SourceTvd _),
+    "q257_rapid_fire" -> (Relational.q257RapidFire _),
+    "q258_reorder_gaps" -> (Relational.q258ReorderGaps _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3389,5 +3391,32 @@ object SparkEntry {
         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_tokens,
         |  list_reduce(list(d ORDER BY w), (x, y) -> x + y) / 2.0 AS tvd
         |FROM term GROUP BY 1, 2""".stripMargin,
+    "q257_rapid_fire" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |g AS (SELECT user_id, us,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS gap_us,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY us
+        |      RANGE BETWEEN CURRENT ROW AND 59999999 FOLLOWING)
+        |      AS in_60s
+        |  FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(gap_us) AS min_gap_us,
+        |  CAST(sum(CASE WHEN gap_us = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero_gaps,
+        |  CAST(max(in_60s) AS BIGINT) AS max_in_60s
+        |FROM g GROUP BY 1""".stripMargin,
+    "q258_reorder_gaps" ->
+      """WITH o AS (SELECT o_custkey,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+        |      AS day FROM orders),
+        |g AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |    min(day) AS first_day, max(day) AS last_day
+        |  FROM o GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT o_custkey, n_orders, first_day, last_day,
+        |  CAST(last_day - first_day AS DOUBLE)
+        |    / CAST(n_orders - 1 AS DOUBLE) AS mean_gap_days
+        |FROM g""".stripMargin,
   )
 }

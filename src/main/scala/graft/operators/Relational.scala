@@ -3270,6 +3270,61 @@ object Relational {
           / ($"total_orders" * $"total_orders").cast("double")).as("hhi"))
   }
 
+  // ---------------------------------------------------------------- A128
+  /** Rapid-fire / bot screen over the event stream — the per-user rate
+    * profile abuse detection starts from (a human doesn't emit N events
+    * in one minute or land two events on one microsecond; the per-USER
+    * complement of A118's per-type burstiness and A119's gap
+    * percentiles): per user, event count, minimum inter-event gap,
+    * zero-gap count (duplicate timestamps), and the maximum events
+    * falling in any 60-second window.
+    *
+    * Exactness: gaps are integer micros off one per-user lag; the
+    * 60-second rolling count is a RANGE frame on the integer timestamp —
+    * value-based, so timestamp ties need no order tie-break and both
+    * engines count identically. Scale: ONE user-keyed exchange serves
+    * the lag window, the range window, and the rollup (same-key windows
+    * chain without re-shuffling). */
+  def q257RapidFire(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+    val wLag = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val wRange = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(0L, 59999999L) // [t, t+60s)
+    ev
+      .withColumn("gap_us", $"us" - lag($"us", 1).over(wLag))
+      .withColumn("in_60s", count(lit(1)).over(wRange))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"gap_us").as("min_gap_us"),
+        sum(when($"gap_us" === 0L, 1L).otherwise(0L)).as("n_zero_gaps"),
+        max($"in_60s").as("max_in_60s"))
+  }
+
+  // ---------------------------------------------------------------- A129
+  /** Repeat-purchase cadence — per returning customer (≥2 orders), the
+    * order count, the active span, and the MEAN reorder interval (the
+    * retention input every LTV projection starts from; the orders-side
+    * complement of A119's event gaps): mean gap = span/(n−1) in days.
+    *
+    * Exactness: dates land as integer epoch-day via `div` on the micros
+    * (never fp-divide-then-cast, q214's rule); the mean is ONE division
+    * of exact integers. Scale: one per-customer partial agg — min/max/
+    * count need no window at all. */
+  def q258ReorderGaps(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select($"o_custkey",
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000L")
+          .as("day"))
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"day").as("first_day"), max($"day").as("last_day"))
+      .filter($"n_orders" >= 2)
+      .select($"o_custkey", $"n_orders", $"first_day", $"last_day",
+        (($"last_day" - $"first_day").cast("double")
+          / ($"n_orders" - 1).cast("double")).as("mean_gap_days"))
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
