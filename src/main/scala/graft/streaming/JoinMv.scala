@@ -38,8 +38,16 @@ import org.apache.spark.sql.functions._
  * over content-addressed state); the changelog batch directory is written
  * (staged + atomic rename) BEFORE the MV swap and guarded by existence;
  * the `_applied_batch` marker lands after the MV swap. A replay at any
- * crash point recomputes identical state and skips what already
- * committed — same commit discipline as [[IncrementalMv]].
+ * crash point recomputes correct state and skips what already committed —
+ * same commit discipline as [[IncrementalMv]] — with ONE benign residual:
+ * a crash between the left-entity swap and the index swap means the
+ * replay snapshots "old" rows that already carry the NEW fk, so a fact
+ * that MOVED fk in that batch can leave its old-fk index entry dangling.
+ * A dangling entry only ever causes a SPURIOUS recompute (a later update
+ * to the old dim key lists the fact as affected; the re-join reads the
+ * fact's CURRENT row and upserts the already-correct output) — never a
+ * wrong row, because the MV derives from entity state, not the index
+ * (JoinMvSpec plants exactly this entry and asserts the output).
  *
  * Join semantics: LEFT OUTER by default (`innerJoin = true` drops
  * unmatched facts) — a fact arriving before its dim row emits with null

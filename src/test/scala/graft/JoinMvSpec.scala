@@ -178,6 +178,49 @@ class JoinMvSpec extends SparkSpec {
     assert(e.getMessage.contains("nBuckets"))
   }
 
+  test("a dangling index entry (lost index swap) never yields a wrong row") {
+    // the documented benign residual: a crash between the left-entity
+    // swap and the index swap can leave a moved fact's OLD-fk index entry
+    // behind. Plant exactly that state and drive an update to the old dim
+    // key — the spurious affected fact must recompute to its CURRENT
+    // (correct) row, never resurrect the old join.
+    val base = Files.createTempDirectory("jmvd").toString
+    def apply0(fa: DataFrame, fb: DataFrame, id: Long) =
+      JoinMv.applyBatch(s"$base/mv",
+        "order_id", "aver", "aop", "cust_id",
+        "cust_pk", "bver", "bop", nBuckets = 4)(fa, fb, id)
+    val emptyB = Seq.empty[(Long, Long, String, String)]
+      .toDF("cust_pk", "bver", "bop", "cust_name")
+    apply0(
+      Seq((1L, 1L, "ins", 10L, 5.0))
+        .toDF("order_id", "aver", "aop", "cust_id", "amount"),
+      Seq((10L, 1L, "ins", "alice"), (20L, 1L, "ins", "bob"))
+        .toDF("cust_pk", "bver", "bop", "cust_name"), 0L)
+    // fact 1 moves 10 -> 20 (the normal path retracts (10, 1) correctly)
+    apply0(
+      Seq((1L, 2L, "upd", 20L, 6.0))
+        .toDF("order_id", "aver", "aop", "cust_id", "amount"), emptyB, 1L)
+    // plant the dangling old-fk entry the lost index swap would leave
+    import graft.streaming.BucketedTable
+    val idxPath = s"$base/mv/left_by_fk"
+    val planted = spark.read.parquet(idxPath)
+      .unionByName(Seq((10L, 1L)).toDF("__fk", "__pk")
+        .withColumn(BucketedTable.BucketCol,
+          BucketedTable.bucketOf(Seq($"__fk"), 4)))
+    BucketedTable.swapTouched(planted, idxPath,
+      BucketedTable.touchedBuckets(planted))
+    // update the OLD dim key: fact 1 is listed as affected via the
+    // dangling entry — the recompute must read its CURRENT row (fk=20)
+    apply0(Seq.empty[(Long, Long, String, Long, Double)]
+        .toDF("order_id", "aver", "aop", "cust_id", "amount"),
+      Seq((10L, 2L, "upd", "ALICE"))
+        .toDF("cust_pk", "bver", "bop", "cust_name"), 2L)
+    val got = spark.read.parquet(s"$base/mv/mv")
+      .select($"order_id", $"cust_id", $"cust_name")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === Set((1L, 20L, "bob")))
+  }
+
   test("inner-join mode drops unmatched facts instead of null-padding") {
     val base = Files.createTempDirectory("jmvi").toString
     val fa = Seq((1L, 1L, "ins", 10L, 5.0), (2L, 1L, "ins", 99L, 7.0))
