@@ -277,6 +277,8 @@ object SparkEntry {
     "q256_source_tvd" -> (Corpus.q256SourceTvd _),
     "q257_rapid_fire" -> (Relational.q257RapidFire _),
     "q258_reorder_gaps" -> (Relational.q258ReorderGaps _),
+    "q259_activity_migration" -> (Relational.q259ActivityMigration _),
+    "q260_stopword_profile" -> ((s, d) => TextAnalysis.q260StopwordProfile(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3418,5 +3420,53 @@ object SparkEntry {
         |  CAST(last_day - first_day AS DOUBLE)
         |    / CAST(n_orders - 1 AS DOUBLE) AS mean_gap_days
         |FROM g""".stripMargin,
+    "q259_activity_migration" ->
+      """WITH o AS (SELECT o_custkey,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+        |      AS day FROM orders),
+        |b AS (SELECT (min(day) + max(day) + 1) // 2 AS split_day FROM o),
+        |c AS (SELECT o_custkey,
+        |    CAST(sum(CASE WHEN day < b.split_day THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN day >= b.split_day THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2
+        |  FROM o CROSS JOIN b GROUP BY 1),
+        |j AS (SELECT cu.c_custkey, coalesce(c.n1, 0) AS n1,
+        |    coalesce(c.n2, 0) AS n2
+        |  FROM customer cu LEFT JOIN c ON cu.c_custkey = c.o_custkey),
+        |m AS (SELECT
+        |    CASE WHEN n1 = 0 THEN '0' WHEN n1 = 1 THEN '1' ELSE '2+' END
+        |      AS class_h1,
+        |    CASE WHEN n2 = 0 THEN '0' WHEN n2 = 1 THEN '1' ELSE '2+' END
+        |      AS class_h2 FROM j)
+        |SELECT class_h1, class_h2, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE)
+        |    AS share
+        |FROM m GROUP BY 1, 2""".stripMargin,
+    "q260_stopword_profile" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+        |    ' '||text||' ' AS pt FROM documents),
+        |h AS (SELECT lang, CAST(sum(words) AS BIGINT) AS lang_words,
+        |    CAST(sum(CAST((length(pt) - length(replace(pt, ' the ', ' ')))/4
+        |      AS BIGINT)) AS BIGINT) AS h_the,
+        |    CAST(sum(CAST((length(pt) - length(replace(pt, ' a ', ' ')))/2
+        |      AS BIGINT)) AS BIGINT) AS h_a,
+        |    CAST(sum(CAST((length(pt) - length(replace(pt, ' of ', ' ')))/3
+        |      AS BIGINT)) AS BIGINT) AS h_of,
+        |    CAST(sum(CAST((length(pt) - length(replace(pt, ' and ', ' ')))/4
+        |      AS BIGINT)) AS BIGINT) AS h_and,
+        |    CAST(sum(CAST((length(pt) - length(replace(pt, ' to ', ' ')))/3
+        |      AS BIGINT)) AS BIGINT) AS h_to,
+        |    CAST(sum(CAST((length(pt) - length(replace(pt, ' in ', ' ')))/3
+        |      AS BIGINT)) AS BIGINT) AS h_in
+        |  FROM d GROUP BY 1),
+        |u AS (SELECT lang, lang_words,
+        |    unnest(['the','a','of','and','to','in']) AS stopword,
+        |    unnest([h_the, h_a, h_of, h_and, h_to, h_in]) AS hits FROM h)
+        |SELECT lang, stopword, CAST(hits AS BIGINT) AS hits, lang_words,
+        |  CAST(hits * 1000 AS DOUBLE) / CAST(lang_words AS DOUBLE)
+        |    AS per_1k_words
+        |FROM u""".stripMargin,
   )
 }

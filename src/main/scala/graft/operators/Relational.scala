@@ -3325,6 +3325,43 @@ object Relational {
         (($"last_day" - $"first_day").cast("double")
           / ($"n_orders" - 1).cast("double")).as("mean_gap_days"))
 
+  // ---------------------------------------------------------------- A130
+  /** Customer activity MIGRATION matrix between the two halves of the
+    * order history (the portfolio-health view A80/q162's point-in-time
+    * RFM cannot give: who is ramping, who is churning — the transition
+    * counts between activity classes): split the date range at its
+    * midpoint, class each customer 0/1/2+ orders per half (customers
+    * with no orders at all included via the left join), one row per
+    * (class_h1, class_h2) cell with count and share.
+    *
+    * Exactness: the split day is integer arithmetic on epoch-days
+    * ((min+max+1) div 2); classes compare exact counts; the share is ONE
+    * division against the exact customer total. Scale: the 1-row bounds
+    * aggregate broadcasts by construction; per-half counts are one
+    * partial-agged pass over orders; the matrix is ≤9 rows. */
+  def q259ActivityMigration(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select($"o_custkey",
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000L")
+        .as("day"))
+    val bounds = o.agg(min($"day").as("min_d"), max($"day").as("max_d"))
+      .select(expr("(min_d + max_d + 1) div 2").as("split_day"))
+    val counts = o.crossJoin(broadcast(bounds))
+      .groupBy($"o_custkey")
+      .agg(sum(when($"day" < $"split_day", 1L).otherwise(0L)).as("n1"),
+        sum(when($"day" >= $"split_day", 1L).otherwise(0L)).as("n2"))
+    def cls(n: Column): Column =
+      when(n === 0L, "0").when(n === 1L, "1").otherwise("2+")
+    val whole = Window.partitionBy() // ≤9-row frame
+    Tables.customer(spark, dir).select($"c_custkey")
+      .join(counts, $"c_custkey" === $"o_custkey", "left")
+      .select(cls(coalesce($"n1", lit(0L))).as("class_h1"),
+        cls(coalesce($"n2", lit(0L))).as("class_h2"))
+      .groupBy($"class_h1", $"class_h2")
+      .agg(count(lit(1)).as("n_customers"))
+      .withColumn("share", $"n_customers".cast("double")
+        / sum($"n_customers").over(whole).cast("double"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -576,6 +576,38 @@ object TextAnalysis {
           col("ok_alpha_share") && col("ok_stopwords"))
   }
 
+  // ---------------------------------------------------------------- C113
+  /** Per-language STOPWORD profile — the marker-word rates the C8
+    * language-ID actually keys on, surfaced as a table (which stopwords
+    * separate which languages, and whether a language's profile is flat
+    * — the feature-importance view of the classifier): one row per
+    * (lang, stopword) with exact whole-word hit counts, the language's
+    * word total, and the rate per 1000 words.
+    *
+    * Exactness: hits ride the padded-replace whole-word trick (q48's
+    * convention — both engines scan left-to-right); the rate is ONE
+    * division of exact integers (hits·1000 / words). Scale: map-only
+    * per-doc hit counting (the stopword set is a constant-folded
+    * literal), one partial-agged rollup to ≤\|langs\|·\|stopwords\|
+    * rows. */
+  def q260StopwordProfile(spark: SparkSession, dir: String,
+      stops: Seq[String] = Seq("the", "a", "of", "and", "to", "in")): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val perDoc = d.select(col("lang") +: wsTokens(col("text")).as("words") +:
+      stops.map(w => wordHits(col("text"), w).as(s"h_$w")): _*)
+    val agg = perDoc.groupBy(col("lang"))
+      .agg(sum(col("words")).as("words"),
+        stops.map(w => sum(col(s"h_$w")).as(s"h_$w")): _*)
+    agg.select(col("lang"), col("words"),
+        explode(array(stops.map(w =>
+          struct(lit(w).as("stopword"), col(s"h_$w").as("hits"))): _*))
+          .as("x"))
+      .select(col("lang"), col("x.stopword").as("stopword"),
+        col("x.hits").as("hits"), col("words").as("lang_words"),
+        ((col("x.hits") * 1000L).cast("double")
+          / col("words").cast("double")).as("per_1k_words"))
+  }
+
   // ---------------------------------------------------------------- C109
   /** Keyword-in-context (KWIC) extraction — the concordance view every
     * corpus audit starts from (what surrounds this term?): for documents
