@@ -204,6 +204,33 @@ object TimestampOracle {
     }
   }
 
+  /** Multi-table atomic fan-out under a GLOBAL timestamp — the complete
+    * coordinator analog (the reference's 2PC commits every table of a
+    * transaction at ONE oracle-issued timestamp, Transaction.java via
+    * GrpcService.java): allocate, 2-phase-publish every view at that
+    * epoch ([[SnapshotStore.publishAllComputed]] — all leases first,
+    * all stages, then all pointer flips), then commit the timestamp.
+    * Readers pinned at the safe point therefore see the fan-out
+    * ALL-OR-NOTHING: its epochs become safe only once the shared
+    * timestamp resolves. Any failure aborts the timestamp. */
+  def publishAllGlobal(spark: SparkSession, root: String,
+      tables: Seq[(String, () => DataFrame)], keep: Int = 3): Long = {
+    val ts = begin(spark, root)
+    try {
+      SnapshotStore.publishAllComputed(
+        tables.map { case (t, make) =>
+          (spark, new Path(root, t).toString, make) },
+        ts.ts, keep)
+      commit(spark, root, ts)
+      ts.ts
+    } catch {
+      case e: Throwable =>
+        try abort(spark, root, ts)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+  }
+
   /** Pinned multi-table read: for each table, its latest committed epoch
     * at-or-below `ts` (None while a table has no epoch ≤ ts yet). Pin at
     * [[safePoint]] and the map is a consistent cut: re-resolving at the

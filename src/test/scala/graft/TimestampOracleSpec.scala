@@ -112,6 +112,38 @@ class TimestampOracleSpec extends SparkSpec {
     assert(TimestampOracle.begin(spark, root).ts === 10L)
   }
 
+  test("multi-table fan-out commits every view at one global timestamp") {
+    val root = Files.createTempDirectory("tso6").toString
+    // a single-table job and a two-table fan-out interleave on one store
+    val t1 = TimestampOracle.publishGlobal(spark, root, "solo")(
+      () => Seq(1).toDF("v"))
+    val t2 = TimestampOracle.publishAllGlobal(spark, root, Seq(
+      "x" -> (() => Seq(("x", 1)).toDF("t", "round")),
+      "y" -> (() => Seq(("y", 1)).toDF("t", "round"))))
+    assert(t2 === t1 + 1)
+    // both fan-out tables carry the SAME epoch — the transactional stamp
+    assert(SnapshotStore.versions(spark, s"$root/x") === Seq(t2))
+    assert(SnapshotStore.versions(spark, s"$root/y") === Seq(t2))
+    assert(TimestampOracle.safePoint(spark, root) === t2)
+    // a pinned reader below the fan-out's timestamp sees NEITHER table
+    val before = TimestampOracle.readStoreAt(spark, root,
+      Seq("x", "y"), t2 - 1)
+    assert(before("x").isEmpty && before("y").isEmpty)
+    // ...and at the safe point sees BOTH — all-or-nothing
+    val after = TimestampOracle.readStoreAt(spark, root, Seq("x", "y"), t2)
+    assert(after("x").nonEmpty && after("y").nonEmpty)
+
+    // a failed fan-out aborts its timestamp and publishes nothing
+    intercept[RuntimeException] {
+      TimestampOracle.publishAllGlobal(spark, root, Seq(
+        "x" -> (() => Seq(("x", 2)).toDF("t", "round")),
+        "y" -> (() => throw new RuntimeException("boom"))))
+    }
+    assert(SnapshotStore.versions(spark, s"$root/x") === Seq(t2))
+    assert(SnapshotStore.versions(spark, s"$root/y") === Seq(t2))
+    assert(TimestampOracle.safePoint(spark, root) === t2 + 1) // aborted
+  }
+
   test("a failed publish aborts its timestamp; the safe point moves on") {
     val root = Files.createTempDirectory("tso5").toString
     intercept[RuntimeException] {
