@@ -315,4 +315,73 @@ object IvfIndex {
       }
       .foreach(p => fs.delete(p, true))
   }
+
+  /** DELETE vectors by id from a saved index — the operation that closes
+    * the index CRUD (the reference's store deletes versioned rows; an
+    * embedding corpus under dedup/takedown churn needs the index to
+    * forget, not just learn). Runs under the same exclusive writer lease
+    * as [[ingestBatch]]/[[compact]].
+    *
+    * Shape: one pruned-as-possible scan locates the ids' cells (a vec_id
+    * can sit in several cells between compacts — stale copies are
+    * removed too); only the touched cell directories rewrite, via the
+    * same dynamic partition overwrite as ingest. A cell whose content is
+    * entirely deleted gets its directory dropped explicitly (dynamic
+    * overwrite skips partitions absent from the output). Deleting the
+    * ENTIRE index is refused loudly — rebuild instead (an assignments
+    * root with no readable cell would break every reader).
+    *
+    * Ordering caveat (documented, not hidden): a delete is out-of-band
+    * relative to [[maintain]]'s feed — a crashed ingest batch that
+    * REPLAYS after this delete re-inserts its rows (streaming replays
+    * only uncommitted batches, so the window is that batch alone). A
+    * pipeline needing strict delete ordering should send tombstones
+    * through the feed itself and filter at query time instead.
+    *
+    * Returns the number of assignment rows removed. */
+  def deleteVectors(spark: SparkSession, path: String,
+      ids: DataFrame): Long =
+    graft.streaming.SnapshotStore.withWriterLock(spark, path) {
+      val live = assignmentsDir(spark, path)
+      val all = spark.read.parquet(live)
+      val idsOnly = ids.select(col("vec_id")).distinct()
+      // ≤ nCells rows — metadata-sized collect
+      val hitsByCell = all.join(idsOnly, Seq("vec_id"), "left_semi")
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .collect().toSeq
+      if (hitsByCell.isEmpty) 0L
+      else {
+        val touched = hitsByCell.map(_.getInt(0))
+        val removed = hitsByCell.map(_.getLong(1)).sum
+        val remaining = all.filter(col("cell").isin(touched: _*))
+          .join(idsOnly, Seq("vec_id"), "left_anti")
+          .localCheckpoint(true) // pinned: the overwrite target is the read path
+        val keptCells = remaining.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val fs = new org.apache.hadoop.fs.Path(live)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val allCells = fs.listStatus(new org.apache.hadoop.fs.Path(live))
+          .toSeq.map(_.getPath.getName).filter(_.startsWith("cell="))
+          .map(_.stripPrefix("cell=").toInt).toSet
+        val emptied = touched.filterNot(keptCells).toSet
+        require((allCells -- emptied).nonEmpty,
+          s"deleteVectors would empty the whole index at $path — " +
+            "rebuild it instead of deleting every vector")
+        if (keptCells.nonEmpty)
+          remaining.write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(live)
+        emptied.foreach(c => fs.delete(
+          new org.apache.hadoop.fs.Path(live, s"cell=$c"), true))
+        removed
+      }
+    }
+
+  /** [[deleteVectors]] convenience for a driver-side id list. */
+  def deleteVectors(spark: SparkSession, path: String,
+      ids: Seq[Long]): Long = {
+    import spark.implicits._
+    deleteVectors(spark, path, ids.toDF("vec_id"))
+  }
 }

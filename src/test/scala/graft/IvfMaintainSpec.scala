@@ -165,4 +165,47 @@ class IvfMaintainSpec extends SparkSpec {
     IvfIndex.compact(spark, path)
     assert(IvfIndex.load(spark, path).assignments.count() === rows + 10L)
   }
+
+  test("deleteVectors forgets ids, drops emptied cells, refuses a full wipe") {
+    val path = Files.createTempDirectory("ivf-d").toString + "/idx"
+    IvfIndex.save(IvfIndex.build(corpus, nCells = 8), path)
+    val before = IvfIndex.load(spark, path).assignments
+    val total = before.count()
+    val victims = before.select($"vec_id").as[Long].take(3).toSeq
+
+    // absent ids: a no-op that reports zero
+    assert(IvfIndex.deleteVectors(spark, path, Seq(-1L, -2L)) === 0L)
+    assert(IvfIndex.load(spark, path).assignments.count() === total)
+
+    assert(IvfIndex.deleteVectors(spark, path, victims) === 3L)
+    val after = IvfIndex.load(spark, path).assignments
+    assert(after.count() === total - 3L)
+    assert(after.filter($"vec_id".isin(victims: _*)).isEmpty)
+    // the query surface forgot them too
+    val q = IvfIndex.query(IvfIndex.load(spark, path),
+      corpus.filter($"vec_id" === victims.head)
+        .select($"vec_id".as("query_id"),
+          graft.functions.VectorFunctions.toDoubles($"embedding").as("q_emb"),
+          graft.functions.VectorFunctions.l2Norm($"embedding").as("q_norm")),
+      k = 10, nProbe = 8, excludeSelf = false)
+    assert(q.filter($"neighbor_id".isin(victims: _*)).isEmpty)
+
+    // emptying a whole cell drops its directory but keeps the index sound
+    val someCell = after.groupBy($"cell").count()
+      .orderBy($"count".asc).select($"cell").head().getInt(0)
+    val cellIds = after.filter($"cell" === someCell)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(IvfIndex.deleteVectors(spark, path, cellIds) === cellIds.length.toLong)
+    val after2 = IvfIndex.load(spark, path).assignments
+    assert(after2.count() === total - 3L - cellIds.length)
+    assert(after2.filter($"cell" === someCell).isEmpty)
+
+    // wiping everything is refused loudly
+    val rest = after2.select($"vec_id").as[Long].collect().toSeq
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.deleteVectors(spark, path, rest)
+    }
+    assert(e.getMessage.contains("rebuild"))
+    assert(IvfIndex.load(spark, path).assignments.count() === after2.count())
+  }
 }
