@@ -279,6 +279,8 @@ object SparkEntry {
     "q258_reorder_gaps" -> (Relational.q258ReorderGaps _),
     "q259_activity_migration" -> (Relational.q259ActivityMigration _),
     "q260_stopword_profile" -> ((s, d) => TextAnalysis.q260StopwordProfile(s, d)),
+    "q261_order_size_hist" -> (Relational.q261OrderSizeHist _),
+    "q262_unit_price_outliers" -> ((s, d) => Relational.q262UnitPriceOutliers(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3468,5 +3470,26 @@ object SparkEntry {
         |  CAST(hits * 1000 AS DOUBLE) / CAST(lang_words AS DOUBLE)
         |    AS per_1k_words
         |FROM u""".stripMargin,
+    "q261_order_size_hist" ->
+      """WITH s AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+        |  FROM lineitem GROUP BY 1),
+        |h AS (SELECT n_items, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM s GROUP BY 1)
+        |SELECT n_items, n_orders,
+        |  CAST(n_orders AS DOUBLE) / CAST(sum(n_orders) OVER () AS DOUBLE)
+        |    AS share
+        |FROM h""".stripMargin,
+    "q262_unit_price_outliers" ->
+      """WITH r AS (SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) AS DOUBLE)
+        |      / l_quantity AS unit_price
+        |  FROM lineitem),
+        |t AS (SELECT *, row_number() OVER (ORDER BY unit_price DESC,
+        |      l_orderkey ASC, l_linenumber ASC) AS rank
+        |  FROM r QUALIFY rank <= 20)
+        |SELECT CAST(t.rank AS BIGINT) AS rank, t.l_orderkey,
+        |  t.l_linenumber, t.l_partkey, p.p_type, t.l_quantity,
+        |  t.unit_price
+        |FROM t JOIN part p ON t.l_partkey = p.p_partkey""".stripMargin,
   )
 }

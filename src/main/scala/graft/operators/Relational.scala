@@ -3362,6 +3362,54 @@ object Relational {
         / sum($"n_customers").over(whole).cast("double"))
   }
 
+  // ---------------------------------------------------------------- A131
+  /** Order-size distribution — lineitems-per-order histogram with shares
+    * (the basket-size profile under A114/q230's customer-order custdist:
+    * how many LINES a typical order carries drives picking/packing cost
+    * models): one row per distinct size with order count and share.
+    *
+    * Exactness: both aggregation levels are exact counts; the share one
+    * division against the exact order total. Scale: partial-agged
+    * groupBy per order, then a ≤\|sizes\|-row rollup — every window on
+    * the bounded frame. */
+  def q261OrderSizeHist(spark: SparkSession, dir: String): DataFrame = {
+    val whole = Window.partitionBy() // ≤|distinct sizes| rows
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("n_items"))
+      .groupBy($"n_items").agg(count(lit(1)).as("n_orders"))
+      .withColumn("share", $"n_orders".cast("double")
+        / sum($"n_orders").over(whole).cast("double"))
+  }
+
+  // ---------------------------------------------------------------- A132
+  /** Unit-price outliers — the top-k lineitems by extendedprice/quantity
+    * (the pricing-error screen: a decimal-point slip or unit mixup shows
+    * up as an absurd per-unit price long before any distribution fit):
+    * global top-k with part attributes attached.
+    *
+    * Exactness: the ratio is ONE IEEE division of a DECIMAL→DOUBLE cast
+    * by an integral-double quantity — identical casts both engines; ties
+    * break on (orderkey, linenumber), total. Scale: global top-k is
+    * `orderBy().limit(k)` — TakeOrdered, never a full sort; the rank
+    * decorates the k-row result; the part attach joins AFTER the cut, so
+    * only k rows hit the dimension. */
+  def q262UnitPriceOutliers(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    val top = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity",
+        (asDouble(money($"l_extendedprice")) / $"l_quantity")
+          .as("unit_price"))
+      .orderBy($"unit_price".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .limit(k)
+    val w = Window.orderBy($"unit_price".desc, $"l_orderkey".asc,
+      $"l_linenumber".asc) // k-row frame — bounded
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .join(Tables.part(spark, dir).select($"p_partkey", $"p_type"),
+        $"l_partkey" === $"p_partkey")
+      .select($"rank", $"l_orderkey", $"l_linenumber", $"l_partkey",
+        $"p_type", $"l_quantity", $"unit_price")
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
