@@ -281,6 +281,8 @@ object SparkEntry {
     "q260_stopword_profile" -> ((s, d) => TextAnalysis.q260StopwordProfile(s, d)),
     "q261_order_size_hist" -> (Relational.q261OrderSizeHist _),
     "q262_unit_price_outliers" -> ((s, d) => Relational.q262UnitPriceOutliers(s, d)),
+    "q263_spearman" -> (Relational.q263Spearman _),
+    "q264_price_dispersion" -> (Relational.q264PriceDispersion _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3491,5 +3493,56 @@ object SparkEntry {
         |  t.l_linenumber, t.l_partkey, p.p_type, t.l_quantity,
         |  t.unit_price
         |FROM t JOIN part p ON t.l_partkey = p.p_partkey""".stripMargin,
+    "q263_spearman" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_quantity AS x, l_discount AS y,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |ax AS (SELECT l_returnflag, x, CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM cells GROUP BY 1, 2),
+        |dx AS (SELECT l_returnflag, x,
+        |    2 * (1 + COALESCE(sum(c) OVER (PARTITION BY l_returnflag
+        |      ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)) + c - 1
+        |    - (sum(c) OVER (PARTITION BY l_returnflag) + 1) AS dx
+        |  FROM ax),
+        |ay AS (SELECT l_returnflag, y, CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM cells GROUP BY 1, 2),
+        |dy AS (SELECT l_returnflag, y,
+        |    2 * (1 + COALESCE(sum(c) OVER (PARTITION BY l_returnflag
+        |      ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)) + c - 1
+        |    - (sum(c) OVER (PARTITION BY l_returnflag) + 1) AS dy
+        |  FROM ay),
+        |s AS (SELECT cells.l_returnflag,
+        |    CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    sum(CAST(cnt * dx * dy AS DECIMAL(38, 0))) AS sxy,
+        |    sum(CAST(cnt * dx * dx AS DECIMAL(38, 0))) AS sxx,
+        |    sum(CAST(cnt * dy * dy AS DECIMAL(38, 0))) AS syy
+        |  FROM cells
+        |  JOIN dx USING (l_returnflag, x)
+        |  JOIN dy USING (l_returnflag, y)
+        |  GROUP BY 1)
+        |SELECT l_returnflag, n_rows,
+        |  CAST(sxy AS DOUBLE)
+        |    / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
+        |    AS spearman
+        |FROM s""".stripMargin,
+    "q264_price_dispersion" ->
+      """WITH u AS (SELECT l_partkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS DOUBLE)
+        |      / l_quantity AS unit
+        |  FROM lineitem),
+        |p AS (SELECT l_partkey,
+        |    CAST(count(DISTINCT unit) AS BIGINT) AS n_prices,
+        |    (max(unit) - min(unit)) / min(unit) AS rel_range
+        |  FROM u GROUP BY 1)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(CASE WHEN n_prices > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS multi_price_parts,
+        |  CAST(sum(n_prices) AS DOUBLE) / count(*) AS avg_price_points,
+        |  max(rel_range) AS max_rel_range
+        |FROM p JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -3410,6 +3410,89 @@ object Relational {
         $"p_type", $"l_quantity", $"unit_price")
   }
 
+  // ---------------------------------------------------------------- A133
+  /** Spearman rank correlation between quantity and discount per return
+    * flag — the monotone-association screen behind the discount-policy
+    * questions q245 answers by band — with textbook tie-averaged ranks,
+    * computed WITHOUT ranking a single row.
+    *
+    * Both columns are low-cardinality (≤50 quantities × ≤11 discounts),
+    * so a value's tie-averaged rank is a function of per-value counts
+    * alone: minrank(v) = 1 + Σ_{u<v} c_u, and the ×2-scaled centered
+    * rank D(v) = 2·minrank + c − 1 − (n+1) is an INTEGER (scale and
+    * center cancel in Pearson). Spearman = Σ cnt·Dx·Dy /
+    * (√Σ cnt·Dx² · √Σ cnt·Dy²) over the joint contingency table.
+    *
+    * Scale: the partial-agged groupBy into ≤|x|·|y| cells is the only
+    * full-data pass; ranks come from ≤50-row bounded windows and the
+    * joins run on ≤550-cell frames. Exactness: integer counts and ranks,
+    * i64 cell products (≲n³/|cells| — safe to ~2M rows/group; promote
+    * the products to decimal past that), DECIMAL(38,0) accumulators, one
+    * correctly-rounded decimal→double cast per sum, then √·/ in fixed
+    * order — bit-identical on both engines. */
+  def q263Spearman(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_quantity".as("x"), $"l_discount".as("y"))
+      .agg(count(lit(1)).as("cnt"))
+    def axis(v: String): DataFrame = {
+      val counts = cells.groupBy($"l_returnflag", col(v))
+        .agg(sum($"cnt").as("c"))
+      val below = Window.partitionBy($"l_returnflag").orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, -1) // ≤50-row frame
+      val grp = Window.partitionBy($"l_returnflag") // ≤50-row frame
+      counts
+        .withColumn("minrank", coalesce(sum($"c").over(below), lit(0L)) + 1)
+        .withColumn("d",
+          lit(2L) * $"minrank" + $"c" - 1 - (sum($"c").over(grp) + 1))
+    }
+    val dx = axis("x").select($"l_returnflag", $"x", $"d".as("dx"))
+    val dy = axis("y").select($"l_returnflag", $"y", $"d".as("dy"))
+    cells
+      .join(dx, Seq("l_returnflag", "x"))
+      .join(dy, Seq("l_returnflag", "y"))
+      .groupBy($"l_returnflag")
+      .agg(sum($"cnt").as("n_rows"),
+        sum(($"cnt" * $"dx" * $"dy").cast(DecimalType(38, 0))).as("sxy"),
+        sum(($"cnt" * $"dx" * $"dx").cast(DecimalType(38, 0))).as("sxx"),
+        sum(($"cnt" * $"dy" * $"dy").cast(DecimalType(38, 0))).as("syy"))
+      .select($"l_returnflag", $"n_rows",
+        ($"sxy".cast("double")
+          / (sqrt($"sxx".cast("double")) * sqrt($"syy".cast("double"))))
+          .as("spearman"))
+  }
+
+  // ---------------------------------------------------------------- A134
+  /** Part price-consistency audit: per part, the count of distinct unit
+    * prices it ever sold at and the relative spread (max−min)/min, rolled
+    * up per brand — a stale price list or decimal slip shows up as one
+    * part selling at many unit prices or a wide spread band.
+    *
+    * Exactness: unit price is ONE IEEE division of exact integer cents
+    * by the integral quantity — equal rationals round to the same double,
+    * so the distinct-count is sound; max/min are exact selections and the
+    * spread is two IEEE steps in fixed order; the brand-level average is
+    * one division of exact integer sums. Scale: two partial-agged
+    * groupBys (lineitem→part→brand); the part dimension attaches
+    * broadcast to the already-aggregated per-part frame. */
+  def q264PriceDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val unit = Tables.lineitem(spark, dir)
+      .select($"l_partkey",
+        (asDouble(money($"l_extendedprice") * 100) / $"l_quantity")
+          .as("unit"))
+    val per = unit.groupBy($"l_partkey")
+      .agg(countDistinct($"unit").as("n_prices"),
+        ((max($"unit") - min($"unit")) / min($"unit")).as("rel_range"))
+    per
+      .join(broadcast(Tables.part(spark, dir)
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when($"n_prices" > 1, 1L).otherwise(0L)).as("multi_price_parts"),
+        (sum($"n_prices").cast("double") / count(lit(1)))
+          .as("avg_price_points"),
+        max($"rel_range").as("max_rel_range"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
