@@ -283,6 +283,8 @@ object SparkEntry {
     "q262_unit_price_outliers" -> ((s, d) => Relational.q262UnitPriceOutliers(s, d)),
     "q263_spearman" -> (Relational.q263Spearman _),
     "q264_price_dispersion" -> (Relational.q264PriceDispersion _),
+    "q265_lexical_complexity" -> (TextAnalysis.q265LexicalComplexity _),
+    "q266_trade_balance" -> (Relational.q266TradeBalance _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3544,5 +3546,52 @@ object SparkEntry {
         |  max(rel_range) AS max_rel_range
         |FROM p JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin,
+    "q265_lexical_complexity" ->
+      """WITH d AS (SELECT lang, str_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT lang,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(ws,
+        |      w -> len(regexp_extract_all(w, '[aeiouy]+')))) AS BIGINT)
+        |      AS n_syl,
+        |    CAST(len(list_filter(ws,
+        |      w -> len(regexp_extract_all(w, '[aeiouy]+')) >= 3)) AS BIGINT)
+        |      AS n_complex,
+        |    CAST(len(list_filter(ws,
+        |      w -> len(regexp_extract_all(w, '[aeiouy]+')) <= 1)) AS BIGINT)
+        |      AS n_mono
+        |  FROM d),
+        |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_words) AS BIGINT) AS n_words,
+        |    CAST(sum(n_syl) AS BIGINT) AS n_syllables,
+        |    CAST(sum(n_complex) AS BIGINT) AS n_complex,
+        |    CAST(sum(n_mono) AS BIGINT) AS n_mono
+        |  FROM p GROUP BY 1)
+        |SELECT lang, n_docs, n_words, n_syllables,
+        |  CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |    AS syl_per_word,
+        |  CAST(n_complex AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |    AS complex_share,
+        |  CAST(n_mono AS DOUBLE) / CAST(n_words AS DOUBLE) AS mono_share
+        |FROM a""".stripMargin,
+    "q266_trade_balance" ->
+      """WITH s AS (SELECT s_nationkey AS nationkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(14,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS sup_rev
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1),
+        |c AS (SELECT c_nationkey AS nationkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(14,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS cust_sp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |j AS (SELECT COALESCE(s.nationkey, c.nationkey) AS nationkey,
+        |    COALESCE(CAST(sup_rev AS DOUBLE), 0) AS sup_revenue,
+        |    COALESCE(CAST(cust_sp AS DOUBLE), 0) AS cust_spend
+        |  FROM s FULL OUTER JOIN c ON s.nationkey = c.nationkey)
+        |SELECT n_name, sup_revenue, cust_spend,
+        |  sup_revenue - cust_spend AS balance,
+        |  sup_revenue / cust_spend AS export_ratio
+        |FROM j JOIN nation ON nationkey = n_nationkey""".stripMargin,
   )
 }

@@ -3493,6 +3493,42 @@ object Relational {
         max($"rel_range").as("max_rel_range"))
   }
 
+  // ---------------------------------------------------------------- A135
+  /** Nation trade balance: the revenue a nation's SUPPLIERS earn vs what
+    * its CUSTOMERS spend, side by side with the net position and the
+    * export ratio — the two-role rollup the nation-pair flows of
+    * q207/tpch-Q7 slice one pair at a time.
+    *
+    * Exactness: both sides sum the exact decimal revenue expression;
+    * each decimal→double cast is correctly rounded, and balance/ratio
+    * are single IEEE steps on those casts in fixed order. Scale: two
+    * independently partial-agged fact aggregations (supplier side one
+    * dim join; customer side the lineitem⋈orders shuffle both TPC-H
+    * shapes already pay, AQE-skew-safe), full-outer-merged on a ≤25-row
+    * frame, nation names broadcast. */
+  def q266TradeBalance(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(3, 2))
+    val revenue = money($"l_extendedprice") * (one - rate($"l_discount"))
+    val li = Tables.lineitem(spark, dir)
+    val sup = li
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey".as("nationkey"))
+      .agg(sum(revenue).as("sup_rev"))
+    val cust = li
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nationkey"))
+      .agg(sum(revenue).as("cust_sp"))
+    sup.join(cust, Seq("nationkey"), "full_outer")
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"nationkey" === $"n_nationkey")
+      .select($"n_name",
+        coalesce(asDouble($"sup_rev"), lit(0.0)).as("sup_revenue"),
+        coalesce(asDouble($"cust_sp"), lit(0.0)).as("cust_spend"))
+      .withColumn("balance", $"sup_revenue" - $"cust_spend")
+      .withColumn("export_ratio", $"sup_revenue" / $"cust_spend")
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

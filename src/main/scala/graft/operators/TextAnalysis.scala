@@ -638,4 +638,40 @@ object TextAnalysis {
           greatest(col("padded_pos") - window, lit(1)).cast("int"),
           lit(term.length + 2 * window)).as("context"))
   }
+
+  // ---------------------------------------------------------------- C114
+  /** Lexical-complexity (readability) profile per language: syllables
+    * per word via the vowel-group heuristic, plus complex-word (≥3
+    * syllable groups) and monosyllable shares — the Flesch/Gunning-Fog
+    * ingredient pair computed over a corpus with no sentence punctuation
+    * (so the word-level half is the meaningful one, and the one shipped).
+    *
+    * Exactness: syllable counts are regex-match counts (the class
+    * `[aeiouy]+` means the same thing to Java regex and RE2), every
+    * rollup is an integer sum, and each share/average is ONE division of
+    * exact sums. Scale: map-only higher-order array ops per row (inside
+    * codegen), then a partial-agged groupBy to ≤|langs| rows. */
+  def q265LexicalComplexity(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ", -1)
+    val syls = transform(words,
+      w => size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))))
+    val perDoc = Tables.documents(spark, dir).select(col("lang"),
+      size(words).cast("long").as("n_words"),
+      aggregate(syls, lit(0L), (acc, x) => acc + x).as("n_syl"),
+      size(filter(syls, _ >= 3)).cast("long").as("n_complex"),
+      size(filter(syls, _ <= 1)).cast("long").as("n_mono"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_syl")).as("n_syllables"),
+        sum(col("n_complex")).as("n_complex"),
+        sum(col("n_mono")).as("n_mono"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_syllables"),
+        (col("n_syllables").cast("double") / col("n_words").cast("double"))
+          .as("syl_per_word"),
+        (col("n_complex").cast("double") / col("n_words").cast("double"))
+          .as("complex_share"),
+        (col("n_mono").cast("double") / col("n_words").cast("double"))
+          .as("mono_share"))
+  }
 }
