@@ -285,6 +285,8 @@ object SparkEntry {
     "q264_price_dispersion" -> (Relational.q264PriceDispersion _),
     "q265_lexical_complexity" -> (TextAnalysis.q265LexicalComplexity _),
     "q266_trade_balance" -> (Relational.q266TradeBalance _),
+    "q267_ship_backlog" -> (Relational.q267ShipBacklog _),
+    "q268_dim_clip_bounds" -> (Similarity.q268DimClipBounds _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3593,5 +3595,46 @@ object SparkEntry {
         |  sup_revenue - cust_spend AS balance,
         |  sup_revenue / cust_spend AS export_ratio
         |FROM j JOIN nation ON nationkey = n_nationkey""".stripMargin,
+    "q267_ship_backlog" ->
+      """WITH p AS (SELECT
+        |    CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |    CAST(count(*) AS BIGINT) AS placed_lines
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1),
+        |sh AS (SELECT
+        |    CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+        |    CAST(count(*) AS BIGINT) AS shipped_lines
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT COALESCE(p.month, sh.month) AS month,
+        |    COALESCE(placed_lines, 0) AS placed_lines,
+        |    COALESCE(shipped_lines, 0) AS shipped_lines
+        |  FROM p FULL OUTER JOIN sh ON p.month = sh.month),
+        |c AS (SELECT month, placed_lines, shipped_lines,
+        |    CAST(sum(placed_lines) OVER (ORDER BY month
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_placed,
+        |    CAST(sum(shipped_lines) OVER (ORDER BY month
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_shipped
+        |  FROM j)
+        |SELECT month, placed_lines, shipped_lines, cum_placed,
+        |  cum_shipped, cum_placed - cum_shipped AS backlog
+        |FROM c""".stripMargin,
+    "q268_dim_clip_bounds" ->
+      """WITH s AS (SELECT unnest(list_transform(embedding,
+        |    (x, i) -> struct_pack(d := i, v := x))) AS u
+        |  FROM embeddings),
+        |e AS (SELECT CAST(u.d - 1 AS BIGINT) AS dim,
+        |    CAST(u.v AS DOUBLE) AS v FROM s),
+        |r AS (SELECT dim, v,
+        |    row_number() OVER (PARTITION BY dim ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY dim) AS n
+        |  FROM e)
+        |SELECT dim, CAST(max(n) AS BIGINT) AS n, min(v) AS min_v,
+        |  max(CASE WHEN rn = (n + 99) // 100 THEN v END) AS p01,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS p50,
+        |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END) AS p99,
+        |  max(v) AS max_v
+        |FROM r GROUP BY 1""".stripMargin,
   )
 }

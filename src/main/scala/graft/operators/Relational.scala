@@ -3529,6 +3529,38 @@ object Relational {
       .withColumn("export_ratio", $"sup_revenue" / $"cust_spend")
   }
 
+  // ---------------------------------------------------------------- A136
+  /** Order-to-ship flow balance: per month, lines placed (by order date)
+    * vs lines shipped (by ship date) with running cumulative totals and
+    * the open backlog — the operational series behind A111/q225's
+    * point-in-time lag distribution (is fulfillment keeping up, and when
+    * did the backlog peak?).
+    *
+    * Exactness: counts and cumulative integer sums, subtraction exact.
+    * Scale: two partial-agged monthly rollups (the placed side pays the
+    * lineitem⋈orders shuffle every TPC-H shape pays), merged full-outer
+    * and cumulated on a ≤\|months\| bounded frame. */
+  def q267ShipBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val placed = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy(date_trunc("month", $"o_orderdate").cast(TimestampNTZType)
+        .as("month"))
+      .agg(count(lit(1)).as("placed_lines"))
+    val shipped = Tables.lineitem(spark, dir)
+      .groupBy(date_trunc("month", $"l_shipdate").cast(TimestampNTZType)
+        .as("month"))
+      .agg(count(lit(1)).as("shipped_lines"))
+    val w = Window.orderBy($"month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow) // ≤|months|
+    placed.join(shipped, Seq("month"), "full_outer")
+      .select($"month",
+        coalesce($"placed_lines", lit(0L)).as("placed_lines"),
+        coalesce($"shipped_lines", lit(0L)).as("shipped_lines"))
+      .withColumn("cum_placed", sum($"placed_lines").over(w))
+      .withColumn("cum_shipped", sum($"shipped_lines").over(w))
+      .withColumn("backlog", $"cum_placed" - $"cum_shipped")
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -861,4 +861,37 @@ object Similarity {
     v.zipWithIndex.map { case (l, d) => (d, l, lambda) }.toSeq
       .toDF("dim", "loading", "eigenvalue")
   }
+
+  // ---------------------------------------------------------------- C115
+  /** Per-dimension clip-bound calibration for embedding quantization:
+    * min / p01 / p50 / p99 / max of each coordinate across the corpus —
+    * the table an int8 quantizer (C20/q67) clips against, and the
+    * saturation audit for it.
+    *
+    * Percentiles are EXACT ORDER STATISTICS at explicit integer ranks
+    * (ceil(q·n) via integer div — no interpolation, so no cross-engine
+    * fp-association drift; ties need no tie-break because every row at
+    * the tied rank carries the same value). Scale: posexplode is
+    * map-side; the rank window partitions by dimension — |dims|-way
+    * parallel sorts of n values each, the unavoidable cost of exact
+    * full-corpus quantiles (sample upstream for a cheaper calibration);
+    * the rollup partial-aggs on the same exchange. */
+  def q268DimClipBounds(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(toDoubles(col("embedding")).as("emb"))
+      .select(posexplode(col("emb")).as(Seq("dim", "v")))
+    val ord = Window.partitionBy(col("dim")).orderBy(col("v"))
+    val byDim = Window.partitionBy(col("dim"))
+    e.withColumn("rn", row_number().over(ord))
+      .withColumn("n", count(lit(1)).over(byDim))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(max(col("n")).as("n"),
+        min(col("v")).as("min_v"),
+        max(when(col("rn") === expr("(n + 99) div 100"), col("v")))
+          .as("p01"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("v"))).as("p50"),
+        max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("v")))
+          .as("p99"),
+        max(col("v")).as("max_v"))
+  }
 }
