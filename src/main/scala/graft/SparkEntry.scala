@@ -287,6 +287,8 @@ object SparkEntry {
     "q266_trade_balance" -> (Relational.q266TradeBalance _),
     "q267_ship_backlog" -> (Relational.q267ShipBacklog _),
     "q268_dim_clip_bounds" -> (Similarity.q268DimClipBounds _),
+    "q269_priority_sla" -> (Relational.q269PrioritySla _),
+    "q270_session_cooccur" -> ((s, d) => Relational.q270SessionCooccur(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3636,5 +3638,59 @@ object SparkEntry {
         |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END) AS p99,
         |  max(v) AS max_v
         |FROM r GROUP BY 1""".stripMargin,
+    "q269_priority_sla" ->
+      """WITH f AS (SELECT l_orderkey, min(l_shipdate) AS first_ship
+        |  FROM lineitem GROUP BY 1),
+        |o AS (SELECT o_orderpriority,
+        |    CASE WHEN first_ship IS NULL THEN 'none'
+        |      WHEN (epoch_us(CAST(first_ship AS TIMESTAMP))
+        |        - epoch_us(CAST(o_orderdate AS TIMESTAMP))) // 86400000000
+        |        <= 30 THEN 'd030'
+        |      WHEN (epoch_us(CAST(first_ship AS TIMESTAMP))
+        |        - epoch_us(CAST(o_orderdate AS TIMESTAMP))) // 86400000000
+        |        <= 60 THEN 'd060'
+        |      WHEN (epoch_us(CAST(first_ship AS TIMESTAMP))
+        |        - epoch_us(CAST(o_orderdate AS TIMESTAMP))) // 86400000000
+        |        <= 90 THEN 'd090'
+        |      ELSE 'd90plus' END AS sla_bucket
+        |  FROM orders LEFT JOIN f ON o_orderkey = l_orderkey),
+        |g AS (SELECT o_orderpriority, sla_bucket,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM o GROUP BY 1, 2)
+        |SELECT o_orderpriority, sla_bucket, n_orders,
+        |  CAST(n_orders AS DOUBLE)
+        |    / CAST(sum(n_orders) OVER (PARTITION BY o_orderpriority)
+        |      AS DOUBLE) AS share
+        |FROM g""".stripMargin,
+    "q270_session_cooccur" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS prev_us FROM e),
+        |s AS (SELECT user_id, event_type,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_seq
+        |  FROM l),
+        |st AS (SELECT DISTINCT user_id, session_seq, event_type FROM s),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS s_total
+        |  FROM (SELECT DISTINCT user_id, session_seq FROM st)),
+        |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+        |  FROM st GROUP BY 1),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM st a JOIN st b ON a.user_id = b.user_id
+        |    AND a.session_seq = b.session_seq
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both, pa.n_type AS n_a,
+        |  pb.n_type AS n_b, s_total,
+        |  CAST(n_both * s_total AS DOUBLE)
+        |    / CAST(pa.n_type * pb.n_type AS DOUBLE) AS lift
+        |FROM pr JOIN pt pa ON type_a = pa.event_type
+        |JOIN pt pb ON type_b = pb.event_type
+        |CROSS JOIN tot""".stripMargin,
   )
 }

@@ -3561,6 +3561,82 @@ object Relational {
       .withColumn("backlog", $"cum_placed" - $"cum_shipped")
   }
 
+  // ---------------------------------------------------------------- A137
+  /** Fulfillment SLA attainment by order priority: bucket each order by
+    * the days from order date to its FIRST shipped line (≤30 / ≤60 / ≤90
+    * / 90+ / none for orders with no lines), with within-priority shares
+    * — is URGENT actually shipping faster than LOW? The order-level SLA
+    * complement of A111/q225's line-level lag distribution.
+    *
+    * Exactness: the lag is integer `div` on date-granular micros (never
+    * fp-divide-then-cast), buckets exact comparisons, shares ONE
+    * division against the priority's exact total. Scale: one per-order
+    * partial agg for first-ship, the orders-side join, then a
+    * ≤\|priorities\|·\|buckets\| rollup with bounded-frame windows. */
+  def q269PrioritySla(spark: SparkSession, dir: String): DataFrame = {
+    val firstShip = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey").agg(min($"l_shipdate").as("first_ship"))
+    val days = expr(
+      "(unix_micros(CAST(first_ship AS TIMESTAMP))" +
+        " - unix_micros(CAST(o_orderdate AS TIMESTAMP))) div 86400000000")
+    val bucket = when($"first_ship".isNull, "none")
+      .when(days <= 30, "d030").when(days <= 60, "d060")
+      .when(days <= 90, "d090").otherwise("d90plus")
+    val perPrio = Window.partitionBy($"o_orderpriority") // ≤|buckets| frame
+    Tables.orders(spark, dir)
+      .join(firstShip, $"o_orderkey" === $"l_orderkey", "left")
+      .groupBy($"o_orderpriority", bucket.as("sla_bucket"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("share", $"n_orders".cast("double")
+        / sum($"n_orders").over(perPrio).cast("double"))
+  }
+
+  // ---------------------------------------------------------------- A138
+  /** Event-type co-occurrence within sessions, with lift: for each type
+    * pair, the sessions containing BOTH, each alone, and
+    * lift = P(both) / (P(a)·P(b)) — which actions travel together in one
+    * visit (the session-grain complement of A58/q124's step transitions
+    * and A89/q187's order-basket rules).
+    *
+    * Exactness: counts of DISTINCT (session, type) rows; lift is ONE
+    * division of exact integer products (n_both·S and n_a·n_b both fit
+    * i64). Scale: q89's gap sessionization (user-keyed windows), one
+    * distinct on (user, session, type), and a within-session self-join
+    * whose fan-out is ≤C(\|types\|,2) pairs per session — bounded
+    * per-key quadratic; rollups partial-agg to ≤\|types\|² rows and the
+    * session total rides a 1-row broadcast. */
+  def q270SessionCooccur(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val sess = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+      .withColumn("__new",
+        when(lag($"us", 1).over(byUser).isNull
+          || $"us" - lag($"us", 1).over(byUser) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum($"__new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val st = sess.select($"user_id", $"session_seq", $"event_type")
+      .distinct()
+    val totals = st.select($"user_id", $"session_seq").distinct()
+      .groupBy().agg(count(lit(1)).as("s_total")) // 1 row by construction
+    val perType = st.groupBy($"event_type").agg(count(lit(1)).as("n_type"))
+    st.as("a")
+      .join(st.as("b"), $"a.user_id" === $"b.user_id"
+        && $"a.session_seq" === $"b.session_seq"
+        && $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(perType.as("pa")), $"type_a" === $"pa.event_type")
+      .join(broadcast(perType.as("pb")), $"type_b" === $"pb.event_type")
+      .crossJoin(broadcast(totals))
+      .select($"type_a", $"type_b", $"n_both",
+        $"pa.n_type".as("n_a"), $"pb.n_type".as("n_b"), $"s_total",
+        (($"n_both" * $"s_total").cast("double")
+          / ($"pa.n_type" * $"pb.n_type").cast("double")).as("lift"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
