@@ -3157,11 +3157,14 @@ object Relational {
   def q251OrphanAudit(spark: SparkSession, dir: String): DataFrame = {
     def audit(name: String, child: DataFrame, fk: Column,
         parent: DataFrame, pk: Column, broadcastParent: Boolean): DataFrame = {
-      val p = if (broadcastParent) broadcast(parent) else parent
-      val total = child.agg(count(lit(1)).as("total"))
-      val orphans = child.join(p, fk === pk, "left_anti")
-        .agg(count(lit(1)).as("orphans"))
-      total.crossJoin(orphans) // 1×1 — trivially bounded
+      // ONE pass per edge: a left join against the (unique) parent key
+      // yields total and orphan counts from the same scan — a separate
+      // count + anti-join would read the child fact twice
+      val keyed = parent.select(pk.as("__pk"))
+      val p = if (broadcastParent) broadcast(keyed) else keyed
+      child.join(p, fk === $"__pk", "left")
+        .agg(count(lit(1)).as("total"),
+          sum(when($"__pk".isNull, 1L).otherwise(0L)).as("orphans"))
         .select(lit(name).as("fk_edge"), $"total", $"orphans",
           ($"orphans".cast("double") / $"total".cast("double"))
             .as("orphan_share"))

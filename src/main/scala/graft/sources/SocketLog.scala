@@ -32,10 +32,18 @@ import org.apache.spark.unsafe.types.UTF8String
  * stay meaningful across restarts — exactly-once composes with the same
  * idempotent sinks every other graft stream uses.
  *
- * Wire protocol (UTF-8 lines, one request per connection):
- *   `LATEST`            → one line: the current log length
- *   `RANGE <from> <to>` → the records in [from, to), one per line
- * Records must be newline-free (JSON-line changefeed events are).
+ * Wire protocol (UTF-8 lines, one request per connection), with an
+ * explicit response header so a dropped connection or broker error can
+ * NEVER be mistaken for a valid answer (a masked empty LATEST would
+ * regress the stream's offset; a truncated RANGE would silently lose
+ * records past an advancing checkpoint):
+ *   `LATEST`            → `OK <n>` — the current log length
+ *   `RANGE <from> <to>` → `OK <count>` then exactly count record lines
+ *   anything else       → `ERR <reason>`
+ * The client throws on a missing/ERR header, and on a RANGE response
+ * carrying fewer lines than the header promised — Spark then fails the
+ * task and retries instead of committing a hole. Records must be
+ * newline-free (JSON-line changefeed events are).
  *
  * Scale posture: ranges split into fixed-size partition chunks so a large
  * backlog fans out across executors; each reader pulls only its own
@@ -60,11 +68,34 @@ object SocketLogProtocol {
     } finally s.close()
   }
 
-  def latest(host: String, port: Int): Long =
-    request(host, port, "LATEST").headOption.map(_.trim.toLong).getOrElse(0L)
+  /** Parse `OK <n>` or die — an EOF/ERR must fail the caller, never
+    * default: a masked LATEST would rewind offsets, a masked RANGE
+    * would commit a hole. */
+  private def okHeader(lines: Seq[String], req: String): Long =
+    lines.headOption match {
+      case Some(h) if h.startsWith("OK ") => h.stripPrefix("OK ").trim.toLong
+      case other => throw new java.io.IOException(
+        s"socket-log broker gave no valid response to '$req': " +
+          other.getOrElse("<EOF>"))
+    }
+
+  def latest(host: String, port: Int): Long = {
+    val resp = request(host, port, "LATEST")
+    okHeader(resp, "LATEST")
+  }
 
   def range(host: String, port: Int, from: Long, to: Long): Seq[String] =
-    if (to <= from) Nil else request(host, port, s"RANGE $from $to")
+    if (to <= from) Nil
+    else {
+      val resp = request(host, port, s"RANGE $from $to")
+      val promised = okHeader(resp, s"RANGE $from $to")
+      val records = resp.drop(1)
+      if (promised != to - from || records.length != promised)
+        throw new java.io.IOException(
+          s"socket-log RANGE [$from,$to) returned ${records.length} of " +
+            s"$promised promised records — refusing a truncated read")
+      records
+    }
 }
 
 /** Embedded append-only log broker on an ephemeral port. Producers call
@@ -104,12 +135,13 @@ final class MiniBroker extends AutoCloseable {
       val req = in.readLine()
       if (req != null) req.trim.split("\\s+").toSeq match {
         case Seq("LATEST") =>
-          out.write(s"${log.size}\n")
+          out.write(s"OK ${log.size}\n")
         case Seq("RANGE", from, to) =>
           var i = from.toLong
           val hi = math.min(to.toLong, log.size.toLong)
+          out.write(s"OK ${math.max(0L, hi - i)}\n")
           while (i < hi) { out.write(log.get(i.toInt)); out.write("\n"); i += 1 }
-        case _ => ()
+        case _ => out.write("ERR bad request\n")
       }
       out.flush()
     } catch { case _: Exception => () } // client went away

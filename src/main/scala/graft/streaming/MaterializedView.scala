@@ -220,7 +220,9 @@ object MaterializedView {
       * table's state at the changefeed's start timestamp (the reference's
       * snapshot phase, FlinkTikvConsumer.java:133-159). Applied once
       * through the same query + upsert path before the stream starts;
-      * exactly-once across restarts via a target-side marker. */
+      * exactly-once across restarts via a CHECKPOINT-scoped marker
+      * (`<checkpointLocation>/_graft_bootstrap_done` — the target dir is
+      * atomically replaced per batch, so a marker could not live there). */
     def setBootstrap(snapshot: DataFrame): Builder = {
       bootstrap = Some(snapshot); this
     }

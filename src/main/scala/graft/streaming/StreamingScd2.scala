@@ -33,11 +33,13 @@ import org.apache.spark.sql.functions._
  * `_applied_batch` marker (written after the swap) makes a full replay a
  * no-op. A replay of a HALF-APPLIED batch (crash between swap and marker:
  * rows stored, marker stale) is made safe by anti-joining the batch
- * against the stored history on the full version key (key, valid_from,
- * tie) BEFORE the disorder check — already-stored rows drop out, so the
- * replay neither duplicates them nor trips the append-only check against
- * its own rows; the remainder (empty on a clean replay) recomputes
- * identical buckets.
+ * against the stored history on the WHOLE row (version key and payload,
+ * null-safe) BEFORE the disorder check — byte-identical re-deliveries
+ * drop out, so the replay neither duplicates them nor trips the
+ * append-only check against its own rows; the remainder (empty on a clean
+ * replay) recomputes identical buckets. A row that collides on the
+ * version key with a DIFFERENT payload is not a replay — it survives the
+ * drop and fails the disorder check loudly instead of vanishing.
  */
 object StreamingScd2 {
   import BucketedTable._
@@ -93,10 +95,20 @@ object StreamingScd2 {
       // them first — replay of a half-applied batch is then a true no-op
       // on the remainder. Keys map to one bucket and buckets swap whole,
       // so a key's batch rows are stored all-or-nothing; the anti-join
-      // identity is the full version key (key, valid_from, tie).
-      val fresh = newMat.df.join(
-        cur.select(col(keyCol), col("valid_from"), col(tieCol)),
-        Seq(keyCol, "valid_from", tieCol), "left_anti")
+      // identity is the WHOLE row (version key AND payload, null-safe):
+      // only a byte-identical re-delivery may drop silently — a row that
+      // collides on (key, valid_from, tie) with a DIFFERENT payload is a
+      // producer bug, survives the drop, and fails the disorder check
+      // loudly instead of vanishing.
+      val idCols = batch.columns.toSeq.map {
+        case c if c == fromCol => "valid_from"
+        case c => c
+      }
+      val curData = cur.select(idCols.map(col): _*).as("__cur")
+      val antiCond = idCols.map(c =>
+        col(s"__new.$c") <=> col(s"__cur.$c")).reduce(_ && _)
+      val fresh = newMat.df.as("__new")
+        .join(curData, antiCond, "left_anti")
       if (fresh.isEmpty) { writeMarker(fs, marker, batchId); return }
 
       // disorder is loud: every key's incoming versions must order

@@ -101,20 +101,42 @@ object TimestampOracle {
 
   /** Resolve `ts` as committed. Throws [[TimestampFencedException]] if the
     * expiry scan already aborted it (the holder outlived its lease) —
-    * abort wins, loudly, so no reader's resolved view is retracted. */
+    * abort wins, loudly, so no reader's resolved view is retracted. The
+    * gc floor is an equivalent fence: [[gc]] deletes resolution markers
+    * at-or-below the safe point, and the only way an UNCOMMITTED ts got
+    * below the floor is that its abort verdict was delivered and then
+    * compacted — a marker's absence past the floor must not read as
+    * "never aborted". */
   def commit(spark: SparkSession, root: String, ts: Ts): Unit = {
     val fs = fsOf(spark, root)
     val dir = tsoDir(root)
+    def fenceIfCompactedPast(): Unit = {
+      val floor = readFloor(fs, dir)
+      if (ts.ts <= floor)
+        throw new TimestampFencedException(
+          s"timestamp ${ts.ts} at $dir is at or below the gc floor $floor " +
+            "— it was aborted by lease expiry and compacted before this " +
+            "commit; the holder outlived its lease")
+    }
+    fenceIfCompactedPast()
     if (fs.exists(new Path(dir, s"a=${ts.ts}")))
       throw new TimestampFencedException(
         s"timestamp ${ts.ts} at $dir was aborted by lease expiry before " +
           "this commit — the holder outlived its lease")
     fs.create(new Path(dir, s"c=${ts.ts}"), true).close()
-    // the decider race: if the expiry scan aborted between our check and
-    // our marker, agree with it (abort wins) and report the fence
+    // the decider races: if the expiry scan aborted between our check and
+    // our marker — or gc compacted the abort verdict under us — agree
+    // with the abort (abort wins), retract our marker, and report it
+    def retractAnd(e: TimestampFencedException): Nothing = {
+      try fs.delete(new Path(dir, s"c=${ts.ts}"), false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw e
+    }
     if (fs.exists(new Path(dir, s"a=${ts.ts}")))
-      throw new TimestampFencedException(
-        s"timestamp ${ts.ts} at $dir lost the commit/abort race; abort wins")
+      retractAnd(new TimestampFencedException(
+        s"timestamp ${ts.ts} at $dir lost the commit/abort race; abort wins"))
+    try fenceIfCompactedPast()
+    catch { case e: TimestampFencedException => retractAnd(e) }
   }
 
   /** Resolve `ts` as aborted (idempotent). */

@@ -50,6 +50,37 @@ class SocketChangefeedSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("protocol: broken broker fails LOUDLY, never a masked answer") {
+    // a server that accepts and hangs up: no OK header may default to 0
+    // (that would rewind the stream's offset) or to an empty range (that
+    // would commit a hole past the checkpoint)
+    val dead = new java.net.ServerSocket(0)
+    val drainer = new Thread(() => {
+      try { while (true) dead.accept().close() }
+      catch { case _: Exception => () }
+    })
+    drainer.setDaemon(true); drainer.start()
+    try {
+      intercept[java.io.IOException] {
+        SocketLogProtocol.latest("localhost", dead.getLocalPort)
+      }
+      intercept[java.io.IOException] {
+        SocketLogProtocol.range("localhost", dead.getLocalPort, 0, 3)
+      }
+    } finally dead.close()
+
+    // a range the broker cannot fully serve (beyond its log) is refused,
+    // not silently truncated
+    val broker = new MiniBroker
+    try {
+      broker.append("a", "b")
+      val ex = intercept[java.io.IOException] {
+        SocketLogProtocol.range(broker.host, broker.port, 0, 5)
+      }
+      assert(ex.getMessage.contains("truncated"))
+    } finally broker.close()
+  }
+
   test("the streaming source consumes the broker exactly once across restart") {
     val broker = new MiniBroker
     val base = Files.createTempDirectory("socksrc").toString

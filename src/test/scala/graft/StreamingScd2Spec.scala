@@ -124,5 +124,14 @@ class StreamingScd2Spec extends SparkSpec {
     // and the marker is repaired so the next batch proceeds normally
     apply0(df((1L, 4L, "d", 4.0, t0.plusHours(2))), 1L)
     assert(spark.read.parquet(s"$base/hist").count() === 4)
+
+    // a version-key collision with a DIFFERENT payload is NOT a replay:
+    // it must fail the append-only check loudly, never drop silently
+    markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(markerPath, false)
+    val ex = intercept[IllegalStateException] {
+      apply0(df((1L, 4L, "d", 99.0, t0.plusHours(2))), 1L)
+    }
+    assert(ex.getMessage.contains("out-of-order SCD2 version"))
   }
 }

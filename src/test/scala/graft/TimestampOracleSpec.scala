@@ -58,6 +58,23 @@ class TimestampOracleSpec extends SparkSpec {
     }
   }
 
+  test("gc compaction of an abort verdict still fences the late commit") {
+    val root = Files.createTempDirectory("tso3b").toString
+    val dead = TimestampOracle.begin(spark, root)
+    Thread.sleep(50)
+    assert(TimestampOracle.safePoint(spark, root, leaseMs = 1L) === dead.ts)
+    // gc advances the floor past the aborted ts and DELETES its a= marker
+    assert(TimestampOracle.gc(spark, root, leaseMs = 1L) === dead.ts)
+    // the marker is gone, but the floor itself is the durable verdict:
+    // the stalled holder's commit must still fail loudly, not succeed
+    // because the per-ts file it checks for was compacted away
+    intercept[TimestampOracle.TimestampFencedException] {
+      TimestampOracle.commit(spark, root, dead)
+    }
+    // and the safe point / resolved view is unchanged by the attempt
+    assert(TimestampOracle.safePoint(spark, root) === dead.ts)
+  }
+
   test("two jobs interleave epochs on one store; pinned reads never skew") {
     val root = Files.createTempDirectory("tso4").toString
     // two concurrent writers on DIFFERENT tables of one store, each
