@@ -289,6 +289,8 @@ object SparkEntry {
     "q268_dim_clip_bounds" -> (Similarity.q268DimClipBounds _),
     "q269_priority_sla" -> (Relational.q269PrioritySla _),
     "q270_session_cooccur" -> ((s, d) => Relational.q270SessionCooccur(s, d)),
+    "q271_supplier_dependency" -> (Relational.q271SupplierDependency _),
+    "q272_mix_shift" -> (Relational.q272MixShift _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3692,5 +3694,48 @@ object SparkEntry {
         |FROM pr JOIN pt pa ON type_a = pa.event_type
         |JOIN pt pb ON type_b = pb.event_type
         |CROSS JOIN tot""".stripMargin,
+    "q271_supplier_dependency" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT l_partkey,
+        |    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        |    CAST(max(qty) AS BIGINT) AS top_qty,
+        |    CAST(sum(qty) AS BIGINT) AS total_qty
+        |  FROM ps GROUP BY 1)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS single_source_parts,
+        |  CAST(sum(top_qty) AS DOUBLE) / CAST(sum(total_qty) AS DOUBLE)
+        |    AS weighted_top_share,
+        |  max(CAST(top_qty AS DOUBLE) / CAST(total_qty AS DOUBLE))
+        |    AS max_top_share
+        |FROM p JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+    "q272_mix_shift" ->
+      """WITH m AS (SELECT
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |      AS day,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sh AS (SELECT day, event_type,
+        |    CAST(n AS DOUBLE)
+        |      / CAST(sum(n) OVER (PARTITION BY day) AS DOUBLE) AS share
+        |  FROM m),
+        |d AS (SELECT event_type, day, share,
+        |    lag(share) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS prev_share
+        |  FROM sh),
+        |f AS (SELECT event_type, day,
+        |    abs(share - prev_share) AS shift
+        |  FROM d WHERE prev_share IS NOT NULL),
+        |pk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_shifts,
+        |    max(shift) AS max_shift
+        |  FROM f GROUP BY 1)
+        |SELECT pk.event_type, n_shifts, max_shift,
+        |  min(day) AS peak_day
+        |FROM pk JOIN f ON pk.event_type = f.event_type
+        |  AND f.shift = pk.max_shift
+        |GROUP BY 1, 2, 3""".stripMargin,
   )
 }

@@ -3640,6 +3640,75 @@ object Relational {
           / ($"pa.n_type" * $"pb.n_type").cast("double")).as("lift"))
   }
 
+  // ---------------------------------------------------------------- A139
+  /** Single-sourcing risk: per part, the share of its shipped quantity
+    * carried by its TOP supplier, rolled up per brand — parts whose
+    * volume rides one supplier are the supply-chain fragility the
+    * diversity index (A115/q231) reports from the supplier side.
+    *
+    * Exactness: quantities are integral doubles summed as longs; the
+    * top-share and the brand-weighted share are each ONE division of
+    * exact integer sums. Scale: two partial-agged groupBys
+    * (lineitem→(part,supplier)→part), brand dim broadcast onto the
+    * aggregated frame. */
+  def q271SupplierDependency(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"l_quantity".cast("long")).as("qty"))
+    val per = ps.groupBy($"l_partkey")
+      .agg(countDistinct($"l_suppkey").as("n_suppliers"),
+        max($"qty").as("top_qty"), sum($"qty").as("total_qty"))
+      .withColumn("top_share",
+        $"top_qty".cast("double") / $"total_qty".cast("double"))
+    per
+      .join(broadcast(Tables.part(spark, dir)
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when($"n_suppliers" === 1, 1L).otherwise(0L))
+          .as("single_source_parts"),
+        (sum($"top_qty").cast("double") / sum($"total_qty").cast("double"))
+          .as("weighted_top_share"),
+        max($"top_share").as("max_top_share"))
+  }
+
+  // ---------------------------------------------------------------- A140
+  /** Channel mix-shift detector: per event type, the largest
+    * day-over-day swing in its within-day activity share, and the day it
+    * happened — the "something changed in the mix" alarm over the heatmap
+    * A122 draws (a share swing catches a channel silently dying even
+    * while total volume grows).
+    *
+    * Exactness: shares are ONE division of exact counts; consecutive-day
+    * deltas subtract two identical doubles (exact IEEE); the peak day
+    * avoids struct-aggregate tie-break differences by selecting in two
+    * steps — max delta first, then the EARLIEST day among exact ties
+    * (min over the rows matching the max, identical both engines).
+    * Scale: one partial-agged rollup to ≤\|types\|·\|days\| rows;
+    * every window runs on that bounded frame. */
+  def q272MixShift(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", $"ts".cast("timestamp"))
+          .cast(TimestampNTZType).as("day"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val perDay = Window.partitionBy($"day") // ≤|types| frame
+    val byType = Window.partitionBy($"event_type").orderBy($"day")
+    val shifts = m
+      .withColumn("share",
+        $"n".cast("double") / sum($"n").over(perDay).cast("double"))
+      .withColumn("prev_share", lag($"share", 1).over(byType))
+      .filter($"prev_share".isNotNull)
+      .withColumn("shift", abs($"share" - $"prev_share"))
+    val peak = shifts.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_shifts"), max($"shift").as("max_shift"))
+    peak.join(shifts.select($"event_type", $"day", $"shift"),
+        Seq("event_type"))
+      .filter($"shift" === $"max_shift")
+      .groupBy($"event_type", $"n_shifts", $"max_shift")
+      .agg(min($"day").as("peak_day")) // earliest among exact ties
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
