@@ -291,6 +291,8 @@ object SparkEntry {
     "q270_session_cooccur" -> ((s, d) => Relational.q270SessionCooccur(s, d)),
     "q271_supplier_dependency" -> (Relational.q271SupplierDependency _),
     "q272_mix_shift" -> (Relational.q272MixShift _),
+    "q273_label_cohesion" -> (Similarity.q273LabelCohesion _),
+    "q274_token_gini" -> (Corpus.q274TokenGini _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3737,5 +3739,50 @@ object SparkEntry {
         |FROM pk JOIN f ON pk.event_type = f.event_type
         |  AND f.shift = pk.max_shift
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q273_label_cohesion" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        |  FROM embeddings),
+        |nr AS (SELECT vec_id, label, x,
+        |    sqrt(list_reduce(list_transform(x, v -> v * v),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM e),
+        |u AS (SELECT vec_id, label,
+        |    unnest(list_transform(x, (v, i) ->
+        |      struct_pack(dim := i, uv := v / nrm))) AS w
+        |  FROM nr),
+        |ex AS (SELECT vec_id, label, CAST(w.dim - 1 AS BIGINT) AS dim,
+        |    CAST(w.uv AS DOUBLE) AS uv FROM u),
+        |s AS (SELECT label, dim,
+        |    list_reduce(list(uv ORDER BY vec_id), (a, b) -> a + b) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ex GROUP BY 1, 2),
+        |d AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    a.n AS n_a, b.n AS n_b,
+        |    list_reduce(list(a.s * b.s ORDER BY a.dim),
+        |      (a2, b2) -> a2 + b2) AS dot
+        |  FROM s a JOIN s b ON a.dim = b.dim AND a.label <= b.label
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT label_a, label_b, n_a, n_b,
+        |  CASE WHEN label_a = label_b
+        |    THEN (dot - CAST(n_a AS DOUBLE))
+        |      / CAST(n_a * (n_a - 1) AS DOUBLE)
+        |    ELSE dot / CAST(n_a * n_b AS DOUBLE) END AS mean_cos
+        |FROM d""".stripMargin,
+    "q274_token_gini" ->
+      """WITH tf AS (SELECT source, unnest(str_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS f
+        |  FROM tf GROUP BY 1, 2),
+        |r AS (SELECT source, f,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY f, tok)
+        |      AS BIGINT) AS i,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM f)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(f) AS BIGINT) AS tokens,
+        |  CAST(sum((2 * i - n - 1) * f) AS DOUBLE)
+        |    / CAST(count(*) * sum(f) AS DOUBLE) AS gini
+        |FROM r GROUP BY 1""".stripMargin,
   )
 }

@@ -2146,4 +2146,31 @@ object Corpus {
       .agg(count(lit(1)).as("n_tokens"),
         (max_by(col("cum"), col("w")) / 2.0).as("tvd"))
   }
+  // ---------------------------------------------------------------- C117
+  /** Vocabulary inequality per source: the Gini coefficient over token
+    * frequencies (0 = every word equally used, →1 = a few words dominate)
+    * plus vocab/token totals — the single-number "head-heaviness" summary
+    * under C37's rank table and C99's head-coverage curve, and the text
+    * twin of A103's revenue Gini.
+    *
+    * Exactness: with frequencies sorted ascending, Gini = Σ(2i−n−1)·x_i
+    * / (n·Σx) — rank weights are INTEGERS (tie order is immaterial: the
+    * weight sum over an equal-frequency block is order-invariant), so
+    * everything is exact integer arithmetic until ONE final division.
+    * Scale: one partial-agged token count, then a per-source rank window
+    * over vocab-bounded frames. */
+  def q274TokenGini(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("f"))
+    val bySrc = Window.partitionBy(col("source")) // vocab-bounded frame
+    val rk = bySrc.orderBy(col("f"), col("tok"))
+    tf.withColumn("i", row_number().over(rk).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySrc))
+      .withColumn("wgt", (lit(2L) * col("i") - col("n") - lit(1L)) * col("f"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("f")).as("tokens"),
+        (sum(col("wgt")).cast("double")
+          / (count(lit(1)) * sum(col("f"))).cast("double")).as("gini"))
+  }
 }

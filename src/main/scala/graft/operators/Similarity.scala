@@ -876,6 +876,64 @@ object Similarity {
     * parallel sorts of n values each, the unavoidable cost of exact
     * full-corpus quantiles (sample upstream for a cheaper calibration);
     * the rollup partial-aggs on the same exchange. */
+  // ---------------------------------------------------------------- C116
+  /** Intra/inter-label mean pairwise cosine WITHOUT enumerating pairs —
+    * the label-cohesion matrix (are classes tight? which pairs blur?)
+    * behind C96's ablation and C100's outlier screens, computed through
+    * the sum-vector identity: for unit vectors, Σ_{i≠j∈A} cos(i,j) =
+    * ‖Σu‖² − Σ‖u‖² and Σ_{i∈A,j∈B} cos = S_A·S_B — so an O(n²)
+    * statistic costs ONE O(n·d) pass plus |labels|²·d work on the
+    * aggregated sums. (Σ‖u‖² is taken as n — exact up to the fp
+    * normalization residual, identically on both engines.)
+    *
+    * Exactness: the three fp folds (per-row norm, per-(label,dim) sum
+    * over rows, per-pair dot over dims) all run as SEQUENTIAL left folds
+    * in a fixed order — array order, vec_id order, dim order — matching
+    * the oracle's list_reduce exactly (the q255 rule: never a plain
+    * double SUM across engines). Scale: the only full-data pass is the
+    * explode + one exchange on (label, dim); everything after lives on
+    * ≤\|labels\|·d rows. */
+  def q273LabelCohesion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        toDoubles(col("embedding")).as("x"))
+    val norm = sqrt(aggregate(col("x"), lit(0.0), (a, v) => a + v * v))
+    val ex = e
+      .select(col("vec_id"), col("label"),
+        transform(col("x"), v => v / norm).as("u"))
+      .select(col("vec_id"), col("label"),
+        posexplode(col("u")).as(Seq("dim", "uv")))
+    val byCell = Window.partitionBy(col("label"), col("dim"))
+    val ord = byCell.orderBy(col("vec_id"))
+    val s = ex
+      .withColumn("cum", sum(col("uv")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("n", count(lit(1)).over(byCell))
+      .filter(col("rn") === col("n")) // the full sequential fold
+      .select(col("label"), col("dim"), col("cum").as("s"),
+        col("n").cast("long").as("n"))
+    val byPair = Window.partitionBy(col("label_a"), col("label_b"))
+    val pOrd = byPair.orderBy(col("dim"))
+    s.as("a")
+      .join(s.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") <= col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        col("a.dim").as("dim"), (col("a.s") * col("b.s")).as("p"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .withColumn("cum", sum(col("p")).over(
+        pOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(pOrd))
+      .withColumn("nd", count(lit(1)).over(byPair))
+      .filter(col("rn") === col("nd"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        when(col("label_a") === col("label_b"),
+          (col("cum") - col("n_a").cast("double"))
+            / (col("n_a") * (col("n_a") - 1)).cast("double"))
+          .otherwise(col("cum") / (col("n_a") * col("n_b")).cast("double"))
+          .as("mean_cos"))
+  }
+
   def q268DimClipBounds(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(toDoubles(col("embedding")).as("emb"))
