@@ -293,6 +293,8 @@ object SparkEntry {
     "q272_mix_shift" -> (Relational.q272MixShift _),
     "q273_label_cohesion" -> (Similarity.q273LabelCohesion _),
     "q274_token_gini" -> (Corpus.q274TokenGini _),
+    "q275_error_burn" -> (Relational.q275ErrorBurn _),
+    "q276_first_repeat_revenue" -> (Relational.q276FirstRepeatRevenue _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3784,5 +3786,42 @@ object SparkEntry {
         |  CAST(sum((2 * i - n - 1) * f) AS DOUBLE)
         |    / CAST(count(*) * sum(f) AS DOUBLE) AS gini
         |FROM r GROUP BY 1""".stripMargin,
+    "q275_error_burn" ->
+      """WITH d AS (SELECT
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |      AS day,
+        |    CAST(count(*) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS errors
+        |  FROM events GROUP BY 1),
+        |o AS (SELECT CAST(sum(total) AS BIGINT) AS tot_all,
+        |    CAST(sum(errors) AS BIGINT) AS err_all FROM d)
+        |SELECT day, errors, total,
+        |  CAST(errors AS DOUBLE) / CAST(total AS DOUBLE) AS error_rate,
+        |  2 * errors * tot_all > 3 * total * err_all AS burn_alert
+        |FROM d CROSS JOIN o""".stripMargin,
+    "q276_first_repeat_revenue" ->
+      """WITH f0 AS (SELECT o_custkey AS fc, min(o_orderdate) AS d0
+        |  FROM orders GROUP BY 1),
+        |fk AS (SELECT o_custkey AS fkc,
+        |    CAST(min(o_orderkey) AS BIGINT) AS first_okey
+        |  FROM orders JOIN f0 ON o_custkey = fc AND o_orderdate = d0
+        |  GROUP BY 1),
+        |m AS (SELECT
+        |    CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |    CAST(sum(CASE WHEN o_orderkey = first_okey
+        |      THEN CAST(l_extendedprice AS DECIMAL(14,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |      ELSE 0 END) AS DOUBLE) AS new_revenue,
+        |    CAST(sum(CASE WHEN o_orderkey <> first_okey
+        |      THEN CAST(l_extendedprice AS DECIMAL(14,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |      ELSE 0 END) AS DOUBLE) AS repeat_revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN fk ON o_custkey = fkc
+        |  GROUP BY 1)
+        |SELECT month, new_revenue, repeat_revenue,
+        |  repeat_revenue / (new_revenue + repeat_revenue) AS repeat_share
+        |FROM m""".stripMargin,
   )
 }

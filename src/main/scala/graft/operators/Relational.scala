@@ -3709,6 +3709,73 @@ object Relational {
       .agg(min($"day").as("peak_day")) // earliest among exact ties
   }
 
+  // ---------------------------------------------------------------- A141
+  /** Error-rate burn monitor: per day, error events vs total with the
+    * rate, flagging days whose rate exceeds 1.5× the overall rate — the
+    * SLO dashboard row (A140 catches mix drift; this catches the
+    * reliability regression inside one channel).
+    *
+    * Exactness: the flag is INTEGER cross-multiplication
+    * (2·err_d·total_all > 3·tot_d·err_all ⇔ rate_d > 1.5·rate_all) — no
+    * fp in the decision; the displayed rate is one division of exact
+    * counts. Scale: one partial-agged daily rollup; the global totals
+    * ride a 1-row broadcast onto the ≤\|days\| frame. */
+  def q275ErrorBurn(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", $"ts".cast("timestamp"))
+        .cast(TimestampNTZType).as("day"))
+      .agg(count(lit(1)).as("total"),
+        sum(when($"event_type" === "error", 1L).otherwise(0L)).as("errors"))
+    val overall = daily.groupBy()
+      .agg(sum($"total").as("tot_all"), sum($"errors").as("err_all"))
+    daily.crossJoin(broadcast(overall)) // 1 row by construction
+      .select($"day", $"errors", $"total",
+        ($"errors".cast("double") / $"total".cast("double")).as("error_rate"),
+        (lit(2L) * $"errors" * $"tot_all" > lit(3L) * $"total" * $"err_all")
+          .as("burn_alert"))
+  }
+
+  // ---------------------------------------------------------------- A142
+  /** New vs returning revenue by month: each order classified by whether
+    * it is its customer's FIRST (earliest (date, orderkey) — a total
+    * order, so ties on a same-day double-purchase resolve identically in
+    * both engines), then monthly revenue split with the returning share
+    * — the revenue-weighted counterpart of A79/q159's user-count growth
+    * accounting.
+    *
+    * Exactness: first-order identity is an integer min over the
+    * zero-padded-free numeric pair (min epoch-day, then min orderkey at
+    * that day — two exact aggregates); revenue sums are exact decimals
+    * with one double cast each; the share one division. Scale: per-
+    * customer partial agg for firsts, the lineitem⋈orders shuffle every
+    * TPC-H shape pays, monthly ≤\|months\| rollup. */
+  def q276FirstRepeatRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    // customer-cardinality frames: NEVER hint-broadcast (AQE may still
+    // choose to at small scale) — both joins key on o_custkey, so the
+    // exchanges line up
+    val firstDay = o.groupBy($"o_custkey".as("fc"))
+      .agg(min($"o_orderdate").as("d0"))
+    val firstKey = o.join(firstDay,
+        $"o_custkey" === $"fc" && $"o_orderdate" === $"d0")
+      .groupBy($"o_custkey".as("fk_cust"))
+      .agg(min($"o_orderkey").as("first_okey"))
+    val one = lit(1).cast(DecimalType(3, 2))
+    val revenue = money($"l_extendedprice") * (one - rate($"l_discount"))
+    val perMonth = Tables.lineitem(spark, dir)
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(firstKey, $"o_custkey" === $"fk_cust")
+      .groupBy(date_trunc("month", $"o_orderdate").cast(TimestampNTZType)
+        .as("month"))
+      .agg(
+        asDouble(sum(when($"o_orderkey" === $"first_okey", revenue)
+          .otherwise(lit(0).cast(DecimalType(14, 2))))).as("new_revenue"),
+        asDouble(sum(when($"o_orderkey" =!= $"first_okey", revenue)
+          .otherwise(lit(0).cast(DecimalType(14, 2))))).as("repeat_revenue"))
+    perMonth.withColumn("repeat_share",
+      $"repeat_revenue" / ($"new_revenue" + $"repeat_revenue"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
