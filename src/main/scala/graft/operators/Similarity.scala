@@ -891,8 +891,12 @@ object Similarity {
     * in a fixed order — array order, vec_id order, dim order — matching
     * the oracle's list_reduce exactly (the q255 rule: never a plain
     * double SUM across engines). Scale: the only full-data pass is the
-    * explode + one exchange on (label, dim); everything after lives on
-    * ≤\|labels\|·d rows. */
+    * explode + one exchange on (label, dim) — \|labels\|·d parallel
+    * cells; the per-cell ORDERED fold is the cross-engine determinism
+    * discipline, not a mathematical need — a deployment that doesn't
+    * require bit-reproducibility swaps it for a partial-agged sum(uv)
+    * and the identity (and the plan) is unchanged. Everything after
+    * lives on ≤\|labels\|·d rows. */
   def q273LabelCohesion(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label").cast("long").as("label"),
