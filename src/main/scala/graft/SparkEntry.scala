@@ -3798,7 +3798,8 @@ object SparkEntry {
         |    CAST(sum(errors) AS BIGINT) AS err_all FROM d)
         |SELECT day, errors, total,
         |  CAST(errors AS DOUBLE) / CAST(total AS DOUBLE) AS error_rate,
-        |  2 * errors * tot_all > 3 * total * err_all AS burn_alert
+        |  CAST(2 * errors AS DECIMAL(38,0)) * tot_all
+        |    > CAST(3 * total AS DECIMAL(38,0)) * err_all AS burn_alert
         |FROM d CROSS JOIN o""".stripMargin,
     "q276_first_repeat_revenue" ->
       """WITH f0 AS (SELECT o_custkey AS fc, min(o_orderdate) AS d0

@@ -3157,10 +3157,14 @@ object Relational {
   def q251OrphanAudit(spark: SparkSession, dir: String): DataFrame = {
     def audit(name: String, child: DataFrame, fk: Column,
         parent: DataFrame, pk: Column, broadcastParent: Boolean): DataFrame = {
-      // ONE pass per edge: a left join against the (unique) parent key
+      // ONE pass per edge: a left join against the DISTINCT parent key
       // yields total and orphan counts from the same scan — a separate
-      // count + anti-join would read the child fact twice
-      val keyed = parent.select(pk.as("__pk"))
+      // count + anti-join would read the child fact twice. The distinct
+      // matters: a duplicate parent PK would multiply matching child
+      // rows and corrupt total/orphan_share — exactly the dirty-data
+      // regime an integrity audit exists to report (the oracle's NOT
+      // EXISTS is naturally immune; this makes the join arm match it)
+      val keyed = parent.select(pk.as("__pk")).distinct()
       val p = if (broadcastParent) broadcast(keyed) else keyed
       child.join(p, fk === $"__pk", "left")
         .agg(count(lit(1)).as("total"),
@@ -3717,9 +3721,14 @@ object Relational {
     *
     * Exactness: the flag is INTEGER cross-multiplication
     * (2·err_d·total_all > 3·tot_d·err_all ⇔ rate_d > 1.5·rate_all) — no
-    * fp in the decision; the displayed rate is one division of exact
-    * counts. Scale: one partial-agged daily rollup; the global totals
-    * ride a 1-row broadcast onto the ≤\|days\| frame. */
+    * fp in the decision, and both products compare as DECIMAL(38,0) so
+    * the comparison is exact far past the i64 range a 100 TB event log
+    * could reach (2·err_d·total_all wraps silently at ~4.6e18 under
+    * Spark's non-ANSI long arithmetic, where DuckDB would error — the
+    * decimal cast removes that divergence instead of documenting it);
+    * the displayed rate is one division of exact counts. Scale: one
+    * partial-agged daily rollup; the global totals ride a 1-row
+    * broadcast onto the ≤\|days\| frame. */
   def q275ErrorBurn(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(date_trunc("day", $"ts".cast("timestamp"))
@@ -3731,7 +3740,8 @@ object Relational {
     daily.crossJoin(broadcast(overall)) // 1 row by construction
       .select($"day", $"errors", $"total",
         ($"errors".cast("double") / $"total".cast("double")).as("error_rate"),
-        (lit(2L) * $"errors" * $"tot_all" > lit(3L) * $"total" * $"err_all")
+        ((lit(2L) * $"errors").cast(DecimalType(38, 0)) * $"tot_all"
+          > (lit(3L) * $"total").cast(DecimalType(38, 0)) * $"err_all")
           .as("burn_alert"))
   }
 

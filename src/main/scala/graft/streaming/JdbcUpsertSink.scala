@@ -65,8 +65,16 @@ object JdbcUpsertSink {
       s"unsupported JDBC sink type $other")
   }
 
-  private def withConn[A](url: String)(f: Connection => A): A = {
-    val c = DriverManager.getConnection(url)
+  /** Open a connection honoring `user`/`password` options (the same
+    * contract as `Tables.jdbcConnect`) — a bare `getConnection(url)`
+    * would force credentials to ride the URL string against any
+    * credentialed database. Other option keys are passed through as
+    * driver properties. */
+  private def withConn[A](url: String, options: Map[String, String])(
+      f: Connection => A): A = {
+    val props = new java.util.Properties()
+    options.foreach { case (k, v) => props.setProperty(k, v) }
+    val c = DriverManager.getConnection(url, props)
     try f(c) finally c.close()
   }
 
@@ -81,8 +89,9 @@ object JdbcUpsertSink {
   }
 
   /** Create target/staging/fence if absent (idempotent). */
-  private def ensureTables(url: String, table: String, schema: StructType,
-      keyCols: Seq[String]): Unit = withConn(url) { c =>
+  private def ensureTables(url: String, options: Map[String, String],
+      table: String, schema: StructType,
+      keyCols: Seq[String]): Unit = withConn(url, options) { c =>
     val cols = schema.fields
       .map(f => s"${checkIdent(f.name)} ${sqlType(f.dataType)}")
     val st = c.createStatement()
@@ -109,14 +118,15 @@ object JdbcUpsertSink {
 
   /** Stage the batch's rows from the executors (append-only; a replay
     * clears its own batch id first, so partial stages never double). */
-  private def stage(df: DataFrame, url: String, table: String,
+  private def stage(df: DataFrame, url: String,
+      options: Map[String, String], table: String,
       batchId: Long): Unit = {
     val names = df.schema.fieldNames.map(checkIdent)
     val insert = s"INSERT INTO ${table}_GSTG (${names.mkString(", ")}, " +
       s"GRAFT_BATCH_ID) VALUES (${names.map(_ => "?").mkString(", ")}, ?)"
     val n = names.length
     df.foreachPartition { (rows: Iterator[Row]) =>
-      if (rows.hasNext) withConn(url) { c =>
+      if (rows.hasNext) withConn(url, options) { c =>
         c.setAutoCommit(false)
         val ps = c.prepareStatement(insert)
         try {
@@ -140,7 +150,8 @@ object JdbcUpsertSink {
    * MERGE. The delete marker is consumed by the sink, not stored.
    */
   def apply(url: String, table: String, keyCols: Seq[String],
-      deleteCol: Option[String] = None): (DataFrame, Long) => Unit = {
+      deleteCol: Option[String] = None,
+      options: Map[String, String] = Map.empty): (DataFrame, Long) => Unit = {
     val tbl = checkIdent(table)
     val keys = keyCols.map(checkIdent)
     val del = deleteCol.map(checkIdent)
@@ -150,20 +161,20 @@ object JdbcUpsertSink {
       val dataCols = df.schema.fieldNames.map(checkIdent).toSeq
       require(keys.forall(dataCols.contains),
         s"key columns $keys must appear in the frame ($dataCols)")
-      ensureTables(url, tbl, df.schema, keys)
-      val applied = withConn(url)(c => fenced(c, tbl, batchId))
+      ensureTables(url, options, tbl, df.schema, keys)
+      val applied = withConn(url, options)(c => fenced(c, tbl, batchId))
       if (!applied) {
         // clear this batch's leftovers from a crashed earlier attempt,
         // then stage from the executors
-        withConn(url) { c =>
+        withConn(url, options) { c =>
           val ps = c.prepareStatement(
             s"DELETE FROM ${tbl}_GSTG WHERE GRAFT_BATCH_ID = ?")
           try { ps.setLong(1, batchId); ps.executeUpdate() }
           finally ps.close()
         }
-        stage(df, url, tbl, batchId)
+        stage(df, url, options, tbl, batchId)
 
-        withConn(url) { c =>
+        withConn(url, options) { c =>
           c.setAutoCommit(false)
           // the fence row IS the commit record; a racer/replay that
           // already fenced makes the duplicate key abort this attempt

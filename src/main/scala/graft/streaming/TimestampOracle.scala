@@ -16,10 +16,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *
  * Protocol (all under `<root>/_tso/`):
  *   - `t=<n>`  allocated (pending) timestamp — the CAS object: exactly one
- *     `begin()` can create it (create-if-absent; in-JVM racers additionally
- *     serialize on the interned root path, since a local FS create is
- *     check-then-act). Allocation = max(existing, floor) + 1, retried on
- *     collision.
+ *     `begin()` can create it. On HDFS/object stores the namenode makes
+ *     `create(overwrite=false)` atomic; on the LOCAL filesystem Hadoop's
+ *     create is check-then-act, so there the CAS routes through
+ *     `File.createNewFile` (O_CREAT|O_EXCL — the kernel arbitrates, so
+ *     two separate driver PROCESSES sharing a local store cannot both
+ *     win; in-JVM racers additionally serialize on the interned root
+ *     path to cut futile retries). Allocation = max(existing, floor) + 1,
+ *     retried on collision.
  *   - `c=<n>` / `a=<n>`  resolution markers. If both ever exist (a commit
  *     that lost its lease racing the expiry scan), ABORT WINS — deciders
  *     must agree, so the late committer throws instead of un-aborting.
@@ -66,6 +70,25 @@ object TimestampOracle {
         (n.take(i), n.drop(i + 1).toLong, st.getModificationTime)).toOption
     }
 
+  /** Create-if-absent with a CROSS-PROCESS atomicity guarantee: Hadoop's
+    * `create(overwrite=false)` is atomic on HDFS/object stores (namenode
+    * / conditional PUT) but check-then-act on the local filesystem, where
+    * two processes could both pass the exists check. For `file:` URIs the
+    * CAS therefore goes through `File.createNewFile`, which the JDK
+    * implements as open(O_CREAT|O_EXCL) — atomic at the kernel, the same
+    * primitive a PID lockfile relies on. Returns false if the path
+    * already exists (lost the race). */
+  private def atomicCreate(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Boolean =
+    if (fs.getUri.getScheme == "file") {
+      val f = new java.io.File(p.toUri.getPath)
+      try f.createNewFile()
+      catch { case _: java.io.IOException => false }
+    } else {
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+
   private def readFloor(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Long = {
     val p = new Path(dir, "_floor")
     if (!fs.exists(p)) 0L
@@ -78,8 +101,15 @@ object TimestampOracle {
 
   /** Allocate the store's next global timestamp (pending until [[commit]]
     * or [[abort]]). Strictly increasing and unique across jobs. */
-  def begin(spark: SparkSession, root: String): Ts = {
-    val fs = fsOf(spark, root)
+  def begin(spark: SparkSession, root: String): Ts =
+    begin(spark.sparkContext.hadoopConfiguration, root)
+
+  /** [[begin]] without a SparkSession — "across jobs" means across driver
+    * PROCESSES, and a second process contending for a timestamp needs
+    * only the filesystem, not a Spark runtime (the cross-process spec
+    * races two bare JVMs through this overload). */
+  def begin(conf: org.apache.hadoop.conf.Configuration, root: String): Ts = {
+    val fs = tsoDir(root).getFileSystem(conf)
     val dir = tsoDir(root)
     s"graft.tso:$dir".intern().synchronized {
       fs.mkdirs(dir)
@@ -88,10 +118,7 @@ object TimestampOracle {
         val floor = readFloor(fs, dir)
         val top = (listEntries(fs, dir).collect { case ("t", n, _) => n } :+ floor).max
         val cand = top + 1L
-        val ok =
-          try { fs.create(new Path(dir, s"t=$cand"), false).close(); true }
-          catch { case _: java.io.IOException => false } // lost the CAS
-        if (ok) return Ts(cand)
+        if (atomicCreate(fs, new Path(dir, s"t=$cand"))) return Ts(cand)
         attempt += 1
       }
       throw new IllegalStateException(

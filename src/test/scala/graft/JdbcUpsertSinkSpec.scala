@@ -116,4 +116,36 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     sink(Seq((1L, "b", 2.0)).toDF("k", "name", "val"), 0L)
     assert(readAll("DUP_VIEW") === Set((1L, "b", 2.0)))
   }
+
+  test("user/password options ride every connection as Properties") {
+    // Derby scopes unqualified tables to the connecting USER's schema, so
+    // if the options actually reach the connection (driver-side metadata,
+    // driver-side transaction, AND executor-side staging writes), the
+    // sink's tables land in schema CREDU — invisible to a bare
+    // connection, visible to a credentialed one. That distinguishes
+    // Properties-borne creds from a silently-ignored options map.
+    val curl = "jdbc:derby:memory:graftsinkcred;create=true"
+    val opts = Map("user" -> "CREDU", "password" -> "pw")
+    val sink = JdbcUpsertSink(curl, "cred_view", Seq("k"), options = opts)
+    sink(Seq((1L, "a", 1.0)).toDF("k", "name", "val"), 0L)
+
+    val bare = DriverManager.getConnection(curl)
+    try {
+      val ex = intercept[java.sql.SQLException] {
+        bare.createStatement().executeQuery("SELECT K FROM CRED_VIEW")
+      }
+      assert(ex.getSQLState === "42X05") // table does not exist (in APP)
+    } finally bare.close()
+
+    val props = new java.util.Properties()
+    opts.foreach { case (k, v) => props.setProperty(k, v) }
+    val cred = DriverManager.getConnection(curl, props)
+    try {
+      val rs = cred.createStatement()
+        .executeQuery("SELECT K, NAME, VAL FROM CRED_VIEW")
+      assert(rs.next() && rs.getLong("K") === 1L &&
+        rs.getString("NAME") === "a" && rs.getDouble("VAL") === 1.0)
+      assert(!rs.next())
+    } finally cred.close()
+  }
 }

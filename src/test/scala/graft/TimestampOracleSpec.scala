@@ -174,4 +174,36 @@ class TimestampOracleSpec extends SparkSpec {
     assert(ok === 2L)
     assert(TimestampOracle.safePoint(spark, root) === 2L)
   }
+
+  test("allocations are unique across two separate OS PROCESSES") {
+    // The in-JVM intern lock cannot serialize a second driver process;
+    // this races two bare JVMs (TsoRacerMain — no Spark, just Hadoop
+    // Configuration) against one local store, where uniqueness rests
+    // entirely on the O_CREAT|O_EXCL kernel atomicity of atomicCreate.
+    // Before that fix, Hadoop's local create(overwrite=false) was
+    // check-then-act and two processes could allocate the same ts.
+    val root = Files.createTempDirectory("tso6").toString
+    val javaBin = new java.io.File(new java.io.File(
+      sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val cp = sys.props("java.class.path")
+    val perProc = 25
+    def launch(): Process = new ProcessBuilder(
+      javaBin, "-cp", cp, "graft.TsoRacerMain", root, perProc.toString)
+      .redirectErrorStream(true).start()
+    val (p1, p2) = (launch(), launch())
+    def drain(p: Process): Seq[String] = {
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "racer subprocess timed out")
+      assert(p.exitValue === 0, s"racer subprocess failed:\n$out")
+      out.linesIterator.toSeq
+    }
+    val all = (drain(p1) ++ drain(p2)).filter(_.matches("\\d+")).map(_.toLong)
+    assert(all.size === 2 * perProc)
+    assert(all.distinct.size === all.size,
+      s"duplicate timestamp issued across processes: ${all.sorted}")
+    assert(all.min === 1L && all.max === 2L * perProc, "allocation left gaps")
+    // and the store is still a coherent oracle for THIS (third) process
+    assert(TimestampOracle.begin(spark, root).ts === 2L * perProc + 1)
+  }
 }
