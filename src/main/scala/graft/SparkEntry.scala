@@ -295,6 +295,13 @@ object SparkEntry {
     "q274_token_gini" -> (Corpus.q274TokenGini _),
     "q275_error_burn" -> (Relational.q275ErrorBurn _),
     "q276_first_repeat_revenue" -> (Relational.q276FirstRepeatRevenue _),
+    "q277_kendall_tau" -> (Relational.q277KendallTau _),
+    "q278_runs_test" -> (Relational.q278RunsTest _),
+    "q279_stickiness" -> (Relational.q279Stickiness _),
+    "q280_daily_streaks" -> (Relational.q280DailyStreaks _),
+    "q281_assortativity" -> (Relational.q281Assortativity _),
+    "q282_cramers_v" -> (Relational.q282CramersV _),
+    "q283_hapax_profile" -> (TextAnalysis.q283HapaxProfile _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3824,5 +3831,156 @@ object SparkEntry {
         |SELECT month, new_revenue, repeat_revenue,
         |  repeat_revenue / (new_revenue + repeat_revenue) AS repeat_share
         |FROM m""".stripMargin,
+    "q277_kendall_tau" ->
+      """WITH bal AS (SELECT c_nationkey AS nk,
+        |    CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM customer GROUP BY 1),
+        |rev AS (SELECT c_nationkey AS nk,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |p AS (SELECT bal.nk AS nk, x, y FROM bal JOIN rev ON bal.nk = rev.nk),
+        |pr AS (SELECT sign(a.x - b.x) AS sx, sign(a.y - b.y) AS sy
+        |  FROM p a JOIN p b ON a.nk < b.nk),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS concordant,
+        |    CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS discordant,
+        |    CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+        |    CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+        |  FROM pr)
+        |SELECT n0, concordant, discordant, ties_x, ties_y,
+        |  CAST(concordant - discordant AS DOUBLE)
+        |    / (sqrt(CAST(n0 - ties_x AS DOUBLE))
+        |      * sqrt(CAST(n0 - ties_y AS DOUBLE))) AS tau_b
+        |FROM s""".stripMargin,
+    "q278_runs_test" ->
+      """WITH d AS (SELECT o_orderdate AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents, day) AS rk,
+        |    count(*) OVER () AS n FROM d),
+        |t AS (SELECT cents AS median_cents FROM r WHERE rk = (n + 1) // 2),
+        |s AS (SELECT day, CASE WHEN cents > (SELECT median_cents FROM t)
+        |    THEN 1 ELSE 0 END AS above FROM d),
+        |b AS (SELECT above, CASE WHEN lag(above) OVER (ORDER BY day) IS NULL
+        |    OR lag(above) OVER (ORDER BY day) <> above THEN 1 ELSE 0 END
+        |    AS brk FROM s),
+        |agg AS (SELECT CAST(sum(above) AS BIGINT) AS n_above,
+        |    CAST(sum(1 - above) AS BIGINT) AS n_below,
+        |    CAST(sum(brk) AS BIGINT) AS n_runs FROM b),
+        |x AS (SELECT n_above, n_below, n_runs,
+        |    CAST(n_above AS DOUBLE) AS ad, CAST(n_below AS DOUBLE) AS bd,
+        |    CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE) AS nd
+        |  FROM agg)
+        |SELECT n_above, n_below, n_runs,
+        |  1e0 + 2e0 * ad * bd / nd AS expected_runs,
+        |  (CAST(n_runs AS DOUBLE) - (1e0 + 2e0 * ad * bd / nd))
+        |    / sqrt(2e0 * ad * bd * (2e0 * ad * bd - nd)
+        |      / (nd * nd * (nd - 1e0))) AS z
+        |FROM x""".stripMargin,
+    "q279_stickiness" ->
+      """WITH e AS (SELECT
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |      AS week,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |      AS day,
+        |    user_id FROM events),
+        |d AS (SELECT week, day, CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS dau FROM e GROUP BY 1, 2),
+        |dw AS (SELECT week, CAST(count(*) AS BIGINT) AS active_days,
+        |    CAST(sum(dau) AS BIGINT) AS dau_sum FROM d GROUP BY 1),
+        |w AS (SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM e GROUP BY 1)
+        |SELECT dw.week AS week, active_days, dau_sum, wau,
+        |  CAST(dau_sum AS DOUBLE) / CAST(active_days * wau AS DOUBLE)
+        |    AS stickiness
+        |FROM dw JOIN w ON dw.week = w.week""".stripMargin,
+    "q280_daily_streaks" ->
+      """WITH dd AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01',
+        |      CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS d
+        |  FROM events),
+        |i AS (SELECT user_id, d,
+        |    d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+        |  FROM dd),
+        |runs AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+        |  FROM i GROUP BY 1, 2),
+        |best AS (SELECT user_id, max(len) AS best_streak FROM runs GROUP BY 1)
+        |SELECT best_streak, CAST(count(*) AS BIGINT) AS n_users
+        |FROM best GROUP BY 1""".stripMargin,
+    "q281_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.pk AS lo, b.pk AS hi
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS deg FROM
+        |    (SELECT lo AS p FROM e0 UNION ALL SELECT hi FROM e0) GROUP BY 1),
+        |d2 AS (SELECT lo AS u, hi AS v FROM e0
+        |  UNION ALL SELECT hi, lo FROM e0),
+        |j AS (SELECT du.deg AS du, dv.deg AS dv FROM d2
+        |  JOIN deg du ON d2.u = du.p JOIN deg dv ON d2.v = dv.p),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+        |    CAST(sum(CAST(du AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(sum(CAST(dv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |    CAST(sum(CAST(du * dv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+        |    CAST(sum(CAST(du * du AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(sum(CAST(dv * dv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+        |  FROM j),
+        |x AS (SELECT m2, CAST(m2 AS DOUBLE) AS md,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(syy AS DOUBLE) AS syyd FROM agg)
+        |SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+        |  CASE WHEN md * sxxd - sxd * sxd <> 0
+        |      AND md * syyd - syd * syd <> 0
+        |    THEN (md * sxyd - sxd * syd)
+        |      / (sqrt(md * sxxd - sxd * sxd) * sqrt(md * syyd - syd * syd))
+        |    END AS assortativity
+        |FROM x""".stripMargin,
+    "q282_cramers_v" ->
+      """WITH cells AS (SELECT c_mktsegment AS seg, n_regionkey AS reg,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT seg, CAST(sum(o) AS BIGINT) AS rt FROM cells
+        |  GROUP BY 1),
+        |ct AS (SELECT reg, CAST(sum(o) AS BIGINT) AS ct FROM cells
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT seg) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT reg) AS BIGINT) AS c FROM cells),
+        |t0 AS (SELECT seg, reg, CAST(o AS DOUBLE) AS od,
+        |    CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+        |      / CAST(tot.n AS DOUBLE) AS e, n, r, c
+        |  FROM cells JOIN rt USING (seg) JOIN ct USING (reg) CROSS JOIN tot),
+        |t1 AS (SELECT seg, reg, (od - e) * (od - e) / e AS term, n, r, c
+        |  FROM t0),
+        |f AS (SELECT CAST(max(n) AS BIGINT) AS n_customers,
+        |    list_reduce(list(term ORDER BY seg, reg), (a, b) -> a + b)
+        |      AS chi2,
+        |    CAST(max(least(r, c)) - 1 AS BIGINT) AS dof_min FROM t1)
+        |SELECT n_customers, chi2,
+        |  sqrt(chi2 / CAST(n_customers * dof_min AS DOUBLE)) AS cramers_v
+        |FROM f""".stripMargin,
+    "q283_hapax_profile" ->
+      """WITH w AS (SELECT source,
+        |    unnest(string_split(text, ' ')) AS word FROM documents),
+        |f AS (SELECT source, word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM w WHERE length(word) > 0 GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(freq) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax
+        |  FROM f GROUP BY 1)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)
+        |    AS hapax_type_share,
+        |  CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    AS hapax_token_share
+        |FROM s""".stripMargin,
   )
 }

@@ -3786,6 +3786,242 @@ object Relational {
       $"repeat_revenue" / ($"new_revenue" + $"repeat_revenue"))
   }
 
+  // ---------------------------------------------------------------- A143
+  /** Kendall rank correlation (τ-b) between two per-nation wealth
+    * measures — customer deposits (total account balance) vs realized
+    * demand (total order value): the tie-robust ordinal agreement test,
+    * complementing A133/q263's Spearman (which needs the full rank
+    * algebra; Kendall needs only pairwise sign counts).
+    *
+    * Exactness: both measures are exact integer CENTS; concordant /
+    * discordant / tie counts are integer aggregates over the nation-pair
+    * cross product; τ-b is one fixed fp expression over them (×,−,÷,sqrt
+    * — all IEEE-deterministic). Scale: the quadratic pair enumeration is
+    * over the NATION aggregate (≤\|nations\|² pairs after two partial-
+    * agged fact rollups) — the fact tables are never pair-joined. */
+  def q277KendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val bal = Tables.customer(spark, dir)
+      .groupBy($"c_nationkey".as("nk"))
+      .agg(sum((money($"c_acctbal") * 100).cast("long")).as("x"))
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nk2"))
+      .agg(sum((money($"o_totalprice") * 100).cast("long")).as("y"))
+    val pts = bal.join(rev, $"nk" === $"nk2").select($"nk", $"x", $"y")
+    val a = pts.select($"nk".as("ia"), $"x".as("xa"), $"y".as("ya"))
+    val b = pts.select($"nk".as("ib"), $"x".as("xb"), $"y".as("yb"))
+    val pairs = a.join(b, $"ia" < $"ib") // ≤ |nations|²/2 rows
+      .select(
+        signum(($"xa" - $"xb").cast("double")).as("sx"),
+        signum(($"ya" - $"yb").cast("double")).as("sy"))
+    pairs.agg(
+        count(lit(1)).as("n0"),
+        sum(when($"sx" * $"sy" > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when($"sx" * $"sy" < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(when($"sx" === 0.0, 1L).otherwise(0L)).as("ties_x"),
+        sum(when($"sy" === 0.0, 1L).otherwise(0L)).as("ties_y"))
+      .select($"n0", $"concordant", $"discordant", $"ties_x", $"ties_y",
+        (($"concordant" - $"discordant").cast("double")
+          / (sqrt(($"n0" - $"ties_x").cast("double"))
+            * sqrt(($"n0" - $"ties_y").cast("double")))).as("tau_b"))
+  }
+
+  // ---------------------------------------------------------------- A144
+  /** Wald–Wolfowitz runs test on the daily-revenue series — is the
+    * sequence of above/below-median days RANDOM, or does revenue cluster
+    * in regimes (momentum) / alternate (overcorrection)? The
+    * nonparametric randomness screen a forecasting pipeline runs before
+    * trusting i.i.d. assumptions; complements A95/q196's CUSUM (which
+    * needs a reference level — this is self-referencing).
+    *
+    * Exactness: daily totals are exact integer cents; the threshold is
+    * the LOWER MEDIAN (the ⌈n/2⌉-th smallest — an exact selection, no
+    * fp midpoint averaging); run boundaries and counts are integer; the
+    * z-statistic is one fixed fp expression (μ = 1 + 2ab/n, σ² =
+    * 2ab(2ab−n)/(n²(n−1))). Scale: one partial-agged daily rollup; the
+    * ordered pass runs on the ≤\|days\| aggregate — the bounded-frame
+    * exception §6 allows (global order over ~10³ rows, never the fact). */
+  def q278RunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderdate".as("day"))
+      .agg(sum((money($"o_totalprice") * 100).cast("long")).as("cents"))
+    val byVal = Window.orderBy($"cents", $"day") // ≤|days| frame
+    val n = Window.partitionBy()
+    val ranked = daily
+      .withColumn("rk", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(n))
+    val thresh = ranked
+      // lower median rank ⌈n/2⌉ = floor((n+1)/2): the fp division is exact
+      // (x.0 or x.5) and floor lands on the integer rank for BOTH parities
+      .filter($"rk" === floor(($"n" + 1) / 2)) // 1 row
+      .select($"cents".as("median_cents"))
+    val seq0 = daily.crossJoin(broadcast(thresh))
+      .withColumn("above", ($"cents" > $"median_cents").cast("int"))
+    val byDay = Window.orderBy($"day") // ≤|days| frame
+    val runs = seq0
+      .withColumn("brk",
+        when(lag($"above", 1).over(byDay).isNull
+          || lag($"above", 1).over(byDay) =!= $"above", 1L).otherwise(0L))
+      .agg(sum($"above".cast("long")).as("n_above"),
+        sum(lit(1L) - $"above").as("n_below"),
+        sum($"brk").as("n_runs"))
+    val ad = $"n_above".cast("double"); val bd = $"n_below".cast("double")
+    val nd = ad + bd
+    val mu = lit(1.0) + lit(2.0) * ad * bd / nd
+    val sig2 = (lit(2.0) * ad * bd * (lit(2.0) * ad * bd - nd)) /
+      (nd * nd * (nd - lit(1.0)))
+    runs.select($"n_above", $"n_below", $"n_runs",
+      mu.as("expected_runs"),
+      (($"n_runs".cast("double") - mu) / sqrt(sig2)).as("z"))
+  }
+
+  // ---------------------------------------------------------------- A145
+  /** DAU/WAU stickiness per week — the engagement-depth ratio (how much
+    * of the weekly audience shows up on an average day): mean daily
+    * active users over weekly active users, the product metric sitting
+    * between A37/q83's retention (across periods) and A118/q242's
+    * activity heatmap (within one).
+    *
+    * Exactness: both numerator and denominator are exact distinct
+    * counts (sum of per-day DAU over the week; WAU over the same rows);
+    * stickiness is ONE division of exact integers — no fp averaging of
+    * per-day ratios. Scale: two partial-agged distinct aggregations on
+    * (week/day, user) — the expensive exact-distinct shuffles key on the
+    * high-cardinality pair, then collapse to ≤\|weeks\| rows. */
+  def q279Stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(date_trunc("week", $"ts").cast(TimestampNTZType).as("week"),
+        date_trunc("day", $"ts").cast(TimestampNTZType).as("day"),
+        $"user_id")
+    val dau = e.groupBy($"week", $"day")
+      .agg(countDistinct($"user_id").as("dau"))
+      .groupBy($"week")
+      .agg(count(lit(1)).as("active_days"), sum($"dau").as("dau_sum"))
+    val wau = e.groupBy($"week").agg(countDistinct($"user_id").as("wau"))
+    dau.join(wau, Seq("week"))
+      .select($"week", $"active_days", $"dau_sum", $"wau",
+        ($"dau_sum".cast("double")
+          / ($"active_days" * $"wau").cast("double")).as("stickiness"))
+  }
+
+  // ---------------------------------------------------------------- A146
+  /** Daily-activity streaks: each user's LONGEST run of consecutive
+    * active days, then the population histogram of streak lengths — the
+    * habit-formation metric (how many users sustain a k-day streak)
+    * that retention matrices (A114/q232) blur by bucketing periods
+    * independently.
+    *
+    * Exactness: pure integer arithmetic — the gaps-and-islands identity
+    * (epoch_day − dense row index is constant within a consecutive run)
+    * on exact distinct days. Scale: every window partitions by user_id
+    * (parallel); three partial-agged shuffles, output ≤\|distinct
+    * streak lengths\| rows. */
+  def q280DailyStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select($"user_id",
+        datediff(to_date(date_trunc("day", $"ts")),
+          to_date(lit("1970-01-01"))).as("d"))
+      .distinct()
+    val byUser = Window.partitionBy($"user_id").orderBy($"d")
+    val streaks = days
+      .withColumn("island", $"d" - row_number().over(byUser))
+      .groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(max($"len").as("best_streak"))
+    streaks.groupBy($"best_streak")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  // ---------------------------------------------------------------- A147
+  /** Degree assortativity of the co-purchase graph — do high-degree
+    * parts co-occur with other high-degree parts (assortative r > 0) or
+    * with long-tail ones (dissortative r < 0)? THE summary statistic for
+    * hub structure, complementing A52/q138's co-purchase edge list and
+    * the A56/q104 degree profile; computed as the Pearson correlation of
+    * endpoint degrees over the directed edge list.
+    *
+    * Exactness: degrees and their pair products are exact integers
+    * (DECIMAL(38,0) sums — a 100 TB graph's Σdeg² overflows i64); r is
+    * one fixed fp expression. Scale: edges dedup via one (lo, hi)
+    * groupBy; each edge meets the ≤\|parts\| degree table twice through
+    * shuffle joins keyed on the endpoint; no quadratic stage — the
+    * per-order pair fan-out is the same bounded \|order\|² the
+    * co-purchase operator itself pays, and hot parts never multiply
+    * (degree join is per-edge). */
+  def q281Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val e0 = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter($"a.pk" < $"b.pk")
+      .select($"a.pk".as("lo"), $"b.pk".as("hi"))
+      .distinct() // one undirected edge per co-purchased pair
+    val deg = e0.select($"lo".as("p")).unionAll(e0.select($"hi".as("p")))
+      .groupBy($"p").agg(count(lit(1)).as("deg"))
+    // direct both ways so each endpoint plays source and target once
+    val directed = e0.select($"lo".as("u"), $"hi".as("v"))
+      .unionAll(e0.select($"hi".as("u"), $"lo".as("v")))
+    val joined = directed
+      .join(deg.select($"p".as("u"), $"deg".as("du")), Seq("u"))
+      .join(deg.select($"p".as("v"), $"deg".as("dv")), Seq("v"))
+    val agg = joined.agg(
+      count(lit(1)).as("m2"), // 2·|E|
+      sum($"du".cast(DecimalType(38, 0))).as("sx"),
+      sum($"dv".cast(DecimalType(38, 0))).as("sy"),
+      sum(($"du" * $"dv").cast(DecimalType(38, 0))).as("sxy"),
+      sum(($"du" * $"du").cast(DecimalType(38, 0))).as("sxx"),
+      sum(($"dv" * $"dv").cast(DecimalType(38, 0))).as("syy"))
+    val md = $"m2".cast("double")
+    val cov = md * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double")
+    val vx = md * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double")
+    val vy = md * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double")
+    agg.select(($"m2" / 2).cast("long").as("n_edges"), // m2 even — exact
+      when(vx =!= 0.0 && vy =!= 0.0, cov / (sqrt(vx) * sqrt(vy)))
+        .as("assortativity"))
+  }
+
+  // ---------------------------------------------------------------- A148
+  /** Market-segment × region association (χ² and Cramér's V): does the
+    * customer segment mix differ by region, and by how MUCH — the
+    * effect-size companion to A91/q163's drift χ² (which tests one
+    * categorical against time; this crosses two categoricals and
+    * normalizes to [0,1]).
+    *
+    * Exactness: cell/margin counts are exact integers; each cell's χ²
+    * term is a fixed expression of them, and the cross-cell total folds
+    * in CANONICAL (segment, region) order via an ordered cumulative
+    * window whose max is the total — the same identical-fold-order
+    * device as q216, because a plain fp SUM would fold in engine-
+    * dependent order (the oracle mirrors with list_reduce). Scale: one
+    * partial-agged count on the ≤\|segments\|·\|regions\| cross; the
+    * windowed fold runs on that bounded frame. */
+  def q282CramersV(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_mktsegment".as("seg"), $"n_regionkey".as("reg"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy($"seg").agg(sum($"o").as("rt"))
+    val colT = cells.groupBy($"reg").agg(sum($"o").as("ct"))
+    val tot = cells.agg(sum($"o").as("n"), countDistinct($"seg").as("r"),
+      countDistinct($"reg").as("c"))
+    val term = cells
+      .join(broadcast(rowT), Seq("seg")).join(broadcast(colT), Seq("reg"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e",
+        $"rt".cast("double") * $"ct".cast("double") / $"n".cast("double"))
+      .withColumn("term",
+        ($"o".cast("double") - $"e") * ($"o".cast("double") - $"e") / $"e")
+    val ordered = Window.orderBy($"seg", $"reg") // ≤|seg|·|reg| frame
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    term.withColumn("cum", sum($"term").over(ordered))
+      .agg(max($"n").as("n_customers"), max($"cum").as("chi2"),
+        max(least($"r", $"c") - 1).as("dof_min"))
+      .select($"n_customers", $"chi2",
+        sqrt($"chi2" / ($"n_customers" * $"dof_min").cast("double"))
+          .as("cramers_v"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

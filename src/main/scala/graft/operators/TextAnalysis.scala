@@ -674,4 +674,34 @@ object TextAnalysis {
         (col("n_mono").cast("double") / col("n_words").cast("double"))
           .as("mono_share"))
   }
+
+  // ---------------------------------------------------------------- C118
+  /** Hapax-legomena profile per source — the share of vocabulary (and of
+    * tokens) that occurs exactly ONCE in the source's corpus: the
+    * long-tail health check tokenizer and dedup decisions key on (a
+    * hapax-heavy source is OCR noise / ids / unseen domain; a hapax-poor
+    * one is templated), sharpening C101's per-doc TTR to the corpus
+    * level where Zipf actually bites.
+    *
+    * Exactness: all counts are exact integers from one (source, word)
+    * frequency table (hapax tokens = hapax types by definition — each
+    * contributes exactly one token); the two shares are one IEEE
+    * division each. Scale: explode → ONE partial-agged (source, word)
+    * count (the same shuffle any vocabulary pass pays) → ≤\|sources\|
+    * rollup; no distinct-within-agg Expand. */
+  def q283HapaxProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .groupBy(col("source"))
+      .agg(sum(col("freq")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("freq") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_type_share"),
+        (col("n_hapax").cast("double") / col("n_tokens").cast("double"))
+          .as("hapax_token_share"))
 }
