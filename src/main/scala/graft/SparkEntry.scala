@@ -302,6 +302,11 @@ object SparkEntry {
     "q281_assortativity" -> (Relational.q281Assortativity _),
     "q282_cramers_v" -> (Relational.q282CramersV _),
     "q283_hapax_profile" -> (TextAnalysis.q283HapaxProfile _),
+    "q284_linenumber_audit" -> (Relational.q284LinenumberAudit _),
+    "q285_user_diversity" -> (Relational.q285UserDiversity _),
+    "q286_split_sourcing" -> (Relational.q286SplitSourcing _),
+    "q287_source_lang_mix" -> (Corpus.q287SourceLangMix _),
+    "q288_value_bands" -> (Relational.q288ValueBands _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -3982,5 +3987,80 @@ object SparkEntry {
         |  CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE)
         |    AS hapax_token_share
         |FROM s""".stripMargin,
+    "q284_linenumber_audit" ->
+      """WITH per AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT l_linenumber) AS BIGINT) AS d,
+        |    min(l_linenumber) AS mn, max(l_linenumber) AS mx
+        |  FROM lineitem GROUP BY 1),
+        |cls AS (SELECT n > d AS has_dup,
+        |    NOT (mn = 1 AND mx = d) AS has_gap FROM per),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS orders_with_lines,
+        |    CAST(sum(CASE WHEN has_dup THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS with_dups,
+        |    CAST(sum(CASE WHEN has_gap THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS with_gaps,
+        |    CAST(sum(CASE WHEN NOT has_dup AND NOT has_gap THEN 1 ELSE 0
+        |      END) AS BIGINT) AS clean
+        |  FROM cls),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS childless_orders
+        |  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey))
+        |SELECT orders_with_lines, childless_orders, clean, with_dups,
+        |  with_gaps,
+        |  CAST(clean AS DOUBLE) / CAST(orders_with_lines AS DOUBLE)
+        |    AS clean_share
+        |FROM a CROSS JOIN c""".stripMargin,
+    "q285_user_diversity" ->
+      """WITH tc AS (SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM tc GROUP BY 1)
+        |SELECT user_id, n_events, n_types,
+        |  CAST(s2 AS DOUBLE) / CAST(n_events * n_events AS DOUBLE)
+        |    AS simpson
+        |FROM u""".stripMargin,
+    "q286_split_sourcing" ->
+      """WITH g AS (SELECT l_orderkey, l_partkey,
+        |    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+        |  FROM lineitem GROUP BY 1, 2),
+        |b AS (SELECT p_brand, CAST(count(*) AS BIGINT)
+        |      AS order_part_groups,
+        |    CAST(sum(CASE WHEN n_supp >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS split_groups
+        |  FROM g JOIN part ON l_partkey = p_partkey GROUP BY 1)
+        |SELECT p_brand, order_part_groups, split_groups,
+        |  CAST(split_groups AS DOUBLE) / CAST(order_part_groups AS DOUBLE)
+        |    AS split_share
+        |FROM b""".stripMargin,
+    "q287_source_lang_mix" ->
+      """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT)
+        |    AS n_docs FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS src_total
+        |  FROM cells GROUP BY 1)
+        |SELECT cells.source AS source, lang, n_docs, src_total,
+        |  CAST(n_docs AS DOUBLE) / CAST(src_total AS DOUBLE)
+        |    AS source_share
+        |FROM cells JOIN t ON cells.source = t.source""".stripMargin,
+    "q288_value_bands" ->
+      """WITH o AS (SELECT
+        |    CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |    CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |        AS BIGINT) < 5000000 THEN 'a_lt_50k'
+        |      WHEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |        AS BIGINT) < 15000000 THEN 'b_50k_150k'
+        |      WHEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |        AS BIGINT) < 30000000 THEN 'c_150k_300k'
+        |      ELSE 'd_300k_plus' END AS band
+        |  FROM orders),
+        |cells AS (SELECT month, band, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM o GROUP BY 1, 2),
+        |t AS (SELECT month, CAST(sum(n_orders) AS BIGINT) AS month_total
+        |  FROM cells GROUP BY 1)
+        |SELECT cells.month AS month, band, n_orders, month_total,
+        |  CAST(n_orders AS DOUBLE) / CAST(month_total AS DOUBLE)
+        |    AS band_share
+        |FROM cells JOIN t ON cells.month = t.month""".stripMargin,
   )
 }

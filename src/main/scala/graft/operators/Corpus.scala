@@ -2173,4 +2173,27 @@ object Corpus {
         (sum(col("wgt")).cast("double")
           / (count(lit(1)) * sum(col("f"))).cast("double")).as("gini"))
   }
+
+  // ---------------------------------------------------------------- C119
+  /** Source × language composition matrix — which languages each crawl
+    * source actually delivers, with within-source shares: the mix table
+    * a per-source quota (C15) or per-language budget (C43) is tuned
+    * against, and the denominator-side complement of C80's CLASSIFIER
+    * confusion (this crosses source against the LABELED language).
+    *
+    * Exactness: cell counts exact, the share ONE division against the
+    * source total. Scale: one partial-agged (source, lang) count —
+    * ≤\|sources\|·\|langs\| rows — plus a ≤\|sources\| totals join; no
+    * window, no text scan beyond the two label columns (column pruning
+    * reaches the parquet scan). */
+  def q287SourceLangMix(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("src_total"))
+    cells.join(totals, Seq("source"))
+      .select(col("source"), col("lang"), col("n_docs"), col("src_total"),
+        (col("n_docs").cast("double") / col("src_total").cast("double"))
+          .as("source_share"))
+  }
 }

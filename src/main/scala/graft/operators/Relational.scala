@@ -4022,6 +4022,116 @@ object Relational {
           .as("cramers_v"))
   }
 
+  // ---------------------------------------------------------------- A149
+  /** Line-number integrity audit — are each order's line numbers exactly
+    * {1..n}? Classifies every order (duplicated numbers / gapped or
+    * offset sequences / clean) and counts parents with NO lines at all:
+    * the sequence-shaped data-quality check the FK audit (A124/q251)
+    * cannot see, and on this dataset the findings are NOT vacuous — most
+    * synthetic orders fail the classic TPC-H contiguity contract, which
+    * is precisely what an audit is for.
+    *
+    * Exactness: set equality via three exact integer aggregates — with d
+    * distinct values, min=1 ∧ max=d ⇔ the set is exactly {1..d}; dup ⇔
+    * n>d. All counts integer, the share one division. Scale: one
+    * partial-agged per-order rollup + one anti-join for childless
+    * parents; output is a single row of counters. */
+  def q284LinenumberAudit(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n"), countDistinct($"l_linenumber").as("d"),
+        min($"l_linenumber").as("mn"), max($"l_linenumber").as("mx"))
+      .withColumn("has_dup", $"n" > $"d")
+      .withColumn("has_gap", !($"mn" === 1 && $"mx" === $"d"))
+    val audit = per.agg(count(lit(1)).as("orders_with_lines"),
+      sum(when($"has_dup", 1L).otherwise(0L)).as("with_dups"),
+      sum(when($"has_gap", 1L).otherwise(0L)).as("with_gaps"),
+      sum(when(!$"has_dup" && !$"has_gap", 1L).otherwise(0L)).as("clean"))
+    val childless = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey").distinct(),
+        $"o_orderkey" === $"l_orderkey", "left_anti")
+      .agg(count(lit(1)).as("childless_orders"))
+    audit.crossJoin(childless) // 1 row × 1 row
+      .select($"orders_with_lines", $"childless_orders", $"clean",
+        $"with_dups", $"with_gaps",
+        ($"clean".cast("double") / $"orders_with_lines".cast("double"))
+          .as("clean_share"))
+  }
+
+  // ---------------------------------------------------------------- A150
+  /** Per-user event-type diversity: Simpson concentration over each
+    * user's event-type mix (the probability two random events of the
+    * user share a type — 1/|types| uniform → 1.0 single-typed), the
+    * per-entity drill-down of the corpus-level A69/q141 index: WHICH
+    * users are single-channel vs broad.
+    *
+    * Exactness: Σc² and n are exact integers, Simpson ONE division.
+    * Scale: one (user, type) partial agg then a per-user rollup — both
+    * key-parallel, output ≤\|users\| rows. */
+  def q285UserDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"user_id")
+      .agg(sum($"c").as("n_events"), count(lit(1)).as("n_types"),
+        sum($"c" * $"c").as("s2"))
+      .select($"user_id", $"n_events", $"n_types",
+        ($"s2".cast("double") / ($"n_events" * $"n_events").cast("double"))
+          .as("simpson"))
+
+  // ---------------------------------------------------------------- A151
+  /** Split-sourcing within one order: (order, part) groups filled from
+    * MULTIPLE suppliers, rolled up per brand — the line-level procurement
+    * anomaly (double allocation, split shipments) that A137/q271's
+    * part-level single-sourcing risk is blind to, because it aggregates
+    * away the order dimension.
+    *
+    * Exactness: the split flag is an exact distinct count; shares one
+    * division. Scale: one (order, part) partial agg (the natural
+    * lineitem key — no fan-out), the ≤\|parts\| brand dimension joins
+    * broadcast onto the aggregated frame, ≤\|brands\| output. */
+  def q286SplitSourcing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey", $"l_partkey")
+      .agg(countDistinct($"l_suppkey").as("n_supp"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("order_part_groups"),
+        sum(when($"n_supp" >= 2, 1L).otherwise(0L)).as("split_groups"))
+      .select($"p_brand", $"order_part_groups", $"split_groups",
+        ($"split_groups".cast("double")
+          / $"order_part_groups".cast("double")).as("split_share"))
+
+  // ---------------------------------------------------------------- A152
+  /** Monthly order-value band mix: orders bucketed into FIXED value
+    * bands (integer-cent thresholds — no data-dependent quantiles, so
+    * months compare against a stable yardstick) with each band's
+    * within-month share — the price-mix drift view that A120's
+    * data-driven deciles and A59's fixed-width histogram don't give over
+    * time.
+    *
+    * Exactness: band assignment compares exact integer cents against
+    * integer literals; counts exact, share one division. Scale: one
+    * partial-agged (month, band) count + a ≤\|months\| totals join. */
+  def q288ValueBands(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (money($"o_totalprice") * 100).cast("long")
+    val band = when(cents < 5000000L, "a_lt_50k")
+      .when(cents < 15000000L, "b_50k_150k")
+      .when(cents < 30000000L, "c_150k_300k")
+      .otherwise("d_300k_plus")
+    val cells = Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", $"o_orderdate").cast(TimestampNTZType)
+        .as("month"), band.as("band"))
+      .agg(count(lit(1)).as("n_orders"))
+    val totals = cells.groupBy($"month")
+      .agg(sum($"n_orders").as("month_total"))
+    cells.join(totals, Seq("month"))
+      .select($"month", $"band", $"n_orders", $"month_total",
+        ($"n_orders".cast("double") / $"month_total".cast("double"))
+          .as("band_share"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
