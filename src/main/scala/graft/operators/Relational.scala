@@ -3807,7 +3807,11 @@ object Relational {
       .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
       .groupBy($"c_nationkey".as("nk2"))
       .agg(sum((money($"o_totalprice") * 100).cast("long")).as("y"))
-    val pts = bal.join(rev, $"nk" === $"nk2").select($"nk", $"x", $"y")
+    // both sides of the pair self-join read this ≤|nations|-row frame —
+    // materialize once or Catalyst re-runs BOTH fact rollups per side
+    val pts = graft.Lineage.truncate(
+      bal.join(rev, $"nk" === $"nk2").select($"nk", $"x", $"y"),
+      reliable = false).df
     val a = pts.select($"nk".as("ia"), $"x".as("xa"), $"y".as("ya"))
     val b = pts.select($"nk".as("ib"), $"x".as("xb"), $"y".as("yb"))
     val pairs = a.join(b, $"ia" < $"ib") // ≤ |nations|²/2 rows
@@ -3952,10 +3956,16 @@ object Relational {
   def q281Assortativity(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-    val e0 = li.as("a").join(li.as("b"), Seq("ok"))
-      .filter($"a.pk" < $"b.pk")
-      .select($"a.pk".as("lo"), $"b.pk".as("hi"))
-      .distinct() // one undirected edge per co-purchased pair
+    // the edge list feeds FOUR plan branches (both union arms of the
+    // degree count and of the directed list); without truncation Catalyst
+    // re-runs the self-join + dedup per branch — the §6 shared-subplan
+    // rule (same as q167/q176/q181)
+    val e0 = graft.Lineage.truncate(
+      li.as("a").join(li.as("b"), Seq("ok"))
+        .filter($"a.pk" < $"b.pk")
+        .select($"a.pk".as("lo"), $"b.pk".as("hi"))
+        .distinct(), // one undirected edge per co-purchased pair
+      reliable = false).df
     val deg = e0.select($"lo".as("p")).unionAll(e0.select($"hi".as("p")))
       .groupBy($"p").agg(count(lit(1)).as("deg"))
     // direct both ways so each endpoint plays source and target once
