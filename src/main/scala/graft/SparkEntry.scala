@@ -307,6 +307,12 @@ object SparkEntry {
     "q286_split_sourcing" -> (Relational.q286SplitSourcing _),
     "q287_source_lang_mix" -> (Corpus.q287SourceLangMix _),
     "q288_value_bands" -> (Relational.q288ValueBands _),
+    "q289_priority_mix" -> (Relational.q289PriorityMix _),
+    "q290_brand_seasonality" -> (Relational.q290BrandSeasonality _),
+    "q291_gap_regularity" -> (Relational.q291GapRegularity _),
+    "q292_trade_reach" -> (Relational.q292TradeReach _),
+    "q293_segment_quartiles" -> (Relational.q293SegmentQuartiles _),
+    "q294_doclen_outliers" -> (TextAnalysis.q294DoclenOutliers _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -4062,5 +4068,106 @@ object SparkEntry {
         |  CAST(n_orders AS DOUBLE) / CAST(month_total AS DOUBLE)
         |    AS band_share
         |FROM cells JOIN t ON cells.month = t.month""".stripMargin,
+    "q289_priority_mix" ->
+      """WITH cells AS (SELECT c_mktsegment AS segment,
+        |    o_orderpriority AS priority, CAST(count(*) AS BIGINT)
+        |      AS n_orders
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT segment, CAST(sum(n_orders) AS BIGINT) AS seg_total
+        |  FROM cells GROUP BY 1)
+        |SELECT cells.segment AS segment, priority, n_orders, seg_total,
+        |  CAST(n_orders AS DOUBLE) / CAST(seg_total AS DOUBLE)
+        |    AS priority_share
+        |FROM cells JOIN t ON cells.segment = t.segment""".stripMargin,
+    "q290_brand_seasonality" ->
+      """WITH m AS (SELECT p_brand,
+        |    CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |p AS (SELECT p_brand, CAST(sum(qty) AS BIGINT) AS total_qty,
+        |    max(qty) AS peak_qty FROM m GROUP BY 1),
+        |e AS (SELECT p.p_brand AS p_brand, total_qty, peak_qty,
+        |    min(month) AS peak_month
+        |  FROM p JOIN m ON p.p_brand = m.p_brand AND m.qty = p.peak_qty
+        |  GROUP BY 1, 2, 3)
+        |SELECT p_brand, total_qty, peak_qty, peak_month,
+        |  CAST(peak_qty AS DOUBLE) / CAST(total_qty AS DOUBLE)
+        |    AS seasonal_share
+        |FROM e""".stripMargin,
+    "q291_gap_regularity" ->
+      """WITH d AS (SELECT o_custkey, o_orderkey,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+        |      AS day
+        |  FROM orders),
+        |g AS (SELECT o_custkey,
+        |    day - lag(day) OVER (PARTITION BY o_custkey
+        |      ORDER BY day, o_orderkey) AS gap
+        |  FROM d),
+        |a AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(gap) AS BIGINT) AS sg,
+        |    CAST(sum(CAST(gap * gap AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |      AS sg2
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT o_custkey, CAST(m + 1 AS BIGINT) AS n_orders,
+        |  CAST(sg AS DOUBLE) / CAST(m AS DOUBLE) AS mean_gap_days,
+        |  CASE WHEN sg > 0 THEN
+        |    sqrt(CAST(CAST(m AS DECIMAL(38,0)) * sg2
+        |      - CAST(sg AS DECIMAL(38,0)) * sg AS DOUBLE))
+        |      / CAST(sg AS DOUBLE) END AS gap_cv
+        |FROM a""".stripMargin,
+    "q292_trade_reach" ->
+      """WITH j AS (SELECT s_nationkey, c_nationkey
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey),
+        |a AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_cust_nations
+        |  FROM j GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_nations FROM nation)
+        |SELECT n_name AS supp_nation, n_lines, n_cust_nations,
+        |  CAST(n_cust_nations AS DOUBLE) / CAST(n_nations AS DOUBLE)
+        |    AS reach_share
+        |FROM a JOIN nation ON s_nationkey = n_nationkey
+        |CROSS JOIN t""".stripMargin,
+    "q293_segment_quartiles" ->
+      """WITH sp AS (SELECT c_mktsegment AS segment, c_custkey,
+        |    COALESCE(o.sp, 0) AS cents
+        |  FROM customer LEFT JOIN (SELECT o_custkey,
+        |      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |        AS BIGINT)) AS BIGINT) AS sp
+        |    FROM orders GROUP BY 1) o ON c_custkey = o.o_custkey),
+        |r AS (SELECT segment, cents,
+        |    row_number() OVER (PARTITION BY segment
+        |      ORDER BY cents, c_custkey) AS rk,
+        |    count(*) OVER (PARTITION BY segment) AS n FROM sp)
+        |SELECT segment, CAST(max(n) AS BIGINT) AS n_customers,
+        |  min(CASE WHEN rk = (n + 3) // 4 THEN cents END) AS p25_cents,
+        |  min(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS p50_cents,
+        |  min(CASE WHEN rk = (3 * n + 3) // 4 THEN cents END) AS p75_cents
+        |FROM r WHERE rk = (n + 3) // 4 OR rk = (n + 1) // 2
+        |  OR rk = (3 * n + 3) // 4
+        |GROUP BY 1""".stripMargin,
+    "q294_doclen_outliers" ->
+      """WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS x
+        |  FROM documents),
+        |s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx2
+        |  FROM d GROUP BY 1),
+        |j AS (SELECT d.lang AS lang, n, sx, sx2, x,
+        |    CAST(n AS DECIMAL(38,0)) * x - sx AS dev,
+        |    CAST(n AS DECIMAL(38,0)) * sx2
+        |      - CAST(sx AS DECIMAL(38,0)) * sx AS spread
+        |  FROM d JOIN s ON d.lang = s.lang)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+        |  max(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS mean_chars,
+        |  CAST(sum(CASE WHEN dev * dev > CAST(4 AS DECIMAL(38,0)) * spread
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(sum(CASE WHEN dev * dev > CAST(4 AS DECIMAL(38,0)) * spread
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+        |    AS outlier_share
+        |FROM j GROUP BY 1""".stripMargin,
   )
 }

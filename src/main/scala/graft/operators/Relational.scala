@@ -4142,6 +4142,165 @@ object Relational {
           .as("band_share"))
   }
 
+  // ---------------------------------------------------------------- A153
+  /** Order-priority mix by market segment — the service-level cross-tab
+    * (do BUILDING customers really file more URGENT orders?) with
+    * within-segment shares: the TPC-H sibling of C119's source × lang
+    * matrix, crossing a fact attribute against a dimension attribute.
+    *
+    * Exactness: counts exact, share one division. Scale: the orders ⋈
+    * customer join shuffles on its natural key (customer-cardinality —
+    * no broadcast hint, AQE decides at small scale), then a partial-
+    * agged ≤\|segments\|·\|priorities\| rollup + totals join. */
+  def q289PriorityMix(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("segment"),
+        $"o_orderpriority".as("priority"))
+      .agg(count(lit(1)).as("n_orders"))
+    val totals = cells.groupBy($"segment")
+      .agg(sum($"n_orders").as("seg_total"))
+    cells.join(totals, Seq("segment"))
+      .select($"segment", $"priority", $"n_orders", $"seg_total",
+        ($"n_orders".cast("double") / $"seg_total".cast("double"))
+          .as("priority_share"))
+  }
+
+  // ---------------------------------------------------------------- A154
+  /** Brand seasonal concentration: each brand's peak shipping month and
+    * the share of its annual volume that month carries — the per-brand
+    * drill-down A71/q145's global seasonal index averages away (a flat
+    * aggregate can hide one brand that only sells in December).
+    *
+    * Exactness: quantities are integral doubles → exact longs; the peak
+    * is a two-step max-then-earliest-month (no struct-aggregate
+    * tie-break divergence — q272's device); share one division. Scale:
+    * one (brand, month) partial agg; everything after runs on that
+    * ≤\|brands\|·\|months\| frame. */
+  def q290BrandSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", date_trunc("month", $"l_shipdate")
+        .cast(TimestampNTZType).as("month"))
+      .agg(sum($"l_quantity".cast("long")).as("qty"))
+    val peak = monthly.groupBy($"p_brand")
+      .agg(sum($"qty").as("total_qty"), max($"qty").as("peak_qty"))
+    peak.join(monthly, Seq("p_brand"))
+      .filter($"qty" === $"peak_qty")
+      .groupBy($"p_brand", $"total_qty", $"peak_qty")
+      .agg(min($"month").as("peak_month")) // earliest among exact ties
+      .select($"p_brand", $"total_qty", $"peak_qty", $"peak_month",
+        ($"peak_qty".cast("double") / $"total_qty".cast("double"))
+          .as("seasonal_share"))
+  }
+
+  // ---------------------------------------------------------------- A155
+  /** Order-cadence regularity per customer: the coefficient of variation
+    * over CONSECUTIVE inter-order gaps — the regularity signal A129/
+    * q258's mean gap (a telescoping span/(n−1)) cannot carry, since two
+    * customers with identical spans can be metronomic or bursty.
+    *
+    * Exactness: gaps are integer days from a per-customer lag (the gap
+    * MULTISET is invariant to tie order among same-day orders, so the
+    * tiebreak never reaches the output); cv = sqrt(m·Σg²−(Σg)²)/Σg is
+    * one fixed fp expression over exact integer sums, guarded NULL for
+    * the all-same-day customer (zero mean gap) in BOTH engines. Scale:
+    * per-customer windows (key-parallel), one partial-agged rollup,
+    * ≤\|customers\| output. */
+  def q291GapRegularity(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy($"o_custkey")
+      .orderBy($"day", $"o_orderkey")
+    val gaps = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000L")
+          .as("day"))
+      .withColumn("gap", $"day" - lag($"day", 1).over(byCust))
+      .filter($"gap".isNotNull)
+    val agg = gaps.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("m"), sum($"gap").as("sg"),
+        sum(($"gap" * $"gap").cast(DecimalType(38, 0))).as("sg2"))
+      .filter($"m" >= 2) // ≥3 orders
+    agg.select($"o_custkey", ($"m" + 1).as("n_orders"),
+      ($"sg".cast("double") / $"m".cast("double")).as("mean_gap_days"),
+      when($"sg" > 0,
+        sqrt(($"m".cast(DecimalType(38, 0)) * $"sg2"
+          - ($"sg".cast(DecimalType(38, 0)) * $"sg")).cast("double"))
+          / $"sg".cast("double")).as("gap_cv"))
+  }
+
+  // ---------------------------------------------------------------- A156
+  /** Trade reach per supplier nation: how many DISTINCT customer nations
+    * each supplier nation ships to, with line volume — the breadth
+    * complement of A136/q266's bilateral balance (which nets flows
+    * pairwise and cannot say "Kenya serves 19 markets").
+    *
+    * Exactness: distinct count over the ≤\|nations\|² pair space, share
+    * one division against the exact nation total. Scale: the lineitem ⋈
+    * orders ⋈ customer chain shuffles on its natural keys; the supplier
+    * side broadcasts ≤\|suppliers\| (key, nation) pairs; the distinct
+    * collapses to nation pairs BEFORE the final ≤\|nations\| rollup. */
+  def q292TradeReach(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+    val nations = broadcast(Tables.nation(spark, dir))
+    val agg = li.groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct($"c_nationkey").as("n_cust_nations"))
+    val total = Tables.nation(spark, dir).agg(count(lit(1)).as("n_nations"))
+    agg.join(nations, $"s_nationkey" === $"n_nationkey")
+      .crossJoin(broadcast(total)) // 1 row
+      .select($"n_name".as("supp_nation"), $"n_lines", $"n_cust_nations",
+        ($"n_cust_nations".cast("double") / $"n_nations".cast("double"))
+          .as("reach_share"))
+  }
+
+  // ---------------------------------------------------------------- A157
+  /** Customer lifetime-spend quartiles by segment — p25/p50/p75 of
+    * per-customer total order value (exact cents at exact integer ranks,
+    * ceil(q·n), no interpolation: C114's order-statistic convention),
+    * the value-distribution profile under A109/q224's cohort curves.
+    * Customers with no orders count at zero spend — the left join keeps
+    * the denominator honest.
+    *
+    * Exactness: spend is an exact integer-cent sum; rank selection picks
+    * an actual data value (ties need no tiebreak — a tied rank carries
+    * one value); zero fp until the selected values emit. Scale: the
+    * orders rollup is customer-keyed partial agg; the rank window
+    * partitions by segment — few partitions, so at 100 TB this is the
+    * one deliberately skew-exposed sort here (each segment ≈ n/5
+    * customers); the standing mitigation is the q268 device per
+    * sub-range or AQE skew handling, noted rather than hidden. */
+  def q293SegmentQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .groupBy($"o_custkey")
+        .agg(sum((money($"o_totalprice") * 100).cast("long")).as("sp")),
+        $"c_custkey" === $"o_custkey", "left")
+      .select($"c_mktsegment".as("segment"), $"c_custkey",
+        coalesce($"sp", lit(0L)).as("cents"))
+    val bySeg = Window.partitionBy($"segment").orderBy($"cents", $"c_custkey")
+    val seg = Window.partitionBy($"segment")
+    val ranked = spend
+      .withColumn("rk", row_number().over(bySeg).cast("long"))
+      .withColumn("n", count(lit(1)).over(seg))
+      // ceil(q·n) via floor((q·n + den−1)/den): the fp divisions are exact
+      // (dyadic quarters), floor lands on the integer rank — q278's rule
+      .withColumn("r25", floor(($"n" + 3) / 4))
+      .withColumn("r50", floor(($"n" + 1) / 2))
+      .withColumn("r75", floor((lit(3) * $"n" + 3) / 4))
+    ranked
+      .filter($"rk" === $"r25" || $"rk" === $"r50" || $"rk" === $"r75")
+      .groupBy($"segment")
+      .agg(max($"n").as("n_customers"),
+        min(when($"rk" === $"r25", $"cents")).as("p25_cents"),
+        min(when($"rk" === $"r50", $"cents")).as("p50_cents"),
+        min(when($"rk" === $"r75", $"cents")).as("p75_cents"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -704,4 +705,38 @@ object TextAnalysis {
           .as("hapax_type_share"),
         (col("n_hapax").cast("double") / col("n_tokens").cast("double"))
           .as("hapax_token_share"))
+
+  // ---------------------------------------------------------------- C120
+  /** Per-language length-outlier screen: documents more than two
+    * population standard deviations from their language's mean length —
+    * the truncation/concatenation-artifact detector (a doc 5σ long is
+    * two docs glued together; 5σ short is a fragment), scoped per
+    * language because length distributions differ by script.
+    *
+    * Exactness: ZERO floating point in the decision — |z| > 2 ⇔
+    * (n·x − Σx)² > 4·(n·Σx² − (Σx)²), all exact integers compared as
+    * DECIMAL(38,0) (n·Σx² overflows i64 on a 100 TB corpus); only the
+    * reported mean/share divide. Scale: one ≤\|langs\| stats rollup
+    * broadcast back onto the per-doc scan — two passes, both partial-
+    * agged / map-only. */
+  def q294DoclenOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("lang"),
+      col("n_chars").cast("long").as("x"))
+    val stats = d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sx2"))
+    val dev = (col("n").cast(DecimalType(38, 0)) * col("x") - col("sx"))
+    val spread = (col("n").cast(DecimalType(38, 0)) * col("sx2")
+      - col("sx").cast(DecimalType(38, 0)) * col("sx"))
+    d.join(broadcast(stats), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n_docs"),
+        max((col("sx").cast("double") / col("n").cast("double")))
+          .as("mean_chars"),
+        sum(when(dev * dev > lit(4).cast(DecimalType(38, 0)) * spread, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("lang"), col("n_docs"), col("mean_chars"), col("n_outliers"),
+        (col("n_outliers").cast("double") / col("n_docs").cast("double"))
+          .as("outlier_share"))
+  }
 }
