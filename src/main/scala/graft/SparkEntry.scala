@@ -313,6 +313,11 @@ object SparkEntry {
     "q292_trade_reach" -> (Relational.q292TradeReach _),
     "q293_segment_quartiles" -> (Relational.q293SegmentQuartiles _),
     "q294_doclen_outliers" -> (TextAnalysis.q294DoclenOutliers _),
+    "q295_weekend_revenue" -> (Relational.q295WeekendRevenue _),
+    "q296_top_dominance" -> (Relational.q296TopDominance _),
+    "q297_price_grid" -> (Relational.q297PriceGrid _),
+    "q298_returns_trend" -> (Relational.q298ReturnsTrend _),
+    "q299_dup_ngram_share" -> ((s, d) => Corpus.q299DupNgramShare(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -4169,5 +4174,86 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(max(n) AS DOUBLE)
         |    AS outlier_share
         |FROM j GROUP BY 1""".stripMargin,
+    "q295_weekend_revenue" ->
+      """WITH o AS (SELECT
+        |    CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |    CAST(o_totalprice AS DECIMAL(14,2)) AS rev,
+        |    ((epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+        |      + 4) % 7 AS dow
+        |  FROM orders)
+        |SELECT month, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(rev) AS DOUBLE) AS total_revenue,
+        |  CAST(sum(CASE WHEN dow = 0 OR dow = 6 THEN rev
+        |    ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+        |    AS weekend_revenue,
+        |  CAST(sum(CASE WHEN dow = 0 OR dow = 6 THEN rev
+        |    ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+        |    / CAST(sum(rev) AS DOUBLE) AS weekend_share
+        |FROM o GROUP BY 1""".stripMargin,
+    "q296_top_dominance" ->
+      """WITH sp AS (SELECT c_mktsegment AS segment, c_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT segment, c_custkey, cents,
+        |    row_number() OVER (PARTITION BY segment
+        |      ORDER BY cents DESC, c_custkey) AS rk FROM sp),
+        |t AS (SELECT segment,
+        |    CAST(min(CASE WHEN rk = 1 THEN c_custkey END) AS BIGINT)
+        |      AS top_custkey,
+        |    min(CASE WHEN rk = 1 THEN cents END) AS top_cents,
+        |    min(CASE WHEN rk = 2 THEN cents END) AS second_cents
+        |  FROM r WHERE rk <= 2 GROUP BY 1)
+        |SELECT segment, top_custkey, top_cents, second_cents,
+        |  CAST(top_cents AS DOUBLE)
+        |    / CAST(top_cents + second_cents AS DOUBLE) AS dominance
+        |FROM t""".stripMargin,
+    "q297_price_grid" ->
+      """WITH l AS (SELECT
+        |    CASE WHEN CAST(l_quantity AS BIGINT) <= 10 THEN 'a_1_10'
+        |      WHEN CAST(l_quantity AS BIGINT) <= 25 THEN 'b_11_25'
+        |      ELSE 'c_26_50' END AS qty_band,
+        |    CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS INTEGER)
+        |      AS discount_pct,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem)
+        |SELECT qty_band, discount_pct, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(qty) AS BIGINT) AS DOUBLE) AS cents_per_unit
+        |FROM l GROUP BY 1, 2""".stripMargin,
+    "q298_returns_trend" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS returned_qty,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |    AS return_share
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q299_dup_ngram_share" ->
+      """WITH w AS (SELECT source, doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |g AS (SELECT source, doc_id,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+        |  FROM (SELECT source, doc_id, ws,
+        |      unnest(generate_series(1, len(ws) - 2)) AS i
+        |    FROM w WHERE len(ws) >= 3)),
+        |pg AS (SELECT source, doc_id, gram, CAST(count(*) AS BIGINT) AS c
+        |  FROM g GROUP BY 1, 2, 3),
+        |pd AS (SELECT source, doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS d FROM pg GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS trigrams,
+        |    CAST(sum(n - d) AS BIGINT) AS dup_trigrams
+        |  FROM pd GROUP BY 1)
+        |SELECT source, n_docs, trigrams, dup_trigrams,
+        |  CAST(dup_trigrams AS DOUBLE) / CAST(trigrams AS DOUBLE)
+        |    AS dup_share
+        |FROM s""".stripMargin,
   )
 }

@@ -2196,4 +2196,42 @@ object Corpus {
         (col("n_docs").cast("double") / col("src_total").cast("double"))
           .as("source_share"))
   }
+
+  // ---------------------------------------------------------------- C121
+  /** Duplicate-trigram share per source — the fraction of each source's
+    * 3-gram OCCURRENCES that repeat a trigram already seen in the same
+    * document (the Gopher "duplicate n-gram fraction" filter signal at
+    * n=3): catches loopy/templated text that C17's single-word top-share
+    * misses when the repetition is phrasal, and that C92's single-token
+    * runs miss when the repeats are scattered.
+    *
+    * Exactness: per-doc occurrence and distinct counts are exact
+    * integers (dup occurrences = n − d); the source share is ONE
+    * division of their exact sums — never an fp mean of per-doc ratios
+    * (q93's rule). Scale: trigrams assemble in one per-doc position
+    * window (key-parallel), then a (doc, gram) partial-agged count — the
+    * same shuffle any n-gram pass pays — collapsing doc→source. */
+  def q299DupNgramShare(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        posexplode(split(col("text"), " ", -1)).as(Seq("__pos", "__w")))
+      .select(col("source"), col("doc_id"),
+        concat_ws(" ", col("__w"), lead(col("__w"), 1).over(w),
+          lead(col("__w"), 2).over(w)).as("gram"),
+        lead(col("__w"), 2).over(w).isNotNull.as("__full"))
+      .filter(col("__full"))
+    grams
+      .groupBy(col("source"), col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("d"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("trigrams"),
+        sum(col("n") - col("d")).as("dup_trigrams"))
+      .select(col("source"), col("n_docs"), col("trigrams"),
+        col("dup_trigrams"),
+        (col("dup_trigrams").cast("double") / col("trigrams").cast("double"))
+          .as("dup_share"))
+  }
 }

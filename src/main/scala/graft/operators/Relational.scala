@@ -4301,6 +4301,109 @@ object Relational {
         min(when($"rk" === $"r75", $"cents")).as("p75_cents"))
   }
 
+  // ---------------------------------------------------------------- A158
+  /** Weekend vs weekday revenue per month — does the order book shift
+    * toward weekends, and when did it start? The calendar split of
+    * A122/q242's hour heatmap (which shows the within-week pattern but
+    * no trend across months).
+    *
+    * Exactness: the day-of-week is CALENDAR-FREE integer arithmetic
+    * (dow = (epoch_day + 4) mod 7, 0 = Sunday — q145/q242's rule, no
+    * engine locale machinery); revenue sums exact decimals, the share
+    * one division of their double casts. Scale: one partial-agged
+    * monthly rollup, ≤\|months\| output. */
+  def q295WeekendRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val dow = expr(
+      "pmod((unix_micros(cast(o_orderdate as timestamp)) div 86400000000L)" +
+        " + 4, 7)")
+    val weekend = dow === 0 || dow === 6
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", $"o_orderdate").cast(TimestampNTZType)
+        .as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        asDouble(sum(money($"o_totalprice"))).as("total_revenue"),
+        asDouble(sum(when(weekend, money($"o_totalprice"))
+          .otherwise(lit(0).cast(DecimalType(14, 2)))))
+          .as("weekend_revenue"))
+      .withColumn("weekend_share", $"weekend_revenue" / $"total_revenue")
+  }
+
+  // ---------------------------------------------------------------- A159
+  /** Top-customer dominance per segment: the #1 vs #2 lifetime spenders
+    * and how much of their combined value the leader holds — the
+    * pocket-sized concentration summary (A103's Gini describes the whole
+    * curve; a sales org asks "how exposed is this segment to ONE
+    * account?").
+    *
+    * Exactness: spend is exact integer cents; the ranking is a total
+    * order (cents desc, custkey) so ties resolve identically; dominance
+    * one division. Scale: customer-keyed partial agg; the rank window
+    * partitions by segment (A157's noted skew posture) but ONLY rows
+    * ranked ≤2 survive — WindowGroupLimit prunes the sort output. */
+  def q296TopDominance(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("segment"), $"c_custkey")
+      .agg(sum((money($"o_totalprice") * 100).cast("long")).as("cents"))
+    val bySeg = Window.partitionBy($"segment")
+      .orderBy($"cents".desc, $"c_custkey")
+    spend.withColumn("rk", row_number().over(bySeg))
+      .filter($"rk" <= 2)
+      .groupBy($"segment")
+      .agg(min(when($"rk" === 1, $"c_custkey")).as("top_custkey"),
+        min(when($"rk" === 1, $"cents")).as("top_cents"),
+        min(when($"rk" === 2, $"cents")).as("second_cents"))
+      .select($"segment", $"top_custkey", $"top_cents", $"second_cents",
+        ($"top_cents".cast("double")
+          / ($"top_cents" + $"second_cents").cast("double"))
+          .as("dominance"))
+  }
+
+  // ---------------------------------------------------------------- A160
+  /** Pricing surface: unit price by quantity band × discount level — the
+    * empirical check that bigger baskets and deeper discounts actually
+    * correlate with cheaper units (A119/q245 fits one global discount
+    * response; this tabulates the joint grid a pricing team reads).
+    *
+    * Exactness: bands compare exact integers (quantity is an integral
+    * double → long; discount level = exact DECIMAL(4,2)·100 → int);
+    * per-cell totals are exact longs and the unit price ONE division of
+    * them — never an fp mean of per-line ratios. Scale: one partial-
+    * agged rollup to ≤\|bands\|·\|levels\| cells. */
+  def q297PriceGrid(spark: SparkSession, dir: String): DataFrame = {
+    val qty = $"l_quantity".cast("long")
+    val band = when(qty <= 10L, "a_1_10")
+      .when(qty <= 25L, "b_11_25")
+      .otherwise("c_26_50")
+    Tables.lineitem(spark, dir)
+      .groupBy(band.as("qty_band"),
+        (rate($"l_discount") * 100).cast("int").as("discount_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum((money($"l_extendedprice") * 100).cast("long")).as("total_cents"),
+        sum(qty).as("total_qty"))
+      .select($"qty_band", $"discount_pct", $"n_lines",
+        ($"total_cents".cast("double") / $"total_qty".cast("double"))
+          .as("cents_per_unit"))
+  }
+
+  // ---------------------------------------------------------------- A161
+  /** Return-rate trend: monthly quantity share flagged RETURNED — is the
+    * return problem growing? The time axis A1/q1's global returnflag
+    * rollup collapses.
+    *
+    * Exactness: quantities exact longs, share one division. Scale: one
+    * partial-agged monthly rollup, ≤\|months\| rows. */
+  def q298ReturnsTrend(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(date_trunc("month", $"l_shipdate").cast(TimestampNTZType)
+        .as("month"))
+      .agg(sum($"l_quantity".cast("long")).as("total_qty"),
+        sum(when($"l_returnflag" === "R", $"l_quantity".cast("long"))
+          .otherwise(0L)).as("returned_qty"))
+      .select($"month", $"total_qty", $"returned_qty",
+        ($"returned_qty".cast("double") / $"total_qty".cast("double"))
+          .as("return_share"))
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
