@@ -318,6 +318,8 @@ object SparkEntry {
     "q297_price_grid" -> (Relational.q297PriceGrid _),
     "q298_returns_trend" -> (Relational.q298ReturnsTrend _),
     "q299_dup_ngram_share" -> ((s, d) => Corpus.q299DupNgramShare(s, d)),
+    "q300_dim_sign_balance" -> (Similarity.q300DimSignBalance _),
+    "q301_first_word_profile" -> (Corpus.q301FirstWordProfile _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -4255,5 +4257,31 @@ object SparkEntry {
         |  CAST(dup_trigrams AS DOUBLE) / CAST(trigrams AS DOUBLE)
         |    AS dup_share
         |FROM s""".stripMargin,
+    "q300_dim_sign_balance" ->
+      """WITH s AS (SELECT label, unnest(list_transform(embedding,
+        |    (x, i) -> struct_pack(d := i, v := x))) AS u
+        |  FROM embeddings),
+        |e AS (SELECT label, CAST(u.d - 1 AS BIGINT) AS dim, u.v AS v
+        |  FROM s)
+        |SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_positive,
+        |  CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS positive_share
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "q301_first_word_profile" ->
+      """WITH f AS (SELECT source, string_split(text, ' ')[1] AS first_word
+        |  FROM documents),
+        |c AS (SELECT source, first_word, CAST(count(*) AS BIGINT) AS c
+        |  FROM f WHERE length(first_word) > 0 GROUP BY 1, 2),
+        |r AS (SELECT source, first_word, c,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY c DESC, first_word) AS rk,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+        |  FROM c)
+        |SELECT source, first_word AS modal_first_word, c AS n_modal,
+        |  n_docs, CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    AS modal_share
+        |FROM r WHERE rk = 1""".stripMargin,
   )
 }

@@ -2234,4 +2234,36 @@ object Corpus {
         (col("dup_trigrams").cast("double") / col("trigrams").cast("double"))
           .as("dup_share"))
   }
+
+  // ---------------------------------------------------------------- C123
+  /** Modal document-INITIAL word per source — the boilerplate-header
+    * detector: if one source starts 40% of its documents with the same
+    * token, that's a template stub/cookie banner the C31 boilerplate
+    * pass should be pointed at (which scans for repeated LINES anywhere;
+    * this is position-anchored and an order of magnitude cheaper).
+    *
+    * Exactness: the first token is element_at(split)[1] in both engines;
+    * the mode is count-then-rank with a (count desc, word) total order —
+    * ties pick the lexicographically least; share one division. Scale:
+    * map-only first-token extraction (no explode — ONE token per doc),
+    * a (source, word) partial agg, rank over ≤\|first-words-per-source\|
+    * frames. */
+  def q301FirstWordProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"),
+        element_at(split(col("text"), " ", -1), 1).as("first_word"))
+      .filter(length(col("first_word")) > 0)
+      .groupBy(col("source"), col("first_word"))
+      .agg(count(lit(1)).as("c"))
+    val bySrc = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("first_word"))
+    counts
+      .withColumn("rk", row_number().over(bySrc))
+      .withColumn("n_docs", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("first_word").as("modal_first_word"),
+        col("c").as("n_modal"), col("n_docs"),
+        (col("c").cast("double") / col("n_docs").cast("double"))
+          .as("modal_share"))
+  }
 }

@@ -956,4 +956,27 @@ object Similarity {
           .as("p99"),
         max(col("v")).as("max_v"))
   }
+
+  // ---------------------------------------------------------------- C122
+  /** Per-label coordinate sign balance: for every (label, dimension),
+    * the share of vectors whose component is positive — the cheapest
+    * label-separability screen there is (a dimension whose sign splits
+    * 90/10 for one label and 10/90 for another is doing real work; all
+    * ≈50% means the information lives in magnitudes, not orthants), and
+    * an integer-exact statistic where means/variances of floats are not
+    * cross-engine reproducible.
+    *
+    * Exactness: the sign test on a float is exact; counts are integers,
+    * the share one division. Scale: one posexplode (×dims fan-out — the
+    * same any per-dimension pass pays) into a (label, dim) partial agg;
+    * ≤\|labels\|·dims output. */
+  def q300DimSignBalance(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("v") > 0.0f, 1L).otherwise(0L)).as("n_positive"))
+      .select(col("label"), col("dim"), col("n_vectors"), col("n_positive"),
+        (col("n_positive").cast("double") / col("n_vectors").cast("double"))
+          .as("positive_share"))
 }
