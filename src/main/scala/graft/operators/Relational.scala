@@ -4047,18 +4047,24 @@ object Relational {
     * partial-agged per-order rollup + one anti-join for childless
     * parents; output is a single row of counters. */
   def q284LinenumberAudit(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.lineitem(spark, dir)
-      .groupBy($"l_orderkey")
-      .agg(count(lit(1)).as("n"), countDistinct($"l_linenumber").as("d"),
-        min($"l_linenumber").as("mn"), max($"l_linenumber").as("mx"))
-      .withColumn("has_dup", $"n" > $"d")
-      .withColumn("has_gap", !($"mn" === 1 && $"mx" === $"d"))
+    // the per-order rollup feeds BOTH the classification aggregate and
+    // (as the distinct order-key set) the childless anti-join — truncate
+    // so the fact scans ONCE, instead of a second full read + dedup
+    // shuffle just to learn keys this frame already holds uniquely
+    val per = graft.Lineage.truncate(
+      Tables.lineitem(spark, dir)
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n"), countDistinct($"l_linenumber").as("d"),
+          min($"l_linenumber").as("mn"), max($"l_linenumber").as("mx"))
+        .withColumn("has_dup", $"n" > $"d")
+        .withColumn("has_gap", !($"mn" === 1 && $"mx" === $"d")),
+      reliable = false).df
     val audit = per.agg(count(lit(1)).as("orders_with_lines"),
       sum(when($"has_dup", 1L).otherwise(0L)).as("with_dups"),
       sum(when($"has_gap", 1L).otherwise(0L)).as("with_gaps"),
       sum(when(!$"has_dup" && !$"has_gap", 1L).otherwise(0L)).as("clean"))
     val childless = Tables.orders(spark, dir)
-      .join(Tables.lineitem(spark, dir).select($"l_orderkey").distinct(),
+      .join(per.select($"l_orderkey"),
         $"o_orderkey" === $"l_orderkey", "left_anti")
       .agg(count(lit(1)).as("childless_orders"))
     audit.crossJoin(childless) // 1 row × 1 row
@@ -4075,19 +4081,24 @@ object Relational {
     * per-entity drill-down of the corpus-level A69/q141 index: WHICH
     * users are single-channel vs broad.
     *
-    * Exactness: Σc² and n are exact integers, Simpson ONE division.
-    * Scale: one (user, type) partial agg then a per-user rollup — both
-    * key-parallel, output ≤\|users\| rows. */
+    * Exactness: Σc² and n are exact integers — c² rides as
+    * DECIMAL(38,0) because a single-typed bot user past ~3e9 events
+    * would silently wrap i64 under Spark's non-ANSI arithmetic where
+    * DuckDB errors (the q275 divergence, pre-empted); Simpson ONE
+    * division. Scale: one (user, type) partial agg then a per-user
+    * rollup — both key-parallel, output ≤\|users\| rows. */
   def q285UserDiversity(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy($"user_id", $"event_type")
       .agg(count(lit(1)).as("c"))
       .groupBy($"user_id")
       .agg(sum($"c").as("n_events"), count(lit(1)).as("n_types"),
-        sum($"c" * $"c").as("s2"))
+        sum(($"c".cast(DecimalType(19, 0)) * $"c").cast(DecimalType(38, 0)))
+          .as("s2"))
       .select($"user_id", $"n_events", $"n_types",
-        ($"s2".cast("double") / ($"n_events" * $"n_events").cast("double"))
-          .as("simpson"))
+        ($"s2".cast("double")
+          / ($"n_events".cast(DecimalType(19, 0)) * $"n_events")
+            .cast("double")).as("simpson"))
 
   // ---------------------------------------------------------------- A151
   /** Split-sourcing within one order: (order, part) groups filled from

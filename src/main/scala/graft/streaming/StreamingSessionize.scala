@@ -28,8 +28,8 @@ case class SessionizedEvent(event_id: Long, user_id: Long, us: Long,
  * loudly — the event's true predecessor gap (and thus every later
  * session number) is unknowable without unbounded history.
  *
- * State per user: THREE longs (last event time, last event id, session
- * counter) regardless of history length — checkpointed, exactly-once;
+ * State per user: TWO longs (last event time, session counter)
+ * regardless of history length — checkpointed, exactly-once;
  * idle-user growth is bounded with the TTL knob in production (default
  * NONE so replays of old feeds stay exact).
  */
@@ -38,7 +38,7 @@ object StreamingSessionize {
   /** Batch q89's default 30-minute gap, in micros. */
   val DefaultGapUs: Long = 30L * 60L * 1000000L
 
-  private type S = (Long, Long, Long) // (lastUs, lastEventId, seq)
+  private type S = (Long, Long) // (lastUs, seq)
 
   private class Proc(gapUs: Long)
       extends StatefulProcessor[Long, (Long, Long, Long), SessionizedEvent] {
@@ -50,8 +50,8 @@ object StreamingSessionize {
     override def handleInputRows(key: Long,
         rows: Iterator[(Long, Long, Long)],
         timerValues: TimerValues): Iterator[SessionizedEvent] = {
-      var (last, lastId, seq): S =
-        if (st.exists()) st.get() else (Long.MinValue, Long.MinValue, 0L)
+      var (last, seq): S =
+        if (st.exists()) st.get() else (Long.MinValue, 0L)
       val out = Vector.newBuilder[SessionizedEvent]
       // batch q89 orders by (us, event_id) within the user — replay that
       // order inside the batch; across batches it is the feed's contract
@@ -60,10 +60,10 @@ object StreamingSessionize {
           s"out-of-order event for user $key: $us after $last — " +
             "per-key event-time order is the processor's contract")
         if (seq == 0L || us - last > gapUs) seq += 1L
-        last = us; lastId = eid
+        last = us
         out += SessionizedEvent(eid, key, us, seq)
       }
-      st.update((last, lastId, seq))
+      st.update((last, seq))
       out.result().iterator
     }
   }

@@ -36,10 +36,17 @@ class ClosedLoopSpec extends SparkSpec {
     else s"""{"after":$img,"source":$src,"op":"$op"}"""
   }
 
+  /** Stage + atomic rename: phase 3 writes while the tail is LIVE, and a
+    * file-source listing that catches a half-written file would mark it
+    * processed and drop its events — the same publish discipline every
+    * graft writer uses. */
   private def writeFeed(dir: String, name: String, lines: Seq[String]): Unit = {
     Files.createDirectories(Paths.get(dir))
-    Files.write(Paths.get(dir, name), lines.mkString("\n").getBytes("UTF-8"),
+    val tmp = Paths.get(dir, s".$name.tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, Paths.get(dir, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def derbyState(): Set[(String, Long, Double)] = {

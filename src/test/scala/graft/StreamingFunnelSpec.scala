@@ -14,9 +14,14 @@ class StreamingFunnelSpec extends SparkSpec {
   import spark.implicits._
   implicit def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-  test("streamed funnel positions equal batch q82 bit-for-bit") {
+  private def withRocksDb[A](body: => A): A = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streamed funnel positions equal batch q82 bit-for-bit") { withRocksDb {
     val events = sources.Tables.events(spark, sf)
       .select($"user_id", unix_micros($"ts".cast("timestamp")).as("us"),
         $"event_type")
@@ -57,9 +62,9 @@ class StreamingFunnelSpec extends SparkSpec {
       // (every user at this SF reaches stage >= 1 — the stage-0 emission
       // path is pinned by the explicit prefix test below)
     } finally q.stop()
-  }
+  } }
 
-  test("a mid-stream prefix also matches batch over that prefix") {
+  test("a mid-stream prefix also matches batch over that prefix") { withRocksDb {
     // the twin property quantifies over prefixes — pin one explicitly
     val events = Seq(
       (1L, 10L, "view"), (1L, 20L, "click"), (2L, 15L, "error"),
@@ -89,9 +94,9 @@ class StreamingFunnelSpec extends SparkSpec {
         (1L, Some(10L), Some(20L), Some(30L), 3L),
         (2L, Some(40L), None, None, 1L)))
     } finally q.stop()
-  }
+  } }
 
-  test("an event-time regression fails loudly") {
+  test("an event-time regression fails loudly") { withRocksDb {
     val input = MemoryStream[(Long, Long, String)]
     val q = StreamingFunnel.track(input.toDS())
       .writeStream.outputMode("update")
@@ -106,5 +111,5 @@ class StreamingFunnelSpec extends SparkSpec {
       assert(ex.getMessage.contains("out-of-order")
         || Option(ex.getCause).exists(_.getMessage.contains("out-of-order")))
     } finally q.stop()
-  }
+  } }
 }

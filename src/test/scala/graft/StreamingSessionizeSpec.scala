@@ -13,9 +13,14 @@ class StreamingSessionizeSpec extends SparkSpec {
   import spark.implicits._
   implicit def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-  test("streamed session assignments equal batch q89 bit-for-bit") {
+  private def withRocksDb[A](body: => A): A = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streamed session assignments equal batch q89 bit-for-bit") { withRocksDb {
     val events = sources.Tables.events(spark, sf)
       .select($"event_id", $"user_id",
         unix_micros($"ts".cast("timestamp")).as("us"))
@@ -46,9 +51,9 @@ class StreamingSessionizeSpec extends SparkSpec {
       // every event got exactly one final assignment (append, no dups)
       assert(spark.table("sess_stream").count() === events.length.toLong)
     } finally q.stop()
-  }
+  } }
 
-  test("an event-time regression fails loudly") {
+  test("an event-time regression fails loudly") { withRocksDb {
     val input = MemoryStream[(Long, Long, Long)]
     val q = StreamingSessionize.assign(input.toDS())
       .writeStream.outputMode("append")
@@ -63,5 +68,5 @@ class StreamingSessionizeSpec extends SparkSpec {
       assert(ex.getMessage.contains("out-of-order")
         || Option(ex.getCause).exists(_.getMessage.contains("out-of-order")))
     } finally q.stop()
-  }
+  } }
 }
