@@ -191,6 +191,62 @@ object Tables {
     JdbcTable(resolved, pk, df)
   }
 
+  /** [[fromJdbc]] with the table's key space AUTO-split into
+    * `numPartitions` ranges on its primary key — the
+    * TableKeyRangeUtils.getTableKeyRanges analog
+    * (TableKeyRangeUtils.java:17-42: the reference divides a table's row-
+    * key interval into `num` equal ranges so parallel sources each scan
+    * one). Here the split column is the first primary-key column (must be
+    * numeric — range-splitting needs an ordered key, same as the
+    * reference's long row keys; anything else fails loudly), its bounds
+    * come from one `MIN/MAX` probe, and Spark's JDBC source turns the
+    * bounds into `numPartitions` stride predicates — each executor opens
+    * its own connection for its slice.
+    *
+    * An empty table (or one with a single key value) degrades to the
+    * unsplit read — a zero-width range would make every stride predicate
+    * false and silently drop rows in some dialects. */
+  def fromJdbcSplit(spark: SparkSession, url: String, table: String,
+      numPartitions: Int,
+      options: Map[String, String] = Map.empty): JdbcTable = {
+    require(numPartitions > 0, s"numPartitions must be > 0: $numPartitions")
+    val probe = fromJdbc(spark, url, table, options)
+    require(probe.primaryKey.nonEmpty,
+      s"table '${probe.name}' has no primary key — range split needs one")
+    val splitCol = probe.primaryKey.head
+    val dt = probe.df.schema(probe.df.schema.fieldIndex(splitCol)).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"primary-key column '$splitCol' of '${probe.name}' is $dt — range " +
+        "split needs a numeric key (the reference splits long row keys)")
+    val conn = jdbcConnect(url, options)
+    val bounds =
+      try {
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(
+            s"SELECT MIN($splitCol), MAX($splitCol) FROM ${probe.name}")
+          try {
+            rs.next()
+            val lo = rs.getLong(1); val loNull = rs.wasNull()
+            val hi = rs.getLong(2); val hiNull = rs.wasNull()
+            if (loNull || hiNull || lo == hi) None else Some((lo, hi))
+          } finally rs.close()
+        } finally st.close()
+      } finally conn.close()
+    bounds match {
+      case None => probe // empty / single-key table: unsplit read
+      case Some((lo, hi)) =>
+        val df = spark.read.format("jdbc")
+          .option("url", url).option("dbtable", probe.name)
+          .option("partitionColumn", splitCol)
+          .option("lowerBound", lo.toString)
+          .option("upperBound", hi.toString)
+          .option("numPartitions", numPartitions.toString)
+          .options(options).load()
+        JdbcTable(probe.name, probe.primaryKey, df)
+    }
+  }
+
   /** Metadata connection honoring the standard Spark-JDBC `user` /
     * `password` options — a bare `getConnection(url)` would authenticate
     * the DATA read but fail the schema/PK introspection against any

@@ -119,4 +119,49 @@ class JdbcTablesSpec extends SparkSpec {
       assert(state === Set((0L, 2L, 30.0), (1L, 1L, 25.0)))
     } finally q.stop()
   }
+
+  test("fromJdbcSplit range-splits the snapshot read on the PK") {
+    // the TableKeyRangeUtils analog: N stride predicates over the key
+    // interval, each partition its own connection
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE split_tbl (id BIGINT NOT NULL, v DOUBLE, " +
+        "PRIMARY KEY (id))")
+      val ps = c.prepareStatement("INSERT INTO split_tbl VALUES (?, ?)")
+      (1L to 97L).foreach { i =>
+        ps.setLong(1, i); ps.setDouble(2, i * 0.5); ps.addBatch()
+      }
+      ps.executeBatch(); ps.close(); st.close()
+    } finally c.close()
+
+    val t = Tables.fromJdbcSplit(spark, url, "split_tbl", numPartitions = 4)
+    assert(t.primaryKey === Seq("ID"))
+    assert(t.df.rdd.getNumPartitions === 4, "key space must split 4 ways")
+    // splitting is transparent: every row exactly once
+    assert(t.df.select("ID").as[Long].collect().sorted.toSeq
+      === (1L to 97L))
+    // partitions are non-degenerate: more than one holds rows
+    val perPart = t.df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(perPart.count(_ > 0) > 1, s"degenerate split: ${perPart.toSeq}")
+
+    // an empty table degrades to the unsplit read instead of a zero-width
+    // range (which would make every stride predicate false)
+    val c2 = java.sql.DriverManager.getConnection(url)
+    try c2.createStatement().execute(
+      "CREATE TABLE split_empty (id BIGINT NOT NULL, PRIMARY KEY (id))")
+    finally c2.close()
+    val e = Tables.fromJdbcSplit(spark, url, "split_empty", numPartitions = 4)
+    assert(e.df.count() === 0L)
+
+    // a non-numeric key fails loudly, not silently unsplit
+    val c3 = java.sql.DriverManager.getConnection(url)
+    try c3.createStatement().execute(
+      "CREATE TABLE split_str (k VARCHAR(10) NOT NULL, PRIMARY KEY (k))")
+    finally c3.close()
+    val ex = intercept[IllegalArgumentException] {
+      Tables.fromJdbcSplit(spark, url, "split_str", numPartitions = 4)
+    }
+    assert(ex.getMessage.contains("numeric"))
+  }
 }
