@@ -320,6 +320,9 @@ object SparkEntry {
     "q299_dup_ngram_share" -> ((s, d) => Corpus.q299DupNgramShare(s, d)),
     "q300_dim_sign_balance" -> (Similarity.q300DimSignBalance _),
     "q301_first_word_profile" -> (Corpus.q301FirstWordProfile _),
+    "q302_status_trend" -> (Relational.q302StatusTrend _),
+    "q303_credit_risk" -> (Relational.q303CreditRisk _),
+    "q304_load_balance" -> (Relational.q304LoadBalance _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -4283,5 +4286,52 @@ object SparkEntry {
         |  n_docs, CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE)
         |    AS modal_share
         |FROM r WHERE rk = 1""".stripMargin,
+    "q302_status_trend" ->
+      """WITH cells AS (SELECT CAST(extract(year FROM o_orderdate) AS BIGINT)
+        |      AS o_year, o_orderstatus AS status,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (SELECT o_year, CAST(sum(n_orders) AS BIGINT) AS year_total
+        |  FROM cells GROUP BY 1)
+        |SELECT cells.o_year AS o_year, status, n_orders, year_total,
+        |  CAST(n_orders AS DOUBLE) / CAST(year_total AS DOUBLE)
+        |    AS status_share
+        |FROM cells JOIN t ON cells.o_year = t.o_year""".stripMargin,
+    "q303_credit_risk" ->
+      """WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+        |    COALESCE(n_ord, 0) AS n_ord
+        |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+        |a AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(CASE WHEN cents < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_negative,
+        |    CAST(sum(CASE WHEN cents < 0 THEN -cents ELSE 0 END) AS BIGINT)
+        |      AS deficit_cents,
+        |    CAST(sum(CASE WHEN cents < 0 THEN n_ord ELSE 0 END) AS BIGINT)
+        |      AS negative_cust_orders
+        |  FROM c GROUP BY 1)
+        |SELECT n_name AS nation, n_customers, n_negative, deficit_cents,
+        |  negative_cust_orders,
+        |  CAST(n_negative AS DOUBLE) / CAST(n_customers AS DOUBLE)
+        |    AS negative_share
+        |FROM a JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "q304_load_balance" ->
+      """WITH lc AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |ps AS (SELECT s_nationkey, COALESCE(c, 0) AS c
+        |  FROM supplier LEFT JOIN lc ON s_suppkey = l_suppkey),
+        |a AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(c) AS BIGINT) AS sc,
+        |    CAST(sum(CAST(CAST(c AS DECIMAL(19,0)) * c AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sc2
+        |  FROM ps GROUP BY 1)
+        |SELECT n_name AS nation, k AS n_suppliers, sc AS n_lines,
+        |  CASE WHEN sc > 0 THEN
+        |    sqrt(CAST(CAST(k AS DECIMAL(38,0)) * sc2
+        |      - CAST(sc AS DECIMAL(38,0)) * sc AS DOUBLE))
+        |      / CAST(sc AS DOUBLE) END AS load_cv
+        |FROM a JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
   )
 }

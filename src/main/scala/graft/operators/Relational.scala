@@ -4415,6 +4415,92 @@ object Relational {
         ($"returned_qty".cast("double") / $"total_qty".cast("double"))
           .as("return_share"))
 
+  // ---------------------------------------------------------------- A162
+  /** Order-status mix by year — the fulfillment pipeline's composition
+    * over time (O pen / P artial / F ulfilled): a growing open share in
+    * old years is stuck inventory; the yearly axis on the status column
+    * no other report here reads.
+    *
+    * Exactness: counts exact, share one division. Scale: one partial-
+    * agged (year, status) rollup + ≤\|years\| totals join. */
+  def q302StatusTrend(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"),
+        $"o_orderstatus".as("status"))
+      .agg(count(lit(1)).as("n_orders"))
+    val totals = cells.groupBy($"o_year")
+      .agg(sum($"n_orders").as("year_total"))
+    cells.join(totals, Seq("o_year"))
+      .select($"o_year", $"status", $"n_orders", $"year_total",
+        ($"n_orders".cast("double") / $"year_total".cast("double"))
+          .as("status_share"))
+  }
+
+  // ---------------------------------------------------------------- A163
+  /** Credit-risk profile per nation: customers in negative account
+    * balance — how many, how deep (exact total deficit cents), and
+    * whether they still transact (their order count) — the receivables
+    * exposure view; A143's Kendall ranks nations by totals, this
+    * isolates the underwater book.
+    *
+    * Exactness: balances exact integer cents; counts exact; shares one
+    * division each. Scale: customer-keyed partial aggs; the per-customer
+    * order rollup joins on the natural key; ≤\|nations\| output with the
+    * nation dim broadcast. */
+  def q303CreditRisk(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_ord"))
+    val c = Tables.customer(spark, dir)
+      .join(orders, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_nationkey",
+        (money($"c_acctbal") * 100).cast("long").as("cents"),
+        coalesce($"n_ord", lit(0L)).as("n_ord"))
+    c.groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when($"cents" < 0L, 1L).otherwise(0L)).as("n_negative"),
+        sum(when($"cents" < 0L, -$"cents").otherwise(0L))
+          .as("deficit_cents"),
+        sum(when($"cents" < 0L, $"n_ord").otherwise(0L))
+          .as("negative_cust_orders"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), $"n_customers", $"n_negative",
+        $"deficit_cents", $"negative_cust_orders",
+        ($"n_negative".cast("double") / $"n_customers".cast("double"))
+          .as("negative_share"))
+  }
+
+  // ---------------------------------------------------------------- A164
+  /** Fulfillment load balance per supplier nation: the coefficient of
+    * variation of line counts across the nation's suppliers — CV ≈ 0 is
+    * an evenly loaded bench, high CV is one overloaded supplier about to
+    * become A137/q271's single-sourcing risk.
+    *
+    * Exactness: per-supplier counts exact; cv = sqrt(k·Σc²−(Σc)²)/Σc one
+    * fixed fp expression over DECIMAL(38,0)-cast sums (A155's formula on
+    * a different axis). Suppliers with zero lines count via the left
+    * join — a bench's idle members ARE imbalance. Scale: one supplier-
+    * keyed partial agg, ≤\|nations\| rollup. */
+  def q304LoadBalance(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.supplier(spark, dir)
+      .join(Tables.lineitem(spark, dir)
+        .groupBy($"l_suppkey").agg(count(lit(1)).as("c")),
+        $"s_suppkey" === $"l_suppkey", "left")
+      .select($"s_nationkey", coalesce($"c", lit(0L)).as("c"))
+    perSupp.groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("k"), sum($"c").as("sc"),
+        sum(($"c".cast(DecimalType(19, 0)) * $"c").cast(DecimalType(38, 0)))
+          .as("sc2"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), $"k".as("n_suppliers"),
+        $"sc".as("n_lines"),
+        when($"sc" > 0,
+          sqrt(($"k".cast(DecimalType(38, 0)) * $"sc2"
+            - ($"sc".cast(DecimalType(38, 0)) * $"sc")).cast("double"))
+            / $"sc".cast("double")).as("load_cv"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
