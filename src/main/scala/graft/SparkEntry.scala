@@ -323,6 +323,10 @@ object SparkEntry {
     "q302_status_trend" -> (Relational.q302StatusTrend _),
     "q303_credit_risk" -> (Relational.q303CreditRisk _),
     "q304_load_balance" -> (Relational.q304LoadBalance _),
+    "q305_value_trajectory" -> (Relational.q305ValueTrajectory _),
+    "q306_name_key_audit" -> (Relational.q306NameKeyAudit _),
+    "q307_discount_calendar" -> (Relational.q307DiscountCalendar _),
+    "q308_type_peak_hour" -> (Relational.q308TypePeakHour _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -4333,5 +4337,75 @@ object SparkEntry {
         |      - CAST(sc AS DECIMAL(38,0)) * sc AS DOUBLE))
         |      / CAST(sc AS DOUBLE) END AS load_cv
         |FROM a JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+    "q305_value_trajectory" ->
+      """WITH s0 AS (SELECT o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS y,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS x
+        |  FROM orders),
+        |pc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxy
+        |  FROM s0 GROUP BY 1 HAVING count(*) >= 2),
+        |t AS (SELECT o_custkey,
+        |    CAST(m AS DECIMAL(38,0)) * sxy
+        |      - CAST(sx AS DECIMAL(38,0)) * sy AS num FROM pc),
+        |cl AS (SELECT o_custkey, CASE WHEN num > 0 THEN 'rising'
+        |    WHEN num < 0 THEN 'falling' ELSE 'flat' END AS trend FROM t),
+        |a AS (SELECT c_mktsegment AS segment,
+        |    CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(CASE WHEN trend = 'rising' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS rising,
+        |    CAST(sum(CASE WHEN trend = 'falling' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS falling,
+        |    CAST(sum(CASE WHEN trend = 'flat' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS flat
+        |  FROM cl JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+        |SELECT segment, n_customers, rising, falling, flat,
+        |  CAST(rising AS DOUBLE) / CAST(n_customers AS DOUBLE)
+        |    AS rising_share
+        |FROM a""".stripMargin,
+    "q306_name_key_audit" ->
+      """WITH c AS (SELECT 'customer' AS entity,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN CAST(string_split(c_name, '#')[2] AS BIGINT)
+        |      = c_custkey THEN 0 ELSE 1 END) AS BIGINT) AS mismatches
+        |  FROM customer),
+        |s AS (SELECT 'supplier' AS entity,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN CAST(string_split(s_name, '#')[2] AS BIGINT)
+        |      = s_suppkey THEN 0 ELSE 1 END) AS BIGINT) AS mismatches
+        |  FROM supplier)
+        |SELECT entity, n_rows, mismatches,
+        |  CAST(mismatches AS DOUBLE) / CAST(n_rows AS DOUBLE)
+        |    AS mismatch_share
+        |FROM c UNION ALL SELECT entity, n_rows, mismatches,
+        |  CAST(mismatches AS DOUBLE) / CAST(n_rows AS DOUBLE)
+        |FROM s""".stripMargin,
+    "q307_discount_calendar" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mean_discount,
+        |  CAST(sum(CASE WHEN CAST(l_discount AS DECIMAL(4,2))
+        |    >= CAST(0.08 AS DECIMAL(4,2)) THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS deep_share
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q308_type_peak_hour" ->
+      """WITH cells AS (SELECT event_type,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) // 3600000000
+        |      AS hour, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+        |    max(n) AS peak_n FROM cells GROUP BY 1),
+        |e AS (SELECT t.event_type AS event_type, total, peak_n,
+        |    min(hour) AS peak_hour
+        |  FROM t JOIN cells ON t.event_type = cells.event_type
+        |    AND cells.n = t.peak_n
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, total, peak_hour, peak_n,
+        |  CAST(peak_n AS DOUBLE) / CAST(total AS DOUBLE) AS peak_share
+        |FROM e""".stripMargin,
   )
 }

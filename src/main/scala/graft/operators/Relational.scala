@@ -4501,6 +4501,124 @@ object Relational {
             / $"sc".cast("double")).as("load_cv"))
   }
 
+  // ---------------------------------------------------------------- A165
+  /** Customer value-trajectory mix per segment: is each customer's order
+    * value RISING, FALLING, or FLAT over their order sequence, counted
+    * per segment — the direction field A157's static quartiles can't
+    * show (two segments with equal spend distributions can be one
+    * ramping and one churning).
+    *
+    * Exactness: the trend is the SIGN of the regression-slope numerator
+    * m·Σxy − Σx·Σy over (order index, exact cents) — pure integer
+    * arithmetic as DECIMAL(38,0) (Σxy carries cents·index products), no
+    * division, no sqrt; the index comes from a per-customer (date,
+    * orderkey) total order. Scale: per-customer windows (key-parallel),
+    * two partial-agged rollups, ≤\|segments\| output. */
+  def q305ValueTrajectory(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val seq0 = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderdate", $"o_orderkey",
+        (money($"o_totalprice") * 100).cast("long").as("y"))
+      .withColumn("x", row_number().over(byCust).cast("long"))
+    val perCust = seq0.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("m"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(($"x".cast(DecimalType(19, 0)) * $"y").cast(DecimalType(38, 0)))
+          .as("sxy"))
+      .filter($"m" >= 2)
+      .withColumn("num",
+        $"m".cast(DecimalType(38, 0)) * $"sxy"
+          - ($"sx".cast(DecimalType(38, 0)) * $"sy"))
+      .withColumn("trend",
+        when($"num" > 0, "rising").when($"num" < 0, "falling")
+          .otherwise("flat"))
+    perCust
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when($"trend" === "rising", 1L).otherwise(0L)).as("rising"),
+        sum(when($"trend" === "falling", 1L).otherwise(0L)).as("falling"),
+        sum(when($"trend" === "flat", 1L).otherwise(0L)).as("flat"))
+      .withColumn("rising_share",
+        $"rising".cast("double") / $"n_customers".cast("double"))
+  }
+
+  // ---------------------------------------------------------------- A166
+  /** Name⇄key consistency audit: TPC-H entity names embed their own key
+    * (`Customer#000000042`) — verify the embedded number matches the row
+    * key, per table. The referential audit family (A124 checks edges,
+    * A149 sequences) applied to DENORMALIZED redundancy, which is where
+    * ETL rewrites silently drift.
+    *
+    * Exactness: digit extraction is a fixed-position substring cast —
+    * identical in both engines on this fixed format; counts exact,
+    * share one division. Scale: two map-only scans + a 2-row union of
+    * aggregates. */
+  def q306NameKeyAudit(spark: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, df: DataFrame, key: Column,
+        nameCol: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        sum(when(substring_index(nameCol, "#", -1).cast("long") === key, 0L)
+          .otherwise(1L)).as("mismatches"))
+        .select(lit(name).as("entity"), $"n_rows", $"mismatches",
+          ($"mismatches".cast("double") / $"n_rows".cast("double"))
+            .as("mismatch_share"))
+    audit("customer", Tables.customer(spark, dir), $"c_custkey", $"c_name")
+      .unionAll(
+        audit("supplier", Tables.supplier(spark, dir), $"s_suppkey",
+          $"s_name"))
+  }
+
+  // ---------------------------------------------------------------- A167
+  /** Discount calendar: mean discount rate and deep-discount (≥8%) line
+    * share per month — does discounting intensify seasonally? The TIME
+    * axis on the discount column (A119/q245 fits response at one point
+    * in time; A160/q297 crosses discount with quantity, not with the
+    * calendar).
+    *
+    * Exactness: discount rides as exact DECIMAL(4,2); the mean is one
+    * division of the exact decimal sum by the exact count; counts exact.
+    * Scale: one partial-agged monthly rollup. */
+  def q307DiscountCalendar(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(date_trunc("month", $"l_shipdate").cast(TimestampNTZType)
+        .as("month"))
+      .agg(count(lit(1)).as("n_lines"),
+        asDouble(sum(rate($"l_discount"))).as("discount_sum"),
+        sum(when(rate($"l_discount") >= lit(0.08).cast(DecimalType(4, 2)),
+          1L).otherwise(0L)).as("deep_lines"))
+      .select($"month", $"n_lines",
+        ($"discount_sum" / $"n_lines".cast("double")).as("mean_discount"),
+        ($"deep_lines".cast("double") / $"n_lines".cast("double"))
+          .as("deep_share"))
+
+  // ---------------------------------------------------------------- A168
+  /** Peak hour per event type: each channel's busiest hour-of-day and
+    * how concentrated it is there — the per-type argmax A122/q242's full
+    * 168-cell heatmap makes the reader hunt for.
+    *
+    * Exactness: hours are calendar-free integer arithmetic (µs-in-day
+    * div 3600e6); the peak is two-step max-then-earliest-hour (q272's
+    * device); share one division. Scale: one (type, hour) partial agg,
+    * ≤\|types\|·24 frames after. */
+  def q308TypePeakHour(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select($"event_type",
+        expr("(unix_micros(cast(ts as timestamp)) % 86400000000L)" +
+          " div 3600000000L").as("hour"))
+      .groupBy($"event_type", $"hour")
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy($"event_type")
+      .agg(sum($"n").as("total"), max($"n").as("peak_n"))
+    tot.join(cells, Seq("event_type"))
+      .filter($"n" === $"peak_n")
+      .groupBy($"event_type", $"total", $"peak_n")
+      .agg(min($"hour").as("peak_hour")) // earliest among exact ties
+      .select($"event_type", $"total", $"peak_hour", $"peak_n",
+        ($"peak_n".cast("double") / $"total".cast("double"))
+          .as("peak_share"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
