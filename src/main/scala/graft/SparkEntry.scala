@@ -327,6 +327,9 @@ object SparkEntry {
     "q306_name_key_audit" -> (Relational.q306NameKeyAudit _),
     "q307_discount_calendar" -> (Relational.q307DiscountCalendar _),
     "q308_type_peak_hour" -> (Relational.q308TypePeakHour _),
+    "q309_linecount_value" -> (Relational.q309LinecountValue _),
+    "q310_value_quantiles" -> (Relational.q310ValueQuantiles _),
+    "q311_brand_breadth" -> (Relational.q311BrandBreadth _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -4407,5 +4410,44 @@ object SparkEntry {
         |SELECT event_type, total, peak_hour, peak_n,
         |  CAST(peak_n AS DOUBLE) / CAST(total AS DOUBLE) AS peak_share
         |FROM e""".stripMargin,
+    "q309_linecount_value" ->
+      """WITH lc AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS nl
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT CASE WHEN nl <= 2 THEN 'a_1_2'
+        |      WHEN nl <= 4 THEN 'b_3_4' ELSE 'c_5_plus' END AS line_band,
+        |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      AS cents, nl
+        |  FROM orders JOIN lc ON o_orderkey = l_orderkey)
+        |SELECT line_band, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mean_order_cents,
+        |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(nl) AS BIGINT) AS DOUBLE) AS mean_line_cents
+        |FROM j GROUP BY 1""".stripMargin,
+    "q310_value_quantiles" ->
+      """WITH v AS (SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM v)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+        |  min(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS p50_cents,
+        |  min(CASE WHEN rk = (9 * n + 9) // 10 THEN cents END) AS p90_cents,
+        |  min(CASE WHEN rk = (99 * n + 99) // 100 THEN cents END)
+        |    AS p99_cents
+        |FROM r WHERE rk = (n + 1) // 2 OR rk = (9 * n + 9) // 10
+        |  OR rk = (99 * n + 99) // 100
+        |GROUP BY 1""".stripMargin,
+    "q311_brand_breadth" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT p_type) AS BIGINT) AS n_types,
+        |  min(p_size) AS min_size, max(p_size) AS max_size,
+        |  min(CAST(CAST(p_retailprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |    AS min_cents,
+        |  max(CAST(CAST(p_retailprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |    AS max_cents
+        |FROM part GROUP BY 1""".stripMargin,
   )
 }

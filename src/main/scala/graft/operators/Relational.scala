@@ -4619,6 +4619,83 @@ object Relational {
           .as("peak_share"))
   }
 
+  // ---------------------------------------------------------------- A169
+  /** Order value by line-count band: do bigger baskets mean bigger
+    * orders, and by how much per line? Joins the two marginals A59's
+    * line-count histogram and A152's value bands each report alone.
+    *
+    * Exactness: line counts and cents exact; the two means are one
+    * division each of exact totals. Scale: one order-keyed partial agg
+    * (lineitem), join to orders on the natural key, ≤\|bands\| rollup. */
+  def q309LinecountValue(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("nl"))
+    val band = when($"nl" <= 2L, "a_1_2")
+      .when($"nl" <= 4L, "b_3_4").otherwise("c_5_plus")
+    Tables.orders(spark, dir)
+      .join(lines, $"o_orderkey" === $"l_orderkey")
+      .groupBy(band.as("line_band"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((money($"o_totalprice") * 100).cast("long")).as("cents"),
+        sum($"nl").as("total_lines"))
+      .select($"line_band", $"n_orders",
+        ($"cents".cast("double") / $"n_orders".cast("double"))
+          .as("mean_order_cents"),
+        ($"cents".cast("double") / $"total_lines".cast("double"))
+          .as("mean_line_cents"))
+  }
+
+  // ---------------------------------------------------------------- A170
+  /** Exact value quantiles per event type — p50/p90/p99 of the event
+    * value in integer cents at exact ranks ceil(q·n) (the EXACT
+    * complement of A87/q174's approx sketch, and the per-type drill-down
+    * of A24's global percentile): tail values drive alerting thresholds
+    * and a sketch's error band is exactly what you can't see from the
+    * sketch.
+    *
+    * Exactness: rank selection picks actual data cents — zero fp.
+    * Scale: A157's posture — the rank window partitions by type (few
+    * partitions, skew-exposed, noted; the q268 sub-range device is the
+    * standing mitigation). */
+  def q310ValueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.events(spark, dir)
+      .select($"event_type", $"event_id",
+        (money($"value") * 100).cast("long").as("cents"))
+    val byType = Window.partitionBy($"event_type")
+      .orderBy($"cents", $"event_id")
+    val t = Window.partitionBy($"event_type")
+    val ranked = v
+      .withColumn("rk", row_number().over(byType).cast("long"))
+      .withColumn("n", count(lit(1)).over(t))
+      .withColumn("r50", floor(($"n" + 1) / 2))
+      .withColumn("r90", floor((lit(9) * $"n" + 9) / 10))
+      .withColumn("r99", floor((lit(99) * $"n" + 99) / 100))
+    ranked
+      .filter($"rk" === $"r50" || $"rk" === $"r90" || $"rk" === $"r99")
+      .groupBy($"event_type")
+      .agg(max($"n").as("n_events"),
+        min(when($"rk" === $"r50", $"cents")).as("p50_cents"),
+        min(when($"rk" === $"r90", $"cents")).as("p90_cents"),
+        min(when($"rk" === $"r99", $"cents")).as("p99_cents"))
+  }
+
+  // ---------------------------------------------------------------- A171
+  /** Assortment breadth per brand: distinct part types, the size range
+    * covered, and catalog price span — the dimension-table profile
+    * (A35/q55 slices the type hierarchy; this asks how WIDE each brand's
+    * catalog is, the merchandising question).
+    *
+    * Exactness: distinct/min/max on exact ints and exact price cents.
+    * Scale: one ≤\|parts\| partial agg — a pure dimension scan. */
+  def q311BrandBreadth(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct($"p_type").as("n_types"),
+        min($"p_size").as("min_size"), max($"p_size").as("max_size"),
+        min((money($"p_retailprice") * 100).cast("long")).as("min_cents"),
+        max((money($"p_retailprice") * 100).cast("long")).as("max_cents"))
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
