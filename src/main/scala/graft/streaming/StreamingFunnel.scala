@@ -1,92 +1,89 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
-
-/** One user's live funnel position. `stage` is MONOTONE per user (each
-  * first-touch field is set at most once and each set advances the
-  * stage), so a consumer keeps each user's row at max `stage`. Unset
-  * stages are None — batch q82's NULLs. */
-case class FunnelPosition(user_id: Long, first_view_us: Option[Long],
-    first_click_us: Option[Long], first_purchase_us: Option[Long],
-    stage: Long)
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 /**
- * Continuous ordered-funnel tracking — the streaming twin of batch
- * [[graft.operators.Relational.q82Funnel]] (A36): per user, the first
- * `view`, the first `click` STRICTLY AFTER that view, and the first
- * `purchase` strictly after that click, maintained live so conversion
- * dashboards read current positions instead of end-of-day joins.
- * Emitted rows are bit-equal to batch q82 over any stream prefix.
+ * Streaming sequential-pattern (funnel) detection — the continuous twin of
+ * the batch funnel ([[graft.operators.Relational.q82Funnel]], A36): per
+ * user, the first `view`, the first `click` STRICTLY AFTER that view, and
+ * the first `purchase` strictly after that click. Flink serves this shape
+ * with CEP / MATCH_RECOGNIZE; here it is a `transformWithState` processor
+ * whose emissions CONVERGE TO THE BATCH ANSWER under arbitrary batch
+ * splits and out-of-order arrival (spec-asserted replay parity).
  *
- * Why in-order arrival (the changefeed contract, loud on violation) is
- * REQUIRED here and not just convenient: batch q82's staged mins are
- * retrospective — an earlier-timestamped click arriving late could
- * lower `first_click` and retroactively invalidate a purchase already
- * counted against the old one. Under per-user event-time order each
- * first-touch decision is final the moment it's made, which is what
- * lets state be four longs instead of the event history. Within a
- * batch rows are folded in (us, type) order; EQUAL-timestamp ties
- * cannot flip any decision (stage boundaries are strict >, so a tie
- * never qualifies regardless of fold order).
- *
- * Emission: Update mode, a row per user per batch in which anything
- * changed (including the stage-0 row on first sight — batch q82 lists
- * every user with any event). State: four longs per user, TTL knob for
- * idle keys in production (default NONE — replays stay exact).
+ * Out-of-order is the crux: a late-arriving earlier `view` lowers
+ * first_view, which can re-qualify clicks that were previously too early —
+ * so the processor must retain candidate clicks/purchases, not just the
+ * current minima. The retention is BOUNDED by monotonicity: first_view,
+ * first_click, first_purchase only ever DECREASE as data arrives, so any
+ * candidate above the current stage answer can never become an answer —
+ * each list is pruned to timestamps ≤ the stage's current value (plus all
+ * candidates while the stage is still open). At 100 TB add watermark-TTL
+ * eviction of closed users; per-user state stays O(candidates below the
+ * answer), typically a handful.
  */
 object StreamingFunnel {
 
-  private val Unset = -1L
-  private type S = (Long, Long, Long, Long) // (lastUs, fv, fc, fp)
+  /** (user_id, event_type, epoch_µs). */
+  type In = (Long, String, Long)
+  /** Funnel row: µs timestamps, -1 = stage not reached (keeps encoders
+    * simple and total orders exact). */
+  case class FunnelRow(user_id: Long, first_view_us: Long,
+      first_click_us: Long, first_purchase_us: Long, stage: Long)
 
-  private class Proc
-      extends StatefulProcessor[Long, (Long, Long, String), FunnelPosition] {
-    @transient private var st: ValueState[S] = _
+  private val None_ = -1L
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[S]("fun", Encoders.kryo[S], TTLConfig.NONE)
+  class FunnelProcessor extends StatefulProcessor[Long, In, FunnelRow] {
+    import org.apache.spark.sql.streaming.{ListState, ValueState}
 
-    override def handleInputRows(key: Long,
-        rows: Iterator[(Long, Long, String)],
-        timerValues: TimerValues): Iterator[FunnelPosition] = {
-      val existed = st.exists()
-      var (last, fv, fc, fp): S =
-        if (existed) st.get() else (Long.MinValue, Unset, Unset, Unset)
-      var changed = !existed
-      rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, us, typ) =>
-        if (last != Long.MinValue && us < last)
-          throw new IllegalStateException(
-            s"out-of-order event for user $key: $us after $last — " +
-              "per-key event-time order is the processor's contract")
-        last = us
-        typ match {
-          case "view" if fv == Unset =>
-            fv = us; changed = true
-          case "click" if fc == Unset && fv != Unset && us > fv =>
-            fc = us; changed = true
-          case "purchase" if fp == Unset && fc != Unset && us > fc =>
-            fp = us; changed = true
+    @transient private var vMin: ValueState[Long] = _
+    @transient private var clicks: ListState[Long] = _
+    @transient private var purchases: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      vMin = getHandle.getValueState[Long]("vmin", Encoders.scalaLong, TTLConfig.NONE)
+      clicks = getHandle.getListState[Long]("clicks", Encoders.scalaLong, TTLConfig.NONE)
+      purchases = getHandle.getListState[Long]("purchases", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[In],
+        timerValues: TimerValues): Iterator[FunnelRow] = {
+      var v = if (vMin.exists()) vMin.get() else None_
+      var cs = clicks.get().toList
+      var ps = purchases.get().toList
+      rows.foreach { case (_, tpe, us) =>
+        tpe match {
+          case "view" => if (v == None_ || us < v) v = us
+          case "click" => cs ::= us
+          case "purchase" => ps ::= us
           case _ => ()
         }
       }
-      st.update((last, fv, fc, fp))
-      if (changed) {
-        val stage =
-          if (fp != Unset) 3L else if (fc != Unset) 2L
-          else if (fv != Unset) 1L else 0L
-        Iterator(FunnelPosition(key,
-          Option(fv).filter(_ != Unset), Option(fc).filter(_ != Unset),
-          Option(fp).filter(_ != Unset), stage))
-      } else Iterator.empty
+      val c = if (v == None_) None_
+        else cs.filter(_ > v) match { case Nil => None_; case e => e.min }
+      val p = if (c == None_) None_
+        else ps.filter(_ > c) match { case Nil => None_; case e => e.min }
+      // monotone prune: candidates above the current stage answer can never
+      // win (the answers only decrease); while a stage is open keep all
+      if (v != None_) vMin.update(v)
+      def store(st: org.apache.spark.sql.streaming.ListState[Long],
+          vs: List[Long]): Unit = {
+        val a = vs.distinct.toArray
+        if (a.isEmpty) st.clear() else st.put(a) // RocksDB rejects empty puts
+      }
+      store(clicks, if (c == None_) cs else cs.filter(_ <= c))
+      store(purchases, if (p == None_) ps else ps.filter(_ <= p))
+      val stage = if (p != None_) 3L else if (c != None_) 2L else if (v != None_) 1L else 0L
+      Iterator(FunnelRow(key, v, c, p, stage))
     }
   }
 
-  /** Track funnel positions over a `(user_id, us, event_type)` stream;
-    * run with `outputMode("update")` — keep each user's max-stage row. */
-  def track(events: Dataset[(Long, Long, String)]): Dataset[FunnelPosition] = {
-    import events.sparkSession.implicits._
-    events.groupByKey(_._1)
-      .transformWithState(new Proc, TimeMode.None(), OutputMode.Update())
+  /** Update-mode continuous funnel over a stream of (user, type, µs). */
+  def funnelTws(ds: Dataset[In]): Dataset[FunnelRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())
   }
 }

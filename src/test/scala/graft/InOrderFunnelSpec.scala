@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.streaming.InOrderFunnel
+
+/** Continuous funnel positions: the maintained max-stage rows must be
+  * bit-equal to batch q82 over the same events under uneven micro-batch
+  * slicing (including users who never enter the funnel — stage 0 rows),
+  * and stage decisions already emitted must never regress. */
+class InOrderFunnelSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def withRocksDb[A](body: => A): A = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streamed funnel positions equal batch q82 bit-for-bit") { withRocksDb {
+    val events = sources.Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts".cast("timestamp")).as("us"),
+        $"event_type")
+      .as[(Long, Long, String)].collect()
+      .sortBy(e => (e._2, e._1, e._3)) // global event-time order
+    val (b1, rest) = events.splitAt(events.length / 4)
+    val (b2, b3) = rest.splitAt(rest.length / 3)
+
+    val input = MemoryStream[(Long, Long, String)]
+    val q = InOrderFunnel.track(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_stream").start()
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val rows = spark.table("funnel_stream")
+        .as[(Long, Option[Long], Option[Long], Option[Long], Long)]
+        .collect()
+      // stage is monotone per user: current = the max-stage row
+      val hwm = rows.groupBy(_._1).view.mapValues(_.map(_._5).max).toMap
+      val got = rows.filter(r => r._5 == hwm(r._1)).toSet
+      assert(rows.groupBy(_._1).forall { case (_, rs) =>
+        rs.map(_._5).distinct.length == rs.length
+      }, "a user emitted two rows at one stage — non-monotone emission")
+
+      val want = Relational.q82Funnel(spark, sf)
+        .select($"user_id",
+          unix_micros($"first_view".cast("timestamp")).as("fv"),
+          unix_micros($"first_click".cast("timestamp")).as("fc"),
+          unix_micros($"first_purchase".cast("timestamp")).as("fp"),
+          $"stage")
+        .as[(Long, Option[Long], Option[Long], Option[Long], Long)]
+        .collect().toSet
+      assert(got === want)
+      assert(want.exists(_._5 == 3L), "no full conversion in fixture")
+      // (every user at this SF reaches stage >= 1 — the stage-0 emission
+      // path is pinned by the explicit prefix test below)
+    } finally q.stop()
+  } }
+
+  test("a mid-stream prefix also matches batch over that prefix") { withRocksDb {
+    // the twin property quantifies over prefixes — pin one explicitly
+    val events = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (2L, 15L, "error"),
+      (1L, 30L, "purchase"), (2L, 40L, "view"))
+    val input = MemoryStream[(Long, Long, String)]
+    val q = InOrderFunnel.track(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_prefix").start()
+    try {
+      input.addData(events.take(3): _*)
+      q.processAllAvailable()
+      val mid = spark.table("funnel_prefix")
+        .as[(Long, Option[Long], Option[Long], Option[Long], Long)]
+        .collect()
+      val midHwm = mid.groupBy(_._1).view.mapValues(_.map(_._5).max).toMap
+      assert(mid.filter(r => r._5 == midHwm(r._1)).toSet === Set(
+        (1L, Some(10L), Some(20L), None, 2L),
+        (2L, None, None, None, 0L)))
+
+      input.addData(events.drop(3): _*)
+      q.processAllAvailable()
+      val all = spark.table("funnel_prefix")
+        .as[(Long, Option[Long], Option[Long], Option[Long], Long)]
+        .collect()
+      val hwm = all.groupBy(_._1).view.mapValues(_.map(_._5).max).toMap
+      assert(all.filter(r => r._5 == hwm(r._1)).toSet === Set(
+        (1L, Some(10L), Some(20L), Some(30L), 3L),
+        (2L, Some(40L), None, None, 1L)))
+    } finally q.stop()
+  } }
+
+  test("an event-time regression fails loudly") { withRocksDb {
+    val input = MemoryStream[(Long, Long, String)]
+    val q = InOrderFunnel.track(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_disorder").start()
+    try {
+      input.addData((5L, 100L, "view"))
+      q.processAllAvailable()
+      input.addData((5L, 99L, "click"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("out-of-order")
+        || Option(ex.getCause).exists(_.getMessage.contains("out-of-order")))
+    } finally q.stop()
+  } }
+}

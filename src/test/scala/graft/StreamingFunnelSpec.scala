@@ -3,13 +3,11 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.operators.Relational
 import graft.streaming.StreamingFunnel
 
-/** Continuous funnel positions: the maintained max-stage rows must be
-  * bit-equal to batch q82 over the same events under uneven micro-batch
-  * slicing (including users who never enter the funnel — stage 0 rows),
-  * and stage decisions already emitted must never regress. */
+/** Streaming funnel (A36's continuous twin): replaying the events table as
+  * an OUT-OF-ORDER stream in several batches must converge to the batch
+  * q82 answer exactly — late views re-qualify earlier clicks. */
 class StreamingFunnelSpec extends SparkSpec {
   import spark.implicits._
   implicit def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -21,95 +19,100 @@ class StreamingFunnelSpec extends SparkSpec {
     finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
-  test("streamed funnel positions equal batch q82 bit-for-bit") { withRocksDb {
-    val events = sources.Tables.events(spark, sf)
-      .select($"user_id", unix_micros($"ts".cast("timestamp")).as("us"),
-        $"event_type")
-      .as[(Long, Long, String)].collect()
-      .sortBy(e => (e._2, e._1, e._3)) // global event-time order
-    val (b1, rest) = events.splitAt(events.length / 4)
-    val (b2, b3) = rest.splitAt(rest.length / 3)
+  test("stream replay of the events table converges to the batch funnel") { withRocksDb {
+    // deterministic scramble: order by a hash, so views often arrive AFTER
+    // clicks they qualify — the exact hazard the processor must absorb
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", $"event_type",
+        unix_micros($"ts".cast("timestamp")).as("us"))
+      .as[(Long, String, Long)].collect()
+      .sortBy { case (u, t, us) => (us * 2654435761L + u) % 1000003 }
+    val thirds = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
 
-    val input = MemoryStream[(Long, Long, String)]
-    val q = StreamingFunnel.track(input.toDS())
+    val input = MemoryStream[(Long, String, Long)]
+    // collect (batchId, row): "latest emission per user" needs an explicit
+    // batch order — last() over the memory-sink table has none and can
+    // surface a stale pre-refinement row
+    val out = collection.mutable.ArrayBuffer.empty[(Long, StreamingFunnel.FunnelRow)]
+    val q = StreamingFunnel.funnelTws(input.toDS())
       .writeStream.outputMode("update")
-      .format("memory").queryName("funnel_stream").start()
-    try {
-      Seq(b1, b2, b3).foreach { b =>
-        input.addData(b.toSeq: _*)
-        q.processAllAvailable()
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[StreamingFunnel.FunnelRow], id: Long) =>
+          out.synchronized { out ++= df.collect().map(id -> _) }; ()
       }
-      val rows = spark.table("funnel_stream")
-        .as[(Long, Option[Long], Option[Long], Option[Long], Long)]
-        .collect()
-      // stage is monotone per user: current = the max-stage row
-      val hwm = rows.groupBy(_._1).view.mapValues(_.map(_._5).max).toMap
-      val got = rows.filter(r => r._5 == hwm(r._1)).toSet
-      assert(rows.groupBy(_._1).forall { case (_, rs) =>
-        rs.map(_._5).distinct.length == rs.length
-      }, "a user emitted two rows at one stage — non-monotone emission")
-
-      val want = Relational.q82Funnel(spark, sf)
+      .start()
+    try {
+      thirds.foreach { part => input.addData(part.toSeq); q.processAllAvailable() }
+      val got = out.synchronized(out.toList)
+        .groupBy(_._2.user_id).view.mapValues { rows =>
+          val r = rows.maxBy(_._1)._2
+          (r.first_view_us, r.first_click_us, r.first_purchase_us, r.stage)
+        }.toMap
+      val expect = graft.operators.Relational.q82Funnel(spark, sf)
         .select($"user_id",
-          unix_micros($"first_view".cast("timestamp")).as("fv"),
-          unix_micros($"first_click".cast("timestamp")).as("fc"),
-          unix_micros($"first_purchase".cast("timestamp")).as("fp"),
+          coalesce(unix_micros($"first_view".cast("timestamp")), lit(-1L)),
+          coalesce(unix_micros($"first_click".cast("timestamp")), lit(-1L)),
+          coalesce(unix_micros($"first_purchase".cast("timestamp")), lit(-1L)),
           $"stage")
-        .as[(Long, Option[Long], Option[Long], Option[Long], Long)]
-        .collect().toSet
-      assert(got === want)
-      assert(want.exists(_._5 == 3L), "no full conversion in fixture")
-      // (every user at this SF reaches stage >= 1 — the stage-0 emission
-      // path is pinned by the explicit prefix test below)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+      assert(got === expect)
     } finally q.stop()
   } }
 
-  test("a mid-stream prefix also matches batch over that prefix") { withRocksDb {
-    // the twin property quantifies over prefixes — pin one explicitly
-    val events = Seq(
-      (1L, 10L, "view"), (1L, 20L, "click"), (2L, 15L, "error"),
-      (1L, 30L, "purchase"), (2L, 40L, "view"))
-    val input = MemoryStream[(Long, Long, String)]
-    val q = StreamingFunnel.track(input.toDS())
+  test("funnel state survives a checkpointed restart") { withRocksDb {
+    val base = java.nio.file.Files.createTempDirectory("funnelckpt").toString
+    val input = MemoryStream[(Long, String, Long)]
+    val out = collection.mutable.ArrayBuffer.empty[StreamingFunnel.FunnelRow]
+    // memory sink refuses checkpoint recovery — foreachBatch supports it
+    def start() = StreamingFunnel.funnelTws(input.toDS())
       .writeStream.outputMode("update")
-      .format("memory").queryName("funnel_prefix").start()
-    try {
-      input.addData(events.take(3): _*)
-      q.processAllAvailable()
-      val mid = spark.table("funnel_prefix")
-        .as[(Long, Option[Long], Option[Long], Option[Long], Long)]
-        .collect()
-      val midHwm = mid.groupBy(_._1).view.mapValues(_.map(_._5).max).toMap
-      assert(mid.filter(r => r._5 == midHwm(r._1)).toSet === Set(
-        (1L, Some(10L), Some(20L), None, 2L),
-        (2L, None, None, None, 0L)))
-
-      input.addData(events.drop(3): _*)
-      q.processAllAvailable()
-      val all = spark.table("funnel_prefix")
-        .as[(Long, Option[Long], Option[Long], Option[Long], Long)]
-        .collect()
-      val hwm = all.groupBy(_._1).view.mapValues(_.map(_._5).max).toMap
-      assert(all.filter(r => r._5 == hwm(r._1)).toSet === Set(
-        (1L, Some(10L), Some(20L), Some(30L), 3L),
-        (2L, Some(40L), None, None, 1L)))
-    } finally q.stop()
-  } }
-
-  test("an event-time regression fails loudly") { withRocksDb {
-    val input = MemoryStream[(Long, Long, String)]
-    val q = StreamingFunnel.track(input.toDS())
-      .writeStream.outputMode("update")
-      .format("memory").queryName("funnel_disorder").start()
-    try {
-      input.addData((5L, 100L, "view"))
-      q.processAllAvailable()
-      input.addData((5L, 99L, "click"))
-      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q.processAllAvailable()
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[StreamingFunnel.FunnelRow], _: Long) =>
+          out.synchronized { out ++= df.collect() }; ()
       }
-      assert(ex.getMessage.contains("out-of-order")
-        || Option(ex.getCause).exists(_.getMessage.contains("out-of-order")))
+      .start()
+
+    val q1 = start()
+    input.addData((3L, "view", 100L))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the checkpoint: the stored first_view must qualify the
+    // click/purchase arriving after the restart
+    val q2 = start()
+    try {
+      input.addData((3L, "click", 200L), (3L, "purchase", 300L))
+      q2.processAllAvailable()
+      assert(out.synchronized(out.last) ===
+        StreamingFunnel.FunnelRow(3L, 100L, 200L, 300L, 3L))
+    } finally q2.stop()
+  } }
+
+  test("a late earlier view re-qualifies a click seen before it") { withRocksDb {
+    val input = MemoryStream[(Long, String, Long)]
+    val out = collection.mutable.ArrayBuffer.empty[(Long, StreamingFunnel.FunnelRow)]
+    val q = StreamingFunnel.funnelTws(input.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[StreamingFunnel.FunnelRow], id: Long) =>
+          out.synchronized { out ++= df.collect().map(id -> _) }; ()
+      }
+      .start()
+    def latest = out.synchronized(out.maxBy(_._1)._2)
+    try {
+      // click at t=5, view at t=10: click precedes the view → stage 1
+      input.addData((7L, "click", 5L), (7L, "view", 10L))
+      q.processAllAvailable()
+      val mid = latest
+      assert(mid.stage === 1L && mid.first_click_us === -1L)
+      // late view at t=1 arrives: the t=5 click NOW follows a view; then a
+      // purchase at t=6 completes the funnel
+      input.addData((7L, "view", 1L), (7L, "purchase", 6L))
+      q.processAllAvailable()
+      val fin = latest
+      assert(fin === StreamingFunnel.FunnelRow(7L, 1L, 5L, 6L, 3L))
     } finally q.stop()
   } }
 }
