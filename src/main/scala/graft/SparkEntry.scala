@@ -330,6 +330,9 @@ object SparkEntry {
     "q309_linecount_value" -> (Relational.q309LinecountValue _),
     "q310_value_quantiles" -> (Relational.q310ValueQuantiles _),
     "q311_brand_breadth" -> (Relational.q311BrandBreadth _),
+    // real-decode scene cuts: no SQL engine decodes AVI — rows-only,
+    // definitional replay in MultimodalSpec
+    "q312_scene_cuts" -> ((s, d) => Multimodal.q312SceneCuts(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact

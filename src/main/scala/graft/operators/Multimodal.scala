@@ -748,4 +748,36 @@ object Multimodal {
           i => substring(col("bytes"), (i * frameBytes + 1).cast("int"), lit(frameBytes)))))
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame_bytes")
+
+  // ---------------------------------------------------------------- C124
+  /** Scene-cut detection over REAL decoded video: consecutive-frame
+    * luminance-histogram L1 distance, a cut where it exceeds
+    * `threshold` — the shot-boundary primitive every video curation
+    * pipeline runs before keyframe selection (C12's frame sampling takes
+    * every k-th frame; sampling AT CUTS is what a training set actually
+    * wants). Emits per clip the frame count, cut count, and the largest
+    * inter-frame jump.
+    *
+    * Determinism (rows-only — no SQL engine decodes AVI): the histogram
+    * fold is a fixed left-to-right `aggregate` over the 8 bins and the
+    * per-clip window orders by frame_no, so the result is reproducible
+    * run-to-run; the spec replays the L1s definitionally from the same
+    * decoded frames. Scale: decode is the map-only [[videoFrames]] pass;
+    * the lag window partitions by media_id (key-parallel, frames-per-
+    * clip-bounded); one rollup to ≤\|clips\| rows. */
+  def q312SceneCuts(spark: SparkSession, dir: String,
+      threshold: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = videoFrames(videoFromDocuments(spark, dir), stride = 1)
+    val byClip = Window.partitionBy(col("media_id")).orderBy(col("frame_no"))
+    val prev = lag(col("feature"), 1).over(byClip)
+    val l1 = aggregate(
+      zip_with(col("feature"), prev, (a, b) => abs(a - b)),
+      lit(0.0d), (acc, x) => acc + x)
+    fr.withColumn("l1", when(prev.isNotNull, l1))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("l1") > threshold, 1L).otherwise(0L)).as("n_cuts"),
+        max(col("l1")).as("max_jump"))
+  }
 }

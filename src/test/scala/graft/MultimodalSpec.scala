@@ -335,4 +335,38 @@ class MultimodalSpec extends SparkSpec {
     assert(got.length === 2 * nDocs, "every doc must decode in both arms")
     assert(got.forall(_._3 == 8000L))
   }
+
+  test("scene cuts replay definitionally from the decoded frames") {
+    val th = 0.25
+    val got = Multimodal.q312SceneCuts(spark, sf, threshold = th)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.nonEmpty)
+
+    // definitional replay: same decoded frames, L1s folded in plain Scala
+    val frames = Multimodal
+      .videoFrames(Multimodal.videoFromDocuments(spark, sf), stride = 1)
+      .select($"media_id", $"frame_no", $"feature")
+      .as[(Long, Int, Seq[Float])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    assert(frames.keySet === got.keySet)
+    frames.foreach { case (id, fs) =>
+      val l1s = fs.sliding(2).filter(_.length == 2).map { w =>
+        // mirror the plan's fold: per-bin float abs-diff, left-to-right
+        // double accumulation
+        w(0).zip(w(1)).foldLeft(0.0) { case (acc, (x, y)) =>
+          acc + math.abs(x - y).toDouble }
+      }.toSeq
+      val (nf, nc, mj) = got(id)
+      assert(nf === fs.length.toLong)
+      assert(nc === l1s.count(_ > th).toLong, s"cut count for clip $id")
+      if (l1s.nonEmpty) assert(mj === Some(l1s.max), s"max jump for $id")
+      else assert(mj.isEmpty)
+    }
+    // the fixture must exercise both branches: some cut somewhere, and
+    // at least one quiet clip
+    val cuts = got.values.map(_._2).sum
+    assert(cuts > 0L, "threshold produced no cuts anywhere — degenerate")
+    assert(got.values.exists(_._2 == 0L), "no quiet clip in fixture")
+  }
 }
