@@ -333,6 +333,9 @@ object SparkEntry {
     // real-decode scene cuts: no SQL engine decodes AVI — rows-only,
     // definitional replay in MultimodalSpec
     "q312_scene_cuts" -> ((s, d) => Multimodal.q312SceneCuts(s, d)),
+    "q313_survival" -> (Relational.q313Survival _),
+    "q314_ses_level" -> (Relational.q314SesLevel _),
+    "q315_changepoint" -> (Relational.q315Changepoint _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -4452,5 +4455,87 @@ object SparkEntry {
         |  max(CAST(CAST(p_retailprice AS DECIMAL(14,2)) * 100 AS BIGINT))
         |    AS max_cents
         |FROM part GROUP BY 1""".stripMargin,
+    "q313_survival" ->
+      """WITH r AS (SELECT o_custkey,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY epoch_us(CAST(o_orderdate AS TIMESTAMP))
+        |        // 86400000000, o_orderkey) AS rk
+        |  FROM orders QUALIFY rk <= 2),
+        |h AS (SELECT max(day) AS hmax FROM r),
+        |per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord,
+        |    min(CASE WHEN rk = 1 THEN day END) AS d1,
+        |    min(CASE WHEN rk = 2 THEN day END) AS d2
+        |  FROM r GROUP BY 1),
+        |g AS (SELECT CASE WHEN n_ord >= 2 THEN d2 - d1
+        |      ELSE hmax - d1 END AS t,
+        |    CASE WHEN n_ord >= 2 THEN 1 ELSE 0 END AS ev
+        |  FROM per CROSS JOIN h),
+        |times AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(sum(1 - ev) AS BIGINT) AS c FROM g GROUP BY 1),
+        |risk AS (SELECT t, d,
+        |    CAST(sum(d + c) OVER () - COALESCE(sum(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM times),
+        |f AS (SELECT t, d, n_risk,
+        |    1e0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+        |  FROM risk WHERE d > 0),
+        |arr AS (SELECT list(struct_pack(t := t, factor := factor)
+        |    ORDER BY t) AS fs FROM f)
+        |SELECT f.t AS gap_days, n_risk, d AS n_events,
+        |  list_reduce(list_prepend(1e0, list_transform(
+        |    list_filter(fs, x -> x.t <= f.t), x -> x.factor)),
+        |    (a, b) -> a * b) AS survival
+        |FROM f CROSS JOIN arr""".stripMargin,
+    "q314_ses_level" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |      AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    list(cents ORDER BY day) AS xs FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, xs[-1] AS last_cents,
+        |  list_reduce(list_transform(xs, c -> CAST(c AS DOUBLE)),
+        |    (a, b) -> a * 7e-1 + b * 3e-1) AS ses_level
+        |FROM s""".stripMargin,
+    "q315_changepoint" ->
+      """WITH daily AS (SELECT o_orderdate AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |pre AS (SELECT day,
+        |    CAST(count(*) OVER w AS BIGINT) AS t,
+        |    CAST(sum(CAST(x AS DECIMAL(38,0))) OVER w AS DECIMAL(38,0))
+        |      AS p,
+        |    CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * x AS DECIMAL(38,0)))
+        |      OVER w AS DECIMAL(38,0)) AS q,
+        |    CAST(count(*) OVER () AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,0))) OVER () AS DECIMAL(38,0))
+        |      AS pn,
+        |    CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * x AS DECIMAL(38,0)))
+        |      OVER () AS DECIMAL(38,0)) AS qn
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |sc AS (SELECT day, t, n,
+        |    (CAST(q AS DOUBLE) - CAST(p AS DOUBLE) * CAST(p AS DOUBLE)
+        |      / CAST(t AS DOUBLE))
+        |    + ((CAST(qn AS DOUBLE) - CAST(q AS DOUBLE))
+        |      - (CAST(pn AS DOUBLE) - CAST(p AS DOUBLE))
+        |        * (CAST(pn AS DOUBLE) - CAST(p AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))) AS cost,
+        |    CAST(p AS DOUBLE) / CAST(t AS DOUBLE) AS mean_left,
+        |    (CAST(pn AS DOUBLE) - CAST(p AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) AS mean_right
+        |  FROM pre WHERE t < n),
+        |b AS (SELECT min(cost) AS best_cost FROM sc),
+        |e AS (SELECT n AS n_days, best_cost, min(day) AS split_day
+        |  FROM sc CROSS JOIN b WHERE cost = best_cost GROUP BY 1, 2),
+        |m AS (SELECT sc.day, mean_left, mean_right FROM sc)
+        |SELECT split_day, n_days, best_cost, mean_left, mean_right
+        |FROM e JOIN m ON m.day = e.split_day""".stripMargin,
   )
 }

@@ -4696,6 +4696,150 @@ object Relational {
         min((money($"p_retailprice") * 100).cast("long")).as("min_cents"),
         max((money($"p_retailprice") * 100).cast("long")).as("max_cents"))
 
+  // ---------------------------------------------------------------- A172
+  /** Kaplan–Meier repeat-purchase survival: time from FIRST to SECOND
+    * order per customer, with one-and-done customers CENSORED at the end
+    * of the observation window — the churn curve read the statistically
+    * honest way (A37/q83's retention buckets silently treat "no second
+    * order yet" as "never", biasing early cohorts down). One row per
+    * event time: at-risk count, events, and the survival estimate
+    * S = Π(1 − dᵢ/nᵢ) over event times ≤ t.
+    *
+    * Exactness: gaps/censor times are exact integer days; dᵢ/nᵢ counts
+    * exact; each factor is ONE division and the product folds LEFT-TO-
+    * RIGHT over the event-time-sorted factor list in both engines
+    * (Spark `aggregate` with init 1.0 ≡ DuckDB list_reduce over a
+    * 1.0-prepended list — the q216/q255 identical-fold-order device,
+    * multiplicative). Scale: per-customer rank windows (key-parallel),
+    * then everything runs on the ≤\|distinct gaps\| aggregate; the
+    * quadratic prefix-fold is confined to that bounded frame. */
+  def q313Survival(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy($"o_custkey")
+      .orderBy($"day", $"o_orderkey")
+    val ranked = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000L")
+          .as("day"))
+      .withColumn("rk", row_number().over(byCust))
+      .filter($"rk" <= 2)
+    val horizon = ranked.agg(max($"day").as("h"))
+    val per = ranked.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_ord"),
+        min(when($"rk" === 1, $"day")).as("d1"),
+        min(when($"rk" === 2, $"day")).as("d2"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        when($"n_ord" >= 2, $"d2" - $"d1").as("event_gap"),
+        when($"n_ord" < 2, $"h" - $"d1").as("censor_gap"))
+    val times = per.groupBy(
+        coalesce($"event_gap", $"censor_gap").as("t"))
+      .agg(sum(when($"event_gap".isNotNull, 1L).otherwise(0L)).as("d"),
+        sum(when($"event_gap".isNull, 1L).otherwise(0L)).as("c"))
+    val byT = Window.orderBy($"t") // ≤|distinct gaps| frame
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy()
+    val risk = times
+      .withColumn("n_risk",
+        sum($"d" + $"c").over(whole)
+          - coalesce(sum($"d" + $"c").over(byT), lit(0L)))
+      .filter($"d" > 0L) // KM steps only at event times
+      .withColumn("factor",
+        lit(1.0) - $"d".cast("double") / $"n_risk".cast("double"))
+    // the ordered factor list rides a 1-row broadcast; each output row
+    // folds its ≤t prefix left-to-right — identical order both engines
+    val arr = risk
+      .agg(sort_array(collect_list(struct($"t", $"factor"))).as("fs"))
+    risk.crossJoin(broadcast(arr))
+      .select($"t".as("gap_days"), $"n_risk", $"d".as("n_events"),
+        aggregate(
+          filter($"fs", x => x("t") <= $"t"),
+          lit(1.0), (acc, x) => acc * x("factor")).as("survival"))
+  }
+
+  // ---------------------------------------------------------------- A173
+  /** Simple exponential smoothing (α = 0.3) of daily value per event
+    * type — the one-number "where is this channel trending" level that
+    * A96/q194's seasonal-naïve forecast (pick last period) cannot give
+    * when the series drifts inside a period.
+    *
+    * Exactness: the recurrence level ← level·0.7 + x·0.3 is inherently
+    * SEQUENTIAL and fp — so both engines run the IDENTICAL left-to-right
+    * fold over the day-sorted series (Spark `aggregate` ≡ DuckDB
+    * list_reduce; constants written to parse to the same doubles), from
+    * exact integer-cent daily sums. Scale: one partial-agged daily
+    * rollup; the per-type fold runs on ≤\|days\| arrays — the bounded-
+    * frame exception, and the honest cost of a sequential recurrence
+    * (A95/q196's max-plus trick does not apply to a multiplicative
+    * fold). */
+  def q314SesLevel(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type",
+        date_trunc("day", $"ts").cast(TimestampNTZType).as("day"))
+      .agg(sum((money($"value") * 100).cast("long")).as("cents"))
+    daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct($"day", $"cents"))).as("xs"))
+      .select($"event_type", $"n_days",
+        element_at($"xs", -1)("cents").as("last_cents"),
+        aggregate(
+          slice($"xs", 2, 100000),
+          element_at($"xs", 1)("cents").cast("double"),
+          (acc, x) => acc * lit(0.7) + x("cents").cast("double") * lit(0.3))
+          .as("ses_level"))
+  }
+
+  // ---------------------------------------------------------------- A174
+  /** Least-squares changepoint in the daily-revenue series: the split
+    * day minimizing SSE(left) + SSE(right) — "when did the level
+    * change?", the point estimate behind A144/q278's yes/no randomness
+    * verdict and A95/q196's known-reference CUSUM (this needs neither a
+    * reference nor a hypothesis).
+    *
+    * Exactness: prefix sums of cents and cents² are EXACT decimal
+    * integers (integer addition is order-independent — no fp-window
+    * fold hazard), each candidate's cost is a fixed fp expression of
+    * them, costs are therefore IEEE-identical cross-engine, and the
+    * argmin tie-breaks to the earliest day (two-step min-then-filter).
+    * Scale: one daily rollup; the prefix windows and argmin run on the
+    * ≤\|days\| frame. */
+  def q315Changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderdate".as("day"))
+      .agg(sum((money($"o_totalprice") * 100).cast("long")).as("x"))
+    val byDay = Window.orderBy($"day") // ≤|days| frame
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+    val pre = daily
+      .withColumn("t", count(lit(1)).over(byDay))
+      .withColumn("p", sum($"x".cast(DecimalType(38, 0))).over(byDay))
+      .withColumn("q",
+        sum(($"x".cast(DecimalType(19, 0)) * $"x").cast(DecimalType(38, 0)))
+          .over(byDay))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("pn", sum($"x".cast(DecimalType(38, 0))).over(whole))
+      .withColumn("qn",
+        sum(($"x".cast(DecimalType(19, 0)) * $"x").cast(DecimalType(38, 0)))
+          .over(whole))
+      .filter($"t" < $"n") // a split needs a non-empty right side
+    val td = $"t".cast("double"); val nd = $"n".cast("double")
+    val pd = $"p".cast("double"); val qd = $"q".cast("double")
+    val pnd = $"pn".cast("double"); val qnd = $"qn".cast("double")
+    val cost = (qd - pd * pd / td) +
+      ((qnd - qd) - (pnd - pd) * (pnd - pd) / (nd - td))
+    val scored = pre.withColumn("cost", cost)
+      .withColumn("mean_left", pd / td)
+      .withColumn("mean_right", (pnd - pd) / (nd - td))
+    val best = scored.agg(min($"cost").as("best_cost"))
+    scored.crossJoin(broadcast(best))
+      .filter($"cost" === $"best_cost")
+      .groupBy($"n".as("n_days"), $"best_cost")
+      .agg(min($"day").as("split_day"), // earliest among exact ties
+        min_by(struct($"mean_left", $"mean_right"), $"day").as("__m"))
+      .select($"split_day", $"n_days", $"best_cost",
+        $"__m.mean_left".as("mean_left"),
+        $"__m.mean_right".as("mean_right"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
