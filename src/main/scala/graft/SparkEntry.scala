@@ -336,6 +336,9 @@ object SparkEntry {
     "q313_survival" -> (Relational.q313Survival _),
     "q314_ses_level" -> (Relational.q314SesLevel _),
     "q315_changepoint" -> (Relational.q315Changepoint _),
+    "q316_jackknife" -> (Relational.q316Jackknife _),
+    "q317_mann_kendall" -> (Relational.q317MannKendall _),
+    "q318_theil_sen" -> (Relational.q318TheilSen _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -4537,5 +4540,58 @@ object SparkEntry {
         |m AS (SELECT sc.day, mean_left, mean_right FROM sc)
         |SELECT split_day, n_days, best_cost, mean_left, mean_right
         |FROM e JOIN m ON m.day = e.split_day""".stripMargin,
+    "q316_jackknife" ->
+      """WITH per AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS ni,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS si
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |t AS (SELECT CAST(sum(ni) AS BIGINT) AS n,
+        |    CAST(sum(si) AS BIGINT) AS s FROM per)
+        |SELECT n_name AS nation, ni AS n_orders,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS overall_mean,
+        |  CAST(s - si AS DOUBLE) / CAST(n - ni AS DOUBLE) AS loo_mean,
+        |  (CAST(s - si AS DOUBLE) / CAST(n - ni AS DOUBLE))
+        |    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS influence
+        |FROM per CROSS JOIN t
+        |JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "q317_mann_kendall" ->
+      """WITH daily AS (SELECT o_orderdate AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |sv AS (SELECT CAST(sum(CAST(sign(CAST(b.x - a.x AS DOUBLE))
+        |      AS BIGINT)) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |ties AS (SELECT COALESCE(CAST(sum(CAST(t * (t - 1) * (2 * t + 5)
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)),
+        |      CAST(0 AS DECIMAL(38,0))) AS tie_term
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily
+        |    GROUP BY x HAVING count(*) > 1)),
+        |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |j AS (SELECT n, s,
+        |    CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5) - tie_term
+        |      AS var_num
+        |  FROM sv CROSS JOIN ties CROSS JOIN n0)
+        |SELECT n AS n_days, s,
+        |  sqrt(CAST(var_num AS DOUBLE) / 18e0) AS sd_s,
+        |  CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+        |      / sqrt(CAST(var_num AS DOUBLE) / 18e0)
+        |    WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+        |      / sqrt(CAST(var_num AS DOUBLE) / 18e0)
+        |    ELSE 0e0 END AS z
+        |FROM j""".stripMargin,
+    "q318_theil_sen" ->
+      """WITH daily AS (SELECT
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |sl AS (SELECT CAST(b.x - a.x AS DOUBLE)
+        |      / CAST(b.d - a.d AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+        |    count(*) OVER () AS np FROM sl)
+        |SELECT CAST(np AS BIGINT) AS n_pairs, slope AS sen_slope
+        |FROM r WHERE rn = (np + 1) // 2""".stripMargin,
   )
 }

@@ -4840,6 +4840,109 @@ object Relational {
         $"__m.mean_right".as("mean_right"))
   }
 
+  // ---------------------------------------------------------------- A175
+  /** Jackknife nation influence on mean order value: for each nation,
+    * the leave-that-nation-out mean vs the overall mean — DETERMINISTIC
+    * resampling diagnostics (no RNG to reconcile cross-engine, unlike a
+    * bootstrap): which geography is actually moving the global KPI, the
+    * question A121/q166's market shares (contribution, not influence)
+    * don't answer.
+    *
+    * Exactness: all sums/counts exact; overall, leave-one-out mean, and
+    * influence are fixed fp expressions of them. Scale: one nation-keyed
+    * partial agg via the orders ⋈ customer natural-key join; the 1-row
+    * global totals broadcast onto the ≤\|nations\| frame. */
+  def q316Jackknife(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("ni"),
+        sum((money($"o_totalprice") * 100).cast("long")).as("si"))
+    val tot = per.agg(sum($"ni").as("n"), sum($"si").as("s"))
+    per.crossJoin(broadcast(tot)) // 1 row
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), $"ni".as("n_orders"),
+        ($"s".cast("double") / $"n".cast("double")).as("overall_mean"),
+        (($"s" - $"si").cast("double") / ($"n" - $"ni").cast("double"))
+          .as("loo_mean"),
+        ((($"s" - $"si").cast("double") / ($"n" - $"ni").cast("double"))
+          - ($"s".cast("double") / $"n".cast("double"))).as("influence"))
+  }
+
+  // ---------------------------------------------------------------- A176
+  /** Mann–Kendall trend test on the daily-revenue series: S = Σ sign
+    * over all day pairs, tie-corrected variance, and the z statistic —
+    * the NONPARAMETRIC monotone-trend verdict completing the series
+    * toolkit (A144 tests randomness, A174 locates a level change; this
+    * asks "is there a drift at all" with no distributional assumption).
+    *
+    * Exactness: S and the tie sizes are exact integers; the variance
+    * numerator n(n−1)(2n+5) − Σt(t−1)(2t+5) is exact DECIMAL(38,0); z
+    * is a fixed fp expression with the standard ±1 continuity
+    * correction. Scale: the O(\|days\|²) pair join runs on the DAILY
+    * AGGREGATE (≈2.4k rows → ~3M pairs, constant in fact size — days
+    * don't scale with rows), never on the fact. */
+  def q317MannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Lineage.truncate(
+      Tables.orders(spark, dir)
+        .groupBy($"o_orderdate".as("day"))
+        .agg(sum((money($"o_totalprice") * 100).cast("long")).as("x")),
+      reliable = false).df
+    val a = daily.select($"day".as("da"), $"x".as("xa"))
+    val b = daily.select($"day".as("db"), $"x".as("xb"))
+    val s = a.join(b, $"da" < $"db")
+      .agg(sum(signum(($"xb" - $"xa").cast("double")).cast("long")).as("s"))
+    val ties = daily.groupBy($"x").agg(count(lit(1)).as("t"))
+      .filter($"t" > 1L)
+      .agg(coalesce(sum(($"t" * ($"t" - 1) * (lit(2) * $"t" + 5))
+        .cast(DecimalType(38, 0))), lit(0).cast(DecimalType(38, 0)))
+        .as("tie_term"))
+    val n0 = daily.agg(count(lit(1)).as("n"))
+    val j = s.crossJoin(broadcast(ties)).crossJoin(broadcast(n0))
+      .withColumn("var_num",
+        ($"n".cast(DecimalType(38, 0)) * ($"n" - 1) * (lit(2) * $"n" + 5))
+          - $"tie_term")
+    val sd = sqrt($"var_num".cast("double") / 18.0)
+    j.select($"n".as("n_days"), $"s", sd.as("sd_s"),
+      when($"s" > 0L, ($"s" - 1L).cast("double") / sd)
+        .when($"s" < 0L, ($"s" + 1L).cast("double") / sd)
+        .otherwise(lit(0.0)).as("z"))
+  }
+
+  // ---------------------------------------------------------------- A177
+  /** Theil–Sen robust trend slope of daily revenue: the MEDIAN of all
+    * pairwise slopes (cents/day) — the magnitude companion to A176's
+    * verdict, immune to the outlier days that drag a least-squares fit
+    * (A46/q98) around.
+    *
+    * Exactness: each slope is ONE IEEE division of exact integers —
+    * identical cross-engine — and the median is a LOWER-median rank
+    * selection over the slope VALUES (ties carry one value; no fp
+    * averaging of middles). Scale: the pair space is the O(\|days\|²)
+    * bounded aggregate again; the global rank routes through
+    * [[Rank.globalRowNumberAndTotal]] (range exchange + offset
+    * broadcast — no single-task sort of the ~3M slopes). */
+  def q318TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Lineage.truncate(
+      Tables.orders(spark, dir)
+        .groupBy($"o_orderdate".as("day"))
+        .agg(sum((money($"o_totalprice") * 100).cast("long")).as("x"))
+        .select(
+          expr("unix_micros(cast(day as timestamp)) div 86400000000L")
+            .as("d"), $"x"),
+      reliable = false).df
+    val a = daily.select($"d".as("da"), $"x".as("xa"))
+    val b = daily.select($"d".as("db"), $"x".as("xb"))
+    val slopes = a.join(b, $"da" < $"db")
+      .select((($"xb" - $"xa").cast("double")
+        / ($"db" - $"da").cast("double")).as("slope"))
+    val (ranked, total) = Rank.globalRowNumberAndTotal(
+      slopes, Seq($"slope"), rnCol = "rn")
+    ranked.filter($"rn" === (total + 1) / 2) // lower median, exact long div
+      .select(lit(total).as("n_pairs"), $"slope".as("sen_slope"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
