@@ -339,6 +339,7 @@ object SparkEntry {
     "q316_jackknife" -> (Relational.q316Jackknife _),
     "q317_mann_kendall" -> (Relational.q317MannKendall _),
     "q318_theil_sen" -> (Relational.q318TheilSen _),
+    "q319_price_index" -> (Relational.q319PriceIndex _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -4593,5 +4594,28 @@ object SparkEntry {
         |    count(*) OVER () AS np FROM sl)
         |SELECT CAST(np AS BIGINT) AS n_pairs, slope AS sen_slope
         |FROM r WHERE rn = (np + 1) // 2""".stripMargin,
+    "q319_price_index" ->
+      """WITH pm AS (SELECT l_partkey AS pk,
+        |    CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |pu AS (SELECT pk, month,
+        |    CAST(cents AS DOUBLE) / CAST(qty AS DOUBLE) AS unit, qty
+        |  FROM pm),
+        |b0 AS (SELECT min(month) AS m0 FROM pu),
+        |base AS (SELECT pk AS bpk, unit AS p0, qty AS q0
+        |  FROM pu CROSS JOIN b0 WHERE month = m0),
+        |terms AS (SELECT month, pk, unit * CAST(q0 AS DOUBLE) AS num_term,
+        |    p0 * CAST(q0 AS DOUBLE) AS den_term
+        |  FROM pu JOIN base ON pk = bpk),
+        |f AS (SELECT month, CAST(count(*) AS BIGINT) AS n_parts,
+        |    list_reduce(list(num_term ORDER BY pk), (a, b) -> a + b)
+        |      AS num,
+        |    list_reduce(list(den_term ORDER BY pk), (a, b) -> a + b)
+        |      AS den
+        |  FROM terms GROUP BY 1)
+        |SELECT month, n_parts, num / den AS laspeyres FROM f""".stripMargin,
   )
 }

@@ -4943,6 +4943,47 @@ object Relational {
       .select(lit(total).as("n_pairs"), $"slope".as("sen_slope"))
   }
 
+  // ---------------------------------------------------------------- A178
+  /** Laspeyres price index per month: Σ pₜ·q₀ / Σ p₀·q₀ over the parts
+    * traded in BOTH the base month (the dataset's first) and month t —
+    * the economics-grade "are prices rising" number that A134/q264's
+    * per-part dispersion and A160/q297's grid don't aggregate to,
+    * because it holds the BASKET fixed.
+    *
+    * Exactness: unit prices are one IEEE division of exact integers per
+    * (part, month) — identical rationals → identical doubles; each
+    * pₜ·q₀ term is a fixed fp product; and the cross-part sums fold in
+    * CANONICAL partkey order via the ordered cumulative window (q216's
+    * rule — a plain fp SUM folds engine-dependently; oracle mirrors
+    * with list_reduce). Scale: one (part, month) partial agg; the base
+    * month broadcasts ≤\|parts\| rows; folds run per month over
+    * \|parts\|-bounded frames (key-parallel across months). */
+  def q319PriceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val pm = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey".as("pk"),
+        date_trunc("month", $"l_shipdate").cast(TimestampNTZType)
+          .as("month"))
+      .agg(sum((money($"l_extendedprice") * 100).cast("long")).as("cents"),
+        sum($"l_quantity".cast("long")).as("qty"))
+      .withColumn("unit", $"cents".cast("double") / $"qty".cast("double"))
+    val base0 = pm.agg(min($"month").as("m0"))
+    val base = pm.join(broadcast(base0), $"month" === $"m0")
+      .select($"pk".as("bpk"), $"unit".as("p0"), $"qty".as("q0"))
+    val terms = pm.join(broadcast(base), $"pk" === $"bpk")
+      .select($"month", $"pk",
+        ($"unit" * $"q0".cast("double")).as("num_term"),
+        ($"p0" * $"q0".cast("double")).as("den_term"))
+    val fold = Window.partitionBy($"month").orderBy($"pk") // ≤|parts| frame
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    terms
+      .withColumn("cnum", sum($"num_term").over(fold))
+      .withColumn("cden", sum($"den_term").over(fold))
+      .groupBy($"month")
+      .agg(count(lit(1)).as("n_parts"), max($"cnum").as("num"),
+        max($"cden").as("den"))
+      .select($"month", $"n_parts", ($"num" / $"den").as("laspeyres"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
