@@ -4382,12 +4382,12 @@ object SparkEntry {
     "q306_name_key_audit" ->
       """WITH c AS (SELECT 'customer' AS entity,
         |    CAST(count(*) AS BIGINT) AS n_rows,
-        |    CAST(sum(CASE WHEN CAST(string_split(c_name, '#')[2] AS BIGINT)
+        |    CAST(sum(CASE WHEN CAST(string_split(c_name, '#')[-1] AS BIGINT)
         |      = c_custkey THEN 0 ELSE 1 END) AS BIGINT) AS mismatches
         |  FROM customer),
         |s AS (SELECT 'supplier' AS entity,
         |    CAST(count(*) AS BIGINT) AS n_rows,
-        |    CAST(sum(CASE WHEN CAST(string_split(s_name, '#')[2] AS BIGINT)
+        |    CAST(sum(CASE WHEN CAST(string_split(s_name, '#')[-1] AS BIGINT)
         |      = s_suppkey THEN 0 ELSE 1 END) AS BIGINT) AS mismatches
         |  FROM supplier)
         |SELECT entity, n_rows, mismatches,
@@ -4460,13 +4460,16 @@ object SparkEntry {
         |    AS max_cents
         |FROM part GROUP BY 1""".stripMargin,
     "q313_survival" ->
-      """WITH r AS (SELECT o_custkey,
-        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+      """WITH d0 AS (SELECT o_custkey, o_orderkey,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM orders),
+        |-- the horizon is the WHOLE dataset's last day, not the rk<=2
+        |-- subset's (a 3rd+ order can carry the latest date)
+        |h AS (SELECT max(day) AS hmax FROM d0),
+        |r AS (SELECT o_custkey, day,
         |    row_number() OVER (PARTITION BY o_custkey
-        |      ORDER BY epoch_us(CAST(o_orderdate AS TIMESTAMP))
-        |        // 86400000000, o_orderkey) AS rk
-        |  FROM orders QUALIFY rk <= 2),
-        |h AS (SELECT max(day) AS hmax FROM r),
+        |      ORDER BY day, o_orderkey) AS rk
+        |  FROM d0 QUALIFY rk <= 2),
         |per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord,
         |    min(CASE WHEN rk = 1 THEN day END) AS d1,
         |    min(CASE WHEN rk = 2 THEN day END) AS d2

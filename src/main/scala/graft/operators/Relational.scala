@@ -4550,10 +4550,11 @@ object Relational {
     * A149 sequences) applied to DENORMALIZED redundancy, which is where
     * ETL rewrites silently drift.
     *
-    * Exactness: digit extraction is a fixed-position substring cast —
-    * identical in both engines on this fixed format; counts exact,
-    * share one division. Scale: two map-only scans + a 2-row union of
-    * aggregates. */
+    * Exactness: both engines extract the segment after the LAST '#'
+    * (substring_index(…, -1) ≡ string_split(…)[-1]) — aligned on the
+    * same rule so malformed multi-'#' names count identically; counts
+    * exact, share one division. Scale: two map-only scans + a 2-row
+    * union of aggregates. */
   def q306NameKeyAudit(spark: SparkSession, dir: String): DataFrame = {
     def audit(name: String, df: DataFrame, key: Column,
         nameCol: Column): DataFrame =
@@ -4716,13 +4717,17 @@ object Relational {
   def q313Survival(spark: SparkSession, dir: String): DataFrame = {
     val byCust = Window.partitionBy($"o_custkey")
       .orderBy($"day", $"o_orderkey")
-    val ranked = Tables.orders(spark, dir)
+    val days = Tables.orders(spark, dir)
       .select($"o_custkey", $"o_orderkey",
         expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000L")
           .as("day"))
+    // the observation horizon is the WHOLE dataset's last day — computing
+    // it after the rk<=2 filter would understate censor times whenever the
+    // latest activity is a 3rd+ order
+    val horizon = days.agg(max($"day").as("h"))
+    val ranked = days
       .withColumn("rk", row_number().over(byCust))
       .filter($"rk" <= 2)
-    val horizon = ranked.agg(max($"day").as("h"))
     val per = ranked.groupBy($"o_custkey")
       .agg(count(lit(1)).as("n_ord"),
         min(when($"rk" === 1, $"day")).as("d1"),
@@ -4782,7 +4787,10 @@ object Relational {
       .select($"event_type", $"n_days",
         element_at($"xs", -1)("cents").as("last_cents"),
         aggregate(
-          slice($"xs", 2, 100000),
+          // length n_days-1 (0 for a single-day series): fold the tail —
+          // a fixed cap would silently truncate past it and diverge from
+          // the oracle's whole-list fold
+          slice($"xs", lit(2), greatest($"n_days" - 1, lit(0L)).cast("int")),
           element_at($"xs", 1)("cents").cast("double"),
           (acc, x) => acc * lit(0.7) + x("cents").cast("double") * lit(0.3))
           .as("ses_level"))

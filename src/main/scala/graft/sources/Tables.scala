@@ -236,13 +236,17 @@ object Tables {
     bounds match {
       case None => probe // empty / single-key table: unsplit read
       case Some((lo, hi)) =>
+        // caller options first: the PROBED split and the explicit
+        // numPartitions argument must win over any stale partitioning
+        // keys riding in from a fromJdbc call site
         val df = spark.read.format("jdbc")
+          .options(options)
           .option("url", url).option("dbtable", probe.name)
           .option("partitionColumn", splitCol)
           .option("lowerBound", lo.toString)
           .option("upperBound", hi.toString)
           .option("numPartitions", numPartitions.toString)
-          .options(options).load()
+          .load()
         JdbcTable(probe.name, probe.primaryKey, df)
     }
   }

@@ -126,8 +126,12 @@ class JdbcTablesSpec extends SparkSpec {
     val c = java.sql.DriverManager.getConnection(url)
     try {
       val st = c.createStatement()
-      st.execute("CREATE TABLE split_tbl (id BIGINT NOT NULL, v DOUBLE, " +
+      def ignoreExists(sql: String): Unit =
+        try st.execute(sql) catch { case e: java.sql.SQLException
+          if e.getSQLState == "X0Y32" => () } // already exists
+      ignoreExists("CREATE TABLE split_tbl (id BIGINT NOT NULL, v DOUBLE, " +
         "PRIMARY KEY (id))")
+      st.execute("DELETE FROM split_tbl")
       val ps = c.prepareStatement("INSERT INTO split_tbl VALUES (?, ?)")
       (1L to 97L).foreach { i =>
         ps.setLong(1, i); ps.setDouble(2, i * 0.5); ps.addBatch()
@@ -148,9 +152,13 @@ class JdbcTablesSpec extends SparkSpec {
     // an empty table degrades to the unsplit read instead of a zero-width
     // range (which would make every stride predicate false)
     val c2 = java.sql.DriverManager.getConnection(url)
-    try c2.createStatement().execute(
-      "CREATE TABLE split_empty (id BIGINT NOT NULL, PRIMARY KEY (id))")
-    finally c2.close()
+    try {
+      try c2.createStatement().execute(
+        "CREATE TABLE split_empty (id BIGINT NOT NULL, PRIMARY KEY (id))")
+      catch { case e: java.sql.SQLException
+        if e.getSQLState == "X0Y32" => () }
+      c2.createStatement().execute("DELETE FROM split_empty")
+    } finally c2.close()
     val e = Tables.fromJdbcSplit(spark, url, "split_empty", numPartitions = 4)
     assert(e.df.count() === 0L)
 
@@ -158,6 +166,8 @@ class JdbcTablesSpec extends SparkSpec {
     val c3 = java.sql.DriverManager.getConnection(url)
     try c3.createStatement().execute(
       "CREATE TABLE split_str (k VARCHAR(10) NOT NULL, PRIMARY KEY (k))")
+    catch { case e: java.sql.SQLException
+      if e.getSQLState == "X0Y32" => () }
     finally c3.close()
     val ex = intercept[IllegalArgumentException] {
       Tables.fromJdbcSplit(spark, url, "split_str", numPartitions = 4)
