@@ -4967,13 +4967,18 @@ object Relational {
     * month broadcasts ≤\|parts\| rows; folds run per month over
     * \|parts\|-bounded frames (key-parallel across months). */
   def q319PriceIndex(spark: SparkSession, dir: String): DataFrame = {
-    val pm = Tables.lineitem(spark, dir)
-      .groupBy($"l_partkey".as("pk"),
-        date_trunc("month", $"l_shipdate").cast(TimestampNTZType)
-          .as("month"))
-      .agg(sum((money($"l_extendedprice") * 100).cast("long")).as("cents"),
-        sum($"l_quantity".cast("long")).as("qty"))
-      .withColumn("unit", $"cents".cast("double") / $"qty".cast("double"))
+    // the (part, month) rollup feeds BOTH the probe side and the base-
+    // basket broadcast — truncate so the fact aggregates once, instead of
+    // a second full lineitem scan inside the broadcast branch
+    val pm = graft.Lineage.truncate(
+      Tables.lineitem(spark, dir)
+        .groupBy($"l_partkey".as("pk"),
+          date_trunc("month", $"l_shipdate").cast(TimestampNTZType)
+            .as("month"))
+        .agg(sum((money($"l_extendedprice") * 100).cast("long")).as("cents"),
+          sum($"l_quantity".cast("long")).as("qty"))
+        .withColumn("unit", $"cents".cast("double") / $"qty".cast("double")),
+      reliable = false).df
     val base0 = pm.agg(min($"month").as("m0"))
     val base = pm.join(broadcast(base0), $"month" === $"m0")
       .select($"pk".as("bpk"), $"unit".as("p0"), $"qty".as("q0"))
