@@ -340,6 +340,8 @@ object SparkEntry {
     "q317_mann_kendall" -> (Relational.q317MannKendall _),
     "q318_theil_sen" -> (Relational.q318TheilSen _),
     "q319_price_index" -> (Relational.q319PriceIndex _),
+    "q320_local_bestsellers" -> (Relational.q320LocalBestsellers _),
+    "q321_active_span_hist" -> (Relational.q321ActiveSpanHist _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -4620,5 +4622,32 @@ object SparkEntry {
         |      AS den
         |  FROM terms GROUP BY 1)
         |SELECT month, n_parts, num / den AS laspeyres FROM f""".stripMargin,
+    "q320_local_bestsellers" ->
+      """WITH cells AS (SELECT s_nationkey, l_partkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT s_nationkey, CAST(sum(qty) AS BIGINT) AS nation_qty,
+        |    max(qty) AS top_qty FROM cells GROUP BY 1),
+        |e AS (SELECT t.s_nationkey AS s_nationkey, nation_qty, top_qty,
+        |    CAST(min(l_partkey) AS BIGINT) AS top_partkey
+        |  FROM t JOIN cells ON t.s_nationkey = cells.s_nationkey
+        |    AND cells.qty = t.top_qty
+        |  GROUP BY 1, 2, 3)
+        |SELECT n_name AS nation, top_partkey, top_qty, nation_qty,
+        |  CAST(top_qty AS DOUBLE) / CAST(nation_qty AS DOUBLE) AS top_share
+        |FROM e JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+    "q321_active_span_hist" ->
+      """WITH sp AS (SELECT o_custkey,
+        |    max(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+        |      - min(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+        |      AS span_days
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT span_days // 365 AS span_years,
+        |    CAST(count(*) AS BIGINT) AS n_customers FROM sp GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_customers) AS BIGINT) AS total FROM h)
+        |SELECT span_years, n_customers,
+        |  CAST(n_customers AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM h CROSS JOIN t""".stripMargin,
   )
 }

@@ -4997,6 +4997,63 @@ object Relational {
       .select($"month", $"n_parts", ($"num" / $"den").as("laspeyres"))
   }
 
+  // ---------------------------------------------------------------- A179
+  /** Local bestsellers: each supplier nation's top part by shipped
+    * quantity, with its share of the nation's volume — the per-geography
+    * argmax that A83/q166's share matrices don't surface (a merchandiser
+    * asks "what do we actually move in Kenya", not for the full grid).
+    *
+    * Exactness: quantities exact longs; the argmax is two-step
+    * max-then-least-partkey (q272's device); share one division. Scale:
+    * one (nation, part) partial agg through the broadcast supplier
+    * (key, nation) side; everything after runs on that aggregate. */
+  def q320LocalBestsellers(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey", $"l_partkey")
+      .agg(sum($"l_quantity".cast("long")).as("qty"))
+    val tot = cells.groupBy($"s_nationkey")
+      .agg(sum($"qty").as("nation_qty"), max($"qty").as("top_qty"))
+    tot.join(cells, Seq("s_nationkey"))
+      .filter($"qty" === $"top_qty")
+      .groupBy($"s_nationkey", $"nation_qty", $"top_qty")
+      .agg(min($"l_partkey").as("top_partkey")) // least among exact ties
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), $"top_partkey", $"top_qty",
+        $"nation_qty",
+        ($"top_qty".cast("double") / $"nation_qty".cast("double"))
+          .as("top_share"))
+  }
+
+  // ---------------------------------------------------------------- A180
+  /** Customer active-span histogram: last-order minus first-order day per
+    * customer, bucketed by whole years — how long relationships actually
+    * last (the lifetime-LENGTH distribution; A172's survival curve times
+    * the FIRST repeat, this measures the whole arc).
+    *
+    * Exactness: spans are exact integer days; the year bucket is integer
+    * division; counts exact, share one division. Scale: one customer-
+    * keyed partial agg, ≤\|buckets\| rollup + 1-row total broadcast. */
+  def q321ActiveSpanHist(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.orders(spark, dir)
+      .select($"o_custkey",
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000L")
+          .as("day"))
+      .groupBy($"o_custkey")
+      .agg((max($"day") - min($"day")).as("span_days"))
+      .select($"o_custkey", $"span_days",
+        expr("span_days div 365L").as("span_years"))
+    val hist = spans.groupBy($"span_years")
+      .agg(count(lit(1)).as("n_customers"))
+    val tot = hist.agg(sum($"n_customers").as("total"))
+    hist.crossJoin(broadcast(tot))
+      .select($"span_years", $"n_customers",
+        ($"n_customers".cast("double") / $"total".cast("double"))
+          .as("share"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
