@@ -101,10 +101,30 @@ class JoinLoopSpec extends SparkSpec {
     assert(!derby().exists(_._1 == 2L), "deleted fact must leave Derby")
     assert(derby().contains((3L, 1L, 10L, 9.0, None)))
 
-    // a stale REPLAY of batch 3 (same id, mutated content) must fence
+    // a stale REPLAY of batch 3 (same id, mutated content) must fence —
+    // this exercises the MARKER short-circuit (nothing recomputes)
     applyAndRelay(3L,
       facts((1L, 9L, "upd", 20L, 99.0)),
       dims())
     assert(derby() === mv, "fenced replay must not diverge the copy")
+
+    // crash-window replay: the marker landed AFTER the changelog write,
+    // so a crash between them replays the batch with the marker absent —
+    // the CHANGELOG-DIR guard (not the marker) must then keep batch=3
+    // from being overwritten with a spurious re-diff, and the MV redo
+    // must be idempotent
+    val mvFs = new org.apache.hadoop.fs.Path(s"$base/mv/mv")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mvFs.delete(
+      new org.apache.hadoop.fs.Path(s"$base/mv/mv/_applied_batch"), false))
+    val clBefore = spark.read.parquet(s"$cl/batch=3")
+      .collect().map(_.toString).sorted.toSeq
+    applyAndRelay(3L,
+      facts((2L, 2L, "delete", 20L, 0.0)),
+      dims((10L, 3L, "delete", "")))
+    assert(derby() === mv, "crash-window replay must converge")
+    assert(spark.read.parquet(s"$cl/batch=3")
+      .collect().map(_.toString).sorted.toSeq === clBefore,
+      "the committed changelog batch must not be rewritten by the replay")
   }
 }

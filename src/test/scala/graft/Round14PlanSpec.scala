@@ -31,32 +31,28 @@ class Round14PlanSpec extends SparkSpec {
       s"orders fact scanned $parquetScans times — daily frame not shared")
   }
 
-  test("the price index broadcasts its bounded frames, never the fact") {
+  test("the price index aggregates the lineitem fact exactly once") {
+    // the (part, month) rollup is truncated and feeds both the probe side
+    // and the base-basket broadcast — a refactor that splits it back into
+    // two branches would show a second parquet scan here (the truncated
+    // path itself shows ZERO parquet scans; <=1 pins both states)
     val p = plan(Relational.q319PriceIndex(spark, sf))
-    // base month (1 row) and base basket (≤|parts|) ride broadcasts
+    val scans = p.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans <= 1, s"lineitem fact scanned $scans times")
+    // and the bounded base frames ride broadcasts
     assert(p.contains("BroadcastExchange"),
       "bounded base frames should broadcast")
-    // the lineitem fact side must NOT appear under a BroadcastExchange:
-    // indent-parse the tree — no parquet lineitem scan may have a
-    // broadcast ancestor
-    val lines = p.linesIterator.toSeq
-    def indent(l: String): Int = l.takeWhile(c => !c.isLetter).length
-    lines.zipWithIndex.filter { case (l, _) =>
-      l.contains("Scan parquet") && l.contains("lineitem") }.foreach {
-      case (scanLine, i) =>
-        val si = indent(scanLine)
-        val broadcastAncestor = (0 until i).reverse
-          .map(lines)
-          .filter(l => indent(l) < si)
-          .exists(_.contains("BroadcastExchange"))
-        assert(!broadcastAncestor, "lineitem fact under a BroadcastExchange")
-    }
   }
 
-  test("survival's factor list rides one broadcast onto the event frame") {
+  test("survival's factor array attaches as a broadcast nested-loop cross") {
+    // the 1-row ordered-factor array must CROSS onto the event frame via
+    // a broadcast nested loop — a CartesianProduct (no broadcast) or a
+    // shuffle join on a synthetic key would both be regressions
     val p = plan(Relational.q313Survival(spark, sf))
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastExchange"),
-      "the ordered factor array should broadcast, not shuffle")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"factor array no longer broadcast-crossed:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "factor array fell back to a CartesianProduct")
   }
 }

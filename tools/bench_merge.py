@@ -1,0 +1,33 @@
+#!/usr/bin/env python3
+"""Merge N full graft.Bench runs into the published BENCH_full.json.
+
+Usage: tools/bench_merge.py run1.json run2.json [...] > BENCH_full.json
+
+Per-query value = MIN over the runs (a real regression repeats; JIT/GC
+variance doesn't, so round-over-round comparisons read the stable floor
+— the same rule Bench.scala applies to its own in-run repeats). The raw
+per-run totals ride in "note"; the in-run "repeats" field is dropped
+because its pairs describe ONE run and would contradict cross-run
+minima.
+"""
+import json
+import sys
+
+runs = [json.load(open(p)) for p in sys.argv[1:]]
+assert runs, "pass at least one run file"
+keys = set(runs[0]["queries"])
+for r in runs[1:]:
+    assert set(r["queries"]) == keys, "runs cover different query boards"
+qs = {k: min(r["queries"][k] for r in runs) for k in sorted(keys)}
+merged = {
+    "metric": "total",
+    "value": sum(qs.values()),
+    "unit": "sec",
+    "queries": qs,
+    "failed": sorted(set(f for r in runs for f in r["failed"])),
+    "sf": runs[0]["sf"],
+    "note": "per-query MIN over %d full clean-machine runs (totals %s); "
+            "compare rounds on shared query keys only"
+            % (len(runs), ", ".join("%.1f" % r["value"] for r in runs)),
+}
+json.dump(merged, sys.stdout)
