@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** One flagged (order, part) group; `n_supp` is monotone per key, so a
+  * consumer keeps each group's row at max `n_supp`. */
+case class SplitSourcingFlag(l_orderkey: Long, l_partkey: Long,
+    n_supp: Long)
+
+/**
+ * Continuous split-sourcing detector — the streaming twin of the
+ * GROUP-DETECTION core of batch
+ * [[graft.operators.Relational.q286SplitSourcing]] (A151): an (order,
+ * part) group is flagged the moment a SECOND distinct supplier ships
+ * against it (double allocation / split shipment), live on the lineitem
+ * feed instead of in the nightly rollup. Batch q286 then rolls flags to
+ * per-brand shares — a ≤\|brands\| aggregation any consumer runs over
+ * the emitted flags; the stateful part is the distinct-supplier count,
+ * and that is what this processor maintains.
+ *
+ * The distinct count is ORDER-INDEPENDENT (a set cares nothing for
+ * arrival order), so unlike the event-time twins no ordering contract
+ * is needed: maintained flags are bit-equal to the batch distinct
+ * counts over any prefix under ANY slicing or reordering (the
+ * StreamingDupOrders discipline, with set semantics). State per active
+ * group is the distinct supplier-key set — bounded by the handful of
+ * suppliers an order line can realistically split across, with the
+ * usual TTL knob for closed orders in production (default NONE so
+ * replays stay exact).
+ *
+ * Emission: Update mode, a row whenever the group's distinct count
+ * GROWS past 1 — sub-threshold groups (the overwhelming majority) never
+ * emit and never leave the state store.
+ */
+object StreamingSplitSourcing {
+
+  private type S = Array[Long] // distinct suppkeys seen (tiny)
+
+  private class Proc
+      extends StatefulProcessor[(Long, Long), (Long, Long, Long), SplitSourcingFlag] {
+    @transient private var st: ValueState[S] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[S]("sup", Encoders.kryo[S], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, Long),
+        rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[SplitSourcingFlag] = {
+      val seen = scala.collection.mutable.SortedSet.empty[Long] ++
+        (if (st.exists()) st.get() else Array.empty[Long])
+      val before = seen.size
+      rows.foreach { case (_, _, supp) => seen += supp }
+      st.update(seen.toArray)
+      if (seen.size > before && seen.size >= 2)
+        Iterator(SplitSourcingFlag(key._1, key._2, seen.size.toLong))
+      else Iterator.empty
+    }
+  }
+
+  /** Flag split-sourced groups over a `(orderkey, partkey, suppkey)`
+    * line stream; run with `outputMode("update")` — keep each group's
+    * max-count row. */
+  def track(lines: Dataset[(Long, Long, Long)]): Dataset[SplitSourcingFlag] = {
+    import lines.sparkSession.implicits._
+    lines.groupByKey(r => (r._1, r._2))
+      .transformWithState(new Proc, TimeMode.None(), OutputMode.Update())
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingSplitSourcing
+
+/** Continuous split-sourcing flags: maintained distinct-supplier counts
+  * must be bit-equal to the batch groups over the same lines under
+  * ADVERSARIAL reordering (set semantics need no ordering contract),
+  * and single-supplier groups must never emit. */
+class StreamingSplitSourcingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def withRocksDb[A](body: => A): A = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streamed flags equal the batch distinct counts under reordering") {
+    withRocksDb {
+      val lines = sources.Tables.lineitem(spark, sf)
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+        .as[(Long, Long, Long)].collect()
+        // adversarial: sort by SUPPLIER (scatters each group's suppliers
+        // across batches), uneven cuts
+        .sortBy(r => (r._3, r._1))
+      val (b1, rest) = lines.splitAt(lines.length / 5)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+
+      val input = MemoryStream[(Long, Long, Long)]
+      val q = StreamingSplitSourcing.track(input.toDS())
+        .writeStream.outputMode("update")
+        .format("memory").queryName("split_stream").start()
+      try {
+        Seq(b1, b2, b3).foreach { b =>
+          input.addData(b.toSeq: _*)
+          q.processAllAvailable()
+        }
+        val rows = spark.table("split_stream")
+          .as[(Long, Long, Long)].collect()
+        val hwm = rows.groupBy(r => (r._1, r._2)).view
+          .mapValues(_.map(_._3).max).toMap
+        val got = rows.filter(r => r._3 == hwm((r._1, r._2))).toSet
+
+        val want = sources.Tables.lineitem(spark, sf)
+          .groupBy($"l_orderkey", $"l_partkey")
+          .agg(countDistinct($"l_suppkey").as("n_supp"))
+          .filter($"n_supp" >= 2)
+          .as[(Long, Long, Long)].collect().toSet
+        assert(got === want)
+        assert(want.nonEmpty, "no split-sourced group in fixture")
+        // the threshold lives in the stream: no 1-supplier emissions
+        assert(rows.forall(_._3 >= 2L))
+      } finally q.stop()
+    }
+  }
+}
