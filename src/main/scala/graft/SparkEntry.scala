@@ -342,6 +342,7 @@ object SparkEntry {
     "q319_price_index" -> (Relational.q319PriceIndex _),
     "q320_local_bestsellers" -> (Relational.q320LocalBestsellers _),
     "q321_active_span_hist" -> (Relational.q321ActiveSpanHist _),
+    "q322_seasonal_strength" -> (Relational.q322SeasonalStrength _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + types; decimal-exact
@@ -4649,5 +4650,31 @@ object SparkEntry {
         |SELECT span_years, n_customers,
         |  CAST(n_customers AS DOUBLE) / CAST(total AS DOUBLE) AS share
         |FROM h CROSS JOIN t""".stripMargin,
+    "q322_seasonal_strength" ->
+      """WITH daily AS (SELECT
+        |    CAST(extract(month FROM o_orderdate) AS BIGINT) AS moy,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY o_orderdate),
+        |g AS (SELECT moy, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS p,
+        |    CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * x AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS q
+        |  FROM daily GROUP BY 1),
+        |g2 AS (SELECT moy, n, p, q,
+        |    CAST(q AS DOUBLE) - CAST(p AS DOUBLE) * CAST(p AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS ssw FROM g),
+        |f AS (SELECT CAST(sum(n) AS BIGINT) AS n_days,
+        |    CAST(count(*) AS BIGINT) AS n_months,
+        |    list_reduce(list(ssw ORDER BY moy), (a, b) -> a + b)
+        |      AS ssw_total,
+        |    CAST(sum(p) AS DECIMAL(38,0)) AS pn,
+        |    CAST(sum(q) AS DECIMAL(38,0)) AS qn
+        |  FROM g2)
+        |SELECT n_days, n_months,
+        |  1e0 - ssw_total / (CAST(qn AS DOUBLE) - CAST(pn AS DOUBLE)
+        |    * CAST(pn AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    AS seasonal_strength
+        |FROM f""".stripMargin,
   )
 }

@@ -5054,6 +5054,48 @@ object Relational {
           .as("share"))
   }
 
+  // ---------------------------------------------------------------- A181
+  /** Seasonality STRENGTH of daily revenue — the variance-decomposition
+    * η² = 1 − SSW/SST with days grouped by calendar month-of-year: ONE
+    * number for "how much of daily variation the season explains",
+    * where A71/q145's per-month index shows the shape but not how much
+    * it matters and A176/q317 tests monotone drift, not periodicity.
+    *
+    * Exactness: per-group Σx/Σx² are exact DECIMAL integers; each
+    * group's within-SS is a fixed fp expression; the cross-group SSW sum
+    * folds in CANONICAL month order via the ordered cumulative window
+    * (q216's rule; oracle via list_reduce — 12 terms, but the rule is
+    * the rule); SST is one fixed expression of the global sums. Scale:
+    * one daily rollup, then everything on ≤12-row frames. */
+  def q322SeasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy($"o_orderdate".as("day"))
+      .agg(sum((money($"o_totalprice") * 100).cast("long")).as("x"))
+      .select(month($"day").cast("long").as("moy"), $"x")
+    val grp = daily.groupBy($"moy")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast(DecimalType(38, 0))).as("p"),
+        sum(($"x".cast(DecimalType(19, 0)) * $"x").cast(DecimalType(38, 0)))
+          .as("q"))
+      .withColumn("ssw",
+        $"q".cast("double")
+          - $"p".cast("double") * $"p".cast("double") / $"n".cast("double"))
+    val fold = Window.orderBy($"moy") // ≤12-row frame
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grp.withColumn("cssw", sum($"ssw").over(fold))
+      // the FOLD-FINAL value, not max: an n=1 month's within-SS can land
+      // a hair below zero in fp (p·p re-rounds where Σx² was exact), so
+      // the cumulative sum need not be monotone
+      .agg(sum($"n").as("n_days"), max_by($"cssw", $"moy").as("ssw_total"),
+        sum($"p").as("pn"), sum($"q").as("qn"),
+        count(lit(1)).as("n_months"))
+      .select($"n_days", $"n_months",
+        (lit(1.0) - $"ssw_total"
+          / ($"qn".cast("double") - $"pn".cast("double")
+            * $"pn".cast("double") / $"n_days".cast("double")))
+          .as("seasonal_strength"))
+  }
+
   // `$"col"` interpolator without a SparkSession in scope.
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
