@@ -15,10 +15,11 @@ import sys
 
 runs = [json.load(open(p)) for p in sys.argv[1:]]
 assert runs, "pass at least one run file"
-keys = set(runs[0]["queries"])
-for r in runs[1:]:
-    assert set(r["queries"]) == keys, "runs cover different query boards"
-qs = {k: min(r["queries"][k] for r in runs) for k in sorted(keys)}
+# union of boards: a query added mid-capture rides only the runs that
+# have it — every key must appear in at least one run
+keys = sorted(set(k for r in runs for k in r["queries"]))
+qs = {k: min(r["queries"][k] for r in runs if k in r["queries"])
+      for k in keys}
 merged = {
     "metric": "total",
     "value": sum(qs.values()),
