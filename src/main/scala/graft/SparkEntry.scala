@@ -3967,9 +3967,12 @@ object SparkEntry {
         |agg AS (SELECT CAST(count(*) AS BIGINT) AS m2,
         |    CAST(sum(CAST(du AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
         |    CAST(sum(CAST(dv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
-        |    CAST(sum(CAST(du * dv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
-        |    CAST(sum(CAST(du * du AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
-        |    CAST(sum(CAST(dv * dv AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+        |    CAST(sum(CAST(CAST(du AS DECIMAL(19,0)) * dv AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxy,
+        |    CAST(sum(CAST(CAST(du AS DECIMAL(19,0)) * du AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxx,
+        |    CAST(sum(CAST(CAST(dv AS DECIMAL(19,0)) * dv AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS syy
         |  FROM j),
         |x AS (SELECT m2, CAST(m2 AS DOUBLE) AS md,
         |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
@@ -4051,10 +4054,12 @@ object SparkEntry {
         |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
         |u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
         |    CAST(count(*) AS BIGINT) AS n_types,
-        |    CAST(sum(c * c) AS BIGINT) AS s2
+        |    CAST(sum(CAST(CAST(c AS DECIMAL(19,0)) * c AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS s2
         |  FROM tc GROUP BY 1)
         |SELECT user_id, n_events, n_types,
-        |  CAST(s2 AS DOUBLE) / CAST(n_events * n_events AS DOUBLE)
+        |  CAST(s2 AS DOUBLE)
+        |    / CAST(CAST(n_events AS DECIMAL(19,0)) * n_events AS DOUBLE)
         |    AS simpson
         |FROM u""".stripMargin,
     "q286_split_sourcing" ->
@@ -4385,13 +4390,15 @@ object SparkEntry {
     "q306_name_key_audit" ->
       """WITH c AS (SELECT 'customer' AS entity,
         |    CAST(count(*) AS BIGINT) AS n_rows,
-        |    CAST(sum(CASE WHEN CAST(string_split(c_name, '#')[-1] AS BIGINT)
-        |      = c_custkey THEN 0 ELSE 1 END) AS BIGINT) AS mismatches
+        |    CAST(sum(CASE WHEN TRY_CAST(string_split(c_name, '#')[-1]
+        |      AS BIGINT) = c_custkey THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS mismatches
         |  FROM customer),
         |s AS (SELECT 'supplier' AS entity,
         |    CAST(count(*) AS BIGINT) AS n_rows,
-        |    CAST(sum(CASE WHEN CAST(string_split(s_name, '#')[-1] AS BIGINT)
-        |      = s_suppkey THEN 0 ELSE 1 END) AS BIGINT) AS mismatches
+        |    CAST(sum(CASE WHEN TRY_CAST(string_split(s_name, '#')[-1]
+        |      AS BIGINT) = s_suppkey THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS mismatches
         |  FROM supplier)
         |SELECT entity, n_rows, mismatches,
         |  CAST(mismatches AS DOUBLE) / CAST(n_rows AS DOUBLE)

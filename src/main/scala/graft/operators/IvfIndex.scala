@@ -39,8 +39,13 @@ object IvfIndex {
     * centers — the standard IVF practice — so the iterative fit costs
     * O(sample × iters) no matter how large the corpus grows; only the
     * single map-only assignment pass scales with corpus size. */
+  /** Default quantizer training budget — shared with the q223 health
+    * report, which surfaces the implied sampling rate next to the cell
+    * skew so a 100 TB operator sees BOTH knobs of index quality. */
+  val DefaultFitSampleSize: Int = 25000
+
   def build(corpus: DataFrame, nCells: Int,
-      fitSampleSize: Int = 25000): IvfIndex = {
+      fitSampleSize: Int = DefaultFitSampleSize): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // an under-sized training budget would silently materialize fewer or

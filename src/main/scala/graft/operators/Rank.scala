@@ -118,6 +118,54 @@ object Rank {
     ranked.withColumn(outCol, bucket.cast("int")).drop("__rn")
   }
 
+  /** Append `rnCol` = 1-based row number WITHIN each `groupCols` group
+    * under the `sortCols` total order, plus `nCol` = the group's row
+    * count — `row_number() OVER (PARTITION BY g ORDER BY …)` without the
+    * entity-sized per-group sort task a handful-of-groups partitioning
+    * degenerates into (5 market segments ⇒ 5 tasks each sorting n/5 rows:
+    * the q293/q310 cliff this exists to remove).
+    *
+    * Shape: range-repartition on (groupCols ++ sortCols) — a BIG group
+    * spans many contiguous range partitions, so its sort spreads across
+    * them — then rank within (partition, group) and add per-(partition,
+    * group) prefix offsets. The offset table has at most one row per
+    * (partition, group-touching-it) pair: ranges are contiguous, so that
+    * is ≤ numPartitions + |groups| rows — metadata, computed as a
+    * DataFrame (broadcast self-join, as [[prefixMax]]), never collected.
+    * Group totals ride the same count table. Callers pass a TOTAL order
+    * within the group (unique tiebreaker), same contract as
+    * [[globalRowNumber]]; group columns must be non-null. */
+  def groupRowNumberAndTotal(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], rnCol: String = "rn",
+      nCol: String = "n"): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val rangeKey = groupCols.map(col) ++ sortCols
+    val ranged = graft.Lineage.truncate(
+      df.repartitionByRange(parts, rangeKey: _*)
+        .withColumn("__pid", spark_partition_id()), reliable = false).df
+    val counts = ranged
+      .groupBy(col("__pid") +: groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val sameGroup = groupCols
+      .map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")),
+        sameGroup && col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid") +:
+        groupCols.map(c => col(s"a.$c").as(c)): _*)
+      .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
+    val totals = counts.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__c")).as(nCol))
+    val w = Window.partitionBy(col("__pid") +: groupCols.map(col): _*)
+      .orderBy(sortCols: _*)
+    ranged
+      .join(broadcast(offsets), "__pid" +: groupCols)
+      .join(broadcast(totals), groupCols)
+      .withColumn(rnCol, row_number().over(w).cast("long") + col("__off"))
+      .drop("__pid", "__off")
+  }
+
   /** [[globalRowNumber]] plus the exact total row count — FREE, it is the
     * sum of the per-partition counts the offset pass already collected (a
     * caller needing rank AND n must not pay a second scan). */

@@ -3978,9 +3978,12 @@ object Relational {
       count(lit(1)).as("m2"), // 2·|E|
       sum($"du".cast(DecimalType(38, 0))).as("sx"),
       sum($"dv".cast(DecimalType(38, 0))).as("sy"),
-      sum(($"du" * $"dv").cast(DecimalType(38, 0))).as("sxy"),
-      sum(($"du" * $"du").cast(DecimalType(38, 0))).as("sxx"),
-      sum(($"dv" * $"dv").cast(DecimalType(38, 0))).as("syy"))
+      sum(($"du".cast(DecimalType(19, 0)) * $"dv").cast(DecimalType(38, 0)))
+        .as("sxy"),
+      sum(($"du".cast(DecimalType(19, 0)) * $"du").cast(DecimalType(38, 0)))
+        .as("sxx"),
+      sum(($"dv".cast(DecimalType(19, 0)) * $"dv").cast(DecimalType(38, 0)))
+        .as("syy"))
     val md = $"m2".cast("double")
     val cov = md * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double")
     val vx = md * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double")
@@ -4280,11 +4283,12 @@ object Relational {
     * Exactness: spend is an exact integer-cent sum; rank selection picks
     * an actual data value (ties need no tiebreak — a tied rank carries
     * one value); zero fp until the selected values emit. Scale: the
-    * orders rollup is customer-keyed partial agg; the rank window
-    * partitions by segment — few partitions, so at 100 TB this is the
-    * one deliberately skew-exposed sort here (each segment ≈ n/5
-    * customers); the standing mitigation is the q268 device per
-    * sub-range or AQE skew handling, noted rather than hidden. */
+    * orders rollup is customer-keyed partial agg; the per-segment rank
+    * rides [[Rank.groupRowNumberAndTotal]]'s range exchange on
+    * (segment, cents, custkey) — each ≈n/5-customer segment spreads over
+    * MANY contiguous range partitions instead of funneling through one
+    * task's sort (the r14-flagged cliff), with metadata-sized offset
+    * broadcasts carrying the per-group prefix. */
   def q293SegmentQuartiles(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.customer(spark, dir)
       .join(Tables.orders(spark, dir)
@@ -4293,11 +4297,8 @@ object Relational {
         $"c_custkey" === $"o_custkey", "left")
       .select($"c_mktsegment".as("segment"), $"c_custkey",
         coalesce($"sp", lit(0L)).as("cents"))
-    val bySeg = Window.partitionBy($"segment").orderBy($"cents", $"c_custkey")
-    val seg = Window.partitionBy($"segment")
-    val ranked = spend
-      .withColumn("rk", row_number().over(bySeg).cast("long"))
-      .withColumn("n", count(lit(1)).over(seg))
+    val ranked = Rank.groupRowNumberAndTotal(spend, Seq("segment"),
+        Seq($"cents", $"c_custkey"), "rk", "n")
       // ceil(q·n) via floor((q·n + den−1)/den): the fp divisions are exact
       // (dyadic quarters), floor lands on the integer rank — q278's rule
       .withColumn("r25", floor(($"n" + 3) / 4))
@@ -4655,19 +4656,16 @@ object Relational {
     * sketch.
     *
     * Exactness: rank selection picks actual data cents — zero fp.
-    * Scale: A157's posture — the rank window partitions by type (few
-    * partitions, skew-exposed, noted; the q268 sub-range device is the
-    * standing mitigation). */
+    * Scale: A157's cured posture — the per-type rank rides
+    * [[Rank.groupRowNumberAndTotal]]'s range exchange on (type, cents,
+    * id), so a hot event type spreads across range partitions instead of
+    * one task's sort (the r14-flagged cliff). */
   def q310ValueQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.events(spark, dir)
       .select($"event_type", $"event_id",
         (money($"value") * 100).cast("long").as("cents"))
-    val byType = Window.partitionBy($"event_type")
-      .orderBy($"cents", $"event_id")
-    val t = Window.partitionBy($"event_type")
-    val ranked = v
-      .withColumn("rk", row_number().over(byType).cast("long"))
-      .withColumn("n", count(lit(1)).over(t))
+    val ranked = Rank.groupRowNumberAndTotal(v, Seq("event_type"),
+        Seq($"cents", $"event_id"), "rk", "n")
       .withColumn("r50", floor(($"n" + 1) / 2))
       .withColumn("r90", floor((lit(9) * $"n" + 9) / 10))
       .withColumn("r99", floor((lit(99) * $"n" + 99) / 100))

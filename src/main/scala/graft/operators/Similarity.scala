@@ -655,11 +655,19 @@ object Similarity {
     * rows; every window runs on that nCells-bounded frame. Rows-only
     * (k-means cells aren't SQL); the spec checks the shares are a
     * partition of the corpus and the cumulative column is the sorted
-    * prefix sum. */
+    * prefix sum.
+    *
+    * The report also surfaces the quantizer's TRAINING sampling rate
+    * (`sample_fraction` = min(1, fitSampleSize/corpus)): at 100 TB the
+    * k-means fits on a bounded sample by design, and an operator reading
+    * cell skew should see the rate that produced those cells next to it
+    * — a skewed report at a tiny fraction says "train bigger" before it
+    * says "re-shard". */
   def q223IvfBalance(spark: SparkSession, dir: String,
-      nCells: Int = 16): DataFrame = {
+      nCells: Int = 16,
+      fitSampleSize: Int = IvfIndex.DefaultFitSampleSize): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val built = IvfIndex.build(e, nCells)
+    val built = IvfIndex.build(e, nCells, fitSampleSize)
     val sizes = built.assignments.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vectors"))
     val whole = Window.partitionBy() // ≤nCells rows — bounded
@@ -674,7 +682,10 @@ object Similarity {
         (col("n_vectors").cast("double") * col("n_cells").cast("double")
           / col("total").cast("double")).as("ratio_to_mean"),
         (sum(col("n_vectors")).over(bySize).cast("double")
-          / col("total").cast("double")).as("cum_share_if_probed_first"))
+          / col("total").cast("double")).as("cum_share_if_probed_first"),
+        least(lit(1.0),
+          lit(fitSampleSize.toDouble) / col("total").cast("double"))
+          .as("sample_fraction"))
   }
 
   // ---------------------------------------------------------------- C100

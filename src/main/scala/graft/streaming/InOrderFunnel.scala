@@ -38,20 +38,21 @@ case class FunnelPosition(user_id: Long, first_view_us: Option[Long],
  *
  * Emission: Update mode, a row per user per batch in which anything
  * changed (including the stage-0 row on first sight — batch q82 lists
- * every user with any event). State: four longs per user, TTL knob for
- * idle keys in production (default NONE — replays stay exact).
+ * every user with any event). State: four longs per user; idle keys
+ * are bounded via the `ttl` parameter in production (default NONE —
+ * replays stay exact).
  */
 object InOrderFunnel {
 
   private val Unset = -1L
   private type S = (Long, Long, Long, Long) // (lastUs, fv, fc, fp)
 
-  private class Proc
+  private class Proc(ttl: TTLConfig)
       extends StatefulProcessor[Long, (Long, Long, String), FunnelPosition] {
     @transient private var st: ValueState[S] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[S]("fun", Encoders.kryo[S], TTLConfig.NONE)
+      st = getHandle.getValueState[S]("fun", Encoders.kryo[S], ttl)
 
     override def handleInputRows(key: Long,
         rows: Iterator[(Long, Long, String)],
@@ -90,9 +91,13 @@ object InOrderFunnel {
 
   /** Track funnel positions over a `(user_id, us, event_type)` stream;
     * run with `outputMode("update")` — keep each user's max-stage row. */
-  def track(events: Dataset[(Long, Long, String)]): Dataset[FunnelPosition] = {
+  def track(events: Dataset[(Long, Long, String)],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[FunnelPosition] = {
     import events.sparkSession.implicits._
+    // state TTL needs a clock: NONE keeps TimeMode.None (replay-exact)
+    val tm = if (ttl == TTLConfig.NONE) TimeMode.None()
+    else TimeMode.ProcessingTime()
     events.groupByKey(_._1)
-      .transformWithState(new Proc, TimeMode.None(), OutputMode.Update())
+      .transformWithState(new Proc(ttl), tm, OutputMode.Update())
   }
 }

@@ -37,7 +37,8 @@ final class MaterializedView private (
     trigger: Trigger,
     numBuckets: Int,
     dropIfExists: Boolean,
-    bootstrap: Option[DataFrame]) {
+    bootstrap: Option[DataFrame],
+    sinkOverride: Option[(DataFrame, Long) => Unit]) {
 
   /** The maintained view (unstarted plan). */
   def view: DataFrame = query(source)
@@ -115,11 +116,17 @@ final class MaterializedView private (
     require(cols.contains(versionColumn), s"version column $versionColumn missing from $cols")
     if (dropIfExists) { // TiFlinkApp's dropOldTable/force mode
       val conf = v.sparkSession.sparkContext.hadoopConfiguration
-      Seq(targetPath, checkpointLocation).foreach { p =>
+      (Option(targetPath).toSeq :+ checkpointLocation).foreach { p =>
         val path = new org.apache.hadoop.fs.Path(p)
         path.getFileSystem(conf).delete(path, true)
       }
-    } else checkTargetSchema(v)
+    } else if (sinkOverride.isEmpty) checkTargetSchema(v)
+    // the batch applier: the default bucketed-parquet upsert, or the
+    // caller's sink (e.g. [[JdbcUpsertSink]] — the reference's target IS
+    // the database); bootstrap and stream go through the SAME one
+    val sinkFn: (DataFrame, Long) => Unit = sinkOverride.getOrElse(
+      UpsertSink.forStream(
+        targetPath, pks, versionColumn, deleteColumn, numBuckets))
     // SNAPSHOT-THEN-STREAM bootstrap — the reference's two-phase start
     // (FlinkTikvConsumer.java:133-159: full scan of the source table at a
     // start timestamp emitted as INSERT rows, then the changefeed from
@@ -146,8 +153,7 @@ final class MaterializedView private (
         require(v0.columns.toSet == cols,
           s"bootstrap snapshot produces ${v0.columns.toSet} through the " +
             s"query but the stream produces $cols — same query, same shape")
-        UpsertSink.forStream(
-          targetPath, pks, versionColumn, deleteColumn, numBuckets)(v0, -1L)
+        sinkFn(v0, -1L)
         val out = fs.create(marker, true)
         try out.writeBytes("1") finally out.close()
       }
@@ -163,8 +169,7 @@ final class MaterializedView private (
       .outputMode("update")
       .trigger(trigger)
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch(UpsertSink.forStream(
-        targetPath, pks, versionColumn, deleteColumn, numBuckets))
+      .foreachBatch(sinkFn)
       .start()
   }
 }
@@ -185,6 +190,7 @@ object MaterializedView {
     private var numBuckets: Int = 64
     private var dropIfExists: Boolean = false
     private var bootstrap: Option[DataFrame] = None
+    private var sinkOverride: Option[(DataFrame, Long) => Unit] = None
 
     def setSource(df: DataFrame): Builder = { source = df; this }
     /** Transform applied to the source — TiFlinkApp.Builder.setQuery analog.
@@ -227,6 +233,19 @@ object MaterializedView {
       bootstrap = Some(snapshot); this
     }
 
+    /** Replace the default bucketed-parquet upsert with a caller sink —
+      * pass [[JdbcUpsertSink]] and the maintained view lands INSIDE a
+      * database, the reference's own target shape (its 2PC sink commits
+      * the view into TiKV, TiFlinkApp.java). Bootstrap and every
+      * micro-batch apply through this same function (bootstrap uses
+      * batch id -1, below the stream's 0-based ids, so an
+      * exactly-once sink's fence scopes it separately); `targetPath`
+      * becomes optional. Exactly-once is the SINK's job here, as it is
+      * for the parquet path. */
+    def setSink(sink: (DataFrame, Long) => Unit): Builder = {
+      sinkOverride = Some(sink); this
+    }
+
     /** Apply a VALIDATED deployment config ([[graft.GraftOptions]] — the
       * TiFlinkOptions analog): trigger cadence, bucket count, watermark,
       * rebuild mode. Explicit setters called after this still win. */
@@ -248,7 +267,8 @@ object MaterializedView {
 
     def build(): MaterializedView = {
       require(source != null, "source must be specified")
-      require(targetPath != null, "targetPath must be specified")
+      require(targetPath != null || sinkOverride.isDefined,
+        "targetPath must be specified (or a custom sink set)")
       require(checkpointLocation != null, "checkpointLocation must be specified")
       val q = catalogDir match {
         case Some(d) =>
@@ -266,7 +286,7 @@ object MaterializedView {
       }
       new MaterializedView(source, qWm, targetPath, primaryKeys,
         versionColumn, deleteColumn, checkpointLocation, trigger, numBuckets,
-        dropIfExists, bootstrap)
+        dropIfExists, bootstrap, sinkOverride)
     }
   }
 }

@@ -26,18 +26,20 @@ case class CadenceStats(o_custkey: Long, n_orders: Long,
  * the gap MULTISET is invariant to their order). A date regression
  * throws loudly: the true predecessor gap is unknowable.
  *
- * State per customer: three longs + one BigInt regardless of history.
+ * State per customer: three longs + one BigInt regardless of history;
+ * idle keys are bounded via the `ttl` parameter in production (default
+ * NONE — replays stay exact).
  */
 object StreamingCadence {
 
   private type S = (Long, Long, Long, BigInt) // (lastDay, m, sg, sg2)
 
-  private class Proc
+  private class Proc(ttl: TTLConfig)
       extends StatefulProcessor[Long, (Long, Long, Long), CadenceStats] {
     @transient private var st: ValueState[S] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[S]("cad", Encoders.kryo[S], TTLConfig.NONE)
+      st = getHandle.getValueState[S]("cad", Encoders.kryo[S], ttl)
 
     override def handleInputRows(key: Long,
         rows: Iterator[(Long, Long, Long)],
@@ -71,9 +73,13 @@ object StreamingCadence {
 
   /** Track cadence over a `(custkey, orderkey, epochDay)` order stream;
     * run with `outputMode("update")` — keep each key's max-n row. */
-  def track(orders: Dataset[(Long, Long, Long)]): Dataset[CadenceStats] = {
+  def track(orders: Dataset[(Long, Long, Long)],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[CadenceStats] = {
     import orders.sparkSession.implicits._
+    // state TTL needs a clock: NONE keeps TimeMode.None (replay-exact)
+    val tm = if (ttl == TTLConfig.NONE) TimeMode.None()
+    else TimeMode.ProcessingTime()
     orders.groupByKey(_._1)
-      .transformWithState(new Proc, TimeMode.None(), OutputMode.Update())
+      .transformWithState(new Proc(ttl), tm, OutputMode.Update())
   }
 }

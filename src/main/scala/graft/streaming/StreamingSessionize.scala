@@ -30,8 +30,9 @@ case class SessionizedEvent(event_id: Long, user_id: Long, us: Long,
  *
  * State per user: TWO longs (last event time, session counter)
  * regardless of history length — checkpointed, exactly-once;
- * idle-user growth is bounded with the TTL knob in production (default
- * NONE so replays of old feeds stay exact).
+ * idle-user growth is bounded via the `ttl` parameter in production
+ * (default NONE so replays of old feeds stay exact — an expired user
+ * restarts at session 1).
  */
 object StreamingSessionize {
 
@@ -40,12 +41,12 @@ object StreamingSessionize {
 
   private type S = (Long, Long) // (lastUs, seq)
 
-  private class Proc(gapUs: Long)
+  private class Proc(gapUs: Long, ttl: TTLConfig)
       extends StatefulProcessor[Long, (Long, Long, Long), SessionizedEvent] {
     @transient private var st: ValueState[S] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[S]("sess", Encoders.kryo[S], TTLConfig.NONE)
+      st = getHandle.getValueState[S]("sess", Encoders.kryo[S], ttl)
 
     override def handleInputRows(key: Long,
         rows: Iterator[(Long, Long, Long)],
@@ -71,10 +72,14 @@ object StreamingSessionize {
   /** Stamp a `(event_id, user_id, us)` stream with session numbers; run
     * with `outputMode("append")` — assignments are final. */
   def assign(events: Dataset[(Long, Long, Long)],
-      gapUs: Long = DefaultGapUs): Dataset[SessionizedEvent] = {
+      gapUs: Long = DefaultGapUs,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[SessionizedEvent] = {
     import events.sparkSession.implicits._
+    // state TTL needs a clock: NONE keeps TimeMode.None (replay-exact),
+    // a real TTL rides processing time — Spark rejects TTL without it
+    val tm = if (ttl == TTLConfig.NONE) TimeMode.None()
+    else TimeMode.ProcessingTime()
     events.groupByKey(_._2)
-      .transformWithState(new Proc(gapUs), TimeMode.None(),
-        OutputMode.Append())
+      .transformWithState(new Proc(gapUs, ttl), tm, OutputMode.Append())
   }
 }

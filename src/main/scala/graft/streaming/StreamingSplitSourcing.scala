@@ -14,10 +14,15 @@ case class SplitSourcingFlag(l_orderkey: Long, l_partkey: Long,
  * [[graft.operators.Relational.q286SplitSourcing]] (A151): an (order,
  * part) group is flagged the moment a SECOND distinct supplier ships
  * against it (double allocation / split shipment), live on the lineitem
- * feed instead of in the nightly rollup. Batch q286 then rolls flags to
- * per-brand shares — a ≤\|brands\| aggregation any consumer runs over
- * the emitted flags; the stateful part is the distinct-supplier count,
- * and that is what this processor maintains.
+ * feed instead of in the nightly rollup. The stateful part is the
+ * distinct-supplier count, and that is what this processor maintains.
+ * A consumer rolling the flags per brand recovers batch q286's split
+ * NUMERATORS (`split_groups`) exactly; the share DENOMINATOR
+ * (`order_part_groups`, which counts sub-threshold groups too) is NOT
+ * derivable from this stream — by design, since emitting a first-sight
+ * row per group would turn the overwhelmingly-common single-supplier
+ * case into state-store and sink traffic. Take denominators from the
+ * batch rollup (or a plain streaming count over the same feed).
  *
  * The distinct count is ORDER-INDEPENDENT (a set cares nothing for
  * arrival order), so unlike the event-time twins no ordering contract
@@ -25,9 +30,9 @@ case class SplitSourcingFlag(l_orderkey: Long, l_partkey: Long,
  * counts over any prefix under ANY slicing or reordering (the
  * StreamingDupOrders discipline, with set semantics). State per active
  * group is the distinct supplier-key set — bounded by the handful of
- * suppliers an order line can realistically split across, with the
- * usual TTL knob for closed orders in production (default NONE so
- * replays stay exact).
+ * suppliers an order line can realistically split across; closed-order
+ * state is bounded via the `ttl` parameter in production (default NONE
+ * so replays stay exact).
  *
  * Emission: Update mode, a row whenever the group's distinct count
  * GROWS past 1 — sub-threshold groups (the overwhelming majority) never
@@ -37,12 +42,12 @@ object StreamingSplitSourcing {
 
   private type S = Array[Long] // distinct suppkeys seen (tiny)
 
-  private class Proc
+  private class Proc(ttl: TTLConfig)
       extends StatefulProcessor[(Long, Long), (Long, Long, Long), SplitSourcingFlag] {
     @transient private var st: ValueState[S] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[S]("sup", Encoders.kryo[S], TTLConfig.NONE)
+      st = getHandle.getValueState[S]("sup", Encoders.kryo[S], ttl)
 
     override def handleInputRows(key: (Long, Long),
         rows: Iterator[(Long, Long, Long)],
@@ -61,9 +66,13 @@ object StreamingSplitSourcing {
   /** Flag split-sourced groups over a `(orderkey, partkey, suppkey)`
     * line stream; run with `outputMode("update")` — keep each group's
     * max-count row. */
-  def track(lines: Dataset[(Long, Long, Long)]): Dataset[SplitSourcingFlag] = {
+  def track(lines: Dataset[(Long, Long, Long)],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[SplitSourcingFlag] = {
     import lines.sparkSession.implicits._
+    // state TTL needs a clock: NONE keeps TimeMode.None (replay-exact)
+    val tm = if (ttl == TTLConfig.NONE) TimeMode.None()
+    else TimeMode.ProcessingTime()
     lines.groupByKey(r => (r._1, r._2))
-      .transformWithState(new Proc, TimeMode.None(), OutputMode.Update())
+      .transformWithState(new Proc(ttl), tm, OutputMode.Update())
   }
 }

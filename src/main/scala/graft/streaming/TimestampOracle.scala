@@ -56,8 +56,8 @@ object TimestampOracle {
     extends IllegalStateException(msg)
 
   private def tsoDir(root: String) = new Path(root, "_tso")
-  private def fsOf(spark: SparkSession, root: String) =
-    tsoDir(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def fsOf(conf: org.apache.hadoop.conf.Configuration, root: String) =
+    tsoDir(root).getFileSystem(conf)
 
   private def listEntries(fs: org.apache.hadoop.fs.FileSystem,
       dir: Path): Seq[(String, Long, Long)] =
@@ -134,8 +134,14 @@ object TimestampOracle {
     * below the floor is that its abort verdict was delivered and then
     * compacted — a marker's absence past the floor must not read as
     * "never aborted". */
-  def commit(spark: SparkSession, root: String, ts: Ts): Unit = {
-    val fs = fsOf(spark, root)
+  def commit(spark: SparkSession, root: String, ts: Ts): Unit =
+    commit(spark.sparkContext.hadoopConfiguration, root, ts)
+
+  /** [[commit]] from a bare Configuration — the overload [[TsoServer]]
+    * serves over TCP (no Spark runtime on the oracle host). */
+  def commit(conf: org.apache.hadoop.conf.Configuration, root: String,
+      ts: Ts): Unit = {
+    val fs = fsOf(conf, root)
     val dir = tsoDir(root)
     def fenceIfCompactedPast(): Unit = {
       val floor = readFloor(fs, dir)
@@ -167,8 +173,13 @@ object TimestampOracle {
   }
 
   /** Resolve `ts` as aborted (idempotent). */
-  def abort(spark: SparkSession, root: String, ts: Ts): Unit = {
-    val fs = fsOf(spark, root)
+  def abort(spark: SparkSession, root: String, ts: Ts): Unit =
+    abort(spark.sparkContext.hadoopConfiguration, root, ts)
+
+  /** [[abort]] from a bare Configuration (the [[TsoServer]] seam). */
+  def abort(conf: org.apache.hadoop.conf.Configuration, root: String,
+      ts: Ts): Unit = {
+    val fs = fsOf(conf, root)
     fs.create(new Path(tsoDir(root), s"a=${ts.ts}"), true).close()
   }
 
@@ -178,8 +189,13 @@ object TimestampOracle {
     * than `leaseMs` are aborted in passing (marker written — the verdict
     * is durable, so a stalled holder's later commit fences loudly). */
   def safePoint(spark: SparkSession, root: String,
-      leaseMs: Long = DefaultLeaseMs): Long = {
-    val fs = fsOf(spark, root)
+      leaseMs: Long = DefaultLeaseMs): Long =
+    safePoint(spark.sparkContext.hadoopConfiguration, root, leaseMs)
+
+  /** [[safePoint]] from a bare Configuration (the [[TsoServer]] seam). */
+  def safePoint(conf: org.apache.hadoop.conf.Configuration, root: String,
+      leaseMs: Long): Long = {
+    val fs = fsOf(conf, root)
     val dir = tsoDir(root)
     val entries = listEntries(fs, dir)
     val resolved = entries.collect {
@@ -204,10 +220,15 @@ object TimestampOracle {
     * safe point and record it as the `_floor` — keeps `_tso` listings
     * bounded by in-flight work, the role TiKV GC plays for old versions. */
   def gc(spark: SparkSession, root: String,
-      leaseMs: Long = DefaultLeaseMs): Long = {
-    val fs = fsOf(spark, root)
+      leaseMs: Long = DefaultLeaseMs): Long =
+    gc(spark.sparkContext.hadoopConfiguration, root, leaseMs)
+
+  /** [[gc]] from a bare Configuration (the [[TsoServer]] seam). */
+  def gc(conf: org.apache.hadoop.conf.Configuration, root: String,
+      leaseMs: Long): Long = {
+    val fs = fsOf(conf, root)
     val dir = tsoDir(root)
-    val sp = safePoint(spark, root, leaseMs)
+    val sp = safePoint(conf, root, leaseMs)
     s"graft.tso:$dir".intern().synchronized {
       val floorPath = new Path(dir, "_floor")
       if (sp > readFloor(fs, dir)) {
@@ -238,16 +259,26 @@ object TimestampOracle {
     * consistency fence; any failure aborts the timestamp so the safe
     * point is never held back by a dead writer longer than the lease. */
   def publishGlobal(spark: SparkSession, root: String, table: String,
-      keep: Int = 3)(make: () => DataFrame): Long = {
-    val ts = begin(spark, root)
+      keep: Int = 3)(make: () => DataFrame): Long =
+    publishGlobalVia(
+      FileTso(spark.sparkContext.hadoopConfiguration, root),
+      spark, root, table, keep)(make)
+
+  /** [[publishGlobal]] against ANY oracle transport — pass [[TcpTso]]
+    * and the timestamps come from a [[TsoServer]] over the network (the
+    * grpc-served coordinator shape): the DATA still lands in the shared
+    * snapshot store, but the ORDER authority needs only a socket. */
+  def publishGlobalVia(tso: TsoProvider, spark: SparkSession, root: String,
+      table: String, keep: Int = 3)(make: () => DataFrame): Long = {
+    val ts = tso.begin()
     try {
       SnapshotStore.publishComputed(
         spark, new Path(root, table).toString, ts.ts, keep)(make)
-      commit(spark, root, ts)
+      tso.commit(ts)
       ts.ts
     } catch {
       case e: Throwable =>
-        try abort(spark, root, ts)
+        try tso.abort(ts)
         catch { case scala.util.control.NonFatal(_) => () }
         throw e
     }
@@ -263,18 +294,27 @@ object TimestampOracle {
     * ALL-OR-NOTHING: its epochs become safe only once the shared
     * timestamp resolves. Any failure aborts the timestamp. */
   def publishAllGlobal(spark: SparkSession, root: String,
-      tables: Seq[(String, () => DataFrame)], keep: Int = 3): Long = {
-    val ts = begin(spark, root)
+      tables: Seq[(String, () => DataFrame)], keep: Int = 3): Long =
+    publishAllGlobalVia(
+      FileTso(spark.sparkContext.hadoopConfiguration, root),
+      spark, root, tables, keep)
+
+  /** [[publishAllGlobal]] against ANY oracle transport ([[TcpTso]] /
+    * [[FileTso]]) — the 2PC fan-out stamped by a network coordinator. */
+  def publishAllGlobalVia(tso: TsoProvider, spark: SparkSession,
+      root: String, tables: Seq[(String, () => DataFrame)],
+      keep: Int = 3): Long = {
+    val ts = tso.begin()
     try {
       SnapshotStore.publishAllComputed(
         tables.map { case (t, make) =>
           (spark, new Path(root, t).toString, make) },
         ts.ts, keep)
-      commit(spark, root, ts)
+      tso.commit(ts)
       ts.ts
     } catch {
       case e: Throwable =>
-        try abort(spark, root, ts)
+        try tso.abort(ts)
         catch { case scala.util.control.NonFatal(_) => () }
         throw e
     }

@@ -1,0 +1,163 @@
+package graft.streaming
+
+import org.apache.hadoop.conf.Configuration
+
+/**
+ * The timestamp oracle served over a REAL network transport — the analog
+ * of the reference coordinator being a grpc SERVICE
+ * (flink/.../coordinator/grpc/GrpcService.java:20-99 serves timestamps,
+ * GrpcProvider.java wires the channel, GrpcClient.java is the caller
+ * seam): any driver with a network path to the [[TsoServer]] coordinates,
+ * no shared filesystem required. [[TimestampOracle]]'s file CAS stays as
+ * the HDFS/object-store path; this is the same oracle behind a socket.
+ *
+ * Split of responsibilities:
+ *   - [[TsoServer]] OWNS the oracle state: it fronts the file-based
+ *     [[TimestampOracle]] on its own root, so every verdict (allocation,
+ *     commit/abort, gc floor) is DURABLE — a restarted server resumes the
+ *     same monotone sequence, exactly like the reference coordinator
+ *     recovering its high-water mark from the backing store. Only the
+ *     server touches those files; clients never need the filesystem.
+ *   - [[TcpTso]] is the client: one UTF-8 request line per connection
+ *     (the [[graft.sources.SocketLogProtocol]] discipline, incl. the
+ *     explicit `OK`/`FENCED`/`ERR` response header so a dropped
+ *     connection can never read as an answer).
+ *
+ * Wire protocol:
+ *   `BEGIN`            → `OK <ts>`
+ *   `COMMIT <ts>`      → `OK <ts>` | `FENCED <reason>` (abort won — the
+ *                        client throws [[TimestampOracle.TimestampFencedException]])
+ *   `ABORT <ts>`       → `OK <ts>` (idempotent)
+ *   `SAFEPOINT <leaseMs>` → `OK <sp>`
+ *   `GC <leaseMs>`     → `OK <sp>`
+ *   anything else      → `ERR <reason>`
+ *
+ * [[TsoProvider]] abstracts the two transports so the publish/commit
+ * choreography ([[TimestampOracle.publishGlobalVia]]) is written once and
+ * runs against either — the spec drives the SAME skew-free pinned-read
+ * scenarios through TCP that the file provider passes.
+ */
+trait TsoProvider {
+  def begin(): TimestampOracle.Ts
+  def commit(ts: TimestampOracle.Ts): Unit
+  def abort(ts: TimestampOracle.Ts): Unit
+  def safePoint(leaseMs: Long = TimestampOracle.DefaultLeaseMs): Long
+  def gc(leaseMs: Long = TimestampOracle.DefaultLeaseMs): Long
+}
+
+/** The filesystem-CAS oracle as a provider — the HDFS/object-store path
+  * (atomic create at the namenode / conditional PUT). */
+final case class FileTso(conf: Configuration, root: String)
+    extends TsoProvider {
+  def begin(): TimestampOracle.Ts = TimestampOracle.begin(conf, root)
+  def commit(ts: TimestampOracle.Ts): Unit =
+    TimestampOracle.commit(conf, root, ts)
+  def abort(ts: TimestampOracle.Ts): Unit =
+    TimestampOracle.abort(conf, root, ts)
+  def safePoint(leaseMs: Long): Long =
+    TimestampOracle.safePoint(conf, root, leaseMs)
+  def gc(leaseMs: Long): Long = TimestampOracle.gc(conf, root, leaseMs)
+}
+
+/** Network client for a [[TsoServer]] — needs only (host, port), never a
+  * filesystem. Every call is one request line on a fresh connection; a
+  * missing/ERR header throws instead of defaulting (a masked BEGIN could
+  * hand two writers one timestamp). */
+final case class TcpTso(host: String, port: Int) extends TsoProvider {
+
+  private def request(line: String): String = {
+    val s = new java.net.Socket(host, port)
+    try {
+      val out = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8"))
+      out.write(line); out.write("\n"); out.flush()
+      s.shutdownOutput()
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
+      val resp = in.readLine()
+      if (resp == null) throw new java.io.IOException(
+        s"tso server gave no response to '$line'")
+      resp
+    } finally s.close()
+  }
+
+  private def ok(line: String): Long = {
+    val resp = request(line)
+    if (resp.startsWith("OK ")) resp.stripPrefix("OK ").trim.toLong
+    else if (resp.startsWith("FENCED "))
+      throw new TimestampOracle.TimestampFencedException(
+        resp.stripPrefix("FENCED "))
+    else throw new java.io.IOException(
+      s"tso server rejected '$line': $resp")
+  }
+
+  def begin(): TimestampOracle.Ts = TimestampOracle.Ts(ok("BEGIN"))
+  def commit(ts: TimestampOracle.Ts): Unit = ok(s"COMMIT ${ts.ts}")
+  def abort(ts: TimestampOracle.Ts): Unit = ok(s"ABORT ${ts.ts}")
+  def safePoint(leaseMs: Long): Long = ok(s"SAFEPOINT $leaseMs")
+  def gc(leaseMs: Long): Long = ok(s"GC $leaseMs")
+}
+
+/** The oracle as a network service on an ephemeral port. State lives in
+  * the file oracle under `root` on the SERVER's filesystem (durable —
+  * close and reopen resumes the sequence); concurrent client requests
+  * are safe because the underlying CAS already arbitrates them. */
+final class TsoServer(conf: Configuration, root: String)
+    extends AutoCloseable {
+  private val server = new java.net.ServerSocket(0)
+  def port: Int = server.getLocalPort
+  def host: String = "localhost"
+
+  private val acceptor = new Thread(() => {
+    while (!server.isClosed) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock))
+        t.setDaemon(true); t.start()
+      } catch { case _: Exception => () } // closed during accept
+    }
+  })
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def serve(s: java.net.Socket): Unit =
+    try {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
+      val out = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8"))
+      val req = in.readLine()
+      val resp: String =
+        try {
+          if (req == null) "ERR empty request"
+          else req.trim.split("\\s+").toSeq match {
+            case Seq("BEGIN") =>
+              s"OK ${TimestampOracle.begin(conf, root).ts}"
+            case Seq("COMMIT", n) =>
+              TimestampOracle.commit(conf, root,
+                TimestampOracle.Ts(n.toLong))
+              s"OK $n"
+            case Seq("ABORT", n) =>
+              TimestampOracle.abort(conf, root,
+                TimestampOracle.Ts(n.toLong))
+              s"OK $n"
+            case Seq("SAFEPOINT", lease) =>
+              s"OK ${TimestampOracle.safePoint(conf, root, lease.toLong)}"
+            case Seq("GC", lease) =>
+              s"OK ${TimestampOracle.gc(conf, root, lease.toLong)}"
+            case _ => "ERR bad request"
+          }
+        } catch {
+          case e: TimestampOracle.TimestampFencedException =>
+            // a VERDICT, not a failure: the client must throw its own
+            // fence, distinguishable from transport errors
+            s"FENCED ${e.getMessage.replace('\n', ' ')}"
+          case scala.util.control.NonFatal(e) =>
+            s"ERR ${e.toString.replace('\n', ' ')}"
+        }
+      out.write(resp); out.write("\n"); out.flush()
+    } catch { case _: Exception => () } // client went away
+    finally s.close()
+
+  def close(): Unit = server.close()
+}

@@ -40,4 +40,37 @@ class ChangefeedSourceSpec extends SparkSpec {
     val d = KafkaTopic("b:9092", "t", startingOffsets = "latest")
     assert(d.readerOptions("startingOffsets") === "latest")
   }
+
+  test("Kafka wiring is exactly Spark's kafka-source contract (jar-swap pin)") {
+    // the binding stays plan-level without the connector jar; this pin
+    // keeps the one-line swap honest: option KEYS must be names Spark's
+    // kafka source actually reads (a rename to e.g. 'topic' or
+    // 'bootstrap.servers' would silently no-op on a real cluster)
+    val k = KafkaTopic("b1:9092,b2:9092", "orders.cdc")
+    val sparkKafkaOptionNames = Set( // the documented source options
+      "subscribe", "subscribepattern", "assign",
+      "startingoffsets", "endingoffsets", "startingtimestamp",
+      "startingoffsetsbytimestamp", "failondataloss",
+      "maxoffsetspertrigger", "minoffsetspertrigger", "maxtriggerdelay",
+      "minpartitions", "groupidprefix", "includeheaders",
+      "kafkaconsumer.polltimeoutms", "fetchoffset.numretries",
+      "fetchoffset.retryintervalms")
+    k.readerOptions.keys.foreach { o =>
+      assert(sparkKafkaOptionNames.contains(o.toLowerCase)
+        || o.toLowerCase.startsWith("kafka."), // pass-through consumer conf
+        s"option '$o' is not in Spark's kafka-source contract")
+    }
+    // exactly ONE subscription mode, and the broker list under the
+    // kafka.-prefixed key the source requires
+    assert(k.readerOptions.keySet
+      .count(o => Set("subscribe", "subscribepattern", "assign")
+        .contains(o.toLowerCase)) === 1)
+    assert(k.readerOptions("kafka.bootstrap.servers") === "b1:9092,b2:9092")
+    // and frame() really asks Spark for the `kafka` FORMAT: without the
+    // connector jar the lookup fails BY NAME — proving the jar is the
+    // only missing piece of the swap
+    val e = intercept[Exception] { k.frame(spark) }
+    assert(e.getMessage.toLowerCase.contains("kafka"),
+      s"frame() did not resolve through the kafka format: ${e.getMessage}")
+  }
 }

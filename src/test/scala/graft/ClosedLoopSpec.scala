@@ -147,4 +147,116 @@ class ClosedLoopSpec extends SparkSpec {
       assert(derbyState() === want)
     } finally { mv2.stop(); relay2.stop() }
   }
+
+  test("database at BOTH ends from a cold start, with a mid-bootstrap restart") {
+    // the reference's COMPLETE two-phase start (FlinkTikvConsumer.java:
+    // 133-159: snapshot read OF THE DATABASE at t0, then CDC from t0)
+    // composed from graft seams: Tables.fromJdbcSplit (B66, the ranged
+    // snapshot) → setBootstrap (B59) → Debezium changefeed (B43) →
+    // JdbcUpsertSink (B61) — source database and target database, cold
+    // start, crash INSIDE the bootstrap window (after the sink applied,
+    // before the done-marker), restart, exactly once throughout
+    val srcUrl = "jdbc:derby:memory:loopsrc;create=true"
+    val dstUrl = "jdbc:derby:memory:loopdst;create=true"
+    val base = Files.createTempDirectory("loop2").toString
+    val feed = s"$base/feed"
+    Files.createDirectories(Paths.get(feed))
+
+    // the SOURCE database, pre-populated before any stream exists
+    locally {
+      val c = DriverManager.getConnection(srcUrl)
+      try {
+        val st = c.createStatement()
+        st.execute("CREATE TABLE src_rows (pk BIGINT PRIMARY KEY, " +
+          "grp VARCHAR(10), value DOUBLE)")
+        st.execute("INSERT INTO src_rows VALUES " +
+          "(1, 'a', 10.0), (2, 'a', 20.0), (3, 'b', 5.0)")
+        st.close()
+      } finally c.close()
+    }
+
+    // phase-1 snapshot: a RANGED read of the database (the
+    // TableKeyRangeUtils analog), shaped as op='r' version-0 changelog
+    // rows — everything the feed later carries must outrank it
+    def snapshot = {
+      val t = sources.Tables.fromJdbcSplit(spark, srcUrl, "src_rows", 3)
+      // Spark clamps stride partitions on a tiny key range [1,3]; what
+      // matters is the read is SPLIT, not the exact count
+      assert(t.df.rdd.getNumPartitions >= 2, "snapshot must be ranged")
+      t.df.select($"PK".as("pk"), $"GRP".as("grp"), $"VALUE".as("value"))
+        .withColumn("version", lit(0L)) // below every feed version
+        .withColumn("op", lit(sources.Debezium.Upsert))
+    }
+
+    val sink = JdbcUpsertSink(dstUrl, "live_rows", Seq("pk"),
+      deleteCol = Some("deleted"))
+    def builder(s: (DataFrame, Long) => Unit) =
+      graft.streaming.MaterializedView.newBuilder()
+        .setSource(Debezium.stream(spark, feed, rowSchema))
+        .setBootstrap(snapshot)
+        .setQuery(df =>
+          graft.streaming.ChangelogOps.latestByKey(df, Seq("pk"), "version")
+            // the decoder normalizes ops to upsert/delete (Debezium.scala)
+            .withColumn("deleted", $"op" === sources.Debezium.Delete)
+            .drop("op"))
+        .setPrimaryKeys("pk")
+        .setVersionColumn("version")
+        .setSink(s)
+        .setCheckpointLocation(s"$base/ckpt")
+
+    def dstState(): Set[(Long, String, Double)] = {
+      val c = DriverManager.getConnection(dstUrl)
+      try {
+        val rs = c.createStatement()
+          .executeQuery("SELECT PK, GRP, VALUE FROM LIVE_ROWS")
+        val b = Set.newBuilder[(Long, String, Double)]
+        while (rs.next())
+          b += ((rs.getLong("PK"), rs.getString("GRP"),
+            rs.getDouble("VALUE")))
+        b.result()
+      } finally c.close()
+    }
+
+    // ---- cold start #1 CRASHES mid-bootstrap: the sink applied the
+    // snapshot but the process dies before the done-marker lands
+    val boom = intercept[RuntimeException] {
+      builder((df, id) => { sink(df, id)
+        throw new RuntimeException("crash before bootstrap marker")
+      }).build().start()
+    }
+    assert(boom.getMessage.contains("crash before bootstrap marker"))
+    // the snapshot DID land (the crash was after the apply)...
+    assert(dstState() === Set((1L, "a", 10.0), (2L, "a", 20.0),
+      (3L, "b", 5.0)))
+    // ...and no marker exists, so a restart MUST re-run the bootstrap
+    assert(!Files.exists(Paths.get(s"$base/ckpt/_graft_bootstrap_done")))
+
+    // ---- cold start #2 resumes: the re-applied bootstrap is fenced by
+    // the sink (batch id -1 already committed — exactly once), the
+    // marker lands, and CDC takes over from the snapshot timestamp
+    val q1 = builder(sink).build().start()
+    try {
+      q1.processAllAvailable()
+      assert(dstState() === Set((1L, "a", 10.0), (2L, "a", 20.0),
+        (3L, "b", 5.0)))
+      writeFeed(feed, "00.json", Seq(
+        line("u", 1L, "a", 11.0, 2000L, 1L), // update
+        line("d", 2L, "a", 0.0, 2000L, 2L), // delete
+        line("c", 4L, "c", 7.0, 2000L, 3L))) // insert
+      q1.processAllAvailable()
+      assert(dstState() === Set((1L, "a", 11.0), (3L, "b", 5.0),
+        (4L, "c", 7.0)))
+    } finally q1.stop()
+
+    // ---- downtime arrivals + restart: the checkpoint resumes the feed
+    // exactly once and the bootstrap stays a no-op (marker present)
+    writeFeed(feed, "01.json", Seq(
+      line("u", 3L, "b", 6.0, 3000L, 1L)))
+    val q2 = builder(sink).build().start()
+    try {
+      q2.processAllAvailable()
+      assert(dstState() === Set((1L, "a", 11.0), (3L, "b", 6.0),
+        (4L, "c", 7.0)))
+    } finally q2.stop()
+  }
 }

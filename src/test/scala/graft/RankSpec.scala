@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.ExplainMode
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, when}
 
 import graft.operators.{Corpus, Rank, Relational}
 
@@ -34,6 +34,27 @@ class RankSpec extends SparkSpec {
     val expect = df.select($"count", $"k").as[(Long, Long)].collect()
       .sortBy(identity).map(_._2).zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
     assert(got.toMap === expect)
+  }
+
+  test("groupRowNumberAndTotal equals the per-group window rank + count") {
+    // a dominant group (the q293 shape: one segment ≈ most rows) plus
+    // small ones, keys scattered so ranges interleave groups
+    val df = spark.range(0, 2000).select(
+      (when(col("id") % 10 < 7, "big").when(col("id") % 10 < 9, "mid")
+        .otherwise("small")).as("g"),
+      (col("id") * 2654435761L % 1009L).as("v"), col("id"))
+    val got = Rank.groupRowNumberAndTotal(df, Seq("g"),
+        Seq(col("v"), col("id")), "rk", "n")
+      .select($"g", $"id", $"rk", $"n")
+      .as[(String, Long, Long, Long)].collect()
+    val rows = df.select($"g", $"v", $"id")
+      .as[(String, Long, Long)].collect()
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.sortBy(r => (r._2, r._3)).zipWithIndex.map { case (r, i) =>
+        (g, r._3) -> ((i + 1L, rs.length.toLong))
+      }
+    }.toMap
+    assert(got.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap === expect)
   }
 
   test("descending sort keys rank correctly (q86's vocab ordering)") {

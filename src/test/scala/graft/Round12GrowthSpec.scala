@@ -203,8 +203,8 @@ class Round12GrowthSpec extends SparkSpec {
   test("q223 IVF balance report partitions the corpus exactly") {
     val got = graft.operators.Similarity.q223IvfBalance(spark, sf)
       .select($"cell", $"n_vectors", $"share", $"ratio_to_mean",
-        $"cum_share_if_probed_first")
-      .as[(Int, Long, Double, Double, Double)].collect()
+        $"cum_share_if_probed_first", $"sample_fraction")
+      .as[(Int, Long, Double, Double, Double, Double)].collect()
     val n = sources.Tables.embeddings(spark, sf).count()
     assert(got.map(_._2).sum === n, "cells must partition the corpus")
     assert(math.abs(got.map(_._3).sum - 1.0) < 1e-12)
@@ -216,6 +216,13 @@ class Round12GrowthSpec extends SparkSpec {
       assert(math.abs(g - w) < 1e-9)
     }
     assert(sorted.last._5 > 1.0 - 1e-9)
+    // the quantizer's training rate rides the report: min(1, budget/n),
+    // identical on every row — the knob a 100 TB operator reads next to
+    // the skew columns
+    val want = math.min(1.0,
+      graft.operators.IvfIndex.DefaultFitSampleSize.toDouble / n)
+    assert(got.forall(r => math.abs(r._6 - want) < 1e-12),
+      s"sample_fraction must be $want")
   }
 
   test("r12 text operators keep every window doc-partitioned") {

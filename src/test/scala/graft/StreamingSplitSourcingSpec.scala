@@ -58,4 +58,40 @@ class StreamingSplitSourcingSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("the ttl parameter expires idle-group state (production knob)") {
+    withRocksDb {
+      val input = MemoryStream[(Long, Long, Long)]
+      // real TTL ⇒ processing-time mode, where the engine self-triggers
+      // batches to evict state — processAllAvailable never idles there,
+      // so this test POLLS the sink instead
+      val q = StreamingSplitSourcing
+        .track(input.toDS(), org.apache.spark.sql.streaming.TTLConfig
+          .apply(java.time.Duration.ofSeconds(1)))
+        .writeStream.outputMode("update")
+        .format("memory").queryName("split_ttl").start()
+      def counts(): Array[Long] = spark.table("split_ttl")
+        .as[(Long, Long, Long)].collect().map(_._3)
+      def await(n: Int): Array[Long] = {
+        val deadline = System.currentTimeMillis() + 60000
+        var c = counts()
+        while (c.length < n && System.currentTimeMillis() < deadline) {
+          Thread.sleep(200); c = counts()
+        }
+        assert(c.length >= n, s"sink never reached $n rows: ${c.toSeq}")
+        c
+      }
+      try {
+        input.addData((1L, 1L, 10L), (1L, 1L, 20L))
+        assert(await(1).forall(_ == 2L))
+        Thread.sleep(5000) // let the group's state expire (TTL 1 s)
+        input.addData((1L, 1L, 30L), (1L, 1L, 40L))
+        // the second batch started FRESH (expired state): it re-flags at
+        // 2 distinct suppliers — an n_supp=3/4 row would mean the state
+        // survived and the knob is dead
+        val c = await(2)
+        assert(c.length === 2 && c.forall(_ == 2L), c.toSeq.toString)
+      } finally q.stop()
+    }
+  }
 }

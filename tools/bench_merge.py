@@ -5,10 +5,12 @@ Usage: tools/bench_merge.py run1.json run2.json [...] > BENCH_full.json
 
 Per-query value = MIN over the runs (a real regression repeats; JIT/GC
 variance doesn't, so round-over-round comparisons read the stable floor
-— the same rule Bench.scala applies to its own in-run repeats). The raw
-per-run totals ride in "note"; the in-run "repeats" field is dropped
-because its pairs describe ONE run and would contradict cross-run
-minima.
+— the same rule Bench.scala applies to its own in-run repeats). An
+intermittent regression would hide under the min, so "value_median" /
+"queries_median" (per-query lower median over the runs) ride alongside;
+compare rounds on BOTH. The raw per-run totals ride in "note"; the
+in-run "repeats" field is dropped because its pairs describe ONE run
+and would contradict cross-run minima.
 """
 import json
 import sys
@@ -20,15 +22,30 @@ assert runs, "pass at least one run file"
 keys = sorted(set(k for r in runs for k in r["queries"]))
 qs = {k: min(r["queries"][k] for r in runs if k in r["queries"])
       for k in keys}
+
+
+def lower_median(xs):
+    xs = sorted(xs)
+    return xs[(len(xs) - 1) // 2]
+
+
+qs_med = {k: lower_median([r["queries"][k] for r in runs
+                           if k in r["queries"]]) for k in keys}
+# a query that succeeded in ANY run is not "failed" — listing it in both
+# maps would make the published file self-contradictory
+failed = sorted(set(f for r in runs for f in r["failed"]) - set(qs))
 merged = {
     "metric": "total",
     "value": sum(qs.values()),
+    "value_median": sum(qs_med.values()),
     "unit": "sec",
     "queries": qs,
-    "failed": sorted(set(f for r in runs for f in r["failed"])),
+    "queries_median": qs_med,
+    "failed": failed,
     "sf": runs[0]["sf"],
     "note": "per-query MIN over %d full clean-machine runs (totals %s); "
-            "compare rounds on shared query keys only"
+            "value_median sums per-query lower medians over the same "
+            "runs; compare rounds on shared query keys only"
             % (len(runs), ", ".join("%.1f" % r["value"] for r in runs)),
 }
 json.dump(merged, sys.stdout)
