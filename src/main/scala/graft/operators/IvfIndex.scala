@@ -30,6 +30,11 @@ final case class IvfIndex(centroids: DataFrame, assignments: DataFrame)
 
 object IvfIndex {
 
+  /** Default quantizer training budget — shared with the q223 health
+    * report, which surfaces the implied sampling rate next to the cell
+    * skew so a 100 TB operator sees BOTH knobs of index quality. */
+  val DefaultFitSampleSize: Int = 25000
+
   /** Fit the coarse quantizer (seeded MLlib KMeans → reproducible) and
     * assign every corpus row to its nearest cell. Expects an `embedding`
     * array<float> column and a `vec_id` key.
@@ -39,11 +44,6 @@ object IvfIndex {
     * centers — the standard IVF practice — so the iterative fit costs
     * O(sample × iters) no matter how large the corpus grows; only the
     * single map-only assignment pass scales with corpus size. */
-  /** Default quantizer training budget — shared with the q223 health
-    * report, which surfaces the implied sampling rate next to the cell
-    * skew so a 100 TB operator sees BOTH knobs of index quality. */
-  val DefaultFitSampleSize: Int = 25000
-
   def build(corpus: DataFrame, nCells: Int,
       fitSampleSize: Int = DefaultFitSampleSize): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans

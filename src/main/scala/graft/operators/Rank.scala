@@ -131,10 +131,13 @@ object Rank {
     * group) prefix offsets. The offset table has at most one row per
     * (partition, group-touching-it) pair: ranges are contiguous, so that
     * is ≤ numPartitions + |groups| rows — metadata, computed as a
-    * DataFrame (broadcast self-join, as [[prefixMax]]), never collected.
+    * DataFrame (broadcast self-join, as [[prefixMax]]), never collected,
+    * and MATERIALIZED once — its three consumers (offset both sides,
+    * totals) must not each re-scan the full ranged frame to rebuild it.
     * Group totals ride the same count table. Callers pass a TOTAL order
     * within the group (unique tiebreaker), same contract as
-    * [[globalRowNumber]]; group columns must be non-null. */
+    * [[globalRowNumber]]; a NULL group value is its own group (SQL
+    * PARTITION BY semantics — all joins here are null-safe). */
   def groupRowNumberAndTotal(df: DataFrame, groupCols: Seq[String],
       sortCols: Seq[Column], rnCol: String = "rn",
       nCol: String = "n"): DataFrame = {
@@ -144,26 +147,33 @@ object Rank {
     val ranged = graft.Lineage.truncate(
       df.repartitionByRange(parts, rangeKey: _*)
         .withColumn("__pid", spark_partition_id()), reliable = false).df
-    val counts = ranged
-      .groupBy(col("__pid") +: groupCols.map(col): _*)
-      .agg(count(lit(1)).as("__c"))
+    val counts = graft.Lineage.truncate( // ≤ parts + |groups| rows
+      ranged.groupBy(col("__pid") +: groupCols.map(col): _*)
+        .agg(count(lit(1)).as("__c")), reliable = false).df
     val sameGroup = groupCols
-      .map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+      .map(c => col(s"a.$c") <=> col(s"b.$c")).reduce(_ && _)
     val offsets = counts.as("a")
       .join(broadcast(counts.as("b")),
         sameGroup && col("b.__pid") < col("a.__pid"), "left")
-      .groupBy(col("a.__pid").as("__pid") +:
-        groupCols.map(c => col(s"a.$c").as(c)): _*)
+      .groupBy(col("a.__pid").as("__opid") +:
+        groupCols.map(c => col(s"a.$c").as(s"__og_$c")): _*)
       .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
-    val totals = counts.groupBy(groupCols.map(col): _*)
+    val totals = counts
+      .groupBy(groupCols.map(c => col(c).as(s"__tg_$c")): _*)
       .agg(sum(col("__c")).as(nCol))
     val w = Window.partitionBy(col("__pid") +: groupCols.map(col): _*)
       .orderBy(sortCols: _*)
+    val offOn = (col("__pid") === col("__opid")) &&
+      groupCols.map(c => col(c) <=> col(s"__og_$c")).reduce(_ && _)
+    val totOn = groupCols.map(c => col(c) <=> col(s"__tg_$c"))
+      .reduce(_ && _)
     ranged
-      .join(broadcast(offsets), "__pid" +: groupCols)
-      .join(broadcast(totals), groupCols)
+      .join(broadcast(offsets), offOn)
+      .join(broadcast(totals), totOn)
       .withColumn(rnCol, row_number().over(w).cast("long") + col("__off"))
-      .drop("__pid", "__off")
+      .drop(Seq("__pid", "__opid", "__off") ++
+        groupCols.map(c => s"__og_$c") ++
+        groupCols.map(c => s"__tg_$c"): _*)
   }
 
   /** [[globalRowNumber]] plus the exact total row count — FREE, it is the

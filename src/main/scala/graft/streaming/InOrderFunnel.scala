@@ -90,7 +90,10 @@ object InOrderFunnel {
   }
 
   /** Track funnel positions over a `(user_id, us, event_type)` stream;
-    * run with `outputMode("update")` — keep each user's max-stage row. */
+    * run with `outputMode("update")` — keep each user's max-stage row.
+    * WITH a `ttl`, switch the consumer rule to LATEST-WINS: an expired
+    * user restarts at stage 0/1 (post-expiry history only — the price of
+    * bounding state) and a max-stage consumer would pin the stale row. */
   def track(events: Dataset[(Long, Long, String)],
       ttl: TTLConfig = TTLConfig.NONE): Dataset[FunnelPosition] = {
     import events.sparkSession.implicits._

@@ -143,6 +143,26 @@ object JdbcUpsertSink {
     }
   }
 
+  /** Reset the sink's exactly-once state for `table`: clear the fence and
+    * any staged leftovers. Call this TOGETHER with wiping the stream's
+    * checkpoint — batch ids restart there, and a surviving fence would
+    * silently skip every replayed batch forever (the frozen-target trap
+    * `MaterializedView.setDropIfExists` refuses to walk into). Leaves the
+    * target table untouched: drop it too for a from-scratch rebuild. */
+  def clearFence(url: String, table: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    val tbl = checkIdent(table)
+    withConn(url, options) { c =>
+      val st = c.createStatement()
+      try {
+        if (tableExists(c, s"${tbl}_GFENCE"))
+          st.execute(s"DELETE FROM ${tbl}_GFENCE")
+        if (tableExists(c, s"${tbl}_GSTG"))
+          st.execute(s"DELETE FROM ${tbl}_GSTG")
+      } finally st.close()
+    }
+  }
+
   /**
    * Build the `foreachBatch` function. `keyCols` are the upsert identity;
    * `deleteCol` (optional, boolean) marks rows that DELETE their key

@@ -114,6 +114,16 @@ final class MaterializedView private (
     require(pks.forall(cols), // TiFlinkApp.java:285-287
       s"PrimaryKeys must be contained by columnNames: $pks vs $cols")
     require(cols.contains(versionColumn), s"version column $versionColumn missing from $cols")
+    // dropIfExists can only rebuild what IT owns (targetPath + checkpoint).
+    // With a custom sink the state that must also reset lives wherever the
+    // sink keeps it (e.g. JdbcUpsertSink's fence table) — wiping just the
+    // checkpoint restarts batch ids at -1/0/1…, which the surviving fence
+    // would then skip FOREVER: a silently frozen target. Refuse loudly and
+    // point at the sink-side reset (JdbcUpsertSink.clearFence).
+    require(!(dropIfExists && sinkOverride.isDefined),
+      "setDropIfExists(true) cannot rebuild a custom sink's target: reset " +
+        "the sink's own state first (e.g. JdbcUpsertSink.clearFence + drop " +
+        "the table), then start with a fresh checkpoint")
     if (dropIfExists) { // TiFlinkApp's dropOldTable/force mode
       val conf = v.sparkSession.sparkContext.hadoopConfiguration
       (Option(targetPath).toSeq :+ checkpointLocation).foreach { p =>
@@ -241,7 +251,11 @@ object MaterializedView {
       * batch id -1, below the stream's 0-based ids, so an
       * exactly-once sink's fence scopes it separately); `targetPath`
       * becomes optional. Exactly-once is the SINK's job here, as it is
-      * for the parquet path. */
+      * for the parquet path. CHECKPOINT AND SINK STATE SHARE A LIFETIME:
+      * wiping the checkpoint restarts batch ids, which an exactly-once
+      * sink's surviving fence would skip — reset the sink's state (e.g.
+      * [[JdbcUpsertSink.clearFence]]) whenever the checkpoint is wiped
+      * (`setDropIfExists` refuses for exactly this reason). */
     def setSink(sink: (DataFrame, Long) => Unit): Builder = {
       sinkOverride = Some(sink); this
     }

@@ -72,7 +72,11 @@ object StreamingCadence {
   }
 
   /** Track cadence over a `(custkey, orderkey, epochDay)` order stream;
-    * run with `outputMode("update")` — keep each key's max-n row. */
+    * run with `outputMode("update")` — keep each key's max-n row.
+    * WITH a `ttl`, that consumer rule must switch to LATEST-WINS: a
+    * returning customer restarts below its previous max (its stats then
+    * cover only post-expiry history — the documented price of bounding
+    * state), and a max-n consumer would pin the stale pre-expiry row. */
   def track(orders: Dataset[(Long, Long, Long)],
       ttl: TTLConfig = TTLConfig.NONE): Dataset[CadenceStats] = {
     import orders.sparkSession.implicits._

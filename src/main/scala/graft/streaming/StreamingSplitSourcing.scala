@@ -65,7 +65,10 @@ object StreamingSplitSourcing {
 
   /** Flag split-sourced groups over a `(orderkey, partkey, suppkey)`
     * line stream; run with `outputMode("update")` — keep each group's
-    * max-count row. */
+    * max-count row. WITH a `ttl`, switch the consumer rule to
+    * LATEST-WINS: an expired group re-flags from a fresh supplier set
+    * (post-expiry counts only — the price of bounding state) and a
+    * max-count consumer would pin the stale row. */
   def track(lines: Dataset[(Long, Long, Long)],
       ttl: TTLConfig = TTLConfig.NONE): Dataset[SplitSourcingFlag] = {
     import lines.sparkSession.implicits._

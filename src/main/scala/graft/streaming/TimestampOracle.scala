@@ -172,7 +172,14 @@ object TimestampOracle {
     catch { case e: TimestampFencedException => retractAnd(e) }
   }
 
-  /** Resolve `ts` as aborted (idempotent). */
+  /** Resolve `ts` as aborted (idempotent). A timestamp that already
+    * COMMITTED stays committed — the no-op covers the lost-ack window: a
+    * network caller whose commit was durably applied but whose response
+    * line was dropped will abort "its failed commit", and unconditionally
+    * writing a=ts next to the existing c=ts would hand readers two
+    * contradictory verdicts for one resolved timestamp. (The abort-wins
+    * rule is for the IN-FLIGHT race, where commit() itself detects the
+    * marker and retracts; a completed commit is a delivered verdict.) */
   def abort(spark: SparkSession, root: String, ts: Ts): Unit =
     abort(spark.sparkContext.hadoopConfiguration, root, ts)
 
@@ -180,7 +187,9 @@ object TimestampOracle {
   def abort(conf: org.apache.hadoop.conf.Configuration, root: String,
       ts: Ts): Unit = {
     val fs = fsOf(conf, root)
-    fs.create(new Path(tsoDir(root), s"a=${ts.ts}"), true).close()
+    val dir = tsoDir(root)
+    if (!fs.exists(new Path(dir, s"c=${ts.ts}")))
+      fs.create(new Path(dir, s"a=${ts.ts}"), true).close()
   }
 
   /** The largest timestamp with nothing in flight at or below it — pin

@@ -62,11 +62,17 @@ final case class FileTso(conf: Configuration, root: String)
 /** Network client for a [[TsoServer]] — needs only (host, port), never a
   * filesystem. Every call is one request line on a fresh connection; a
   * missing/ERR header throws instead of defaulting (a masked BEGIN could
-  * hand two writers one timestamp). */
-final case class TcpTso(host: String, port: Int) extends TsoProvider {
+  * hand two writers one timestamp), and connect/read both carry a
+  * timeout so a dead coordinator fails the CALLER loudly instead of
+  * hanging its publish forever (the lease machinery then aborts the
+  * orphaned timestamp server-side). */
+final case class TcpTso(host: String, port: Int,
+    timeoutMs: Int = 30000) extends TsoProvider {
 
   private def request(line: String): String = {
-    val s = new java.net.Socket(host, port)
+    val s = new java.net.Socket()
+    s.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+    s.setSoTimeout(timeoutMs)
     try {
       val out = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8"))
@@ -91,11 +97,22 @@ final case class TcpTso(host: String, port: Int) extends TsoProvider {
       s"tso server rejected '$line': $resp")
   }
 
-  def begin(): TimestampOracle.Ts = TimestampOracle.Ts(ok("BEGIN"))
-  def commit(ts: TimestampOracle.Ts): Unit = ok(s"COMMIT ${ts.ts}")
-  def abort(ts: TimestampOracle.Ts): Unit = ok(s"ABORT ${ts.ts}")
-  def safePoint(leaseMs: Long): Long = ok(s"SAFEPOINT $leaseMs")
-  def gc(leaseMs: Long): Long = ok(s"GC $leaseMs")
+  /** One transport retry for IDEMPOTENT verbs: COMMIT/ABORT re-apply
+    * cleanly server-side (and abort-after-commit is a server no-op), so a
+    * dropped response line gets a second chance before the caller sees a
+    * spurious failure; FENCED is a verdict, never retried. BEGIN is also
+    * safe to retry — a lost-ack allocation just ages out via the lease. */
+  private def okRetry(line: String): Long =
+    try ok(line)
+    catch {
+      case _: java.io.IOException => ok(line)
+    }
+
+  def begin(): TimestampOracle.Ts = TimestampOracle.Ts(okRetry("BEGIN"))
+  def commit(ts: TimestampOracle.Ts): Unit = okRetry(s"COMMIT ${ts.ts}")
+  def abort(ts: TimestampOracle.Ts): Unit = okRetry(s"ABORT ${ts.ts}")
+  def safePoint(leaseMs: Long): Long = okRetry(s"SAFEPOINT $leaseMs")
+  def gc(leaseMs: Long): Long = okRetry(s"GC $leaseMs")
 }
 
 /** The oracle as a network service on an ephemeral port. State lives in
@@ -114,7 +131,12 @@ final class TsoServer(conf: Configuration, root: String)
         val sock = server.accept()
         val t = new Thread(() => serve(sock))
         t.setDaemon(true); t.start()
-      } catch { case _: Exception => () } // closed during accept
+      } catch {
+        // closed during accept ends the loop; a PERSISTENT failure (fd
+        // exhaustion) must not busy-spin at 100% cpu starving the very
+        // requests that would release descriptors
+        case _: Exception => if (!server.isClosed) Thread.sleep(50)
+      }
     }
   })
   acceptor.setDaemon(true)

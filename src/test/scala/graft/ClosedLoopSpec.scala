@@ -258,5 +258,13 @@ class ClosedLoopSpec extends SparkSpec {
       assert(dstState() === Set((1L, "a", 11.0), (3L, "b", 6.0),
         (4L, "c", 7.0)))
     } finally q2.stop()
+
+    // dropIfExists cannot rebuild a custom sink's target (the fence
+    // would survive the checkpoint wipe and freeze it) — refused loudly,
+    // pointing at the sink-side reset
+    val refuse = intercept[IllegalArgumentException] {
+      builder(sink).setDropIfExists(true).build().start()
+    }
+    assert(refuse.getMessage.contains("clearFence"))
   }
 }

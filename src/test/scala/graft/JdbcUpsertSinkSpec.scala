@@ -104,6 +104,25 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     assert(stageCount("REPLAY_VIEW") === 0L)
   }
 
+  test("clearFence resets exactly-once state for a checkpoint wipe") {
+    // checkpoint and fence share a lifetime: wiping the checkpoint
+    // restarts batch ids, and WITHOUT the reset the surviving fence
+    // would silently skip every replayed batch — the frozen-target trap
+    val sink = JdbcUpsertSink(url, "fence_view", Seq("k"))
+    def df(rows: (Long, String, Double)*) = rows.toDF("k", "name", "val")
+    sink(df((1L, "a", 1.0)), 0L)
+    assert(readAll("FENCE_VIEW") === Set((1L, "a", 1.0)))
+    // simulate the wiped-checkpoint restart WITHOUT the reset: batch 0
+    // replays with new content and is (correctly, for a replay) skipped
+    sink(df((1L, "post-wipe", 9.0)), 0L)
+    assert(readAll("FENCE_VIEW") === Set((1L, "a", 1.0)))
+    // the operator's documented move: clear the fence, then reprocess
+    JdbcUpsertSink.clearFence(url, "fence_view")
+    sink(df((1L, "post-wipe", 9.0)), 0L)
+    assert(readAll("FENCE_VIEW") === Set((1L, "post-wipe", 9.0)),
+      "after clearFence the replayed feed must apply")
+  }
+
   test("multiple rows per key in one batch fail loudly") {
     val sink = JdbcUpsertSink(url, "dup_view", Seq("k"))
     val ex = intercept[IllegalStateException] {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.ExplainMode
-import org.apache.spark.sql.functions.{col, when}
+import org.apache.spark.sql.functions.{col, lit, when}
 
 import graft.operators.{Corpus, Rank, Relational}
 
@@ -55,6 +55,25 @@ class RankSpec extends SparkSpec {
       }
     }.toMap
     assert(got.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap === expect)
+  }
+
+  test("groupRowNumberAndTotal keeps NULL groups (PARTITION BY semantics)") {
+    // a nullable group column must rank as its own group, not silently
+    // vanish through a null-unsafe join — SQL window semantics
+    val df = spark.range(0, 100).select(
+      when(col("id") % 3 === 0, "g").otherwise(lit(null)).as("g"),
+      col("id"))
+    val got = Rank.groupRowNumberAndTotal(df, Seq("g"),
+        Seq(col("id")), "rk", "n")
+      .select($"g", $"id", $"rk", $"n")
+      .as[(Option[String], Long, Long, Long)].collect()
+    assert(got.length === 100, "no row may vanish")
+    val nulls = got.filter(_._1.isEmpty)
+    assert(nulls.length === 66 && nulls.forall(_._4 === 66L))
+    assert(nulls.sortBy(_._2).map(_._3).toSeq === (1L to 66L))
+    val gs = got.filter(_._1.contains("g"))
+    assert(gs.length === 34 && gs.forall(_._4 === 34L))
+    assert(gs.sortBy(_._2).map(_._3).toSeq === (1L to 34L))
   }
 
   test("descending sort keys rank correctly (q86's vocab ordering)") {

@@ -75,6 +75,24 @@ class TimestampOracleSpec extends SparkSpec {
     assert(TimestampOracle.safePoint(spark, root) === dead.ts)
   }
 
+  test("abort after a completed commit is a no-op — the verdict stands") {
+    // the lost-ack window: a caller whose commit WAS applied but whose
+    // response vanished will 'abort its failed commit'; the oracle must
+    // not hand readers two contradictory verdicts for one timestamp
+    val root = Files.createTempDirectory("tso7").toString
+    val t = TimestampOracle.begin(spark, root)
+    TimestampOracle.commit(spark, root, t)
+    TimestampOracle.abort(spark, root, t) // late contradiction — ignored
+    assert(TimestampOracle.safePoint(spark, root) === t.ts)
+    // a genuinely pending ts still aborts normally
+    val t2 = TimestampOracle.begin(spark, root)
+    TimestampOracle.abort(spark, root, t2)
+    assert(TimestampOracle.safePoint(spark, root) === t2.ts)
+    intercept[TimestampOracle.TimestampFencedException] {
+      TimestampOracle.commit(spark, root, t2)
+    }
+  }
+
   test("two jobs interleave epochs on one store; pinned reads never skew") {
     val root = Files.createTempDirectory("tso4").toString
     // two concurrent writers on DIFFERENT tables of one store, each

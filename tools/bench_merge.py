@@ -29,8 +29,19 @@ def lower_median(xs):
     return xs[(len(xs) - 1) // 2]
 
 
-qs_med = {k: lower_median([r["queries"][k] for r in runs
-                           if k in r["queries"]]) for k in keys}
+# A run where the query FAILED contributes +inf to its median (absence
+# from a run's board entirely — mid-capture growth — contributes
+# nothing): a query that failed in most runs must not present its lone
+# success as "the median", which is exactly the intermittent case this
+# field exists to expose. An infinite median lands the query in "flaky"
+# instead of queries_median.
+qs_med_all = {
+    k: lower_median(
+        [r["queries"][k] for r in runs if k in r["queries"]] +
+        [float("inf") for r in runs if k in r.get("failed", [])])
+    for k in keys}
+qs_med = {k: v for k, v in qs_med_all.items() if v != float("inf")}
+flaky = sorted(k for k, v in qs_med_all.items() if v == float("inf"))
 # a query that succeeded in ANY run is not "failed" — listing it in both
 # maps would make the published file self-contradictory
 failed = sorted(set(f for r in runs for f in r["failed"]) - set(qs))
@@ -42,10 +53,12 @@ merged = {
     "queries": qs,
     "queries_median": qs_med,
     "failed": failed,
+    "flaky": flaky,
     "sf": runs[0]["sf"],
     "note": "per-query MIN over %d full clean-machine runs (totals %s); "
-            "value_median sums per-query lower medians over the same "
-            "runs; compare rounds on shared query keys only"
+            "value_median sums per-query lower medians with failed runs "
+            "counted as +inf (majority-failed queries move to 'flaky'); "
+            "compare rounds on shared query keys only"
             % (len(runs), ", ".join("%.1f" % r["value"] for r in runs)),
 }
 json.dump(merged, sys.stdout)
