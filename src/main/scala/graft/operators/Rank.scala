@@ -141,6 +141,9 @@ object Rank {
   def groupRowNumberAndTotal(df: DataFrame, groupCols: Seq[String],
       sortCols: Seq[Column], rnCol: String = "rn",
       nCol: String = "n"): DataFrame = {
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty — for a global rank use " +
+        "globalRowNumberAndTotal")
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val rangeKey = groupCols.map(col) ++ sortCols

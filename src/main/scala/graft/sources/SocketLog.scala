@@ -55,8 +55,16 @@ object SocketLogProtocol {
   /** Records per input partition when a batch spans a large range. */
   val ChunkSize = 1000L
 
-  private def request(host: String, port: Int, line: String): Seq[String] = {
-    val s = new java.net.Socket(host, port)
+  /** ONE request line on a fresh connection, all response lines back —
+    * the wire discipline shared by every graft line protocol (this
+    * source and [[graft.streaming.TcpTso]]); connect/read both time out
+    * so a dead peer fails the caller loudly (Spark retries the task; the
+    * TSO caller aborts its timestamp) instead of hanging it forever. */
+  private[graft] def request(host: String, port: Int, line: String,
+      timeoutMs: Int = 30000): Seq[String] = {
+    val s = new java.net.Socket()
+    s.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+    s.setSoTimeout(timeoutMs)
     try {
       val out = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8"))

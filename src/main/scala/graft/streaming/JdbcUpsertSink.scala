@@ -153,12 +153,19 @@ object JdbcUpsertSink {
       options: Map[String, String] = Map.empty): Unit = {
     val tbl = checkIdent(table)
     withConn(url, options) { c =>
+      // ONE transaction: a crash between the two deletes would leave the
+      // fence cleared but foreign batch ids staged, and the restarted
+      // stream's purity check would wedge on "two writers on one table?"
+      c.setAutoCommit(false)
       val st = c.createStatement()
       try {
         if (tableExists(c, s"${tbl}_GFENCE"))
           st.execute(s"DELETE FROM ${tbl}_GFENCE")
         if (tableExists(c, s"${tbl}_GSTG"))
           st.execute(s"DELETE FROM ${tbl}_GSTG")
+        c.commit()
+      } catch {
+        case e: Throwable => c.rollback(); throw e
       } finally st.close()
     }
   }

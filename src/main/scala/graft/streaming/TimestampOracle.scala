@@ -179,7 +179,15 @@ object TimestampOracle {
     * writing a=ts next to the existing c=ts would hand readers two
     * contradictory verdicts for one resolved timestamp. (The abort-wins
     * rule is for the IN-FLIGHT race, where commit() itself detects the
-    * marker and retracts; a completed commit is a delivered verdict.) */
+    * marker and retracts; a completed commit is a delivered verdict.)
+    *
+    * Residual window (syscalls-wide): an abort whose exists-check ran
+    * just before a racing commit's marker landed still writes a= after
+    * c= — both markers then exist and the STANDING rule applies: abort
+    * wins, the timestamp reads as aborted everywhere, and the published
+    * epoch is the documented late-never-torn case. No party acted on a
+    * commit success in that interleaving (the committer's caller was
+    * the one aborting). */
   def abort(spark: SparkSession, root: String, ts: Ts): Unit =
     abort(spark.sparkContext.hadoopConfiguration, root, ts)
 

@@ -69,23 +69,12 @@ final case class FileTso(conf: Configuration, root: String)
 final case class TcpTso(host: String, port: Int,
     timeoutMs: Int = 30000) extends TsoProvider {
 
-  private def request(line: String): String = {
-    val s = new java.net.Socket()
-    s.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
-    s.setSoTimeout(timeoutMs)
-    try {
-      val out = new java.io.BufferedWriter(
-        new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8"))
-      out.write(line); out.write("\n"); out.flush()
-      s.shutdownOutput()
-      val in = new java.io.BufferedReader(
-        new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
-      val resp = in.readLine()
-      if (resp == null) throw new java.io.IOException(
-        s"tso server gave no response to '$line'")
-      resp
-    } finally s.close()
-  }
+  private def request(line: String): String =
+    // the shared one-line-per-connection wire discipline — one
+    // implementation for the changefeed broker and the oracle
+    graft.sources.SocketLogProtocol.request(host, port, line, timeoutMs)
+      .headOption.getOrElse(throw new java.io.IOException(
+        s"tso server gave no response to '$line'"))
 
   private def ok(line: String): Long = {
     val resp = request(line)
@@ -134,8 +123,11 @@ final class TsoServer(conf: Configuration, root: String)
       } catch {
         // closed during accept ends the loop; a PERSISTENT failure (fd
         // exhaustion) must not busy-spin at 100% cpu starving the very
-        // requests that would release descriptors
-        case _: Exception => if (!server.isClosed) Thread.sleep(50)
+        // requests that would release descriptors — and the backoff's
+        // own interrupt must not kill the loop while the socket is live
+        case _: Exception => if (!server.isClosed)
+          try Thread.sleep(50)
+          catch { case _: InterruptedException => () }
       }
     }
   })

@@ -44,7 +44,8 @@ qs_med = {k: v for k, v in qs_med_all.items() if v != float("inf")}
 flaky = sorted(k for k, v in qs_med_all.items() if v == float("inf"))
 # a query that succeeded in ANY run is not "failed" — listing it in both
 # maps would make the published file self-contradictory
-failed = sorted(set(f for r in runs for f in r["failed"]) - set(qs))
+failed = sorted(
+    set(f for r in runs for f in r.get("failed", [])) - set(qs))
 merged = {
     "metric": "total",
     "value": sum(qs.values()),
