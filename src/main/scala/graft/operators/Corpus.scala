@@ -127,20 +127,20 @@ object Corpus {
     * STARTS; `pack_offset` is its token offset inside that bin. Integer
     * arithmetic end-to-end → exact cross-engine oracle.
     *
-    * Scale: one running sum per source partition — packing is inherently
-    * sequential within a stream, so the parallel unit is the source (or any
-    * finer sharding column substituted for it: at 100 TB partition by
-    * (source, shard) where shard = hash(doc_id) % n to bound per-partition
-    * order state; each shard packs independently). */
+    * Scale: packing is inherently sequential within a stream, but token
+    * counts are exact LONGS, so the cumulative sum distributes exactly —
+    * [[Rank.groupPrefixSum]]'s range exchange on (source, doc_id,
+    * chunk_no) spreads each source's stream across many contiguous range
+    * partitions with metadata-sized sum offsets carrying the prefix
+    * (bit-equal to the sequential fold: integer addition is
+    * associative), instead of one task folding a whole source — the
+    * r15-cured cliff class. */
   def q71PackChunks(spark: SparkSession, dir: String,
       budget: Int = 256): DataFrame = {
     val chunks = q62Chunk(spark, dir)
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("doc_id"), col("chunk_no"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    chunks.join(src, Seq("doc_id"))
-      .withColumn("__excl", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    Rank.groupPrefixSum(chunks.join(src, Seq("doc_id")), Seq("source"),
+        Seq(col("doc_id"), col("chunk_no")), col("n_tokens"), "__excl")
       .select(col("source"), col("doc_id"), col("chunk_no"), col("n_tokens"),
         floor(col("__excl") / budget).cast("long").as("pack_id"),
         (col("__excl") % budget).as("pack_offset"))
@@ -373,18 +373,18 @@ object Corpus {
     * (Spark `percentile` vs DuckDB `quantile_cont`) can differ by an ulp,
     * and the edges GATE a filter — one ulp flips band membership.
     *
-    * Scale: the rank pass is a per-language window sort (shuffle by lang +
-    * sort, same cost class as exact percentile's per-group buffer; for
-    * high-cardinality strata swap in [[Relational.approxPercentiles]]'s
-    * sketch) and broadcasts ~5 band rows back for a map-side filter. */
+    * Scale: the rank pass rides [[Rank.groupRowNumberAndTotal]]'s range
+    * exchange on (lang, x) — a hot language spreads across contiguous
+    * range partitions instead of one task's sort (the r15-cured cliff
+    * class; ties on x are harmless because only the VALUE at a rank is
+    * consumed) — and broadcasts ~5 band rows back for a map-side
+    * filter. */
   def q77LengthTrim(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val byLang = Window.partitionBy(col("lang"))
-    val ranked = docs
-      .select(col("lang"), col("n_chars").cast("long").as("x"))
-      .withColumn("rn",
-        (row_number().over(byLang.orderBy(col("x"))) - 1).cast("long"))
-      .withColumn("n", count(lit(1)).over(byLang))
+    val ranked = Rank.groupRowNumberAndTotal(
+        docs.select(col("lang"), col("n_chars").cast("long").as("x")),
+        Seq("lang"), Seq(col("x")), "rn0", "n")
+      .withColumn("rn", col("rn0") - 1) // 0-based rank arithmetic below
     // edge·100 as an all-integer aggregate; x[k+1] may not exist when
     // rem == 0 and k == n-1 (its term is then exactly 0 → coalesce)
     def edge100(pct: Int): Column = {
@@ -1374,9 +1374,12 @@ object Corpus {
     * remainder-rank window is unpartitioned but its frame is
     * sources-bounded BY CONSTRUCTION — the q116 collect_set caveat class,
     * not q119's unbounded-frame bug); the quota table broadcasts back and
-    * document selection is one partitioned rank window with per-source
-    * limits — the only corpus-sized shuffle is that single source
-    * partitioning. */
+    * document selection rides [[Rank.groupRowNumberAndTotal]]'s range
+    * exchange on (source, h, doc_id) — the per-source quota is a COLUMN,
+    * which WindowGroupLimit cannot prune, so a plain source-partitioned
+    * window would sort a whole source in one task (the r15-cured cliff
+    * class); the only corpus-sized shuffles are the device's two
+    * all-parallel exchanges. */
   def q165BudgetAllocation(spark: SparkSession, dir: String,
       budget: Long = 100L): DataFrame = {
     val d = graft.sources.Tables.documents(spark, dir)
@@ -1397,10 +1400,9 @@ object Corpus {
         (col("base") + when(col("rr") <= col("extra"), 1L).otherwise(0L))
           .cast("long"))
       .select(col("source"), col("n_s"), col("quota"))
-    d.withColumn("h", hashKey("alloc:", col("doc_id")))
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("source"))
-          .orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
+    Rank.groupRowNumberAndTotal(
+        d.withColumn("h", hashKey("alloc:", col("doc_id"))),
+        Seq("source"), Seq(col("h").asc, col("doc_id").asc), "pos", "__n")
       .join(broadcast(quotas), Seq("source"))
       .filter(col("pos") <= col("quota"))
       .select(col("source"), col("doc_id"), col("pos"), col("n_s"),

@@ -179,6 +179,53 @@ object Rank {
         groupCols.map(c => s"__tg_$c"): _*)
   }
 
+  /** Append `outCol` = EXCLUSIVE per-group running sum of `value` (long —
+    * exact) under the `sortCols` total order — `sum(v) OVER (PARTITION BY
+    * g ORDER BY … ROWS UNBOUNDED PRECEDING TO -1)` without the
+    * entity-sized per-group task (q71's sequence packing runs one
+    * cumulative sum over EVERY chunk of a source): the
+    * [[groupRowNumberAndTotal]] shape with per-(partition, group) SUM
+    * offsets instead of counts. Integer sums are associative, so the
+    * distributed fold is bit-equal to the sequential one — the reason
+    * this exists for longs and NOT for fp values (those keep the ordered
+    * single-fold device: q234/q255). First row of each group gets 0. */
+  def groupPrefixSum(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], value: Column,
+      outCol: String): DataFrame = {
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty — for a global prefix sum use " +
+        "prefixSumAndTotal")
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val rangeKey = groupCols.map(col) ++ sortCols
+    val ranged = graft.Lineage.truncate(
+      df.repartitionByRange(parts, rangeKey: _*)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__v", value.cast("long")), reliable = false).df
+    val sums = graft.Lineage.truncate( // ≤ parts + |groups| rows
+      ranged.groupBy(col("__pid") +: groupCols.map(col): _*)
+        .agg(sum(col("__v")).as("__s")), reliable = false).df
+    val sameGroup = groupCols
+      .map(c => col(s"a.$c") <=> col(s"b.$c")).reduce(_ && _)
+    val offsets = sums.as("a")
+      .join(broadcast(sums.as("b")),
+        sameGroup && col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__opid") +:
+        groupCols.map(c => col(s"a.$c").as(s"__og_$c")): _*)
+      .agg(coalesce(sum(col("b.__s")), lit(0L)).as("__off"))
+    val w = Window.partitionBy(col("__pid") +: groupCols.map(col): _*)
+      .orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offOn = (col("__pid") === col("__opid")) &&
+      groupCols.map(c => col(c) <=> col(s"__og_$c")).reduce(_ && _)
+    ranged
+      .join(broadcast(offsets), offOn)
+      .withColumn(outCol,
+        coalesce(sum(col("__v")).over(w), lit(0L)) + col("__off"))
+      .drop(Seq("__pid", "__opid", "__off", "__v") ++
+        groupCols.map(c => s"__og_$c"): _*)
+  }
+
   /** [[globalRowNumber]] plus the exact total row count — FREE, it is the
     * sum of the per-partition counts the offset pass already collected (a
     * caller needing rank AND n must not pay a second scan). */

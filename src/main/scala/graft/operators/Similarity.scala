@@ -949,14 +949,16 @@ object Similarity {
           .as("mean_cos"))
   }
 
+  /** Per-dimension clip bounds at exact ranks — the rank pass rides
+    * [[Rank.groupRowNumberAndTotal]]'s range exchange on (dim, v): at
+    * 100 TB every dim-partition holds the WHOLE corpus count, so a plain
+    * per-dim window is the r15-cured cliff class (value ties are
+    * harmless — only the VALUE at a rank is consumed). */
   def q268DimClipBounds(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(toDoubles(col("embedding")).as("emb"))
       .select(posexplode(col("emb")).as(Seq("dim", "v")))
-    val ord = Window.partitionBy(col("dim")).orderBy(col("v"))
-    val byDim = Window.partitionBy(col("dim"))
-    e.withColumn("rn", row_number().over(ord))
-      .withColumn("n", count(lit(1)).over(byDim))
+    Rank.groupRowNumberAndTotal(e, Seq("dim"), Seq(col("v")), "rn", "n")
       .groupBy(col("dim").cast("long").as("dim"))
       .agg(max(col("n")).as("n"),
         min(col("v")).as("min_v"),

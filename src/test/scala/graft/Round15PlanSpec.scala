@@ -53,4 +53,26 @@ class Round15PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"q293 offset/total joins no longer broadcast:\n$p")
   }
+
+  test("the wider cliff class stays cured: q268/q77/q165 ranks, q71 prefix sum") {
+    // the same handful-of-groups shapes found by the r15 sweep — each
+    // must rank/fold through the __pid-scoped device, never a window
+    // keyed on the low-cardinality group alone
+    val cases = Seq(
+      ("q268", graft.operators.Similarity.q268DimClipBounds(spark, sf),
+        "windowspecdefinition(dim#"),
+      ("q77", graft.operators.Corpus.q77LengthTrim(spark, sf),
+        "windowspecdefinition(lang#"),
+      ("q165", graft.operators.Corpus.q165BudgetAllocation(spark, sf),
+        "windowspecdefinition(source#"),
+      ("q71", graft.operators.Corpus.q71PackChunks(spark, sf),
+        "windowspecdefinition(source#"))
+    for ((name, df, badWindow) <- cases) {
+      val p = plan(df)
+      assert(!p.contains(badWindow),
+        s"$name regressed to a group-only window ($badWindow):\n$p")
+      assert(p.contains("hashpartitioning(__pid"),
+        s"$name lost the range-exchange pid window:\n$p")
+    }
+  }
 }
