@@ -144,34 +144,17 @@ object Rank {
     require(groupCols.nonEmpty,
       "groupCols must be non-empty — for a global rank use " +
         "globalRowNumberAndTotal")
-    val spark = df.sparkSession
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val rangeKey = groupCols.map(col) ++ sortCols
-    val ranged = graft.Lineage.truncate(
-      df.repartitionByRange(parts, rangeKey: _*)
-        .withColumn("__pid", spark_partition_id()), reliable = false).df
-    val counts = graft.Lineage.truncate( // ≤ parts + |groups| rows
-      ranged.groupBy(col("__pid") +: groupCols.map(col): _*)
-        .agg(count(lit(1)).as("__c")), reliable = false).df
-    val sameGroup = groupCols
-      .map(c => col(s"a.$c") <=> col(s"b.$c")).reduce(_ && _)
-    val offsets = counts.as("a")
-      .join(broadcast(counts.as("b")),
-        sameGroup && col("b.__pid") < col("a.__pid"), "left")
-      .groupBy(col("a.__pid").as("__opid") +:
-        groupCols.map(c => col(s"a.$c").as(s"__og_$c")): _*)
-      .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
-    val totals = counts
+    val (ranged, weights, offsets) =
+      groupRangeSkeleton(df, groupCols, sortCols, weight = None)
+    val totals = weights
       .groupBy(groupCols.map(c => col(c).as(s"__tg_$c")): _*)
       .agg(sum(col("__c")).as(nCol))
     val w = Window.partitionBy(col("__pid") +: groupCols.map(col): _*)
       .orderBy(sortCols: _*)
-    val offOn = (col("__pid") === col("__opid")) &&
-      groupCols.map(c => col(c) <=> col(s"__og_$c")).reduce(_ && _)
     val totOn = groupCols.map(c => col(c) <=> col(s"__tg_$c"))
       .reduce(_ && _)
     ranged
-      .join(broadcast(offsets), offOn)
+      .join(broadcast(offsets), offsetJoin(groupCols))
       .join(broadcast(totals), totOn)
       .withColumn(rnCol, row_number().over(w).cast("long") + col("__off"))
       .drop(Seq("__pid", "__opid", "__off") ++
@@ -195,36 +178,61 @@ object Rank {
     require(groupCols.nonEmpty,
       "groupCols must be non-empty — for a global prefix sum use " +
         "prefixSumAndTotal")
-    val spark = df.sparkSession
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val rangeKey = groupCols.map(col) ++ sortCols
-    val ranged = graft.Lineage.truncate(
-      df.repartitionByRange(parts, rangeKey: _*)
-        .withColumn("__pid", spark_partition_id())
-        .withColumn("__v", value.cast("long")), reliable = false).df
-    val sums = graft.Lineage.truncate( // ≤ parts + |groups| rows
-      ranged.groupBy(col("__pid") +: groupCols.map(col): _*)
-        .agg(sum(col("__v")).as("__s")), reliable = false).df
-    val sameGroup = groupCols
-      .map(c => col(s"a.$c") <=> col(s"b.$c")).reduce(_ && _)
-    val offsets = sums.as("a")
-      .join(broadcast(sums.as("b")),
-        sameGroup && col("b.__pid") < col("a.__pid"), "left")
-      .groupBy(col("a.__pid").as("__opid") +:
-        groupCols.map(c => col(s"a.$c").as(s"__og_$c")): _*)
-      .agg(coalesce(sum(col("b.__s")), lit(0L)).as("__off"))
+    val (ranged, _, offsets) =
+      groupRangeSkeleton(df, groupCols, sortCols, weight = Some(value))
     val w = Window.partitionBy(col("__pid") +: groupCols.map(col): _*)
       .orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offOn = (col("__pid") === col("__opid")) &&
-      groupCols.map(c => col(c) <=> col(s"__og_$c")).reduce(_ && _)
     ranged
-      .join(broadcast(offsets), offOn)
+      .join(broadcast(offsets), offsetJoin(groupCols))
       .withColumn(outCol,
-        coalesce(sum(col("__v")).over(w), lit(0L)) + col("__off"))
-      .drop(Seq("__pid", "__opid", "__off", "__v") ++
+        coalesce(sum(col("__w")).over(w), lit(0L)) + col("__off"))
+      .drop(Seq("__pid", "__opid", "__off", "__w") ++
         groupCols.map(c => s"__og_$c"): _*)
   }
+
+  /** The shared range-exchange skeleton behind [[groupRowNumberAndTotal]]
+    * and [[groupPrefixSum]]: range-repartition on (groupCols ++ sortCols)
+    * and materialize (both downstream passes must read ONE set of range
+    * boundaries), aggregate a per-(partition, group) weight — row counts
+    * when `weight` is None, else the long `weight` expression landed as a
+    * `__w` column on the ranged frame — and turn it into per-(partition,
+    * group) prefix offsets over earlier partitions of the same group via
+    * a broadcast self-join (metadata-sized, null-safe groups). Returns
+    * (ranged frame with `__pid` [+ `__w`], the weight table
+    * (`__pid`, groups, `__c`), offsets (`__opid`, `__og_*`, `__off`));
+    * join offsets back with [[offsetJoin]]. */
+  private def groupRangeSkeleton(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], weight: Option[Column])
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val rangeKey = groupCols.map(col) ++ sortCols
+    val base = df.repartitionByRange(parts, rangeKey: _*)
+      .withColumn("__pid", spark_partition_id())
+    val ranged = graft.Lineage.truncate(
+      weight.map(v => base.withColumn("__w", v.cast("long")))
+        .getOrElse(base), reliable = false).df
+    val perRow = weight.map(_ => sum(col("__w"))).getOrElse(count(lit(1)))
+    val weights = graft.Lineage.truncate( // ≤ parts + |groups| rows
+      ranged.groupBy(col("__pid") +: groupCols.map(col): _*)
+        .agg(perRow.as("__c")), reliable = false).df
+    val sameGroup = groupCols
+      .map(c => col(s"a.$c") <=> col(s"b.$c")).reduce(_ && _)
+    val offsets = weights.as("a")
+      .join(broadcast(weights.as("b")),
+        sameGroup && col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__opid") +:
+        groupCols.map(c => col(s"a.$c").as(s"__og_$c")): _*)
+      .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
+    (ranged, weights, offsets)
+  }
+
+  /** Join condition attaching [[groupRangeSkeleton]]'s offsets back onto
+    * its ranged frame — null-safe on the group columns. */
+  private def offsetJoin(groupCols: Seq[String]): Column =
+    (col("__pid") === col("__opid")) &&
+      groupCols.map(c => col(c) <=> col(s"__og_$c")).reduce(_ && _)
 
   /** [[globalRowNumber]] plus the exact total row count — FREE, it is the
     * sum of the per-partition counts the offset pass already collected (a
