@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
  */
 object Rank {
 
+  /** Width of the range exchange: `spark.sql.shuffle.partitions`, falling
+    * back to the context default parallelism when the conf is non-numeric
+    * (platforms running AQE coalescing may set it to "auto"). */
+  private def rangeParts(spark: org.apache.spark.sql.SparkSession): Int =
+    scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .toOption.filter(_ > 0)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+
   /** Append `rnCol` = 1-based global row number of `df` under `sortCols`
     * (must be a total order — include a unique tiebreaker). */
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
@@ -50,7 +58,7 @@ object Rank {
   def prefixMax(df: DataFrame, sortCols: Seq[Column], value: Column,
       outCol: String): DataFrame = {
     val spark = df.sparkSession
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = rangeParts(spark)
     val ranged = graft.Lineage.truncate(
       df.repartitionByRange(parts, sortCols: _*)
         .withColumn("__pid", spark_partition_id())
@@ -79,7 +87,7 @@ object Rank {
   def prefixSumAndTotal(df: DataFrame, sortCols: Seq[Column], value: Column,
       outCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = rangeParts(spark)
     val ranged = graft.Lineage.truncate(
       df.repartitionByRange(parts, sortCols: _*)
         .withColumn("__pid", spark_partition_id())
@@ -201,12 +209,21 @@ object Rank {
     * a broadcast self-join (metadata-sized, null-safe groups). Returns
     * (ranged frame with `__pid` [+ `__w`], the weight table
     * (`__pid`, groups, `__c`), offsets (`__opid`, `__og_*`, `__off`));
-    * join offsets back with [[offsetJoin]]. */
+    * join offsets back with [[offsetJoin]].
+    *
+    * The two [[graft.Lineage.truncate]] materializations here run EAGERLY
+    * at call time (localCheckpoint) and are deliberately never
+    * `release()`d: the frames this returns are lazy plans the caller
+    * executes later (possibly several times), so no point in this method
+    * is safe to free them — the blocks live until executor block eviction
+    * / context GC, the standing localCheckpoint posture (release is only
+    * meaningful for the `reliable = true` spill path, which iterative
+    * callers own explicitly). */
   private def groupRangeSkeleton(df: DataFrame, groupCols: Seq[String],
       sortCols: Seq[Column], weight: Option[Column])
       : (DataFrame, DataFrame, DataFrame) = {
     val spark = df.sparkSession
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = rangeParts(spark)
     val rangeKey = groupCols.map(col) ++ sortCols
     val base = df.repartitionByRange(parts, rangeKey: _*)
       .withColumn("__pid", spark_partition_id())
@@ -240,7 +257,7 @@ object Rank {
   def globalRowNumberAndTotal(df: DataFrame, sortCols: Seq[Column],
       rnCol: String = "rn"): (DataFrame, Long) = {
     val spark = df.sparkSession
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = rangeParts(spark)
     val ranged = graft.Lineage.truncate(
       df.repartitionByRange(parts, sortCols: _*)
         .withColumn("__pid", spark_partition_id()), reliable = false).df

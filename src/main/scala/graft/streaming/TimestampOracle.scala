@@ -143,6 +143,17 @@ object TimestampOracle {
       ts: Ts): Unit = {
     val fs = fsOf(conf, root)
     val dir = tsoDir(root)
+    // Idempotent re-apply FIRST, even at-or-below the gc floor: a network
+    // caller retrying a COMMIT whose response line was dropped must find
+    // its own durable verdict, even if a concurrent [[gc]] advanced the
+    // floor past it between the two attempts. [[gc]] retains resolution
+    // markers for a lease after raising the floor for exactly this
+    // window, so the retry reads its `c=` marker and succeeds instead of
+    // being fenced (and then spuriously "aborted") for a commit that was
+    // durably applied. The a= co-check keeps abort-wins: a race already
+    // resolved against us falls through to the fences below.
+    if (fs.exists(new Path(dir, s"c=${ts.ts}")) &&
+        !fs.exists(new Path(dir, s"a=${ts.ts}"))) return
     def fenceIfCompactedPast(): Unit = {
       val floor = readFloor(fs, dir)
       if (ts.ts <= floor)
@@ -196,6 +207,11 @@ object TimestampOracle {
       ts: Ts): Unit = {
     val fs = fsOf(conf, root)
     val dir = tsoDir(root)
+    // At-or-below the gc floor the ts is already RESOLVED (a pending ts
+    // can only pass the floor by being lease-aborted first) — its commit
+    // marker may have been compacted, and writing a fresh a= here would
+    // contradict a possibly-delivered commit verdict. No-op.
+    if (ts.ts <= readFloor(fs, dir)) return
     if (!fs.exists(new Path(dir, s"c=${ts.ts}")))
       fs.create(new Path(dir, s"a=${ts.ts}"), true).close()
   }
@@ -224,8 +240,15 @@ object TimestampOracle {
       case ("t", n, mtime) if !resolved.contains(n) => (n, mtime)
     }
     val livePending = pending.filter { case (n, mtime) =>
-      if (now - mtime > leaseMs) { // holder outlived its lease: abort it
-        fs.create(new Path(dir, s"a=$n"), true).close(); false
+      if (now - mtime > leaseMs) { // holder outlived its lease: abort it —
+        // but mirror [[abort]]'s committed-stays-committed guard: `resolved`
+        // is a LISTING-time snapshot, and a commit that landed between that
+        // listing and this marker write is a DELIVERED verdict (its caller
+        // already observed success). Re-check immediately before writing so
+        // the scan cannot contradict it; a now-committed ts is resolved,
+        // not pending, so it no longer holds the safe point back.
+        if (fs.exists(new Path(dir, s"c=$n"))) false
+        else { fs.create(new Path(dir, s"a=$n"), true).close(); false }
       } else true
     }
     val floor = readFloor(fs, dir)
@@ -235,7 +258,13 @@ object TimestampOracle {
 
   /** Compact: delete resolution files for every timestamp ≤ the current
     * safe point and record it as the `_floor` — keeps `_tso` listings
-    * bounded by in-flight work, the role TiKV GC plays for old versions. */
+    * bounded by in-flight work, the role TiKV GC plays for old versions.
+    * Resolution markers (`c=`/`a=`) are RETAINED for one `leaseMs` after
+    * the floor passes them: a network caller retrying a commit whose
+    * response line was dropped (its retry window is the client timeout,
+    * far inside the lease) must still find its durable verdict rather
+    * than a spurious floor fence — see [[commit]]'s idempotent re-apply.
+    * Listings stay bounded: O(in-flight + resolved-within-one-lease). */
   def gc(spark: SparkSession, root: String,
       leaseMs: Long = DefaultLeaseMs): Long =
     gc(spark.sparkContext.hadoopConfiguration, root, leaseMs)
@@ -261,8 +290,10 @@ object TimestampOracle {
       listEntries(fs, dir).foreach { case (_, n, _) =>
         if (n <= sp) fs.delete(new Path(dir, s"t=$n"), false)
       }
-      listEntries(fs, dir).foreach { case (k, n, _) =>
-        if (n <= sp && (k == "c" || k == "a"))
+      val now = System.currentTimeMillis()
+      listEntries(fs, dir).foreach { case (k, n, mtime) =>
+        // verdicts outlive the floor by one lease (late-retry window)
+        if (n <= sp && (k == "c" || k == "a") && now - mtime > leaseMs)
           fs.delete(new Path(dir, s"$k=$n"), false)
       }
     }

@@ -90,7 +90,12 @@ final case class TcpTso(host: String, port: Int,
     * cleanly server-side (and abort-after-commit is a server no-op), so a
     * dropped response line gets a second chance before the caller sees a
     * spurious failure; FENCED is a verdict, never retried. BEGIN is also
-    * safe to retry — a lost-ack allocation just ages out via the lease. */
+    * safe to retry — a lost-ack allocation just ages out via the lease.
+    * A COMMIT retry racing a concurrent GC is also safe: the oracle
+    * retains resolution markers for one lease past the gc floor and
+    * [[TimestampOracle.commit]] re-applies idempotently off its own
+    * `c=` marker, so a retry within `timeoutMs` (far inside the lease)
+    * can never read a succeeded commit as a floor fence. */
   private def okRetry(line: String): Long =
     try ok(line)
     catch {
@@ -107,12 +112,20 @@ final case class TcpTso(host: String, port: Int,
 /** The oracle as a network service on an ephemeral port. State lives in
   * the file oracle under `root` on the SERVER's filesystem (durable —
   * close and reopen resumes the sequence); concurrent client requests
-  * are safe because the underlying CAS already arbitrates them. */
-final class TsoServer(conf: Configuration, root: String)
+  * are safe because the underlying CAS already arbitrates them.
+  *
+  * The listener binds to the LOOPBACK interface by default — the protocol
+  * carries no authentication (any peer that can connect can BEGIN/COMMIT/
+  * ABORT/GC arbitrary timestamps), so exposure is an explicit deployment
+  * decision: pass `bindAddr` to serve a trusted network segment, and put
+  * the secured channel (TLS tunnel, service mesh, firewall) in front of
+  * it — the posture the reference delegates to its grpc channel. */
+final class TsoServer(conf: Configuration, root: String,
+    bindAddr: java.net.InetAddress = java.net.InetAddress.getLoopbackAddress)
     extends AutoCloseable {
-  private val server = new java.net.ServerSocket(0)
+  private val server = new java.net.ServerSocket(0, 50, bindAddr)
   def port: Int = server.getLocalPort
-  def host: String = "localhost"
+  def host: String = bindAddr.getHostAddress
 
   private val acceptor = new Thread(() => {
     while (!server.isClosed) {

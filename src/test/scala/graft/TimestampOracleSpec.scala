@@ -64,6 +64,8 @@ class TimestampOracleSpec extends SparkSpec {
     Thread.sleep(50)
     assert(TimestampOracle.safePoint(spark, root, leaseMs = 1L) === dead.ts)
     // gc advances the floor past the aborted ts and DELETES its a= marker
+    // (markers are retained one lease past the floor — age this one out)
+    Thread.sleep(10)
     assert(TimestampOracle.gc(spark, root, leaseMs = 1L) === dead.ts)
     // the marker is gone, but the floor itself is the durable verdict:
     // the stalled holder's commit must still fail loudly, not succeed
@@ -73,6 +75,25 @@ class TimestampOracleSpec extends SparkSpec {
     }
     // and the safe point / resolved view is unchanged by the attempt
     assert(TimestampOracle.safePoint(spark, root) === dead.ts)
+  }
+
+  test("a retried commit finds its verdict past a concurrent gc (lost ack)") {
+    // the transport-retry hazard: COMMIT applied, response line dropped,
+    // and a concurrent gc() compacts the floor past the resolved ts
+    // before the client retries — the retry must re-apply idempotently
+    // (gc retains verdict markers for a lease), never fence a commit
+    // that succeeded
+    val root = Files.createTempDirectory("tso8").toString
+    val t = TimestampOracle.begin(spark, root)
+    TimestampOracle.commit(spark, root, t) // applied; ack "lost"
+    assert(TimestampOracle.gc(spark, root) === t.ts) // floor passes t
+    TimestampOracle.commit(spark, root, t) // the retry: must NOT throw
+    assert(TimestampOracle.safePoint(spark, root) === t.ts)
+    // and a late "abort my failed commit" cleanup stays a no-op even at
+    // the floor — no contradictory a= marker lands below it
+    TimestampOracle.abort(spark, root, t)
+    assert(TimestampOracle.safePoint(spark, root) === t.ts)
+    assert(TimestampOracle.begin(spark, root).ts === t.ts + 1)
   }
 
   test("abort after a completed commit is a no-op — the verdict stands") {
