@@ -37,6 +37,20 @@ object Bench {
             .partitionBy(col("user_id")).orderBy(col("count"))))
         .write.format("noop").mode("overwrite").save()
     }
+    // Between-queries cleanup: localCheckpoint materializations
+    // (Lineage.truncate) register as persistent RDDs and otherwise live
+    // until the ASYNC ContextCleaner happens to notice them — across a
+    // 320-query board those leaked blocks pile up in the storage pool and
+    // tax later queries' measurements (q104's r15 min-of-3 drifted +21%
+    // with an unchanged code path). Unpersist them synchronously so every
+    // query is measured against an empty block manager, like a standalone
+    // run; System.gc() then clears broadcast/codegen garbage as before.
+    val noDrain = sys.env.contains("SPARK_GRAFT_NO_DRAIN") // A/B escape hatch
+    def drainLeakedBlocks(): Unit = {
+      if (!noDrain)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+    }
     var failures = List.empty[String]
     // dev loop: SPARK_GRAFT_ONLY=q148_prefix_join,q134_pagerank restricts
     // the run to a comma-separated subset (full run when unset)
@@ -47,9 +61,8 @@ object Bench {
       case None    => SparkEntry.queries
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // drop accumulated broadcast/codegen garbage so earlier queries don't
-      // tax later ones' measurements
-      System.gc()
+      // drop blocks + broadcast/codegen garbage leaked by earlier queries
+      drainLeakedBlocks()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -63,7 +76,7 @@ object Bench {
     // regression repeats, bench variance doesn't (judge request, round 10)
     val repeats = results.filterNot(r => failures.contains(r._1))
       .sortBy(-_._2).take(5).map { case (name, first) =>
-        System.gc()
+        drainLeakedBlocks()
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()

@@ -112,4 +112,51 @@ class InOrderFunnelSpec extends SparkSpec {
         || Option(ex.getCause).exists(_.getMessage.contains("out-of-order")))
     } finally q.stop()
   } }
+
+  test("the ttl parameter expires idle-user state (production knob)") {
+    withRocksDb {
+      val input = MemoryStream[(Long, Long, String)] // (user, us, type)
+      // real TTL ⇒ processing-time mode, where the engine self-triggers
+      // batches to evict state — processAllAvailable never idles there,
+      // so this test POLLS the sink instead (split-sourcing precedent)
+      val q = InOrderFunnel.track(input.toDS(),
+          ttl = org.apache.spark.sql.streaming.TTLConfig
+            .apply(java.time.Duration.ofSeconds(1)))
+        .writeStream.outputMode("update")
+        .format("memory").queryName("funnel_ttl").start()
+      def views(): Set[Long] = spark.table("funnel_ttl")
+        .select($"first_view_us").as[Option[Long]].collect().flatten.toSet
+      def awaitView(us: Long, timeoutMs: Long): Boolean = {
+        val deadline = System.currentTimeMillis() + timeoutMs
+        var seen = views().contains(us)
+        while (!seen && System.currentTimeMillis() < deadline) {
+          Thread.sleep(200); seen = views().contains(us)
+        }
+        seen
+      }
+      try {
+        input.addData((1L, 100L, "view"))
+        assert(awaitView(100L, 60000),
+          s"stage-1 row never appeared: ${views()}")
+        // poll the expiry with widening sleeps: each attempt sends one
+        // more view at a fresh, strictly later us. First-touch fields
+        // are set at most once per state LIFETIME, so fresh state
+        // re-emits a stage-1 row stamped with THAT us (the positive
+        // verdict this loop waits for), while surviving state swallows
+        // the repeat view silently — bounded silence means the state
+        // survived this attempt's sleep, so widen and retry.
+        var expired = false
+        var attempt = 0
+        while (!expired && attempt < 5) {
+          attempt += 1
+          Thread.sleep(5000L * attempt)
+          val us = 100L + attempt * 100L
+          input.addData((1L, us, "view"))
+          expired = awaitView(us, 10000)
+        }
+        assert(expired,
+          s"state never expired after $attempt widening sleeps (TTL 1 s)")
+      } finally q.stop()
+    }
+  }
 }

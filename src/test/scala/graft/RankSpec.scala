@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.ExplainMode
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{col, concat, lit, spark_partition_id, when}
 
 import graft.operators.{Corpus, Rank, Relational}
 
@@ -74,6 +74,61 @@ class RankSpec extends SparkSpec {
     val gs = got.filter(_._1.contains("g"))
     assert(gs.length === 34 && gs.forall(_._4 === 34L))
     assert(gs.sortBy(_._2).map(_._3).toSeq === (1L to 34L))
+  }
+
+  test("a mega-group provably spans range partitions; ranks stay continuous across the seam") {
+    // The r15 cliff cure's reason to exist: ONE group holding most rows
+    // must have its sort SPREAD across range partitions (else the device
+    // degenerates back into the entity-sized single task), and the
+    // stitched ranks must be seamless across every partition boundary
+    // inside the group. The plan pins (Round15PlanSpec) prove the shape;
+    // this proves the DATA property — the fixture plants a group large
+    // enough that spanning is asserted, not incidental.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val df = spark.range(0, 3200).select(
+      when(col("id") < 3000, "mega")
+        .otherwise(concat(lit("s"), col("id") % 3)).as("g"),
+      (col("id") % 13).as("v"), // heavy ties: boundaries land MID-tie
+      col("id"))
+    // the exact exchange the skeleton performs: the mega group must span
+    // ≥2 of its range partitions or this fixture tests no seam at all
+    val spanned = df.repartitionByRange(parts, col("g"), col("v"), col("id"))
+      .where(col("g") === "mega")
+      .select(spark_partition_id()).distinct().count()
+    assert(spanned >= 2,
+      s"fixture failure: mega group landed in $spanned partition(s) over " +
+        s"$parts — grow it until it provably spans a boundary")
+
+    val rows = df.select($"g", $"v", $"id").as[(String, Long, Long)].collect()
+
+    val got = Rank.groupRowNumberAndTotal(df, Seq("g"),
+        Seq(col("v"), col("id")), "rk", "n")
+      .select($"g", $"id", $"rk", $"n")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length === rows.length, "no row may vanish or duplicate")
+    got.groupBy(_._1).foreach { case (g, rs) =>
+      val want = rows.filter(_._1 == g).sortBy(r => (r._2, r._3)).map(_._3)
+      assert(rs.forall(_._4 == want.length.toLong), s"group $g total")
+      // ranks are exactly 1..n in (v, id) order — a seam bug (an offset
+      // dropped or double-counted at a boundary) breaks the permutation
+      assert(rs.map(_._3).sorted.toSeq === (1L to want.length.toLong),
+        s"group $g rank continuity across the seam")
+      assert(rs.sortBy(_._3).map(_._2).toSeq === want.toSeq,
+        s"group $g rank order")
+    }
+
+    // the prefix-sum twin over the same spanning fixture: exclusive
+    // per-group running sums must equal the sequential scan exactly
+    val ps = Rank.groupPrefixSum(df, Seq("g"), Seq(col("v"), col("id")),
+        col("id") % 7, "ps")
+      .select($"g", $"id", $"ps").as[(String, Long, Long)].collect()
+    val expectPs = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      sorted.map(_._3).toSeq
+        .zip(sorted.map(r => r._3 % 7).scanLeft(0L)(_ + _).init)
+        .map { case (id, s) => (g, id) -> s }
+    }.toMap
+    assert(ps.map(r => (r._1, r._2) -> r._3).toMap === expectPs)
   }
 
   test("descending sort keys rank correctly (q86's vocab ordering)") {

@@ -70,4 +70,58 @@ class StreamingCadenceSpec extends SparkSpec {
         || Option(ex.getCause).exists(_.getMessage.contains("out-of-order")))
     } finally q.stop()
   } }
+
+  test("the ttl parameter expires idle-customer state (production knob)") {
+    withRocksDb {
+      val input = MemoryStream[(Long, Long, Long)]
+      // real TTL ⇒ processing-time mode, where the engine self-triggers
+      // batches to evict state — processAllAvailable never idles there,
+      // so this test POLLS the sink instead (split-sourcing precedent)
+      val q = StreamingCadence.track(input.toDS(),
+          org.apache.spark.sql.streaming.TTLConfig
+            .apply(java.time.Duration.ofSeconds(1)))
+        .writeStream.outputMode("update")
+        .format("memory").queryName("cadence_ttl").start()
+      def ns(): Array[Long] = spark.table("cadence_ttl")
+        .select($"n_orders").as[Long].collect()
+      def awaitUntil(p: Array[Long] => Boolean): Array[Long] = {
+        val deadline = System.currentTimeMillis() + 60000
+        var c = ns()
+        while (!p(c) && System.currentTimeMillis() < deadline) {
+          Thread.sleep(200); c = ns()
+        }
+        assert(p(c), s"sink never satisfied the condition: ${c.toSeq}")
+        c
+      }
+      try {
+        // three orders in one batch → one n_orders=3 row
+        input.addData((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L))
+        assert(awaitUntil(_.nonEmpty).forall(_ == 3L))
+        // poll the expiry with widening sleeps: each attempt feeds three
+        // MORE orders at strictly later days (legal whether or not the
+        // old state survived); fresh state re-emits an n_orders=3 row
+        // (the count of 3-rows grows), surviving state keeps counting
+        // (the max n grows past what we've seen) — then widen and retry
+        var threes = 1
+        var maxSeen = 3L
+        var expired = false
+        var attempt = 0
+        while (!expired && attempt < 5) {
+          attempt += 1
+          Thread.sleep(5000L * attempt)
+          val d = 100L * attempt + 100L
+          input.addData((1L, 10L + attempt * 3L, d),
+            (1L, 11L + attempt * 3L, d + 10L),
+            (1L, 12L + attempt * 3L, d + 30L))
+          val c = awaitUntil(a =>
+            a.count(_ == 3L) > threes || a.max > maxSeen)
+          if (c.count(_ == 3L) > threes) expired = true // started FRESH
+          else maxSeen = c.max // state survived this sleep — widen
+          threes = c.count(_ == 3L)
+        }
+        assert(expired,
+          s"state never expired after $attempt widening sleeps (TTL 1 s)")
+      } finally q.stop()
+    }
+  }
 }

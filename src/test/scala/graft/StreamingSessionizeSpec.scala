@@ -69,4 +69,53 @@ class StreamingSessionizeSpec extends SparkSpec {
         || Option(ex.getCause).exists(_.getMessage.contains("out-of-order")))
     } finally q.stop()
   } }
+
+  test("the ttl parameter expires idle-user state (production knob)") {
+    withRocksDb {
+      val input = MemoryStream[(Long, Long, Long)] // (event_id, user, us)
+      // real TTL ⇒ processing-time mode, where the engine self-triggers
+      // batches to evict state — processAllAvailable never idles there,
+      // so this test POLLS the sink instead (split-sourcing precedent)
+      val q = StreamingSessionize.assign(input.toDS(), gapUs = 1000L,
+          ttl = org.apache.spark.sql.streaming.TTLConfig
+            .apply(java.time.Duration.ofSeconds(1)))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sess_ttl").start()
+      def seqs(): Map[Long, Long] = spark.table("sess_ttl")
+        .select($"event_id", $"session_seq")
+        .as[(Long, Long)].collect().toMap
+      def awaitUntil(p: Map[Long, Long] => Boolean): Map[Long, Long] = {
+        val deadline = System.currentTimeMillis() + 60000
+        var c = seqs()
+        while (!p(c) && System.currentTimeMillis() < deadline) {
+          Thread.sleep(200); c = seqs()
+        }
+        assert(p(c), s"sink never satisfied the condition: $c")
+        c
+      }
+      try {
+        // two events a session-gap apart → sessions 1 and 2
+        input.addData((1L, 1L, 1000000L), (2L, 1L, 2000000L))
+        assert(awaitUntil(_.size >= 2) === Map(1L -> 1L, 2L -> 2L))
+        // poll the expiry with widening sleeps: each attempt sends ONE
+        // more event (strictly later us, a full session-gap later —
+        // legal whether or not the old state survived). Append mode
+        // stamps every event, so each attempt gets a POSITIVE verdict:
+        // fresh state restarts the counter at session 1, surviving
+        // state keeps counting (3, 4, …) — then widen and retry.
+        var expired = false
+        var attempt = 0
+        while (!expired && attempt < 5) {
+          attempt += 1
+          Thread.sleep(5000L * attempt)
+          val eid = 10L + attempt
+          input.addData((eid, 1L, 2000000L + attempt * 1000000L))
+          val c = awaitUntil(_.contains(eid))
+          expired = c(eid) == 1L
+        }
+        assert(expired,
+          s"state never expired after $attempt widening sleeps (TTL 1 s)")
+      } finally q.stop()
+    }
+  }
 }
