@@ -84,6 +84,16 @@ object GraftSession {
       }
   }
 
+  /** The session's shuffle-partition count as an Int, falling back to
+    * the context default parallelism when the conf is non-numeric
+    * (platforms running AQE coalescing may set it to "auto") — the one
+    * shared read behind every explicit repartition width in graft, so
+    * the fallback cannot be fixed in one operator and missed in another. */
+  def shufflePartitions(spark: SparkSession): Int =
+    scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .toOption.filter(_ > 0)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+
   /** Register graft's native SQL functions on an existing session. */
   def registerFunctions(spark: SparkSession): Unit =
     nativeFunctions.foreach { fn =>

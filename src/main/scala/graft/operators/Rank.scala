@@ -27,13 +27,9 @@ import org.apache.spark.sql.functions._
  */
 object Rank {
 
-  /** Width of the range exchange: `spark.sql.shuffle.partitions`, falling
-    * back to the context default parallelism when the conf is non-numeric
-    * (platforms running AQE coalescing may set it to "auto"). */
+  /** Width of the range exchange — the shared "auto"-safe conf read. */
   private def rangeParts(spark: org.apache.spark.sql.SparkSession): Int =
-    scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
-      .toOption.filter(_ > 0)
-      .getOrElse(spark.sparkContext.defaultParallelism)
+    graft.GraftSession.shufflePartitions(spark)
 
   /** Append `rnCol` = 1-based global row number of `df` under `sortCols`
     * (must be a total order — include a unique tiebreaker). */

@@ -78,7 +78,7 @@ object Skew {
     // side) is always worth the full-cluster fan-out. The partition count is
     // pinned (REPARTITION_BY_NUM) so AQE's small-partition coalescing can't
     // fold the deliberately CPU-heavy buckets back together by byte size.
-    val numParts = d.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val numParts = graft.GraftSession.shufflePartitions(d.sparkSession)
     val a = bounded.withColumn("__sa", own).withColumn("__sb", explode(partnerSalts))
       .repartition(numParts, col(blockCol), col("__sa"), col("__sb"))
     val b = bounded.withColumn("__sb", own).withColumn("__sa", explode(partnerSalts))

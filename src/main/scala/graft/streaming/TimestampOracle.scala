@@ -240,15 +240,30 @@ object TimestampOracle {
       case ("t", n, mtime) if !resolved.contains(n) => (n, mtime)
     }
     val livePending = pending.filter { case (n, mtime) =>
-      if (now - mtime > leaseMs) { // holder outlived its lease: abort it —
-        // but mirror [[abort]]'s committed-stays-committed guard: `resolved`
-        // is a LISTING-time snapshot, and a commit that landed between that
-        // listing and this marker write is a DELIVERED verdict (its caller
-        // already observed success). Re-check immediately before writing so
-        // the scan cannot contradict it; a now-committed ts is resolved,
-        // not pending, so it no longer holds the safe point back.
-        if (fs.exists(new Path(dir, s"c=$n"))) false
-        else { fs.create(new Path(dir, s"a=$n"), true).close(); false }
+      if (now - mtime > leaseMs) {
+        // Holder outlived its lease: abort it. `resolved` is a
+        // LISTING-time snapshot, so a commit can land between the listing
+        // and this point — and unlike [[abort]]'s same-caller lost-ack
+        // case, the scan is a DIFFERENT party: contradicting a commit
+        // whose caller already observed success is the one outcome that
+        // must not stand. Marker-FIRST ordering closes the permanent
+        // version of that race (check-then-write would leave it open a
+        // full listing wide): write our abort, THEN look for a commit.
+        // A racing commit either sees our marker at its own post-write
+        // recheck (it retracts and throws — abort wins, failure is what
+        // its caller observes) or its marker was already durable — then
+        // WE defer: retract the abort and keep holding the safe point
+        // this round, so the next scan reads the settled verdict. The
+        // only residue is transient dual-marker visibility to a
+        // concurrent third observer, syscalls wide, never a delivered
+        // success that later reads as aborted.
+        fs.create(new Path(dir, s"a=$n"), true).close()
+        if (!fs.exists(new Path(dir, s"c=$n"))) false // aborted cleanly
+        else {
+          try fs.delete(new Path(dir, s"a=$n"), false)
+          catch { case scala.util.control.NonFatal(_) => () }
+          true // defer: re-evaluate n on the next scan
+        }
       } else true
     }
     val floor = readFloor(fs, dir)
@@ -260,7 +275,9 @@ object TimestampOracle {
     * safe point and record it as the `_floor` — keeps `_tso` listings
     * bounded by in-flight work, the role TiKV GC plays for old versions.
     * Resolution markers (`c=`/`a=`) are RETAINED for one `leaseMs` after
-    * the floor passes them: a network caller retrying a commit whose
+    * the floor PASSES them (the passage is stamped onto the marker's
+    * mtime, so retention is anchored to the floor advance, not to when
+    * the marker was written): a network caller retrying a commit whose
     * response line was dropped (its retry window is the client timeout,
     * far inside the lease) must still find its durable verdict rather
     * than a spurious floor fence — see [[commit]]'s idempotent re-apply.
@@ -277,7 +294,8 @@ object TimestampOracle {
     val sp = safePoint(conf, root, leaseMs)
     s"graft.tso:$dir".intern().synchronized {
       val floorPath = new Path(dir, "_floor")
-      if (sp > readFloor(fs, dir)) {
+      val prevFloor = readFloor(fs, dir)
+      if (sp > prevFloor) {
         // floor first (raising it is safe: it only widens "resolved"),
         // then the now-redundant per-ts files
         val tmp = new Path(dir, s"._floor_tmp_${java.util.UUID.randomUUID()}")
@@ -292,9 +310,16 @@ object TimestampOracle {
       }
       val now = System.currentTimeMillis()
       listEntries(fs, dir).foreach { case (k, n, mtime) =>
-        // verdicts outlive the floor by one lease (late-retry window)
-        if (n <= sp && (k == "c" || k == "a") && now - mtime > leaseMs)
-          fs.delete(new Path(dir, s"$k=$n"), false)
+        if (n <= sp && (k == "c" || k == "a")) {
+          // first passage: stamp "floor passed me" onto the marker's
+          // mtime and RETAIN it — anchoring the one-lease retention to
+          // the floor advance, not to when the verdict was written (an
+          // old verdict would otherwise compact the instant the floor
+          // reached it, voiding the late-retry window)
+          if (n > prevFloor) fs.setTimes(new Path(dir, s"$k=$n"), now, -1)
+          else if (now - mtime > leaseMs)
+            fs.delete(new Path(dir, s"$k=$n"), false)
+        }
       }
     }
     sp

@@ -91,11 +91,14 @@ final case class TcpTso(host: String, port: Int,
     * dropped response line gets a second chance before the caller sees a
     * spurious failure; FENCED is a verdict, never retried. BEGIN is also
     * safe to retry — a lost-ack allocation just ages out via the lease.
-    * A COMMIT retry racing a concurrent GC is also safe: the oracle
-    * retains resolution markers for one lease past the gc floor and
-    * [[TimestampOracle.commit]] re-applies idempotently off its own
-    * `c=` marker, so a retry within `timeoutMs` (far inside the lease)
-    * can never read a succeeded commit as a floor fence. */
+    * A COMMIT retry racing a concurrent GC is also safe PROVIDED the
+    * retry window stays inside one lease of the floor passing the ts —
+    * the oracle retains resolution markers for one `leaseMs` after the
+    * floor passes them and [[TimestampOracle.commit]] re-applies
+    * idempotently off its own `c=` marker. With the defaults (30 s
+    * timeout vs a 10 min lease) that holds with two orders of margin;
+    * a deployment that shrinks the oracle lease below ~2× this timeout
+    * re-opens the spurious-fence window and must not do so. */
   private def okRetry(line: String): Long =
     try ok(line)
     catch {

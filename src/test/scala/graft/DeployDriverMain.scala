@@ -63,6 +63,10 @@ object DeployDriverMain {
       .setPrimaryKeys("pk")
       .setVersionColumn("version")
       .setSink((df, id) => {
+        // three actions read this batch (stop probe, count, sink stage):
+        // cache it so the broker range is fetched over TCP once, not 3×
+        df.persist()
+        try {
         if (df.filter(col("pk") === StopPk).limit(1).count() > 0)
           sawStop = true
         val data = df.filter(col("pk") =!= StopPk)
@@ -87,6 +91,7 @@ object DeployDriverMain {
             throw e
         }
         println(s"APPLIED $name $id $n"); Console.out.flush()
+        } finally df.unpersist()
       })
       .setCheckpointLocation(ckpt)
       .build().start()

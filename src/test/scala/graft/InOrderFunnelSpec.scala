@@ -126,36 +126,21 @@ class InOrderFunnelSpec extends SparkSpec {
         .format("memory").queryName("funnel_ttl").start()
       def views(): Set[Long] = spark.table("funnel_ttl")
         .select($"first_view_us").as[Option[Long]].collect().flatten.toSet
-      def awaitView(us: Long, timeoutMs: Long): Boolean = {
-        val deadline = System.currentTimeMillis() + timeoutMs
-        var seen = views().contains(us)
-        while (!seen && System.currentTimeMillis() < deadline) {
-          Thread.sleep(200); seen = views().contains(us)
-        }
-        seen
-      }
       try {
         input.addData((1L, 100L, "view"))
-        assert(awaitView(100L, 60000),
+        assert(pollSink()(views())(_.contains(100L)).contains(100L),
           s"stage-1 row never appeared: ${views()}")
-        // poll the expiry with widening sleeps: each attempt sends one
-        // more view at a fresh, strictly later us. First-touch fields
-        // are set at most once per state LIFETIME, so fresh state
-        // re-emits a stage-1 row stamped with THAT us (the positive
-        // verdict this loop waits for), while surviving state swallows
-        // the repeat view silently — bounded silence means the state
-        // survived this attempt's sleep, so widen and retry.
-        var expired = false
-        var attempt = 0
-        while (!expired && attempt < 5) {
-          attempt += 1
-          Thread.sleep(5000L * attempt)
+        // Per attempt: one more view at a fresh, strictly later us.
+        // First-touch fields are set at most once per state LIFETIME, so
+        // fresh state re-emits a stage-1 row stamped with THAT us (the
+        // positive verdict), while surviving state swallows the repeat
+        // view silently — bounded silence means the state survived this
+        // attempt's sleep.
+        awaitTtlExpiry() { attempt =>
           val us = 100L + attempt * 100L
           input.addData((1L, us, "view"))
-          expired = awaitView(us, 10000)
+          pollSink(timeoutMs = 10000)(views())(_.contains(us)).contains(us)
         }
-        assert(expired,
-          s"state never expired after $attempt widening sleeps (TTL 1 s)")
       } finally q.stop()
     }
   }

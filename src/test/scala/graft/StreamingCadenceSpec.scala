@@ -84,43 +84,29 @@ class StreamingCadenceSpec extends SparkSpec {
         .format("memory").queryName("cadence_ttl").start()
       def ns(): Array[Long] = spark.table("cadence_ttl")
         .select($"n_orders").as[Long].collect()
-      def awaitUntil(p: Array[Long] => Boolean): Array[Long] = {
-        val deadline = System.currentTimeMillis() + 60000
-        var c = ns()
-        while (!p(c) && System.currentTimeMillis() < deadline) {
-          Thread.sleep(200); c = ns()
-        }
-        assert(p(c), s"sink never satisfied the condition: ${c.toSeq}")
-        c
-      }
       try {
         // three orders in one batch → one n_orders=3 row
         input.addData((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L))
-        assert(awaitUntil(_.nonEmpty).forall(_ == 3L))
-        // poll the expiry with widening sleeps: each attempt feeds three
-        // MORE orders at strictly later days (legal whether or not the
-        // old state survived); fresh state re-emits an n_orders=3 row
-        // (the count of 3-rows grows), surviving state keeps counting
-        // (the max n grows past what we've seen) — then widen and retry
+        val first = pollSink()(ns())(_.nonEmpty)
+        assert(first.nonEmpty && first.forall(_ == 3L), first.toSeq)
+        // Per attempt: feed three MORE orders at strictly later days
+        // (legal whether or not the old state survived); fresh state
+        // re-emits an n_orders=3 row (the count of 3-rows grows),
+        // surviving state keeps counting (the max n grows).
         var threes = 1
         var maxSeen = 3L
-        var expired = false
-        var attempt = 0
-        while (!expired && attempt < 5) {
-          attempt += 1
-          Thread.sleep(5000L * attempt)
+        awaitTtlExpiry() { attempt =>
           val d = 100L * attempt + 100L
           input.addData((1L, 10L + attempt * 3L, d),
             (1L, 11L + attempt * 3L, d + 10L),
             (1L, 12L + attempt * 3L, d + 30L))
-          val c = awaitUntil(a =>
+          val c = pollSink()(ns())(a =>
             a.count(_ == 3L) > threes || a.max > maxSeen)
-          if (c.count(_ == 3L) > threes) expired = true // started FRESH
-          else maxSeen = c.max // state survived this sleep — widen
+          val fresh = c.count(_ == 3L) > threes
+          if (!fresh && c.nonEmpty) maxSeen = c.max
           threes = c.count(_ == 3L)
+          fresh
         }
-        assert(expired,
-          s"state never expired after $attempt widening sleeps (TTL 1 s)")
       } finally q.stop()
     }
   }

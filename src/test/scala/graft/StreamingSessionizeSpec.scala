@@ -84,37 +84,23 @@ class StreamingSessionizeSpec extends SparkSpec {
       def seqs(): Map[Long, Long] = spark.table("sess_ttl")
         .select($"event_id", $"session_seq")
         .as[(Long, Long)].collect().toMap
-      def awaitUntil(p: Map[Long, Long] => Boolean): Map[Long, Long] = {
-        val deadline = System.currentTimeMillis() + 60000
-        var c = seqs()
-        while (!p(c) && System.currentTimeMillis() < deadline) {
-          Thread.sleep(200); c = seqs()
-        }
-        assert(p(c), s"sink never satisfied the condition: $c")
-        c
-      }
       try {
         // two events a session-gap apart → sessions 1 and 2
         input.addData((1L, 1L, 1000000L), (2L, 1L, 2000000L))
-        assert(awaitUntil(_.size >= 2) === Map(1L -> 1L, 2L -> 2L))
-        // poll the expiry with widening sleeps: each attempt sends ONE
-        // more event (strictly later us, a full session-gap later —
-        // legal whether or not the old state survived). Append mode
-        // stamps every event, so each attempt gets a POSITIVE verdict:
-        // fresh state restarts the counter at session 1, surviving
-        // state keeps counting (3, 4, …) — then widen and retry.
-        var expired = false
-        var attempt = 0
-        while (!expired && attempt < 5) {
-          attempt += 1
-          Thread.sleep(5000L * attempt)
+        val first = pollSink()(seqs())(_.size >= 2)
+        assert(first === Map(1L -> 1L, 2L -> 2L))
+        // Per attempt: ONE more event, strictly later us, a full
+        // session-gap later (legal whether or not the old state
+        // survived). Append mode stamps every event, so each attempt
+        // gets a POSITIVE verdict: fresh state restarts the counter at
+        // session 1, surviving state keeps counting (3, 4, …).
+        awaitTtlExpiry() { attempt =>
           val eid = 10L + attempt
           input.addData((eid, 1L, 2000000L + attempt * 1000000L))
-          val c = awaitUntil(_.contains(eid))
-          expired = c(eid) == 1L
+          val c = pollSink()(seqs())(_.contains(eid))
+          assert(c.contains(eid), s"event $eid never stamped: $c")
+          c(eid) == 1L
         }
-        assert(expired,
-          s"state never expired after $attempt widening sleeps (TTL 1 s)")
       } finally q.stop()
     }
   }

@@ -72,43 +72,25 @@ class StreamingSplitSourcingSpec extends SparkSpec {
         .format("memory").queryName("split_ttl").start()
       def counts(): Array[Long] = spark.table("split_ttl")
         .as[(Long, Long, Long)].collect().map(_._3)
-      def awaitUntil(p: Array[Long] => Boolean): Array[Long] = {
-        val deadline = System.currentTimeMillis() + 60000
-        var c = counts()
-        while (!p(c) && System.currentTimeMillis() < deadline) {
-          Thread.sleep(200); c = counts()
-        }
-        assert(p(c), s"sink never satisfied the condition: ${c.toSeq}")
-        c
-      }
       try {
         input.addData((1L, 1L, 10L), (1L, 1L, 20L))
-        assert(awaitUntil(_.nonEmpty).forall(_ == 2L))
-        // Eviction is wall-clock (1 s TTL), so one fixed sleep can flake
-        // on a loaded box — POLL the expiry instead: each attempt sleeps
-        // (widening), feeds two FRESH suppliers, and reads the verdict
-        // off the new sink rows. Fresh state re-flags at exactly 2 (a
-        // new `(group, 2)` row lands — the count of 2-rows grows);
-        // surviving state keeps counting (the max grows past what we've
-        // seen) — then widen the sleep and try again.
+        val first = pollSink()(counts())(_.nonEmpty)
+        assert(first.nonEmpty && first.forall(_ == 2L), first.toSeq)
+        // Per attempt: feed two FRESH suppliers. Fresh state re-flags at
+        // exactly 2 (a new `(group, 2)` row lands — the count of 2-rows
+        // grows); surviving state keeps counting (the max grows).
         var twos = 1 // rows with n_supp == 2 so far
         var maxSeen = 2L
-        var expired = false
-        var nextSupp = 30L
-        var attempt = 0
-        while (!expired && attempt < 5) {
-          attempt += 1
-          Thread.sleep(5000L * attempt)
-          input.addData((1L, 1L, nextSupp), (1L, 1L, nextSupp + 10L))
-          nextSupp += 20L
-          val c = awaitUntil(a =>
+        awaitTtlExpiry() { attempt =>
+          input.addData((1L, 1L, attempt * 20L + 10L),
+            (1L, 1L, attempt * 20L + 20L))
+          val c = pollSink()(counts())(a =>
             a.count(_ == 2L) > twos || a.max > maxSeen)
-          if (c.count(_ == 2L) > twos) expired = true // started FRESH
-          else maxSeen = c.max // state survived this sleep — widen
+          val fresh = c.count(_ == 2L) > twos
+          if (!fresh && c.nonEmpty) maxSeen = c.max
           twos = c.count(_ == 2L)
+          fresh
         }
-        assert(expired,
-          s"state never expired after $attempt widening sleeps (TTL 1 s)")
       } finally q.stop()
     }
   }

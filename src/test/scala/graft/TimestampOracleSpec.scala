@@ -63,8 +63,10 @@ class TimestampOracleSpec extends SparkSpec {
     val dead = TimestampOracle.begin(spark, root)
     Thread.sleep(50)
     assert(TimestampOracle.safePoint(spark, root, leaseMs = 1L) === dead.ts)
-    // gc advances the floor past the aborted ts and DELETES its a= marker
-    // (markers are retained one lease past the floor — age this one out)
+    // first gc advances the floor past the aborted ts but RETAINS its a=
+    // marker (stamped with the passage time — the late-retry window);
+    // a second gc one lease later deletes it
+    assert(TimestampOracle.gc(spark, root, leaseMs = 1L) === dead.ts)
     Thread.sleep(10)
     assert(TimestampOracle.gc(spark, root, leaseMs = 1L) === dead.ts)
     // the marker is gone, but the floor itself is the durable verdict:
