@@ -27,8 +27,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *   - `c=<n>` / `a=<n>`  resolution markers. If both ever exist (a commit
  *     that lost its lease racing the expiry scan), ABORT WINS — deciders
  *     must agree, so the late committer throws instead of un-aborting.
- *   - `_floor`  compaction high-water mark: every n ≤ floor is resolved
- *     and its files are deleted ([[gc]]), keeping the directory listing
+ *   - `_floor.v<n>`  compaction high-water mark (value in the NAME —
+ *     atomic create, crash-safe, max-wins across concurrent gcs; the
+ *     legacy content-bearing `_floor` is still read): every n ≤ floor is
+ *     resolved and its files are deleted ([[gc]], verdict markers one
+ *     lease later), keeping the directory listing
  *     O(in-flight + recent) instead of O(history).
  *
  * `safePoint()` is the resolved-ts analog (FlinkTikvConsumer.java:163-191
@@ -52,8 +55,18 @@ object TimestampOracle {
 
   final case class Ts(ts: Long)
 
-  final class TimestampFencedException(msg: String)
+  class TimestampFencedException(msg: String)
     extends IllegalStateException(msg)
+
+  /** The floor-fence flavor: the ts is at-or-below the gc floor and its
+    * own verdict marker is gone (compacted). For a FIRST commit attempt
+    * this is a normal fence (the ts was lease-aborted and compacted long
+    * ago); for a transport RETRY whose first response was lost it is
+    * AMBIGUOUS — the compacted verdict may have been this caller's own
+    * successful commit — so [[TcpTso]] escalates it loudly instead of
+    * reporting a clean abort. */
+  final class TimestampCompactedException(msg: String)
+    extends TimestampFencedException(msg)
 
   private def tsoDir(root: String) = new Path(root, "_tso")
   private def fsOf(conf: org.apache.hadoop.conf.Configuration, root: String) =
@@ -89,14 +102,30 @@ object TimestampOracle {
       catch { case _: java.io.IOException => false }
     }
 
+  /** The compaction floor. Its value rides in the file NAME
+    * (`_floor.v<n>`): the write is one atomic create (a reader can never
+    * see partial content), a new version lands BEFORE superseded ones are
+    * removed — a crash between the two steps leaves extra files, never a
+    * MISSING floor (the old delete-then-rename could lose it entirely,
+    * after which `begin()` would re-issue committed timestamps) — and
+    * readers take the MAX, so concurrent gcs from independent processes
+    * (the in-JVM intern lock does not span them) can only advance the
+    * floor, never regress it. The legacy content-bearing `_floor` file
+    * is still read for stores written before versioning. */
   private def readFloor(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Long = {
-    val p = new Path(dir, "_floor")
-    if (!fs.exists(p)) 0L
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), "UTF-8").trim.toLong
-      finally in.close()
-    }
+    if (!fs.exists(dir)) return 0L
+    val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    val versioned = names.filter(_.startsWith("_floor.v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("_floor.v").toLong).toOption)
+    val legacy =
+      if (!names.contains("_floor")) 0L
+      else {
+        val in = fs.open(new Path(dir, "_floor"))
+        try scala.util.Try(
+          new String(in.readAllBytes(), "UTF-8").trim.toLong).getOrElse(0L)
+        finally in.close()
+      }
+    (versioned :+ legacy :+ 0L).max
   }
 
   /** Allocate the store's next global timestamp (pending until [[commit]]
@@ -157,7 +186,7 @@ object TimestampOracle {
     def fenceIfCompactedPast(): Unit = {
       val floor = readFloor(fs, dir)
       if (ts.ts <= floor)
-        throw new TimestampFencedException(
+        throw new TimestampCompactedException(
           s"timestamp ${ts.ts} at $dir is at or below the gc floor $floor " +
             "— it was aborted by lease expiry and compacted before this " +
             "commit; the holder outlived its lease")
@@ -260,8 +289,26 @@ object TimestampOracle {
         fs.create(new Path(dir, s"a=$n"), true).close()
         if (!fs.exists(new Path(dir, s"c=$n"))) false // aborted cleanly
         else {
-          try fs.delete(new Path(dir, s"a=$n"), false)
-          catch { case scala.util.control.NonFatal(_) => () }
+          // The retraction MUST land: once n reads resolved (c= present)
+          // no later scan revisits it, so a swallowed delete failure
+          // would leave a permanent dual verdict — exactly what
+          // marker-first exists to prevent. Retry transient failures,
+          // then fail the scan LOUDLY (a held safe point beats a
+          // delivered commit that silently reads as aborted).
+          var retracted = false
+          var tries = 0
+          while (!retracted && tries < 3) {
+            tries += 1
+            try { fs.delete(new Path(dir, s"a=$n"), false); retracted = true }
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                if (tries >= 3) throw new IllegalStateException(
+                  s"could not retract the expiry abort for committed " +
+                    s"timestamp $n at $dir — dual verdict markers would " +
+                    "persist; clear a=" + n + " manually", e)
+                Thread.sleep(10L * tries)
+            }
+          }
           true // defer: re-evaluate n on the next scan
         }
       } else true
@@ -293,17 +340,20 @@ object TimestampOracle {
     val dir = tsoDir(root)
     val sp = safePoint(conf, root, leaseMs)
     s"graft.tso:$dir".intern().synchronized {
-      val floorPath = new Path(dir, "_floor")
       val prevFloor = readFloor(fs, dir)
       if (sp > prevFloor) {
         // floor first (raising it is safe: it only widens "resolved"),
-        // then the now-redundant per-ts files
-        val tmp = new Path(dir, s"._floor_tmp_${java.util.UUID.randomUUID()}")
-        val out = fs.create(tmp, true)
-        try out.write(sp.toString.getBytes("UTF-8")) finally out.close()
-        fs.delete(floorPath, false)
-        if (!fs.rename(tmp, floorPath))
-          throw new IllegalStateException(s"could not advance $floorPath")
+        // then the now-redundant per-ts files. New version before old
+        // cleanup — see [[readFloor]] for the crash/concurrency contract.
+        fs.create(new Path(dir, s"_floor.v$sp"), true).close()
+        fs.listStatus(dir).map(_.getPath.getName).foreach { n =>
+          val superseded = n == "_floor" ||
+            (n.startsWith("_floor.v") && scala.util.Try(
+              n.stripPrefix("_floor.v").toLong).toOption.exists(_ < sp))
+          if (superseded)
+            try fs.delete(new Path(dir, n), false)
+            catch { case scala.util.control.NonFatal(_) => () }
+        }
       }
       listEntries(fs, dir).foreach { case (_, n, _) =>
         if (n <= sp) fs.delete(new Path(dir, s"t=$n"), false)
@@ -316,8 +366,19 @@ object TimestampOracle {
           // the floor advance, not to when the verdict was written (an
           // old verdict would otherwise compact the instant the floor
           // reached it, voiding the late-retry window)
-          if (n > prevFloor) fs.setTimes(new Path(dir, s"$k=$n"), now, -1)
-          else if (now - mtime > leaseMs)
+          if (n > prevFloor) {
+            val p = new Path(dir, s"$k=$n")
+            // setTimes is a silent no-op on FileSystems that don't
+            // implement it (object-store connectors): read back, and
+            // fall back to REWRITING the content-free marker — a fresh
+            // object carries a fresh mtime on every store. The Try
+            // guards a concurrent scan deleting the marker under us.
+            scala.util.Try {
+              fs.setTimes(p, now, -1)
+              if (fs.getFileStatus(p).getModificationTime < now)
+                fs.create(p, true).close()
+            }
+          } else if (now - mtime > leaseMs)
             fs.delete(new Path(dir, s"$k=$n"), false)
         }
       }

@@ -27,6 +27,8 @@ import org.apache.hadoop.conf.Configuration
  *   `BEGIN`            → `OK <ts>`
  *   `COMMIT <ts>`      → `OK <ts>` | `FENCED <reason>` (abort won — the
  *                        client throws [[TimestampOracle.TimestampFencedException]])
+ *                        | `FENCED-COMPACTED <reason>` (at/below the gc
+ *                        floor, verdict gone — ambiguous on a retry)
  *   `ABORT <ts>`       → `OK <ts>` (idempotent)
  *   `SAFEPOINT <leaseMs>` → `OK <sp>`
  *   `GC <leaseMs>`     → `OK <sp>`
@@ -79,6 +81,9 @@ final case class TcpTso(host: String, port: Int,
   private def ok(line: String): Long = {
     val resp = request(line)
     if (resp.startsWith("OK ")) resp.stripPrefix("OK ").trim.toLong
+    else if (resp.startsWith("FENCED-COMPACTED "))
+      throw new TimestampOracle.TimestampCompactedException(
+        resp.stripPrefix("FENCED-COMPACTED "))
     else if (resp.startsWith("FENCED "))
       throw new TimestampOracle.TimestampFencedException(
         resp.stripPrefix("FENCED "))
@@ -96,13 +101,30 @@ final case class TcpTso(host: String, port: Int,
     * the oracle retains resolution markers for one `leaseMs` after the
     * floor passes them and [[TimestampOracle.commit]] re-applies
     * idempotently off its own `c=` marker. With the defaults (30 s
-    * timeout vs a 10 min lease) that holds with two orders of margin;
-    * a deployment that shrinks the oracle lease below ~2× this timeout
-    * re-opens the spurious-fence window and must not do so. */
+    * timeout vs a 10 min lease) that holds with two orders of margin.
+    * The constraint is also ENFORCED at the seam it protects: a retry
+    * whose first response was lost and whose second attempt reads a
+    * COMPACTED floor fence (`FENCED-COMPACTED` — the verdict marker is
+    * already gone, so it may have been this caller's own successful
+    * commit) escalates to a loud IllegalStateException instead of
+    * reporting a clean abort — a misconfigured lease/timeout ratio
+    * surfaces as an operational error, never as a silently retracted
+    * commit. */
   private def okRetry(line: String): Long =
     try ok(line)
     catch {
-      case _: java.io.IOException => ok(line)
+      case _: java.io.IOException =>
+        try ok(line)
+        catch {
+          case e: TimestampOracle.TimestampCompactedException =>
+            throw new IllegalStateException(
+              s"ambiguous retry of '$line': the first attempt's response " +
+                "was lost and the timestamp's verdict is already compacted " +
+                "past the gc floor — the commit may have SUCCEEDED. The " +
+                "oracle lease must stay well above the client timeout " +
+                "(default 10 min vs 30 s); treat this as a configuration " +
+                "error, not an abort", e)
+        }
     }
 
   def begin(): TimestampOracle.Ts = TimestampOracle.Ts(okRetry("BEGIN"))
@@ -178,6 +200,11 @@ final class TsoServer(conf: Configuration, root: String,
             case _ => "ERR bad request"
           }
         } catch {
+          case e: TimestampOracle.TimestampCompactedException =>
+            // the floor-fence flavor keeps its identity across the wire
+            // so a retrying client can tell "verdict compacted (maybe my
+            // own commit)" from a genuine pre-commit abort fence
+            s"FENCED-COMPACTED ${e.getMessage.replace('\n', ' ')}"
           case e: TimestampOracle.TimestampFencedException =>
             // a VERDICT, not a failure: the client must throw its own
             // fence, distinguishable from transport errors

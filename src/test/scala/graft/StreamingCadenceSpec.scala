@@ -100,8 +100,12 @@ class StreamingCadenceSpec extends SparkSpec {
           input.addData((1L, 10L + attempt * 3L, d),
             (1L, 11L + attempt * 3L, d + 10L),
             (1L, 12L + attempt * 3L, d + 30L))
-          val c = pollSink()(ns())(a =>
-            a.count(_ == 3L) > threes || a.max > maxSeen)
+          val verdict = (a: Array[Long]) =>
+            a.count(_ == 3L) > threes || a.max > maxSeen
+          val c = pollSink()(ns())(verdict)
+          // a 60 s timeout means the query stalled, not that state
+          // survived — fail fast instead of burning widening attempts
+          assert(verdict(c), s"sink never reacted to the probe: ${c.toSeq}")
           val fresh = c.count(_ == 3L) > threes
           if (!fresh && c.nonEmpty) maxSeen = c.max
           threes = c.count(_ == 3L)

@@ -84,8 +84,12 @@ class StreamingSplitSourcingSpec extends SparkSpec {
         awaitTtlExpiry() { attempt =>
           input.addData((1L, 1L, attempt * 20L + 10L),
             (1L, 1L, attempt * 20L + 20L))
-          val c = pollSink()(counts())(a =>
-            a.count(_ == 2L) > twos || a.max > maxSeen)
+          val verdict = (a: Array[Long]) =>
+            a.count(_ == 2L) > twos || a.max > maxSeen
+          val c = pollSink()(counts())(verdict)
+          // a 60 s timeout means the query stalled, not that state
+          // survived — fail fast instead of burning widening attempts
+          assert(verdict(c), s"sink never reacted to the probe: ${c.toSeq}")
           val fresh = c.count(_ == 2L) > twos
           if (!fresh && c.nonEmpty) maxSeen = c.max
           twos = c.count(_ == 2L)

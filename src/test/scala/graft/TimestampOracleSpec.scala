@@ -98,6 +98,31 @@ class TimestampOracleSpec extends SparkSpec {
     assert(TimestampOracle.begin(spark, root).ts === t.ts + 1)
   }
 
+  test("the floor survives crashes and legacy stores; stale versions only advance it") {
+    val root = Files.createTempDirectory("tso9").toString
+    val dir = new java.io.File(root, "_tso"); dir.mkdirs()
+    // a legacy content-bearing _floor from a pre-versioning store reads
+    java.nio.file.Files.write(new java.io.File(dir, "_floor").toPath,
+      "5".getBytes("UTF-8"))
+    assert(TimestampOracle.begin(spark, root).ts === 6L)
+    TimestampOracle.abort(spark, root, TimestampOracle.Ts(6L))
+    // a crashed gc can leave several versions behind — MAX wins, so a
+    // concurrent/older gc can never regress the floor, and a crash
+    // between create-new and delete-old loses nothing (everything at or
+    // below a planted floor is resolved, per the oracle's invariant)
+    assert(new java.io.File(dir, "_floor.v9").createNewFile())
+    assert(new java.io.File(dir, "_floor.v7").createNewFile())
+    assert(TimestampOracle.begin(spark, root).ts === 10L)
+    // gc supersedes every older version AND the legacy file
+    TimestampOracle.abort(spark, root, TimestampOracle.Ts(10L))
+    assert(TimestampOracle.gc(spark, root) === 10L)
+    val names = dir.listFiles().map(_.getName).toSet
+    assert(names.contains("_floor.v10"), names)
+    assert(!names.contains("_floor") && !names.contains("_floor.v7")
+      && !names.contains("_floor.v9"), names)
+    assert(TimestampOracle.begin(spark, root).ts === 11L)
+  }
+
   test("abort after a completed commit is a no-op — the verdict stands") {
     // the lost-ack window: a caller whose commit WAS applied but whose
     // response vanished will 'abort its failed commit'; the oracle must

@@ -55,6 +55,58 @@ class TsoServiceSpec extends SparkSpec {
     }
   }
 
+  test("a compacted verdict keeps its identity over the wire; a lost-ack retry escalates") {
+    // END-TO-END: a commit whose verdict was compacted past the floor
+    // reads FENCED-COMPACTED, which the client surfaces as the compacted
+    // fence subtype on a FIRST attempt (a genuine stale fence)...
+    val root = Files.createTempDirectory("tsotcp6").toString
+    withServer(root) { srv =>
+      val tso = TcpTso(srv.host, srv.port)
+      val dead = tso.begin()
+      Thread.sleep(50)
+      assert(tso.safePoint(leaseMs = 1L) === dead.ts) // expiry-aborted
+      assert(tso.gc(leaseMs = 1L) === dead.ts) // floor passes, marker kept
+      Thread.sleep(10)
+      assert(tso.gc(leaseMs = 1L) === dead.ts) // marker aged out: compacted
+      val ex = intercept[TimestampOracle.TimestampFencedException] {
+        tso.commit(dead)
+      }
+      assert(ex.isInstanceOf[TimestampOracle.TimestampCompactedException],
+        s"floor fence must keep its compacted identity: $ex")
+    }
+
+    // ...but on a RETRY whose first response was LOST, compacted is
+    // AMBIGUOUS (the compacted verdict may have been this caller's own
+    // successful commit) — the client must escalate loudly, never report
+    // a clean abort. Scripted server: hang up once, then answer
+    // FENCED-COMPACTED.
+    val script = new java.net.ServerSocket(0, 2,
+      java.net.InetAddress.getLoopbackAddress)
+    val server = new Thread(() => {
+      try {
+        script.accept().close() // first attempt: dropped response
+        val s2 = script.accept()
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(s2.getInputStream, "UTF-8"))
+        in.readLine()
+        val out = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(s2.getOutputStream, "UTF-8"))
+        out.write("FENCED-COMPACTED verdict compacted past the floor\n")
+        out.flush(); s2.close()
+      } catch { case _: Exception => () }
+    })
+    server.setDaemon(true); server.start()
+    try {
+      val tso2 = TcpTso("127.0.0.1", script.getLocalPort, timeoutMs = 2000)
+      val amb = intercept[IllegalStateException] {
+        tso2.commit(TimestampOracle.Ts(1L))
+      }
+      assert(amb.getMessage.contains("may have SUCCEEDED"), amb.getMessage)
+      assert(!amb.isInstanceOf[TimestampOracle.TimestampFencedException],
+        "ambiguity must not masquerade as a clean fence verdict")
+    } finally script.close()
+  }
+
   test("malformed requests get ERR, and the client refuses to parse it") {
     val root = Files.createTempDirectory("tsotcp3").toString
     withServer(root) { srv =>
