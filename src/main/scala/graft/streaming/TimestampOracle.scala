@@ -197,19 +197,23 @@ object TimestampOracle {
         s"timestamp ${ts.ts} at $dir was aborted by lease expiry before " +
           "this commit — the holder outlived its lease")
     fs.create(new Path(dir, s"c=${ts.ts}"), true).close()
-    // the decider races: if the expiry scan aborted between our check and
-    // our marker — or gc compacted the abort verdict under us — agree
-    // with the abort (abort wins), retract our marker, and report it
-    def retractAnd(e: TimestampFencedException): Nothing = {
+    // The decider races: if the expiry scan aborted between our check and
+    // our marker, agree with the abort (abort wins), retract, report it.
+    // The a= check is the ONLY post-write fence — and it is sufficient:
+    // any abort verdict relevant to this window is still marker-visible,
+    // because gc retains verdicts one full lease past floor passage and
+    // our pre-write floor fence ran just syscalls ago. The floor itself
+    // must NOT be re-checked here: a concurrent gc that listed our fresh
+    // c= legitimately counts this ts as RESOLVED and advances the floor
+    // past it — re-reading that floor as an abort verdict would make the
+    // commit retract itself after a gc already published it as committed
+    // (the self-fulfilling retraction the cross-process gc racer caught).
+    if (fs.exists(new Path(dir, s"a=${ts.ts}"))) {
       try fs.delete(new Path(dir, s"c=${ts.ts}"), false)
       catch { case scala.util.control.NonFatal(_) => () }
-      throw e
+      throw new TimestampFencedException(
+        s"timestamp ${ts.ts} at $dir lost the commit/abort race; abort wins")
     }
-    if (fs.exists(new Path(dir, s"a=${ts.ts}")))
-      retractAnd(new TimestampFencedException(
-        s"timestamp ${ts.ts} at $dir lost the commit/abort race; abort wins"))
-    try fenceIfCompactedPast()
-    catch { case e: TimestampFencedException => retractAnd(e) }
   }
 
   /** Resolve `ts` as aborted (idempotent). A timestamp that already
@@ -315,7 +319,29 @@ object TimestampOracle {
     }
     val floor = readFloor(fs, dir)
     val top = (entries.collect { case ("t", n, _) => n } :+ floor).max
-    if (livePending.isEmpty) top else livePending.map(_._1).min - 1L
+    val naive =
+      if (livePending.isEmpty) top else livePending.map(_._1).min - 1L
+    // Directory listings are NOT atomic under concurrent mutation:
+    // another PROCESS's gc deleting compacted files mid-readdir can make
+    // the scan skip an unrelated, STABLE entry (observed on ext4 — the
+    // cross-process gc racer caught a pending t= vanishing from one
+    // listing, letting the floor overtake an in-lease allocation and
+    // fence its commit). Point lookups have no such failure mode, so
+    // VERIFY the candidate: every ts in (floor, naive] must appear in
+    // the listing or prove itself resolved/compacted by exists(). In a
+    // regularly-gc'd store the range above the floor is small and fully
+    // listed, so the common-case cost is zero extra calls.
+    val seen = entries.map(_._2).toSet
+    var sp = naive
+    var n = floor + 1
+    while (n <= sp) {
+      if (!seen.contains(n) && fs.exists(new Path(dir, s"t=$n")) &&
+          !fs.exists(new Path(dir, s"c=$n")) &&
+          !fs.exists(new Path(dir, s"a=$n")))
+        sp = n - 1 // a pending allocation the listing missed: stop below it
+      n += 1
+    }
+    sp
   }
 
   /** Compact: delete resolution files for every timestamp ≤ the current

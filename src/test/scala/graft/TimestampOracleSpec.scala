@@ -241,6 +241,41 @@ class TimestampOracleSpec extends SparkSpec {
     assert(TimestampOracle.safePoint(spark, root) === 2L)
   }
 
+  test("concurrent gc from two PROCESSES never regresses the floor or reuses a ts") {
+    // The intern lock serializes gc within one JVM only. Two processes
+    // looping begin → commit → gc interleave floor-version creates,
+    // superseded-version deletes, marker compaction, and directory
+    // listings — the name-versioned max-wins floor must keep the global
+    // sequence unique and gap-free and never fence an in-lease commit.
+    val root = Files.createTempDirectory("tsogc").toString
+    val javaBin = new java.io.File(new java.io.File(
+      sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val cp = sys.props("java.class.path")
+    val perProc = 20
+    def launch(): Process = new ProcessBuilder(
+      javaBin, "-cp", cp, "graft.TsoGcRacerMain", root, perProc.toString)
+      .redirectErrorStream(true).start()
+    val (p1, p2) = (launch(), launch())
+    def drain(p: Process): Seq[String] = {
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "gc racer subprocess timed out")
+      assert(p.exitValue === 0, s"gc racer subprocess failed:\n$out")
+      out.linesIterator.toSeq
+    }
+    val all = (drain(p1) ++ drain(p2)).filter(_.matches("\\d+")).map(_.toLong)
+    assert(all.size === 2 * perProc)
+    assert(all.distinct.size === all.size,
+      s"duplicate timestamp under concurrent gc: ${all.sorted}")
+    assert(all.min === 1L && all.max === 2L * perProc,
+      "allocation left gaps under concurrent gc")
+    // everything committed and compacted coherently: the safe point sits
+    // at the top and a third process continues the sequence — a lost or
+    // regressed floor would re-issue an old ts here
+    assert(TimestampOracle.safePoint(spark, root) === 2L * perProc)
+    assert(TimestampOracle.begin(spark, root).ts === 2L * perProc + 1)
+  }
+
   test("allocations are unique across two separate OS PROCESSES") {
     // The in-JVM intern lock cannot serialize a second driver process;
     // this races two bare JVMs (TsoRacerMain — no Spark, just Hadoop
