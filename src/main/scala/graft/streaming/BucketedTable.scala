@@ -117,13 +117,26 @@ object BucketedTable {
     val stage = new Path(path + "__stage")
     val trash = new Path(path + "__old")
 
-    // a non-empty trash dir means a previous swap died between its two
-    // renames: the displaced bucket in there is the ONLY copy of that data.
-    // Fail loudly instead of silently deleting it below.
-    if (fs.exists(trash) && fs.listStatus(trash).nonEmpty)
-      throw new IllegalStateException(
-        s"$trash holds buckets from an interrupted swap; restore them into " +
-          s"$path before writing again")
+    // A non-empty trash dir means a previous swap died between its two
+    // renames. Every entry is DECIDABLE, so reconcile instead of failing:
+    // a displaced bucket whose replacement landed in the target is
+    // superseded debris (drop it); one missing from the target is the
+    // ONLY copy of that bucket (the crash hit between rename-out and
+    // rename-in) — restore it, and the replaying batch's merge redoes
+    // the work on top idempotently (latest-version-wins).
+    if (fs.exists(trash)) fs.listStatus(trash).foreach { st =>
+      val name = st.getPath.getName
+      if (!name.nonEmpty || !name.forall(_.isDigit))
+        throw new IllegalStateException(
+          s"unrecognized entry ${st.getPath} in the swap trash; restore " +
+            s"$trash into $path manually")
+      val dst = new Path(target, s"$BucketCol=$name")
+      if (fs.exists(dst)) fs.delete(st.getPath, true) // superseded debris
+      else if (!fs.rename(st.getPath, dst))
+        throw new IllegalStateException(
+          s"could not restore displaced bucket ${st.getPath} to $dst " +
+            "after an interrupted swap")
+    }
 
     fs.delete(stage, true)
     df.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(stage.toString)
@@ -152,8 +165,8 @@ object BucketedTable {
   /** Small-file MAINTENANCE: rewrite every bucket holding ≥
     * `minFilesPerBucket` part-files into a single file, through the same
     * staged atomic [[swapTouched]] publish writers use (readers never see
-    * a half-compacted bucket; an interrupted compaction trips the same
-    * trash-dir guard). Each swap leaves up-to-task-count part-files per
+    * a half-compacted bucket; an interrupted compaction heals through the
+    * same trash reconciliation). Each swap leaves up-to-task-count part-files per
     * bucket; over many batches the read amplification compounds — at
     * 100 TB a bucket scanned per probe wants ONE row-group-packed file,
     * the role TiKV's region compaction plays for the reference. Content

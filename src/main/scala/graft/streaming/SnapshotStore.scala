@@ -12,7 +12,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  * versioned directories + a latest-pointer file instead of TiKV timestamps:
  *
  *   target/_v=<batchId>/...parquet      immutable snapshot per epoch
- *   target/_LATEST                      readable pointer, updated last
+ *   target/_LATEST.v<n>                 pointer (value in the NAME —
+ *                                       atomic create, max-wins; legacy
+ *                                       content-bearing _LATEST still reads)
  *
  * Writers prepare a fully-formed snapshot in a per-attempt STAGING
  * directory, atomically rename it to its `_v=` name, and flip the pointer
@@ -344,14 +346,23 @@ object SnapshotStore {
         throw new ConcurrentPublishException(
           s"stale publish of epoch $version: pointer already at $cur")
     }
-    val tmp = new Path(basePath, s"$Latest.tmp")
-    val out = fs.create(tmp, true)
-    out.writeBytes(version.toString)
-    out.close()
-    fs.delete(new Path(basePath, Latest), false)
-    if (!fs.rename(tmp, new Path(basePath, Latest))) // flip = commit point
-      throw new ConcurrentPublishException(
-        s"pointer flip to epoch $version failed; store left on prior epoch")
+    // The pointer's value rides in the file NAME (`_LATEST.v<n>`): one
+    // atomic create is the commit point, the new version lands BEFORE
+    // superseded ones are removed, and readers take the max — a crash
+    // between the two steps leaves extra pointers, never a MISSING one
+    // (the old delete-then-rename could lose the pointer entirely: the
+    // store then read as empty, and a delayed stale writer could flip it
+    // BACKWARD past the None stale-check). Same recipe as the timestamp
+    // oracle's gc floor.
+    fs.create(new Path(basePath, s"$Latest.v$version"), true).close()
+    fs.listStatus(new Path(basePath)).toSeq.map(_.getPath.getName).foreach { n =>
+      val superseded = n == Latest || n == s"$Latest.tmp" ||
+        (n.startsWith(s"$Latest.v") && scala.util.Try(
+          n.stripPrefix(s"$Latest.v").toLong).toOption.exists(_ < version))
+      if (superseded)
+        try fs.delete(new Path(basePath, n), false)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
     versions(spark, basePath).sorted.dropRight(keep)
       .foreach(v => fs.delete(new Path(basePath, s"_v=$v"), true))
     // staging debris can only belong to crashed/expired attempts — the live
@@ -427,16 +438,33 @@ object SnapshotStore {
     * read of a fresh store ~50-150ms for nothing. */
   def latestVersion(spark: SparkSession, basePath: String): Option[Long] = {
     val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val p = new Path(basePath, Latest)
     var attempt = 0
     while (attempt < 3) {
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        val s = try scala.io.Source.fromInputStream(in).mkString.trim
-        finally in.close()
-        return Some(s.toLong)
+      // name-versioned pointers: max wins (crash-safe, regression-proof;
+      // `_LATEST.lock`/`.hb-*` fail the numeric parse and drop out)
+      val base = new Path(basePath)
+      val versioned =
+        if (!fs.exists(base)) Nil
+        else fs.listStatus(base).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith(s"$Latest.v"))
+          .flatMap(n => scala.util.Try(
+            n.stripPrefix(s"$Latest.v").toLong).toOption)
+      // legacy single-file pointer (pre-versioning stores)
+      val legacy = {
+        val p = new Path(basePath, Latest)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val s = try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+          scala.util.Try(s.toLong).toOption
+        }
       }
+      val all = versioned ++ legacy
+      if (all.nonEmpty) return Some(all.max)
       if (versions(spark, basePath).isEmpty) return None // provably empty
+      // epochs exist with no readable pointer: a LEGACY store caught
+      // mid-flip (delete-then-rename window) — retry briefly
       attempt += 1
       if (attempt < 3) Thread.sleep(25L)
     }

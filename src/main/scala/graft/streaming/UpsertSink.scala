@@ -48,6 +48,19 @@ object UpsertSink {
     val fs = new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(targetPath)
     val stage = new Path(targetPath + "__stage")
+    val old = new Path(targetPath + "__old")
+
+    // Crash-window recovery FIRST: a swap that died between its two
+    // renames left the prior snapshot parked at __old and no target.
+    // Restore it before merging — a replay that read "no target" would
+    // merge the batch against NOTHING and silently drop every key the
+    // batch doesn't carry. (__old is always a COMPLETE prior snapshot:
+    // it only ever receives a fully-committed target via rename.)
+    if (!fs.exists(target) && fs.exists(old)) {
+      if (!fs.rename(old, target))
+        throw new IllegalStateException(
+          s"could not restore $old to $target after a mid-swap crash")
+    }
 
     val current =
       if (fs.exists(target)) Some(spark.read.parquet(targetPath)) else None
@@ -63,7 +76,6 @@ object UpsertSink {
     fs.delete(stage, true)
     alive.write.mode(SaveMode.Overwrite).parquet(stage.toString)
     // atomic publish: old snapshot readable until the rename lands
-    val old = new Path(targetPath + "__old")
     fs.delete(old, true)
     if (fs.exists(target)) fs.rename(target, old)
     fs.rename(stage, target)

@@ -54,6 +54,41 @@ class BucketedUpsertSpec extends SparkSpec {
     assert(state(s"$base/bucketed") === Set((1L, 1L, 10.0), (2L, 2L, 21.0), (4L, 1L, 40.0)))
   }
 
+  test("an interrupted bucket swap reconciles: displaced restored, debris dropped") {
+    val base = Files.createTempDirectory("bucrash").toString + "/t"
+    val b1 = Seq((1L, 1L, 10.0, false), (2L, 1L, 20.0, false))
+      .toDF("k", "version", "value", "is_delete")
+    UpsertSink.upsertBucketed(b1, base, Seq("k"), "version",
+      Some("is_delete"), 8)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (bk1, bk2) = (bucketOfKey(1L, 8), bucketOfKey(2L, 8))
+    assume(bk1 != bk2, "fixture needs the two keys in different buckets")
+    def bucketDir(b: Int) =
+      new org.apache.hadoop.fs.Path(base, s"__bucket=$b")
+    val trash = new org.apache.hadoop.fs.Path(base + "__old")
+    fs.mkdirs(trash)
+    // crash shape 1: key 1's bucket displaced to trash, replacement never
+    // landed — the trash copy is the ONLY copy
+    assert(fs.rename(bucketDir(bk1),
+      new org.apache.hadoop.fs.Path(trash, bk1.toString)))
+    // crash shape 2: key 2's bucket has superseded debris in trash (its
+    // replacement DID land — the live dir is present and newer)
+    org.apache.hadoop.fs.FileUtil.copy(fs, bucketDir(bk2), fs,
+      new org.apache.hadoop.fs.Path(trash, bk2.toString), false,
+      spark.sparkContext.hadoopConfiguration)
+    // the next batch (touching a third key) must reconcile BOTH shapes
+    val b2 = Seq((9L, 2L, 90.0, false)).toDF("k", "version", "value", "is_delete")
+    UpsertSink.upsertBucketed(b2, base, Seq("k"), "version",
+      Some("is_delete"), 8)
+    val state = spark.read.parquet(base)
+      .select("k", "value").as[(Long, Double)].collect().toSet
+    assert(state === Set((1L, 10.0), (2L, 20.0), (9L, 90.0)),
+      "the displaced bucket's rows must survive the replayed swap")
+    assert(!fs.exists(trash) || fs.listStatus(trash).isEmpty,
+      "reconciliation must leave no trash behind")
+  }
+
   test("bucketed upsert in reliable mode reaches the same state") {
     spark.sparkContext.setCheckpointDir(
       Files.createTempDirectory("bu-ckpt").toString)

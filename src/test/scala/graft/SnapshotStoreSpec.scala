@@ -70,15 +70,42 @@ class SnapshotStoreSpec extends SparkSpec {
     val elapsedMs = (System.nanoTime() - t0) / 1000000L
     // 5 armed retries would sleep >= 250 ms; generous slack for a loaded box
     assert(elapsedMs < 100L, s"empty-store latestVersion took ${elapsedMs}ms")
-    // and the retry still arms on the mid-flip signature (epoch, no pointer)
+    // and the retry still arms on the LEGACY mid-flip signature (a
+    // committed epoch with no readable pointer of either format — only a
+    // pre-versioning store's delete-then-rename window can produce it)
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     SnapshotStore.publish(Seq((1L, "a")).toDF("id", "s"), base, 1L)
-    fs.delete(new org.apache.hadoop.fs.Path(base, "_LATEST"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(base, "_LATEST.v1"), false)
     val t1 = System.nanoTime()
     assert(SnapshotStore.latestVersion(spark, base).isEmpty)
     assert((System.nanoTime() - t1) / 1000000L >= 50L,
       "mid-flip signature must still retry before concluding absence")
+  }
+
+  test("the pointer survives crashes and legacy stores; stale leftovers never regress it") {
+    val base = Files.createTempDirectory("snapvp").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(n: String) = new org.apache.hadoop.fs.Path(base, n)
+    // the flip IS one atomic create of a name-versioned pointer
+    SnapshotStore.publish(Seq((1L, "a")).toDF("id", "s"), base, 1L)
+    assert(fs.exists(p("_LATEST.v1")))
+    // a legacy content-bearing pointer (pre-versioning store) still reads
+    fs.delete(p("_LATEST.v1"), false)
+    val out = fs.create(p("_LATEST"), true)
+    try out.writeBytes("1") finally out.close()
+    assert(SnapshotStore.latestVersion(spark, base) === Some(1L))
+    // the next publish migrates: new versioned pointer lands, legacy goes
+    SnapshotStore.publish(Seq((2L, "b")).toDF("id", "s"), base, 2L)
+    assert(fs.exists(p("_LATEST.v2")) && !fs.exists(p("_LATEST")))
+    assert(SnapshotStore.latestVersion(spark, base) === Some(2L))
+    // crash leftovers (a superseded pointer that escaped cleanup) can
+    // only be OLDER — max wins, the store never reads backward
+    fs.create(p("_LATEST.v1"), true).close()
+    assert(SnapshotStore.latestVersion(spark, base) === Some(2L))
+    assert(SnapshotStore.readSnapshot(spark, base)
+      .select("id").as[Long].collect().toSeq === Seq(2L))
   }
 
   test("a held lock makes a second writer fail loudly, store untouched") {
