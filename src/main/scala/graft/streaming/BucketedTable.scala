@@ -93,6 +93,13 @@ object BucketedTable {
   def readTouched(spark: SparkSession, path: String, touched: Seq[Int]): Option[DataFrame] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // reconcile BEFORE the read snapshots the file index: the canonical
+    // crash replay re-delivers the batch that displaced a bucket, and a
+    // merge basis captured without that bucket's rows would compute
+    // batch-only content and overwrite the restored bucket with it —
+    // silent loss of every prior key in the bucket (reconciling inside
+    // swapTouched alone runs AFTER every caller has already read)
+    reconcileTrash(fs, path)
     if (!fs.exists(p)) return None
     val children = fs.listStatus(p).map(_.getPath.getName)
     val hasBuckets = children.exists(_.startsWith(s"$BucketCol="))
@@ -103,6 +110,54 @@ object BucketedTable {
           "silently drop it. Migrate the table or use the whole-table sink (nBuckets <= 1).")
     if (!hasBuckets) None
     else Some(spark.read.parquet(path).filter(col(BucketCol).isin(touched: _*)))
+  }
+
+  /** Reconcile an interrupted swap's trash, for LATEST-WINS merges (all
+    * [[readTouched]]-then-[[swapTouched]] callers except additive ones —
+    * see [[assertCleanTrash]]). Every entry is decidable: a displaced
+    * bucket whose replacement landed in the target is superseded debris
+    * (drop it); one missing from the target is the ONLY copy of that
+    * bucket (the crash hit between rename-out and rename-in) — restore
+    * it, and the replaying batch's merge redoes the work on top
+    * idempotently. */
+  private def reconcileTrash(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val target = new Path(path)
+    val trash = new Path(path + "__old")
+    if (!fs.exists(trash)) return
+    fs.listStatus(trash).foreach { st =>
+      val name = st.getPath.getName
+      if (name.isEmpty || !name.forall(_.isDigit))
+        throw new IllegalStateException(
+          s"unrecognized entry ${st.getPath} in the swap trash; restore " +
+            s"$trash into $path manually")
+      val dst = new Path(target, s"$BucketCol=$name")
+      if (fs.exists(dst)) fs.delete(st.getPath, true) // superseded debris
+      else {
+        fs.mkdirs(target)
+        if (!fs.rename(st.getPath, dst))
+          throw new IllegalStateException(
+            s"could not restore displaced bucket ${st.getPath} to $dst " +
+              "after an interrupted swap")
+      }
+    }
+  }
+
+  /** The loud guard for ADDITIVE merges (delta counts/sums — the
+    * incremental-MV agg table): a crash inside their swap is NOT
+    * reconcilable silently, because the already-swapped buckets carry the
+    * batch's deltas and a replay would apply them AGAIN on top. Such
+    * callers must refuse to proceed over a non-empty trash — BEFORE any
+    * [[readTouched]] on the same path, whose latest-wins reconciliation
+    * would otherwise roll the mixed state forward under them. */
+  def assertCleanTrash(spark: SparkSession, path: String): Unit = {
+    val trash = new Path(path + "__old")
+    val fs = trash.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(trash) && fs.listStatus(trash).nonEmpty)
+      throw new IllegalStateException(
+        s"$trash holds buckets from an interrupted swap of an ADDITIVE " +
+          s"table; a silent replay would double-apply deltas — restore " +
+          s"them into $path manually, then delete the trash dir")
   }
 
   /** Publish `df` (which must contain only rows of `touched` buckets — the
@@ -117,26 +172,10 @@ object BucketedTable {
     val stage = new Path(path + "__stage")
     val trash = new Path(path + "__old")
 
-    // A non-empty trash dir means a previous swap died between its two
-    // renames. Every entry is DECIDABLE, so reconcile instead of failing:
-    // a displaced bucket whose replacement landed in the target is
-    // superseded debris (drop it); one missing from the target is the
-    // ONLY copy of that bucket (the crash hit between rename-out and
-    // rename-in) — restore it, and the replaying batch's merge redoes
-    // the work on top idempotently (latest-version-wins).
-    if (fs.exists(trash)) fs.listStatus(trash).foreach { st =>
-      val name = st.getPath.getName
-      if (!name.nonEmpty || !name.forall(_.isDigit))
-        throw new IllegalStateException(
-          s"unrecognized entry ${st.getPath} in the swap trash; restore " +
-            s"$trash into $path manually")
-      val dst = new Path(target, s"$BucketCol=$name")
-      if (fs.exists(dst)) fs.delete(st.getPath, true) // superseded debris
-      else if (!fs.rename(st.getPath, dst))
-        throw new IllegalStateException(
-          s"could not restore displaced bucket ${st.getPath} to $dst " +
-            "after an interrupted swap")
-    }
+    // second-chance reconcile for flows that swap without reading first
+    // (none today — callers reconcile through readTouched, BEFORE their
+    // merge basis is captured)
+    reconcileTrash(fs, path)
 
     fs.delete(stage, true)
     df.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(stage.toString)

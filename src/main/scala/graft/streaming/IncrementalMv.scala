@@ -96,6 +96,12 @@ object IncrementalMv {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val aggMarker = new org.apache.hadoop.fs.Path(aggPath, "_applied_batch")
     if (touchedAgg.nonEmpty && readMarker(aggFs, aggMarker) < batchId) {
+      // the agg merge is ADDITIVE: a crash inside its swap left some
+      // buckets with this batch's deltas applied and some without, and a
+      // silent latest-wins reconciliation (readTouched would otherwise
+      // roll forward) followed by a replayed merge would apply the
+      // deltas AGAIN to the already-swapped buckets. Refuse loudly FIRST.
+      BucketedTable.assertCleanTrash(spark, aggPath)
       val aggCurrent = readTouched(spark, aggPath, touchedAgg).getOrElse(
         deltas.select(col(groupKey), lit(0L).as("cnt"), lit(0.0).as("total"),
           col(BucketCol)).limit(0))
@@ -124,8 +130,9 @@ object IncrementalMv {
       // changelog dir; one crashing after the marker skips the whole agg
       // block and redoes only the entity swap. The residual window is the
       // instants between the agg swap's last rename and the marker write —
-      // and a crash INSIDE the swap itself is loud (swapTouched refuses to
-      // run over a non-empty trash dir), not silent. The write below is
+      // and a crash INSIDE the swap itself is loud (assertCleanTrash above
+      // refuses to merge over an interrupted additive swap), not silent.
+      // The write below is
       // staged + atomically renamed so a half-written directory can never
       // be mistaken for a committed batch.
       changelogPath.foreach { cl =>

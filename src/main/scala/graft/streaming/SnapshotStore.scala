@@ -346,23 +346,18 @@ object SnapshotStore {
         throw new ConcurrentPublishException(
           s"stale publish of epoch $version: pointer already at $cur")
     }
-    // The pointer's value rides in the file NAME (`_LATEST.v<n>`): one
-    // atomic create is the commit point, the new version lands BEFORE
-    // superseded ones are removed, and readers take the max — a crash
-    // between the two steps leaves extra pointers, never a MISSING one
-    // (the old delete-then-rename could lose the pointer entirely: the
-    // store then read as empty, and a delayed stale writer could flip it
-    // BACKWARD past the None stale-check). Same recipe as the timestamp
-    // oracle's gc floor.
-    fs.create(new Path(basePath, s"$Latest.v$version"), true).close()
-    fs.listStatus(new Path(basePath)).toSeq.map(_.getPath.getName).foreach { n =>
-      val superseded = n == Latest || n == s"$Latest.tmp" ||
-        (n.startsWith(s"$Latest.v") && scala.util.Try(
-          n.stripPrefix(s"$Latest.v").toLong).toOption.exists(_ < version))
-      if (superseded)
-        try fs.delete(new Path(basePath, n), false)
-        catch { case scala.util.control.NonFatal(_) => () }
-    }
+    // The pointer is a [[VersionedPointer]] (`_LATEST.v<n>`): one atomic
+    // create is the commit point, the new version lands BEFORE superseded
+    // ones are removed, and readers take the max — a crash between the
+    // two steps leaves extra pointers, never a MISSING one (the old
+    // delete-then-rename could lose the pointer entirely: the store then
+    // read as empty, and a delayed stale writer could flip it BACKWARD
+    // past the None stale-check). Same device as the oracle's gc floor.
+    VersionedPointer.advance(fs, new Path(basePath), s"$Latest.v", Latest,
+      version)
+    // pre-versioning staging debris, unreadable by either format
+    try fs.delete(new Path(basePath, s"$Latest.tmp"), false)
+    catch { case scala.util.control.NonFatal(_) => () }
     versions(spark, basePath).sorted.dropRight(keep)
       .foreach(v => fs.delete(new Path(basePath, s"_v=$v"), true))
     // staging debris can only belong to crashed/expired attempts — the live
@@ -440,28 +435,13 @@ object SnapshotStore {
     val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
     while (attempt < 3) {
-      // name-versioned pointers: max wins (crash-safe, regression-proof;
-      // `_LATEST.lock`/`.hb-*` fail the numeric parse and drop out)
-      val base = new Path(basePath)
-      val versioned =
-        if (!fs.exists(base)) Nil
-        else fs.listStatus(base).toSeq.map(_.getPath.getName)
-          .filter(_.startsWith(s"$Latest.v"))
-          .flatMap(n => scala.util.Try(
-            n.stripPrefix(s"$Latest.v").toLong).toOption)
-      // legacy single-file pointer (pre-versioning stores)
-      val legacy = {
-        val p = new Path(basePath, Latest)
-        if (!fs.exists(p)) None
-        else {
-          val in = fs.open(p)
-          val s = try scala.io.Source.fromInputStream(in).mkString.trim
-          finally in.close()
-          scala.util.Try(s.toLong).toOption
-        }
-      }
-      val all = versioned ++ legacy
-      if (all.nonEmpty) return Some(all.max)
+      // name-versioned pointer: max wins (crash-safe, regression-proof;
+      // `_LATEST.lock`/`.hb-*` fail the numeric parse and drop out). No
+      // monotone cache here: dropIfExists legitimately wipes a store and
+      // restarts its epochs from scratch at the same path.
+      val got = VersionedPointer.readMax(fs, new Path(basePath),
+        s"$Latest.v", Latest, monotoneCacheKey = None)
+      if (got.nonEmpty) return got
       if (versions(spark, basePath).isEmpty) return None // provably empty
       // epochs exist with no readable pointer: a LEGACY store caught
       // mid-flip (delete-then-rename window) — retry briefly

@@ -102,31 +102,18 @@ object TimestampOracle {
       catch { case _: java.io.IOException => false }
     }
 
-  /** The compaction floor. Its value rides in the file NAME
-    * (`_floor.v<n>`): the write is one atomic create (a reader can never
-    * see partial content), a new version lands BEFORE superseded ones are
-    * removed — a crash between the two steps leaves extra files, never a
-    * MISSING floor (the old delete-then-rename could lose it entirely,
-    * after which `begin()` would re-issue committed timestamps) — and
-    * readers take the MAX, so concurrent gcs from independent processes
-    * (the in-JVM intern lock does not span them) can only advance the
-    * floor, never regress it. The legacy content-bearing `_floor` file
-    * is still read for stores written before versioning. */
-  private def readFloor(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Long = {
-    if (!fs.exists(dir)) return 0L
-    val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-    val versioned = names.filter(_.startsWith("_floor.v"))
-      .flatMap(n => scala.util.Try(n.stripPrefix("_floor.v").toLong).toOption)
-    val legacy =
-      if (!names.contains("_floor")) 0L
-      else {
-        val in = fs.open(new Path(dir, "_floor"))
-        try scala.util.Try(
-          new String(in.readAllBytes(), "UTF-8").trim.toLong).getOrElse(0L)
-        finally in.close()
-      }
-    (versioned :+ legacy :+ 0L).max
-  }
+  /** The compaction floor — a [[VersionedPointer]] (`_floor.v<n>`):
+    * crash-safe atomic-create advance, max-wins across concurrent gcs
+    * from independent processes (the in-JVM intern lock does not span
+    * them), double-scanned + process-monotone reads (a readdir racing a
+    * sibling's deletes can miss a stable entry; a floor misread as 0
+    * would defeat every fence and let `begin()` re-issue compacted
+    * timestamps). The monotone cache is safe here: a wiped `_tso` dir
+    * restarting ABOVE its old floor only skips timestamps, never reuses
+    * them. Legacy content-bearing `_floor` files still read. */
+  private def readFloor(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Long =
+    VersionedPointer.readMax(fs, dir, "_floor.v", "_floor",
+      monotoneCacheKey = Some(s"tso-floor:$dir")).getOrElse(0L)
 
   /** Allocate the store's next global timestamp (pending until [[commit]]
     * or [[abort]]). Strictly increasing and unique across jobs. */
@@ -145,7 +132,11 @@ object TimestampOracle {
       var attempt = 0
       while (attempt < 1000) {
         val floor = readFloor(fs, dir)
-        val top = (listEntries(fs, dir).collect { case ("t", n, _) => n } :+ floor).max
+        // top over ALL entry kinds, not just allocations: gc deletes t=
+        // files while RETAINING their verdict markers for a lease, so a
+        // process whose floor read lags (fresh JVM, racy listing) still
+        // sees the retained c=/a= names and cannot re-allocate below them
+        val top = (listEntries(fs, dir).map(_._2) :+ floor).max
         val cand = top + 1L
         if (atomicCreate(fs, new Path(dir, s"t=$cand"))) return Ts(cand)
         attempt += 1
@@ -371,15 +362,7 @@ object TimestampOracle {
         // floor first (raising it is safe: it only widens "resolved"),
         // then the now-redundant per-ts files. New version before old
         // cleanup — see [[readFloor]] for the crash/concurrency contract.
-        fs.create(new Path(dir, s"_floor.v$sp"), true).close()
-        fs.listStatus(dir).map(_.getPath.getName).foreach { n =>
-          val superseded = n == "_floor" ||
-            (n.startsWith("_floor.v") && scala.util.Try(
-              n.stripPrefix("_floor.v").toLong).toOption.exists(_ < sp))
-          if (superseded)
-            try fs.delete(new Path(dir, n), false)
-            catch { case scala.util.control.NonFatal(_) => () }
-        }
+        VersionedPointer.advance(fs, dir, "_floor.v", "_floor", sp)
       }
       listEntries(fs, dir).foreach { case (_, n, _) =>
         if (n <= sp) fs.delete(new Path(dir, s"t=$n"), false)
@@ -401,8 +384,15 @@ object TimestampOracle {
             // guards a concurrent scan deleting the marker under us.
             scala.util.Try {
               fs.setTimes(p, now, -1)
-              if (fs.getFileStatus(p).getModificationTime < now)
+              if (fs.getFileStatus(p).getModificationTime < now) {
                 fs.create(p, true).close()
+                // the rewrite can resurrect an abort marker a concurrent
+                // scan just retracted (its delete raced our create):
+                // re-apply the retraction rule — an abort marker never
+                // stands beside a commit marker
+                if (k == "a" && fs.exists(new Path(dir, s"c=$n")))
+                  fs.delete(p, false)
+              }
             }
           } else if (now - mtime > leaseMs)
             fs.delete(new Path(dir, s"$k=$n"), false)

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Crash-safe monotone pointer shared by the snapshot store's `_LATEST`
+  * and the timestamp oracle's gc floor: the value rides in the file NAME
+  * (`<prefix><n>`) so the write is ONE atomic create (a reader can never
+  * see partial content), a new version lands BEFORE superseded ones are
+  * removed (a crash leaves extra files, never a MISSING pointer — the
+  * delete-then-rename it replaced could lose the pointer entirely), and
+  * readers take the max (concurrent writers can only advance it).
+  *
+  * Reader hardening, because directory listings are NOT atomic under
+  * concurrent mutation (a sibling process deleting compacted files
+  * mid-readdir can make a STABLE entry vanish from one scan — observed
+  * on ext4 by the cross-process gc racer):
+  *  - the listing runs TWICE and the scans' union is taken (independent
+  *    readdir passes don't repeat a transient positional miss);
+  *  - an optional per-process MONOTONE CACHE floors the result at the
+  *    highest value this process ever read. Callers opt in only when a
+  *    wiped-and-recreated directory restarting ABOVE the old value is
+  *    acceptable — true for the oracle floor (timestamps are unique per
+  *    store lifetime; restarting higher is harmless), NOT for snapshot
+  *    stores that must support dropIfExists rebuilds from epoch zero;
+  *  - the legacy content-bearing file read is Try-guarded end to end: a
+  *    concurrent first-advance-after-upgrade deletes that file between
+  *    the exists check and the open.
+  */
+private[graft] object VersionedPointer {
+  private val monotone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def scan(fs: FileSystem, dir: Path, prefix: String): Seq[Long] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
+
+  /** Max pointer value across both formats (None if neither exists). */
+  def readMax(fs: FileSystem, dir: Path, prefix: String,
+      legacyName: String, monotoneCacheKey: Option[String]): Option[Long] = {
+    val listed = scan(fs, dir, prefix) ++ scan(fs, dir, prefix)
+    val legacy: Option[Long] = scala.util.Try {
+      val p = new Path(dir, legacyName)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+        finally in.close()
+      }
+    }.toOption.flatten
+    val cached = monotoneCacheKey
+      .flatMap(k => Option(monotone.get(k)).map(_.longValue))
+    val all = listed ++ legacy ++ cached
+    val out = if (all.isEmpty) None else Some(all.max)
+    for (k <- monotoneCacheKey; v <- out)
+      monotone.merge(k, v, (a, b) => if (a.longValue >= b.longValue) a else b)
+    out
+  }
+
+  /** Advance the pointer to `value`: one atomic create of the new
+    * version, then best-effort cleanup of superseded versions and the
+    * legacy file (failures leave harmless extra files — readers max). */
+  def advance(fs: FileSystem, dir: Path, prefix: String,
+      legacyName: String, value: Long): Unit = {
+    fs.create(new Path(dir, s"$prefix$value"), true).close()
+    scala.util.Try {
+      fs.listStatus(dir).toSeq.map(_.getPath.getName).foreach { n =>
+        val superseded = n == legacyName ||
+          (n.startsWith(prefix) && scala.util.Try(
+            n.stripPrefix(prefix).toLong).toOption.exists(_ < value))
+        if (superseded)
+          try fs.delete(new Path(dir, n), false)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+    ()
+  }
+}

@@ -89,6 +89,57 @@ class BucketedUpsertSpec extends SparkSpec {
       "reconciliation must leave no trash behind")
   }
 
+  test("the CANONICAL crash replay — the same batch, touching the displaced bucket — loses nothing") {
+    // a real crash replay re-delivers the batch whose swap died, which by
+    // definition touches the displaced bucket: the reconciliation must
+    // run BEFORE the merge basis is read, or the replay computes
+    // batch-only content and overwrites the restored bucket with it
+    val base = Files.createTempDirectory("bucrash2").toString + "/t"
+    val b1 = Seq((1L, 1L, 10.0, false), (2L, 1L, 20.0, false))
+      .toDF("k", "version", "value", "is_delete")
+    UpsertSink.upsertBucketed(b1, base, Seq("k"), "version",
+      Some("is_delete"), 8)
+    // seed a key into THE SAME BUCKET as key 1 that the replayed batch
+    // will NOT carry — the row the broken ordering silently dropped
+    val bk1 = bucketOfKey(1L, 8)
+    val other = (3L to 200L).find(k => bucketOfKey(k, 8) == bk1).get
+    val seed = Seq((other, 1L, 70.0, false))
+      .toDF("k", "version", "value", "is_delete")
+    UpsertSink.upsertBucketed(seed, base, Seq("k"), "version",
+      Some("is_delete"), 8)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trash = new org.apache.hadoop.fs.Path(base + "__old")
+    fs.mkdirs(trash)
+    // simulate batch 2's swap dying between its two renames on bucket bk1
+    assert(fs.rename(new org.apache.hadoop.fs.Path(base, s"__bucket=$bk1"),
+      new org.apache.hadoop.fs.Path(trash, bk1.toString)))
+    // ... and REPLAY a batch that touches that very bucket
+    val b2 = Seq((1L, 2L, 11.0, false)).toDF("k", "version", "value", "is_delete")
+    UpsertSink.upsertBucketed(b2, base, Seq("k"), "version",
+      Some("is_delete"), 8)
+    val state = spark.read.parquet(base)
+      .select("k", "value").as[(Long, Double)].collect().toSet
+    assert(state === Set((1L, 11.0), (2L, 20.0), (other, 70.0)),
+      "pre-existing keys of the displaced bucket must survive the replay " +
+        "that touches it")
+  }
+
+  test("additive tables refuse to merge over an interrupted swap (assertCleanTrash)") {
+    val base = Files.createTempDirectory("buadd").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    BucketedTable.assertCleanTrash(spark, base) // absent trash: fine
+    val trash = new org.apache.hadoop.fs.Path(base + "__old")
+    fs.mkdirs(trash)
+    BucketedTable.assertCleanTrash(spark, base) // empty trash: fine
+    fs.mkdirs(new org.apache.hadoop.fs.Path(trash, "3"))
+    val ex = intercept[IllegalStateException] {
+      BucketedTable.assertCleanTrash(spark, base)
+    }
+    assert(ex.getMessage.contains("double-apply"), ex.getMessage)
+  }
+
   test("bucketed upsert in reliable mode reaches the same state") {
     spark.sparkContext.setCheckpointDir(
       Files.createTempDirectory("bu-ckpt").toString)
