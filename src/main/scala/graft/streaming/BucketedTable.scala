@@ -120,11 +120,34 @@ object BucketedTable {
     * bucket (the crash hit between rename-out and rename-in) — restore
     * it, and the replaying batch's merge redoes the work on top
     * idempotently. */
+  /** Marker file declaring a bucketed table's merge ADDITIVE (deltas, not
+    * latest-wins) — written by such writers ([[graft.streaming.IncrementalMv]]'s
+    * agg table) so that EVERY reconcile path refuses to roll an
+    * interrupted swap forward, not just the one caller that remembered to
+    * assert: a maintenance [[compact]] or any other latest-wins flow
+    * touching the table between the crash and the replay would otherwise
+    * silently empty the trash, and the replay would double-apply. */
+  val AdditiveMarker = "_graft_additive"
+
+  /** Declare the table at `path` additive (idempotent). Callers with
+    * non-replay-idempotent merges write this BEFORE their first swap. */
+  def markAdditive(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path, AdditiveMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) fs.create(p, true).close()
+  }
+
   private def reconcileTrash(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Unit = {
     val target = new Path(path)
     val trash = new Path(path + "__old")
     if (!fs.exists(trash)) return
+    if (fs.listStatus(trash).nonEmpty &&
+        fs.exists(new Path(target, AdditiveMarker)))
+      throw new IllegalStateException(
+        s"$trash holds buckets from an interrupted swap of an ADDITIVE " +
+          s"table; a silent replay would double-apply deltas — restore " +
+          s"them into $path manually, then delete the trash dir")
     fs.listStatus(trash).foreach { st =>
       val name = st.getPath.getName
       if (name.isEmpty || !name.forall(_.isDigit))
@@ -146,10 +169,12 @@ object BucketedTable {
   /** The loud guard for ADDITIVE merges (delta counts/sums — the
     * incremental-MV agg table): a crash inside their swap is NOT
     * reconcilable silently, because the already-swapped buckets carry the
-    * batch's deltas and a replay would apply them AGAIN on top. Such
-    * callers must refuse to proceed over a non-empty trash — BEFORE any
-    * [[readTouched]] on the same path, whose latest-wins reconciliation
-    * would otherwise roll the mixed state forward under them. */
+    * batch's deltas and a replay would apply them AGAIN on top. Belt:
+    * such callers assert this BEFORE any [[readTouched]] on the same
+    * path. Suspenders: they also [[markAdditive]] the table, so every
+    * OTHER reconcile path (maintenance [[compact]], a mistaken
+    * latest-wins reader) refuses too instead of destroying the evidence
+    * this assert depends on. */
   def assertCleanTrash(spark: SparkSession, path: String): Unit = {
     val trash = new Path(path + "__old")
     val fs = trash.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -172,9 +197,11 @@ object BucketedTable {
     val stage = new Path(path + "__stage")
     val trash = new Path(path + "__old")
 
-    // second-chance reconcile for flows that swap without reading first
-    // (none today — callers reconcile through readTouched, BEFORE their
-    // merge basis is captured)
+    // second-chance reconcile for flows that swap without reading through
+    // readTouched first — [[compact]] is one (its merge basis is safe: a
+    // displaced bucket cannot enter its crowded set, but its swap must
+    // still not run over unreconciled trash). Upsert callers already
+    // reconciled through readTouched, BEFORE their merge basis was read.
     reconcileTrash(fs, path)
 
     fs.delete(stage, true)

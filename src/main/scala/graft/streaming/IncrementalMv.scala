@@ -100,8 +100,12 @@ object IncrementalMv {
       // buckets with this batch's deltas applied and some without, and a
       // silent latest-wins reconciliation (readTouched would otherwise
       // roll forward) followed by a replayed merge would apply the
-      // deltas AGAIN to the already-swapped buckets. Refuse loudly FIRST.
+      // deltas AGAIN to the already-swapped buckets. Refuse loudly FIRST
+      // — and mark the TABLE additive so every other reconcile path
+      // (a maintenance compact between crash and replay) refuses too,
+      // instead of silently destroying the trash this assert reads.
       BucketedTable.assertCleanTrash(spark, aggPath)
+      BucketedTable.markAdditive(spark, aggPath)
       val aggCurrent = readTouched(spark, aggPath, touchedAgg).getOrElse(
         deltas.select(col(groupKey), lit(0L).as("cnt"), lit(0.0).as("total"),
           col(BucketCol)).limit(0))

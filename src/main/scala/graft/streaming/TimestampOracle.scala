@@ -384,15 +384,18 @@ object TimestampOracle {
             // guards a concurrent scan deleting the marker under us.
             scala.util.Try {
               fs.setTimes(p, now, -1)
-              if (fs.getFileStatus(p).getModificationTime < now) {
+              // setTimes is a no-op on some FileSystems (object stores):
+              // fall back to REWRITING the content-free marker — but for
+              // c= markers ONLY. They are the load-bearing retention (a
+              // lost-ack commit retry reads its own verdict); a= markers
+              // below the floor are shadowed by the floor fence itself
+              // (commit's pre-write fence fires before any a= check), so
+              // rewriting one buys nothing and can RESURRECT a marker a
+              // concurrent retraction just removed — flipping a
+              // delivered verdict either direction. Early a= compaction
+              // on such stores is therefore safe and accepted.
+              if (k == "c" && fs.getFileStatus(p).getModificationTime < now)
                 fs.create(p, true).close()
-                // the rewrite can resurrect an abort marker a concurrent
-                // scan just retracted (its delete raced our create):
-                // re-apply the retraction rule — an abort marker never
-                // stands beside a commit marker
-                if (k == "a" && fs.exists(new Path(dir, s"c=$n")))
-                  fs.delete(p, false)
-              }
             }
           } else if (now - mtime > leaseMs)
             fs.delete(new Path(dir, s"$k=$n"), false)

@@ -40,15 +40,24 @@ private[graft] object VersionedPointer {
   def readMax(fs: FileSystem, dir: Path, prefix: String,
       legacyName: String, monotoneCacheKey: Option[String]): Option[Long] = {
     val listed = scan(fs, dir, prefix) ++ scan(fs, dir, prefix)
-    val legacy: Option[Long] = scala.util.Try {
-      val p = new Path(dir, legacyName)
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
-        finally in.close()
+    val legacy: Option[Long] =
+      try {
+        val p = new Path(dir, legacyName)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+          finally in.close()
+        }
+      } catch {
+        // ONLY the documented migration race: the first advance after an
+        // upgrade deletes the legacy file between our exists and open.
+        // Anything else (transient I/O, corrupt content) must propagate —
+        // swallowing it would read a legacy-only store as pointerless,
+        // letting a delayed stale writer advance a LOWER version and
+        // regress the pointer past the caller's None stale-check.
+        case _: java.io.FileNotFoundException => None
       }
-    }.toOption.flatten
     val cached = monotoneCacheKey
       .flatMap(k => Option(monotone.get(k)).map(_.longValue))
     val all = listed ++ legacy ++ cached

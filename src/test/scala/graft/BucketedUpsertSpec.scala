@@ -138,6 +138,17 @@ class BucketedUpsertSpec extends SparkSpec {
       BucketedTable.assertCleanTrash(spark, base)
     }
     assert(ex.getMessage.contains("double-apply"), ex.getMessage)
+    // and the marker makes EVERY reconcile path refuse, not just the one
+    // caller that asserted: a latest-wins upsert (whose readTouched
+    // would silently roll the trash forward and destroy the evidence)
+    // must halt on a marked-additive table too
+    BucketedTable.markAdditive(spark, base)
+    val b = Seq((1L, 1L, 1.0, false)).toDF("k", "version", "value", "is_delete")
+    val ex2 = intercept[IllegalStateException] {
+      UpsertSink.upsertBucketed(b, base, Seq("k"), "version",
+        Some("is_delete"), 8)
+    }
+    assert(ex2.getMessage.contains("double-apply"), ex2.getMessage)
   }
 
   test("bucketed upsert in reliable mode reaches the same state") {
