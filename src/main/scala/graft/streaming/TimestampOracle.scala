@@ -318,22 +318,50 @@ object TimestampOracle {
     // cross-process gc racer caught a pending t= vanishing from one
     // listing, letting the floor overtake an in-lease allocation and
     // fence its commit). Point lookups have no such failure mode, so
-    // VERIFY the candidate: every ts in (floor, naive] must appear in
-    // the listing or prove itself resolved/compacted by exists(). In a
-    // regularly-gc'd store the range above the floor is small and fully
-    // listed, so the common-case cost is zero extra calls.
-    val seen = entries.map(_._2).toSet
+    // VERIFY the candidate — but only the listing's GAPS need lookups:
+    // a ts the listing DID return is evidenced, and timestamps are
+    // allocated contiguously, so in a healthy store (gc'd or not) the
+    // gap set is empty and the verification costs ZERO extra calls. The
+    // old form iterated every integer in (floor, naive] — O(top) loop
+    // per safePoint on a never-gc'd store (floor pinned at 0) even when
+    // nothing was missing. Work is now bounded by listing size, plus a
+    // hard cap on gap lookups (a mass-miss listing otherwise turns the
+    // fence into an RPC storm on an object store): past the cap the
+    // safe point conservatively stops BELOW the first unverified gap —
+    // never wrong, only tight, and the next scan's fresh listing
+    // re-evaluates it.
+    val inRange =
+      entries.map(_._2).filter(v => v > floor && v <= naive).distinct.sorted
+    val gapIter: Iterator[Long] =
+      ((floor +: inRange) :+ (naive + 1L)).iterator.sliding(2).flatMap {
+        case Seq(a, b) if b > a + 1 => ((a + 1L) until b).iterator
+        case _ => Iterator.empty[Long]
+      }
     var sp = naive
-    var n = floor + 1
-    while (n <= sp) {
-      if (!seen.contains(n) && fs.exists(new Path(dir, s"t=$n")) &&
-          !fs.exists(new Path(dir, s"c=$n")) &&
-          !fs.exists(new Path(dir, s"a=$n")))
-        sp = n - 1 // a pending allocation the listing missed: stop below it
-      n += 1
+    var verified = 0
+    var done = false
+    while (!done && gapIter.hasNext) {
+      val n = gapIter.next()
+      if (n > sp) done = true // already stopped below every later gap
+      else if (verified >= MaxGapLookups) { sp = n - 1; done = true }
+      else {
+        verified += 1
+        if (fs.exists(new Path(dir, s"t=$n")) &&
+            !fs.exists(new Path(dir, s"c=$n")) &&
+            !fs.exists(new Path(dir, s"a=$n"))) {
+          sp = n - 1 // a pending allocation the listing missed
+          done = true
+        }
+      }
     }
     sp
   }
+
+  /** Hard cap on exists()-verified listing gaps per [[safePoint]] call —
+    * bounds the fence at ≤ 3×this point lookups even against a
+    * pathological listing; beyond it the safe point falls back
+    * conservatively to just below the first unverified gap. */
+  private[graft] val MaxGapLookups: Int = 256
 
   /** Compact: delete resolution files for every timestamp ≤ the current
     * safe point and record it as the `_floor` — keeps `_tso` listings
@@ -394,8 +422,20 @@ object TimestampOracle {
               // concurrent retraction just removed — flipping a
               // delivered verdict either direction. Early a= compaction
               // on such stores is therefore safe and accepted.
-              if (k == "c" && fs.getFileStatus(p).getModificationTime < now)
+              //
+              // The c= rewrite needs the SYMMETRIC guard: a commit that
+              // just lost the abort race retracts its own c= — if our
+              // listing predates that retraction, the rewrite would
+              // resurrect a commit verdict for a caller that observed an
+              // abort fence. Mirror commit's own post-write abort-wins
+              // recheck: skip when a= exists, and if a= landed between
+              // our check and the rewrite, delete what we rewrote.
+              if (k == "c" && fs.getFileStatus(p).getModificationTime < now
+                  && !fs.exists(new Path(dir, s"a=$n"))) {
                 fs.create(p, true).close()
+                if (fs.exists(new Path(dir, s"a=$n")))
+                  fs.delete(p, false)
+              }
             }
           } else if (now - mtime > leaseMs)
             fs.delete(new Path(dir, s"$k=$n"), false)

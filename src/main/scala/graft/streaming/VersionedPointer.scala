@@ -30,6 +30,33 @@ private[graft] object VersionedPointer {
   private val monotone =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Consecutive best-effort-cleanup failures per pointer directory.
+    * Correctness never depends on cleanup (readers take the max), but a
+    * PERSISTENTLY failing delete accumulates superseded pointer files
+    * and slows every listing — so repeated failures must be observable
+    * before that happens, not silent. Reset on the first clean sweep. */
+  private val cleanupFailStreak =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Current consecutive-failure streak for `dir` (0 = healthy). */
+  private[graft] def cleanupFailures(dir: Path): Long =
+    Option(cleanupFailStreak.get(dir.toString)).map(_.longValue).getOrElse(0L)
+
+  private def noteCleanup(dir: Path, failed: Boolean): Unit =
+    if (!failed) cleanupFailStreak.remove(dir.toString)
+    else {
+      val n = cleanupFailStreak.merge(dir.toString, 1L, (a, b) =>
+        java.lang.Long.valueOf(a.longValue + b.longValue)).longValue
+      // warn once the streak is clearly persistent, then decimated so a
+      // wedged store can't flood the log
+      if (n == 3 || n % 100 == 0) log.warn(
+        s"pointer cleanup at $dir has failed $n consecutive times; " +
+          "superseded pointer files are accumulating (reads stay correct " +
+          "— max wins — but listings grow until deletes succeed)")
+    }
+
   private def scan(fs: FileSystem, dir: Path, prefix: String): Seq[Long] =
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq.map(_.getPath.getName)
@@ -40,6 +67,7 @@ private[graft] object VersionedPointer {
   def readMax(fs: FileSystem, dir: Path, prefix: String,
       legacyName: String, monotoneCacheKey: Option[String]): Option[Long] = {
     val listed = scan(fs, dir, prefix) ++ scan(fs, dir, prefix)
+    var rescued: Seq[Long] = Nil
     val legacy: Option[Long] =
       try {
         val p = new Path(dir, legacyName)
@@ -56,11 +84,20 @@ private[graft] object VersionedPointer {
         // swallowing it would read a legacy-only store as pointerless,
         // letting a delayed stale writer advance a LOWER version and
         // regress the pointer past the caller's None stale-check.
-        case _: java.io.FileNotFoundException => None
+        case _: java.io.FileNotFoundException =>
+          // The FNF is itself a SIGNAL: the migrating writer's delete
+          // runs strictly AFTER its versioned create, so by the time the
+          // legacy open failed, the versioned file durably exists — but
+          // both scans above may PREDATE it. Without a re-scan, a reader
+          // whose scans ran before the create and whose open ran after
+          // the delete reads the pointer as ABSENT (floor 0) for one
+          // syscalls-wide window per store at upgrade time.
+          rescued = scan(fs, dir, prefix)
+          None
       }
     val cached = monotoneCacheKey
       .flatMap(k => Option(monotone.get(k)).map(_.longValue))
-    val all = listed ++ legacy ++ cached
+    val all = listed ++ rescued ++ legacy ++ cached
     val out = if (all.isEmpty) None else Some(all.max)
     for (k <- monotoneCacheKey; v <- out)
       monotone.merge(k, v, (a, b) => if (a.longValue >= b.longValue) a else b)
@@ -73,16 +110,17 @@ private[graft] object VersionedPointer {
   def advance(fs: FileSystem, dir: Path, prefix: String,
       legacyName: String, value: Long): Unit = {
     fs.create(new Path(dir, s"$prefix$value"), true).close()
-    scala.util.Try {
+    var anyFailed = false
+    val swept = scala.util.Try {
       fs.listStatus(dir).toSeq.map(_.getPath.getName).foreach { n =>
         val superseded = n == legacyName ||
           (n.startsWith(prefix) && scala.util.Try(
             n.stripPrefix(prefix).toLong).toOption.exists(_ < value))
         if (superseded)
           try fs.delete(new Path(dir, n), false)
-          catch { case scala.util.control.NonFatal(_) => () }
+          catch { case scala.util.control.NonFatal(_) => anyFailed = true }
       }
     }
-    ()
+    noteCleanup(dir, failed = anyFailed || swept.isFailure)
   }
 }
