@@ -26,7 +26,12 @@ final case class GraftOptions(
     /** Committed epochs retained per snapshot store. */
     snapshotKeep: Int = 3,
     /** Recreate target + checkpoint on start (TiFlinkApp dropOldTable). */
-    dropIfExists: Boolean = false)
+    dropIfExists: Boolean = false,
+    /** Shared secret for the TCP timestamp oracle ([[graft.streaming
+      * .TsoServer]]/[[graft.streaming.TcpTso]]): required on every wire
+      * line when set, constant-time-compared server-side. None = the
+      * loopback no-auth posture. */
+    tsoAuthToken: Option[String] = None)
 
 object GraftOptions {
   val TriggerMs = "graft.trigger.ms"
@@ -36,9 +41,11 @@ object GraftOptions {
   val WatermarkDelay = "graft.watermark.delay"
   val SnapshotKeep = "graft.snapshot.keep"
   val DropIfExists = "graft.drop.if.exists"
+  val TsoAuthToken = "graft.tso.auth.token"
 
   val knownKeys: Set[String] = Set(TriggerMs, Buckets, LockLeaseMs,
-    WatermarkColumn, WatermarkDelay, SnapshotKeep, DropIfExists)
+    WatermarkColumn, WatermarkDelay, SnapshotKeep, DropIfExists,
+    TsoAuthToken)
 
   /** Parse + validate a string option map (the form a deployment template
     * or SQL `OPTIONS (...)` clause produces). Every failure names the key
@@ -95,6 +102,15 @@ object GraftOptions {
         s"$WatermarkColumn and $WatermarkDelay must be set together")
     }
 
+    val tsoAuthToken = options.get(TsoAuthToken).map { t =>
+      try graft.streaming.TsoServer.validateToken(t)
+      catch {
+        case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"$TsoAuthToken: ${e.getMessage}")
+      }
+      t
+    }
+
     GraftOptions(
       triggerMs = long(TriggerMs, min = 0L, default = 0L),
       numBuckets = int(Buckets, min = 1, default = 64),
@@ -102,6 +118,7 @@ object GraftOptions {
         default = graft.streaming.SnapshotStore.DefaultLockLeaseMs),
       watermark = watermark,
       snapshotKeep = int(SnapshotKeep, min = 1, default = 3),
-      dropIfExists = bool(DropIfExists, default = false))
+      dropIfExists = bool(DropIfExists, default = false),
+      tsoAuthToken = tsoAuthToken)
   }
 }

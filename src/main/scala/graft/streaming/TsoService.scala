@@ -23,7 +23,8 @@ import org.apache.hadoop.conf.Configuration
  *     explicit `OK`/`FENCED`/`ERR` response header so a dropped
  *     connection can never read as an answer).
  *
- * Wire protocol:
+ * Wire protocol (an optional `AUTH <token> ` prefix precedes any verb —
+ * see [[TsoServer]] for the shared-secret handshake):
  *   `BEGIN`            → `OK <ts>`
  *   `COMMIT <ts>`      → `OK <ts>` | `FENCED <reason>` (abort won — the
  *                        client throws [[TimestampOracle.TimestampFencedException]])
@@ -32,7 +33,8 @@ import org.apache.hadoop.conf.Configuration
  *   `ABORT <ts>`       → `OK <ts>` (idempotent)
  *   `SAFEPOINT <leaseMs>` → `OK <sp>`
  *   `GC <leaseMs>`     → `OK <sp>`
- *   anything else      → `ERR <reason>`
+ *   anything else      → `ERR <reason>` (incl. `ERR unauthorized` when
+ *                        the server requires a token the line lacks)
  *
  * [[TsoProvider]] abstracts the two transports so the publish/commit
  * choreography ([[TimestampOracle.publishGlobalVia]]) is written once and
@@ -69,14 +71,21 @@ final case class FileTso(conf: Configuration, root: String)
   * hanging its publish forever (the lease machinery then aborts the
   * orphaned timestamp server-side). */
 final case class TcpTso(host: String, port: Int,
-    timeoutMs: Int = 30000) extends TsoProvider {
+    timeoutMs: Int = 30000,
+    authToken: Option[String] = None) extends TsoProvider {
+  authToken.foreach(TsoServer.validateToken)
 
-  private def request(line: String): String =
+  private def request(line: String): String = {
+    // the shared secret rides the same request line (`AUTH <tok> <verb>`)
+    // — the protocol stays one line per connection, so there is no
+    // handshake round-trip to time out separately
+    val wire = authToken.fold(line)(t => s"AUTH $t $line")
     // the shared one-line-per-connection wire discipline — one
     // implementation for the changefeed broker and the oracle
-    graft.sources.SocketLogProtocol.request(host, port, line, timeoutMs)
+    graft.sources.SocketLogProtocol.request(host, port, wire, timeoutMs)
       .headOption.getOrElse(throw new java.io.IOException(
         s"tso server gave no response to '$line'"))
+  }
 
   private def ok(line: String): Long = {
     val resp = request(line)
@@ -139,15 +148,23 @@ final case class TcpTso(host: String, port: Int,
   * close and reopen resumes the sequence); concurrent client requests
   * are safe because the underlying CAS already arbitrates them.
   *
-  * The listener binds to the LOOPBACK interface by default — the protocol
-  * carries no authentication (any peer that can connect can BEGIN/COMMIT/
-  * ABORT/GC arbitrary timestamps), so exposure is an explicit deployment
-  * decision: pass `bindAddr` to serve a trusted network segment, and put
-  * the secured channel (TLS tunnel, service mesh, firewall) in front of
-  * it — the posture the reference delegates to its grpc channel. */
+  * The listener binds to the LOOPBACK interface by default. Off loopback,
+  * pass `authToken` (see [[GraftOptions]] `graft.tso.auth.token`): every
+  * request line must then carry a matching `AUTH <token> ` prefix —
+  * compared constant-time — or it is refused `ERR unauthorized` before
+  * any verb executes, so an unauthenticated peer cannot BEGIN/COMMIT/
+  * ABORT/GC timestamps. The token authenticates, it does not encrypt:
+  * confidentiality/integrity on an untrusted segment still belong to the
+  * secured channel in front (TLS tunnel, service mesh, firewall) — the
+  * posture the reference delegates to its grpc channel. With no token
+  * configured the server accepts any line (and ignores an offered AUTH
+  * prefix), which is only a sane posture on loopback. */
 final class TsoServer(conf: Configuration, root: String,
-    bindAddr: java.net.InetAddress = java.net.InetAddress.getLoopbackAddress)
+    bindAddr: java.net.InetAddress = java.net.InetAddress.getLoopbackAddress,
+    authToken: Option[String] = None)
     extends AutoCloseable {
+  authToken.foreach(TsoServer.validateToken)
+  private val tokenBytes = authToken.map(_.getBytes("UTF-8"))
   private val server = new java.net.ServerSocket(0, 50, bindAddr)
   def port: Int = server.getLocalPort
   def host: String = bindAddr.getHostAddress
@@ -182,7 +199,24 @@ final class TsoServer(conf: Configuration, root: String,
       val resp: String =
         try {
           if (req == null) "ERR empty request"
-          else req.trim.split("\\s+").toSeq match {
+          else {
+            // peel an AUTH prefix, then gate BEFORE any verb runs: a
+            // required token that is missing or wrong never reaches the
+            // oracle. The compare is constant-time (MessageDigest.isEqual)
+            // so the response latency leaks nothing about how much of a
+            // guessed token matched.
+            val (offered, verb) = req.trim.split("\\s+").toSeq match {
+              case "AUTH" +: tok +: rest => (Some(tok), rest)
+              case other => (None, other)
+            }
+            val ok = tokenBytes match {
+              case None => true // no token required (loopback posture)
+              case Some(expect) => offered.exists(t =>
+                java.security.MessageDigest.isEqual(
+                  expect, t.getBytes("UTF-8")))
+            }
+            if (!ok) "ERR unauthorized"
+            else verb match {
             case Seq("BEGIN") =>
               s"OK ${TimestampOracle.begin(conf, root).ts}"
             case Seq("COMMIT", n) =>
@@ -198,6 +232,7 @@ final class TsoServer(conf: Configuration, root: String,
             case Seq("GC", lease) =>
               s"OK ${TimestampOracle.gc(conf, root, lease.toLong)}"
             case _ => "ERR bad request"
+            }
           }
         } catch {
           case e: TimestampOracle.TimestampCompactedException =>
@@ -217,4 +252,17 @@ final class TsoServer(conf: Configuration, root: String,
     finally s.close()
 
   def close(): Unit = server.close()
+}
+
+object TsoServer {
+  /** The shared secret rides a space-delimited request line, so it must
+    * be one non-empty whitespace-free token — enforced at CONSTRUCTION
+    * on both ends ([[TsoServer]] and [[TcpTso]]), where a bad value is a
+    * configuration error, not a per-request "unauthorized" mystery.
+    * [[graft.GraftOptions]] applies the same rule to
+    * `graft.tso.auth.token` at submit time. */
+  def validateToken(token: String): Unit =
+    require(token.nonEmpty && !token.exists(_.isWhitespace),
+      "tso auth token must be non-empty and contain no whitespace " +
+        "(it rides a space-delimited wire line)")
 }

@@ -240,4 +240,61 @@ class TsoServiceSpec extends SparkSpec {
       assert(SnapshotStore.versions(spark, s"$root/x").max === t2)
     }
   }
+
+  test("a token-bearing server refuses unauthenticated and wrong-token peers") {
+    val root = Files.createTempDirectory("tsoauth").toString
+    val srv = new TsoServer(hconf, root, authToken = Some("s3cret-tok"))
+    try {
+      // no token: refused before any verb runs — no timestamp allocated
+      val bare = TcpTso(srv.host, srv.port)
+      val e1 = intercept[java.io.IOException] { bare.begin() }
+      assert(e1.getMessage.contains("unauthorized"), e1.getMessage)
+      // wrong token: same refusal (constant-time compare server-side)
+      val wrong = TcpTso(srv.host, srv.port, authToken = Some("wrong-tok"))
+      val e2 = intercept[java.io.IOException] { wrong.begin() }
+      assert(e2.getMessage.contains("unauthorized"), e2.getMessage)
+      // neither refused attempt reached the oracle: the authed sequence
+      // starts at 1
+      val authed = TcpTso(srv.host, srv.port, authToken = Some("s3cret-tok"))
+      val t1 = authed.begin()
+      assert(t1.ts === 1L)
+      authed.commit(t1)
+      assert(authed.safePoint() === 1L)
+      // fences keep their identity through the authed line too
+      val dead = authed.begin()
+      Thread.sleep(50)
+      assert(authed.safePoint(leaseMs = 1L) === dead.ts)
+      intercept[TimestampOracle.TimestampFencedException] {
+        authed.commit(dead)
+      }
+    } finally srv.close()
+  }
+
+  test("the auth token is validated at construction and parses via GraftOptions") {
+    // a whitespace-bearing secret would silently truncate on the
+    // space-delimited wire line — both ends refuse it at construction
+    intercept[IllegalArgumentException] {
+      new TsoServer(hconf, "/tmp/unused", authToken = Some("two words"))
+    }
+    intercept[IllegalArgumentException] {
+      TcpTso("127.0.0.1", 1, authToken = Some(""))
+    }
+    // ...and GraftOptions is the submit-time parse point
+    val opts = GraftOptions.fromMap(Map("graft.tso.auth.token" -> "tok-1"))
+    assert(opts.tsoAuthToken === Some("tok-1"))
+    assert(GraftOptions.fromMap(Map.empty).tsoAuthToken === None)
+    val bad = intercept[IllegalArgumentException] {
+      GraftOptions.fromMap(Map("graft.tso.auth.token" -> "a b"))
+    }
+    assert(bad.getMessage.contains("graft.tso.auth.token"), bad.getMessage)
+  }
+
+  test("a no-token server ignores an offered AUTH prefix (loopback posture)") {
+    val root = Files.createTempDirectory("tsoauth2").toString
+    withServer(root) { srv =>
+      val offering = TcpTso(srv.host, srv.port, authToken = Some("ignored"))
+      assert(offering.begin().ts === 1L)
+      assert(TcpTso(srv.host, srv.port).begin().ts === 2L)
+    }
+  }
 }
