@@ -249,6 +249,14 @@ object BucketedTable {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
+    // Reconcile BEFORE the crowded scan and its early returns — not only
+    // inside swapTouched. A compaction that crashed between its two
+    // renames leaves a displaced bucket ONLY in the trash; a recovery
+    // compact that finds nothing (or something else) crowded would
+    // otherwise return without ever restoring it, and every direct read
+    // of the table silently misses that bucket's rows from then on
+    // (found by the round-17 crash-point sweep).
+    reconcileTrash(fs, path)
     val crowded = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
       .filter { s =>
