@@ -30,7 +30,9 @@ object StreamBench {
     def rowsPerSec: Long = if (sec <= 0) 0L else (rows / sec).toLong
     def batchMs: Long = if (batches == 0) 0L else (sec * 1000 / batches).toLong
     def json: String =
-      s"""{"rows":$rows,"batches":$batches,"sec":${f"$sec%.3f"},""" +
+      // Double.toString is locale-independent; the f interpolator is NOT
+      // (a comma-decimal default locale would emit invalid JSON)
+      s"""{"rows":$rows,"batches":$batches,"sec":${math.rint(sec * 1000) / 1000},""" +
         s""""rows_per_sec":$rowsPerSec,"batch_ms":$batchMs}"""
   }
 

@@ -340,10 +340,11 @@ object TimestampOracle {
     var sp = naive
     var verified = 0
     var done = false
+    // gaps ascend, and the first hit (or the cap) lowers sp and ends the
+    // loop — every later gap is already above the lowered safe point
     while (!done && gapIter.hasNext) {
       val n = gapIter.next()
-      if (n > sp) done = true // already stopped below every later gap
-      else if (verified >= MaxGapLookups) { sp = n - 1; done = true }
+      if (verified >= MaxGapLookups) { sp = n - 1; done = true }
       else {
         verified += 1
         if (fs.exists(new Path(dir, s"t=$n")) &&
@@ -427,15 +428,22 @@ object TimestampOracle {
               // just lost the abort race retracts its own c= — if our
               // listing predates that retraction, the rewrite would
               // resurrect a commit verdict for a caller that observed an
-              // abort fence. Mirror commit's own post-write abort-wins
-              // recheck: skip when a= exists, and if a= landed between
-              // our check and the rewrite, delete what we rewrote.
+              // abort fence. Guard with PRE-checks only: skip when a=
+              // exists (the retraction's precondition — a committer only
+              // retracts after observing a=), and re-verify the marker
+              // still exists by point lookup just before the rewrite
+              // (the retraction may have landed since our listing). No
+              // post-write delete: an a= seen AFTER our rewrite may be a
+              // TRANSIENT expiry-scan marker whose writer is about to
+              // retract it on seeing our c= — deleting c= then would
+              // flip a DELIVERED commit to an abort. The residual
+              // syscalls-wide window (a= turns durable between our
+              // checks and the create) ends in dual markers, which every
+              // reader resolves by the standing abort-wins rule — the
+              // delivered fence stands; a verdict never flips.
               if (k == "c" && fs.getFileStatus(p).getModificationTime < now
-                  && !fs.exists(new Path(dir, s"a=$n"))) {
+                  && !fs.exists(new Path(dir, s"a=$n")) && fs.exists(p))
                 fs.create(p, true).close()
-                if (fs.exists(new Path(dir, s"a=$n")))
-                  fs.delete(p, false)
-              }
             }
           } else if (now - mtime > leaseMs)
             fs.delete(new Path(dir, s"$k=$n"), false)

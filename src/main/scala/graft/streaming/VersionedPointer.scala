@@ -97,7 +97,15 @@ private[graft] object VersionedPointer {
       }
     val cached = monotoneCacheKey
       .flatMap(k => Option(monotone.get(k)).map(_.longValue))
-    val all = listed ++ rescued ++ legacy ++ cached
+    val all0 = listed ++ rescued ++ legacy ++ cached
+    // The OTHER ordering of the same migration race: the writer's
+    // create+delete both complete before our exists() check, so the
+    // legacy read returns None with no FNF signal — before concluding
+    // the pointer is ABSENT (the one answer callers treat as load-
+    // bearing: "store empty", defeating stale-write checks), scan once
+    // more. Costs one extra listing only on stores with no pointer.
+    val all =
+      if (all0.nonEmpty) all0 else scan(fs, dir, prefix)
     val out = if (all.isEmpty) None else Some(all.max)
     for (k <- monotoneCacheKey; v <- out)
       monotone.merge(k, v, (a, b) => if (a.longValue >= b.longValue) a else b)

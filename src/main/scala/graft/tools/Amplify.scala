@@ -45,6 +45,12 @@ object Amplify {
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
     val organic = args.length > 3 && args(3) == "organic"
+    // the per-copy letter rotation degenerates to the identity at
+    // c % 26 == 0, silently reintroducing the exact-duplicate copies
+    // organic mode exists to avoid — refuse rather than mislead
+    require(!organic || factor <= 26,
+      s"organic mode decorrelates at most 26 copies (letter-rotation " +
+        s"period); factor=$factor would make copy 26 byte-identical to copy 0")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -17,7 +17,9 @@ import graft.streaming.{ChangelogOps, JdbcUpsertSink, MaterializedView, TcpTso}
   * (coordinator service + independent jobs over the network).
   *
   * args: name brokerHost brokerPort tsoHost tsoPort derbyDir ckptDir
-  * crashMid2pc.
+  * crashMid2pc tsoToken ("" = no auth). The token rides the deployment
+  * option map ([[graft.GraftOptions]] `graft.tso.auth.token`) — the
+  * submit-time parse point — and reaches the wire via [[TcpTso]].
   *
   * Per applied batch the driver runs the coordinator choreography:
   * begin → JDBC-fenced apply → commit. With `crashMid2pc=true` it halts
@@ -37,7 +39,8 @@ object DeployDriverMain {
     StructField("value", DoubleType)))
 
   def main(args: Array[String]): Unit = {
-    val Array(name, bHost, bPort, tHost, tPort, derbyDir, ckpt, crash) = args
+    val Array(name, bHost, bPort, tHost, tPort, derbyDir, ckpt, crash,
+      tsoToken) = args
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName(s"graft-deploy-$name")
@@ -48,7 +51,12 @@ object DeployDriverMain {
     spark.sparkContext.setLogLevel("ERROR")
 
     val url = s"jdbc:derby:$derbyDir;create=true"
-    val tso = TcpTso(tHost, tPort.toInt)
+    // the deployment option map is the submit-time parse/validate point
+    // for the coordinator secret — the path a templated job takes
+    val opts = GraftOptions.fromMap(
+      if (tsoToken.isEmpty) Map.empty
+      else Map(GraftOptions.TsoAuthToken -> tsoToken))
+    val tso = TcpTso(tHost, tPort.toInt, authToken = opts.tsoAuthToken)
     val sink = JdbcUpsertSink(url, "live_rows", Seq("pk"),
       deleteCol = Some("deleted"))
     val crashMid2pc = crash.toBoolean

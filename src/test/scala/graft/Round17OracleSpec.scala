@@ -47,10 +47,11 @@ class Round17OracleSpec extends AnyFunSuite {
     val sp = TimestampOracle.safePoint(conf, root,
       TimestampOracle.DefaultLeaseMs)
     assert(sp === 1500L)
-    // no gaps → no per-ts verification; the only exists() is the floor
-    // pointer's legacy-file probe. The bound must not scale with the
-    // 3000-entry backlog.
-    assert(InstrumentedFs.opCount("exists") <= 4,
+    // no gaps → no per-ts verification; the only exists() calls are the
+    // floor pointer's fixed handful (per-scan dir probes, the legacy
+    // file, the absent-pointer rescue scan). The bound must not scale
+    // with the 3000-entry backlog.
+    assert(InstrumentedFs.opCount("exists") <= 6,
       s"safePoint issued ${InstrumentedFs.opCount("exists")} exists() " +
         "calls on a gapless 1500-ts backlog — gap derivation regressed")
   }
@@ -135,30 +136,54 @@ class Round17OracleSpec extends AnyFunSuite {
     }
   }
 
-  test("gc retracts its own c= rewrite when the abort lands mid-refresh") {
+  test("an abort landing mid-refresh leaves dual markers that READ as abort") {
+    // the residual syscalls-wide window: a= turns durable between gc's
+    // pre-checks and its rewrite. gc must NOT post-delete the c= (the a=
+    // could equally be a transient expiry-scan marker about to be
+    // retracted on seeing c= — deleting would flip a DELIVERED commit);
+    // instead both markers stand and every reader resolves them by the
+    // standing abort-wins rule, so no delivered verdict flips either way
     val (conf, root, local) = freshRoot()
     val t = TimestampOracle.begin(conf, root)
     TimestampOracle.commit(conf, root, t)
     val tso = new java.io.File(local, "_tso")
     Thread.sleep(20)
     InstrumentedFs.noopSetTimes(true)
-    // the abort marker lands in the window between gc's a=-absence check
-    // and its rewrite — the tightest interleaving; gc's post-write
-    // recheck (commit's own abort-wins mirror) must delete the rewrite
     InstrumentedFs.beforeOp("create", s"c=${t.ts}") {
       touch(tso, s"a=${t.ts}")
     }
     TimestampOracle.gc(conf, root, TimestampOracle.DefaultLeaseMs)
     assert(InstrumentedFs.pendingHooks === 0, "the abort injection never fired")
-    assert(!new java.io.File(tso, s"c=${t.ts}").exists(),
-      "gc left its rewritten c= standing beside a durable abort marker")
     assert(new java.io.File(tso, s"a=${t.ts}").exists())
-    // the abort verdict is coherent for late callers
+    // dual markers resolve as ABORT for every caller — never as success
     intercept[TimestampOracle.TimestampFencedException] {
       TimestampOracle.commit(conf, root, t)
     }
     assert(TimestampOracle.safePoint(conf, root,
       TimestampOracle.DefaultLeaseMs) === t.ts)
+  }
+
+  test("gc never recreates a marker that was deleted after its listing") {
+    // the resurrection class at its root: whoever deleted the marker
+    // between gc's listing and its rewrite (a committer retracting after
+    // an abort race, a sibling gc compacting), recreating it would undo
+    // a deliberate retraction — the point-lookup pre-check must see the
+    // marker gone and write nothing
+    val (conf, root, local) = freshRoot()
+    val t = TimestampOracle.begin(conf, root)
+    TimestampOracle.commit(conf, root, t)
+    val tso = new java.io.File(local, "_tso")
+    Thread.sleep(20)
+    InstrumentedFs.noopSetTimes(true)
+    // the retraction lands just before gc's exists(p) re-verify
+    InstrumentedFs.beforeOp("exists", s"c=${t.ts}") {
+      val c = new java.io.File(tso, s"c=${t.ts}")
+      if (c.exists()) assert(c.delete())
+    }
+    TimestampOracle.gc(conf, root, TimestampOracle.DefaultLeaseMs)
+    assert(InstrumentedFs.pendingHooks === 0, "the retraction never fired")
+    assert(!new java.io.File(tso, s"c=${t.ts}").exists(),
+      "gc resurrected a c= marker that was retracted after its listing")
   }
 
   test("pointer cleanup failures are counted and reset on a clean sweep") {

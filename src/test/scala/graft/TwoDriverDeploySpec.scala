@@ -55,8 +55,12 @@ class TwoDriverDeploySpec extends SparkSpec {
     val broker = new MiniBroker
     // the coordinator's durable state lives on the SERVER's filesystem
     // only; drivers reach it exclusively through (host, port)
+    // the coordinator requires the shared deployment secret — auth rides
+    // the same wire the whole topology coordinates over
+    val tsoToken = "deploy-secret-r17"
     val srv = new TsoServer(
-      spark.sparkContext.hadoopConfiguration, s"$base/tso")
+      spark.sparkContext.hadoopConfiguration, s"$base/tso",
+      authToken = Some(tsoToken))
     try {
       // phase 1 is on the wire before any driver exists
       broker.append(
@@ -86,7 +90,7 @@ class TwoDriverDeploySpec extends SparkSpec {
           "graft.DeployDriverMain", name,
           broker.host, broker.port.toString,
           srv.host, srv.port.toString,
-          s"$base/derby$name", s"$base/ckpt$name", crash.toString)
+          s"$base/derby$name", s"$base/ckpt$name", crash.toString, tsoToken)
         val p = new ProcessBuilder(cmd: _*)
           .redirectErrorStream(true).redirectOutput(log).start()
         (p, log)
@@ -146,7 +150,7 @@ class TwoDriverDeploySpec extends SparkSpec {
       // ---- the coordinator arbitrated every apply over TCP: once the
       // lease expires A's orphaned mid-2PC allocation, nothing is in
       // flight and the global sequence is gap-free-resolved
-      val tso = TcpTso(srv.host, srv.port)
+      val tso = TcpTso(srv.host, srv.port, authToken = Some(tsoToken))
       Thread.sleep(50) // age the orphan past the 1 ms lease below
       val sp = tso.safePoint(leaseMs = 1L)
       assert(sp >= 3L, s"coordinator saw too few commits: $sp")
