@@ -251,6 +251,105 @@ class Round17CrashSweepSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------- E
+  test("2PC fan-out publish survives a crash at every mutation point") {
+    // publishAllComputed: all leases, all stages, then all pointer flips.
+    // A crash mid-phase-2 can leave a PREFIX of stores flipped (the
+    // documented window a real coordinator closes with a commit record);
+    // the invariant is per-store epoch integrity mid-crash and full
+    // convergence after lease expiry + re-publish.
+    def dfFor(t: String, e: Int) =
+      (1 to 4).map(i => (i, s"$t-e$e")).toDF("k", "v").coalesce(1)
+    def publishBoth(root: String, version: Long): Unit =
+      SnapshotStore.publishAllComputed(Seq(
+        (spark, s"$root/x", () => dfFor("x", version.toInt)),
+        (spark, s"$root/y", () => dfFor("y", version.toInt))), version)
+    def read(root: String, t: String): Set[(Int, String)] =
+      SnapshotStore.readSnapshot(spark, s"$root/$t")
+        .as[(Int, String)].collect().toSet
+
+    val tpl = Files.createTempDirectory("tpl-fan-").toFile
+    InstrumentedFs.reset()
+    publishBoth(s"ifs://$tpl", 1L)
+
+    val swept = sweep("fanout", tpl,
+      attempt = (root, _) => publishBoth(root, 2L),
+      recover = (root, local) => {
+        // mid-crash: EACH store independently reads a complete epoch
+        Seq("x", "y").foreach { t =>
+          val lv = SnapshotStore.latestVersion(spark, s"$root/$t")
+          assert(lv === Some(1L) || lv === Some(2L), s"$t pointer lost: $lv")
+          assert(read(root, t) ===
+            (1 to 4).map(i => (i, s"$t-e${lv.get}")).toSet, s"$t torn")
+        }
+        val old = System.currentTimeMillis() - SnapshotStore.DefaultLockLeaseMs - 60000
+        Seq("x", "y").foreach { t =>
+          val d = new java.io.File(local, t)
+          names(d).filter(_.startsWith("_LATEST.lock"))
+            .foreach(f => new java.io.File(d, f).setLastModified(old))
+        }
+        publishBoth(root, 2L)
+      },
+      invariant = (root, local) => Seq("x", "y").foreach { t =>
+        assert(SnapshotStore.latestVersion(spark, s"$root/$t") === Some(2L))
+        assert(read(root, t) === (1 to 4).map(i => (i, s"$t-e2")).toSet)
+        val leftover = names(new java.io.File(local, t))
+        assert(!leftover.exists(_.startsWith("_staging_v=")), s"$t: $leftover")
+        assert(!leftover.contains("_LATEST.lock"), s"$t lock leaked")
+      })
+    info(s"2PC fan-out: $swept crash points swept green")
+    assert(swept >= 15, s"suspiciously few crash points ($swept)")
+  }
+
+  // ---------------------------------------------------------------- F
+  test("oracle-stamped publish (publishGlobal) survives a crash at every mutation point") {
+    // the composed choreography: begin -> publish epoch ts -> commit ts.
+    // Publish-before-commit is the consistency fence; recovery is a NEW
+    // allocation (the orphan lease-expires), and the safe point must end
+    // gap-free with the store pinned readable at it.
+    // content is epoch-independent: publishGlobal numbers epochs by the
+    // ORACLE timestamp, which a recovery attempt re-allocates fresh
+    val content = (1 to 4).map(i => (i, "payload")).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    def publish(root: String): Long =
+      TimestampOracle.publishGlobal(spark, root, "t")(() =>
+        content.toSeq.toDF("k", "v").coalesce(1))
+
+    val tpl = Files.createTempDirectory("tpl-glob-").toFile
+    InstrumentedFs.reset()
+    assert(publish(s"ifs://$tpl") === 1L)
+
+    val swept = sweep("publishGlobal", tpl,
+      attempt = (root, _) => { publish(root); () },
+      recover = (root, local) => {
+        val old = System.currentTimeMillis() - SnapshotStore.DefaultLockLeaseMs - 60000
+        val d = new java.io.File(local, "t")
+        names(d).filter(_.startsWith("_LATEST.lock"))
+          .foreach(f => new java.io.File(d, f).setLastModified(old))
+        publish(root)
+        Thread.sleep(30)
+        TimestampOracle.safePoint(conf, root, leaseMs = 1L) // expire orphans
+        TimestampOracle.gc(conf, root, leaseMs = 1L)
+      },
+      invariant = (root, local) => {
+        // the recovery publish's epoch is committed and pinned-readable
+        // at the safe point; no dual verdicts anywhere
+        val sp = TimestampOracle.safePoint(conf, root,
+          TimestampOracle.DefaultLeaseMs)
+        val lv = SnapshotStore.latestVersion(spark, s"$root/t")
+        assert(lv.nonEmpty && lv.get <= sp,
+          s"committed epoch $lv above the safe point $sp")
+        val pinned = TimestampOracle.readStoreAt(spark, root, Seq("t"), sp)
+        assert(pinned("t").nonEmpty, "safe point pins no epoch")
+        assert(pinned("t").get.as[(Int, String)].collect().toSet === content)
+        val markers = names(new java.io.File(local, "_tso"))
+        val cs = markers.filter(_.startsWith("c=")).map(_.drop(2).toLong).toSet
+        val as = markers.filter(_.startsWith("a=")).map(_.drop(2).toLong).toSet
+        assert((cs intersect as).isEmpty, s"dual verdicts: ${cs intersect as}")
+      })
+    info(s"publishGlobal: $swept crash points swept green")
+    assert(swept >= 15, s"suspiciously few crash points ($swept)")
+  }
+
   test("bucket compaction survives a crash at every mutation point") {
     // upserts REPLACE whole buckets (their swap always leaves the merge's
     // own fresh part-files), so multi-file buckets come from multi-task
