@@ -45,6 +45,9 @@ object Bench {
     // with an unchanged code path). Unpersist them synchronously so every
     // query is measured against an empty block manager, like a standalone
     // run; System.gc() then clears broadcast/codegen garbage as before.
+    // (Library users have the surgical equivalent, Lineage.drainLeaked —
+    // Bench keeps the broader unpersist-all: nothing else holds blocks
+    // here and it also covers any future non-Lineage persistence.)
     val noDrain = sys.env.contains("SPARK_GRAFT_NO_DRAIN") // A/B escape hatch
     def drainLeakedBlocks(): Unit = {
       if (!noDrain)

@@ -1,6 +1,11 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.SparkContext
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Lineage truncation with a durability knob for iterative and multi-read
@@ -26,6 +31,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
  * A [[Materialized]] instead carries an explicit `release()` — the caller
  * deletes each round's spill deterministically the moment nothing reads it.
  *
+ * Block accounting. `release()` frees the materialization for BOTH paths
+ * (unpersist of the checkpoint blocks / delete of the spill directory) —
+ * the streaming sinks release every batch's truncations in `finally`
+ * blocks, so a long-running stream holds O(1) checkpoint blocks, not one
+ * set per micro-batch. Operators that RETURN a lazy plan referencing a
+ * truncation (the Rank range skeleton, the triangle orientation) cannot
+ * release it themselves — those register in a per-SparkContext leak
+ * registry instead, and a session controller frees them BETWEEN queries
+ * via [[drainLeaked]] (what `Bench` does with its broader unpersist-all).
+ * `drainLeaked` is a session-level barrier with the same contract as
+ * `release()`: call it only when no graft-returned frame will be read
+ * again — a drained frame's blocks are gone and its lineage is truncated,
+ * so a later read fails loudly rather than recomputing.
+ *
  * Callers expose `reliable` and pass it through; the caller (or cluster
  * conf) must have set `sparkContext.setCheckpointDir` first when enabling
  * it — fail fast here otherwise, rather than deep inside Spark.
@@ -33,17 +52,43 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 object Lineage {
 
   /** A lineage-truncated frame plus its cleanup. `release()` is idempotent
-    * and a no-op for the localCheckpoint path; for the durable path it
-    * deletes the spill directory — call it only once every read of `df`
-    * has completed. */
+    * and frees the materialization: the localCheckpoint path unpersists
+    * the checkpoint blocks (a later read of `df` fails — the lineage
+    * behind them is gone), the durable path deletes the spill directory —
+    * call it only once every read of `df` has completed. */
   final class Materialized(val df: DataFrame, cleanup: () => Unit) {
     private var released = false
     def release(): Unit = if (!released) { released = true; cleanup() }
   }
 
+  /** Per-SparkContext queue of localCheckpoint RDDs created by [[truncate]]
+    * and not yet released — weakly referenced (a GC'd entry is the context
+    * cleaner's to unpersist), weak-keyed so a stopped context's registry
+    * dies with it. */
+  private val leaked: java.util.Map[
+      SparkContext, ConcurrentLinkedQueue[java.lang.ref.WeakReference[RDD[_]]]] =
+    java.util.Collections.synchronizedMap(new java.util.WeakHashMap)
+
+  /** The RDD holding a `df.localCheckpoint()`'s blocks — the `LogicalRDD`
+    * the returned Dataset wraps. None on an unexpected plan shape (then
+    * the old leak-until-eviction posture applies; never break the query
+    * over accounting). */
+  private def checkpointRdd(df: DataFrame): Option[RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
   def truncate(df: DataFrame, reliable: Boolean): Materialized =
-    if (!reliable) new Materialized(df.localCheckpoint(), () => ())
-    else {
+    if (!reliable) {
+      val out = df.localCheckpoint()
+      val rdd = checkpointRdd(out)
+      rdd.foreach { r =>
+        leaked.computeIfAbsent(r.sparkContext,
+          _ => new ConcurrentLinkedQueue).add(new java.lang.ref.WeakReference(r))
+      }
+      new Materialized(out,
+        () => rdd.foreach { r => r.unpersist(blocking = true); () })
+    } else {
       val sc = df.sparkSession.sparkContext
       require(sc.getCheckpointDir.isDefined,
         "reliable=true needs spark.sparkContext.setCheckpointDir(...) — a " +
@@ -57,4 +102,44 @@ object Lineage {
         fs.delete(dir, true); ()
       })
     }
+
+  /** Unpersist (blocking) every still-persisted truncation registered for
+    * this session's context and empty the registry; returns how many held
+    * blocks. A BARRIER between queries of a long-lived session — the same
+    * contract as `Materialized.release()`: any graft-returned frame read
+    * after its blocks are drained fails loudly. Already-released / GC'd
+    * entries just fall off the queue. */
+  def drainLeaked(spark: SparkSession): Int = {
+    val q = leaked.get(spark.sparkContext)
+    if (q == null) 0
+    else {
+      var n = 0
+      var ref = q.poll()
+      while (ref != null) {
+        val rdd = ref.get
+        if (rdd != null && rdd.getStorageLevel != StorageLevel.NONE) {
+          rdd.unpersist(blocking = true); n += 1
+        }
+        ref = q.poll()
+      }
+      n
+    }
+  }
+
+  /** How many registered truncations still hold blocks — the observable
+    * behind the long-lived-session posture (a flat count across a
+    * query/drain loop is the no-accumulation witness). */
+  def leakedCount(spark: SparkSession): Int = {
+    val q = leaked.get(spark.sparkContext)
+    if (q == null) 0
+    else {
+      var n = 0
+      val it = q.iterator()
+      while (it.hasNext) {
+        val rdd = it.next().get
+        if (rdd != null && rdd.getStorageLevel != StorageLevel.NONE) n += 1
+      }
+      n
+    }
+  }
 }

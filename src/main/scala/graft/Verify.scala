@@ -20,11 +20,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (only.isEmpty || only(name))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      if (only.isEmpty || only(name)) {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        // between-queries barrier: 320 queries share this session, so
+        // leaked truncations (Rank skeletons etc.) would otherwise
+        // accumulate for the whole run — the long-lived-session posture
+        Lineage.drainLeaked(spark)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -729,13 +729,15 @@ object Dedup {
             coalesce(col("cl"), col("c_custkey")).as("canonical_key"))
         val sizes = asg.groupBy(col("canonical_key"))
           .agg(count(lit(1)).as("cluster_size"))
-        asg.join(sizes, Seq("canonical_key"))
+        val out = asg.join(sizes, Seq("canonical_key"))
           .join(c.select(col("c_custkey").as("canonical_key"),
             col("c_name").as("canonical_name")), Seq("canonical_key"))
           .select(col("c_custkey"), col("c_name"), col("canonical_key"),
             col("canonical_name"), col("cluster_size"))
-          // the CC labels must be consumed before release: materialize
-          .localCheckpoint()
+        // the CC labels must be consumed before release: materialize —
+        // eagerly, via truncate, so the returned frame registers in the
+        // leak registry (lazy to the caller; drained between queries)
+        graft.Lineage.truncate(out, reliable = false).df
       } finally labelsM.release()
     } finally edgesM.release()
   }

@@ -259,14 +259,18 @@ object IvfIndex {
           val existing = spark.read.parquet(live)
             .filter(col("cell").isin(touched: _*)) // directory-pruned scan
           val kept = existing.join(delta.select(col("vec_id")), Seq("vec_id"), "left_anti")
-          val merged = kept.select(delta.columns.map(col): _*).unionByName(delta)
-            // pin before writing: the overwrite target is also the read path
-            // (the UpsertSink pattern; a failed batch replays via streaming)
-            .localCheckpoint(true)
-          merged.write.mode(SaveMode.Overwrite)
+          // pin before writing: the overwrite target is also the read path
+          // (the UpsertSink pattern; a failed batch replays via streaming);
+          // released after the write — a long-running ingest must hold O(1)
+          // checkpoint blocks, not one pinned merge per micro-batch
+          val mergedM = graft.Lineage.truncate(
+            kept.select(delta.columns.map(col): _*).unionByName(delta),
+            reliable = false)
+          try mergedM.df.write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cell")
             .parquet(live)
+          finally mergedM.release()
         }
     }
 
@@ -358,9 +362,12 @@ object IvfIndex {
       else {
         val touched = hitsByCell.map(_.getInt(0))
         val removed = hitsByCell.map(_.getLong(1)).sum
-        val remaining = all.filter(col("cell").isin(touched: _*))
-          .join(idsOnly, Seq("vec_id"), "left_anti")
-          .localCheckpoint(true) // pinned: the overwrite target is the read path
+        // pinned: the overwrite target is the read path; released on exit
+        val remainingM = graft.Lineage.truncate(
+          all.filter(col("cell").isin(touched: _*))
+            .join(idsOnly, Seq("vec_id"), "left_anti"), reliable = false)
+        try {
+        val remaining = remainingM.df
         val keptCells = remaining.select(col("cell")).distinct()
           .collect().map(_.getInt(0)).toSet
         val fs = new org.apache.hadoop.fs.Path(live)
@@ -380,6 +387,7 @@ object IvfIndex {
         emptied.foreach(c => fs.delete(
           new org.apache.hadoop.fs.Path(live, s"cell=$c"), true))
         removed
+        } finally remainingM.release()
       }
     }
 

@@ -208,13 +208,13 @@ object Rank {
     * join offsets back with [[offsetJoin]].
     *
     * The two [[graft.Lineage.truncate]] materializations here run EAGERLY
-    * at call time (localCheckpoint) and are deliberately never
-    * `release()`d: the frames this returns are lazy plans the caller
-    * executes later (possibly several times), so no point in this method
-    * is safe to free them — the blocks live until executor block eviction
-    * / context GC, the standing localCheckpoint posture (release is only
-    * meaningful for the `reliable = true` spill path, which iterative
-    * callers own explicitly). */
+    * at call time (localCheckpoint) and are never `release()`d HERE: the
+    * frames this returns are lazy plans the caller executes later
+    * (possibly several times), so no point in this method is safe to free
+    * them. They register in Lineage's leak registry instead — a long-lived
+    * session frees them BETWEEN queries via `Lineage.drainLeaked`
+    * (LineageDrainSpec witnesses the flat-count loop; `Bench` drains
+    * equivalently with its unpersist-all between timed queries). */
   private def groupRangeSkeleton(df: DataFrame, groupCols: Seq[String],
       sortCols: Seq[Column], weight: Option[Column])
       : (DataFrame, DataFrame, DataFrame) = {
