@@ -117,11 +117,12 @@ object IvfIndex {
       else candidates)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dotD(col("q_emb"), col("emb")) / (col("q_norm") * col("norm"))).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+    // bounded heap aggregate, not a candidate-stream window sort: the probe
+    // scan emits |queries| × (probed corpus fraction) rows and the window
+    // form would shuffle-sort all of them onto |queries| reducers — the
+    // aggregate ships k entries per query per map partition instead
+    graft.functions.TopKByScore.topK(scored,
+      col("query_id"), col("neighbor_id"), col("score"), k)
   }
 
   /** Persist: centroids as plain parquet, assignments hive-partitioned by

@@ -190,10 +190,13 @@ object PqIndex {
         (expr(s"aggregate(sequence(0, ${m - 1}), 0D, " +
           "(s, mm) -> s + lut[mm][codes[mm]])")
           / (col("q_norm") * col("norm"))).as("score_pq"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_pq").desc, col("neighbor_id").asc)
-    val adcTop = scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= (if (rerank > 0) rerank * topK else topK))
+    // the corpus-sized ADC scan ranks through the bounded heap aggregate
+    // (map-side k·r state per query), never a candidate-stream window sort;
+    // the exact-rerank window below touches only the r·k-row shortlist
+    val adcTop = graft.functions.TopKByScore.topK(scored,
+        col("query_id"), col("neighbor_id"), col("score_pq"),
+        if (rerank > 0) rerank * topK else topK)
+      .withColumnRenamed("score", "score_pq")
     if (rerank <= 0)
       adcTop.select(col("query_id"), col("rank"), col("neighbor_id"),
         col("score_pq"))

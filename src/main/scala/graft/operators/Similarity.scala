@@ -22,11 +22,29 @@ object Similarity {
   /** Top-k neighbors per query by exact cosine (the recall=1 baseline).
     * Norms are computed once per corpus row and once per query, not per
     * pair — identical doubles, ~3× less fp work on the |corpus|×|queries|
-    * scored frame. */
+    * scored frame.
+    *
+    * Two scale decisions live here (shared by every brute-force consumer):
+    * the corpus side is REPARTITIONED to the session width before the pair
+    * scan — a parquet scan of a few splits otherwise caps the all-pairs
+    * stage's parallelism at the file count — and top-k runs as
+    * [[graft.functions.TopKByScore]], a bounded per-query heap aggregate,
+    * NOT a row_number window: the window form local-sorts the whole
+    * |corpus|×|queries| scored stream per map task (at the 200k brute gate
+    * that is a 4·10¹⁰-row spill-sort — hours), the heap keeps k slots per
+    * query and ships k entries per query per partition. Ordering is
+    * bit-identical to `ORDER BY score DESC, neighbor_id ASC`. */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id"), toDoubles(col("embedding")).as("emb"),
+    val base = corpus.select(col("vec_id"), toDoubles(col("embedding")).as("emb"),
       l2Norm(col("embedding")).as("norm"))
+    // floor, not a flat width: a small corpus parquet scan arrives as a
+    // handful of file splits that would cap the pair scan's parallelism,
+    // but a big scan already carries more partitions than the session
+    // width — repartitioning THAT down would be the opposite bug
+    val parts = graft.GraftSession.shufflePartitions(corpus.sparkSession)
+    val c = if (base.rdd.getNumPartitions >= parts) base
+      else base.repartition(parts)
     val q = queries.select(col("vec_id"), toDoubles(col("embedding")).as("emb"),
       l2Norm(col("embedding")).as("norm"))
     val scored = c.as("c")
@@ -36,10 +54,8 @@ object Similarity {
         col("c.vec_id").as("neighbor_id"),
         (dotD(col("q.emb"), col("c.emb"))
           / (col("q.norm") * col("c.norm"))).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    graft.functions.TopKByScore.topK(scored,
+      col("query_id"), col("neighbor_id"), col("score"), k)
   }
 
   // ---------------------------------------------------------------- C6
@@ -72,10 +88,8 @@ object Similarity {
         col("c.vec_id").as("neighbor_id"),
         (dotD(col("q.emb"), col("c.emb"))
           / (col("q.norm") * col("c.norm"))).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    graft.functions.TopKByScore.topK(scored,
+        col("query_id"), col("neighbor_id"), col("score"), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
   }
 
@@ -109,10 +123,8 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dotD(col("q_emb"), col("emb")) / (col("q_norm") * col("norm"))).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    graft.functions.TopKByScore.topK(scored,
+        col("query_id"), col("neighbor_id"), col("score"), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
   }
 
@@ -143,11 +155,12 @@ object Similarity {
     * QUERY side broadcasts (small lookup set); here queries ARE the corpus,
     * so probes ⋈ assignments is a SHUFFLE hash join keyed on cell — both
     * sides |corpus|-sized, no broadcast of anything but the (nCells × dim)
-    * centroid table. A (query, neighbor) pair found via multiple shared
-    * probed cells is collapsed by a pair-keyed first-score aggregation
-    * before ranking. Hot cells (the skew hazard: cell size ~ data density)
-    * ride the cell-key shuffle; salt the assignment side if one cell
-    * dominates — same discipline as Skew.saltedSelfPairs.
+    * centroid table. A (query, neighbor) pair meets in at most ONE probed
+    * cell (one cell per corpus vector, distinct probes per query), so the
+    * join output feeds the bounded top-k aggregate directly. Hot cells
+    * (the skew hazard: cell size ~ data density) ride the cell-key
+    * shuffle; salt the assignment side if one cell dominates — same
+    * discipline as Skew.saltedSelfPairs.
     *
     * Recall is probe-bounded exactly like q51's lookup — the spec asserts
     * the same ≥0.4 mean-recall floor as q51's nProbe=4/16 regime vs brute
@@ -174,8 +187,9 @@ object Similarity {
   /** The q106 cell-blocked all-vectors top-k, factored out so every
     * "queries ARE the corpus" consumer (q106's kNN graph, q183's
     * leave-one-out classifier) shares the one scale-safe shape: shuffle
-    * join on cell, centroids-only broadcast, pair-keyed dedup, bounded
-    * rank. Returns `(query_id, rank, neighbor_id, score)`, self excluded. */
+    * join on cell, centroids-only broadcast, bounded heap top-k
+    * ([[graft.functions.TopKByScore]] — never a candidate-stream sort).
+    * Returns `(query_id, rank, neighbor_id, score)`, self excluded. */
   private[operators] def allVectorsTopK(e: DataFrame, k: Int,
       nCells: Int, nProbe: Int): DataFrame = {
     val built = IvfIndex.build(e, nCells)
@@ -203,15 +217,15 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dotD(col("q_emb"), col("emb")) / (col("q_norm") * col("norm"))).as("score"))
-      // a pair can meet in several probed cells; score is identical each
-      // time, so any-one-wins — one pair-keyed partial-aggregated shuffle
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(first(col("score")).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+    // No pair-dedup stage: each corpus vector holds exactly ONE cell row
+    // (assignments are keyed by vec_id) and probes are distinct
+    // (query, cell) rows, so a (query, neighbor) pair meets in at most one
+    // probed cell — the old pair-keyed groupBy was a full candidate-stream
+    // shuffle buying nothing (SimilaritySpec pins candidate uniqueness).
+    // Top-k is the bounded heap aggregate, not a candidate-stream window
+    // sort — see bruteForceTopK.
+    graft.functions.TopKByScore.topK(scored,
+      col("query_id"), col("neighbor_id"), col("score"), k)
   }
 
   /** q171's scaled-arm candidate generator: IVF-cell-blocked CROSS-SIDE
@@ -374,8 +388,9 @@ object Similarity {
     *
     * Scale: identical posture to q45's brute-force baseline — the anchor
     * set broadcasts, the corpus streams map-only through one codegen'd
-    * dot-product scan, top-k per anchor is a bounded WindowGroupLimit
-    * (k rows of state per anchor per partition). Swap the scan for
+    * dot-product scan, top-k per anchor is the bounded heap aggregate
+    * ([[graft.functions.TopKByScore]] — k slots per anchor per partition,
+    * no pair-stream sort). Swap the scan for
     * [[IvfIndex]] probing (q51) when the corpus outgrows linear — the
     * ranking semantics and this oracle stay fixed. Norms computed once per
     * side, never per pair. */
@@ -394,11 +409,10 @@ object Similarity {
         (dotD(col("q.emb"), col("c.emb"))
           / (col("q.norm") * col("c.norm"))).as("score"))
       .filter(col("score") < dupCeiling)
-    val w = Window.partitionBy(col("anchor_id"))
-      .orderBy(col("score").desc, col("negative_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("anchor_id"), col("rank"), col("negative_id"), col("score"))
+    graft.functions.TopKByScore.topK(scored,
+        col("anchor_id"), col("negative_id"), col("score"), k)
+      .select(col("query_id").as("anchor_id"), col("rank"),
+        col("neighbor_id").as("negative_id"), col("score"))
   }
 
   // ---------------------------------------------------------------- C70
@@ -611,8 +625,9 @@ object Similarity {
     *
     * Scale: q45's bounded-broadcast posture ×(|dims|+1) brute-force scans
     * (the recall=1 baseline being evaluated — the IVF path is what the
-    * answer tunes); each arm's slice is constant-folded, top-k compiles
-    * to WindowGroupLimit, the overlap join keys on (query, neighbor). */
+    * answer tunes); each arm's slice is constant-folded, top-k runs the
+    * bounded heap aggregate ([[graft.functions.TopKByScore]]), the
+    * overlap join keys on (query, neighbor). */
   def q221DimAblation(spark: SparkSession, dir: String, k: Int = 10,
       nQueries: Int = 20, dims: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -627,10 +642,9 @@ object Similarity {
         .select(col("qid"), col("c.vec_id").as("nid"),
           (dotD(col("qe"), col("c.emb")) / (col("qn") * col("c.norm")))
             .as("score"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("score").desc, col("nid").asc)
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-        .select(col("qid"), col("nid"))
+      graft.functions.TopKByScore.topK(scored,
+          col("qid"), col("nid"), col("score"), k)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
     }
     val full = topK(identity)
     dims.map { d =>
