@@ -33,15 +33,21 @@ import org.apache.spark.sql.types._
  * double order (`java.lang.Double.compare` — NaN greatest, -0.0 < 0.0),
  * neighbor_id ascending on ties. The comparator is total, so the kept set
  * is independent of encounter/merge order — partial merges commute, and
- * the result is bit-identical to the window form (ranks included).
+ * the result is bit-identical to the window form (ranks included) for
+ * NON-NULL scores; null-scored pairs are dropped (see `update`), where
+ * the window would trail them — callers ranking a nullable score filter
+ * first.
  *
  * Grouping discipline (see [[TopKByScore.topK]]): callers group by
- * `pmod(hash(query_id), Buckets)` with `Buckets = 64` — BELOW the
- * ObjectHashAggregate sort-fallback threshold (128 by default), so the
- * map-side hash agg NEVER degenerates into the very sort this exists to
- * avoid. Each bucket's buffer holds the heaps of the ~|queries|/64 query
- * ids that hash into it; query→bucket is a function, so no cross-bucket
- * merge is needed and the final explode is exact.
+ * `pmod(hash(query_id), B)` with `B = buckets(spark)` — the session
+ * shuffle width clamped BELOW the ObjectHashAggregate sort-fallback
+ * threshold (`spark.sql.objectHashAggregate.sortBased.fallbackThreshold`,
+ * 128 by default), so the map-side hash agg NEVER degenerates into the
+ * very sort this exists to avoid. Each bucket's buffer holds the heaps of
+ * the ~|queries|/B query ids that hash into it; query→bucket is a
+ * function, so no cross-bucket merge is needed and the final explode is
+ * exact. A wider final stage (huge query batches on a big cluster) is one
+ * conf away: raise the fallback threshold and B follows.
  */
 case class TopKByScore(
     queryId: Expression,
@@ -75,10 +81,13 @@ case class TopKByScore(
     val q = queryId.eval(input)
     val n = neighborId.eval(input)
     val s = score.eval(input)
-    // defensive: the similarity kernels never produce null ids/scores
-    // (dot products of non-null arrays); a null would have sorted NULLS
-    // LAST under the window's DESC order, i.e. behind every real score —
-    // skipping it is identical whenever any k real scores exist
+    // CONTRACT: null-scored pairs are DROPPED (as if `WHERE score IS NOT
+    // NULL` preceded the ranking). The graft kernels never produce null
+    // ids/scores (dot products of non-null arrays), so this never fires
+    // there; but it is a real divergence from the window form for an
+    // under-k query with null-scored candidates — the window (DESC ⇒
+    // NULLS LAST) would emit those at trailing ranks, this omits them.
+    // Callers ranking a nullable score must filter or coalesce first.
     if (q != null && n != null && s != null) {
       buffer.getOrElseUpdate(q.asInstanceOf[Long], new TopKByScore.Heap(k))
         .offer(s.asInstanceOf[Double], n.asInstanceOf[Long])
@@ -166,13 +175,20 @@ object TopKByScore {
     StructField("score", DoubleType, nullable = false))),
     containsNull = false)
 
-  /** Grouping fan-out for [[topK]] — deliberately BELOW
+  /** Grouping fan-out for [[topK]]: the session shuffle width (so the
+    * final merge+explode stage scales with the cluster), clamped BELOW
     * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (128
-    * default): with at most 64 distinct group keys per map partition the
-    * object-hash partial agg never falls back to sorting its input, which
-    * is the whole point. 64 buckets also bound reduce-side skew: each
-    * final task merges the heaps of |queries|/64 query ids. */
-  val Buckets = 64
+    * default) — with fewer distinct group keys per map partition than the
+    * threshold, the object-hash partial agg never falls back to sorting
+    * its input, which is the whole point. Floor of 64 so a
+    * small-shuffle-width session still spreads the final merge. */
+  def buckets(spark: org.apache.spark.sql.SparkSession): Int = {
+    val fallback = scala.util.Try(spark.conf.get(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold").toInt)
+      .toOption.filter(_ > 1).getOrElse(128)
+    math.min(fallback - 1,
+      math.max(64, graft.GraftSession.shufflePartitions(spark)))
+  }
 
   /** "a ranks strictly before b" under the window order
     * (score DESC via Spark's total double order, then id ASC). */
@@ -252,7 +268,7 @@ object TopKByScore {
         GraftColumnBridge.expression(n),
         GraftColumnBridge.expression(s), k).toAggregateExpression())
     scored
-      .groupBy(pmod(hash(q), lit(Buckets)).as("__bucket"))
+      .groupBy(pmod(hash(q), lit(buckets(scored.sparkSession))).as("__bucket"))
       .agg(agg.as("__top"))
       .select(explode(col("__top")).as("__e"))
       .select(col("__e.query_id").as("query_id"), col("__e.rank").as("rank"),

@@ -12,10 +12,11 @@ import graft.sources.Tables
  *
  * Scale design: the query set is small and broadcast; the corpus streams
  * through a map-only scan (brute force) or is pruned by hyperplane-LSH
- * buckets first (approximate path). Top-k per query is a bounded window —
- * with a broadcast join the per-partition state is k rows per query, the
- * exact shape a 1000-executor scan wants. Scores are codegen'd higher-order
- * functions; no UDF.
+ * buckets first (approximate path). Top-k per query is the bounded heap
+ * aggregate ([[graft.functions.TopKByScore]]) — k slots of state per
+ * query per partition and never a sort of the scored pair stream, the
+ * exact shape a 1000-executor scan wants. Scores are codegen'd native
+ * kernels; no UDF.
  */
 object Similarity {
 
@@ -89,8 +90,7 @@ object Similarity {
         (dotD(col("q.emb"), col("c.emb"))
           / (col("q.norm") * col("c.norm"))).as("score"))
     graft.functions.TopKByScore.topK(scored,
-        col("query_id"), col("neighbor_id"), col("score"), k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+      col("query_id"), col("neighbor_id"), col("score"), k)
   }
 
   // ---------------------------------------------------------------- C7
@@ -124,8 +124,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dotD(col("q_emb"), col("emb")) / (col("q_norm") * col("norm"))).as("score"))
     graft.functions.TopKByScore.topK(scored,
-        col("query_id"), col("neighbor_id"), col("score"), k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+      col("query_id"), col("neighbor_id"), col("score"), k)
   }
 
   // ---------------------------------------------------------------- C7b
