@@ -736,9 +736,16 @@ object Corpus {
     * DuckDB oracle legitimate for a sketch-based plan.
     *
     * Scale: pass 1 state is cap counters per partial buffer; pass 2
-    * touches cap keys. Nothing is vocabulary-sized. */
+    * touches cap keys. Nothing is vocabulary-sized. Sizing: the proof
+    * needs cap+1 > N/count(k-th) — a ratio that is roughly
+    * scale-INVARIANT for power-law token frequencies (both sides grow
+    * linearly in N), so one default rides across scale factors. 256 sat
+    * one eviction away from the line (passed sf0.1, refused sf1.0 with
+    * bound 10533 vs k-th 9157 — the sf1.0 sweep's catch); 1024 buys 4×
+    * margin at ~32 KB of per-task state. A flatter corpus still refuses
+    * loudly — the contract is unchanged. */
   def q115HeavyHitters(spark: SparkSession, dir: String,
-      k: Int = 20, cap: Int = 256): DataFrame = {
+      k: Int = 20, cap: Int = 1024): DataFrame = {
     import spark.implicits._
     val words = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ", -1)).as("word"))

@@ -4554,14 +4554,18 @@ object Relational {
     * Exactness: both engines extract the segment after the LAST '#'
     * (substring_index(…, -1) ≡ string_split(…)[-1]) — aligned on the
     * same rule so malformed multi-'#' names count identically; counts
-    * exact, share one division. Scale: two map-only scans + a 2-row
-    * union of aggregates. */
+    * exact, share one division. The embedded number parses via try_cast
+    * (≡ the oracle's TRY_CAST): a non-numeric tail is a MISMATCH — the
+    * drift this audit exists to count — never a query abort (an ANSI
+    * cast here turned one malformed name into a job failure, found by
+    * the sf1.0 correctness sweep on a corpus with suffixed names).
+    * Scale: two map-only scans + a 2-row union of aggregates. */
   def q306NameKeyAudit(spark: SparkSession, dir: String): DataFrame = {
     def audit(name: String, df: DataFrame, key: Column,
         nameCol: Column): DataFrame =
       df.agg(count(lit(1)).as("n_rows"),
-        sum(when(substring_index(nameCol, "#", -1).cast("long") === key, 0L)
-          .otherwise(1L)).as("mismatches"))
+        sum(when(substring_index(nameCol, "#", -1).try_cast("long") === key,
+          0L).otherwise(1L)).as("mismatches"))
         .select(lit(name).as("entity"), $"n_rows", $"mismatches",
           ($"mismatches".cast("double") / $"n_rows".cast("double"))
             .as("mismatch_share"))
