@@ -2454,8 +2454,8 @@ object SparkEntry {
         |  (p - least(pmin, 0)) * 2 > s_total AS flagged
         |FROM m""".stripMargin,
     "q197_winsorize" ->
-      """WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,
-        |    quantile_cont(value, 0.95) AS hi
+      """WITH b AS (SELECT event_type, quantile_disc(value, 0.05) AS lo,
+        |    quantile_disc(value, 0.95) AS hi
         |  FROM events GROUP BY 1),
         |s AS (SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
         |    max(lo) AS lo, max(hi) AS hi,

@@ -2347,9 +2347,17 @@ object Relational {
   /** Winsorized robust statistics per event type (clip to [p05, p95]
     * before averaging — the standard outlier-robust preprocessing before
     * any mean-based downstream stat; q144's MAD DETECTS outliers, this
-    * NEUTRALIZES them): two exact percentile bounds (q24's
-    * interpolation-parity machinery) broadcast back, then ONE aggregation
-    * pass counting the clipped tails and summing inliers. The winsorized
+    * NEUTRALIZES them): two exact DISCRETE percentile bounds broadcast
+    * back, then ONE aggregation pass counting the clipped tails and
+    * summing inliers. The bounds are `percentile_disc` — an ACTUAL data
+    * value, not an interpolation — deliberately: an interpolated bound
+    * is an fp expression whose last ulp differs across engines
+    * (Spark's `lower+(hi-lo)·frac` vs DuckDB's convex form), and when
+    * the cut lands inside a TIE BLOCK that ulp flips the whole block's
+    * tail counts (the sf1.0 sweep measured exactly this: lo 2.52 vs
+    * 2.5200000000000005, a 50-row tie, n_lo off by 50). A discrete
+    * bound is bit-identical everywhere and tie-robust at every scale;
+    * clipping to an observed value is standard winsorization. The winsorized
     * mean is assembled as `(Σ_inlier + n_lo·lo + n_hi·hi) / n` — the
     * inlier sum is DECIMAL-exact and the tails contribute as two exact
     * products, so the whole mean is ONE fixed-order fp expression; a
@@ -2361,8 +2369,10 @@ object Relational {
   def q197Winsorize(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select($"event_type", $"value")
     val bounds = ev.groupBy($"event_type")
-      .agg(expr("percentile(value, 0.05)").as("lo"),
-        expr("percentile(value, 0.95)").as("hi"))
+      .agg(expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)")
+        .as("lo"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)")
+        .as("hi"))
     ev.join(broadcast(bounds), Seq("event_type"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),

@@ -257,12 +257,13 @@ class Round11EvalSpec extends SparkSpec {
   test("q197 equals an in-memory winsorization replay") {
     val ev = sources.Tables.events(spark, sf)
       .select($"event_type", $"value").as[(String, Double)].collect()
+    // DISCRETE percentile (percentile_disc): the smallest value whose CDF
+    // ≥ q — an actual data value, so the replay compares bit-exact (the
+    // interpolated form's cross-engine ulp on tie blocks is why q197
+    // switched; see the operator's scaladoc)
     def pct(xs: Seq[Double], q: Double): Double = {
       val s = xs.sorted
-      val pos = q * (s.length - 1)
-      val lo = pos.toInt
-      if (lo == s.length - 1) s(lo)
-      else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+      s(math.max(0, math.ceil(q * s.length).toInt - 1))
     }
     val want = ev.groupBy(_._1).map { case (t, rows) =>
       val vs = rows.map(_._2).toSeq
@@ -276,13 +277,15 @@ class Round11EvalSpec extends SparkSpec {
     }.toSet
     val got = Relational.q197Winsorize(spark, sf)
       .as[(String, Long, Double, Double, Long, Long, Double)].collect().toSet
-    // fp interpolation: compare with per-field tolerance on the doubles
     val wantM = want.map(w => (w._1) -> w).toMap
     assert(got.map(_._1) === wantM.keySet)
     got.foreach { case (t, n, lo, hi, nLo, nHi, m) =>
       val w = wantM(t)
       assert(n === w._2 && nLo === w._5 && nHi === w._6, t)
-      assert(math.abs(lo - w._3) < 1e-9 && math.abs(hi - w._4) < 1e-9, t)
+      // discrete bounds are actual data values — bit-exact, no tolerance
+      assert(lo === w._3 && hi === w._4, t)
+      // the assembled mean is one fixed-order fp expression per engine;
+      // the replay's inlier sum may associate differently — tolerance
       assert(math.abs(m - w._7) < 1e-9, t)
     }
     // winsorization actually clipped something
