@@ -206,7 +206,9 @@ object IvfIndex {
     * assign each vector to its nearest centroid (map-only, broadcast
     * centroids — the quantizer is fixed; re-fit is an offline rebuild when
     * the distribution drifts), then merge latest-wins into ONLY the touched
-    * cell directories via dynamic partition overwrite — O(delta + touched
+    * cell directories via the parked swap ([[swapCells]] — staged beside
+    * the live cells, committed per cell by park→swap→drop, every crash
+    * window reconciled on the next writer entry) — O(delta + touched
     * cells) I/O, never a whole-index rewrite, and untouched cells keep
     * their files byte-identical (directory pruning still works for
     * readers).
@@ -218,14 +220,17 @@ object IvfIndex {
     * [[compact]] performs the global latest-wins rewrite; run it on the
     * cadence cross-cell updates warrant (an append-mostly vector stream
     * warrants ~never). A crashed batch replays identically (same data,
-    * same assignment, same overwrite) — convergent, no torn state beyond
-    * Spark's per-partition commit window. */
-  def maintain(vectors: DataFrame, path: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    * same assignment, same swap) — convergent: the next writer entry
+    * reconciles any torn swap from the parked copy before reading its
+    * merge basis, so no crash point loses a cell (enumerated by
+    * IvfCrashSweepSpec). */
+  def maintain(vectors: DataFrame, path: String, checkpointDir: String,
+      lockLeaseMs: Long = graft.streaming.SnapshotStore.DefaultLockLeaseMs)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(ingestBatch(path))
+      .foreachBatch(ingestBatch(path, lockLeaseMs))
       .start()
 
   /** The foreachBatch body of [[maintain]] (factored out for spec replay).
@@ -237,7 +242,9 @@ object IvfIndex {
     * `ConcurrentPublishException` (streaming retries the batch) instead of
     * writing rows into a generation the compact is about to prune. Only
     * readers are lock-free across compacts. */
-  def ingestBatch(path: String): (DataFrame, Long) => Unit =
+  def ingestBatch(path: String,
+      lockLeaseMs: Long = graft.streaming.SnapshotStore.DefaultLockLeaseMs)
+      : (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val spark = batch.sparkSession
       val centroids = spark.read.parquet(s"$path/centroids")
@@ -253,25 +260,35 @@ object IvfIndex {
       val touched = delta.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).toSeq
       if (touched.nonEmpty)
-        graft.streaming.SnapshotStore.withWriterLock(spark, path) {
+        graft.streaming.SnapshotStore.withWriterLock(spark, path,
+            lockLeaseMs) {
           // resolved UNDER the lock: a compact cannot flip the live
           // generation between resolution and the overwrite below
           val live = assignmentsDir(spark, path)
+          reclaimDebris(spark, path, live)
           val existing = spark.read.parquet(live)
             .filter(col("cell").isin(touched: _*)) // directory-pruned scan
           val kept = existing.join(delta.select(col("vec_id")), Seq("vec_id"), "left_anti")
-          // pin before writing: the overwrite target is also the read path
+          // pin before staging: the merge basis is also the swap target
           // (the UpsertSink pattern; a failed batch replays via streaming);
           // released after the write — a long-running ingest must hold O(1)
           // checkpoint blocks, not one pinned merge per micro-batch
           val mergedM = graft.Lineage.truncate(
             kept.select(delta.columns.map(col): _*).unionByName(delta),
             reliable = false)
+          // stage beside the live cells, then commit per cell via the
+          // parked swap — never dynamic partition overwrite, whose
+          // delete-then-rename commit loses the cell on a mid-crash
+          // (see swapCells)
+          val fs = new org.apache.hadoop.fs.Path(live)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val staging = new org.apache.hadoop.fs.Path(
+            live, s".ingest-staging-${java.util.UUID.randomUUID()}")
           try mergedM.df.write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cell")
-            .parquet(live)
+            .parquet(staging.toString)
           finally mergedM.release()
+          swapCells(fs, live, staging, touched)
         }
     }
 
@@ -288,13 +305,94 @@ object IvfIndex {
     * lease (shared with [[ingestBatch]]) — a compact racing an ingest (or
     * another compact) throws instead of pruning a generation a batch is
     * mid-write into; readers need no coordination. */
-  def compact(spark: SparkSession, path: String): Unit =
-    graft.streaming.SnapshotStore.withWriterLock(spark, path) {
+  def compact(spark: SparkSession, path: String,
+      lockLeaseMs: Long = graft.streaming.SnapshotStore.DefaultLockLeaseMs)
+      : Unit =
+    graft.streaming.SnapshotStore.withWriterLock(spark, path, lockLeaseMs) {
       compactLocked(spark, path)
     }
 
+  private val ParkPrefix = ".park-"
+
+  /** Recover the live assignments dir to a complete state and reclaim
+    * crashed-WRITER debris — safe exactly because the caller holds the
+    * exclusive writer lease: parks and stagings can only belong to a
+    * writer, the lease proves no other writer is live, and a crashed
+    * writer's staging is never resumed (its replay stages fresh).
+    *
+    * Two distinct jobs, in order:
+    *  1. RECONCILE parked cells ([[swapCells]]' crash windows): a
+    *     `.park-cell=N` dir with its `cell=N` missing means the crash hit
+    *     between park and swap-in — the park IS the cell's only copy, so
+    *     restore it; with `cell=N` present the swap committed and the
+    *     park is trash. This is the correctness half: without it, a
+    *     replay's merge basis reads the parked cell as empty and its rows
+    *     are lost forever (the IVF crash sweep caught exactly that under
+    *     the old dynamic-partition-overwrite commit, whose delete-then-
+    *     rename window has no park to restore from).
+    *  2. SWEEP orphaned staging (`.compacting-*` under the root,
+    *     `.ingest-staging-*` / job `_temporary` under live) — hygiene: a
+    *     crash-looping writer would otherwise accumulate one orphan per
+    *     attempt forever (nothing else ever matched `.compacting-*` for
+    *     deletion — also a sweep catch). */
+  private def reclaimDebris(spark: SparkSession, path: String,
+      live: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveP = new org.apache.hadoop.fs.Path(live)
+    if (fs.exists(liveP))
+      fs.listStatus(liveP).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(ParkPrefix))
+        .foreach { park =>
+          val cell = new org.apache.hadoop.fs.Path(
+            liveP, park.getName.stripPrefix(ParkPrefix))
+          if (!fs.exists(cell)) require(fs.rename(park, cell),
+            s"could not restore parked cell $park — refusing to proceed " +
+              "over a torn swap")
+          else fs.delete(park, true)
+        }
+    def sweep(dir: org.apache.hadoop.fs.Path, junk: String => Boolean): Unit =
+      if (fs.exists(dir))
+        fs.listStatus(dir).toSeq.map(_.getPath)
+          .filter(p => junk(p.getName))
+          .foreach(p => fs.delete(p, true))
+    sweep(new org.apache.hadoop.fs.Path(path), _.startsWith(".compacting-"))
+    sweep(liveP, n => n.startsWith(".ingest-staging-") || n == "_temporary" ||
+      n.startsWith(".spark-staging-"))
+  }
+
+  /** Crash-safe cell replacement — the commit protocol behind ingest and
+    * delete, replacing Spark's dynamic partition overwrite whose per-dir
+    * delete-then-rename commit LOSES the cell on a crash between the two
+    * (measured by IvfCrashSweepSpec: a whole cell of non-deleted rows
+    * gone, unrecoverable — the replay's merge basis reads the deleted dir
+    * as empty). Per touched cell: park the old dir aside, rename the
+    * staged dir in, then drop the park (the cell's commit point). Every
+    * window is recoverable by [[reclaimDebris]]'s reconcile: before the
+    * park there is nothing to undo; between park and swap-in the park
+    * holds the only copy and is restored; between swap-in and park-drop
+    * both exist and the park is trash. A touched cell with NO staged dir
+    * is an emptied cell — park + drop IS its deletion, same windows.
+    * Caller holds the writer lease; park names are fixed per cell, which
+    * is safe because reconcile runs before every swap under that lease. */
+  private def swapCells(fs: org.apache.hadoop.fs.FileSystem, live: String,
+      staging: org.apache.hadoop.fs.Path, touched: Seq[Int]): Unit = {
+    touched.foreach { c =>
+      val dst = new org.apache.hadoop.fs.Path(live, s"cell=$c")
+      val park = new org.apache.hadoop.fs.Path(live, s"${ParkPrefix}cell=$c")
+      val src = new org.apache.hadoop.fs.Path(staging, s"cell=$c")
+      if (fs.exists(dst)) require(fs.rename(dst, park),
+        s"could not park $dst before its swap")
+      if (fs.exists(src)) require(fs.rename(src, dst),
+        s"could not swap staged $src into place")
+      fs.delete(park, true)
+    }
+    fs.delete(staging, true)
+  }
+
   private def compactLocked(spark: SparkSession, path: String): Unit = {
     val live = assignmentsDir(spark, path)
+    reclaimDebris(spark, path, live)
     val all = spark.read.parquet(live)
     val winners = all
       .groupBy(col("vec_id"))
@@ -335,9 +433,9 @@ object IvfIndex {
     * Shape: one pruned-as-possible scan locates the ids' cells (a vec_id
     * can sit in several cells between compacts — stale copies are
     * removed too); only the touched cell directories rewrite, via the
-    * same dynamic partition overwrite as ingest. A cell whose content is
-    * entirely deleted gets its directory dropped explicitly (dynamic
-    * overwrite skips partitions absent from the output). Deleting the
+    * same parked swap as ingest ([[swapCells]] — an emptied cell simply
+    * has no staged dir, so its park→drop IS the directory removal, with
+    * the same reconciled crash windows). Deleting the
     * ENTIRE index is refused loudly — rebuild instead (an assignments
     * root with no readable cell would break every reader).
     *
@@ -349,10 +447,12 @@ object IvfIndex {
     * through the feed itself and filter at query time instead.
     *
     * Returns the number of assignment rows removed. */
-  def deleteVectors(spark: SparkSession, path: String,
-      ids: DataFrame): Long =
-    graft.streaming.SnapshotStore.withWriterLock(spark, path) {
+  def deleteVectors(spark: SparkSession, path: String, ids: DataFrame,
+      lockLeaseMs: Long = graft.streaming.SnapshotStore.DefaultLockLeaseMs)
+      : Long =
+    graft.streaming.SnapshotStore.withWriterLock(spark, path, lockLeaseMs) {
       val live = assignmentsDir(spark, path)
+      reclaimDebris(spark, path, live)
       val all = spark.read.parquet(live)
       val idsOnly = ids.select(col("vec_id")).distinct()
       // ≤ nCells rows — metadata-sized collect
@@ -380,13 +480,18 @@ object IvfIndex {
         require((allCells -- emptied).nonEmpty,
           s"deleteVectors would empty the whole index at $path — " +
             "rebuild it instead of deleting every vector")
+        // stage the survivors, then commit per cell via the parked swap
+        // (an emptied cell has no staged dir — park + drop IS its
+        // deletion); never dynamic partition overwrite, whose delete-
+        // then-rename commit lost a whole cell of NON-deleted rows on a
+        // mid-crash, unrecoverably (IvfCrashSweepSpec's catch)
+        val staging = new org.apache.hadoop.fs.Path(
+          live, s".ingest-staging-${java.util.UUID.randomUUID()}")
         if (keptCells.nonEmpty)
           remaining.write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cell")
-            .parquet(live)
-        emptied.foreach(c => fs.delete(
-          new org.apache.hadoop.fs.Path(live, s"cell=$c"), true))
+            .parquet(staging.toString)
+        swapCells(fs, live, staging, touched)
         removed
         } finally remainingM.release()
       }

@@ -149,7 +149,17 @@ object PqIndex {
     * that is PQ's standard operating regime (quantization error grows
     * gracefully; recall specs bound it at build time); re-fit via a fresh
     * [[build]] + [[save]] when drift matters, exactly like IVF's
-    * compact-vs-maintain split. */
+    * compact-vs-maintain split.
+    *
+    * Delivery contract (honest, not hidden): this is a plain parquet
+    * APPEND — a caller that RETRIES a crashed call may append its batch
+    * twice, and a duplicated vec_id then surfaces as a duplicated
+    * candidate downstream. That is at-least-once, the right cost model
+    * for a manual backfill API with no replay journal; a pipeline that
+    * needs exactly-once ingest under crash-retry should feed the IVF
+    * index instead ([[IvfIndex.maintain]] — keyed latest-wins merge,
+    * parked-swap commit, crash points enumerated by IvfCrashSweepSpec)
+    * or rebuild. */
   def ingestBatch(spark: SparkSession, path: String, batch: DataFrame): Unit = {
     val idx = load(spark, path)
     val base = batch.select(col("vec_id"),
