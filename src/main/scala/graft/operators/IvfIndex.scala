@@ -374,7 +374,15 @@ object IvfIndex {
     * both exist and the park is trash. A touched cell with NO staged dir
     * is an emptied cell — park + drop IS its deletion, same windows.
     * Caller holds the writer lease; park names are fixed per cell, which
-    * is safe because reconcile runs before every swap under that lease. */
+    * is safe because reconcile runs before every swap under that lease.
+    *
+    * Reader visibility (unchanged trade, now stated): a lock-free reader
+    * listing the live dir between a cell's park and swap-in misses that
+    * cell for the two-rename window — the SAME window the dynamic
+    * overwrite commit had between its delete and rename, minus the data
+    * loss. Readers needing snapshot atomicity across an ingest read a
+    * compacted generation ([[compact]]'s MVCC rename), which never
+    * mutates in place. */
   private def swapCells(fs: org.apache.hadoop.fs.FileSystem, live: String,
       staging: org.apache.hadoop.fs.Path, touched: Seq[Int]): Unit = {
     touched.foreach { c =>
