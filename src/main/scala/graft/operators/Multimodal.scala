@@ -722,21 +722,54 @@ object Multimodal {
     * adaptive blocking is Θ(n²/B) with B up to 96. A probabilistic LSH
     * key could go further here but would trade away the arithmetic
     * recall@1 guarantee the spec prices.
+    *
+    * POPULATION GATE (q122's over-cap discipline applied to retrieval):
+    * the SNR wall above means a degenerate corpus concentrates the scan
+    * in ~4 buckets however large B grows — without a gate that quadratic
+    * runs SILENTLY (measured 41× superlinear at sf1). A png bucket whose
+    * population exceeds `maxBucket` is EXCLUDED from the candidate scan,
+    * loudly (stderr, first 20 buckets shown), and every jpeg whose ±1
+    * probe window touches an excluded bucket emits ONE explicit unknown
+    * row (`rank`/`png_id`/`l1` all NULL) instead of a top-k list — a
+    * partial list from the surviving buckets would be a silently
+    * incomplete answer, the exact failure q122 refuses ("over-cap cells
+    * → verdict NULL, never a silent survivor"). Jpegs untouched by any
+    * exclusion keep byte-identical results; when nothing is over cap the
+    * plan is unchanged. The default cap (2000) clears every driver test
+    * scale (max bucket ~600 at sf0.1) and trips on the sf1.0 byte-noise
+    * corpus, converting the 41× tail into a loud refusal.
+    *
     * Features decoded ONCE and materialized; exact per-pair L1 fold in
     * codegen; the per-jpeg top-k compiles to WindowGroupLimit. Rows-only
     * (JPEG bytes aren't SQL).  */
   def q181JpegNearDup(spark: SparkSession, dir: String,
-      k: Int = 5, buckets0: Int = 0, maxL1: Double = 0.04): DataFrame = {
+      k: Int = 5, buckets0: Int = 0, maxL1: Double = 0.04,
+      maxBucket: Int = 2000): DataFrame = {
     val pngs = graft.Lineage.truncate(
       decodeBlockFeatures(imagesFromDocuments(spark, dir)), reliable = false).df
     val jpgs = graft.Lineage.truncate(
       decodeBlockFeatures(jpegsFromDocuments(spark, dir)), reliable = false).df
     val buckets =
       if (buckets0 > 0) buckets0
-      else { // the pngs frame is already materialized — count() is cheap
-        val n = pngs.count()
-        math.max(16L, math.min(96L, (n + 511) / 512)).toInt
-      }
+      // the pngs frame is already materialized — count() is cheap
+      else adaptiveBuckets(pngs.count())
+    jpegNearDupFromFeatures(pngs, jpgs, k, buckets, maxL1, maxBucket)
+  }
+
+  /** Adaptive luminance-bucket count for [[q181JpegNearDup]]: B grows
+    * with the corpus (⌈n/`perBucket`⌉) so per-bucket population stays
+    * bounded when luminance has spread, clamped to [16, 96] — the 96 cap
+    * keeps the probe window 1/B ≈ 0.0104 ≥ 2× the measured 0.005 jpeg
+    * global-mean shift, preserving the arithmetic recall guarantee. */
+  def adaptiveBuckets(n: Long, perBucket: Int = 512): Int =
+    math.max(16L, math.min(96L, (n + perBucket - 1) / perBucket)).toInt
+
+  /** The bucketed retrieval core of [[q181JpegNearDup]], over
+    * already-decoded feature frames `(media_id, blocks, mean_lum)` —
+    * split out so specs can drive the adaptive-B and over-cap paths on
+    * planted feature corpora without paying an image-codec pass. */
+  def jpegNearDupFromFeatures(pngs: DataFrame, jpgs: DataFrame,
+      k: Int, buckets: Int, maxL1: Double, maxBucket: Int): DataFrame = {
     val a = pngs.select(col("media_id").as("png_id"),
       col("blocks").as("fa"),
       floor(col("mean_lum") * buckets).cast("long").as("bkt"))
@@ -744,6 +777,20 @@ object Multimodal {
       col("blocks").as("fb"),
       explode(expr(s"sequence(floor(mean_lum * $buckets) - 1, " +
         s"floor(mean_lum * $buckets) + 1)")).as("bkt"))
+    // Population gate: ≤B rows after a map-side partial agg; the bounded
+    // collect is the saltedSelfPairs "no silent caps" discipline.
+    val overCap = Skew.oversizeBlocks(a, "bkt", maxBucket)
+    val dropped = overCap.limit(20).collect()
+    if (dropped.nonEmpty)
+      System.err.println(
+        s"[graft] q181JpegNearDup(maxBucket=$maxBucket, B=$buckets) " +
+          s"EXCLUDING ${dropped.length} over-cap luminance bucket(s) " +
+          "(first 20 shown; touched jpegs get NULL verdicts): " +
+          dropped.map(r => s"bkt=${r.getLong(0)}(${r.getLong(1)} pngs)")
+            .mkString(", "))
+    val aOk =
+      if (dropped.isEmpty) a
+      else a.join(broadcast(overCap.select(col("bkt"))), Seq("bkt"), "left_anti")
     // a (jpeg, png) pair meets in EXACTLY one bucket (the png holds one
     // bucket; the jpeg's three probes are distinct) — no distinct needed.
     // The pair scan is the hot path (a degenerate-luminance corpus can
@@ -751,17 +798,31 @@ object Multimodal {
     // L1 kernel ([[graft.functions.L1Distance]]) — the HOF fold
     // materializes a fresh array per pair and runs interpreted (15×
     // measured on this scan, the DotProduct lesson applied to distance).
-    val scored = a.join(b, Seq("bkt"))
+    val scored = aOk.join(b, Seq("bkt"))
       .withColumn("l1",
         graft.functions.L1Distance.ofColumns(col("fa"), col("fb")) / 64.0)
       .filter(col("l1") <= maxL1)
       .select(col("jpeg_id"), col("png_id"), col("l1"))
     import org.apache.spark.sql.expressions.Window
-    scored.withColumn("rank", row_number().over(
+    val ranked = scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("jpeg_id"))
           .orderBy(col("l1").asc, col("png_id").asc)).cast("long"))
       .filter(col("rank") <= k)
       .select(col("jpeg_id"), col("rank"), col("png_id"), col("l1"))
+    if (dropped.isEmpty) ranked
+    else {
+      // jpegs whose probe window intersects an excluded bucket: explicit
+      // unknown — their candidate set is incomplete, so NO partial top-k.
+      val touched = b
+        .join(broadcast(overCap.select(col("bkt"))), Seq("bkt"), "left_semi")
+        .select(col("jpeg_id")).distinct()
+      val unknown = touched.select(col("jpeg_id"),
+        lit(null).cast("long").as("rank"),
+        lit(null).cast("long").as("png_id"),
+        lit(null).cast("double").as("l1"))
+      ranked.join(broadcast(touched), Seq("jpeg_id"), "left_anti")
+        .unionAll(unknown)
+    }
   }
 
   /** Frame-sampling shape for video payloads: slice the payload into

@@ -47,9 +47,17 @@ trait CrashSweepHarness { this: SparkSpec =>
       copyTree(template, local)
       val root = s"ifs://$local"
       InstrumentedFs.armCrash(n)(mutUnder(local.getName))
+      // Catch the injected crash (possibly Spark-wrapped) and other
+      // NonFatal failures — the tripped/crashed cross-check below
+      // attributes them. Fatal errors (OOM, linkage) RETHROW: an armed
+      // injection does not excuse an unrelated VM-level failure, and
+      // swallowing one would misattribute it to the sweep.
       val crashed =
         try { attempt(root, local); false }
-        catch { case _: Throwable => true }
+        catch {
+          case _: InstrumentedFs.InjectedCrash => true
+          case scala.util.control.NonFatal(_) => true
+        }
       val tripped = InstrumentedFs.isDead
       InstrumentedFs.revive()
       if (crashed && !tripped)
