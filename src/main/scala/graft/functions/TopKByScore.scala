@@ -54,12 +54,31 @@ case class TopKByScore(
     neighborId: Expression,
     score: Expression,
     k: Int,
+    guardQueries: Int = TopKByScore.DefaultGuardQueries,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.LongMap[TopKByScore.Heap]]
   with TernaryLike[Expression] with ExpectsInputTypes {
 
   require(k > 0, s"k must be positive, got $k")
+
+  /** Loud one-per-buffer signal when a single bucket's heap count crosses
+    * `guardQueries` (~[[TopKByScore.DefaultGuardQueries]]·(16k+~50) bytes
+    * of task memory at the default): the final-merge parallelism is capped
+    * at B < the ObjectHashAggregate fallback threshold, so a million-query
+    * batch concentrates ~|queries|/B heaps in one task — fine until it
+    * isn't, and it must never be silent (the q181 lesson). */
+  private def guardCheck(before: Int, after: Int): Unit =
+    if (before < guardQueries && after >= guardQueries) {
+      TopKByScore.guardSignals.incrementAndGet()
+      System.err.println(
+        s"[graft] TopKByScore: a single bucket now holds $after query " +
+          s"heaps (k=$k, ~${after.toLong * (16L * k + 50) >> 20} MB of " +
+          "task memory) — the query batch is outgrowing the final-merge " +
+          "parallelism; raise spark.sql.objectHashAggregate.sortBased." +
+          "fallbackThreshold so TopKByScore.buckets widens, or split the " +
+          "query batch")
+    }
 
   override def inputTypes: Seq[GraftColumnBridge.AbstractType] =
     Seq(LongType, LongType, DoubleType)
@@ -89,8 +108,10 @@ case class TopKByScore(
     // NULLS LAST) would emit those at trailing ranks, this omits them.
     // Callers ranking a nullable score must filter or coalesce first.
     if (q != null && n != null && s != null) {
+      val before = buffer.size
       buffer.getOrElseUpdate(q.asInstanceOf[Long], new TopKByScore.Heap(k))
         .offer(s.asInstanceOf[Double], n.asInstanceOf[Long])
+      guardCheck(before, buffer.size)
     }
     buffer
   }
@@ -98,12 +119,14 @@ case class TopKByScore(
   override def merge(
       a: mutable.LongMap[TopKByScore.Heap],
       b: mutable.LongMap[TopKByScore.Heap]): mutable.LongMap[TopKByScore.Heap] = {
+    val before = a.size
     b.foreach { case (q, hb) =>
       a.get(q) match {
         case None     => a.update(q, hb)
         case Some(ha) => hb.foreachEntry((s, id) => ha.offer(s, id))
       }
     }
+    guardCheck(before, a.size)
     a
   }
 
@@ -167,6 +190,19 @@ case class TopKByScore(
 }
 
 object TopKByScore {
+
+  /** Default heap-count bound per bucket buffer before the loud signal:
+    * 2^20 queries ≈ 200-350 MB of heaps at k=5..10 — large enough that no
+    * sane eval trips it, small enough to fire well before task OOM. */
+  val DefaultGuardQueries: Int = 1 << 20
+
+  /** Session conf key overriding [[DefaultGuardQueries]] (read by
+    * [[topK]]; specs lower it to witness the signal). */
+  val GuardConfKey = "graft.topk.guard.queriesPerBucket"
+
+  /** Count of guard signals emitted in this JVM — the testable witness
+    * (executors also print the actionable stderr line). */
+  val guardSignals = new java.util.concurrent.atomic.AtomicLong(0)
 
   val outputType: DataType = ArrayType(StructType(Seq(
     StructField("query_id", LongType, nullable = false),
@@ -262,11 +298,14 @@ object TopKByScore {
     * `s` double-typed. */
   def topK(scored: DataFrame, q: Column, n: Column, s: Column,
       k: Int): DataFrame = {
+    val guard = scala.util.Try(
+      scored.sparkSession.conf.get(GuardConfKey).toInt)
+      .toOption.filter(_ > 0).getOrElse(DefaultGuardQueries)
     val agg = GraftColumnBridge.column(
       TopKByScore(
         GraftColumnBridge.expression(q),
         GraftColumnBridge.expression(n),
-        GraftColumnBridge.expression(s), k).toAggregateExpression())
+        GraftColumnBridge.expression(s), k, guard).toAggregateExpression())
     scored
       .groupBy(pmod(hash(q), lit(buckets(scored.sparkSession))).as("__bucket"))
       .agg(agg.as("__top"))

@@ -266,8 +266,11 @@ object Dedup {
       .select(col("doc_id"), col("source"),
         graft.functions.TextHashFunctions.charNgramHashes(col("text"), 3).as("gs"))
       .withColumn("n_g", size(col("gs")).cast("long"))
+    // the bounded kernel is exact for every pair at/above `threshold`
+    // and -1 below it — -1 yields a negative jaccard, dropped by the
+    // same filter that drops genuine sub-threshold pairs
     val inter = graft.functions.GraftFunctions
-      .sortedIntersectCount(col("a.gs"), col("b.gs"))
+      .sortedIntersectCountBounded(col("a.gs"), col("b.gs"), threshold)
     // maxBlock bounds the per-block pair count at C(10⁴,2) ≈ 5·10⁷ — the
     // most one shard should ever merge-count; a bigger block needs an LSH
     // prefilter, not this operator. Never triggers at oracle scales
@@ -286,6 +289,10 @@ object Dedup {
   }
 
   private val obsId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Count of q199 dense-sweep advisories emitted in this JVM — the
+    * testable witness of the loud path. */
+  val sweepAdvisories = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // ---------------------------------------------------------------- C5
   /** Embedding cosine near-dup: pairs with cosine ≥ threshold. Blocked by
@@ -484,13 +491,36 @@ object Dedup {
     * sum of per-bin counts (a doc in pairs of two bins must count once
     * at the lower threshold). */
   def q199ThresholdSweep(spark: SparkSession, dir: String,
-      floor: Double = 0.2): DataFrame = {
+      floor: Double = 0.2, advisePairs: Long = 50000000L): DataFrame = {
+    // the sweep floor is THE knob pricing the dense low-threshold region:
+    // the candidate scan is Θ(Σ C(block,2)) regardless of how many pairs
+    // survive the floor, so when that volume is large, say so LOUDLY and
+    // name the knob — never let a 100 TB corpus discover it by wall-clock
+    // (the q181 gate's discipline, advisory rather than refusing because
+    // the scan is the sweep's documented semantic cost, not a pathology)
+    val estPairs = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .select(sum(expr("(n * (n - 1)) div 2")).as("p"))
+      .head().getLong(0)
+    if (estPairs > advisePairs) {
+      sweepAdvisories.incrementAndGet()
+      System.err.println(
+        s"[graft] q199ThresholdSweep(floor=$floor): ~$estPairs candidate " +
+          "pairs before the floor filter (bounded-kernel scan, early-exit " +
+          "below the floor) — raise `floor` to shrink the dense region, " +
+          "or lower maxBlock in the salted self-join to exclude hot " +
+          "sources loudly")
+    }
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         graft.functions.TextHashFunctions.charNgramHashes(col("text"), 3).as("gs"))
       .withColumn("n_g", size(col("gs")).cast("long"))
+    // bounded kernel: exact for every pair at/above the sweep floor, -1
+    // (filtered) below — the floor is the knob that prices the dense
+    // low-threshold region, and the kernel now charges dissimilar pairs
+    // only until they are provably below it (sf1: 15x -> ~6x)
     val inter = graft.functions.GraftFunctions
-      .sortedIntersectCount(col("a.gs"), col("b.gs"))
+      .sortedIntersectCountBounded(col("a.gs"), col("b.gs"), floor)
     val pairs = graft.Lineage.truncate(
       Skew.saltedSelfPairs(d, "source", "doc_id", salts = 4, maxBlock = 10000)
         .filter(greatest(col("a.n_g"), col("b.n_g")) * floor

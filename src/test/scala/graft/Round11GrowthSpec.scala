@@ -305,6 +305,23 @@ class Round11GrowthSpec extends SparkSpec {
     }
   }
 
+  test("q199 advises loudly when the dense region is large, silently below it") {
+    // corpus pair volume at sf0.001: 20 sources × C(25,2) = 6000 pairs —
+    // an advisory bound below that must trip, the default must not, and
+    // the result must be identical either way (advice, not truncation)
+    operators.Dedup.sweepAdvisories.set(0)
+    val advised = operators.Dedup.q199ThresholdSweep(spark, sf,
+        advisePairs = 1000L)
+      .as[(Long, Double, Long, Long, Long)].collect().toSet
+    assert(operators.Dedup.sweepAdvisories.get() === 1L,
+      "a large candidate-pair volume must emit the sweep-floor advisory")
+    val silent = operators.Dedup.q199ThresholdSweep(spark, sf)
+      .as[(Long, Double, Long, Long, Long)].collect().toSet
+    assert(operators.Dedup.sweepAdvisories.get() === 1L,
+      "the default bound must stay silent at spec scale")
+    assert(advised === silent, "the advisory must not change results")
+  }
+
   // --- durable-mode parity for the new iterative operators -------------
 
   test("q172 and q180 produce identical results in reliable (durable-spill) mode") {

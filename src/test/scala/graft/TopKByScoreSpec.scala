@@ -127,4 +127,29 @@ class TopKByScoreSpec extends SparkSpec {
     assert(graph === brute)
     assert(graph.nonEmpty)
   }
+
+  test("a query batch outgrowing the final-merge parallelism signals loudly") {
+    // the final merge holds ~|queries|/B heaps in ONE task (B is capped
+    // below the ObjectHashAggregate fallback threshold): plant a wide
+    // query set against a lowered bound and witness the guard fire —
+    // then confirm the result itself is still exact (the guard warns, it
+    // never truncates)
+    val df = pairs(nQ = 400, nN = 8, grid = 7)
+    TopKByScore.guardSignals.set(0)
+    spark.conf.set(TopKByScore.GuardConfKey, "3")
+    try {
+      val got = TopKByScore.topK(df, $"query_id", $"neighbor_id", $"score", 3)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(TopKByScore.guardSignals.get() > 0,
+        "wide query batch must trip the per-bucket heap-count guard")
+      val want = windowTopK(df, 3)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got === want, "the guard must not change results")
+    } finally spark.conf.unset(TopKByScore.GuardConfKey)
+    // at the DEFAULT bound the same batch is silent
+    TopKByScore.guardSignals.set(0)
+    TopKByScore.topK(df, $"query_id", $"neighbor_id", $"score", 3).count()
+    assert(TopKByScore.guardSignals.get() === 0,
+      "default guard bound must not fire on a small batch")
+  }
 }
