@@ -163,12 +163,92 @@ object StreamBench {
         System.err.println(s"[streambench] $name/$label: ${r.json}")
         s""""$label":${r.json}"""
       }
-      s""""$name":{${bySize.mkString(",")}}"""
+      // itemized commit choreography of the LAST joinmv batch (the
+      // "prove the floor or cut it" table — phases in concurrent lanes
+      // report their own spans, so the sum exceeds the batch wall time)
+      val extra =
+        if (name == "joinmv_delta" && graft.streaming.JoinMv.lastPhases.nonEmpty) {
+          val ph = graft.streaming.JoinMv.lastPhases
+            .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+          System.err.println(s"[streambench] $name phases_ms: " +
+            graft.streaming.JoinMv.lastPhases.map(p => s"${p._1}=${p._2}")
+              .mkString(" "))
+          s""","phases_ms_last_batch":{$ph}"""
+        } else ""
+      s""""$name":{${bySize.mkString(",")}$extra}"""
+    }
+
+    // ---- 4. TSO coordinator under contention (B71/B76) ----------------
+    // the reference's grpc coordinator is load-bearing at fan-out; this
+    // publishes what graft's file-CAS oracle + TCP front end sustains:
+    // txn cycles (BEGIN + COMMIT, fresh connection each wire line — the
+    // TcpTso contract) at N concurrent writers, and the safePoint cost
+    // under a deep in-flight backlog (exercising the 256-lookup
+    // gap-verification cap, TimestampOracle.safePoint)
+    val tsoJson = {
+      val root = tmp("sbench-tso-")
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val srv = new graft.streaming.TsoServer(hconf, root)
+      try {
+        def client() = graft.streaming.TcpTso(srv.host, srv.port)
+        val warm = client()
+        warm.commit(warm.begin()) // warm classes + fs dirs
+        // deployed posture: a maintenance loop runs gc so `_tso` stays at
+        // (in-flight + lease-retained markers) — begin/commit do an
+        // O(dir) listing, so WITHOUT gc the bench degenerates into
+        // measuring directory growth, not the coordinator (first capture
+        // of that un-gc'd curve: 37 -> 21 -> 8 txn/s at 1/2/8 writers).
+        // The 2 s marker lease prices the lost-ack commit-retry window
+        // down to bench scale; production keeps the default.
+        val gcStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val gcThread = new Thread(() => {
+          val c = client()
+          while (!gcStop.get()) {
+            try c.gc(leaseMs = 2000)
+            catch { case scala.util.control.NonFatal(_) => () }
+            Thread.sleep(500)
+          }
+        })
+        gcThread.setDaemon(true)
+        gcThread.start()
+        val opsPerWriter = 100
+        val byN = Seq(1, 2, 8).map { n =>
+          val t0 = System.nanoTime()
+          val threads = (1 to n).map { _ =>
+            new Thread(() => {
+              val c = client()
+              (1 to opsPerWriter).foreach { _ => c.commit(c.begin()) }
+            })
+          }
+          threads.foreach(_.start())
+          threads.foreach(_.join())
+          val sec = (System.nanoTime() - t0) / 1e9
+          val txnPerSec = (n * opsPerWriter / sec).toLong
+          System.err.println(
+            s"[streambench] tso n=$n: $txnPerSec txn/s (${math.rint(sec * 1000) / 1000} s)")
+          s""""n$n":{"writers":$n,"txn":${n * opsPerWriter},""" +
+            s""""sec":${math.rint(sec * 1000) / 1000},"txn_per_sec":$txnPerSec}"""
+        }
+        gcStop.set(true)
+        val c = client()
+        val backlog = (1 to 300).map(_ => c.begin()) // > the 256-lookup cap
+        val spN = 10
+        val t1 = System.nanoTime()
+        (1 to spN).foreach(_ => c.safePoint())
+        val spMs = (System.nanoTime() - t1) / 1e6 / spN
+        backlog.foreach(c.commit)
+        System.err.println(
+          s"[streambench] tso safepoint under 300 in-flight: ${spMs.toLong} ms/call")
+        s""""tso_coordinator":{"txn_cycles":{${byN.mkString(",")}},""" +
+          s""""safepoint_backlog":{"inflight":300,"calls":$spN,""" +
+          s""""mean_ms":${spMs.toLong}}}"""
+      } finally srv.close()
     }
 
     val json =
       s"""{"metric":"stream_components","unit":"rows_per_sec","cpus":$cpus,""" +
-        s""""batches_per_size":$batches,"components":{${out.mkString(",")}}}"""
+        s""""batches_per_size":$batches,"components":{${out.mkString(",")}},""" +
+        tsoJson + "}"
     println(json)
     val dest = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "STREAMBENCH.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(dest), json + "\n")

@@ -58,6 +58,44 @@ import org.apache.spark.sql.functions._
 object JoinMv {
   import BucketedTable._
 
+  /** Per-phase wall-clock (ms, insertion-ordered) of the LAST completed
+    * [[applyBatch]] in this JVM — the itemized commit choreography
+    * StreamBench publishes so the per-batch floor is a read table, not a
+    * guess. Phases running concurrently (the A/B compactions; the
+    * left+index chain vs the right upsert) report their OWN spans, so the
+    * serial sum exceeds the batch wall time by design. */
+  @volatile var lastPhases: Seq[(String, Long)] = Nil
+
+  private def phased[T](acc: java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Long)], name: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    acc.add(name -> ((System.nanoTime() - t0) / 1000000L))
+    r
+  }
+
+  // lane executor for the independent steps of a batch: the lanes are
+  // Spark ACTIONS (jobs), so the threads spend their lives blocked on the
+  // scheduler. CACHED pool, not fixed: a lane awaiting a sub-lane must
+  // never starve behind another concurrent applyBatch's queued lanes (a
+  // fixed pool deadlocks there); thread count stays at the DAG width per
+  // in-flight batch. Daemon so a driver exit never hangs on them.
+  private lazy val lanes: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "joinmv-lane")
+        t.setDaemon(true)
+        t
+      }))
+
+  private def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val fa = Future(a)(lanes)
+    val fb = Future(b)(lanes)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
+
   /** Latest row per `pk` within one batch. */
   private def compact(batch: DataFrame, pk: String, ver: String): DataFrame =
     batch.groupBy(col(pk))
@@ -108,81 +146,128 @@ object JoinMv {
     val marker = new Path(mvPath, "_applied_batch")
     if (readMarker(fs, marker) >= batchId) return // full replay of a done batch
 
-    val dAMat = graft.Lineage.truncate(
-      compact(batchA, pkA, verA)
-        .withColumn(BucketCol, bucketOf(Seq(col(pkA)), nBuckets)), reliable)
-    val dBMat = graft.Lineage.truncate(
-      compact(batchB, pkB, verB)
-        .withColumn(BucketCol, bucketOf(Seq(col(pkB)), nBuckets)), reliable)
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    // A/B compactions are independent — run them as two concurrent jobs
+    // (each is a fixed-latency shuffle+checkpoint; at small batches the
+    // scheduler round-trips dominate, so halving the serial job count is
+    // the lever, measured in STREAMBENCH's joinmv phase table)
+    val (dAMat, dBMat) = inParallel(
+      phased(acc, "compact_a")(graft.Lineage.truncate(
+        compact(batchA, pkA, verA)
+          .withColumn(BucketCol, bucketOf(Seq(col(pkA)), nBuckets)), reliable)),
+      phased(acc, "compact_b")(graft.Lineage.truncate(
+        compact(batchB, pkB, verB)
+          .withColumn(BucketCol, bucketOf(Seq(col(pkB)), nBuckets)), reliable)))
     try {
       val dA = dAMat.df
       val dB = dBMat.df
 
-      // ---- LEFT entity upsert (latest-wins + tombstones), touched buckets
-      val touchedL = touchedBuckets(dA)
-      val curL = readTouched(spark, leftPath, touchedL).getOrElse(dA.limit(0))
-      // the pre-swap rows of the keys this batch changes — snapshot them
-      // (they feed the index retraction AFTER the left swap invalidates
-      // any frame still scanning the old bucket files)
-      val changedOldMat = graft.Lineage.truncate(
-        curL.join(dA.select(col(pkA)), Seq(pkA), "left_semi"), reliable)
-      try {
+      // ---- LEFT entity upsert (latest-wins + tombstones) + the (fk, pk)
+      // index, and the RIGHT entity upsert: disjoint tables, disjoint
+      // paths — the two chains run concurrently; the tail below needs
+      // both committed (it reads left, index, and right post-swap)
+      def leftChain(): Unit = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val touchedL = touchedBuckets(dA)
+        val curL = readTouched(spark, leftPath, touchedL).getOrElse(dA.limit(0))
+        // the pre-swap rows of the keys this batch changes — snapshot them
+        // (they feed the index retraction AFTER the left swap invalidates
+        // any frame still scanning the old bucket files); the snapshot
+        // reads the SAME pre-swap files as the merge, so it runs in a
+        // side lane while the merge computes
+        val fSnapshot = Future(phased(acc, "left_old_snapshot")(
+          graft.Lineage.truncate(
+            curL.join(dA.select(col(pkA)), Seq(pkA), "left_semi"),
+            reliable)))(lanes)
         val unionL = curL.unionByName(dA)
-        val newLMat = graft.Lineage.truncate(
-          unionL.groupBy(col(pkA))
-            .agg(max_by(struct(unionL.columns.toIndexedSeq.map(col): _*),
-              col(verA)).as("__r"))
-            .select(col("__r.*"))
-            .filter(col(opA) =!= "delete"), reliable)
-        try {
-          if (touchedL.nonEmpty) swapTouched(newLMat.df, leftPath, touchedL)
-
-          // ---- secondary index (fk, pkA): retract changed keys' OLD
-          // entries from their old-fk buckets, insert the new ones
-          val oldEntries = changedOldMat.df
-            .select(col(fk).as("__fk"), col(pkA).as("__pk"))
-          val newEntries = newLMat.df
-            .join(dA.select(col(pkA)), Seq(pkA), "left_semi")
-            .select(col(fk).as("__fk"), col(pkA).as("__pk"))
-          val idxDelta = oldEntries.unionByName(newEntries)
-            .withColumn(BucketCol, bucketOf(Seq(col("__fk")), nBuckets))
-          val touchedIdx = touchedBuckets(idxDelta)
-          if (touchedIdx.nonEmpty) {
-            val curIdx = readTouched(spark, idxPath, touchedIdx)
-              .getOrElse(idxDelta.limit(0).select(
-                col("__fk"), col("__pk"), col(BucketCol)))
-            val newIdx = curIdx
-              .join(dA.select(col(pkA).as("__pk")), Seq("__pk"), "left_anti")
-              .unionByName(newEntries.withColumn(BucketCol,
-                bucketOf(Seq(col("__fk")), nBuckets)))
-            swapTouched(newIdx, idxPath, touchedIdx)
+        val newLMat =
+          try phased(acc, "left_merge")(graft.Lineage.truncate(
+            unionL.groupBy(col(pkA))
+              .agg(max_by(struct(unionL.columns.toIndexedSeq.map(col): _*),
+                col(verA)).as("__r"))
+              .select(col("__r.*"))
+              .filter(col(opA) =!= "delete"), reliable))
+          catch { case t: Throwable =>
+            // a failed merge must not leak the side-lane snapshot
+            fSnapshot.foreach(_.release())(lanes)
+            throw t
           }
+        try {
+          // both consume the MATERIALIZED merge (never the swapped files),
+          // and they write to disjoint paths — swap and index in parallel
+          val fSwap = Future(phased(acc, "left_swap")(
+            if (touchedL.nonEmpty)
+              swapTouched(newLMat.df, leftPath, touchedL)))(lanes)
+          val changedOldMat =
+            try Await.result(fSnapshot, Duration.Inf)
+            catch { case t: Throwable =>
+              // never leave the swap in flight behind a failing batch —
+              // a replay must not race an orphan writer
+              Await.ready(fSwap, Duration.Inf); throw t
+            }
+          try {
+            // ---- secondary index (fk, pkA): retract changed keys' OLD
+            // entries from their old-fk buckets, insert the new ones
+            phased(acc, "index_swap") {
+              val oldEntries = changedOldMat.df
+                .select(col(fk).as("__fk"), col(pkA).as("__pk"))
+              val newEntries = newLMat.df
+                .join(dA.select(col(pkA)), Seq(pkA), "left_semi")
+                .select(col(fk).as("__fk"), col(pkA).as("__pk"))
+              val idxDelta = oldEntries.unionByName(newEntries)
+                .withColumn(BucketCol, bucketOf(Seq(col("__fk")), nBuckets))
+              val touchedIdx = touchedBuckets(idxDelta)
+              if (touchedIdx.nonEmpty) {
+                val curIdx = readTouched(spark, idxPath, touchedIdx)
+                  .getOrElse(idxDelta.limit(0).select(
+                    col("__fk"), col("__pk"), col(BucketCol)))
+                val newIdx = curIdx
+                  .join(dA.select(col(pkA).as("__pk")), Seq("__pk"), "left_anti")
+                  .unionByName(newEntries.withColumn(BucketCol,
+                    bucketOf(Seq(col("__fk")), nBuckets)))
+                swapTouched(newIdx, idxPath, touchedIdx)
+              }
+            }
+          } finally {
+            changedOldMat.release()
+            // wait (without masking an index failure) so no orphan swap
+            // write survives this call's scope...
+            Await.ready(fSwap, Duration.Inf)
+          }
+          // ...then surface a swap failure when the index succeeded
+          Await.result(fSwap, Duration.Inf)
         } finally newLMat.release()
-      } finally changedOldMat.release()
+      }
 
-      // ---- RIGHT entity upsert
-      val touchedR = touchedBuckets(dB)
-      val curR = readTouched(spark, rightPath, touchedR).getOrElse(dB.limit(0))
-      val unionR = curR.unionByName(dB)
-      val newR = unionR.groupBy(col(pkB))
-        .agg(max_by(struct(unionR.columns.toIndexedSeq.map(col): _*),
-          col(verB)).as("__r"))
-        .select(col("__r.*"))
-        .filter(col(opB) =!= "delete")
-      if (touchedR.nonEmpty) swapTouched(newR, rightPath, touchedR)
+      def rightChain(): Unit = phased(acc, "right_upsert") {
+        val touchedR = touchedBuckets(dB)
+        val curR = readTouched(spark, rightPath, touchedR).getOrElse(dB.limit(0))
+        val unionR = curR.unionByName(dB)
+        val newR = unionR.groupBy(col(pkB))
+          .agg(max_by(struct(unionR.columns.toIndexedSeq.map(col): _*),
+            col(verB)).as("__r"))
+          .select(col("__r.*"))
+          .filter(col(opB) =!= "delete")
+        if (touchedR.nonEmpty) swapTouched(newR, rightPath, touchedR)
+      }
+
+      inParallel(leftChain(), rightChain())
 
       // ---- affected output keys: Δfact ∪ index⁻¹(Δdim)
-      val dBKeyBuckets = touchedBuckets(
-        dB.select(col(pkB)).withColumn(BucketCol,
-          bucketOf(Seq(col(pkB)), nBuckets)))
-      val fromB = readTouched(spark, idxPath, dBKeyBuckets)
-        .map(_.join(dB.select(col(pkB).as("__fk")), Seq("__fk"), "left_semi")
-          .select(col("__pk").as("__k")))
-        .getOrElse(dA.limit(0).select(col(pkA).as("__k")))
-      val affectedMat = graft.Lineage.truncate(
-        dA.select(col(pkA).as("__k")).unionByName(fromB).distinct()
-          .withColumn(BucketCol, bucketOf(Seq(col("__k")), nBuckets)),
-        reliable)
+      val affectedMat = phased(acc, "affected_keys") {
+        val dBKeyBuckets = touchedBuckets(
+          dB.select(col(pkB)).withColumn(BucketCol,
+            bucketOf(Seq(col(pkB)), nBuckets)))
+        val fromB = readTouched(spark, idxPath, dBKeyBuckets)
+          .map(_.join(dB.select(col(pkB).as("__fk")), Seq("__fk"), "left_semi")
+            .select(col("__pk").as("__k")))
+          .getOrElse(dA.limit(0).select(col(pkA).as("__k")))
+        graft.Lineage.truncate(
+          dA.select(col(pkA).as("__k")).unionByName(fromB).distinct()
+            .withColumn(BucketCol, bucketOf(Seq(col("__k")), nBuckets)),
+          reliable)
+      }
       try {
         val affected = affectedMat.df
         val touchedMv = touchedBuckets(affected)
@@ -192,7 +277,8 @@ object JoinMv {
           val leftRows = readTouched(spark, leftPath, touchedMv)
             .getOrElse(dA.limit(0))
             .join(affected.select(col("__k").as(pkA)), Seq(pkA), "left_semi")
-          val leftMat = graft.Lineage.truncate(leftRows, reliable)
+          val leftMat = phased(acc, "join_left_read")(
+            graft.Lineage.truncate(leftRows, reliable))
           try {
             val rightNeeded = touchedBuckets(leftMat.df
               .select(bucketOf(Seq(col(fk)), nBuckets).as(BucketCol)))
@@ -207,14 +293,15 @@ object JoinMv {
                 if (innerJoin) "inner" else "left")
               .select(outCols.toIndexedSeq.map(col): _*)
               .withColumn(BucketCol, bucketOf(Seq(col(pkA)), nBuckets))
-            val newOutMat = graft.Lineage.truncate(joined, reliable)
+            val newOutMat = phased(acc, "join_recompute")(
+              graft.Lineage.truncate(joined, reliable))
             try {
               val curMv = readTouched(spark, mvPath, touchedMv)
                 .getOrElse(newOutMat.df.limit(0))
               // changelog BEFORE the swap (guarded by dir existence) so a
               // replay after the swap skips it instead of emitting a
               // spurious empty diff
-              changelogPath.foreach { cl =>
+              changelogPath.foreach { cl => phased(acc, "changelog") {
                 val clFs = new Path(cl).getFileSystem(
                   spark.sparkContext.hadoopConfiguration)
                 val dst = new Path(cl, s"batch=$batchId")
@@ -257,16 +344,22 @@ object JoinMv {
                     throw new IllegalStateException(
                       s"changelog rename $staging -> $dst failed")
                 }
+              } }
+              phased(acc, "mv_swap") {
+                val kept = curMv
+                  .join(affected.select(col("__k").as(pkA)), Seq(pkA),
+                    "left_anti")
+                swapTouched(kept.unionByName(newOutMat.df), mvPath, touchedMv)
               }
-              val kept = curMv
-                .join(affected.select(col("__k").as(pkA)), Seq(pkA),
-                  "left_anti")
-              swapTouched(kept.unionByName(newOutMat.df), mvPath, touchedMv)
             } finally newOutMat.release()
           } finally leftMat.release()
         }
       } finally affectedMat.release()
-      writeMarker(fs, marker, batchId)
+      phased(acc, "marker")(writeMarker(fs, marker, batchId))
+      lastPhases = {
+        import scala.jdk.CollectionConverters._
+        acc.iterator().asScala.toSeq
+      }
     } finally { dAMat.release(); dBMat.release() }
   }
 }
