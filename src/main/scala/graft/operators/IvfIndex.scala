@@ -148,11 +148,61 @@ object IvfIndex {
       .parquet(s"$path/assignments")
   }
 
-  def load(spark: SparkSession, path: String): IvfIndex =
+  def load(spark: SparkSession, path: String): IvfIndex = {
+    val live = assignmentsDir(spark, path)
+    warnTornParks(spark, path, live)
     IvfIndex(
       spark.read.parquet(s"$path/centroids"),
-      spark.read.parquet(assignmentsDir(spark, path))
+      spark.read.parquet(live)
         .select(col("vec_id"), col("cell"), col("emb"), col("norm")))
+  }
+
+  /** Count of torn-park reader warnings emitted in this JVM (the testable
+    * witness of [[warnTornParks]]). */
+  val tornParkWarnings = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Read-only detection of a TORN SWAP left by a crashed writer: a
+    * `.park-cell=N` beside a MISSING `cell=N` means that cell is
+    * invisible to lock-free readers until the next writer entry runs
+    * [[reclaimDebris]] — for a manually-invoked compact/deleteVectors
+    * that wait is unbounded if nobody retries. Readers cannot fix it
+    * (reconcile mutates, and readers hold no lease), so [[load]] says it
+    * LOUDLY and names [[reconcile]] instead of silently serving a corpus
+    * with a hole. */
+  private def warnTornParks(spark: SparkSession, path: String,
+      live: String): Unit = {
+    val liveP = new org.apache.hadoop.fs.Path(live)
+    val fs = liveP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(liveP)) {
+      val names = fs.listStatus(liveP).toSeq.map(_.getPath.getName)
+      val torn = names.filter(_.startsWith(ParkPrefix))
+        .map(_.stripPrefix(ParkPrefix))
+        .filterNot(names.contains)
+      if (torn.nonEmpty) {
+        tornParkWarnings.incrementAndGet()
+        System.err.println(
+          s"[graft] IvfIndex.load($path): ${torn.size} parked cell(s) with " +
+            s"no live directory (${torn.take(5).mkString(", ")}) — a writer " +
+            "crashed mid-swap and those cells are INVISIBLE to readers " +
+            "until recovered; run IvfIndex.reconcile (or re-run the " +
+            "crashed compact/deleteVectors/ingest) to restore them")
+      }
+    }
+  }
+
+  /** Take the writer lease and reclaim crashed-writer debris (restore
+    * torn-swap parks, drop committed-swap parks, sweep orphaned staging)
+    * WITHOUT running any new write — the prompt-recovery entry point for
+    * a crashed manually-invoked [[compact]]/[[deleteVectors]], whose
+    * parked cells otherwise stay reader-invisible until the next writer
+    * entry happens to run. Idempotent (the debris-seeded crash sweep
+    * enumerates its mutation points). */
+  def reconcile(spark: SparkSession, path: String,
+      lockLeaseMs: Long = graft.streaming.SnapshotStore.DefaultLockLeaseMs)
+      : Unit =
+    graft.streaming.SnapshotStore.withWriterLock(spark, path, lockLeaseMs) {
+      reclaimDebris(spark, path, assignmentsDir(spark, path))
+    }
 
   private val VerCol = "__ver"
   private val GenPrefix = "assignments_v="
@@ -382,7 +432,12 @@ object IvfIndex {
     * overwrite commit had between its delete and rename, minus the data
     * loss. Readers needing snapshot atomicity across an ingest read a
     * compacted generation ([[compact]]'s MVCC rename), which never
-    * mutates in place. */
+    * mutates in place. If the writer CRASHES inside that window the cell
+    * stays invisible until reclaim runs — a streaming ingest replays
+    * immediately, but a crashed MANUAL compact/deleteVectors must be
+    * re-run promptly or recovered via [[reconcile]]; [[load]] detects a
+    * torn park read-only and warns loudly rather than silently serving
+    * the hole. */
   private def swapCells(fs: org.apache.hadoop.fs.FileSystem, live: String,
       staging: org.apache.hadoop.fs.Path, touched: Seq[Int]): Unit = {
     touched.foreach { c =>

@@ -203,4 +203,24 @@ class Round18RecoverySweepSpec extends SparkSpec with CrashSweepHarness {
     info(s"r18 compact-from-debris: $swept crash points swept green")
     assert(swept >= 8, s"suspiciously few crash points ($swept)")
   }
+
+  test("load warns loudly on a torn park; reconcile restores it without a write") {
+    val tpl = Files.createTempDirectory("tpl-r18-torn-").toFile
+    copyTree(tplDebris, tpl)
+    val root = s"ifs://$tpl/idx"
+    IvfIndex.tornParkWarnings.set(0)
+    val before = IvfIndex.load(spark, root)
+    assert(IvfIndex.tornParkWarnings.get() === 1L,
+      "a parked cell with no live dir must warn the reader loudly")
+    // the torn cell's 6 rows are invisible to this lock-free reader
+    assert(before.assignments.count() === 18L)
+    IvfIndex.reconcile(spark, root)
+    IvfIndex.tornParkWarnings.set(0)
+    val after = IvfIndex.load(spark, root)
+    assert(IvfIndex.tornParkWarnings.get() === 0L,
+      "reconcile must clear the torn park (and the trash park and staging)")
+    assert(after.assignments.count() === 24L,
+      "reconcile must restore the parked cell's rows")
+    assertClean(tpl)
+  }
 }
