@@ -500,7 +500,7 @@ object Dedup {
     // the scan is the sweep's documented semantic cost, not a pathology)
     val estPairs = Tables.documents(spark, dir)
       .groupBy(col("source")).agg(count(lit(1)).as("n"))
-      .select(sum(expr("(n * (n - 1)) div 2")).as("p"))
+      .select(coalesce(sum(expr("(n * (n - 1)) div 2")), lit(0L)).as("p"))
       .head().getLong(0)
     if (estPairs > advisePairs) {
       sweepAdvisories.incrementAndGet()

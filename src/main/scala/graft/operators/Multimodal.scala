@@ -813,6 +813,9 @@ object Multimodal {
     else {
       // jpegs whose probe window intersects an excluded bucket: explicit
       // unknown — their candidate set is incomplete, so NO partial top-k.
+      // `touched` carries NO broadcast hint: a fully-degenerate corpus
+      // makes it every jpeg id, far past driver memory at 100 TB — let
+      // AQE pick the strategy from its measured size.
       val touched = b
         .join(broadcast(overCap.select(col("bkt"))), Seq("bkt"), "left_semi")
         .select(col("jpeg_id")).distinct()
@@ -820,7 +823,7 @@ object Multimodal {
         lit(null).cast("long").as("rank"),
         lit(null).cast("long").as("png_id"),
         lit(null).cast("double").as("l1"))
-      ranked.join(broadcast(touched), Seq("jpeg_id"), "left_anti")
+      ranked.join(touched, Seq("jpeg_id"), "left_anti")
         .unionAll(unknown)
     }
   }

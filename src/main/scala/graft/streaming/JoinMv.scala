@@ -88,12 +88,36 @@ object JoinMv {
         t
       }))
 
-  private def inParallel[A, B](a: => A, b: => B): (A, B) = {
+  /** Run `a` and `b` as concurrent lanes, awaiting BOTH before returning
+    * or throwing — a fail-fast await would surface one lane's failure
+    * while the other is still mid-write, handing the caller's replay an
+    * orphan writer to race (the same contract the in-chain swap await
+    * keeps). On a one-sided failure the surviving side's result is passed
+    * to its cleanup (the caller never sees it, so it would otherwise
+    * leak); the first failure is thrown with the other attached as
+    * suppressed. */
+  private[graft] def inParallel[A, B](a: => A, b: => B,
+      cleanupA: A => Unit = (_: A) => (),
+      cleanupB: B => Unit = (_: B) => ()): (A, B) = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     val fa = Future(a)(lanes)
     val fb = Future(b)(lanes)
-    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    Await.ready(fa, Duration.Inf)
+    Await.ready(fb, Duration.Inf)
+    (fa.value.get, fb.value.get) match {
+      case (scala.util.Success(ra), scala.util.Success(rb)) => (ra, rb)
+      case (ta, tb) =>
+        def clean[T](t: scala.util.Try[T], f: T => Unit): Unit =
+          t.foreach(v =>
+            try f(v) catch { case scala.util.control.NonFatal(_) => () })
+        clean(ta, cleanupA); clean(tb, cleanupB)
+        val exA = ta.failed.toOption
+        val exB = tb.failed.toOption
+        val first = exA.orElse(exB).get
+        if (exA.nonEmpty) exB.foreach(first.addSuppressed)
+        throw first
+    }
   }
 
   /** Latest row per `pk` within one batch. */
@@ -157,7 +181,9 @@ object JoinMv {
           .withColumn(BucketCol, bucketOf(Seq(col(pkA)), nBuckets)), reliable)),
       phased(acc, "compact_b")(graft.Lineage.truncate(
         compact(batchB, pkB, verB)
-          .withColumn(BucketCol, bucketOf(Seq(col(pkB)), nBuckets)), reliable)))
+          .withColumn(BucketCol, bucketOf(Seq(col(pkB)), nBuckets)), reliable)),
+      cleanupA = (m: graft.Lineage.Materialized) => m.release(),
+      cleanupB = (m: graft.Lineage.Materialized) => m.release())
     try {
       val dA = dAMat.df
       val dB = dBMat.df
@@ -194,49 +220,50 @@ object JoinMv {
             throw t
           }
         try {
-          // both consume the MATERIALIZED merge (never the swapped files),
-          // and they write to disjoint paths — swap and index in parallel
-          val fSwap = Future(phased(acc, "left_swap")(
-            if (touchedL.nonEmpty)
-              swapTouched(newLMat.df, leftPath, touchedL)))(lanes)
-          val changedOldMat =
-            try Await.result(fSnapshot, Duration.Inf)
-            catch { case t: Throwable =>
-              // never leave the swap in flight behind a failing batch —
-              // a replay must not race an orphan writer
-              Await.ready(fSwap, Duration.Inf); throw t
-            }
+          // the snapshot scans the PRE-SWAP bucket files, so it must be
+          // MATERIALIZED before the swap may rename those files out —
+          // launching the swap first would race its renames against the
+          // snapshot's still-running tasks. In practice the snapshot
+          // (launched before the heavier merge) is already done here.
+          val changedOldMat = Await.result(fSnapshot, Duration.Inf)
           try {
-            // ---- secondary index (fk, pkA): retract changed keys' OLD
-            // entries from their old-fk buckets, insert the new ones
-            phased(acc, "index_swap") {
-              val oldEntries = changedOldMat.df
-                .select(col(fk).as("__fk"), col(pkA).as("__pk"))
-              val newEntries = newLMat.df
-                .join(dA.select(col(pkA)), Seq(pkA), "left_semi")
-                .select(col(fk).as("__fk"), col(pkA).as("__pk"))
-              val idxDelta = oldEntries.unionByName(newEntries)
-                .withColumn(BucketCol, bucketOf(Seq(col("__fk")), nBuckets))
-              val touchedIdx = touchedBuckets(idxDelta)
-              if (touchedIdx.nonEmpty) {
-                val curIdx = readTouched(spark, idxPath, touchedIdx)
-                  .getOrElse(idxDelta.limit(0).select(
-                    col("__fk"), col("__pk"), col(BucketCol)))
-                val newIdx = curIdx
-                  .join(dA.select(col(pkA).as("__pk")), Seq("__pk"), "left_anti")
-                  .unionByName(newEntries.withColumn(BucketCol,
-                    bucketOf(Seq(col("__fk")), nBuckets)))
-                swapTouched(newIdx, idxPath, touchedIdx)
+            // both consume the MATERIALIZED merge/snapshot (never the
+            // swapped files), and they write to disjoint paths — swap
+            // and index in parallel
+            val fSwap = Future(phased(acc, "left_swap")(
+              if (touchedL.nonEmpty)
+                swapTouched(newLMat.df, leftPath, touchedL)))(lanes)
+            try {
+              // ---- secondary index (fk, pkA): retract changed keys' OLD
+              // entries from their old-fk buckets, insert the new ones
+              phased(acc, "index_swap") {
+                val oldEntries = changedOldMat.df
+                  .select(col(fk).as("__fk"), col(pkA).as("__pk"))
+                val newEntries = newLMat.df
+                  .join(dA.select(col(pkA)), Seq(pkA), "left_semi")
+                  .select(col(fk).as("__fk"), col(pkA).as("__pk"))
+                val idxDelta = oldEntries.unionByName(newEntries)
+                  .withColumn(BucketCol, bucketOf(Seq(col("__fk")), nBuckets))
+                val touchedIdx = touchedBuckets(idxDelta)
+                if (touchedIdx.nonEmpty) {
+                  val curIdx = readTouched(spark, idxPath, touchedIdx)
+                    .getOrElse(idxDelta.limit(0).select(
+                      col("__fk"), col("__pk"), col(BucketCol)))
+                  val newIdx = curIdx
+                    .join(dA.select(col(pkA).as("__pk")), Seq("__pk"), "left_anti")
+                    .unionByName(newEntries.withColumn(BucketCol,
+                      bucketOf(Seq(col("__fk")), nBuckets)))
+                  swapTouched(newIdx, idxPath, touchedIdx)
+                }
               }
+            } finally {
+              // wait (without masking an index failure) so no orphan swap
+              // write survives this call's scope...
+              Await.ready(fSwap, Duration.Inf)
             }
-          } finally {
-            changedOldMat.release()
-            // wait (without masking an index failure) so no orphan swap
-            // write survives this call's scope...
-            Await.ready(fSwap, Duration.Inf)
-          }
-          // ...then surface a swap failure when the index succeeded
-          Await.result(fSwap, Duration.Inf)
+            // ...then surface a swap failure when the index succeeded
+            Await.result(fSwap, Duration.Inf)
+          } finally changedOldMat.release()
         } finally newLMat.release()
       }
 

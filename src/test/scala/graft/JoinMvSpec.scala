@@ -234,4 +234,31 @@ class JoinMvSpec extends SparkSpec {
       .select($"order_id", $"cust_name").as[(Long, String)].collect().toSet
     assert(got === Set((1L, "alice")))
   }
+
+  test("inParallel awaits BOTH lanes on failure and cleans the survivor") {
+    // a fail-fast await would surface lane A's failure while lane B is
+    // still mid-write — the replay contract forbids that orphan writer
+    val bDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val cleaned = new java.util.concurrent.atomic.AtomicReference[String]()
+    val ex = intercept[IllegalStateException] {
+      JoinMv.inParallel[Unit, String](
+        { Thread.sleep(50); throw new IllegalStateException("lane A died") },
+        { Thread.sleep(400); bDone.set(true); "b-result" },
+        cleanupB = (v: String) => cleaned.set(v))
+    }
+    assert(ex.getMessage === "lane A died")
+    assert(bDone.get(), "the surviving lane must have COMPLETED before " +
+      "the failure surfaced — no orphan writer may outlive the call")
+    assert(cleaned.get() === "b-result",
+      "the survivor's unreturned result must be handed to its cleanup")
+
+    // both lanes failing: first failure thrown, second attached
+    val ex2 = intercept[IllegalStateException] {
+      JoinMv.inParallel[Unit, Unit](
+        throw new IllegalStateException("first"),
+        { Thread.sleep(50); throw new IllegalArgumentException("second") })
+    }
+    assert(ex2.getMessage === "first")
+    assert(ex2.getSuppressed.exists(_.getMessage == "second"))
+  }
 }
