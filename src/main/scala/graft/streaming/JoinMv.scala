@@ -191,8 +191,13 @@ object JoinMv {
       // ---- LEFT entity upsert (latest-wins + tombstones) + the (fk, pk)
       // index, and the RIGHT entity upsert: disjoint tables, disjoint
       // paths — the two chains run concurrently; the tail below needs
-      // both committed (it reads left, index, and right post-swap)
-      def leftChain(): Unit = {
+      // both committed (it reads left, index, and right post-swap).
+      // leftChain returns the LEFT-SWAP future: that swap is the chain's
+      // last write and nothing before the tail's left read consumes it,
+      // so it overlaps affected_keys (which reads only the committed
+      // index and the compacted batch); the caller awaits it before
+      // touching leftPath and before surfacing any outcome.
+      def leftChain(): scala.concurrent.Future[Unit] = {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         val touchedL = touchedBuckets(dA)
@@ -227,44 +232,49 @@ object JoinMv {
           // (launched before the heavier merge) is already done here.
           val changedOldMat = Await.result(fSnapshot, Duration.Inf)
           try {
-            // both consume the MATERIALIZED merge/snapshot (never the
-            // swapped files), and they write to disjoint paths — swap
-            // and index in parallel
-            val fSwap = Future(phased(acc, "left_swap")(
-              if (touchedL.nonEmpty)
-                swapTouched(newLMat.df, leftPath, touchedL)))(lanes)
-            try {
-              // ---- secondary index (fk, pkA): retract changed keys' OLD
-              // entries from their old-fk buckets, insert the new ones
-              phased(acc, "index_swap") {
-                val oldEntries = changedOldMat.df
-                  .select(col(fk).as("__fk"), col(pkA).as("__pk"))
-                val newEntries = newLMat.df
-                  .join(dA.select(col(pkA)), Seq(pkA), "left_semi")
-                  .select(col(fk).as("__fk"), col(pkA).as("__pk"))
-                val idxDelta = oldEntries.unionByName(newEntries)
-                  .withColumn(BucketCol, bucketOf(Seq(col("__fk")), nBuckets))
-                val touchedIdx = touchedBuckets(idxDelta)
-                if (touchedIdx.nonEmpty) {
-                  val curIdx = readTouched(spark, idxPath, touchedIdx)
-                    .getOrElse(idxDelta.limit(0).select(
-                      col("__fk"), col("__pk"), col(BucketCol)))
-                  val newIdx = curIdx
-                    .join(dA.select(col(pkA).as("__pk")), Seq("__pk"), "left_anti")
-                    .unionByName(newEntries.withColumn(BucketCol,
-                      bucketOf(Seq(col("__fk")), nBuckets)))
-                  swapTouched(newIdx, idxPath, touchedIdx)
-                }
+            // ---- secondary index (fk, pkA): retract changed keys' OLD
+            // entries from their old-fk buckets, insert the new ones.
+            // The index MUST commit BEFORE the left swap — the pre-swap
+            // left table is the only durable record of the old fk, so if
+            // the process dies with the left swapped but the index not,
+            // the replay's retraction set is recomputed from POST-swap
+            // rows: a moved fact's old-fk entry (and a deleted fact's
+            // whole entry, whose replay idxDelta is empty) would stay
+            // stale FOREVER. With the index first, a replay from either
+            // side of this boundary re-derives a correct retraction
+            // (pre-swap left → full re-retraction; post-index crash →
+            // the retraction is already durable). Enumerated by
+            // JoinMvCrashSweepSpec, which caught the parallel form
+            // orphaning the moved fact's old entry.
+            phased(acc, "index_swap") {
+              val oldEntries = changedOldMat.df
+                .select(col(fk).as("__fk"), col(pkA).as("__pk"))
+              val newEntries = newLMat.df
+                .join(dA.select(col(pkA)), Seq(pkA), "left_semi")
+                .select(col(fk).as("__fk"), col(pkA).as("__pk"))
+              val idxDelta = oldEntries.unionByName(newEntries)
+                .withColumn(BucketCol, bucketOf(Seq(col("__fk")), nBuckets))
+              val touchedIdx = touchedBuckets(idxDelta)
+              if (touchedIdx.nonEmpty) {
+                val curIdx = readTouched(spark, idxPath, touchedIdx)
+                  .getOrElse(idxDelta.limit(0).select(
+                    col("__fk"), col("__pk"), col(BucketCol)))
+                val newIdx = curIdx
+                  .join(dA.select(col(pkA).as("__pk")), Seq("__pk"), "left_anti")
+                  .unionByName(newEntries.withColumn(BucketCol,
+                    bucketOf(Seq(col("__fk")), nBuckets)))
+                swapTouched(newIdx, idxPath, touchedIdx)
               }
-            } finally {
-              // wait (without masking an index failure) so no orphan swap
-              // write survives this call's scope...
-              Await.ready(fSwap, Duration.Inf)
             }
-            // ...then surface a swap failure when the index succeeded
-            Await.result(fSwap, Duration.Inf)
           } finally changedOldMat.release()
-        } finally newLMat.release()
+        } catch { case t: Throwable => newLMat.release(); throw t }
+        // index durable — launch the swap and hand its future back;
+        // newLMat lives exactly as long as the swap (released by the
+        // returned future's completion, success or failure)
+        val fSwap = Future(phased(acc, "left_swap")(
+          if (touchedL.nonEmpty)
+            swapTouched(newLMat.df, leftPath, touchedL)))(lanes)
+        fSwap.andThen { case _ => newLMat.release() }(lanes)
       }
 
       def rightChain(): Unit = phased(acc, "right_upsert") {
@@ -279,22 +289,37 @@ object JoinMv {
         if (touchedR.nonEmpty) swapTouched(newR, rightPath, touchedR)
       }
 
-      inParallel(leftChain(), rightChain())
+      import scala.concurrent.Await
+      import scala.concurrent.duration.Duration
+      // if rightChain fails, the surviving left chain's swap must still
+      // be awaited before the failure surfaces (no orphan writer)
+      val (fLeftSwap, _) = inParallel(leftChain(), rightChain(),
+        cleanupA = (f: scala.concurrent.Future[Unit]) =>
+          Await.ready(f, Duration.Inf))
 
-      // ---- affected output keys: Δfact ∪ index⁻¹(Δdim)
-      val affectedMat = phased(acc, "affected_keys") {
-        val dBKeyBuckets = touchedBuckets(
-          dB.select(col(pkB)).withColumn(BucketCol,
-            bucketOf(Seq(col(pkB)), nBuckets)))
-        val fromB = readTouched(spark, idxPath, dBKeyBuckets)
-          .map(_.join(dB.select(col(pkB).as("__fk")), Seq("__fk"), "left_semi")
-            .select(col("__pk").as("__k")))
-          .getOrElse(dA.limit(0).select(col(pkA).as("__k")))
-        graft.Lineage.truncate(
-          dA.select(col(pkA).as("__k")).unionByName(fromB).distinct()
-            .withColumn(BucketCol, bucketOf(Seq(col("__k")), nBuckets)),
-          reliable)
-      }
+      // ---- affected output keys: Δfact ∪ index⁻¹(Δdim) — reads only
+      // the committed index and the compacted batch, so it overlaps the
+      // in-flight left swap
+      val affectedMat =
+        try phased(acc, "affected_keys") {
+          val dBKeyBuckets = touchedBuckets(
+            dB.select(col(pkB)).withColumn(BucketCol,
+              bucketOf(Seq(col(pkB)), nBuckets)))
+          val fromB = readTouched(spark, idxPath, dBKeyBuckets)
+            .map(_.join(dB.select(col(pkB).as("__fk")), Seq("__fk"), "left_semi")
+              .select(col("__pk").as("__k")))
+            .getOrElse(dA.limit(0).select(col(pkA).as("__k")))
+          graft.Lineage.truncate(
+            dA.select(col(pkA).as("__k")).unionByName(fromB).distinct()
+              .withColumn(BucketCol, bucketOf(Seq(col("__k")), nBuckets)),
+            reliable)
+        } catch { case t: Throwable =>
+          Await.ready(fLeftSwap, Duration.Inf); throw t
+        }
+      // surface a left-swap failure before anything reads the swapped
+      // table (the tail's leftPath reads need the post-swap files)
+      try Await.result(fLeftSwap, Duration.Inf)
+      catch { case t: Throwable => affectedMat.release(); throw t }
       try {
         val affected = affectedMat.df
         val touchedMv = touchedBuckets(affected)
