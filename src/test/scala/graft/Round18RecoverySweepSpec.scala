@@ -204,6 +204,70 @@ class Round18RecoverySweepSpec extends SparkSpec with CrashSweepHarness {
     assert(swept >= 8, s"suspiciously few crash points ($swept)")
   }
 
+  test("bucketed upsert from a trash-seeded table survives a crash at " +
+    "every point, reconcile included") {
+    // the IVF sweeps above cover IvfIndex.reclaimDebris; this covers the
+    // OTHER recovery path — BucketedTable.reconcileTrash, the machinery
+    // every upsert consumer (UpsertSink, JoinMv, MultiMv) shares. The
+    // template is pre-seeded with both trash species a crashed swap can
+    // leave: a DISPLACED bucket that is its content's only copy (crash
+    // between rename-out and rename-in — dropping it is data loss) and a
+    // SUPERSEDED bucket beside its live dir (crash before the trash
+    // delete — restoring it would resurrect stale rows), plus stage
+    // leftovers; reconcile's own renames/deletes are the first swept ops.
+    import graft.streaming.UpsertSink
+    val keys = Seq("k")
+    def apply(root: String, rows: Seq[(Int, String, Long, Boolean)]): Unit =
+      UpsertSink.upsertBucketed(rows.toDF("k", "v", "ver", "del"),
+        s"$root/tbl", keys, "ver", deleteCol = Some("del"), nBuckets = 4)
+
+    val batch1 = (1 to 12).map(k => (k, "v1", 1L, false))
+    val batch2 = Seq((1, "v2", 2L, false), (5, "v2", 2L, false),
+      (9, "v2", 2L, false), (13, "v2", 2L, false), (2, "gone", 2L, true))
+    val expected = ((3 to 12).filter(_ != 5).filter(_ != 9).map(k => (k, "v1")) ++
+      Seq((1, "v2"), (5, "v2"), (9, "v2"), (13, "v2"))).toSet
+
+    val tpl = Files.createTempDirectory("tpl-r18-trash-").toFile
+    InstrumentedFs.reset()
+    apply(s"ifs://$tpl", batch1)
+    // seed the debris with raw java.io ops (pre-existing crashed-writer
+    // state, not counted by the sweep)
+    val tbl = new java.io.File(tpl, "tbl")
+    val trash = new java.io.File(tpl, "tbl__old")
+    val liveBuckets = names(tbl).filter(_.startsWith("__bucket="))
+    assert(liveBuckets.size >= 2, s"template too small: ${names(tbl)}")
+    val tornB = liveBuckets.head.stripPrefix("__bucket=")
+    val supersededB = liveBuckets.last.stripPrefix("__bucket=")
+    assert(trash.mkdirs())
+    // displaced-only copy: the live dir moves OUT (reconcile must restore)
+    assert(new java.io.File(tbl, s"__bucket=$tornB")
+      .renameTo(new java.io.File(trash, tornB)))
+    // superseded: live dir stays (reconcile must drop the trash copy)
+    copyTree(new java.io.File(tbl, s"__bucket=$supersededB"),
+      new java.io.File(trash, supersededB))
+    val stage = new java.io.File(tpl, "tbl__stage/__bucket=0")
+    assert(stage.mkdirs())
+    Files.write(new java.io.File(stage, "garbage.bin").toPath,
+      Array[Byte](1, 2, 3))
+
+    val swept = sweep("r18-bucketed-trash", tpl,
+      attempt = (root, _) => apply(root, batch2),
+      recover = (root, _) => apply(root, batch2),
+      invariant = (root, local) => {
+        val got = spark.read.parquet(s"$root/tbl")
+          .select("k", "v").as[(Int, String)].collect().toSet
+        assert(got === expected,
+          "content diverged after trash-seeded recovery (displaced bucket " +
+            "dropped, or superseded bucket resurrected)")
+        assert(names(new java.io.File(local, "tbl__old")).isEmpty,
+          "trash left unreconciled after a completed replay")
+        assert(!new java.io.File(local, "tbl__stage").exists() ||
+          names(new java.io.File(local, "tbl__stage")).isEmpty)
+      })
+    info(s"r18 bucketed-from-trash: $swept crash points swept green")
+    assert(swept >= 10, s"suspiciously few crash points ($swept)")
+  }
+
   test("load warns loudly on a torn park; reconcile restores it without a write") {
     val tpl = Files.createTempDirectory("tpl-r18-torn-").toFile
     copyTree(tplDebris, tpl)
