@@ -72,17 +72,19 @@ object Bench {
     // SPARK_GRAFT_PASSES=1 restores the quick single-pass dev loop.
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt)
       .filter(_ > 0).getOrElse(2)
-    def runPass(): Seq[(String, Double)] =
+    def runPass(): Seq[(String, Double, Boolean)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         // drop blocks + broadcast/codegen garbage leaked by earlier queries
         drainLeakedBlocks()
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          if (!failures.contains(name)) failures ::= name
-          System.err.println(s"[bench] $name failed: $e")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            if (!failures.contains(name)) failures ::= name
+            System.err.println(s"[bench] $name failed: $e")
+            false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     val allPasses = (1 to passes).map { p =>
       val r = runPass()
@@ -90,15 +92,21 @@ object Bench {
         f"[bench] pass $p/$passes total ${r.map(_._2).sum}%.1f s")
       r
     }
+    // min over SUCCESSFUL passes only: a pass that crashes fast must not
+    // clobber a valid slower measurement (a failed-everywhere query keeps
+    // its min-of-failures time AND sits in `failed` — never silently fast)
     val published = allPasses.head.map(_._1).map { name =>
-      name -> allPasses.map(_.toMap.apply(name)).min
+      val runs = allPasses.map(p => p.find(_._1 == name).get)
+      val good = runs.filter(_._3).map(_._2)
+      name -> (if (good.nonEmpty) good.min else runs.map(_._2).min)
     }
     val qs = published.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // raw per-pass values for every query — variance inspection without
     // rerunning (supersedes the old 5-slowest "repeats" field)
     val reps = published.map { case (k, _) =>
-      "\"" + k + "\":[" + allPasses.map(_.toMap.apply(k)).mkString(",") + "]"
+      "\"" + k + "\":[" + allPasses.map(
+        _.find(_._1 == k).get._2).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val passTotals = allPasses.map(_.map(_._2).sum)
     val total = published.map(_._2).sum

@@ -213,15 +213,28 @@ object StreamBench {
         gcThread.start()
         val opsPerWriter = 100
         val byN = Seq(1, 2, 8).map { n =>
+          // a writer thread dying mid-loop must FAIL the bench, not
+          // silently publish txn_per_sec computed from work that never
+          // ran — capture and rethrow after the join
+          val writerFailure =
+            new java.util.concurrent.atomic.AtomicReference[Throwable]()
           val t0 = System.nanoTime()
           val threads = (1 to n).map { _ =>
             new Thread(() => {
-              val c = client()
-              (1 to opsPerWriter).foreach { _ => c.commit(c.begin()) }
+              try {
+                val c = client()
+                (1 to opsPerWriter).foreach { _ => c.commit(c.begin()) }
+              } catch {
+                case t: Throwable => writerFailure.compareAndSet(null, t)
+              }
             })
           }
           threads.foreach(_.start())
           threads.foreach(_.join())
+          if (writerFailure.get() != null)
+            throw new IllegalStateException(
+              s"tso bench writer died at n=$n — txn counts would be wrong",
+              writerFailure.get())
           val sec = (System.nanoTime() - t0) / 1e9
           val txnPerSec = (n * opsPerWriter / sec).toLong
           System.err.println(

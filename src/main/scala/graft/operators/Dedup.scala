@@ -498,9 +498,16 @@ object Dedup {
     // name the knob — never let a 100 TB corpus discover it by wall-clock
     // (the q181 gate's discipline, advisory rather than refusing because
     // the scan is the sweep's documented semantic cost, not a pathology)
+    // one column-pruned scan + tiny shuffle — cheap beside the sweep's
+    // own pair scan, and it must run BEFORE that scan to be an advisory.
+    // Per-source n is clamped at what the salted self-join will actually
+    // pair (salts × maxBlock, matching the join below): without the
+    // clamp a single hot source would advise about C(n,2) pairs the
+    // join's maxBlock cap loudly drops anyway.
     val estPairs = Tables.documents(spark, dir)
       .groupBy(col("source")).agg(count(lit(1)).as("n"))
-      .select(coalesce(sum(expr("(n * (n - 1)) div 2")), lit(0L)).as("p"))
+      .select(coalesce(sum(expr(
+        "(least(n, 40000) * (least(n, 40000) - 1)) div 2")), lit(0L)).as("p"))
       .head().getLong(0)
     if (estPairs > advisePairs) {
       sweepAdvisories.incrementAndGet()

@@ -777,20 +777,25 @@ object Multimodal {
       col("blocks").as("fb"),
       explode(expr(s"sequence(floor(mean_lum * $buckets) - 1, " +
         s"floor(mean_lum * $buckets) + 1)")).as("bkt"))
-    // Population gate: ≤B rows after a map-side partial agg; the bounded
-    // collect is the saltedSelfPairs "no silent caps" discipline.
-    val overCap = Skew.oversizeBlocks(a, "bkt", maxBucket)
-    val dropped = overCap.limit(20).collect()
+    // Population gate: the over-cap set is ≤ B+2 rows after a map-side
+    // partial agg, so collect it ONCE (the bounded collect is the
+    // saltedSelfPairs "no silent caps" discipline) and reuse the keys as
+    // literals — re-evaluating the groupBy for the gate filter and again
+    // for the touched-jpeg probe would run the same aggregation three
+    // times over the png frame.
+    val dropped = Skew.oversizeBlocks(a, "bkt", maxBucket).collect()
+    val droppedKeys = dropped.map(_.getLong(0)).toSeq
     if (dropped.nonEmpty)
       System.err.println(
         s"[graft] q181JpegNearDup(maxBucket=$maxBucket, B=$buckets) " +
           s"EXCLUDING ${dropped.length} over-cap luminance bucket(s) " +
           "(first 20 shown; touched jpegs get NULL verdicts): " +
-          dropped.map(r => s"bkt=${r.getLong(0)}(${r.getLong(1)} pngs)")
+          dropped.take(20)
+            .map(r => s"bkt=${r.getLong(0)}(${r.getLong(1)} pngs)")
             .mkString(", "))
     val aOk =
       if (dropped.isEmpty) a
-      else a.join(broadcast(overCap.select(col("bkt"))), Seq("bkt"), "left_anti")
+      else a.filter(!col("bkt").isin(droppedKeys: _*))
     // a (jpeg, png) pair meets in EXACTLY one bucket (the png holds one
     // bucket; the jpeg's three probes are distinct) — no distinct needed.
     // The pair scan is the hot path (a degenerate-luminance corpus can
@@ -817,7 +822,7 @@ object Multimodal {
       // makes it every jpeg id, far past driver memory at 100 TB — let
       // AQE pick the strategy from its measured size.
       val touched = b
-        .join(broadcast(overCap.select(col("bkt"))), Seq("bkt"), "left_semi")
+        .filter(col("bkt").isin(droppedKeys: _*))
         .select(col("jpeg_id")).distinct()
       val unknown = touched.select(col("jpeg_id"),
         lit(null).cast("long").as("rank"),

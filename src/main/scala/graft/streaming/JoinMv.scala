@@ -39,15 +39,18 @@ import org.apache.spark.sql.functions._
  * (staged + atomic rename) BEFORE the MV swap and guarded by existence;
  * the `_applied_batch` marker lands after the MV swap. A replay at any
  * crash point recomputes correct state and skips what already committed —
- * same commit discipline as [[IncrementalMv]] — with ONE benign residual:
- * a crash between the left-entity swap and the index swap means the
- * replay snapshots "old" rows that already carry the NEW fk, so a fact
- * that MOVED fk in that batch can leave its old-fk index entry dangling.
- * A dangling entry only ever causes a SPURIOUS recompute (a later update
- * to the old dim key lists the fact as affected; the re-join reads the
- * fact's CURRENT row and upserts the already-correct output) — never a
- * wrong row, because the MV derives from entity state, not the index
- * (JoinMvSpec plants exactly this entry and asserts the output).
+ * same commit discipline as [[IncrementalMv]]. The index commits
+ * STRICTLY BEFORE the left-entity swap: the pre-swap left table is the
+ * only durable record of a moved fact's OLD fk, so the reverse ordering
+ * let a crash in between leave that fact's old-fk entry (and a deleted
+ * fact's whole entry) dangling FOREVER — never a wrong MV row (the MV
+ * derives from entity state, not the index; a dangling entry only
+ * triggers a spurious recompute, and JoinMvSpec plants one to prove it),
+ * but an unbounded stale-entry leak on fk-move/delete-heavy feeds that
+ * inflates every later dim-fanout. With index-first, a replay from
+ * either side of the boundary re-derives a correct retraction;
+ * JoinMvCrashSweepSpec enumerates every mutation point and asserts the
+ * index mirrors the left table EXACTLY after replay.
  *
  * Join semantics: LEFT OUTER by default (`innerJoin = true` drops
  * unmatched facts) — a fact arriving before its dim row emits with null
@@ -88,6 +91,29 @@ object JoinMv {
         t
       }))
 
+  // Spark localProperties are an InheritableThreadLocal snapshotted at
+  // THREAD CREATION: a cached lane thread created under stream A's
+  // foreachBatch inherits A's job group forever and is then reused for
+  // stream B's batches — cancelling A would kill B's in-flight lane
+  // jobs. Every lane task therefore re-pins the SUBMITTING thread's
+  // values for the cancellation/attribution keys (null clears a stale
+  // inherited entry, so a caller with no job group gets a clean lane).
+  private val PropagatedProps = Seq("spark.jobGroup.id",
+    "spark.job.description", "spark.job.interruptOnCancel",
+    "spark.scheduler.pool")
+
+  private def laneFuture[T](body: => T): scala.concurrent.Future[T] = {
+    val sc = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext)
+    val props = sc.toSeq.flatMap(s =>
+      PropagatedProps.map(k => k -> s.getLocalProperty(k)))
+    scala.concurrent.Future {
+      sc.foreach(s => props.foreach { case (k, v) => s.setLocalProperty(k, v) })
+      body
+    }(lanes)
+  }
+
   /** Run `a` and `b` as concurrent lanes, awaiting BOTH before returning
     * or throwing — a fail-fast await would surface one lane's failure
     * while the other is still mid-write, handing the caller's replay an
@@ -101,8 +127,8 @@ object JoinMv {
       cleanupB: B => Unit = (_: B) => ()): (A, B) = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    val fa = Future(a)(lanes)
-    val fb = Future(b)(lanes)
+    val fa = laneFuture(a)
+    val fb = laneFuture(b)
     Await.ready(fa, Duration.Inf)
     Await.ready(fb, Duration.Inf)
     (fa.value.get, fb.value.get) match {
@@ -207,10 +233,10 @@ object JoinMv {
         // any frame still scanning the old bucket files); the snapshot
         // reads the SAME pre-swap files as the merge, so it runs in a
         // side lane while the merge computes
-        val fSnapshot = Future(phased(acc, "left_old_snapshot")(
+        val fSnapshot = laneFuture(phased(acc, "left_old_snapshot")(
           graft.Lineage.truncate(
             curL.join(dA.select(col(pkA)), Seq(pkA), "left_semi"),
-            reliable)))(lanes)
+            reliable)))
         val unionL = curL.unionByName(dA)
         val newLMat =
           try phased(acc, "left_merge")(graft.Lineage.truncate(
@@ -271,9 +297,9 @@ object JoinMv {
         // index durable — launch the swap and hand its future back;
         // newLMat lives exactly as long as the swap (released by the
         // returned future's completion, success or failure)
-        val fSwap = Future(phased(acc, "left_swap")(
+        val fSwap = laneFuture(phased(acc, "left_swap")(
           if (touchedL.nonEmpty)
-            swapTouched(newLMat.df, leftPath, touchedL)))(lanes)
+            swapTouched(newLMat.df, leftPath, touchedL)))
         fSwap.andThen { case _ => newLMat.release() }(lanes)
       }
 
@@ -294,8 +320,16 @@ object JoinMv {
       // if rightChain fails, the surviving left chain's swap must still
       // be awaited before the failure surfaces (no orphan writer)
       val (fLeftSwap, _) = inParallel(leftChain(), rightChain(),
-        cleanupA = (f: scala.concurrent.Future[Unit]) =>
-          Await.ready(f, Duration.Inf))
+        cleanupA = (f: scala.concurrent.Future[Unit]) => {
+          Await.ready(f, Duration.Inf)
+          // the batch is already failing on the right side; don't let a
+          // CONCURRENT left-swap failure vanish into the discarded future
+          // (replay converges either way, but the operator diagnosing the
+          // incident must see both)
+          f.value.get.failed.foreach(e => System.err.println(
+            s"[graft] JoinMv: left swap ALSO failed while the right chain " +
+              s"surfaced its own failure: $e"))
+        })
 
       // ---- affected output keys: Δfact ∪ index⁻¹(Δdim) — reads only
       // the committed index and the compacted batch, so it overlaps the

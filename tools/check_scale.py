@@ -99,28 +99,39 @@ def main():
             # independent scale-feasible re-verification (see
             # scale_oracles.py) run in a subprocess under its own budget
             tools_dir = os.path.dirname(os.path.abspath(__file__))
-            want_path = tempfile.mktemp(suffix=".parquet")
-            got_path2 = tempfile.mktemp(suffix=".parquet")
+            # NamedTemporaryFile (not the race-prone mktemp), unlinked in
+            # a finally so timeout/error paths don't leak partial parquet
+            with tempfile.NamedTemporaryFile(suffix=".parquet",
+                                             delete=False) as tf:
+                want_path = tf.name
+            with tempfile.NamedTemporaryFile(suffix=".parquet",
+                                             delete=False) as tf:
+                got_path2 = tf.name
             budget = scale_oracles.TIMEOUTS.get(
                 name, scale_oracles.DEFAULT_TIMEOUT_S)
             try:
-                p = subprocess.run(
-                    [sys.executable,
-                     os.path.join(tools_dir, "scale_oracles.py"),
-                     name, sfdir, path, want_path, got_path2],
-                    timeout=budget, capture_output=True, text=True)
-            except subprocess.TimeoutExpired:
-                record(name, "oracle_timeout",
-                       f"scale oracle >{budget}s")
-                continue
-            if p.returncode != 0:
-                record(name, "oracle_error",
-                       (p.stderr.strip().splitlines() or ["?"])[-1][:300])
-                continue
-            want = pd.read_parquet(want_path)
-            got = pd.read_parquet(got_path2)
-            os.unlink(want_path)
-            os.unlink(got_path2)
+                try:
+                    p = subprocess.run(
+                        [sys.executable,
+                         os.path.join(tools_dir, "scale_oracles.py"),
+                         name, sfdir, path, want_path, got_path2],
+                        timeout=budget, capture_output=True, text=True)
+                except subprocess.TimeoutExpired:
+                    record(name, "oracle_timeout",
+                           f"scale oracle >{budget}s")
+                    continue
+                if p.returncode != 0:
+                    record(name, "oracle_error",
+                           (p.stderr.strip().splitlines() or ["?"])[-1][:300])
+                    continue
+                want = pd.read_parquet(want_path)
+                got = pd.read_parquet(got_path2)
+            finally:
+                for tp in (want_path, got_path2):
+                    try:
+                        os.unlink(tp)
+                    except OSError:
+                        pass
             if len(got) == 0 or len(want) == 0:
                 record(name, "FAIL", f"scale oracle produced an EMPTY side "
                        f"(got={len(got)}, want={len(want)}) — not a pass")
