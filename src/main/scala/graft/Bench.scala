@@ -54,7 +54,6 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
     }
-    var failures = List.empty[String]
     // dev loop: SPARK_GRAFT_ONLY=q148_prefix_join,q134_pagerank restricts
     // the run to a comma-separated subset (full run when unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -70,8 +69,18 @@ object Bench {
     // the published per-query number is the MIN over full passes and the
     // pass totals are published alongside as the stated noise bound.
     // SPARK_GRAFT_PASSES=1 restores the quick single-pass dev loop.
-    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt)
+    val basePasses = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt)
       .filter(_ > 0).getOrElse(2)
+    // NOISE-ADAPTIVE passes (r18 VERDICT item 4): min-of-2 under a 58.9%
+    // contended pass means the published min can rest on a SINGLE clean
+    // sample — when the inter-pass spread exceeds the threshold, keep
+    // adding passes (bounded) until it settles or the cap is hit, so the
+    // min is always corroborated by at least two comparable passes or
+    // loudly noted as capped.
+    val noiseThresholdPct = sys.env.get("SPARK_GRAFT_NOISE_PCT")
+      .map(_.toDouble).getOrElse(25.0)
+    val maxPasses = sys.env.get("SPARK_GRAFT_MAX_PASSES").map(_.toInt)
+      .getOrElse(basePasses + 2)
     def runPass(): Seq[(String, Double, Boolean)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         // drop blocks + broadcast/codegen garbage leaked by earlier queries
@@ -80,17 +89,38 @@ object Bench {
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
-            if (!failures.contains(name)) failures ::= name
             System.err.println(s"[bench] $name failed: $e")
             false
           }
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
-    val allPasses = (1 to passes).map { p =>
+    def spreadPct(totals: Seq[Double]): Double =
+      if (totals.size < 2 || totals.min <= 0) 0.0
+      else math.rint((totals.max - totals.min) / totals.min * 1000) / 10
+    // the published number is a MIN, so what must be corroborated is the
+    // min: the spread between the two FASTEST pass totals (the all-pass
+    // spread would re-trigger forever on the first pass's residual JIT
+    // tail at small scales — that pass is expected to be slower)
+    def minCorroborationPct(totals: Seq[Double]): Double =
+      spreadPct(totals.sorted.take(2))
+    var allPasses = Vector.empty[Seq[(String, Double, Boolean)]]
+    def addPass(): Unit = {
       val r = runPass()
+      allPasses :+= r
       System.err.println(
-        f"[bench] pass $p/$passes total ${r.map(_._2).sum}%.1f s")
-      r
+        f"[bench] pass ${allPasses.size} total ${r.map(_._2).sum}%.1f s")
+    }
+    (1 to basePasses).foreach(_ => addPass())
+    var noiseExtra = 0
+    while (basePasses >= 2 && allPasses.size < maxPasses &&
+        minCorroborationPct(allPasses.map(_.map(_._2).sum)) > noiseThresholdPct) {
+      System.err.println(
+        s"[bench] two fastest passes disagree by " +
+          s"${minCorroborationPct(allPasses.map(_.map(_._2).sum))}% > " +
+          s"$noiseThresholdPct% — the min is uncorroborated; running a " +
+          "noise-triggered extra pass")
+      addPass()
+      noiseExtra += 1
     }
     // min over SUCCESSFUL passes only: a pass that crashes fast must not
     // clobber a valid slower measurement (a failed-everywhere query keeps
@@ -103,21 +133,36 @@ object Bench {
     val qs = published.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // raw per-pass values for every query — variance inspection without
-    // rerunning (supersedes the old 5-slowest "repeats" field)
-    val reps = published.map { case (k, _) =>
-      "\"" + k + "\":[" + allPasses.map(
-        _.find(_._1 == k).get._2).mkString(",") + "]"
+    // rerunning — with the per-pass ok flag alongside (a fast FAILED pass
+    // is otherwise indistinguishable from a fast valid measurement)
+    def perQuery[T](f: ((String, Double, Boolean)) => T): Seq[(String, Seq[T])] =
+      published.map { case (k, _) =>
+        k -> allPasses.map(p => f(p.find(_._1 == k).get))
+      }
+    val reps = perQuery(_._2).map { case (k, vs) =>
+      "\"" + k + "\":[" + vs.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val repsOk = perQuery(_._3).map { case (k, vs) =>
+      "\"" + k + "\":[" + vs.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val passTotals = allPasses.map(_.map(_._2).sum)
     val total = published.map(_._2).sum
-    val noisePct =
-      if (passTotals.size < 2 || passTotals.min <= 0) 0.0
-      else math.rint((passTotals.max - passTotals.min) / passTotals.min * 1000) / 10
-    val failed = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val noisePct = spreadPct(passTotals)
+    val corrPct = minCorroborationPct(passTotals)
+    // `failed` = NO pass succeeded (the published number is a failure
+    // time); a query that failed somewhere but has a good min is `flaky`
+    // — visible, but not branded as broken forever
+    val byOutcome = perQuery(_._3).map { case (k, oks) => (k, oks) }
+    val failed = byOutcome.filter(_._2.forall(!_)).map(_._1).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flaky = byOutcome.filter(o => o._2.exists(!_) && o._2.exists(identity))
+      .map(_._1).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""repeats":$reps,"passes":$passes,""" +
+      s""""repeats":$reps,"repeats_ok":$repsOk,"passes":${allPasses.size},""" +
+      s""""noise_extra_passes":$noiseExtra,""" +
       s""""pass_totals":[${passTotals.mkString(",")}],""" +
-      s""""pass_noise_pct":$noisePct,"failed":$failed,"sf":"$sfDir"}"""
+      s""""pass_noise_pct":$noisePct,"min_corroboration_pct":$corrPct,""" +
+      s""""failed":$failed,"flaky":$flaky,"sf":"$sfDir"}"""
     println(json)
     // the driver keeps only a tail of stdout, which truncates the per-query
     // map once the query count is large — persist the full line as a file

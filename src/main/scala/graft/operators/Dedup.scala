@@ -503,11 +503,16 @@ object Dedup {
     // Per-source n is clamped at what the salted self-join will actually
     // pair (salts × maxBlock, matching the join below): without the
     // clamp a single hot source would advise about C(n,2) pairs the
-    // join's maxBlock cap loudly drops anyway.
+    // join's maxBlock cap loudly drops anyway. The join parameters are
+    // hoisted so the clamp is DERIVED from them — a hardcoded product
+    // desyncs silently the day either knob changes.
+    val salts = 4
+    val maxBlock = 10000
+    val pairCap = salts.toLong * maxBlock
     val estPairs = Tables.documents(spark, dir)
       .groupBy(col("source")).agg(count(lit(1)).as("n"))
       .select(coalesce(sum(expr(
-        "(least(n, 40000) * (least(n, 40000) - 1)) div 2")), lit(0L)).as("p"))
+        s"(least(n, $pairCap) * (least(n, $pairCap) - 1)) div 2")), lit(0L)).as("p"))
       .head().getLong(0)
     if (estPairs > advisePairs) {
       sweepAdvisories.incrementAndGet()
@@ -529,7 +534,8 @@ object Dedup {
     val inter = graft.functions.GraftFunctions
       .sortedIntersectCountBounded(col("a.gs"), col("b.gs"), floor)
     val pairs = graft.Lineage.truncate(
-      Skew.saltedSelfPairs(d, "source", "doc_id", salts = 4, maxBlock = 10000)
+      Skew.saltedSelfPairs(d, "source", "doc_id", salts = salts,
+          maxBlock = maxBlock)
         .filter(greatest(col("a.n_g"), col("b.n_g")) * floor
           <= least(col("a.n_g"), col("b.n_g")))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

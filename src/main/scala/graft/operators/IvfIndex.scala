@@ -149,8 +149,9 @@ object IvfIndex {
   }
 
   def load(spark: SparkSession, path: String): IvfIndex = {
-    val live = assignmentsDir(spark, path)
-    warnTornParks(spark, path, live)
+    var live = assignmentsDir(spark, path)
+    if (healOrWarnTornParks(spark, path, live))
+      live = assignmentsDir(spark, path) // re-resolve after the heal
     IvfIndex(
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(live)
@@ -158,35 +159,59 @@ object IvfIndex {
   }
 
   /** Count of torn-park reader warnings emitted in this JVM (the testable
-    * witness of [[warnTornParks]]). */
+    * witness of the warn-only path of [[healOrWarnTornParks]]). */
   val tornParkWarnings = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Read-only detection of a TORN SWAP left by a crashed writer: a
-    * `.park-cell=N` beside a MISSING `cell=N` means that cell is
-    * invisible to lock-free readers until the next writer entry runs
-    * [[reclaimDebris]] — for a manually-invoked compact/deleteVectors
-    * that wait is unbounded if nobody retries. Readers cannot fix it
-    * (reconcile mutates, and readers hold no lease), so [[load]] says it
-    * LOUDLY and names [[reconcile]] instead of silently serving a corpus
-    * with a hole. */
-  private def warnTornParks(spark: SparkSession, path: String,
-      live: String): Unit = {
+  /** Count of read-path AUTO-HEALS: [[load]] found a torn park, the
+    * writer lease was free, and [[reconcile]] restored it with no
+    * operator action. */
+  val tornParkAutoHeals = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Detection — and opportunistic repair — of a TORN SWAP left by a
+    * crashed writer: a `.park-cell=N` beside a MISSING `cell=N` means
+    * that cell is invisible to lock-free readers until [[reclaimDebris]]
+    * runs — for a manually-invoked compact/deleteVectors that wait is
+    * unbounded if nobody retries. r18 warned and named [[reconcile]];
+    * r19 closes the loop: [[load]] attempts a NON-BLOCKING lease acquire
+    * (`withWriterLock` throws [[SnapshotStore.ConcurrentPublishException]]
+    * when a live writer holds it — it never waits) and reconciles when it
+    * wins. When the lease is held the live writer will reclaim on its own
+    * entry, so the reader keeps the r18 warn-only path — serving the
+    * smaller corpus LOUDLY, never blocking a read on a writer's lease.
+    * Returns true iff a heal ran (the caller re-resolves the live dir). */
+  private def healOrWarnTornParks(spark: SparkSession, path: String,
+      live: String): Boolean = {
     val liveP = new org.apache.hadoop.fs.Path(live)
     val fs = liveP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(liveP)) {
-      val names = fs.listStatus(liveP).toSeq.map(_.getPath.getName)
-      val torn = names.filter(_.startsWith(ParkPrefix))
-        .map(_.stripPrefix(ParkPrefix))
-        .filterNot(names.contains)
-      if (torn.nonEmpty) {
-        tornParkWarnings.incrementAndGet()
-        System.err.println(
-          s"[graft] IvfIndex.load($path): ${torn.size} parked cell(s) with " +
-            s"no live directory (${torn.take(5).mkString(", ")}) — a writer " +
-            "crashed mid-swap and those cells are INVISIBLE to readers " +
-            "until recovered; run IvfIndex.reconcile (or re-run the " +
-            "crashed compact/deleteVectors/ingest) to restore them")
-      }
+    if (!fs.exists(liveP)) return false
+    val names = fs.listStatus(liveP).toSeq.map(_.getPath.getName)
+    val torn = names.filter(_.startsWith(ParkPrefix))
+      .map(_.stripPrefix(ParkPrefix))
+      .filterNot(names.contains)
+    if (torn.isEmpty) return false
+    def warn(why: String): Boolean = {
+      tornParkWarnings.incrementAndGet()
+      System.err.println(
+        s"[graft] IvfIndex.load($path): ${torn.size} parked cell(s) with " +
+          s"no live directory (${torn.take(5).mkString(", ")}) — a writer " +
+          "crashed mid-swap and those cells are INVISIBLE to readers " +
+          s"until recovered ($why); run IvfIndex.reconcile (or re-run " +
+          "the crashed compact/deleteVectors/ingest) to restore them")
+      false
+    }
+    try {
+      reconcile(spark, path)
+      tornParkAutoHeals.incrementAndGet()
+      System.err.println(
+        s"[graft] IvfIndex.load($path): auto-healed ${torn.size} torn " +
+          s"park(s) (${torn.take(5).mkString(", ")}) — the writer lease " +
+          "was free, reclaimDebris restored the parked cell(s)")
+      true
+    } catch {
+      case _: graft.streaming.SnapshotStore.ConcurrentPublishException =>
+        warn("a live writer holds the lease; it reclaims on its next entry")
+      case scala.util.control.NonFatal(e) =>
+        warn(s"auto-reconcile failed: $e")
     }
   }
 

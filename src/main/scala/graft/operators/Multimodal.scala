@@ -783,7 +783,12 @@ object Multimodal {
     // literals — re-evaluating the groupBy for the gate filter and again
     // for the touched-jpeg probe would run the same aggregation three
     // times over the png frame.
-    val dropped = Skew.oversizeBlocks(a, "bkt", maxBucket).collect()
+    // a null bkt (null mean_lum) can group over cap too, but null keys
+    // never meet ANY probe in the equi-join below (null ≠ null there), so
+    // they are invisible to the candidate scan — drop the null group
+    // before collecting, where it would otherwise NPE the getLong
+    val dropped = Skew.oversizeBlocks(a.filter(col("bkt").isNotNull),
+      "bkt", maxBucket).collect()
     val droppedKeys = dropped.map(_.getLong(0)).toSeq
     if (dropped.nonEmpty)
       System.err.println(
@@ -793,9 +798,22 @@ object Multimodal {
           dropped.take(20)
             .map(r => s"bkt=${r.getLong(0)}(${r.getLong(1)} pngs)")
             .mkString(", "))
+    // the adaptive default keeps the excluded set ≤ B+2 ≤ 98 — cheap as
+    // isin literals. A caller-supplied buckets0 on a degenerate corpus
+    // can push it to thousands, where a literal list bloats codegen:
+    // past a small threshold use the bounded broadcast (anti-)join the
+    // pre-r18 gate used — same semantics, plan-sized cost.
+    import org.apache.spark.sql.functions.broadcast
+    lazy val droppedDf = {
+      val s = pngs.sparkSession
+      import s.implicits._
+      droppedKeys.toDF("bkt")
+    }
+    val inlineGate = droppedKeys.size <= 128
     val aOk =
       if (dropped.isEmpty) a
-      else a.filter(!col("bkt").isin(droppedKeys: _*))
+      else if (inlineGate) a.filter(!col("bkt").isin(droppedKeys: _*))
+      else a.join(broadcast(droppedDf), Seq("bkt"), "left_anti")
     // a (jpeg, png) pair meets in EXACTLY one bucket (the png holds one
     // bucket; the jpeg's three probes are distinct) — no distinct needed.
     // The pair scan is the hot path (a degenerate-luminance corpus can
@@ -821,8 +839,9 @@ object Multimodal {
       // `touched` carries NO broadcast hint: a fully-degenerate corpus
       // makes it every jpeg id, far past driver memory at 100 TB — let
       // AQE pick the strategy from its measured size.
-      val touched = b
-        .filter(col("bkt").isin(droppedKeys: _*))
+      val touched = (
+        if (inlineGate) b.filter(col("bkt").isin(droppedKeys: _*))
+        else b.join(broadcast(droppedDf), Seq("bkt"), "left_semi"))
         .select(col("jpeg_id")).distinct()
       val unknown = touched.select(col("jpeg_id"),
         lit(null).cast("long").as("rank"),

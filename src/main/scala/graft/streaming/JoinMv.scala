@@ -102,16 +102,34 @@ object JoinMv {
     "spark.job.description", "spark.job.interruptOnCancel",
     "spark.scheduler.pool")
 
-  private def laneFuture[T](body: => T): scala.concurrent.Future[T] = {
+  /** Snapshot the calling thread's [[PropagatedProps]]; the returned
+    * thunk re-pins them on whatever lane thread later runs. */
+  private def capturePin(): () => Unit = {
     val sc = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext)
     val props = sc.toSeq.flatMap(s =>
       PropagatedProps.map(k => k -> s.getLocalProperty(k)))
-    scala.concurrent.Future {
-      sc.foreach(s => props.foreach { case (k, v) => s.setLocalProperty(k, v) })
-      body
-    }(lanes)
+    () => sc.foreach(s =>
+      props.foreach { case (k, v) => s.setLocalProperty(k, v) })
+  }
+
+  private def laneFuture[T](body: => T): scala.concurrent.Future[T] = {
+    val pin = capturePin()
+    scala.concurrent.Future { pin(); body }(lanes)
+  }
+
+  /** Run `body` on a lane thread after `f` completes — with the
+    * REGISTERING thread's props re-pinned first. A bare
+    * `andThen/foreach(...)(lanes)` callback runs with whatever stale job
+    * group the cached lane thread inherited at creation, so any Spark
+    * jobs the callback triggers (an unpersist, a checkpoint cleanup)
+    * would be attributable — and CANCELLABLE — under another stream's
+    * group: the exact bleed [[PropagatedProps]] exists to prevent. */
+  private def afterOnLane[T](f: scala.concurrent.Future[T])(
+      body: scala.util.Try[T] => Unit): scala.concurrent.Future[T] = {
+    val pin = capturePin()
+    f.andThen { case t => pin(); body(t) }(lanes)
   }
 
   /** Run `a` and `b` as concurrent lanes, awaiting BOTH before returning
@@ -247,7 +265,7 @@ object JoinMv {
               .filter(col(opA) =!= "delete"), reliable))
           catch { case t: Throwable =>
             // a failed merge must not leak the side-lane snapshot
-            fSnapshot.foreach(_.release())(lanes)
+            afterOnLane(fSnapshot)(_.foreach(_.release()))
             throw t
           }
         try {
@@ -300,7 +318,7 @@ object JoinMv {
         val fSwap = laneFuture(phased(acc, "left_swap")(
           if (touchedL.nonEmpty)
             swapTouched(newLMat.df, leftPath, touchedL)))
-        fSwap.andThen { case _ => newLMat.release() }(lanes)
+        afterOnLane(fSwap)(_ => newLMat.release())
       }
 
       def rightChain(): Unit = phased(acc, "right_upsert") {

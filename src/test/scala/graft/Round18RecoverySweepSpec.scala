@@ -268,23 +268,40 @@ class Round18RecoverySweepSpec extends SparkSpec with CrashSweepHarness {
     assert(swept >= 10, s"suspiciously few crash points ($swept)")
   }
 
-  test("load warns loudly on a torn park; reconcile restores it without a write") {
+  test("load under a held lease warns loudly on a torn park; a plain load " +
+    "with the lease free auto-heals it with no operator action") {
     val tpl = Files.createTempDirectory("tpl-r18-torn-").toFile
     copyTree(tplDebris, tpl)
     val root = s"ifs://$tpl/idx"
+    // a LIVE writer holds the lease: the reader cannot reconcile (the
+    // non-blocking acquire throws), so it keeps the r18 warn-only path —
+    // smaller corpus served loudly, read never blocked on the lease
+    SnapshotStore.withWriterLock(spark, root, 60000L) {
+      IvfIndex.tornParkWarnings.set(0)
+      IvfIndex.tornParkAutoHeals.set(0)
+      val before = IvfIndex.load(spark, root)
+      assert(IvfIndex.tornParkWarnings.get() === 1L,
+        "with the lease held, a torn park must warn the reader loudly")
+      assert(IvfIndex.tornParkAutoHeals.get() === 0L,
+        "a reader must never reconcile while a writer holds the lease")
+      // the torn cell's 6 rows are invisible to this lock-free reader
+      assert(before.assignments.count() === 18L)
+    }
+    // lease free: the NEXT plain load heals the crashed manual compact's
+    // debris itself (r19 — the r18 gap was exactly this unbounded wait
+    // for an operator to act on the warning)
     IvfIndex.tornParkWarnings.set(0)
-    val before = IvfIndex.load(spark, root)
-    assert(IvfIndex.tornParkWarnings.get() === 1L,
-      "a parked cell with no live dir must warn the reader loudly")
-    // the torn cell's 6 rows are invisible to this lock-free reader
-    assert(before.assignments.count() === 18L)
-    IvfIndex.reconcile(spark, root)
-    IvfIndex.tornParkWarnings.set(0)
+    IvfIndex.tornParkAutoHeals.set(0)
     val after = IvfIndex.load(spark, root)
+    assert(IvfIndex.tornParkAutoHeals.get() === 1L,
+      "a plain load with the lease free must auto-heal the torn park")
     assert(IvfIndex.tornParkWarnings.get() === 0L,
-      "reconcile must clear the torn park (and the trash park and staging)")
+      "a healed load must not also warn")
     assert(after.assignments.count() === 24L,
-      "reconcile must restore the parked cell's rows")
+      "the auto-heal must restore the parked cell's rows")
+    // steady state: the next load finds nothing to do
+    val again = IvfIndex.load(spark, root)
+    assert(IvfIndex.tornParkAutoHeals.get() === 1L && again.assignments.count() === 24L)
     assertClean(tpl)
   }
 }
