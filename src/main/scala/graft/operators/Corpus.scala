@@ -37,9 +37,12 @@ object Corpus {
       reliable: Boolean = false): DataFrame = {
     val pairs = Dedup.q43NgramJaccard(spark, dir, threshold)
       .select(col("doc_a"), col("doc_b"))
+    // symmetrize via ONE explode, not unionAll of two plan references: the
+    // union's branches each contain the full q43 candidate+verify subtree,
+    // and only its exchanges are deduplicated (ReuseExchange) — the salted
+    // join + intersect kernel above them executed TWICE per r19 profiling
     val edgesM = graft.Lineage.truncate( // materialize once; reused every round
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      Graph.symmetrized(pairs, "doc_a", "doc_b")
         .repartition(col("src")), reliable)
     val edges = edgesM.df
     // init = the first HashMin round pre-applied (min of self and direct
@@ -57,30 +60,25 @@ object Corpus {
       while (changed > 0 && iter < maxIters) {
         val prop = edges.join(labels, col("src") === col("id"))
           .groupBy(col("dst")).agg(min(col("cluster_id")).as("nl"))
-        // eager materialization, not persist: measured faster here — the
-        // spill job pays once and the convergence count then reads
-        // materialized data, while a lazy cache re-enters the whole join
-        // in the counting job's memory pressure window
+        // the convergence count rides the materialization job as an
+        // observed metric (CollectMetrics) instead of a second job reading
+        // the checkpoint back — one Spark job per round, not two, and the
+        // __old column never reaches the checkpointed frame. coalesce:
+        // sum over zero rows is NULL (empty pair graph).
+        val obs = org.apache.spark.sql.Observation()
         val nextM = graft.Lineage.truncate(
           labels.join(prop, col("id") === col("dst"), "left")
             .select(col("id"), col("cluster_id").as("__old"),
               least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
-                .as("cluster_id")), reliable)
-        // coalesce: sum over zero rows is NULL (empty pair graph)
-        changed =
-          try nextM.df.agg(
-            coalesce(sum(when(col("__old") =!= col("cluster_id"), 1L).otherwise(0L)),
-              lit(0L)))
-            .first().getLong(0)
-          catch { case e: Throwable =>
-            // count failed before nextM was swapped into labelsM — the
-            // finally below can't see it, so its spill must die here
-            try nextM.release() catch { case s: Throwable => e.addSuppressed(s) }
-            throw e
-          }
+                .as("cluster_id"))
+            .observe(obs, coalesce(sum(
+              when(col("__old") =!= col("cluster_id"), 1L).otherwise(0L)),
+              lit(0L)).as("changed"))
+            .select(col("id"), col("cluster_id")), reliable)
+        changed = obs.get("changed").asInstanceOf[Long]
         labelsM.release() // the prior round feeds nothing anymore
         labelsM = nextM
-        labels = nextM.df.drop("__old")
+        labels = nextM.df
         iter += 1
       }
       // silent non-convergence would diverge from the exact closure — a
@@ -860,10 +858,14 @@ object Corpus {
     val deg = e.select(col("doc_a").as("doc_id"))
       .unionAll(e.select(col("doc_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    // ONE explode over the triangle list, not a 3-way unionAll of plan
+    // references: the union form embedded the whole wedge+closure join
+    // three times (r19 plan audit: 14 Exchanges → 6, the oriented
+    // self-join executed once instead of 3×); the exploded multiset of
+    // members is row-identical to the three projections
     val tri = Graph.triangles(e, "doc_a", "doc_b")
-    val triPerNode = tri.select(col("va").as("doc_id"))
-      .unionAll(tri.select(col("vb").as("doc_id")))
-      .unionAll(tri.select(col("vc").as("doc_id")))
+    val triPerNode = tri
+      .select(explode(array(col("va"), col("vb"), col("vc"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("triangles"))
     deg.join(triPerNode, Seq("doc_id"), "left")
       .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
@@ -1142,9 +1144,10 @@ object Corpus {
       reliable: Boolean = false): DataFrame = {
     val pairs = Dedup.q43NgramJaccard(spark, dir, threshold)
       .select(col("doc_a"), col("doc_b"))
+    // ONE plan reference to the q43 pipeline (Graph.symmetrized), not a
+    // unionAll whose branches each re-run the candidate+verify stages
     val edgesM = graft.Lineage.truncate(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      Graph.symmetrized(pairs, "doc_a", "doc_b")
         .repartition(col("src")), reliable)
     try {
       val edges = edgesM.df
@@ -1154,30 +1157,51 @@ object Corpus {
       val adjM = graft.Lineage.truncate(
         edges.join(deg, Seq("src")).repartition(col("src")), reliable)
       try {
-        val nodes = adjM.df.select(col("src").as("doc_id")).distinct()
-        val n = nodes.count()
-        if (n == 0L) // empty pair graph: nothing references released spills
-          return spark.range(0).select(col("id").as("doc_id"),
-            lit(0d).as("rank"))
-        val base = (1d - damping) / n.toDouble
-        var ranksM = graft.Lineage.truncate(
-          nodes.withColumn("rank", lit(1d / n.toDouble)), reliable)
-        var iter = 0
-        while (iter < iters) {
-          val contrib = adjM.df
-            .join(ranksM.df.withColumnRenamed("doc_id", "src"), Seq("src"))
-            .groupBy(col("dst").as("doc_id"))
-            .agg(sum(col("rank") / col("deg").cast("double")).as("__in"))
-          val nextM = graft.Lineage.truncate(
-            nodes.join(contrib, Seq("doc_id"), "left")
+        // nodes feeds every round's left join (+ the count) — materialize
+        // once; it is cluster-count-sized
+        val nodesM = graft.Lineage.truncate(
+          adjM.df.select(col("src").as("doc_id")).distinct(), reliable)
+        try {
+          val nodes = nodesM.df
+          val n = nodes.count()
+          if (n == 0L) // empty pair graph: nothing references released spills
+            return spark.range(0).select(col("id").as("doc_id"),
+              lit(0d).as("rank"))
+          val base = (1d - damping) / n.toDouble
+          // The iteration count is FIXED (no convergence action per round),
+          // so the local path builds the whole `iters`-round plan LAZILY and
+          // materializes ONCE at the end: one Spark job instead of one
+          // checkpoint job per round (r19: 14 jobs → 4 at sf0.1), identical
+          // arithmetic — every round is still its own join+aggregation, the
+          // shuffles just pipeline inside a single job, and fault recovery
+          // flows through recomputable shuffle files instead of
+          // unrecoverable localCheckpoint blocks. The `reliable` posture
+          // keeps the per-round durable spill: its purpose is bounding
+          // recompute depth on a lossy cluster across an hours-long chain.
+          var ranks: DataFrame = nodes.withColumn("rank", lit(1d / n.toDouble))
+          var prevM: Option[graft.Lineage.Materialized] = None
+          var iter = 0
+          while (iter < iters) {
+            val contrib = adjM.df
+              .join(ranks.withColumnRenamed("doc_id", "src"), Seq("src"))
+              .groupBy(col("dst").as("doc_id"))
+              .agg(sum(col("rank") / col("deg").cast("double")).as("__in"))
+            val next = nodes.join(contrib, Seq("doc_id"), "left")
               .select(col("doc_id"),
                 (lit(base) + lit(damping) * coalesce(col("__in"), lit(0d)))
-                  .as("rank")), reliable)
-          ranksM.release()
-          ranksM = nextM
-          iter += 1
-        }
-        ranksM.df
+                  .as("rank"))
+            if (reliable) {
+              val m = graft.Lineage.truncate(next, reliable)
+              prevM.foreach(_.release())
+              prevM = Some(m)
+              ranks = m.df
+            } else ranks = next
+            iter += 1
+          }
+          // materialize the chain before the finallys release its inputs
+          if (reliable) ranks
+          else graft.Lineage.truncate(ranks, reliable = false).df
+        } finally nodesM.release()
       } finally adjM.release()
     } finally edgesM.release()
   }
@@ -1628,10 +1652,10 @@ object Corpus {
       threshold: Double = 0.6, k: Int = 50): DataFrame = {
     val pairs = Dedup.q43NgramJaccard(spark, dir, threshold)
       .select(col("doc_a"), col("doc_b"))
+    // ONE plan reference to the q43 pipeline (Graph.symmetrized), not a
+    // unionAll whose branches each re-run the candidate+verify stages
     val edgesM = graft.Lineage.truncate(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
-      reliable = false)
+      Graph.symmetrized(pairs, "doc_a", "doc_b"), reliable = false)
     val adj = edgesM.df
     val deg = adj.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("degree"))
@@ -1823,8 +1847,12 @@ object Corpus {
   def q175HllUnion(spark: SparkSession, dir: String, lgK: Int = 12): DataFrame = {
     val words = Tables.documents(spark, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("word"))
-    val perSource = words.groupBy(col("source"))
-      .agg(expr(s"hll_sketch_agg(word, $lgK)").as("sk"))
+    // perSource feeds BOTH report arms — materialize the |sources|-row
+    // sketch table once or the full token explode + sketch build runs twice
+    val perSource = graft.Lineage.truncate(
+      words.groupBy(col("source"))
+        .agg(expr(s"hll_sketch_agg(word, $lgK)").as("sk")),
+      reliable = false).df
     val bySource = perSource.select(col("source"),
       expr("hll_sketch_estimate(sk)").as("est_distinct"))
     val all = perSource.agg(

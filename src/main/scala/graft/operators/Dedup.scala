@@ -728,12 +728,16 @@ object Dedup {
     val pairs = cand
       .join(c.select(col("c_custkey").as("ka"), col("c_name").as("na")), Seq("ka"))
       .join(c.select(col("c_custkey").as("kb"), col("c_name").as("nb")), Seq("kb"))
-      .filter(levenshtein(col("na"), col("nb")) <= 1)
+      // threshold-capped levenshtein: band-pruned O(len·1) DP with early
+      // exit at the cap (guide: prefer the cheaper codegen form) — returns
+      // -1 above the cap, so `!= -1` selects exactly the `<= 1` pairs
+      .filter(levenshtein(col("na"), col("nb"), 1) =!= -1)
       .select(col("ka"), col("kb"))
-    // HashMin CC (q59's discipline, compacted: the match graph is sparse)
+    // HashMin CC (q59's discipline, compacted: the match graph is sparse).
+    // Symmetrize via ONE explode (Graph.symmetrized): the unionAll form
+    // re-ran the candidate self-join + verify joins once per branch.
     val edgesM = graft.Lineage.truncate(
-      pairs.select(col("ka").as("src"), col("kb").as("dst"))
-        .unionAll(pairs.select(col("kb").as("src"), col("ka").as("dst")))
+      Graph.symmetrized(pairs, "ka", "kb")
         .repartition(col("src")), reliable)
     try {
       val edges = edgesM.df
@@ -746,19 +750,19 @@ object Dedup {
         while (changed > 0 && iter < maxIters) {
           val prop = edges.join(labelsM.df, col("src") === col("id"))
             .groupBy(col("dst")).agg(min(col("cl")).as("nl"))
+          // convergence count rides the materialization job as an observed
+          // metric — one job per round, not two (q59's device)
+          val obs = org.apache.spark.sql.Observation()
           val nextM = graft.Lineage.truncate(
             labelsM.df.join(prop, col("id") === col("dst"), "left")
               .select(col("id"), col("cl").as("__old"),
-                least(col("cl"), coalesce(col("nl"), col("cl"))).as("cl")),
+                least(col("cl"), coalesce(col("nl"), col("cl"))).as("cl"))
+              .observe(obs, coalesce(sum(
+                when(col("__old") =!= col("cl"), 1L).otherwise(0L)),
+                lit(0L)).as("changed"))
+              .select(col("id"), col("cl")),
             reliable)
-          changed =
-            try nextM.df.agg(coalesce(sum(
-                when(col("__old") =!= col("cl"), 1L).otherwise(0L)), lit(0L)))
-              .first().getLong(0)
-            catch { case e: Throwable =>
-              try nextM.release() catch { case s: Throwable => e.addSuppressed(s) }
-              throw e
-            }
+          changed = obs.get("changed").asInstanceOf[Long]
           labelsM.release()
           labelsM = nextM
           iter += 1

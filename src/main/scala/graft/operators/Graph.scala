@@ -37,6 +37,19 @@ object Graph {
       .unionAll(pairs.select(col(bCol).as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
 
+  /** Both directions `(src, dst)` of a canonical pair list via ONE explode
+    * — row-identical to `pairs.select(a as src, b as dst) UNION ALL
+    * pairs.select(b as src, a as dst)`, but with a single plan reference
+    * to `pairs`: the union form embeds the (often expensive) pair pipeline
+    * twice, and only its exchanges are deduplicated by ReuseExchange — the
+    * join/verify stages above them execute once per branch (guide §2.4:
+    * remove duplicate work before tuning anything else). */
+  def symmetrized(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+
   /** Orient a canonical (`a < b`) undirected edge list by the total order
     * ≺ = (degree, id): each edge leaves its ≺-smaller endpoint. Output
     * `(src, dst, deg_dst)` — the dst degree rides along so a wedge's two

@@ -115,11 +115,56 @@ object Multimodal {
     * through the JDK codec chain first, so the histogram reflects DECODED
     * amplitudes, not companded byte values. Other sample sizes get
     * header-only metadata. Returns None for undecodable bytes. */
+  /** Lock-free audio SPI access. Every `AudioSystem.*` entry point funnels
+    * through the JDK's synchronized provider registry
+    * (`JDK13Services.getProviders` takes a GLOBAL lock per call), so 32
+    * decode tasks serialize on it — r19 profiling measured q206 at 76 s
+    * executorRunTime against 3 s of CPU, i.e. ~96% lock wait. The provider
+    * lists are immutable after boot: materialize them ONCE per JVM via the
+    * public `javax.sound.sampled.spi` ServiceLoader surface and dispatch
+    * directly — same providers, same semantics, no lock. */
+  private object AudioSpi {
+    import javax.sound.sampled._
+    import javax.sound.sampled.spi._
+    import scala.jdk.CollectionConverters._
+    val readers: List[AudioFileReader] =
+      java.util.ServiceLoader.load(classOf[AudioFileReader]).asScala.toList
+    val writers: List[AudioFileWriter] =
+      java.util.ServiceLoader.load(classOf[AudioFileWriter]).asScala.toList
+    val converters: List[FormatConversionProvider] =
+      java.util.ServiceLoader.load(classOf[FormatConversionProvider]).asScala.toList
+    /** AudioSystem.getAudioInputStream(stream): providers leave the stream
+      * positioned for the next attempt on failure (SPI contract). */
+    def read(in: java.io.InputStream): AudioInputStream = {
+      val it = readers.iterator
+      while (it.hasNext) {
+        try return it.next().getAudioInputStream(in)
+        catch { case _: UnsupportedAudioFileException => }
+      }
+      throw new UnsupportedAudioFileException(
+        "Stream of unsupported format")
+    }
+    /** AudioSystem.getAudioInputStream(targetFormat, stream). */
+    def convert(target: AudioFormat, src: AudioInputStream): AudioInputStream =
+      converters.find(_.isConversionSupported(target, src.getFormat))
+        .map(_.getAudioInputStream(target, src))
+        .getOrElse(throw new IllegalArgumentException(
+          s"Unsupported conversion: $target from ${src.getFormat}"))
+    /** AudioSystem.write(stream, type, out). */
+    def write(src: AudioInputStream, tpe: AudioFileFormat.Type,
+        out: java.io.OutputStream): Int = {
+      val w = writers.find(_.isFileTypeSupported(tpe, src))
+        .getOrElse(throw new IllegalArgumentException(
+          s"could not write audio type $tpe"))
+      w.write(src, tpe, out)
+    }
+  }
+
   private def decodeAudio(bytes: Array[Byte]): Option[(Int, Long, Array[Float])] = {
-    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    import javax.sound.sampled.AudioFormat
     if (bytes.isEmpty) return None
     try {
-      val in = AudioSystem.getAudioInputStream(
+      val in = AudioSpi.read(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
@@ -131,7 +176,7 @@ object Multimodal {
         // container's truth while samples come from the decoded stream
         val pcm =
           if (companded)
-            AudioSystem.getAudioInputStream(new AudioFormat(
+            AudioSpi.convert(new AudioFormat(
               AudioFormat.Encoding.PCM_SIGNED, fmt.getSampleRate, 16,
               fmt.getChannels, fmt.getChannels * 2, fmt.getSampleRate,
               false), in)
@@ -283,9 +328,13 @@ object Multimodal {
     * (the encode→decode inversion witness behind [[q154ImageNearDup]]). */
   def imagesFromDocuments(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .filter(pmod(col("doc_id"), lit(3)) === 0)
-      .select(col("doc_id"), col("text"))
+    // codec CPU ≫ row bytes: fan the light (id, text) rows out to the
+    // session width when the scan under-splits (one small parquet row
+    // group = ONE task for the whole encode otherwise); no-op at scale
+    Skew.fanOutForCpu(
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), col("text")), "doc_id")
       .as[(Long, String)]
       .mapPartitions { rows =>
         // same no-temp-file rule as decodeImage: the default write path
@@ -397,9 +446,11 @@ object Multimodal {
     * decode-inverts-encode check behind [[q157AudioStats]]. */
   def audioFromDocuments(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .filter(pmod(col("doc_id"), lit(3)) === 1)
-      .select(col("doc_id"), col("text"), col("n_chars").cast("long"))
+    Skew.fanOutForCpu( // codec fan-out; no-op at scale (imagesFromDocuments)
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id"), col("text"), col("n_chars").cast("long")),
+      "doc_id")
       .as[(Long, String, Long)]
       .mapPartitions { rows =>
         rows.map { case (id, text, nChars) =>
@@ -416,7 +467,7 @@ object Multimodal {
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
           val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
+          AudioSpi.write(ais, // AudioSystem.write takes the global SPI lock
             javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
           (id, "audio", bos.toByteArray)
         }
@@ -436,9 +487,11 @@ object Multimodal {
       aLaw: Boolean = false): DataFrame = {
     import spark.implicits._
     import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
-    Tables.documents(spark, dir)
-      .filter(pmod(col("doc_id"), lit(3)) === 1)
-      .select(col("doc_id"), col("text"), col("n_chars").cast("long"))
+    Skew.fanOutForCpu( // codec fan-out; no-op at scale (imagesFromDocuments)
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id"), col("text"), col("n_chars").cast("long")),
+      "doc_id")
       .as[(Long, String, Long)]
       .mapPartitions { rows =>
         val enc = if (aLaw) AudioFormat.Encoding.ALAW
@@ -455,10 +508,11 @@ object Multimodal {
           val srcFmt = new AudioFormat(8000f, 16, 1, true, false)
           val src = new AudioInputStream(
             new java.io.ByteArrayInputStream(pcm), srcFmt, n.toLong)
-          val companded = AudioSystem.getAudioInputStream(
+          // direct SPI dispatch — AudioSystem.* serializes on a global lock
+          val companded = AudioSpi.convert(
             new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false), src)
           val bos = new java.io.ByteArrayOutputStream()
-          AudioSystem.write(companded,
+          AudioSpi.write(companded,
             javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
           (id, "audio", bos.toByteArray)
         }
@@ -507,9 +561,11 @@ object Multimodal {
     * check behind [[q58FrameSample]]. */
   def videoFromDocuments(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .filter(pmod(col("doc_id"), lit(3)) === 2)
-      .select(col("doc_id"), col("text"), col("n_chars").cast("long"))
+    Skew.fanOutForCpu( // codec fan-out; no-op at scale (imagesFromDocuments)
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 2)
+        .select(col("doc_id"), col("text"), col("n_chars").cast("long")),
+      "doc_id")
       .as[(Long, String, Long)]
       .mapPartitions { rows =>
         rows.map { case (id, text, nChars) =>
@@ -598,9 +654,10 @@ object Multimodal {
     * different pixels. The adversary [[q181JpegNearDup]] must defeat. */
   def jpegsFromDocuments(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .filter(pmod(col("doc_id"), lit(3)) === 0)
-      .select(col("doc_id"), col("text"))
+    Skew.fanOutForCpu( // codec fan-out; no-op at scale (imagesFromDocuments)
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), col("text")), "doc_id")
       .as[(Long, String)]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)

@@ -1425,8 +1425,12 @@ object Relational {
       holdUs: Long = 300000000L): DataFrame = {
     val us = Tables.events(spark, dir)
       .select(unix_micros($"ts".cast("timestamp")).as("us"))
-    val deltas = us.select($"us".as("pt"), lit(1L).as("d"))
-      .unionAll(us.select(($"us" + holdUs).as("pt"), lit(-1L).as("d")))
+    // ±1 deltas via ONE explode per event, not a unionAll whose branches
+    // each re-scan events (row-identical output)
+    val deltas = us.select(explode(array(
+        struct($"us".as("pt"), lit(1L).as("d")),
+        struct(($"us" + holdUs).as("pt"), lit(-1L).as("d")))).as("__e"))
+      .select($"__e.pt".as("pt"), $"__e.d".as("d"))
       .groupBy($"pt").agg(sum($"d").as("d"))
     val (run, _) = Rank.prefixSumAndTotal(deltas, Seq($"pt".asc), $"d", "conc")
     run.orderBy($"conc".desc, $"pt".asc).limit(1)
@@ -2112,8 +2116,13 @@ object Relational {
     * broadcasts by construction. */
   def q187AssocRules(spark: SparkSession, dir: String,
       minSupport: Long = 2L, minConfidence: Double = 0.1): DataFrame = {
-    val baskets = Tables.lineitem(spark, dir)
-      .select($"l_orderkey", $"l_partkey").distinct()
+    // baskets feeds FOUR plan branches (item counts, basket count, both
+    // self-join sides) — materialize once (q106's rule) or the lineitem
+    // scan + distinct re-execute per reference
+    val baskets = graft.Lineage.truncate(
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_partkey").distinct(),
+      reliable = false).df
     val itemCounts = baskets.groupBy($"l_partkey")
       .agg(count(lit(1)).as("n_item"))
     val nBaskets = baskets.select($"l_orderkey").distinct()
@@ -3101,13 +3110,17 @@ object Relational {
       .select($"v",
         coalesce(substring($"fk", 31, 100), lit("direct")).as("first_ch"),
         coalesce(substring($"lk", 31, 100), lit("direct")).as("last_ch"))
-    def model(ch: Column, name: String) = attributed
-      .groupBy(ch.as("channel"))
-      .agg(count(lit(1)).as("conversions"),
-        asDouble(sum($"v")).as("revenue"))
-      .select(lit(name).as("model"), $"channel", $"conversions", $"revenue")
-    model($"first_ch", "first_touch")
-      .unionAll(model($"last_ch", "last_touch"))
+    // both models in ONE pass: explode each attributed purchase into its
+    // (model, channel) memberships instead of unionAll of two groupBys over
+    // the same interval-join subtree (which executed it twice) — counts are
+    // identical and the revenue sum is DECIMAL (order-independent exact)
+    attributed.select($"v", explode(array(
+        struct(lit("first_touch").as("model"), $"first_ch".as("channel")),
+        struct(lit("last_touch").as("model"), $"last_ch".as("channel"))))
+        .as("__m"))
+      .groupBy($"__m.model".as("model"), $"__m.channel".as("channel"))
+      .agg(count(lit(1)).as("conversions"), asDouble(sum($"v")).as("revenue"))
+      .select($"model", $"channel", $"conversions", $"revenue")
   }
 
   // ---------------------------------------------------------------- A122

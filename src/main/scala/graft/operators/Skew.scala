@@ -97,6 +97,24 @@ object Skew {
     d.groupBy(col(blockCol)).agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > maxBlock)
 
+  /** Hash-repartition `df` on `key` up to the session shuffle width when
+    * its plan parallelism is BELOW it — the scale-adaptive fan-out for
+    * CPU-heavy per-row kernels (image/audio codec encode+decode) whose
+    * input's file/row-group layout under-splits: a small parquet file is
+    * one row group, so the scan is ONE task no matter how many cores sit
+    * idle, and `files.minPartitionNum` cannot split below a row group. On
+    * a production multi-split table the partition check makes this a
+    * NO-OP — no shuffle is added at scale (guide §2: scale-adaptive, not
+    * a local[32] constant). Hash on a unique key, not round-robin: keyless
+    * repartition pays a retry-determinism local sort (SPARK-23207). The
+    * `.rdd.getNumPartitions` probe only forces physical planning of the
+    * (scan-shaped) input — no job runs. */
+  def fanOutForCpu(d: DataFrame, key: String): DataFrame = {
+    val want = graft.GraftSession.shufflePartitions(d.sparkSession)
+    if (d.rdd.getNumPartitions >= want) d
+    else d.repartition(want, col(key))
+  }
+
   /** Top-n hot keys of a frame by count — the diagnostic used to decide
     * whether salting/AQE-skew settings are warranted. */
   def hotKeys(df: DataFrame, key: Column, n: Int = 20): DataFrame =
