@@ -1618,7 +1618,7 @@ object Corpus {
       .filter(col("__mix") < keepHexLt)
     val ordered = Rank.globalRowNumber(kept,
       Seq(col("__ord").asc, col("doc_id").asc), "pos")
-    val (withSum, _) = Rank.prefixSumAndTotal(ordered,
+    val withSum = Rank.prefixSum(ordered, // total unused — no collect job
       Seq(col("__ord").asc, col("doc_id").asc), col("n_tokens"), "__cum")
     withSum
       .withColumn("__start", col("__cum") - col("n_tokens"))
@@ -1700,12 +1700,17 @@ object Corpus {
         "transform(sequence(0, size(ws) - 3), " +
           "i -> array_join(slice(ws, i + 1, 3), ' '))")).as("gram"))
       .distinct()
-    val counts = grams.groupBy(col("gram"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-    val perDoc = grams.join(counts, Seq("gram"))
+    // "appears in NO other document" ⟺ min(doc) = max(doc) over the gram
+    // partition (grams is (doc, gram)-distinct) — one execution of the
+    // gram explode and one shuffle, where the old vocab groupBy +
+    // membership join re-ran the explode and shuffled the grams twice
+    val wG = Window.partitionBy(col("gram"))
+    val perDoc = grams
+      .withColumn("__uniq",
+        min(col("doc_id")).over(wG) === max(col("doc_id")).over(wG))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("nd") === 1, 1L).otherwise(0L)).as("n_unique"))
+        sum(when(col("__uniq"), 1L).otherwise(0L)).as("n_unique"))
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -32,10 +32,61 @@ object Rank {
     graft.GraftSession.shufflePartitions(spark)
 
   /** Append `rnCol` = 1-based global row number of `df` under `sortCols`
-    * (must be a total order — include a unique tiebreaker). */
+    * (must be a total order — include a unique tiebreaker).
+    *
+    * Unlike [[globalRowNumberAndTotal]] this runs NO driver action beyond
+    * the range materialization: the per-partition count offsets are a
+    * ≤`parts`-row broadcast self-join SUBPLAN (the [[prefixMax]] device),
+    * so they ride inside the consumer's own job instead of costing a
+    * collect job per call — r19 measured the collect at ~0.2-0.4 s of
+    * pure job latency on each of 8 call sites. Same determinism contract:
+    * offsets and rank both read the ONE materialized ranged frame. */
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
-      rnCol: String = "rn"): DataFrame =
-    globalRowNumberAndTotal(df, sortCols, rnCol)._1
+      rnCol: String = "rn"): DataFrame = {
+    val (ranged, offsets, _) = rangedOffsets(df, sortCols, value = None)
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rnCol, row_number().over(w).cast("long") + col("__off"))
+      .drop("__pid", "__off")
+  }
+
+  /** Append `outCol` = INCLUSIVE running sum of the long `value` over the
+    * `sortCols` total order — [[prefixSumAndTotal]] without the driver
+    * total (and without its collect job): per-partition sum offsets ride
+    * as a broadcast subplan, exactly [[globalRowNumber]]'s shape. For
+    * callers that discard the total. */
+  def prefixSum(df: DataFrame, sortCols: Seq[Column], value: Column,
+      outCol: String): DataFrame = {
+    val (ranged, offsets, _) = rangedOffsets(df, sortCols, Some(value))
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, sum(col("__v")).over(w) + col("__off"))
+      .drop("__pid", "__v", "__off")
+  }
+
+  /** Shared no-action skeleton: range-materialize once, and derive the
+    * per-partition prefix offsets (`__pid`, `__off`) plus the 1-row grand
+    * total (`__N`) as PLANS over that materialization — never collected.
+    * `value = None` counts rows; `Some(v)` sums `v` cast to long (exact). */
+  private def rangedOffsets(df: DataFrame, sortCols: Seq[Column],
+      value: Option[Column]): (DataFrame, DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    val parts = rangeParts(spark)
+    val base = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val ranged = graft.Lineage.truncate(
+      value.map(v => base.withColumn("__v", v.cast("long")))
+        .getOrElse(base), reliable = false).df
+    val perRow = value.map(_ => sum(col("__v"))).getOrElse(count(lit(1)))
+    val counts = ranged.groupBy(col("__pid")).agg(perRow.as("__c"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
+    val total = counts.agg(coalesce(sum(col("__c")), lit(0L)).as("__N"))
+    (ranged, offsets, total)
+  }
 
   /** Append `outCol` = max of `value` over every row STRICTLY BEFORE the
     * current one in the `sortCols` total order (null for the global first
@@ -109,6 +160,12 @@ object Rank {
   def ntile(df: DataFrame, sortCols: Seq[Column], n: Int,
       outCol: String = "bucket"): DataFrame = {
     require(n > 0, s"ntile buckets must be positive, got $n")
+    // deliberately the COLLECT-based rank (globalRowNumberAndTotal), not
+    // the broadcast-subplan one: ntile needs the grand total, and an r19
+    // A/B measured the subplan form SLOWER here — totals + offsets as
+    // broadcast subplans each carry their own exchange (2-3 extra AQE
+    // stage-jobs per ntile; q162 chains three), where the collected
+    // offsets broadcast as a free local relation
     val (ranked, total) = globalRowNumberAndTotal(df, sortCols, "__rn")
     val q = total / n
     val r = total % n

@@ -1432,7 +1432,7 @@ object Relational {
         struct(($"us" + holdUs).as("pt"), lit(-1L).as("d")))).as("__e"))
       .select($"__e.pt".as("pt"), $"__e.d".as("d"))
       .groupBy($"pt").agg(sum($"d").as("d"))
-    val (run, _) = Rank.prefixSumAndTotal(deltas, Seq($"pt".asc), $"d", "conc")
+    val run = Rank.prefixSum(deltas, Seq($"pt".asc), $"d", "conc") // total unused
     run.orderBy($"conc".desc, $"pt".asc).limit(1)
       .select($"conc".as("peak"), $"pt".as("at_us"))
   }
