@@ -395,12 +395,22 @@ object Dedup {
     // the zero-false-negative guarantee. t is taken at 1e-6 resolution.
     val tScaled = math.round(threshold * 1e6)
     val ceilTn = expr(s"($tScaled * n + ${1000000L - 1}) div 1000000")
+    // pin the checkpoint at session width ON THE JOIN KEY: AQE coalesces
+    // this ~MB-scale frame to ONE partition, and since both candidate
+    // self-join sides broadcast-build against it, the whole candidate
+    // enumeration + pair-distinct map side then runs on ONE task (r19
+    // profile: a single 6.2 s task against 0.5 s for the rest of the
+    // query). REPARTITION_BY_NUM is AQE-proof; the narrow (h, doc_id, n)
+    // rows make the extra exchange ~1 MB — nothing like the text-input
+    // fan-out this round measured and rejected.
+    val numParts = graft.GraftSession.shufflePartitions(spark)
     val prefix = graft.Lineage.truncate(
       toks.join(dfreq, Seq("h"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h"))))
         .filter(col("rn") <= col("n") - ceilTn + 1)
-        .select(col("h"), col("doc_id"), col("n")),
+        .select(col("h"), col("doc_id"), col("n"))
+        .repartition(numParts, col("h")),
       reliable = false).df
     // PPJoin length filter, exact: J ≥ t ⟹ I ≥ t·(n_a+n_b)/(1+t) and
     // I ≤ min, so min·(1+t) ≥ t·(n_a+n_b) ⟺ min ≥ t·max — same 1e-6
@@ -549,8 +559,11 @@ object Dedup {
     val perBin = pairs.groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
     // docs implicated at threshold b/20 = docs in any pair with bin ≥ b:
     // per-doc MAX bin, then a cumulative count from the top
-    val docBins = pairs.select(col("doc_a").as("doc_id"), col("bin"))
-      .unionAll(pairs.select(col("doc_b").as("doc_id"), col("bin")))
+    // ONE explode, not a unionAll of two plan references — the union form
+    // read the full materialized pair frame twice (r19 profile: 110 MB of
+    // the 55 MB checkpoint re-read); row-identical multiset
+    val docBins = pairs.select(
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"), col("bin"))
       .groupBy(col("doc_id")).agg(max(col("bin")).as("max_bin"))
       .groupBy(col("max_bin")).agg(count(lit(1)).as("n_docs_at_max"))
     val w = Window.orderBy(col("bin").desc)
@@ -725,12 +738,20 @@ object Dedup {
       reliable: Boolean = false): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"))
+    // pin the variant frame at session width on the join key: the
+    // customer scan is one split, so the deletion-neighborhood expansion
+    // and the candidate self-join + levenshtein verify otherwise run at
+    // scan/AQE-coalesced parallelism (r19 profile: a 1-task 1.2 s map +
+    // a 7-task 3.8 s CPU stage on 32 cores); the rows are 16-byte
+    // (custkey, hash) pairs, so the pinned exchange is ~MBs
+    val numPartsQ180 = graft.GraftSession.shufflePartitions(spark)
     val variants = c.select(col("c_custkey"),
       explode(array_distinct(expr(
         "transform(sequence(0, length(c_name)), i -> if(i = 0, c_name, " +
           "concat(substring(c_name, 1, i - 1), " +
           "substring(c_name, i + 1, length(c_name)))))"))).as("v0"))
       .select(col("c_custkey"), xxhash64(col("v0")).as("v"))
+      .repartition(numPartsQ180, col("v"))
     val cand = variants.as("a")
       .join(variants.as("b"),
         col("a.v") === col("b.v") && col("a.c_custkey") < col("b.c_custkey"))

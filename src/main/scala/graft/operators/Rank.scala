@@ -307,6 +307,49 @@ object Rank {
   /** [[globalRowNumber]] plus the exact total row count — FREE, it is the
     * sum of the per-partition counts the offset pass already collected (a
     * caller needing rank AND n must not pay a second scan). */
+  /** The VALUE at 1-based global rank `k(total)` of `value` ascending —
+    * an order-statistic SELECTION for callers that need one quantile row
+    * (median, exact percentile), not every row's rank: full
+    * [[globalRowNumberAndTotal]] pays a per-partition sort of the whole
+    * frame PLUS a full-data exchange (the checkpoint scan loses the range
+    * partitioning, so Catalyst re-shuffles for the window — r19 measured
+    * 28.5 MB re-exchanged and ~6 s of window sort on q318's 2.9 M
+    * slopes). Here: range-materialize once, per-partition counts to the
+    * driver (≤`parts` longs — the established metadata collect), locate
+    * the ONE partition holding rank k, and TakeOrdered its first k_local
+    * rows — no window, no second exchange. Ties are value-ties: any of
+    * the tied rows yields the same `value`, so the result is
+    * deterministic by value. Returns (1-row frame with column `outCol`,
+    * total). k_local ≤ Int.MaxValue is required (a range partition
+    * bigger than 2^31 rows should raise `parts`, not silently sort). */
+  def kthSmallest(df: DataFrame, value: Column, k: Long => Long,
+      outCol: String = "kth"): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val parts = rangeParts(spark)
+    val ranged = graft.Lineage.truncate(
+      df.repartitionByRange(parts, value.asc)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__v", value), reliable = false).df
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val kk = k(total)
+    require(kk >= 1 && kk <= total,
+      s"rank $kk outside [1, $total]")
+    var acc = 0L
+    val (pStar, kLocal) = counts.collectFirst {
+      case (pid, n) if { val hit = kk <= acc + n; if (!hit) acc += n; hit } =>
+        (pid, kk - acc)
+    }.get
+    require(kLocal <= Int.MaxValue,
+      s"local rank $kLocal exceeds Int.MaxValue — raise shuffle partitions")
+    val kth = ranged.filter(col("__pid") === pStar)
+      .select(col("__v"))
+      .orderBy(col("__v").asc).limit(kLocal.toInt)
+      .agg(max(col("__v")).as(outCol))
+    (kth, total)
+  }
+
   def globalRowNumberAndTotal(df: DataFrame, sortCols: Seq[Column],
       rnCol: String = "rn"): (DataFrame, Long) = {
     val spark = df.sparkSession

@@ -1063,6 +1063,10 @@ object Relational {
         "concat(substring(c_name, 1, i - 1), " +
         "substring(c_name, i + 1, length(c_name)))))"))).as("v0"))
       .select($"c_custkey", xxhash64($"v0").as("v"))
+      // pinned at session width on the join key (q180's device): the
+      // one-split customer scan otherwise runs the candidate self-join +
+      // levenshtein verify at scan/AQE-coalesced parallelism
+      .repartition(graft.GraftSession.shufflePartitions(spark), $"v")
     // candidates carry only the two keys; names re-attach after the
     // distinct so the pair shuffle is 16 B/row, not strings (q40's rule)
     val cand = variants.as("a")
@@ -1613,9 +1617,14 @@ object Relational {
     * ever materializes its full candidate list. sim is one IEEE division
     * by one IEEE sqrt of an exact integer product. */
   def q152ItemCf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    // pinned at session width on the self-join key: AQE coalesces the
+    // ~6 MB distinct to a handful of partitions, and the quadratic
+    // within-basket pair expansion then runs on those few tasks (r19
+    // profile: the pair map at 20/32 tasks dominated the query)
     val li = graft.Lineage.truncate(
       Tables.lineitem(spark, dir)
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct(),
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+        .repartition(graft.GraftSession.shufflePartitions(spark), $"ok"),
       reliable = false).df
     val support = li.groupBy($"pk").agg(count(lit(1)).as("n"))
     // the co-occurrence aggregate feeds BOTH union branches — materialize
@@ -1626,8 +1635,12 @@ object Relational {
         .groupBy($"a.pk".as("pk_a"), $"b.pk".as("pk_b"))
         .agg(count(lit(1)).as("n_ab")),
       reliable = false).df
-    val directed = pairs.select($"pk_a".as("item"), $"pk_b".as("rec"), $"n_ab")
-      .unionAll(pairs.select($"pk_b".as("item"), $"pk_a".as("rec"), $"n_ab"))
+    // ONE explode, not a unionAll of two plan references over the
+    // materialized pair frame (reads it once instead of twice)
+    val directed = pairs.select(explode(array(
+        struct($"pk_a".as("item"), $"pk_b".as("rec")),
+        struct($"pk_b".as("item"), $"pk_a".as("rec")))).as("__e"), $"n_ab")
+      .select($"__e.item".as("item"), $"__e.rec".as("rec"), $"n_ab")
       .join(support.select($"pk".as("item"), $"n".as("n_item")), Seq("item"))
       .join(support.select($"pk".as("rec"), $"n".as("n_rec")), Seq("rec"))
       .withColumn("sim",
@@ -2119,9 +2132,14 @@ object Relational {
     // baskets feeds FOUR plan branches (item counts, basket count, both
     // self-join sides) — materialize once (q106's rule) or the lineitem
     // scan + distinct re-execute per reference
+    // pinned at session width on the self-join key (q152's device): the
+    // AQE-coalesced checkpoint ran the within-basket pair expansion on 5
+    // tasks (r19 profile: 5.7 s CPU over 5 of 32 cores)
     val baskets = graft.Lineage.truncate(
       Tables.lineitem(spark, dir)
-        .select($"l_orderkey", $"l_partkey").distinct(),
+        .select($"l_orderkey", $"l_partkey").distinct()
+        .repartition(graft.GraftSession.shufflePartitions(spark),
+          $"l_orderkey"),
       reliable = false).df
     val itemCounts = baskets.groupBy($"l_partkey")
       .agg(count(lit(1)).as("n_item"))
@@ -3989,30 +4007,34 @@ object Relational {
         .select($"a.pk".as("lo"), $"b.pk".as("hi"))
         .distinct(), // one undirected edge per co-purchased pair
       reliable = false).df
-    val deg = e0.select($"lo".as("p")).unionAll(e0.select($"hi".as("p")))
+    // ONE exploded pass for degrees and an EDGE-level join chain for the
+    // moments, instead of materializing the directed 2|E| list and
+    // joining it to the degree table twice: over the directed list every
+    // undirected edge contributes (deg_lo, deg_hi) once per direction, so
+    // Σdu = Σdv = Σ(dlo+dhi), Σdu² = Σdv² = Σ(dlo²+dhi²) and
+    // Σdu·dv = 2·Σdlo·dhi — exact DECIMAL sums of the same integer
+    // multisets, identical values, with e0 scanned twice instead of 4×
+    // and half the join rows (r19: the two directed-side scans each read
+    // the full 200 MB cached edge frame)
+    val deg = e0.select(explode(array($"lo", $"hi")).as("p"))
       .groupBy($"p").agg(count(lit(1)).as("deg"))
-    // direct both ways so each endpoint plays source and target once
-    val directed = e0.select($"lo".as("u"), $"hi".as("v"))
-      .unionAll(e0.select($"hi".as("u"), $"lo".as("v")))
-    val joined = directed
-      .join(deg.select($"p".as("u"), $"deg".as("du")), Seq("u"))
-      .join(deg.select($"p".as("v"), $"deg".as("dv")), Seq("v"))
+    val joined = e0
+      .join(deg.select($"p".as("lo"), $"deg".as("dlo")), Seq("lo"))
+      .join(deg.select($"p".as("hi"), $"deg".as("dhi")), Seq("hi"))
     val agg = joined.agg(
-      count(lit(1)).as("m2"), // 2·|E|
-      sum($"du".cast(DecimalType(38, 0))).as("sx"),
-      sum($"dv".cast(DecimalType(38, 0))).as("sy"),
-      sum(($"du".cast(DecimalType(19, 0)) * $"dv").cast(DecimalType(38, 0)))
-        .as("sxy"),
-      sum(($"du".cast(DecimalType(19, 0)) * $"du").cast(DecimalType(38, 0)))
-        .as("sxx"),
-      sum(($"dv".cast(DecimalType(19, 0)) * $"dv").cast(DecimalType(38, 0)))
-        .as("syy"))
+      (count(lit(1)) * 2).as("m2"), // 2·|E|
+      sum(($"dlo" + $"dhi").cast(DecimalType(38, 0))).as("sx"),
+      (sum(($"dlo".cast(DecimalType(19, 0)) * $"dhi")
+        .cast(DecimalType(38, 0))) * 2).as("sxy"),
+      sum(($"dlo".cast(DecimalType(19, 0)) * $"dlo")
+          .cast(DecimalType(38, 0))
+        + ($"dhi".cast(DecimalType(19, 0)) * $"dhi")
+          .cast(DecimalType(38, 0))).as("sxx"))
     val md = $"m2".cast("double")
-    val cov = md * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double")
+    val cov = md * $"sxy".cast("double") - $"sx".cast("double") * $"sx".cast("double")
     val vx = md * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double")
-    val vy = md * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double")
     agg.select(($"m2" / 2).cast("long").as("n_edges"), // m2 even — exact
-      when(vx =!= 0.0 && vy =!= 0.0, cov / (sqrt(vx) * sqrt(vy)))
+      when(vx =!= 0.0, cov / (sqrt(vx) * sqrt(vx)))
         .as("assortativity"))
   }
 
@@ -4965,15 +4987,24 @@ object Relational {
           expr("unix_micros(cast(day as timestamp)) div 86400000000L")
             .as("d"), $"x"),
       reliable = false).df
-    val a = daily.select($"d".as("da"), $"x".as("xa"))
+    // spread the O(|days|²) slope generation: `daily` checkpoints as ONE
+    // partition (it is tiny), so the broadcast pair join would emit all
+    // ~3M slopes from one task — fan the probe side to session width
+    // first (2.4k narrow rows, a no-cost exchange)
+    val parts = graft.GraftSession.shufflePartitions(spark)
+    val a = daily.repartition(parts, $"d")
+      .select($"d".as("da"), $"x".as("xa"))
     val b = daily.select($"d".as("db"), $"x".as("xb"))
     val slopes = a.join(b, $"da" < $"db")
       .select((($"xb" - $"xa").cast("double")
         / ($"db" - $"da").cast("double")).as("slope"))
-    val (ranked, total) = Rank.globalRowNumberAndTotal(
-      slopes, Seq($"slope"), rnCol = "rn")
-    ranked.filter($"rn" === (total + 1) / 2) // lower median, exact long div
-      .select(lit(total).as("n_pairs"), $"slope".as("sen_slope"))
+    // lower median = order statistic at rank (N+1) div 2: the selection
+    // helper skips the full-frame window sort AND the re-exchange the
+    // rank form paid (r19: 28.5 MB re-shuffled + ~6 s sorting 2.9M
+    // slopes to keep exactly one row)
+    val (kth, total) = Rank.kthSmallest(
+      slopes, $"slope", n => (n + 1) / 2, outCol = "sen_slope")
+    kth.select(lit(total).as("n_pairs"), $"sen_slope")
   }
 
   // ---------------------------------------------------------------- A178

@@ -931,6 +931,9 @@ object Similarity {
         transform(col("x"), v => v / norm).as("u"))
       .select(col("vec_id"), col("label"),
         posexplode(col("u")).as(Seq("dim", "uv")))
+    // NOT pinned to session width: an r19 A/B measured the (label, dim)
+    // repartition SLOWER (2.5 → 3.8 s) — the fold is ~2 s of CPU and the
+    // extra exchange + 67-task launch overhead outweighs the parallelism
     val byCell = Window.partitionBy(col("label"), col("dim"))
     val ord = byCell.orderBy(col("vec_id"))
     val s = ex

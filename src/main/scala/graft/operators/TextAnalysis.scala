@@ -350,6 +350,10 @@ object TextAnalysis {
     // words feeds three plan branches (phrases, word stats, instance
     // sums) — materialize ONCE or the segmentation fold re-executes per
     // reference (q106's rule)
+    // NOT fanned out: an r19 A/B measured the doc_id fan-out flat on wall
+    // (2.71 → 2.52 s) while ×10-ing task time with GC churn — the fold is
+    // only ~1.3 s of CPU, too small to amortize a text exchange (same
+    // verdict as the q43-family fan-outs; contrast q247 where it paid)
     val words = graft.Lineage.truncate(
       Tables.documents(spark, dir)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -409,7 +413,14 @@ object TextAnalysis {
     * hash join on gram between two |langs|·|grams| frames (salt the gram
     * key if one gram dominates), ≤\|langs\|² output. */
   def q247LangSimilarity(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
+    // fan the per-character gram expansion out to session width when the
+    // scan under-splits (q228's codec device — the |text| substring calls
+    // per row are CPU-heavy enough to amortize the one-file-split
+    // exchange; r19 profile: a single task carried 3.1 s of the query's
+    // 4.1 s wall)
+    val grams = Skew.fanOutForCpu(
+        Tables.documents(spark, dir).select(
+          col("doc_id"), col("lang"), col("text")), "doc_id")
       .select(col("lang"), col("text"))
       .select(col("lang"), posexplode(expr(
         "transform(sequence(1, greatest(length(text) - 2, 1)), " +

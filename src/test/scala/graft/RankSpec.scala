@@ -36,6 +36,31 @@ class RankSpec extends SparkSpec {
     assert(got.toMap === expect)
   }
 
+  test("kthSmallest selects the exact order statistic (median, extremes, ties)") {
+    // hashed-scatter values with deliberate duplicates: ties across the
+    // TakeOrdered boundary must still yield the k-th VALUE
+    val df = spark.range(0, 1001).select(
+      (col("id") * 2654435761L % 101L).as("v"))
+    val sorted = df.select($"v").as[Long].collect().sorted
+    for (kf <- Seq[Long => Long](n => (n + 1) / 2, _ => 1L, n => n)) {
+      val (kth, total) = Rank.kthSmallest(df, col("v"), kf)
+      assert(total === 1001L)
+      val got = kth.as[Long].head()
+      assert(got === sorted((kf(total) - 1).toInt),
+        s"rank ${kf(total)} of $total")
+    }
+  }
+
+  test("kthSmallest rejects out-of-range ranks loudly") {
+    val df = spark.range(0, 10).select(col("id").as("v"))
+    intercept[IllegalArgumentException] {
+      Rank.kthSmallest(df, col("v"), _ => 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Rank.kthSmallest(df, col("v"), n => n + 1)
+    }
+  }
+
   test("groupRowNumberAndTotal equals the per-group window rank + count") {
     // a dominant group (the q293 shape: one segment ≈ most rows) plus
     // small ones, keys scattered so ranges interleave groups
