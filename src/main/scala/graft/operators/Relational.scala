@@ -1458,19 +1458,25 @@ object Relational {
     * multiply matters. */
   def q143Profile(spark: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val aggs = cols.flatMap { c => Seq(
-      count(col(c)).as(s"${c}__n"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-      countDistinct(col(c)).as(s"${c}__nd"),
-      asDouble(min(col(c))).as(s"${c}__min"),
-      asDouble(max(col(c))).as(s"${c}__max"),
-      asDouble(sum(money(col(c)))).as(s"${c}__sum")) }
-    val one = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', ${c}__n, ${c}__nulls, ${c}__nd, ${c}__min, ${c}__max, ${c}__sum")
-      .mkString(", ")
-    one.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
-      "(col_name, n_vals, n_nulls, n_distinct, min_val, max_val, sum_val)")
+    // one single-distinct aggregate branch PER COLUMN, unioned: four
+    // countDistincts in ONE aggregate plan through Expand — ×5 every
+    // lineitem row into one giant mixed-grouping hash aggregate (r19
+    // profile: ~7 s CPU, the query's whole cost), where a single distinct
+    // column rewrites to an ordinary two-phase aggregate. The four
+    // branches each scan ONE pruned column and run inside one job;
+    // same values, same (col_name-keyed) rows.
+    val branches = cols.map { c =>
+      Tables.lineitem(spark, dir).agg(
+          count(col(c)).as("n_vals"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          asDouble(min(col(c))).as("min_val"),
+          asDouble(max(col(c))).as("max_val"),
+          asDouble(sum(money(col(c)))).as("sum_val"))
+        .select(lit(c).as("col_name"), col("n_vals"), col("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"), col("sum_val"))
+    }
+    branches.reduce(_ unionAll _)
   }
 
   // ---------------------------------------------------------------- A70
