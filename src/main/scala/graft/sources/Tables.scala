@@ -85,6 +85,18 @@ object Tables {
     fromMeta.orElse(primaryKeys.get(name)).getOrElse(Seq.empty)
   }
 
+  /** Schema cache keyed by (path, length, modification time): parquet
+    * schema INFERENCE runs a Spark job per `spark.read.parquet` call, and
+    * a 320-query board re-reading a handful of static tables pays that
+    * job (~50-70 ms of pure scheduling latency) thousands of times. A
+    * production deployment gets this from the catalog/metastore; here the
+    * (len, mtime) key re-infers the moment a file is rewritten (specs
+    * rewrite synthetic tables in place), so only METADATA is cached —
+    * never rows, never plans. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      org.apache.spark.sql.types.StructType]()
+
   /** Load one table from a dataset dir — any discovered table, not just the
     * built-ins. Unknown names fail with the live table listing. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -92,7 +104,11 @@ object Tables {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
       s"unknown table: $name (tables in $dir: ${discover(spark, dir).mkString(", ")})")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val st = fs.getFileStatus(p)
+    val schema = schemaCache.computeIfAbsent(
+      (p.toString, st.getLen, st.getModificationTime),
+      _ => spark.read.parquet(s"$dir/$name.parquet").schema)
+    spark.read.schema(schema).parquet(s"$dir/$name.parquet")
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
