@@ -1198,7 +1198,12 @@ object Corpus {
             } else ranks = next
             iter += 1
           }
-          // materialize the chain before the finallys release its inputs
+          // materialize the chain before the finallys release its inputs.
+          // (An r19 A/B ran this materialization with AQE disabled to save
+          // the per-stage replanning latency — 2× SLOWER, 4.4 → 8.7 s:
+          // without runtime stats the 10 round joins plan as sort-merge
+          // instead of broadcast and task time exploded 10×. The ~4-stage-
+          // job-per-round latency is the price of the right join strategy.)
           if (reliable) ranks
           else graft.Lineage.truncate(ranks, reliable = false).df
         } finally nodesM.release()

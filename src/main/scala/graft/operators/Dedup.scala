@@ -172,7 +172,12 @@ object Dedup {
     cands
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n_sh").as("n_a")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n_sh").as("n_b")), "doc_b")
-      .withColumn("inter", GraftFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      // bounded kernel under the Jaccard-floor filter: result-invariant
+      // (below-floor pairs return -1, which fails the filter identically;
+      // at/above-floor pairs return the exact count — the r18 q199
+      // contract), skipping most merge steps on dissimilar candidates
+      .withColumn("inter", GraftFunctions.sortedIntersectCountBounded(
+        col("sh_a"), col("sh_b"), threshold))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -423,8 +428,11 @@ object Dedup {
              >= lit(tScaled) * greatest(col("pa.n"), col("pb.n")))
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
+    // bounded kernel under the jac >= threshold filter (q199's r18
+    // contract: below-floor pairs return -1 and fail the filter
+    // identically, passing pairs return the exact count)
     val inter = graft.functions.GraftFunctions
-      .sortedIntersectCount(col("ha"), col("hb"))
+      .sortedIntersectCountBounded(col("ha"), col("hb"), threshold)
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
         col("n").as("n_a")), Seq("doc_a"))
@@ -681,8 +689,10 @@ object Dedup {
           TextHashFunctions.minhashSig(col("sh"), 64).as("sig"),
           size(col("sh")).cast("long").as("n_sh")),
       reliable = false).df
+    // bounded kernel: the truth scan filters on Jaccard >= threshold, so
+    // the early-exit contract holds (below-floor -1 fails identically)
     val inter = graft.functions.GraftFunctions
-      .sortedIntersectCount(col("a.sh"), col("b.sh"))
+      .sortedIntersectCountBounded(col("a.sh"), col("b.sh"), threshold)
     val truth = docs.as("a")
       .join(broadcast(docs.as("b")), col("a.doc_id") < col("b.doc_id"))
       .withColumn("__i", inter)
