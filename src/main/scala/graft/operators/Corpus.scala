@@ -41,41 +41,53 @@ object Corpus {
     // union's branches each contain the full q43 candidate+verify subtree,
     // and only its exchanges are deduplicated (ReuseExchange) — the salted
     // join + intersect kernel above them executed TWICE per r19 profiling
-    val edgesM = graft.Lineage.truncate( // materialize once; reused every round
+    val edgesM0 = graft.Lineage.truncate( // materialize once; reused below
       Graph.symmetrized(pairs, "doc_a", "doc_b")
         .repartition(col("src")), reliable)
+    // SELF-LOOPS make each HashMin round ONE join + ONE aggregate:
+    // min over in-neighbors INCLUDING self ≡ least(own, neighbor-min),
+    // so the per-round left-join-and-least (one more exchange + its AQE
+    // stage-jobs every round) disappears. Built from the materialized
+    // edge frame (two cheap checkpoint reads), then materialized itself —
+    // the loop must join a checkpoint, not re-run the union each round.
+    val edgesM = graft.Lineage.truncate(
+      edgesM0.df.unionAll(edgesM0.df.select(col("dst")).distinct()
+        .select(col("dst").as("src"), col("dst"))), reliable)
+    edgesM0.release()
     val edges = edgesM.df
+    // CONVERGENCE: labels only ever DECREASE under min-propagation, so the
+    // label sum (exact DECIMAL — never overflows at any corpus size) is
+    // strictly monotone until the fixpoint; sum unchanged ⟺ no label
+    // changed. The sum rides each round's materialization as an observed
+    // metric — still one Spark job per round, and the frame no longer
+    // carries an __old column or a change flag.
+    def labelSum = coalesce(sum(col("cluster_id")
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))), lit(0L)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("lsum")
     // init = the first HashMin round pre-applied (min of self and direct
-    // neighbors, one aggregation — cheaper than a distinct + a full join
-    // round): near-dup components are cliques, so this alone is usually
-    // the fixpoint and the loop's first iteration just confirms changed=0
+    // neighbors via the self-loops, one aggregation): near-dup components
+    // are cliques, so this alone is usually the fixpoint and the loop's
+    // first iteration just confirms the sum is unchanged
+    val obs0 = org.apache.spark.sql.Observation()
     var labelsM = graft.Lineage.truncate(
-      edges.groupBy(col("dst").as("id")).agg(min(col("src")).as("__m"))
-        .select(col("id"), least(col("__m"), col("id")).as("cluster_id")), reliable)
+      edges.groupBy(col("dst").as("id")).agg(min(col("src")).as("cluster_id"))
+        .observe(obs0, labelSum), reliable)
     var labels = labelsM.df
-    var changed = 1L
+    var prevSum = obs0.get("lsum")
+    var changed = true
     var converged = false
     try {
       var iter = 0
-      while (changed > 0 && iter < maxIters) {
-        val prop = edges.join(labels, col("src") === col("id"))
-          .groupBy(col("dst")).agg(min(col("cluster_id")).as("nl"))
-        // the convergence count rides the materialization job as an
-        // observed metric (CollectMetrics) instead of a second job reading
-        // the checkpoint back — one Spark job per round, not two, and the
-        // __old column never reaches the checkpointed frame. coalesce:
-        // sum over zero rows is NULL (empty pair graph).
+      while (changed && iter < maxIters) {
         val obs = org.apache.spark.sql.Observation()
         val nextM = graft.Lineage.truncate(
-          labels.join(prop, col("id") === col("dst"), "left")
-            .select(col("id"), col("cluster_id").as("__old"),
-              least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
-                .as("cluster_id"))
-            .observe(obs, coalesce(sum(
-              when(col("__old") =!= col("cluster_id"), 1L).otherwise(0L)),
-              lit(0L)).as("changed"))
-            .select(col("id"), col("cluster_id")), reliable)
-        changed = obs.get("changed").asInstanceOf[Long]
+          edges.join(labels, col("src") === col("id"))
+            .groupBy(col("dst").as("id"))
+            .agg(min(col("cluster_id")).as("cluster_id"))
+            .observe(obs, labelSum), reliable)
+        val newSum = obs.get("lsum")
+        changed = newSum != prevSum
+        prevSum = newSum
         labelsM.release() // the prior round feeds nothing anymore
         labelsM = nextM
         labels = nextM.df
@@ -83,7 +95,7 @@ object Corpus {
       }
       // silent non-convergence would diverge from the exact closure — a
       // >maxIters-diameter component must fail loudly, not return wrong labels
-      if (changed > 0)
+      if (changed)
         throw new IllegalStateException(
           s"label propagation did not converge in $maxIters rounds; " +
             "raise maxIters for very long duplicate chains")

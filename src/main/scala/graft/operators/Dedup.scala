@@ -778,38 +778,47 @@ object Dedup {
     // HashMin CC (q59's discipline, compacted: the match graph is sparse).
     // Symmetrize via ONE explode (Graph.symmetrized): the unionAll form
     // re-ran the candidate self-join + verify joins once per branch.
-    val edgesM = graft.Lineage.truncate(
+    val edgesM0 = graft.Lineage.truncate(
       Graph.symmetrized(pairs, "ka", "kb")
         .repartition(col("src")), reliable)
+    // self-loops + monotone-sum convergence (q59's device): each round is
+    // ONE join + ONE aggregate — min over in-neighbors INCLUDING self —
+    // and the exact DECIMAL label sum rides the materialization as the
+    // convergence observation (labels only decrease; sum unchanged ⟺
+    // fixpoint), so the per-round left-join-and-least and the __old
+    // column are gone
+    val edgesM = graft.Lineage.truncate(
+      edgesM0.df.unionAll(edgesM0.df.select(col("dst")).distinct()
+        .select(col("dst").as("src"), col("dst"))), reliable)
+    edgesM0.release()
+    def labelSum = coalesce(sum(col("cl")
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))), lit(0L)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("lsum")
     try {
       val edges = edgesM.df
+      val obs0 = org.apache.spark.sql.Observation()
       var labelsM = graft.Lineage.truncate(
-        edges.groupBy(col("dst").as("id")).agg(min(col("src")).as("__m"))
-          .select(col("id"), least(col("__m"), col("id")).as("cl")), reliable)
-      var changed = 1L
+        edges.groupBy(col("dst").as("id")).agg(min(col("src")).as("cl"))
+          .observe(obs0, labelSum), reliable)
+      var prevSum = obs0.get("lsum")
+      var changed = true
       var iter = 0
       try {
-        while (changed > 0 && iter < maxIters) {
-          val prop = edges.join(labelsM.df, col("src") === col("id"))
-            .groupBy(col("dst")).agg(min(col("cl")).as("nl"))
-          // convergence count rides the materialization job as an observed
-          // metric — one job per round, not two (q59's device)
+        while (changed && iter < maxIters) {
           val obs = org.apache.spark.sql.Observation()
           val nextM = graft.Lineage.truncate(
-            labelsM.df.join(prop, col("id") === col("dst"), "left")
-              .select(col("id"), col("cl").as("__old"),
-                least(col("cl"), coalesce(col("nl"), col("cl"))).as("cl"))
-              .observe(obs, coalesce(sum(
-                when(col("__old") =!= col("cl"), 1L).otherwise(0L)),
-                lit(0L)).as("changed"))
-              .select(col("id"), col("cl")),
+            edges.join(labelsM.df, col("src") === col("id"))
+              .groupBy(col("dst").as("id")).agg(min(col("cl")).as("cl"))
+              .observe(obs, labelSum),
             reliable)
-          changed = obs.get("changed").asInstanceOf[Long]
+          val newSum = obs.get("lsum")
+          changed = newSum != prevSum
+          prevSum = newSum
           labelsM.release()
           labelsM = nextM
           iter += 1
         }
-        if (changed > 0) throw new IllegalStateException(
+        if (changed) throw new IllegalStateException(
           s"ER label propagation did not converge in $maxIters rounds")
         val asg = c
           .join(labelsM.df.select(col("id").as("c_custkey"), col("cl")),
