@@ -197,13 +197,22 @@ class Round11WideSpec extends SparkSpec {
     assert(got === want)
   }
 
-  test("q143 profiles every column in ONE table scan") {
+  test("q143 profiles via single-distinct branches: no Expand, one pruned column per scan") {
+    // r19: four countDistincts in ONE aggregate compiled through Expand —
+    // ×5 every row into a mixed-grouping hash aggregate (~7 s CPU at
+    // sf0.1, the query's whole cost). One branch per column keeps each
+    // countDistinct a plain two-phase aggregate; the contract now is NO
+    // Expand anywhere and each scan column-pruned to exactly its column.
     val plan = Relational.q143Profile(spark, sf)
       .queryExecution.executedPlan.toString
     val scans = plan.linesIterator.count(_.contains("Scan parquet"))
-    assert(scans === 1, s"expected a single scan, got $scans:\n$plan")
-    assert(plan.contains("Expand"),
-      s"multi-distinct should compile to Expand:\n$plan")
+    assert(scans === 4, s"expected one pruned scan per column, got $scans:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"single-distinct branches must not compile to Expand:\n$plan")
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").foreach { c =>
+      assert(plan.contains(s"ReadSchema: struct<$c:"),
+        s"scan for $c not pruned to exactly that column:\n$plan")
+    }
   }
 
   // --- q144 MAD ---------------------------------------------------------
