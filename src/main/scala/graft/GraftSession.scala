@@ -94,6 +94,22 @@ object GraftSession {
       .toOption.filter(_ > 0)
       .getOrElse(spark.sparkContext.defaultParallelism)
 
+  /** How many rows of a narrow frame fit under the session's
+    * `spark.sql.autoBroadcastJoinThreshold` at `bytesPerRow` (a
+    * conservative per-row HashedRelation estimate — key + row + table
+    * overhead). 0 when auto-broadcast is disabled (threshold ≤ 0), so a
+    * `rows <= broadcastRowBudget(...)` guard degrades to never-hint —
+    * the scale guard behind the CC loops' per-round broadcast hint
+    * (broadcast only when the OBSERVED materialized side provably fits;
+    * a corpus-scale label table keeps the shuffle join). */
+  def broadcastRowBudget(spark: SparkSession, bytesPerRow: Int = 64): Long = {
+    val bytes = scala.util.Try(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold")))
+      .getOrElse(10L << 20)
+    if (bytes <= 0) 0L else bytes / bytesPerRow
+  }
+
   /** Register graft's native SQL functions on an existing session. */
   def registerFunctions(spark: SparkSession): Unit =
     nativeFunctions.foreach { fn =>

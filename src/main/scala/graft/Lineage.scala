@@ -78,9 +78,26 @@ object Lineage {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
 
-  def truncate(df: DataFrame, reliable: Boolean): Materialized =
+  /** `eager = false` (localCheckpoint path only): the materialization is
+    * MARKED at call time but computed by the CONSUMER'S first job instead
+    * of a dedicated count job here — one fewer scheduler round-trip per
+    * call site (~70 ms each on the measured board; the r19 verdict's
+    * "per-query job floor" item). Same blocks, same lineage truncation,
+    * same `release()` accounting: the RDD is persisted immediately, the
+    * first job that touches it caches every partition it computes, and
+    * Spark's end-of-job checkpoint hook finalizes the truncation
+    * (computing any partitions that job skipped). NOT for call sites that
+    * (a) read an `Observation` riding the materialization before any
+    * other action runs — nothing has executed yet, so the read blocks
+    * forever — or (b) `release()` an UPSTREAM Materialized before this
+    * one's first read (the blocks this plan still needs would be gone).
+    * Those sites — the CC/pagerank/BPE loops, the IVF/PQ builders — keep
+    * the eager default. The durable (`reliable = true`) path is always
+    * eager: a parquet spill has no lazy form. */
+  def truncate(df: DataFrame, reliable: Boolean,
+      eager: Boolean = true): Materialized =
     if (!reliable) {
-      val out = df.localCheckpoint()
+      val out = df.localCheckpoint(eager)
       val rdd = checkpointRdd(out)
       rdd.foreach { r =>
         leaked.computeIfAbsent(r.sparkContext,

@@ -43,7 +43,9 @@ object Corpus {
     // join + intersect kernel above them executed TWICE per r19 profiling
     val edgesM0 = graft.Lineage.truncate( // materialize once; reused below
       Graph.symmetrized(pairs, "doc_a", "doc_b")
-        .repartition(col("src")), reliable)
+        // lazy is safe HERE only because edgesM's truncate below is EAGER
+        // and runs before edgesM0.release()
+        .repartition(col("src")), reliable, eager = false)
     // SELF-LOOPS make each HashMin round ONE join + ONE aggregate:
     // min over in-neighbors INCLUDING self ≡ least(own, neighbor-min),
     // so the per-round left-join-and-least (one more exchange + its AQE
@@ -71,17 +73,28 @@ object Corpus {
     val obs0 = org.apache.spark.sql.Observation()
     var labelsM = graft.Lineage.truncate(
       edges.groupBy(col("dst").as("id")).agg(min(col("src")).as("cluster_id"))
-        .observe(obs0, labelSum), reliable)
+        .observe(obs0, labelSum, count(lit(1)).as("ln")), reliable)
     var labels = labelsM.df
     var prevSum = obs0.get("lsum")
+    // The label table's row count is CONSTANT across rounds (one row per
+    // node) — observed once on the init materialization. When it provably
+    // fits the session's broadcast threshold, hint each round's join:
+    // checkpoint scans lose partitioning info, so the unhinted join
+    // re-exchanges BOTH materialized sides every round (plus their AQE
+    // stage-jobs) just for AQE to usually pick broadcast anyway at
+    // runtime. Scale guard (r19 verdict item 7): a corpus-scale label
+    // table exceeds the budget and keeps the shuffle join.
+    val hintBroadcast = obs0.get("ln").asInstanceOf[Long] <=
+      graft.GraftSession.broadcastRowBudget(edges.sparkSession)
     var changed = true
     var converged = false
     try {
       var iter = 0
       while (changed && iter < maxIters) {
         val obs = org.apache.spark.sql.Observation()
+        val labelsB = if (hintBroadcast) broadcast(labels) else labels
         val nextM = graft.Lineage.truncate(
-          edges.join(labels, col("src") === col("id"))
+          edges.join(labelsB, col("src") === col("id"))
             .groupBy(col("dst").as("id"))
             .agg(min(col("cluster_id")).as("cluster_id"))
             .observe(obs, labelSum), reliable)
@@ -583,7 +596,7 @@ object Corpus {
     // materialize once rather than re-running the pair scoring per branch
     val e = graft.Lineage.truncate(
       Dedup.q44DedupEmbedding(spark, dir, threshold)
-        .select(col("vec_a"), col("vec_b")), reliable = false).df
+        .select(col("vec_a"), col("vec_b")), reliable = false, eager = false).df
     Graph.triangles(e, "vec_a", "vec_b")
   }
 
@@ -866,7 +879,7 @@ object Corpus {
     // at sf0.1); the edge list is tiny next to what produced it
     val e = graft.Lineage.truncate(
       Dedup.q43NgramJaccard(spark, dir, threshold)
-        .select(col("doc_a"), col("doc_b")), reliable = false).df
+        .select(col("doc_a"), col("doc_b")), reliable = false, eager = false).df
     val deg = e.select(col("doc_a").as("doc_id"))
       .unionAll(e.select(col("doc_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
@@ -1248,7 +1261,7 @@ object Corpus {
       Tables.documents(spark, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf")),
-      reliable = false).df
+      reliable = false, eager = false).df
     val totals = tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
       .filter(col("df") >= minDf)
@@ -1317,7 +1330,7 @@ object Corpus {
     // materialize the tokenize-and-score pass once (q106's rule)
     val scored = graft.Lineage.truncate(
       q121QualityClassifier(spark, dir).select(col("doc_id"), col("score")),
-      reliable = false).df
+      reliable = false, eager = false).df
     val counts = scored.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
     val (cum, total) = Rank.prefixSumAndTotal(
       counts, Seq(col("score").asc), col("cnt"), "cum")
@@ -1434,7 +1447,7 @@ object Corpus {
       .select(col("doc_id"), col("source"))
     val counts = graft.Lineage.truncate(
       d.groupBy(col("source")).agg(count(lit(1)).as("n_s")),
-      reliable = false).df
+      reliable = false, eager = false).df
     val total = counts.agg(sum(col("n_s")).as("n_total"))
     val based = counts.crossJoin(broadcast(total))
       .withColumn("base", expr(s"($budget * n_s) div n_total"))
@@ -1515,7 +1528,7 @@ object Corpus {
           pmod(xxhash64(col("bg")), lit(buckets)).as("b"))
         .groupBy(col("doc_id"), col("lang"), col("b"))
         .agg(count(lit(1)).as("n")),
-      reliable = false).df
+      reliable = false, eager = false).df
     def dist(df: DataFrame) = df.groupBy(col("b")).agg(sum(col("n")).as("c"))
     val target = dist(feats.filter(col("lang") === targetLang))
       .select(col("b"), col("c").as("ct"))
@@ -1633,10 +1646,14 @@ object Corpus {
           1, 8).as("__mix"),
         md5(concat(lit("shuffle:"), col("doc_id").cast("string"))).as("__ord"))
       .filter(col("__mix") < keepHexLt)
-    val ordered = Rank.globalRowNumber(kept,
-      Seq(col("__ord").asc, col("doc_id").asc), "pos")
-    val withSum = Rank.prefixSum(ordered, // total unused — no collect job
-      Seq(col("__ord").asc, col("doc_id").asc), col("n_tokens"), "__cum")
+    // position AND pack offsets are keyed by the SAME (__ord, doc_id)
+    // total order — ONE fused range exchange + materialization computes
+    // both (r19 chained globalRowNumber + prefixSum: two byte-identical
+    // range repartitions, two checkpoints, two offset subplans; the r19
+    // verdict flagged q198 as the round's one prefix-sum regression)
+    val withSum = Rank.globalRowNumberAndPrefixSum(kept,
+      Seq(col("__ord").asc, col("doc_id").asc), col("n_tokens"),
+      "pos", "__cum")
     withSum
       .withColumn("__start", col("__cum") - col("n_tokens"))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("pos"),
@@ -1672,7 +1689,7 @@ object Corpus {
     // ONE plan reference to the q43 pipeline (Graph.symmetrized), not a
     // unionAll whose branches each re-run the candidate+verify stages
     val edgesM = graft.Lineage.truncate(
-      Graph.symmetrized(pairs, "doc_a", "doc_b"), reliable = false)
+      Graph.symmetrized(pairs, "doc_a", "doc_b"), reliable = false, eager = false)
     val adj = edgesM.df
     val deg = adj.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("degree"))
@@ -1716,18 +1733,26 @@ object Corpus {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ws) - 3), " +
           "i -> array_join(slice(ws, i + 1, 3), ' '))")).as("gram"))
-      .distinct()
-    // "appears in NO other document" ⟺ min(doc) = max(doc) over the gram
-    // partition (grams is (doc, gram)-distinct) — one execution of the
-    // gram explode and one shuffle, where the old vocab groupBy +
-    // membership join re-ran the explode and shuffled the grams twice
-    val wG = Window.partitionBy(col("gram"))
-    val perDoc = grams
-      .withColumn("__uniq",
-        min(col("doc_id")).over(wG) === max(col("doc_id")).over(wG))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__uniq"), 1L).otherwise(0L)).as("n_unique"))
+    // "appears in NO other document" ⟺ min(doc) = max(doc) per gram —
+    // and a corpus-unique gram belongs to exactly that one doc, so BOTH
+    // per-doc counts fall out of partial-aggregable groupBys with no
+    // window and no join-back of the gram stream: n_grams is a grouped
+    // single-distinct count (two-phase, map-side partial), n_unique is a
+    // count over the per-gram (min,max) mark table grouped by its owner.
+    // The r19 window form (min/max OVER partitionBy(gram)) put every row
+    // of a hot gram through ONE reducer — the uncapped stop-word-gram
+    // hazard at 100 TB the r19 verdict flagged (item 4); min/max ignore
+    // duplicates, so the marks need no (doc, gram) distinct either.
+    val nGrams = grams.groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_grams"))
+    val nUnique = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+      .filter(col("__mn") === col("__mx"))
+      .groupBy(col("__mn").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    val perDoc = nGrams.join(nUnique, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1766,7 +1791,7 @@ object Corpus {
     // re-executes per branch (q106's rule)
     val counts = graft.Lineage.truncate(
       scores.groupBy(col("source"), col("score"))
-        .agg(count(lit(1)).as("n")), reliable = false).df
+        .agg(count(lit(1)).as("n")), reliable = false, eager = false).df
     val totals = counts.groupBy(col("source")).agg(sum(col("n")).as("n_src"))
     val grid = counts.select(col("score")).distinct()
       .crossJoin(broadcast(totals)) // |scores| × |sources| evaluation grid
@@ -1874,7 +1899,7 @@ object Corpus {
     val perSource = graft.Lineage.truncate(
       words.groupBy(col("source"))
         .agg(expr(s"hll_sketch_agg(word, $lgK)").as("sk")),
-      reliable = false).df
+      reliable = false, eager = false).df
     val bySource = perSource.select(col("source"),
       expr("hll_sketch_estimate(sk)").as("est_distinct"))
     val all = perSource.agg(
@@ -1975,7 +2000,7 @@ object Corpus {
         .filter(length(col("word")) > 0)
         .groupBy(col("doc_id"), col("word"))
         .agg(count(lit(1)).as("n_occ"), first(col("n_chars")).as("__nc")),
-      reliable = false).df
+      reliable = false, eager = false).df
     val vocab = toks.select(col("word")).distinct()
       .select(col("word"), size(encoded).cast("long").as("n_syms"))
     toks.join(vocab, Seq("word"))
@@ -2181,7 +2206,7 @@ object Corpus {
       Tables.documents(spark, dir)
         .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
         .groupBy(col("source"), col("w"))
-        .agg(count(lit(1)).as("n")), reliable = false).df
+        .agg(count(lit(1)).as("n")), reliable = false, eager = false).df
     val totals = counts.groupBy(col("source")).agg(sum(col("n")).as("tot"))
     // the full vocab × sources grid: a token ABSENT from a source
     // contributes |p - 0| — left join fills its probability with 0
@@ -2192,7 +2217,7 @@ object Corpus {
         .join(counts, Seq("source", "w"), "left")
         .select(col("source"), col("w"),
           (coalesce(col("n"), lit(0L)).cast("double")
-            / col("tot").cast("double")).as("p")), reliable = false).df
+            / col("tot").cast("double")).as("p")), reliable = false, eager = false).df
     val terms = grid.as("a").join(grid.as("b"),
         col("a.w") === col("b.w") && col("a.source") < col("b.source"))
       .select(col("a.source").as("source_a"), col("b.source").as("source_b"),

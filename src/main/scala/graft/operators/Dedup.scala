@@ -339,8 +339,16 @@ object Dedup {
       .select(col("doc_id"), col("source"),
         graft.functions.TextHashFunctions.charNgramHashes(col("text"), 3).as("gs"))
       .withColumn("n_g", size(col("gs")).cast("long"))
+    // containment-bounded kernel: the downstream filter is
+    // `inter / min(n_g) >= threshold`, so the merge may stop once even
+    // c + min(tails) cannot reach threshold·min(n,m) — below-floor pairs
+    // return -1 (negative containment, filtered identically), at/above-
+    // floor pairs return the exact count (contract proven on the
+    // expression; KernelParitySpec pins filter-invariance). The JACCARD
+    // bounded kernel stays correctly rejected here (r19): its exit drops
+    // small-inside-big true positives.
     val inter = graft.functions.GraftFunctions
-      .sortedIntersectCount(col("a.gs"), col("b.gs"))
+      .sortedIntersectCountBoundedContain(col("a.gs"), col("b.gs"), threshold)
     Skew.saltedSelfPairs(d, "source", "doc_id", salts = 4, maxBlock = 10000)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (inter.cast("double")
@@ -391,7 +399,7 @@ object Dedup {
           array_distinct(split(col("text"), " ")), t => xxhash64(t)))
           .as("hs"))
         .withColumn("n", size(col("hs")).cast("long")),
-      reliable = false).df
+      reliable = false, eager = false).df
     val toks = d.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
     val dfreq = toks.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // prefix length n − ⌈t·n⌉ + 1 in INTEGER arithmetic: FP ceil(t·n)
@@ -416,7 +424,7 @@ object Dedup {
         .filter(col("rn") <= col("n") - ceilTn + 1)
         .select(col("h"), col("doc_id"), col("n"))
         .repartition(numParts, col("h")),
-      reliable = false).df
+      reliable = false, eager = false).df
     // PPJoin length filter, exact: J ≥ t ⟹ I ≥ t·(n_a+n_b)/(1+t) and
     // I ≤ min, so min·(1+t) ≥ t·(n_a+n_b) ⟺ min ≥ t·max — same 1e-6
     // integer resolution as the prefix bound. Applied IN the candidate
@@ -474,7 +482,7 @@ object Dedup {
         substring(col("text"), 1, prefixLen).as("k"))
     val ranked = graft.Lineage.truncate(
       Rank.globalRowNumber(d, Seq(col("k").asc, col("doc_id").asc), "rn"),
-      reliable = false).df
+      reliable = false, eager = false).df
     // each row meets its `window` successors: fan the LEFT side out to the
     // successor ranks (map-side, ×window) and equi-join on the rank long
     val probes = ranked.select(col("doc_id").as("doc_a"),
@@ -563,7 +571,7 @@ object Dedup {
         .filter(col("i").cast("double") >= col("u").cast("double") * floor)
         .select(col("doc_a"), col("doc_b"),
           expr("(20L * i) div u").as("bin")),
-      reliable = false).df
+      reliable = false, eager = false).df
     val perBin = pairs.groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
     // docs implicated at threshold b/20 = docs in any pair with bin ≥ b:
     // per-doc MAX bin, then a cumulative count from the top
@@ -617,18 +625,21 @@ object Dedup {
       .select(lit("exact_doc").as("stage"), col("docs_affected"),
         col("units_removed"), col("tokens_removed"))
     // stage 2: shared segments (q118's structure, counted not reassembled)
-    val segs = docs
+    // — materialized once (lazily): feeds the mark aggregation AND the probe
+    val segs = graft.Lineage.truncate(docs
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, cast(ceil(size(ws) / ${segLen}.0) as int) - 1), " +
           s"i -> array_join(slice(ws, i * $segLen + 1, $segLen), ' '))"))
-        .as(Seq("i", "seg")))
-    // duplicated ⟺ min(doc) ≠ max(doc) over the seg partition — one
-    // execution of the segment explode, one shuffle (q170's device)
-    val wSeg = Window.partitionBy(col("seg"))
+        .as(Seq("i", "seg"))), reliable = false, eager = false).df
+    // duplicated ⟺ min(doc) ≠ max(doc), as a partial-aggregated groupBy
+    // mark table + unforced semi-join (q170's r20 device — the window form
+    // put every row of a hot segment through ONE reducer; see q170SpanDedup)
+    val dupSegs = segs.groupBy(col("seg"))
+      .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("seg"))
     val line = segs
-      .withColumn("__dup",
-        min(col("doc_id")).over(wSeg) =!= max(col("doc_id")).over(wSeg))
-      .filter(col("__dup"))
+      .join(dupSegs, Seq("seg"), "left_semi")
       .select(col("doc_id"),
         size(split(col("seg"), " ")).cast("long").as("tok"))
       .agg(countDistinct(col("doc_id")).as("docs_affected"),
@@ -636,16 +647,18 @@ object Dedup {
         sum(col("tok")).as("tokens_removed"))
       .select(lit("shared_segment").as("stage"), col("docs_affected"),
         col("units_removed"), col("tokens_removed"))
-    // stage 3: overlapping spans (q170's union, counted)
-    val wins = docs.filter(size(col("ws")) >= spanW)
+    // stage 3: overlapping spans (q170's union, counted; materialized once)
+    val wins = graft.Lineage.truncate(docs.filter(size(col("ws")) >= spanW)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(ws) - $spanW), " +
-          s"i -> array_join(slice(ws, i + 1, $spanW), ' '))")).as(Seq("i", "gram")))
-    val wGram = Window.partitionBy(col("gram"))
+          s"i -> array_join(slice(ws, i + 1, $spanW), ' '))")).as(Seq("i", "gram"))),
+      reliable = false, eager = false).df
+    val dupWins = wins.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("gram"))
     val span = wins
-      .withColumn("__dup",
-        min(col("doc_id")).over(wGram) =!= max(col("doc_id")).over(wGram))
-      .filter(col("__dup"))
+      .join(dupWins, Seq("gram"), "left_semi")
       .select(col("doc_id"),
         explode(expr(s"sequence(i, i + $spanW - 1)")).as("pos"))
       .distinct()
@@ -688,7 +701,7 @@ object Dedup {
         .select(col("doc_id"), col("sh"),
           TextHashFunctions.minhashSig(col("sh"), 64).as("sig"),
           size(col("sh")).cast("long").as("n_sh")),
-      reliable = false).df
+      reliable = false, eager = false).df
     // bounded kernel: the truth scan filters on Jaccard >= threshold, so
     // the early-exit contract holds (below-floor -1 fails identically)
     val inter = graft.functions.GraftFunctions
@@ -780,7 +793,9 @@ object Dedup {
     // re-ran the candidate self-join + verify joins once per branch.
     val edgesM0 = graft.Lineage.truncate(
       Graph.symmetrized(pairs, "ka", "kb")
-        .repartition(col("src")), reliable)
+        // lazy is safe HERE only because edgesM's truncate below is EAGER
+        // and runs before edgesM0.release()
+        .repartition(col("src")), reliable, eager = false)
     // self-loops + monotone-sum convergence (q59's device): each round is
     // ONE join + ONE aggregate — min over in-neighbors INCLUDING self —
     // and the exact DECIMAL label sum rides the materialization as the
@@ -799,15 +814,22 @@ object Dedup {
       val obs0 = org.apache.spark.sql.Observation()
       var labelsM = graft.Lineage.truncate(
         edges.groupBy(col("dst").as("id")).agg(min(col("src")).as("cl"))
-          .observe(obs0, labelSum), reliable)
+          .observe(obs0, labelSum, count(lit(1)).as("ln")), reliable)
       var prevSum = obs0.get("lsum")
+      // constant across rounds (one row per node) — q59's broadcast-hint
+      // guard: hint only when the OBSERVED label count fits the session
+      // broadcast budget; the unhinted per-round join re-exchanges both
+      // checkpoint sides (partitioning info is lost on the scan)
+      val hintBroadcast = obs0.get("ln").asInstanceOf[Long] <=
+        graft.GraftSession.broadcastRowBudget(edges.sparkSession)
       var changed = true
       var iter = 0
       try {
         while (changed && iter < maxIters) {
           val obs = org.apache.spark.sql.Observation()
+          val labelsB = if (hintBroadcast) broadcast(labelsM.df) else labelsM.df
           val nextM = graft.Lineage.truncate(
-            edges.join(labelsM.df, col("src") === col("id"))
+            edges.join(labelsB, col("src") === col("id"))
               .groupBy(col("dst").as("id")).agg(min(col("cl")).as("cl"))
               .observe(obs, labelSum),
             reliable)
@@ -864,19 +886,32 @@ object Dedup {
   def q170SpanDedup(spark: SparkSession, dir: String, w: Int = 5): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val wins = toks.filter(size(col("ws")) >= w)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(ws) - $w), " +
-          s"i -> array_join(slice(ws, i + 1, $w), ' '))")).as(Seq("i", "gram")))
+    // materialized once (lazily — rides the first consumer job): the ×w
+    // exploded stream feeds BOTH the mark aggregation and the join probe
+    val wins = graft.Lineage.truncate(
+      toks.filter(size(col("ws")) >= w)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(ws) - $w), " +
+            s"i -> array_join(slice(ws, i + 1, $w), ' '))")).as(Seq("i", "gram"))),
+      reliable = false, eager = false).df
     // "window occurs in MORE THAN ONE distinct doc" ⟺ min(doc) ≠ max(doc)
-    // over the gram partition — ONE execution of the ×w window explode and
-    // ONE gram shuffle, where the old dup-set groupBy + membership
-    // semi-join re-ran the explode and shuffled the gram stream twice
-    val wG = Window.partitionBy(col("gram"))
+    // — computed as a partial-aggregable groupBy over the gram stream and
+    // joined back, NOT as min/max windows over Window.partitionBy(gram):
+    // the window form funnels EVERY row of a gram through one task, so a
+    // pathological stop-word gram (10⁸ rows at 100 TB) owns a single
+    // reducer with no cap — the exact hazard Skew exists to prevent (r19
+    // verdict item 4). The groupBy collapses hot grams map-side (min/max
+    // partial aggregation), the dup-mark table is one row per duplicated
+    // gram, and the join is unforced — AQE broadcasts it when it fits and
+    // skew-splits it when it doesn't. Re-running the ×w explode on the
+    // probe side is map-only codegen; the r19 window form saved that at
+    // the price of the uncapped hot-gram reducer.
+    val dupGrams = wins.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("gram"))
     val covered = wins
-      .withColumn("__dup",
-        min(col("doc_id")).over(wG) =!= max(col("doc_id")).over(wG))
-      .filter(col("__dup"))
+      .join(dupGrams, Seq("gram"), "left_semi")
       .select(col("doc_id"),
         explode(expr(s"sequence(i, i + $w - 1)")).as("pos"))
       .distinct()

@@ -65,6 +65,40 @@ object Rank {
       .drop("__pid", "__v", "__off")
   }
 
+  /** [[globalRowNumber]] and [[prefixSum]] fused over ONE range exchange:
+    * `rnCol` = 1-based global row number and `sumCol` = INCLUSIVE running
+    * long sum of `value`, both under the same `sortCols` total order. A
+    * caller that chains the two helpers (q198: shuffle position + pack
+    * offsets over the same (hash, id) order) otherwise pays the range
+    * repartition, the materialization, and the offset subplan TWICE for
+    * byte-identical partitioning — here the ranged frame is materialized
+    * once and a single per-partition aggregate carries BOTH offsets
+    * (count and sum), so the second exchange disappears outright
+    * (guide §2.4: two operations keyed the same way share one exchange). */
+  def globalRowNumberAndPrefixSum(df: DataFrame, sortCols: Seq[Column],
+      value: Column, rnCol: String, sumCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = rangeParts(spark)
+    val ranged = graft.Lineage.truncate(
+      df.repartitionByRange(parts, sortCols: _*)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__v", value.cast("long")),
+      reliable = false, eager = false).df
+    val counts = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"), sum(col("__v")).as("__s"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__offc"),
+        coalesce(sum(col("b.__s")), lit(0L)).as("__offs"))
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    val ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rnCol, row_number().over(w).cast("long") + col("__offc"))
+      .withColumn(sumCol, sum(col("__v")).over(ws) + col("__offs"))
+      .drop("__pid", "__v", "__offc", "__offs")
+  }
+
   /** Shared no-action skeleton: range-materialize once, and derive the
     * per-partition prefix offsets (`__pid`, `__off`) plus the 1-row grand
     * total (`__N`) as PLANS over that materialization — never collected.
@@ -77,7 +111,7 @@ object Rank {
       .withColumn("__pid", spark_partition_id())
     val ranged = graft.Lineage.truncate(
       value.map(v => base.withColumn("__v", v.cast("long")))
-        .getOrElse(base), reliable = false).df
+        .getOrElse(base), reliable = false, eager = false).df
     val perRow = value.map(_ => sum(col("__v"))).getOrElse(count(lit(1)))
     val counts = ranged.groupBy(col("__pid")).agg(perRow.as("__c"))
     val offsets = counts.as("a")
@@ -109,7 +143,7 @@ object Rank {
     val ranged = graft.Lineage.truncate(
       df.repartitionByRange(parts, sortCols: _*)
         .withColumn("__pid", spark_partition_id())
-        .withColumn("__v", value), reliable = false).df
+        .withColumn("__v", value), reliable = false, eager = false).df
     val pmax = ranged.groupBy(col("__pid")).agg(max(col("__v")).as("__m"))
     val prefix = pmax.as("a")
       .join(broadcast(pmax.as("b")), col("b.__pid") < col("a.__pid"), "left")
@@ -138,7 +172,7 @@ object Rank {
     val ranged = graft.Lineage.truncate(
       df.repartitionByRange(parts, sortCols: _*)
         .withColumn("__pid", spark_partition_id())
-        .withColumn("__v", value.cast("long")), reliable = false).df
+        .withColumn("__v", value.cast("long")), reliable = false, eager = false).df
     val sums = ranged.groupBy(col("__pid")).agg(sum(col("__v")).as("__s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = sums.map(_._1).zip(sums.scanLeft(0L)(_ + _._2).init)
@@ -282,11 +316,11 @@ object Rank {
       .withColumn("__pid", spark_partition_id())
     val ranged = graft.Lineage.truncate(
       weight.map(v => base.withColumn("__w", v.cast("long")))
-        .getOrElse(base), reliable = false).df
+        .getOrElse(base), reliable = false, eager = false).df
     val perRow = weight.map(_ => sum(col("__w"))).getOrElse(count(lit(1)))
     val weights = graft.Lineage.truncate( // ≤ parts + |groups| rows
       ranged.groupBy(col("__pid") +: groupCols.map(col): _*)
-        .agg(perRow.as("__c")), reliable = false).df
+        .agg(perRow.as("__c")), reliable = false, eager = false).df
     val sameGroup = groupCols
       .map(c => col(s"a.$c") <=> col(s"b.$c")).reduce(_ && _)
     val offsets = weights.as("a")
@@ -329,7 +363,7 @@ object Rank {
     val ranged = graft.Lineage.truncate(
       df.repartitionByRange(parts, value.asc)
         .withColumn("__pid", spark_partition_id())
-        .withColumn("__v", value), reliable = false).df
+        .withColumn("__v", value), reliable = false, eager = false).df
     val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val total = counts.map(_._2).sum
@@ -356,7 +390,7 @@ object Rank {
     val parts = rangeParts(spark)
     val ranged = graft.Lineage.truncate(
       df.repartitionByRange(parts, sortCols: _*)
-        .withColumn("__pid", spark_partition_id()), reliable = false).df
+        .withColumn("__pid", spark_partition_id()), reliable = false, eager = false).df
     // one long per non-empty partition to the driver — bounded by `parts`
     val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

@@ -241,6 +241,43 @@ class KernelParitySpec extends SparkSpec {
     assert(pairs === Set((100L, 101L)))
   }
 
+  test("containment-bounded intersect kernel: exact at/above floor, " +
+      "filter-invariant below (codegen and interpreted)") {
+    // randomized sorted distinct long arrays, including empties and
+    // identical / disjoint / nested (small-inside-big) shapes — nested is
+    // the case the JACCARD bound would wrongly exit (containment 1.0,
+    // jaccard small), so it must pass HERE with the exact count
+    val setGen = Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 60L)).map(_.distinct.sorted))
+    val sets = samples(setGen, 24) ++
+      Seq(Seq.empty[Long], (1L to 30L).toSeq, (1L to 6L).toSeq)
+    val pairs = for (a <- sets; b <- sets) yield (a, b)
+    for (floor <- Seq(0.3, 0.9)) {
+      def run(codegen: String): Seq[(Long, Long, Int, Int)] = {
+        spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+        try pairs.toDF("a", "b").select(
+            graft.functions.GraftFunctions.sortedIntersectCount($"a", $"b").as("full"),
+            graft.functions.GraftFunctions
+              .sortedIntersectCountBoundedContain($"a", $"b", floor).as("bnd"),
+            size($"a").as("na"), size($"b").as("nb"))
+          .as[(Long, Long, Int, Int)].collect().toSeq
+        finally spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+      for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN"); (full, bnd, na, nb) <- run(mode)) {
+        val mn = math.min(na, nb)
+        val passes = mn > 0 && full.toDouble / mn >= floor
+        if (passes) assert(bnd === full,
+          s"passing pair must get the exact count ($mode, floor=$floor)")
+        else assert(bnd === full || bnd === -1L,
+          s"below-floor pair must return exact or -1 ($mode, floor=$floor)")
+        // filter invariance: the caller's containment >= floor decision is
+        // identical under either kernel (-1/mn < 0 <= floor fails)
+        val passB = mn > 0 && bnd.toDouble / mn >= floor
+        assert(passB === passes, s"filter decision changed ($mode, floor=$floor)")
+      }
+    }
+  }
+
   test("saltedSelfPairs === plain blocked self-join, each pair exactly once") {
     val d = (1 to 300).map(i => (i.toLong, s"blk${i % 3}", i * 2))
       .toDF("id", "blk", "v")
