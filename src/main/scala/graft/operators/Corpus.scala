@@ -1206,6 +1206,14 @@ object Corpus {
           var ranks: DataFrame = nodes.withColumn("rank", lit(1d / n.toDouble))
           var prevM: Option[graft.Lineage.Materialized] = None
           var iter = 0
+          // NO per-round broadcast hints on this lazy chain (r19 verdict
+          // item 7, A/B'd r20): hinting rank/contrib (guarded on n vs the
+          // broadcast budget) measured 4.8 vs 4.0 s min-of-3, jobs 43→48,
+          // checkpoint bytes read 30→102 MB — each nested broadcast build
+          // is its own job that re-reads the adj checkpoint, where AQE's
+          // stage-job chain reuses every exchange exactly once. The q59 CC
+          // loops differ: their label table is MATERIALIZED per round, so
+          // the hint there skips a real exchange without re-execution.
           while (iter < iters) {
             val contrib = adjM.df
               .join(ranks.withColumnRenamed("doc_id", "src"), Seq("src"))

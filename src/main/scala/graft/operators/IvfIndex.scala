@@ -35,7 +35,7 @@ object IvfIndex {
     * skew so a 100 TB operator sees BOTH knobs of index quality. */
   val DefaultFitSampleSize: Int = 25000
 
-  /** Fit the coarse quantizer (seeded MLlib KMeans → reproducible) and
+  /** Fit the coarse quantizer (seeded k-means → reproducible) and
     * assign every corpus row to its nearest cell. Expects an `embedding`
     * array<float> column and a `vec_id` key.
     *
@@ -46,8 +46,6 @@ object IvfIndex {
     * single map-only assignment pass scales with corpus size. */
   def build(corpus: DataFrame, nCells: Int,
       fitSampleSize: Int = DefaultFitSampleSize): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     // an under-sized training budget would silently materialize fewer or
     // degenerate cells (k-means can't place k centers on < k points)
     require(fitSampleSize >= nCells,
@@ -55,30 +53,37 @@ object IvfIndex {
         "the quantizer cannot place more centers than training points")
 
     val e = corpus
-      .withColumn("features", array_to_vector(col("embedding")))
       .withColumn("emb", toDoubles(col("embedding")))
       .withColumn("norm", l2Norm(col("embedding")))
     val n = corpus.count() // parquet-metadata cheap; one-time at build
+    require(n >= nCells,
+      s"IVF needs a corpus of at least nCells=$nCells vectors, got $n")
     val fitSet =
-      if (n <= fitSampleSize) e.select(col("features"))
-      else e.select(col("features"))
+      if (n <= fitSampleSize) e.select(col("emb"))
+      else e.select(col("emb"))
         .sample(withReplacement = false, fitSampleSize.toDouble / n, seed = 42L)
-    // random init, not k-means||: the parallel init runs ~2·initSteps extra
-    // distributed passes to seed centroids, which dominates build time at
-    // bench scale and buys nothing for a coarse quantizer whose cells only
-    // need to be roughly balanced (recall asserted in SimilaritySpec either
-    // way). Seeded → reproducible.
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
-      .setInitMode("random")
-      .fit(fitSet)
-    val assignments = model.transform(e)
-      .withColumnRenamed("prediction", "cell")
+    // Driver-local seeded Lloyd's over the ONE collected bounded sample
+    // ([[LocalKMeans]]): the sample is ≤ fitSampleSize rows by contract —
+    // the established bounded-metadata collect — and the distributed fit
+    // it replaces was a ~15-job scheduler chain per build for
+    // milliseconds of arithmetic (r19 verdict item 6; q122's 31-job fit
+    // chain). Only the map-only assignment pass scales with the corpus.
+    val pts = fitSet.collect().map(_.getSeq[Double](0).toArray)
+    val cb = LocalKMeans.fit(pts, nCells, seed = 42L)
+    // map-only nearest-centroid assignment via the codegen'd
+    // [[graft.functions.NearestCenter]] kernel (bit-identical fold and tie
+    // break to assignCells — parity pinned by IvfMaintainSpec); the HOF
+    // formulation it replaces evaluated ~nCells×dim interpreted lambda
+    // nodes per row (7 s of single-task CPU on q51 at sf0.1)
+    val assignments = e
+      .withColumn("cell", graft.functions.NearestCenter.ofColumn(
+        col("emb"), cb.map(_.toArray).toArray))
       .select(col("vec_id"), col("cell"), col("emb"), col("norm"))
 
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = model.clusterCenters.toIndexedSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }
+    val centroids = cb.zipWithIndex
+      .map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
     IvfIndex(centroids, assignments)
   }

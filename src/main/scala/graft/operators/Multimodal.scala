@@ -446,11 +446,14 @@ object Multimodal {
     * decode-inverts-encode check behind [[q157AudioStats]]. */
   def audioFromDocuments(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Skew.fanOutForCpu( // codec fan-out; no-op at scale (imagesFromDocuments)
-      Tables.documents(spark, dir)
-        .filter(pmod(col("doc_id"), lit(3)) === 1)
-        .select(col("doc_id"), col("text"), col("n_chars").cast("long")),
-      "doc_id")
+    // NO codec fan-out here (unlike the image/jpeg/video arms): with the
+    // SPI registry cached (AudioSpi) the plain-WAV container work is
+    // ~trivial CPU per row, and an r20 A/B measured the fan-out exchange
+    // as pure overhead (q157 0.65 -> 0.33 s; q206 0.95 -> 0.56 s) — the
+    // single-task scan finishes before 32 tasks would even schedule
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id"), col("text"), col("n_chars").cast("long"))
       .as[(Long, String, Long)]
       .mapPartitions { rows =>
         rows.map { case (id, text, nChars) =>
@@ -487,11 +490,10 @@ object Multimodal {
       aLaw: Boolean = false): DataFrame = {
     import spark.implicits._
     import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
-    Skew.fanOutForCpu( // codec fan-out; no-op at scale (imagesFromDocuments)
-      Tables.documents(spark, dir)
-        .filter(pmod(col("doc_id"), lit(3)) === 1)
-        .select(col("doc_id"), col("text"), col("n_chars").cast("long")),
-      "doc_id")
+    // no codec fan-out — same r20 measurement as audioFromDocuments
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id"), col("text"), col("n_chars").cast("long"))
       .as[(Long, String, Long)]
       .mapPartitions { rows =>
         val enc = if (aLaw) AudioFormat.Encoding.ALAW

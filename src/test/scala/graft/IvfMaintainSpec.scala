@@ -80,14 +80,21 @@ class IvfMaintainSpec extends SparkSpec {
     IvfIndex.save(IvfIndex.build(corpus, nCells = 8), path)
     val loaded = IvfIndex.load(spark, path)
 
-    // same-cell: re-ingest vec 0 with its own embedding → still one row
-    val v0 = corpus.filter($"vec_id" === 0L)
-      .select($"embedding").as[Seq[Float]].head()
-    // cross-cell: give vec 1 the embedding of a vector from another cell
     val cellOf = IvfIndex.assignCells(
       corpus.select($"vec_id", $"embedding"), loaded.centroids)
       .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
-    val donor = cellOf.find(_._2 != cellOf(1L)).get._1
+    // The ids are chosen to satisfy the scenario's OWN preconditions
+    // (formerly hardcoded 0/1, which only worked under one centroid
+    // layout): the stale-copy assertion below needs vB's old cell to stay
+    // UNTOUCHED by this batch — ingestBatch's latest-wins anti-join heals
+    // an ingested id's stale row whenever its old cell happens to be
+    // touched — so vA, vB, and the donor must sit in three distinct cells.
+    val vA = cellOf.keys.min // same-cell re-ingest: own embedding
+    val vB = cellOf.keys.filter(k => cellOf(k) != cellOf(vA)).min
+    val donor = cellOf.keys
+      .filter(k => cellOf(k) != cellOf(vB) && cellOf(k) != cellOf(vA)).min
+    val vAEmb = corpus.filter($"vec_id" === lit(vA))
+      .select($"embedding").as[Seq[Float]].head()
     val vDonor = corpus.filter($"vec_id" === lit(donor))
       .select($"embedding").as[Seq[Float]].head()
 
@@ -95,20 +102,20 @@ class IvfMaintainSpec extends SparkSpec {
     val q = IvfIndex.maintain(
       input.toDF().toDF("vec_id", "embedding"), path, ckpt)
     try {
-      input.addData((0L, v0), (1L, vDonor))
+      input.addData((vA, vAEmb), (vB, vDonor))
       q.processAllAvailable()
     } finally q.stop()
 
     val rows = spark.read.parquet(s"$path/assignments")
       .select($"vec_id", $"cell").as[(Long, Int)].collect()
-    assert(rows.count(_._1 == 0L) === 1) // same-cell replace, no dup
-    assert(rows.count(_._1 == 1L) === 2) // stale copy documented pre-compact
+    assert(rows.count(_._1 == vA) === 1) // same-cell replace, no dup
+    assert(rows.count(_._1 == vB) === 2) // stale copy documented pre-compact
     IvfIndex.compact(spark, path)
     // compact publishes a NEW generation dir; resolve like a reader would
     val afterC = spark.read.parquet(IvfIndex.assignmentsDir(spark, path))
       .select($"vec_id", $"cell").as[(Long, Int)].collect()
-    assert(afterC.count(_._1 == 1L) === 1)
-    assert(afterC.find(_._1 == 1L).get._2 === cellOf(donor)) // latest cell won
+    assert(afterC.count(_._1 == vB) === 1)
+    assert(afterC.find(_._1 == vB).get._2 === cellOf(donor)) // latest cell won
     assert(afterC.length === afterC.map(_._1).distinct.length)
   }
 
